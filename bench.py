@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE JSON
+line ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Data dir: ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``);
+parallelism: ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Each query is forced with a cheap terminal action (``count`` on the final
+plan) so timings cover scan → shuffle → result without driver-side collect
+overhead dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (  # noqa: E402
+    session,
+    workload,
+)
+
+#: Queries timed for the headline metric.  Updated as operators land.
+HEADLINE = [
+    "customer_segment_count",
+    "customer_filter_segment",
+    "part_type_token_count",
+    "customer_change_hash",
+    "orders_year_windows",
+    "orders_duplicate_custkeys",
+    "lineitem_pricing_summary",
+    "fact_enrichment_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = session.get_spark(app_name="medallion-bench")
+    # Warm the JVM + parquet footers once so timings measure the engine, not
+    # first-touch JIT/class-loading noise.
+    workload.QUERIES[HEADLINE[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = workload.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Parity target: the reference's ``class windows`` wrapper applying
+``dense_rank`` / ``rank`` / ``row_number`` over
+``Window.partitionBy("year").orderBy(col("total_amount").desc())``
+(``/root/reference/Silver_Orders.py:48-96``) and the SQL ``ROW_NUMBER``
+duplicate detector (``/root/reference/Gold_Customers.py:2-7``).
+
+Scale note: a window shuffles once on its partition key and sorts within
+partitions.  Ranking functions need no frame buffering (running state only).
+The hazard at 100 TB is *partition skew* — one giant ``year`` partition
+serializes on one task.  ``ranked`` therefore accepts multi-column partition
+keys, and callers who rank within a low-cardinality key at extreme volume
+should pre-aggregate or sub-bucket; AQE skew handling does not split window
+partitions (only joins), so the operator is the right place to care.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+_RANK_FNS = {
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+    "row_number": F.row_number,
+}
+
+
+def spec(partition_by: list[str], order_by: list[tuple[str, bool]]) -> WindowSpec:
+    """Build a window spec; ``order_by`` is ``(column, descending)`` pairs."""
+    order: list[Column] = [
+        F.col(c).desc() if d else F.col(c).asc() for c, d in order_by
+    ]
+    return Window.partitionBy(*[F.col(c) for c in partition_by]).orderBy(*order)
+
+
+def ranked(
+    df: DataFrame,
+    kind: str,
+    partition_by: list[str],
+    order_by: list[tuple[str, bool]],
+    out: str,
+) -> DataFrame:
+    """W1-W3: attach a rank-family column.
+
+    ``kind`` ∈ {rank, dense_rank, row_number}.  Parity:
+    ``/root/reference/Silver_Orders.py:48,57,62`` (wrapped ``:71-87``).
+    """
+    return df.withColumn(out, _RANK_FNS[kind]().over(spec(partition_by, order_by)))
+
+
+def ranked_all(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[tuple[str, bool]],
+    prefix: str = "",
+) -> DataFrame:
+    """W6: apply all three ranking functions over one shared spec.
+
+    The reference applies them sequentially via its ``windows`` class
+    (``/root/reference/Silver_Orders.py:89-96``); sharing one WindowSpec lets
+    Spark compute all three in a single Window physical operator — one
+    shuffle + one sort instead of three.
+    """
+    w = spec(partition_by, order_by)
+    return df.withColumns(
+        {f"{prefix}{k}": fn().over(w) for k, fn in _RANK_FNS.items()}
+    )
+
+
+def duplicates(df: DataFrame, key_cols: list[str], out: str = "row_no") -> DataFrame:
+    """W4: duplicate-key detector — rows beyond the first per key.
+
+    Parity: ``ROW_NUMBER() OVER (PARTITION BY customer_id ORDER BY
+    customer_id) ... WHERE row_no > 1`` (``/root/reference/Gold_Customers.py:2-7``).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in key_cols])
+    return df.withColumn(out, F.row_number().over(w)).filter(F.col(out) > 1)
+
+
+def latest_per_key(
+    df: DataFrame, key_cols: list[str], sequence_col: str, keep_col: bool = False
+) -> DataFrame:
+    """W5 (corrected): latest-version pick for merge sources.
+
+    The reference computes ``ROW_NUMBER() OVER (PARTITION BY product_id ORDER
+    BY effective_start_date DESC) rn`` but never filters ``rn=1``
+    (``/root/reference/Gold_Products_No_Delta_Live.py:74`` — noted in
+    SURVEY.md §7.4.1); we implement the intended semantics.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(sequence_col).desc())
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return out if keep_col else out.drop("__rn")

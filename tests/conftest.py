@@ -1,0 +1,96 @@
+"""Shared test fixtures: one SparkSession per test run + a DuckDB oracle
+harness replicating the driver's compare (row count, schema, order-insensitive
+value hash)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (  # noqa: E402
+    session,
+    workload,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    sp = session.get_spark(app_name="medallion-tests", master="local[4]",
+                           shuffle_partitions=4)
+    yield sp
+    sp.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for t in workload.TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def _canon(value):
+    """Canonicalize a cell for order-insensitive comparison across engines."""
+    if value is None:
+        return "∅"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return repr(value)  # exact double repr — determinism is on us
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(_canon(v) for v in value) + "]"
+    return str(value)
+
+
+def assert_matches_oracle(spark_df, oracle_con, sql, approx_cols=()):
+    """Driver-compare replica: sorted-by-name columns, sorted rows, exact cells.
+
+    ``approx_cols``: column names compared at 1e-9 relative tolerance instead
+    of exactly (use sparingly — the real driver hashes exactly).
+    """
+    sp = spark_df.toPandas()
+    du = oracle_con.execute(sql).df()
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    du = du.reindex(sorted(du.columns), axis=1)
+    assert list(sp.columns) == list(du.columns), (
+        f"column mismatch: spark={list(sp.columns)} duckdb={list(du.columns)}"
+    )
+    assert len(sp) == len(du), f"row count: spark={len(sp)} duckdb={len(du)}"
+
+    approx = set(approx_cols)
+    exact_cols = [c for c in sp.columns if c not in approx]
+
+    def keyed(df):
+        return sorted(
+            tuple(_canon(v) for v in row)
+            for row in df[exact_cols].itertuples(index=False, name=None)
+        )
+
+    srows, drows = keyed(sp), keyed(du)
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        assert a == b, f"value mismatch at sorted row {i}: spark={a} duckdb={b}"
+
+    if approx:
+        # Compare approx columns after sorting both frames by the exact cols.
+        sp2 = sp.sort_values(exact_cols).reset_index(drop=True)
+        du2 = du.sort_values(exact_cols).reset_index(drop=True)
+        for c in approx:
+            for i, (a, b) in enumerate(zip(sp2[c], du2[c])):
+                if a is None and b is None:
+                    continue
+                assert abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)), (
+                    f"approx mismatch {c}[{i}]: {a} vs {b}"
+                )
