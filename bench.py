@@ -35,6 +35,10 @@ HEADLINE = [
     "orders_duplicate_custkeys",
     "lineitem_pricing_summary",
     "fact_enrichment_join",
+    "part_discount_udf",
+    "part_brand_upper_udf",
+    "scd1_customer_dim",
+    "scd2_part_dim",
 ]
 
 

@@ -1,0 +1,76 @@
+"""UDF surface (SURVEY.md §2.10): catalog SQL UDFs + Python UDF shim.
+
+U1 — SQL scalar UDF DDL: the reference registers
+``CREATE OR REPLACE FUNCTION ...discount(p_price double) RETURNS double
+LANGUAGE SQL RETURN p_price * 0.90`` (``/root/reference/Silver_Products.py:25-27``)
+and calls it from SQL (``:32``) and via ``expr()`` from the DataFrame API
+(``:36``, F10).  Open-source Spark ≥3.4 supports the same DDL (minus the
+optional ``LANGUAGE SQL`` clause being mandatory), and **Catalyst inlines SQL
+UDFs into the plan** — they cost nothing at 100 TB.
+
+U2 — Python scalar UDF: the reference uses Databricks-only ``LANGUAGE
+PYTHON`` DDL (``/root/reference/Silver_Products.py:42-47``).  OSS equivalent
+is ``spark.udf.register``.  Python row-UDFs serialize every row through the
+Python worker — the slow path.  ``register_python_udf`` therefore defaults to
+Arrow-batched execution (``useArrow=True``), and call sites should prefer
+built-ins (``F.upper``) whenever the function is expressible; the shim exists
+for parity and for genuinely custom logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def create_sql_udf(
+    spark: SparkSession,
+    name: str,
+    params: str,
+    returns: str,
+    body: str,
+    replace: bool = True,
+) -> None:
+    """U1: register a catalog SQL UDF via DDL.
+
+    ``create_sql_udf(spark, "discount", "p_price DOUBLE", "DOUBLE",
+    "p_price * 0.90")`` mirrors ``/root/reference/Silver_Products.py:25-27``.
+    """
+    or_replace = "OR REPLACE " if replace else ""
+    spark.sql(
+        f"CREATE {or_replace}FUNCTION {name}({params}) RETURNS {returns} "
+        f"RETURN {body}"
+    )
+
+
+def register_python_udf(
+    spark: SparkSession,
+    name: str,
+    fn: Callable,
+    return_type: str = "string",
+    use_arrow: bool = True,
+) -> None:
+    """U2: OSS shim for the reference's ``LANGUAGE PYTHON`` DDL
+    (``/root/reference/Silver_Products.py:42-47``).
+
+    Arrow-batched by default; still prefer built-ins in hot paths.
+    """
+    spark.udf.register(name, F.udf(fn, return_type, useArrow=use_arrow))
+
+
+def call_udf(name: str, *args: Column | str) -> Column:
+    """F10: invoke a catalog UDF from the DataFrame API.
+
+    The reference goes through ``expr("...discount(price)")``
+    (``/root/reference/Silver_Products.py:36``); ``F.call_udf`` is the typed
+    equivalent that skips string assembly.
+    """
+    cols = [F.col(a) if isinstance(a, str) else a for a in args]
+    return F.call_udf(name, *cols)
+
+
+def with_udf_column(df: DataFrame, out: str, name: str, *args: Column | str) -> DataFrame:
+    """Attach a UDF-derived column (reference pattern ``Silver_Products.py:36``)."""
+    return df.withColumn(out, call_udf(name, *args))

@@ -1,0 +1,144 @@
+"""MERGE engine (SURVEY.md §2.8): SQL-MERGE semantics as a pure DataFrame op.
+
+The reference's merges are Delta ``MERGE INTO`` statements
+(``/root/reference/Gold_Customers.py:75-97``,
+``Gold_Products_No_Delta_Live.py:69-95``) and the ``DeltaTable.merge``
+builder (``Gold_Orders.py:60-81``).  delta-spark is not guaranteed in this
+environment, so the engine implements MERGE as a **pure function**
+``(target, source) -> new_target_state`` built from one full-outer join —
+the same plan Delta produces internally — and leaves persistence to the
+storage layer (``sources.writers``; Delta transactional rewrite when
+available, atomic directory swap otherwise).
+
+Scale notes:
+
+* The join shuffles both sides on the merge keys.  In the dominant pattern —
+  small change-batch vs huge dimension/fact — pass ``broadcast_source=True``
+  and the target never shuffles: a single map-side pass rewrites the table.
+* With a partitioned target, callers should pre-filter the target to the
+  partitions present in the source (partition pruning) before merging; Delta
+  does this file-level automatically, our parquet fallback does it
+  partition-level via ``prune_partitions``.
+* Everything is built-in expressions — no UDFs, full codegen.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_T_MARK = "__t_exists"
+_S_MARK = "__s_exists"
+
+
+def t(col: str) -> Column:
+    """Reference the target side in a merge condition/assignment."""
+    return F.col(f"t.{col}")
+
+
+def s(col: str) -> Column:
+    """Reference the source side in a merge condition/assignment."""
+    return F.col(f"s.{col}")
+
+
+def merge_dataframes(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_condition: Column | str | None = None,
+    update_set: dict[str, Column] | None = None,
+    insert_values: dict[str, Column] | None = None,
+    delete_condition: Column | str | None = None,
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """ANSI-MERGE semantics, returned as the new target state.
+
+    * ``WHEN MATCHED [AND update_condition] THEN UPDATE SET update_set``
+    * ``WHEN MATCHED AND delete_condition THEN DELETE``
+    * ``WHEN NOT MATCHED THEN INSERT insert_values`` (omit → source-only
+      rows are ignored, i.e. no NOT MATCHED clause)
+
+    ``update_set`` / ``insert_values`` map output-column → expression over
+    the aliased sides (use :func:`t` / :func:`s`).  Unmentioned columns keep
+    the target value on update; insert defaults to the source column of the
+    same name when present, else NULL (matching SQL INSERT-with-columns).
+
+    Like SQL MERGE, the source must be unique per key (dedupe upstream with
+    ``operators.windows.latest_per_key`` — SURVEY §2.5 W5); duplicates would
+    fan out matched target rows.
+    """
+    out_cols = target.columns
+    src = F.broadcast(source) if broadcast_source else source
+    tt = target.withColumn(_T_MARK, F.lit(True)).alias("t")
+    ss = src.withColumn(_S_MARK, F.lit(True)).alias("s")
+    on = reduce(lambda a, b: a & b, [t(k) == s(k) for k in keys])
+    # No INSERT clause → source-only rows are irrelevant → LEFT join, which
+    # (unlike FULL OUTER) supports broadcast-hash on the source side: the
+    # huge target streams map-side with zero shuffle.  With INSERT we need
+    # source-only rows, hence FULL OUTER (shuffle join; AQE handles skew).
+    join_how = "full_outer" if insert_values is not None else "left_outer"
+    joined = tt.join(ss, on, join_how)
+
+    matched = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNotNull()
+    t_only = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNull()
+    s_only = F.col(_T_MARK).isNull() & F.col(_S_MARK).isNotNull()
+
+    def _cond(c: Column | str | None, default: bool) -> Column:
+        if c is None:
+            return F.lit(default)
+        return F.expr(c) if isinstance(c, str) else c
+
+    upd_cond = _cond(update_condition, update_set is not None)
+    del_cond = _cond(delete_condition, False)
+
+    update_set = update_set or {}
+    source_cols = set(source.columns)
+
+    projections: list[Column] = []
+    for c in out_cols:
+        upd_expr = update_set.get(c, t(c))
+        ins_expr = (
+            insert_values.get(c, s(c) if c in source_cols else F.lit(None))
+            if insert_values is not None
+            else F.lit(None)
+        )
+        projections.append(
+            F.when(matched & del_cond, F.lit(None))          # deleted (filtered below)
+            .when(matched & upd_cond, upd_expr)              # UPDATE
+            .when(matched, t(c))                             # matched, no-op
+            .when(t_only, t(c))                              # untouched target
+            .otherwise(ins_expr)                             # INSERT (s_only)
+            .alias(c)
+        )
+
+    keep = ~(matched & del_cond)
+    if insert_values is None:
+        keep = keep & ~s_only
+    return joined.filter(keep).select(*projections)
+
+
+def assert_unique_source(source: DataFrame, keys: list[str]) -> None:
+    """Optional SQL-MERGE cardinality check (one action; skip in hot paths)."""
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(f"merge source has duplicate keys on {keys}")
+
+
+def prune_partitions(
+    target: DataFrame, source: DataFrame, partition_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split target into (touched, untouched) by the source's partition values.
+
+    Parquet-fallback analogue of Delta's file skipping during MERGE: merge
+    only the touched slice, union the untouched slice back unchanged, and the
+    storage layer rewrites only touched partitions.  The distinct-collect is
+    over partition values (small by construction), not data rows.
+    """
+    values = [r[0] for r in source.select(partition_col).distinct().collect()]
+    touched = target.filter(F.col(partition_col).isin(values))
+    untouched = target.filter(~F.col(partition_col).isin(values))
+    return touched, untouched

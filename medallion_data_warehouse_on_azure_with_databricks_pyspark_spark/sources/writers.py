@@ -1,0 +1,69 @@
+"""Batch sinks (SURVEY.md §2.1 S9-S11) with scale-aware layout control.
+
+The reference writes unpartitioned Delta overwrites
+(``/root/reference/Silver_Customers.py:41``, ``Gold_Customers.py:65-68``).
+At 100 TB, layout is the whole game: fact tables must be partitioned on
+their pruning key (``partition_by``), and rewrites must be atomic.  Without
+delta-spark we get atomicity from a write-to-staging + directory-swap
+protocol (single-filesystem rename), which also keeps readers from seeing
+half-written output."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+from ..session import delta_available
+
+
+def _fmt() -> str:
+    return "delta" if delta_available() else "parquet"
+
+
+def overwrite_path(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """S9: overwrite a table directory (``/root/reference/Silver_Customers.py:41``).
+
+    Parquet fallback is atomic-ish: stage to ``<path>.__stage_<uuid>`` then
+    swap.  Delta (when available) gets transactional overwrite natively.
+    """
+    if delta_available():
+        writer = df.write.mode("overwrite").format("delta")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return
+    stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(stage)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    path: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S10/S11: catalog-registered write; external when ``path`` is given
+    (``/root/reference/Gold_Customers.py:65-68``, ``Gold_Orders.py:84-86``)."""
+    writer = df.write.format(_fmt()).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)

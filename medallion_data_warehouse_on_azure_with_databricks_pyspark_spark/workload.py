@@ -26,8 +26,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import hashing
+from .functions import hashing, udf
 from .operators import aggregates, joins, silver, windows
+from .plans import merge as merge_plan
+from .plans import scd
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -228,6 +230,171 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# UDF surface  (SURVEY §2.10 U1/U2, §2.7 F9/F10)
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_discount_udf",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           p_retailprice * 0.90 AS discounted_price
+    FROM part
+    """,
+)
+def part_discount_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + F9/F10: catalog SQL UDF (Catalyst-inlined) invoked from the
+    DataFrame API (``/root/reference/Silver_Products.py:25-36``)."""
+    udf.create_sql_udf(spark, "discount", "p_price DOUBLE", "DOUBLE", "p_price * 0.90")
+    df = load(spark, sf_dir, "part")
+    df = udf.with_udf_column(df, "discounted_price", "discount", "p_retailprice")
+    return silver.project(df, "p_partkey", "p_retailprice", "discounted_price")
+
+
+@query(
+    "part_brand_upper_udf",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) AS brand_upper FROM part
+    """,
+)
+def part_brand_upper_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Python scalar UDF via the ``LANGUAGE PYTHON`` shim — Arrow-batched
+    (``/root/reference/Silver_Products.py:42-52``).  Kept as a real Python
+    UDF for parity; production paths would use ``F.upper``."""
+    udf.register_python_udf(
+        spark, "upper_func", lambda b: None if b is None else b.upper(), "string"
+    )
+    df = load(spark, sf_dir, "part")
+    df = udf.with_udf_column(df, "brand_upper", "upper_func", "p_brand")
+    return silver.project(df, "p_partkey", "brand_upper")
+
+
+# ---------------------------------------------------------------------------
+# SCD merges  (SURVEY §2.8 M1/M2/M4/M5) — pinned timestamps + deterministic
+# surrogate keys make the full dimension state oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_T1 = "2024-01-01 00:00:00"
+_T2 = "2024-02-01 00:00:00"
+
+
+def _customer_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic initial/update snapshots carved from the customer table:
+    initial = even keys; updates = keys divisible by 3 with shifted balance
+    (decimal-typed so hash strings match the oracle bit-for-bit)."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("acctbal"),
+    )
+    initial = base.filter(F.col("c_custkey") % 2 == 0)
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment",
+        (F.col("c_acctbal") + 100).cast("decimal(12,2)").alias("acctbal"),
+    )
+    return initial, updates
+
+
+@query(
+    "scd1_customer_dim",
+    oracle=f"""
+    WITH init AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      FROM customer WHERE c_custkey % 2 = 0),
+    upd AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CAST(c_acctbal + 100 AS DECIMAL(12,2)) AS acctbal
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT
+      COALESCE(i.c_custkey, u.c_custkey) AS c_custkey,
+      COALESCE(u.c_name, i.c_name) AS c_name,
+      COALESCE(u.c_mktsegment, i.c_mktsegment) AS c_mktsegment,
+      CAST(COALESCE(u.acctbal, i.acctbal) AS DOUBLE) AS acctbal,
+      sha256(COALESCE(u.c_name, i.c_name)
+             || COALESCE(u.c_mktsegment, i.c_mktsegment)
+             || CAST(COALESCE(u.acctbal, i.acctbal) AS VARCHAR)) AS hash_value,
+      COALESCE(i.c_custkey, u.c_custkey) AS customer_skey,
+      CASE WHEN i.c_custkey IS NULL THEN TIMESTAMP '{_T2}'
+           ELSE TIMESTAMP '{_T1}' END AS created_date,
+      CASE WHEN u.c_custkey IS NULL THEN TIMESTAMP '{_T1}'
+           ELSE TIMESTAMP '{_T2}' END AS updated_date,
+      CASE WHEN i.c_custkey IS NULL OR u.c_custkey IS NULL
+           THEN 'I' ELSE 'U' END AS change_type
+    FROM init i FULL JOIN upd u ON i.c_custkey = u.c_custkey
+    """,
+)
+def scd1_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 + M4 + F7: SCD Type-1 customer dimension — initial load then one
+    merge batch (``/root/reference/Gold_Customers.py:30-97``)."""
+    initial, updates = _customer_snapshots(spark, sf_dir)
+    keys, attrs = ["c_custkey"], ["c_name", "c_mktsegment", "acctbal"]
+    dim = scd.scd1_initial(
+        initial, keys, attrs, "customer_skey", now=_T1, skey=F.col("c_custkey")
+    )
+    dim = scd.scd1_merge(
+        dim, updates, keys, attrs, "customer_skey",
+        now=_T2, skey=merge_plan.s("c_custkey"),
+    )
+    # decimal internally (bit-exact hash strings) → double at the boundary.
+    return dim.withColumn("acctbal", F.col("acctbal").cast("double"))
+
+
+@query(
+    "scd2_part_dim",
+    oracle=f"""
+    WITH init AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      FROM part),
+    upd AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice * 1.10 AS DECIMAL(12,2)) AS price
+      FROM part WHERE p_partkey % 5 = 0),
+    unchanged AS (
+      SELECT i.*, TIMESTAMP '{_T1}' AS effective_start_date,
+             CAST(NULL AS TIMESTAMP) AS effective_end_date, TRUE AS is_current
+      FROM init i LEFT JOIN upd u ON i.p_partkey = u.p_partkey
+      WHERE u.p_partkey IS NULL),
+    expired AS (
+      SELECT i.*, TIMESTAMP '{_T1}' AS effective_start_date,
+             TIMESTAMP '{_T2}' AS effective_end_date, FALSE AS is_current
+      FROM init i JOIN upd u ON i.p_partkey = u.p_partkey),
+    fresh AS (
+      SELECT u.*, TIMESTAMP '{_T2}' AS effective_start_date,
+             CAST(NULL AS TIMESTAMP) AS effective_end_date, TRUE AS is_current
+      FROM upd u)
+    SELECT p_partkey, p_name, p_brand, CAST(price AS DOUBLE) AS price,
+           sha256(p_name || p_brand || CAST(price AS VARCHAR)) AS hash_value,
+           effective_start_date, effective_end_date, is_current
+    FROM (SELECT * FROM unchanged UNION ALL
+          SELECT * FROM expired UNION ALL
+          SELECT * FROM fresh)
+    """,
+)
+def scd2_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (corrected two-phase) + M4: SCD Type-2 part dimension — initial
+    load, then a 10%-price-bump batch on every 5th part: old versions
+    expire, new versions + history coexist
+    (``/root/reference/Gold_Products_No_Delta_Live.py:41-95``; the
+    reference's single-pass MERGE misses the insert phase, SURVEY §7.4.1).
+
+    Every 5th part changes price (×1.10 ≠ ×1.00 for all driver prices)."""
+    part = load(spark, sf_dir, "part")
+    initial = part.select(
+        "p_partkey", "p_name", "p_brand",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+    )
+    updates = part.filter(F.col("p_partkey") % 5 == 0).select(
+        "p_partkey", "p_name", "p_brand",
+        (F.col("p_retailprice") * 1.10).cast("decimal(12,2)").alias("price"),
+    )
+    keys, attrs = ["p_partkey"], ["p_name", "p_brand", "price"]
+    dim = scd.scd2_initial(initial, keys, attrs, now=_T1)
+    dim = scd.scd2_merge(dim, updates, keys, attrs, now=_T2)
+    return dim.withColumn("price", F.col("price").cast("double"))
 
 
 @query(

@@ -1,0 +1,132 @@
+"""Unit tests for the MERGE engine and SCD machinery — semantics + idempotence
+(SURVEY.md §5: merge operators run twice must converge)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+    merge,
+    scd,
+)
+
+T1 = "2024-01-01 00:00:00"
+T2 = "2024-02-01 00:00:00"
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_merge_update_insert_noop(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    out = merge.merge_dataframes(
+        target,
+        source,
+        ["k"],
+        update_condition=merge.t("v") != merge.s("v"),
+        update_set={"v": merge.s("v")},
+        insert_values={"k": merge.s("k"), "v": merge.s("v"), "n": F.lit(0)},
+    )
+    assert _rows(out, "k", "v", "n") == [
+        (1, "a", 10),   # untouched
+        (2, "B", 20),   # updated (n kept)
+        (3, "c", 30),   # matched, condition false → no-op
+        (4, "d", 0),    # inserted
+    ]
+
+
+def test_merge_without_insert_clause_ignores_source_only(spark):
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([(1, "A"), (9, "z")], "k int, v string")
+    out = merge.merge_dataframes(
+        target, source, ["k"], update_set={"v": merge.s("v")}
+    )
+    assert _rows(out, "k", "v") == [(1, "A")]
+
+
+def test_merge_delete_condition(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    source = spark.createDataFrame([(1, "DEL"), (2, "keep")], "k int, v string")
+    out = merge.merge_dataframes(
+        target,
+        source,
+        ["k"],
+        delete_condition=merge.s("v") == F.lit("DEL"),
+        update_set={"v": merge.s("v")},
+    )
+    assert _rows(out, "k", "v") == [(2, "keep")]
+
+
+def test_assert_unique_source_raises(spark):
+    source = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge.assert_unique_source(source, ["k"])
+
+
+def test_scd1_merge_and_idempotence(spark):
+    src0 = spark.createDataFrame(
+        [(1, "ann", "NY"), (2, "bob", "LA")], "id int, name string, city string"
+    )
+    dim = scd.scd1_initial(src0, ["id"], ["name", "city"], "skey",
+                           now=T1, skey=F.col("id"))
+    src1 = spark.createDataFrame(
+        [(1, "ann", "SF"), (3, "eve", "TX")], "id int, name string, city string"
+    )
+    dim1 = scd.scd1_merge(dim, src1, ["id"], ["name", "city"], "skey",
+                          now=T2, skey=merge.s("id"))
+    got = _rows(dim1, "id", "name", "city", "change_type")
+    assert got == [(1, "ann", "SF", "U"), (2, "bob", "LA", "I"), (3, "eve", "TX", "I")]
+    # run the same batch again → no-op (hashes equal)
+    dim2 = scd.scd1_merge(dim1, src1, ["id"], ["name", "city"], "skey",
+                          now="2024-03-01 00:00:00", skey=merge.s("id"))
+    assert _rows(dim2, "id", "name", "city", "change_type", "updated_date") == _rows(
+        dim1, "id", "name", "city", "change_type", "updated_date"
+    )
+
+
+def test_scd2_two_phase_and_idempotence(spark):
+    src0 = spark.createDataFrame(
+        [(1, 9.99), (2, 5.00)], "pid int, price double"
+    )
+    dim = scd.scd2_initial(src0, ["pid"], ["price"], now=T1)
+    src1 = spark.createDataFrame(
+        [(1, 12.49), (2, 5.00), (3, 1.25)], "pid int, price double"
+    )
+    dim1 = scd.scd2_merge(dim, src1, ["pid"], ["price"], now=T2)
+    got = _rows(dim1, "pid", "price", "is_current")
+    # pid 1: expired 9.99 + current 12.49; pid 2 unchanged; pid 3 new.
+    assert got == [
+        (1, 9.99, False), (1, 12.49, True), (2, 5.0, True), (3, 1.25, True),
+    ]
+    ends = {
+        (r["pid"], r["is_current"]): r["effective_end_date"]
+        for r in dim1.collect()
+    }
+    assert ends[(1, False)] is not None and ends[(1, True)] is None
+    # same batch again → identical state
+    dim2 = scd.scd2_merge(dim1, src1, ["pid"], ["price"], now="2024-03-01 00:00:00")
+    assert _rows(dim2, "pid", "price", "is_current") == got
+
+
+def test_apply_changes_dedupes_by_sequence(spark):
+    feed = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "x", 1)],
+        "id int, v string, seq int",
+    )
+    dim = scd.apply_changes(None, feed, ["id"], "seq", stored_as_scd_type=2, now=T1)
+    assert _rows(dim, "id", "v", "is_current") == [(1, "new", True), (2, "x", True)]
+    feed2 = spark.createDataFrame(
+        [(1, "newer", 3), (1, "stale", 0)], "id int, v string, seq int"
+    )
+    dim2 = scd.apply_changes(dim, feed2, ["id"], "seq", stored_as_scd_type=2, now=T2)
+    assert _rows(dim2, "id", "v", "is_current") == [
+        (1, "new", False), (1, "newer", True), (2, "x", True),
+    ]
