@@ -39,6 +39,8 @@ HEADLINE = [
     "part_brand_upper_udf",
     "scd1_customer_dim",
     "scd2_part_dim",
+    "order_fact_upsert",
+    "dlt_part_pipeline",
 ]
 
 

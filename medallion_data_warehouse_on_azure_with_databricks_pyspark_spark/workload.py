@@ -398,6 +398,108 @@ def scd2_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_fact_upsert",
+    oracle=f"""
+    WITH cust_dim AS (
+      SELECT c_custkey AS o_custkey, c_custkey + 100000 AS customer_skey
+      FROM customer),
+    init AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0),
+    batch AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.05 AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0),
+    init_f AS (
+      SELECT i.*, d.customer_skey FROM init i
+      LEFT JOIN cust_dim d ON i.o_custkey = d.o_custkey),
+    batch_f AS (
+      SELECT b.*, d.customer_skey FROM batch b
+      LEFT JOIN cust_dim d ON b.o_custkey = d.o_custkey)
+    SELECT
+      COALESCE(b.o_orderkey, i.o_orderkey) AS o_orderkey,
+      COALESCE(b.o_custkey, i.o_custkey) AS o_custkey,
+      COALESCE(b.o_orderstatus, i.o_orderstatus) AS o_orderstatus,
+      COALESCE(b.o_totalprice, i.o_totalprice) AS o_totalprice,
+      COALESCE(b.customer_skey, i.customer_skey) AS customer_skey,
+      CASE WHEN i.o_orderkey IS NULL THEN TIMESTAMP '{_T2}'
+           ELSE TIMESTAMP '{_T1}' END AS created_dt,
+      CASE WHEN b.o_orderkey IS NULL THEN TIMESTAMP '{_T1}'
+           ELSE TIMESTAMP '{_T2}' END AS updated_dt
+    FROM init_f i FULL JOIN batch_f b ON i.o_orderkey = b.o_orderkey
+    """,
+)
+def order_fact_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 + M4 + J1: full fact lifecycle (``/root/reference/Gold_Orders.py``) —
+    initial load (even order keys) with dim-skey enrichment and audit
+    columns, then an incremental batch (keys divisible by 3, repriced ×1.05)
+    upserted on the fact key."""
+    from .plans import facts
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust_dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_custkey") + 100000).alias("customer_skey"),
+    )
+    initial = orders.filter(F.col("o_orderkey") % 2 == 0)
+    fact = facts.build_fact(initial, [(cust_dim, "o_custkey")], now=_T1)
+    batch = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.05
+    )
+    batch = joins.enrich(batch, [(cust_dim, "o_custkey")])
+    return facts.fact_upsert(fact, batch, "o_orderkey", now=_T2)
+
+
+@query(
+    "dlt_part_pipeline",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+           sha256(p_name || p_brand
+                  || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR))
+             AS hash_value,
+           TIMESTAMP '{_T1}' AS effective_start_date,
+           CAST(NULL AS TIMESTAMP) AS effective_end_date,
+           TRUE AS is_current
+    FROM part
+    WHERE p_size <= 45 AND p_name IS NOT NULL
+    """,
+)
+def dlt_part_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 + Q1/Q2 + X1/X2: the reference's DLT flow end-to-end
+    (``/root/reference/Gold_Products.py:84-105``) — bronze table → silver
+    view with expectations (drop rule) → ``apply_changes`` SCD2 state, run
+    through the engine's declarative pipeline framework."""
+    from .plans.pipeline import Pipeline
+
+    p = Pipeline("products")
+
+    @p.table(name="bronze_parts")
+    def bronze_parts(spark):
+        return load(spark, sf_dir, "part")
+
+    @p.view(
+        name="silver_parts",
+        expect_all_or_drop={"size_ok": "p_size <= 45", "name_set": "p_name IS NOT NULL"},
+    )
+    def silver_parts(bronze_parts):
+        return bronze_parts.select(
+            "p_partkey", "p_name", "p_brand", "p_size",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        )
+
+    p.apply_changes(
+        target="part_dim", source="silver_parts", keys=["p_partkey"],
+        sequence_by="p_size", stored_as_scd_type=2,
+        track_history_column_list=["p_name", "p_brand", "price"], now=_T1,
+    )
+    out = p.run(spark).outputs["part_dim"]
+    return out.withColumn("price", F.col("price").cast("double"))
+
+
+@query(
     "fact_enrichment_join",
     oracle="""
     SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,

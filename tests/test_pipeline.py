@@ -1,0 +1,98 @@
+"""Tests: fact build/upsert, expectations, declarative pipeline framework."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+    expectations as ex,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+    facts,
+    pipeline,
+)
+
+T1 = "2024-01-01 00:00:00"
+T2 = "2024-02-01 00:00:00"
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_build_fact_and_upsert(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.5), (3, 99, 1.0)], "oid int, cid int, amt double"
+    )
+    cust = spark.createDataFrame([(10, 100), (20, 200)], "cid int, cskey int")
+    fact = facts.build_fact(orders, [(cust, "cid")], now=T1)
+    assert _rows(fact, "oid", "cskey") == [(1, 100), (2, 200), (3, None)]
+
+    batch = spark.createDataFrame(
+        [(3, 99, 9.0, None), (4, 10, 2.0, 100)],
+        "oid int, cid int, amt double, cskey int",
+    )
+    merged = facts.fact_upsert(fact, batch, "oid", now=T2)
+    assert _rows(merged, "oid", "amt") == [
+        (1, 5.0), (2, 7.5), (3, 9.0), (4, 2.0),
+    ]
+    audit = {r["oid"]: (str(r["created_dt"]), str(r["updated_dt"]))
+             for r in merged.collect()}
+    assert audit[1] == (T1, T1)            # untouched
+    assert audit[3] == (T1, T2)            # updated
+    assert audit[4][1] == T2               # inserted
+
+
+def test_expectations_modes(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c")], "id int, name string"
+    )
+    rules = {"id_set": "id IS NOT NULL", "name_set": "name IS NOT NULL"}
+    report = ex.check(df, rules)
+    assert report.total_rows == 3
+    assert report.violations == {"id_set": 1, "name_set": 1}
+    kept = ex.expect_all_or_drop(df, rules)
+    assert _rows(kept, "id", "name") == [(1, "a")]
+    with pytest.raises(ex.ExpectationError, match="id_set"):
+        ex.expect_all_or_fail(df, rules)
+    clean = df.filter("id IS NOT NULL AND name IS NOT NULL")
+    assert ex.expect_all_or_fail(clean, rules) is clean
+
+
+def test_pipeline_topo_and_expectations(spark):
+    p = pipeline.Pipeline("test")
+
+    @p.table
+    def raw(spark):
+        return spark.createDataFrame(
+            [(1, "x", 1), (2, None, 2), (1, "x2", 3)], "id int, v string, seq int"
+        )
+
+    @p.view(name="cleaned", expect_all_or_drop={"v_set": "v IS NOT NULL"},
+            expect={"id_pos": "id > 0"})
+    def cleaned(raw):
+        return raw
+
+    p.apply_changes(
+        target="dim", source="cleaned", keys=["id"], sequence_by="seq",
+        stored_as_scd_type=2, now=T1,
+    )
+
+    assert p.order() == ["raw", "cleaned", "dim"]
+    res = p.run(spark)
+    assert res.expectation_reports["cleaned"].violations == {"id_pos": 0}
+    assert _rows(res.outputs["cleaned"], "id", "v") == [(1, "x"), (1, "x2")]
+    # latest per key (seq=3) wins; single current version per key
+    assert _rows(res.outputs["dim"], "id", "v", "is_current") == [(1, "x2", True)]
+
+
+def test_pipeline_unknown_dep_raises(spark):
+    p = pipeline.Pipeline()
+
+    @p.table
+    def node_a(missing_node):
+        return None
+
+    with pytest.raises(ValueError, match="unknown"):
+        p.order()
