@@ -41,6 +41,7 @@ HEADLINE = [
     "scd2_part_dim",
     "order_fact_upsert",
     "dlt_part_pipeline",
+    "events_hourly_windows",
 ]
 
 

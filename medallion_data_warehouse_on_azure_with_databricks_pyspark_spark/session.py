@@ -27,6 +27,11 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # The events table stores TIMESTAMP(NANOS) parquet, which Spark cannot
+    # represent (µs max); read as epoch-nanos long and convert explicitly
+    # (workload.load_events).  Runtime-settable, so driver-owned sessions
+    # can flip it too.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ~10 MB auto-broadcast is Spark's default; keep explicit so the intent
     # (dim tables broadcast, fact tables shuffle) is visible in one place.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),

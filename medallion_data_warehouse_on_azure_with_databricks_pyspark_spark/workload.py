@@ -44,6 +44,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed events loader.
+
+    The driver's events table stores TIMESTAMP(NANOS) parquet — unreadable
+    by Spark's timestamp types (µs max).  Read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable so it works
+    on driver-owned sessions too) and surface both the raw nanos and a
+    µs-truncated proper timestamp column ``ts``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def query(name: str, oracle: str | None = None):
     """Register a workload query (and its DuckDB oracle, if expressible)."""
 
@@ -497,6 +513,78 @@ def dlt_part_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = p.run(spark).outputs["part_dim"]
     return out.withColumn("price", F.col("price").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface  (SURVEY §2.1 S1/S2, §2.9 ST1-ST5 + event-time extension)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_stream_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props,
+           epoch_us(ts) AS ts_us,
+           CAST(NULL AS VARCHAR) AS _rescued_data
+    FROM events
+    """,
+)
+def events_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 + ST1-ST4: the full bronze flow — checkpointed availableNow
+    streaming ingest of the events table into a scratch bronze dir, read
+    back for comparison (``/root/reference/Bronze_Layer.py:20-37``).
+    Rescue column is NULL for schema-conforming input (Auto Loader parity).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import bronze as bz
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="medallion_bronze_")
+    source = os.path.join(work, "source")
+    os.makedirs(source)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(source, "events.parquet"))
+    bz.ingest(
+        spark,
+        source_dir=source,
+        bronze_dir=f"{work}/bronze",
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    out = spark.read.parquet(f"{work}/bronze")
+    return out.select(
+        "event_id", "user_id", "event_type", "value", "props",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("_rescued_data"),
+    )
+
+
+@query(
+    "events_hourly_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (extension — the reference has no
+    event-time processing, SURVEY §2.9).  Batch-mode run of the same
+    ``streaming.windows.tumbling`` operator used on streams."""
+    from .streaming import windows as sw
+
+    events = load_events(spark, sf_dir)
+    return sw.tumbling(
+        events, "ts", "1 hour", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        ],
+    )
 
 
 @query(
