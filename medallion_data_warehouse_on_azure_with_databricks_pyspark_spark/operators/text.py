@@ -1,0 +1,160 @@
+"""Text-analysis operators for LLM data pipelines (extension surface).
+
+Not present in the reference (its silver layer only does column cleanses) —
+required by the engine spec for training-data curation at 100 TB: token
+counting, quality scoring, language identification, and content
+fingerprinting over the ``documents`` table.
+
+Everything here is built-in Catalyst expressions (split/regexp/array
+functions) — **no Python UDFs** — so the operators run JVM-side inside
+whole-stage codegen and scale linearly with input.  Each op is a narrow
+projection: at 100 TB the scan reads only ``text`` plus requested columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword inventories for the n-gram/stopword heuristic
+#: language-ID.  Deliberately small + deterministic; order defines tie-break.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "para"],
+}
+
+#: BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(text_col)
+    n = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+    return df.withColumn(out, n)
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """Sub-word-ish token count via ``TOKEN_REGEX`` extraction — a cheap,
+    deterministic proxy for BPE token counts used in length filtering."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the quality-signal bundle used by curation filters:
+
+    ``n_chars_computed``, ``n_tokens``, ``avg_token_len``, ``alpha_ratio``
+    (alphabetic chars / chars), ``punct_ratio``, ``stopword_ratio``
+    (English-stopword tokens / tokens), ``quality_score`` (0..1 composite).
+
+    One Project node; all ratios are explicit double arithmetic so oracle
+    engines agree bit-for-bit.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c).cast("double")
+    n_toks = F.size(toks).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+
+    alpha_ratio = alpha / n_chars
+    punct_ratio = punct / n_chars
+    stopword_ratio = stop_hits / n_toks
+    quality = (
+        F.lit(0.25) * F.least(F.lit(1.0), n_toks / F.lit(100.0))
+        + F.lit(0.25) * alpha_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * F.least(F.lit(1.0), stopword_ratio * F.lit(5.0))
+    )
+    return df.withColumns({
+        "n_chars_computed": n_chars.cast("long"),
+        "n_tokens": n_toks.cast("long"),
+        "avg_token_len": (alpha + punct) / n_toks,
+        "alpha_ratio": alpha_ratio,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "quality_score": quality,
+    })
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-heuristic language ID over ``LANG_STOPWORDS``.
+
+    Scores = |distinct(tokens) ∩ stopwords(lang)|; argmax with declaration-
+    order tie-break; zero everywhere → ``'und'``.  Pure array expressions —
+    no UDF, no shuffle.
+    """
+    toks = F.array_distinct(tokens(text_col))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    # Cascade: first language (declaration order) holding the maximal score.
+    max_score = F.greatest(*scores.values())
+    pred = F.when(max_score == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == max_score, F.lit(lang))
+    return df.withColumn(out, pred.otherwise(F.lit("und")))
+
+
+def content_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint"
+) -> DataFrame:
+    """Normalized-content fingerprint: sha2-256 of lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn(out, F.sha2(norm, 256))
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens using ``xxhash64`` (JVM-side).
+
+    Per token, each of the 64 bits votes ±1; the sign of each bit-sum forms
+    the fingerprint.  Near-duplicate docs differ in few bits (Hamming).
+    Implemented with array expressions (transform/aggregate) — no UDF.
+    """
+    toks = tokens(text_col)
+    hashes_col = "__simhash_tokens"
+    tmp = df.withColumn(hashes_col, F.transform(toks, lambda w: F.xxhash64(w)))
+
+    def vote_at(i: int):
+        # vote_i = Σ tokens (±1 by bit i); binds i via closure because
+        # PySpark reads higher-order-function lambda arity (2 args only).
+        return F.aggregate(
+            F.col(hashes_col),
+            F.lit(0),
+            lambda acc, h: acc
+            + (
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+            ).cast("int"),
+        )
+
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        sim = sim.bitwiseOR(
+            F.when(vote_at(i) > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return tmp.withColumn(out, sim).drop(hashes_col)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

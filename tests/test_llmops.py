@@ -1,0 +1,225 @@
+"""Extension-operator tests: text analysis, dedup families, similarity
+search, multimodal plumbing — invariants + brute-force cross-checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat, the hat!"), (2, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text.text_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["n_chars_computed"] == 17
+    # 'the' twice (lowercased) → stopword_ratio 0.5
+    assert got[1]["stopword_ratio"] == pytest.approx(0.5)
+    assert got[2]["n_tokens"] == 1
+    assert 0.0 <= got[1]["quality_score"] <= 1.0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(1, "ab12 cd-ef!")], "doc_id long, text string")
+    # ab, 12, cd, -, ef, ! → 6
+    assert text.bpe_token_count(df).collect()[0]["n_bpe_tokens"] == 6
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat"),
+            (2, "der hund ist nicht da und das ist gut"),
+            (3, "le chat est dans la maison pour une nuit"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in text.detect_language(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_simhash_near_dup_behavior(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("today", "tomorrow")          # one-token change
+    c = "completely different content about spark query engines and shuffles"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in text.simhash64(df).collect()}
+    near = bin(fp[1] ^ fp[2]).count("1")
+    far = bin(fp[1] ^ fp[3]).count("1")
+    assert near < far
+    assert near <= 16
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3]           # normalized dup (case/whitespace) removed
+
+
+def test_ngram_vs_minhash_agree_on_real_data(spark):
+    docs = spark.read.parquet(DOCS)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    # verified-LSH must equal the exact pair set at this scale
+    assert mh == exact
+
+
+def test_minhash_jaccard_estimates_match_exact(spark):
+    docs = spark.read.parquet(DOCS)
+    rows = dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    for r in rows:
+        assert exact[(r["id_a"], r["id_b"])] == pytest.approx(r["jaccard"])
+
+
+def test_simhash_dedup_pairs_find_planted_dups(spark):
+    docs = spark.read.parquet(DOCS)
+    pairs = dedup.simhash_dedup_pairs(docs, max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    # J≈0.99 pairs are SimHash-near as well — expect high overlap.
+    assert len(found & exact) >= int(0.8 * len(exact))
+
+
+def test_dedup_keep_representatives(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.9), (4, 5, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_keep_representatives(df, pairs).collect()
+    )
+    assert kept == [0, 3, 4]        # chain 0-1-2 → 0; singleton 3; pair 4-5 → 4
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def _numpy_topk(emb, queries, k):
+    out = {}
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in queries:
+        q = mat[ids == qid][0]
+        sims = mat @ q
+        mask = ids != qid
+        order = sorted(
+            zip(sims[mask], -ids[mask]), key=lambda t: (-t[0], t[1])
+        )
+        out[qid] = [int(-i) for _, i in order[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = spark.read.parquet(EMB)
+    qids = [0, 7, 42]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    expected = _numpy_topk(emb.toPandas(), qids, 5)
+    assert by_q == expected
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(EMB)
+    qids = [1, 2, 3, 4, 5, 6, 7, 8]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    planes = similarity.random_planes(64, 4, seed=7)   # 16 buckets ≈ 31 rows each
+    approx = similarity.lsh_topk(emb, queries, planes, k=5).collect()
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    # Approximate: assert plumbing works and recall is nontrivial on random
+    # vectors with a coarse 4-plane table (statistically ≥ a few hits).
+    assert all(r["rank"] <= 5 for r in approx)
+    assert len(a & e) > 0
+
+
+def test_cosine_dedup_pairs_finds_planted_duplicate(spark):
+    emb = spark.read.parquet(EMB).limit(50)
+    # plant a near-exact duplicate of vec 0 with id 9999
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dup = spark.createDataFrame(
+        [(9999, [x * 1.0001 for x in v0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    planes = similarity.random_planes(64, 8, seed=3)
+    pairs = similarity.cosine_dedup_pairs(
+        emb.unionByName(dup), planes, threshold=0.999
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 9999)}
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_multimodal_feature_pipeline(spark):
+    base = spark.range(20).select(F.col("id").alias("media_id"))
+    media = multimodal.synth_media(base, "media_id")
+    feats = multimodal.extract_features(multimodal.repartition_for_media(media, 4))
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same content → same features
+    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+
+def test_multimodal_resize_and_frames(spark):
+    base = spark.range(5).select(F.col("id").alias("media_id"))
+    imgs = multimodal.synth_media(base, "media_id", media_type="image")
+    vids = multimodal.synth_media(base, "media_id", media_type="video")
+    resized = multimodal.resize_images(imgs, 32, 32).collect()
+    assert len(resized) == 5 and all(r["width"] == 32 for r in resized)
+    frames = multimodal.sample_frames(vids, n_frames=3).collect()
+    assert len(frames) == 15
+    idx = {(r["media_id"], r["frame_idx"]) for r in frames}
+    assert len(idx) == 15
+    # image rows produce no frames
+    assert multimodal.sample_frames(imgs).count() == 0
