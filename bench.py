@@ -42,6 +42,16 @@ HEADLINE = [
     "order_fact_upsert",
     "dlt_part_pipeline",
     "events_hourly_windows",
+    "doc_token_counts",
+    "doc_text_stats",
+    "doc_language_id",
+    "doc_exact_dedup",
+    "doc_minhash_dedup_pairs",
+    "doc_dedup_representatives",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "emb_cosine_dedup_pairs",
+    "multimodal_features",
 ]
 
 

@@ -619,3 +619,8 @@ def fact_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus",
         "p_name", "p_brand", "s_name", "revenue",
     )
+
+
+# LLM-data-pipeline extension queries register themselves on import (bottom
+# of module so the decorator and loaders above are defined).
+from . import workload_llm  # noqa: E402,F401  isort: skip

@@ -1,0 +1,396 @@
+"""LLM-data-pipeline workload queries (extension surface) with DuckDB oracles.
+
+Registers the dedup / similarity / text-analysis / multimodal operators into
+the same ``workload.QUERIES`` / ``workload.ORACLE`` registry the driver reads.
+
+Oracle determinism strategy for float math: every dot product / norm is an
+**ordered left fold** on both sides — Spark ``F.aggregate`` with a 0.0 seed,
+DuckDB ``list_reduce(list_prepend(0.0, …))`` — so doubles are bit-identical
+and value hashes match exactly.  LSH plane coordinates are inlined into the
+oracle SQL as literals (both engines see the same planes, so bucket
+assignments agree bit-for-bit).
+
+Omitted oracles (genuinely non-SQL-expressible, rows-only driver check):
+
+* ``doc_simhash_pairs`` — fingerprint built on ``xxhash64``, which DuckDB
+  does not provide.
+* ``multimodal_features`` — feature vectors derive from sha256 *digest
+  bytes* reinterpreted as little-endian uint32 lanes; DuckDB has no
+  blob-to-int reinterpretation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .workload import load, query
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (mirror text.py exactly)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_EN_STOPS = "['" + "','".join(text.LANG_STOPWORDS["en"]) + "']"
+
+#: Distinct word-3-gram shingles — mirrors ``dedup.shingles`` (slice clamps,
+#: short docs yield one short shingle).
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), "
+    "i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+#: Exact-Jaccard pair CTEs over `documents` (threshold substituted) — the
+#: oracle for both the inverted-index and the LSH-verified implementations.
+_JACCARD_PAIRS_CTES = """
+  toks AS (SELECT doc_id, {toks} AS t FROM documents),
+  sh AS (SELECT doc_id, {shingles} AS sh FROM toks),
+  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+  inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+  cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  pairs AS (
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b),
+  dup_pairs AS (SELECT * FROM pairs WHERE jaccard >= {threshold})
+""".format(toks=_TOKS, shingles=_SHINGLES.replace("{", "{{").replace("}", "}}"),
+           threshold="{threshold}")
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _JACCARD_PAIRS_CTES
+    + " SELECT id_a, id_b, jaccard FROM dup_pairs"
+)
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """Ordered-fold dot product of two list expressions (DOUBLE, bit-exact
+    vs Spark's ``F.aggregate`` with 0.0 seed)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _fold_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
+        f"(x, y) -> x + y))"
+    )
+
+
+def _planes_values(planes: list[list[float]]) -> str:
+    """Inline LSH plane coordinates as a VALUES relation ``planes(pid, p)``."""
+    rows = ",".join(
+        f"({i}, [{','.join(repr(float(v)) for v in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"(VALUES {rows}) planes(pid, p)"
+
+
+# Fixed LSH plane tables (seeded, deterministic — shared by query + oracle).
+_TOPK_PLANES = similarity.random_planes(64, 4, seed=7)     # 16 buckets
+_DEDUP_PLANES = similarity.random_planes(64, 8, seed=3)    # 256 buckets
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting over ``documents`` (narrow
+    projection: the 100 TB scan reads only ``doc_id, text``)."""
+    df = load(spark, sf_dir, "documents")
+    df = text.token_count(df, "text")
+    df = text.bpe_token_count(df, "text")
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_toks,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(list_filter({_TOKS},
+                  x -> list_contains({_EN_STOPS}, x))) AS DOUBLE) AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_chars_d AS BIGINT) AS n_chars_computed,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           (alpha + punct) / n_toks AS avg_token_len,
+           alpha / n_chars_d AS alpha_ratio,
+           punct / n_chars_d AS punct_ratio,
+           stop_hits / n_toks AS stopword_ratio,
+           0.25 * least(1.0, n_toks / 100.0) + 0.25 * (alpha / n_chars_d)
+             + 0.25 * (1.0 - punct / n_chars_d)
+             + 0.25 * least(1.0, stop_hits / n_toks * 5.0) AS quality_score
+    FROM base
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal bundle (length/alpha/punct/stopword ratios + composite
+    score) — pure Catalyst expressions, one Project node."""
+    df = text.text_stats(load(spark, sf_dir, "documents"), "text")
+    return df.select(
+        "doc_id", "n_chars_computed", "n_tokens", "avg_token_len",
+        "alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def _lang_scores_sql() -> str:
+    per_lang = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        arr = "['" + "','".join(words) + "']"
+        per_lang.append(
+            f"len(list_intersect(list_distinct({_TOKS}), {arr})) AS s_{lang}"
+        )
+    return ", ".join(per_lang)
+
+
+@query(
+    "doc_language_id",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, lang, {_lang_scores_sql()} FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID; output keeps the ground-truth ``lang``
+    column next to the prediction (declaration-order tie-break)."""
+    df = text.detect_language(load(spark, sf_dir, "documents"), "text")
+    return df.select("doc_id", "lang", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT *, sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+      FROM documents),
+    keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT fp.doc_id, text, lang, source, n_chars
+    FROM fp JOIN keep USING (f, doc_id)
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-content sha256 fingerprint, min-id
+    winner — one hash shuffle + semi-join, no window."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_ngram_jaccard_pairs",
+    oracle=_JACCARD_PAIRS_SQL.format(threshold="0.8"),
+)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle inverted index
+    (candidates share ≥1 shingle; never all-pairs)."""
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "doc_minhash_dedup_pairs",
+    oracle=_JACCARD_PAIRS_SQL.format(threshold="0.8"),
+)
+def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (128 hashes × 32 bands) candidates + exact-Jaccard verify.
+
+    Oracle note: verification makes the output equal the exact pair set
+    whenever LSH recall is 1; at J ≥ 0.8 a pair escapes all 32 bands with
+    probability ≤ 1.5e-7, so the exact-Jaccard SQL is the oracle."""
+    return dedup.minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("doc_simhash_pairs")  # xxhash64 fingerprints — no DuckDB equivalent
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (pigeonhole banding, ≤8 bits)."""
+    return dedup.simhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=8
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "doc_dedup_representatives",
+    oracle="WITH RECURSIVE " + _JACCARD_PAIRS_CTES.format(threshold="0.8") + """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION ALL SELECT id_b, id_a FROM dup_pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+    labels AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN labels l ON d.doc_id = l.node AND d.doc_id = l.label
+    """,
+)
+def doc_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: MinHash-LSH pairs → min-id label
+    propagation → keep cluster representatives.  Oracle computes true
+    connected components with a recursive CTE (near-dup clusters are tiny,
+    so 5 propagation rounds ≡ the fixpoint)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.dedup_keep_representatives(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _emb_queries(df: DataFrame) -> DataFrame:
+    """Deterministic query subset: every 25th vector."""
+    return df.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_fold_dot('q.qe', 'c.embedding')}
+               / ({_fold_norm('q.qe')} * {_fold_norm('c.embedding')}) AS cosine
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 (broadcast query set, corpus streams
+    map-side; ordered-fold dot products are bit-exact vs the oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _emb_queries(emb), k=10)
+
+
+@query(
+    "emb_lsh_topk",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN {_fold_dot('e.embedding', 'planes.p')} >= 0
+                 THEN (1 << pid)::BIGINT ELSE 0::BIGINT END) AS bucket
+      FROM embeddings e CROSS JOIN {_planes_values(_TOPK_PLANES)}
+      GROUP BY vec_id),
+    q AS (SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
+          FROM buckets b JOIN embeddings e USING (vec_id)
+          WHERE b.vec_id % 25 = 0),
+    c AS (SELECT b.vec_id, b.bucket, e.embedding AS ce
+          FROM buckets b JOIN embeddings e USING (vec_id)),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_fold_dot('q.qe', 'c.ce')}
+               / ({_fold_norm('q.qe')} * {_fold_norm('c.ce')}) AS cosine
+      FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-10: rank only the query's bucket (16
+    buckets from 4 seeded planes).  Plane literals are inlined in the oracle,
+    and both engines fold dot products in element order, so bucket
+    assignments and cosines match bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _emb_queries(emb), _TOPK_PLANES, k=10)
+
+
+@query(
+    "emb_cosine_dedup_pairs",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN {_fold_dot('e.embedding', 'planes.p')} >= 0
+                 THEN (1 << pid)::BIGINT ELSE 0::BIGINT END) AS bucket
+      FROM embeddings e CROSS JOIN {_planes_values(_DEDUP_PLANES)}
+      GROUP BY vec_id),
+    b AS (SELECT bk.vec_id, bk.bucket, e.embedding AS v
+          FROM buckets bk JOIN embeddings e USING (vec_id))
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_fold_dot('a.v', 'c.v')}
+             / ({_fold_norm('a.v')} * {_fold_norm('c.v')}) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_fold_dot('a.v', 'c.v')}
+            / ({_fold_norm('a.v')} * {_fold_norm('c.v')}) >= 0.9
+    """,
+)
+def emb_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: 8-plane sign-bucket self-join + exact cosine
+    verify at 0.9 (bucket join replaces the corpus cross join)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_dedup_pairs(emb, _DEDUP_PLANES, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only check: sha256-digest lanes aren't SQL)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode+featurize over synthesized binary
+    media rows (one per document id); deterministic stub codec."""
+    base = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.repartition_for_media(
+        multimodal.synth_media(base, "media_id"), 8
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "payload_bytes",
+        F.aggregate(
+            F.col("features"), F.lit(0.0), lambda a, v: a + v.cast("double")
+        ).alias("feature_sum"),
+    )
