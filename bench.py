@@ -42,6 +42,10 @@ HEADLINE = [
     "order_fact_upsert",
     "dlt_part_pipeline",
     "events_hourly_windows",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_stateful_sessions",
+    "lineitem_skew_salted_agg",
     "doc_token_counts",
     "doc_text_stats",
     "doc_language_id",

@@ -1,0 +1,136 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no stateful processing at all (SURVEY.md §2.9); this is
+extension surface for the ``events`` stream: per-key sessionization with
+event-time timeouts — the canonical "operator Spark's built-ins can't
+express" (``session_window`` emits only on watermark close and cannot carry
+custom per-session state or emit mid-stream).
+
+Semantics (mirrors ``F.session_window``): a session is a maximal run of a
+user's events where consecutive gaps are < ``gap``; ``session_end`` is the
+last event time + gap.
+
+Emission contract:
+
+* a session **closed by a later event in the same micro-batch** is emitted
+  in that batch;
+* a session left open waits in the state store with an event-time timeout
+  at ``last_event + gap``; when the watermark passes it, the timed-out
+  session is emitted and its state removed.
+
+Scale: state is one 3-tuple per open session per key — O(active keys), not
+O(events).  The watermark bounds both late data and state lifetime; the
+per-key shuffle is the same exchange a ``groupBy(user)`` aggregation pays.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"
+
+_US = 1_000_000  # µs per second
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stateful sessionization of a *streaming* DataFrame.
+
+    Returns an append-mode stream of closed sessions
+    ``(user_id, session_start, session_end, n_events)``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * _US
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield _emit(user, [(start, last, n)], gap_us)
+            return
+
+        ts = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+        # pandas datetime64[ns] → epoch µs
+        times = (ts.astype("int64") // 1000).tolist()
+        if not times:
+            return
+
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in times:
+            if n == 0:  # first-ever event for this key
+                start, last, n = t, t, 1
+            elif t - last >= gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        # Event-time timeout: fire when the watermark passes last + gap.
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # ms
+        if closed:
+            yield _emit(user, closed, gap_us)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _emit(user, sessions: list[tuple[int, int, int]], gap_us: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user] * len(sessions),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+            "session_end": [pd.Timestamp(l + gap_us, unit="us") for _, l, _ in sessions],
+            "n_events": [n for _, _, n in sessions],
+        }
+    )
+
+
+def run_to_memory(spark, stream: DataFrame, checkpoint_dir: str) -> DataFrame:
+    """Run any streaming DataFrame to completion (``trigger(availableNow)``)
+    into an in-memory sink and return the accumulated result as a batch
+    DataFrame.  Used to batchify stateful streams for tests and the driver's
+    oracle harness (the reference batchifies the same way with
+    ``trigger(once=True)``, ``/root/reference/Bronze_Layer.py:36``).
+
+    With a single input file (one micro-batch), a sessionizer's emitted set
+    is exactly "every session closed by a later event of the same key" —
+    all sessions except each key's last — which is SQL-expressible.
+    """
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -248,6 +248,47 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag", "l_linestatus")
 
 
+@query(
+    "lineitem_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(l_orderkey) AS count_order,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation (extension; scale surface).
+    ``l_returnflag`` has 3 distinct values — the worst-case hot-key shape —
+    so the direct shuffle agg would put ~1/3 of the fact on one reducer.
+    Salting spreads each group over 16 sub-groups and merges partials; the
+    oracle is the *plain* aggregation (salting must be semantically
+    invisible — decimal partials merge exactly)."""
+    from .operators import skew
+
+    df = load(spark, sf_dir, "lineitem")
+    out = skew.salted_group_agg(
+        df,
+        ["l_returnflag"],
+        [
+            ("sum_qty", F.col("l_quantity").cast("decimal(18,2)"), "sum"),
+            ("sum_price", F.col("l_extendedprice").cast("decimal(18,2)"), "sum"),
+            ("count_order", "l_orderkey", "count"),
+            ("max_shipdate", "l_shipdate", "max"),
+        ],
+        salt_from="l_orderkey",
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "count_order", "max_shipdate",
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surface  (SURVEY §2.10 U1/U2, §2.7 F9/F10)
 # ---------------------------------------------------------------------------
@@ -585,6 +626,134 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         ],
     )
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) shifts)
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM shifted GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows, 1 h / 30 min — every event lands
+    in exactly two windows (extension; SURVEY §2.9).  Oracle replays the
+    window assignment with an explicit 2-shift unnest."""
+    from .streaming import windows as sw
+
+    events = load_events(spark, sf_dir)
+    return sw.sliding(
+        events, "ts", "1 hour", "30 minutes", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        ],
+    )
+
+
+#: Session-islands CTE shared by the session-window and stateful oracles:
+#: a new session starts when the gap to the previous event is >= 30 min
+#: (Spark merges strictly-closer events); session_end = last event + gap.
+_SESSION_ISLANDS = """
+  e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value FROM events),
+  lagd AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  grp AS (
+    SELECT user_id, ts, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS g
+    FROM lagd),
+  islands AS (
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           max(epoch_us(ts)) AS last_us
+    FROM grp GROUP BY user_id, g)
+"""
+
+
+@query(
+    "events_session_windows",
+    oracle="WITH " + _SESSION_ISLANDS + """
+    SELECT session_start AS window_start, session_end AS window_end,
+           user_id, n_events, total_value
+    FROM islands
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session event-time windows per user, 30-min gap (extension; SURVEY
+    §2.9).  Oracle derives the same sessions with the SQL islands
+    technique (lag → new-session flag → running sum → group)."""
+    from .streaming import windows as sw
+
+    events = load_events(spark, sf_dir)
+    return sw.session_window(
+        events, "ts", "30 minutes", ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        ],
+    )
+
+
+@query(
+    "events_stateful_sessions",
+    oracle="WITH " + _SESSION_ISLANDS + """,
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY session_start DESC) AS rn
+      FROM islands)
+    SELECT user_id, session_start, session_end, n_events
+    FROM ranked
+    WHERE rn > 1
+       OR (SELECT max(epoch_us(ts)) FROM events) // 1000
+            > last_us // 1000 + 1800000
+    """,
+)
+def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: ``applyInPandasWithState`` sessionization
+    run as a real checkpointed stream (extension; the reference has no
+    stateful processing).
+
+    Single input file ⇒ one data micro-batch, so the emitted set is exactly
+    determined: sessions closed in-batch by a later event of the same user,
+    plus open sessions whose event-time timeout (last + gap, ms) fires when
+    the final watermark (global max event time, 0 s delay) passes them.
+    The oracle replays both rules on the session islands.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import stateful
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="medallion_sessions_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = stateful.sessionize(stream, "ts", "user_id", gap_seconds=1800)
+    return stateful.run_to_memory(spark, sessions, os.path.join(work, "ckpt"))
 
 
 @query(

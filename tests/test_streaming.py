@@ -53,6 +53,82 @@ def test_schema_pin_survives_capture_calls(spark, dirs):
     assert os.path.exists(os.path.join(dirs["ckpt"], "_schema", bronze.SCHEMA_FILE))
 
 
+def test_stateful_sessionize_cross_batch_timeout(spark, tmp_path):
+    """Two micro-batches: batch 1's open sessions time out when batch 2
+    advances the event-time watermark past last+gap; sessions closed by a
+    later in-batch event emit immediately."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        stateful,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"]).astype(
+            {"ts": "datetime64[us]"}
+        )
+        p = src / name
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (mtime, mtime))
+
+    # Batch 1: user 1 closes a session in-batch (45 min gap); user 2 stays open.
+    write("f1.parquet", [
+        (1, t0), (1, t0 + pd.Timedelta(seconds=10)),
+        (1, t0 + pd.Timedelta(minutes=45)),
+        (2, t0 + pd.Timedelta(seconds=5)),
+    ], mtime=1_000_000)
+    # Batch 2 (later mtime): watermark jumps to t0+45m, timing out user 2's
+    # session (end t0+30m5s) and closing user 1's t0+45m session in-batch.
+    write("f2.parquet", [(1, t0 + pd.Timedelta(hours=2))], mtime=2_000_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sess = stateful.sessionize(stream, "ts", "user_id", gap_seconds=1800)
+    out = stateful.run_to_memory(spark, sess, str(tmp_path / "ckpt"))
+    rows = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in out.collect()
+    }
+    assert (1, "2024-01-01 00:00:00", 2) in rows          # closed in batch 1
+    assert (2, "2024-01-01 00:00:05", 1) in rows          # timed out in batch 2
+    assert (1, "2024-01-01 00:45:00", 1) in rows          # closed in batch 2
+    # user 1's final session (t0+2h) never times out — stays in state.
+    assert len(rows) == 3
+
+
+def test_session_window_batch_matches_stateful_islands(spark):
+    """Batch session_window and the islands definition agree on the fixture
+    events table (same gap semantics: merge iff gap < 30 min)."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        windows as sw,
+    )
+
+    events = workload.load_events(spark, "/root/testdata/sf0.001")
+    out = sw.session_window(
+        events, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    )
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == events.count()      # every event lands in exactly one session
+    bad = out.filter(F.col("window_end") <= F.col("window_start")).count()
+    assert bad == 0
+
+
 def test_dataset_fanout(spark, tmp_path):
     for ds in ("a", "b"):
         d = tmp_path / "source" / ds
