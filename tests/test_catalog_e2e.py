@@ -1,0 +1,123 @@
+"""Catalog DDL surface (SURVEY §2.1 S12-S17) + the golden end-to-end
+medallion lifecycle: source → bronze stream → silver cleanse → gold dims +
+fact → catalog registration → post-write verification (the reference's
+full notebook flow, minus Databricks)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    silver,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+    facts,
+    scd,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+    catalog,
+    writers,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+    bronze,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_catalog_ddl_roundtrip(spark, tmp_path):
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    loc = str(tmp_path / "region_tbl")
+    writers.overwrite_path(df, loc)
+
+    catalog.create_schema(spark, "bronze_t")
+    catalog.register_external_table(spark, "bronze_t.region", loc)
+    assert catalog.table_exists(spark, "bronze_t.region")
+    assert not catalog.table_exists(spark, "bronze_t.nope")
+
+    # S7: SQL scan through the catalog name.
+    n = spark.sql("SELECT count(*) AS n FROM bronze_t.region").collect()[0]["n"]
+    assert n == df.count()
+
+    # S17: metadata inspection works in both delta/parquet modes.
+    detail = catalog.describe_detail(spark, "bronze_t.region")
+    assert detail.count() > 0
+
+    catalog.drop_table(spark, "bronze_t.region")
+    assert not catalog.table_exists(spark, "bronze_t.region")
+
+
+def test_partitioned_overwrite_prunes(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    loc = str(tmp_path / "orders_part")
+    writers.overwrite_path(orders, loc, partition_by=["year"])
+    back = spark.read.parquet(loc)
+    assert back.count() == orders.count()
+    # partition pruning: the partition-key filter lands in PartitionFilters,
+    # so the scan touches one directory, not the table
+    one_year = back.filter(F.col("year") == 1995)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1995" in plan.split("PartitionFilters")[1][:200]
+    assert one_year.count() == orders.filter(F.col("year") == 1995).count()
+    # overwrite is atomic-swap: second overwrite leaves no stage/old dirs
+    writers.overwrite_path(orders.limit(10), loc, partition_by=["year"])
+    assert spark.read.parquet(loc).count() == 10
+    leftovers = [p for p in tmp_path.iterdir() if "__stage" in p.name or "__old" in p.name]
+    assert not leftovers
+
+
+def test_medallion_end_to_end(spark, tmp_path):
+    # --- source: one file dropped by an upstream producer
+    src = tmp_path / "source" / "customer"
+    src.mkdir(parents=True)
+    shutil.copy(f"{SF}/customer.parquet", src / "part-000.parquet")
+
+    # --- bronze: checkpointed streaming ingest with rescue column
+    bdir, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    bronze.ingest(spark, str(src), bdir, ckpt)
+    bronze_df = spark.read.parquet(bdir)
+    assert "_rescued_data" in bronze_df.columns
+
+    # --- silver: cleanse + derive (reference Silver_Customers flow)
+    silver_df = silver.clean_columns(bronze_df)
+    silver_df = silver.concat_columns(
+        silver_df, "fullname", F.col("c_name"), F.lit(" "), F.col("c_mktsegment")
+    )
+    silver_loc = str(tmp_path / "silver" / "customers")
+    writers.overwrite_path(silver_df, silver_loc)
+    catalog.create_schema(spark, "silver_t")
+    catalog.register_external_table(spark, "silver_t.customers", silver_loc)
+
+    # --- gold: SCD1 dim (initial load branch M4) + fact enrichment + upsert
+    dim_src = spark.table("silver_t.customers").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim = scd.scd1_initial(
+        dim_src, ["c_custkey"], ["c_name", "c_mktsegment"], "customer_skey",
+        now="2024-01-01 00:00:00", skey=F.col("c_custkey"),
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    fact = facts.build_fact(
+        orders, [(dim.select("c_custkey", "customer_skey"), "c_custkey")],
+        now="2024-01-01 00:00:00",
+    )
+    gold_loc = str(tmp_path / "gold" / "order_fact")
+    writers.overwrite_path(fact, gold_loc)
+    catalog.create_schema(spark, "gold_t")
+    catalog.register_external_table(spark, "gold_t.order_fact", gold_loc)
+
+    # --- post-write verification (reference Gold_*.py tail queries)
+    out = spark.sql(
+        "SELECT count(*) AS n, count(customer_skey) AS with_dim "
+        "FROM gold_t.order_fact"
+    ).collect()[0]
+    assert out["n"] == orders.count()
+    assert out["with_dim"] == out["n"]  # every order resolved its dim key
+    for t in ("silver_t.customers", "gold_t.order_fact"):
+        catalog.drop_table(spark, t)
