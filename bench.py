@@ -46,6 +46,11 @@ HEADLINE = [
     "events_session_windows",
     "events_stateful_sessions",
     "lineitem_skew_salted_agg",
+    "events_json_props",
+    "orders_priority_rollup",
+    "customer_set_ops",
+    "orders_top20",
+    "part_distinct_aggs",
     "doc_token_counts",
     "doc_text_stats",
     "doc_language_id",
@@ -54,6 +59,7 @@ HEADLINE = [
     "doc_dedup_representatives",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_ivf_topk",
     "emb_cosine_dedup_pairs",
     "multimodal_features",
 ]

@@ -174,6 +174,112 @@ def lsh_topk(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, element-order double fold (bit-exact across
+    engines that fold the same way)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_pivots(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    modulus: int = 37,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: every ``modulus``-th vector is a
+    pivot (Voronoi seed).  Production IVF trains centroids with sampled
+    k-means offline; fixed pivots keep the partition reproducible and
+    oracle-checkable while exercising the identical query path."""
+    return corpus.filter(F.col(id_col) % modulus == 0).select(
+        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pivot_vec")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    pivots: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest pivots (inverted lists).
+
+    Pivots broadcast (they are tiny); distance ranking tie-breaks on
+    ``pivot_id`` for determinism.  Output: ``(id, pivot_id, probe_rank)``.
+    """
+    scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
+        F.broadcast(pivots), how="cross"
+    )
+    scored = scored.withColumn("__d", _l2sq(F.col("__v"), F.col("pivot_vec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("pivot_id").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(id_col, "pivot_id", "probe_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in their nearest
+    pivot's inverted list; each query scans only its ``nprobe`` nearest
+    lists.
+
+    The 100 TB shape: the assignment is computed once and persisted with
+    the corpus (here inline); per-query candidate count is ~nprobe·N/P.
+    The probe join is an equi-join on ``pivot_id`` with the query side
+    broadcast — the corpus shuffles once, on list id.
+    """
+    pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    corpus_lists = ivf_assign(corpus, pivots, 1, id_col, vec_col)
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        .join(corpus_lists.select(id_col, "pivot_id"), id_col)
+        .withColumn("__cnorm", _norm(F.col("__cvec")))
+    )
+    q_probes = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).select(query_id_col, "pivot_id")
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .join(q_probes, query_id_col)
+        .withColumn("__qnorm", _norm(F.col("__qvec")))
+    )
+    scored = c.join(F.broadcast(q), "pivot_id")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     planes: list[list[float]],

@@ -249,6 +249,118 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (extension surface): parse the ``props``
+    JSON column JVM-side (``get_json_object`` — no Python), aggregate per
+    event type."""
+    df = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "orders_priority_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (status → priority → grand total) —
+    part of the full grouping-set surface the engine exposes beyond the
+    reference's plain group-by (SURVEY §2.4)."""
+    df = load(spark, sf_dir, "orders")
+    return df.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "customer_set_ops",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     UNION
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union distinct + intersect): customers in two
+    segments who actually placed orders.  Spark plans INTERSECT as a
+    left-semi hash join — no full sort."""
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    orderers = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.union(machinery).distinct().intersect(orderers)
+
+
+@query(
+    "orders_top20",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def orders_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans ``orderBy().limit()`` as
+    ``TakeOrderedAndProject`` — per-partition heaps + driver merge of k
+    rows, never a full global sort (the O3 limit surface, scale-shaped)."""
+    df = load(spark, sf_dir, "orders")
+    return (
+        df.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "part_distinct_aggs",
+    oracle="""
+    SELECT split_part(p_type, ' ', 1) AS type_class,
+           COUNT(DISTINCT p_brand) AS n_brands,
+           COUNT(DISTINCT p_size) AS n_sizes,
+           COUNT(*) AS n_parts
+    FROM part GROUP BY type_class
+    """,
+)
+def part_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (expand + two-phase aggregate under the hood) —
+    the count-distinct surface over a derived grouping key."""
+    df = load(spark, sf_dir, "part")
+    df = silver.split_domain(df, "p_type", out="type_class", delim=" ", index=0)
+    return df.groupBy("type_class").agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@query(
     "lineitem_skew_salted_agg",
     oracle="""
     SELECT l_returnflag,

@@ -347,6 +347,61 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, _emb_queries(emb), _TOPK_PLANES, k=10)
 
 
+def _fold_l2sq(a: str, b: str) -> str:
+    """Ordered-fold squared L2 distance (bit-exact vs ``similarity._l2sq``)."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {d} * {d})), "
+        f"(x, y) -> x + y)"
+    )
+
+
+@query(
+    "emb_ivf_topk",
+    oracle=f"""
+    WITH pivots AS (
+      SELECT vec_id AS pivot_id, embedding AS pv
+      FROM embeddings WHERE vec_id % 37 = 0),
+    assign AS (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, pivot_id) AS rnk
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   {_fold_l2sq('e.embedding', 'p.pv')} AS d
+            FROM embeddings e CROSS JOIN pivots p)),
+    c AS (
+      SELECT e.vec_id, e.embedding AS ce, a.pivot_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id AND a.rnk = 1),
+    q AS (
+      SELECT a.vec_id AS query_id, a.pivot_id, e.embedding AS qe
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= 2),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {_fold_dot('q.qe', 'c.ce')}
+               / ({_fold_norm('q.qe')} * {_fold_norm('c.ce')}) AS cosine
+      FROM q JOIN c USING (pivot_id)
+      WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10: deterministic pivot quantizer (every
+    37th vector), corpus in inverted lists, queries probe their 2 nearest
+    lists.  The oracle replays assignment and probing with the same
+    ordered-fold distances, so results match bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _emb_queries(emb), k=10, nprobe=2, modulus=37
+    )
+
+
 @query(
     "emb_cosine_dedup_pairs",
     oracle=f"""

@@ -180,6 +180,24 @@ def test_lsh_topk_recall(spark):
     assert len(a & e) > 0
 
 
+def test_ivf_topk_recall_and_structure(spark):
+    emb = spark.read.parquet(EMB)
+    qids = [0, 25, 50, 75]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.ivf_topk(emb, queries, k=5, nprobe=3, modulus=29).collect()
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    assert all(1 <= r["rank"] <= 5 for r in approx)
+    assert len(a & e) > 0          # nontrivial recall on random vectors
+    # every query got candidates from its probed lists only — sanity: k rows max
+    from collections import Counter
+    per_q = Counter(r["query_id"] for r in approx)
+    assert all(v <= 5 for v in per_q.values())
+
+
 def test_cosine_dedup_pairs_finds_planted_duplicate(spark):
     emb = spark.read.parquet(EMB).limit(50)
     # plant a near-exact duplicate of vec 0 with id 9999
