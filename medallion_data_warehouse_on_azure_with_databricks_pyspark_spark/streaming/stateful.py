@@ -110,7 +110,12 @@ def _emit(user, sessions: list[tuple[int, int, int]], gap_us: int) -> pd.DataFra
     )
 
 
-def run_to_memory(spark, stream: DataFrame, checkpoint_dir: str) -> DataFrame:
+def run_to_memory(
+    spark,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run any streaming DataFrame to completion (``trigger(availableNow)``)
     into an in-memory sink and return the accumulated result as a batch
     DataFrame.  Used to batchify stateful streams for tests and the driver's
@@ -120,17 +125,30 @@ def run_to_memory(spark, stream: DataFrame, checkpoint_dir: str) -> DataFrame:
     With a single input file (one micro-batch), a sessionizer's emitted set
     is exactly "every session closed by a later event of the same key" —
     all sessions except each key's last — which is SQL-expressible.
+
+    ``state_partitions`` sizes the stateful shuffle (pinned into the
+    checkpoint at first run): one state-store instance per partition, so
+    match it to active-key cardinality ÷ desired keys-per-task — 32 stores
+    for 150 keys is measured ~3× slower than 8 purely on per-store
+    overhead; a 100 TB stream with 10⁸ keys wants thousands.
     """
     import uuid
 
-    name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)

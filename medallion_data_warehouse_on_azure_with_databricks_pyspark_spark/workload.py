@@ -865,7 +865,10 @@ def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     sessions = stateful.sessionize(stream, "ts", "user_id", gap_seconds=1800)
-    return stateful.run_to_memory(spark, sessions, os.path.join(work, "ckpt"))
+    # 150 active users — 8 state stores, not one per shuffle partition.
+    return stateful.run_to_memory(
+        spark, sessions, os.path.join(work, "ckpt"), state_partitions=8
+    )
 
 
 @query(
