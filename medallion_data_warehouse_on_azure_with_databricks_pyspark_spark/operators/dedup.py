@@ -54,9 +54,10 @@ def exact_dedup(
 # Word-shingle helpers
 # ---------------------------------------------------------------------------
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of ``text`` (array<string>)."""
-    toks = tokens(col)
+def shingles_of_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an already-materialized token
+    array column (array<string>)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -66,9 +67,43 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def with_shingles(
-    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
 ) -> DataFrame:
-    return df.withColumn(out, shingles(text_col, n))
+    """Attach the shingle array via a two-step projection: tokenization is
+    materialized in its own Project so the split runs **once per row** —
+    inlined into the shingle transform it would re-evaluate per shingle
+    index (~100× the work; Catalyst keeps the split separate because it is
+    non-cheap and multiply-referenced)."""
+    return (
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn(out, shingles_of_tokens(F.col("__toks"), n))
+        .drop("__toks")
+    )
+
+
+def parallelize_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a too-coarse scan up to the cluster's core
+    count.
+
+    Small/single-file parquet inputs arrive as one partition (a file only
+    splits at row-group boundaries), which would pin the CPU-heavy text
+    pipelines to a single core.  The shuffle moves only the narrow
+    projection (id + text) and is trivially repaid; inputs that are already
+    split at least as wide as the default parallelism pass through
+    untouched, so a properly laid-out 100 TB table pays nothing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) projection used by the pair pipelines."""
+    narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
+    return with_shingles(narrow, text_col, n, out="sh").select(id_col, "sh")
 
 
 # ---------------------------------------------------------------------------
@@ -95,16 +130,19 @@ def ngram_jaccard_pairs(
     rows); at 100 TB always set it — near-dup pairs share *rare* shingles
     too, so recall loss is negligible.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = shingle_frame(df, id_col, text_col, n)
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
     inv = sh.select(id_col, F.explode("sh").alias("s"))
+    # Keep only *shared* shingles: a shingle in exactly one doc can never
+    # produce a candidate pair, and on natural text most shingles are
+    # singletons — this typically shrinks the self-joined index by ~100×
+    # with zero recall loss.  ``max_shingle_freq`` additionally drops
+    # ultra-common shingles (lossy, capped candidate fan-out).
+    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__f"))
+    cond = F.col("__f") >= 2
     if max_shingle_freq is not None:
-        rare = (
-            inv.groupBy("s").count()
-            .filter(F.col("count") <= max_shingle_freq)
-            .select("s")
-        )
-        inv = inv.join(rare, "s", "left_semi")
+        cond = cond & (F.col("__f") <= max_shingle_freq)
+    inv = inv.join(freq.filter(cond).select("s"), "s", "left_semi")
     a = inv.alias("a")
     b = inv.alias("b")
     cand = (
@@ -206,7 +244,7 @@ def minhash_lsh_candidates(
     The banded index is persisted across the self-join (both sides read it);
     at scale you would write it out as the reusable LSH index table.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh"))
+    sh = shingle_frame(df, id_col, text_col, n)
     return _lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, seed)
 
 
@@ -275,7 +313,7 @@ def minhash_dedup_pairs(
     candidate count.  The shingle table is computed once and persisted —
     the signature pass and both verification joins read it.
     """
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh")).persist()
+    sh = shingle_frame(df, id_col, text_col, n).persist()
     cand = _lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, seed)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -312,7 +350,8 @@ def simhash_dedup_pairs(
     bands = max_hamming + 1
     # Cover all 64 bits: the first (64 % bands) bands are one bit wider.
     base_w, extra = divmod(64, bands)
-    fp = simhash64(df.select(F.col(id_col), F.col(text_col)), text_col, out="simhash")
+    narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
+    fp = simhash64(narrow, text_col, out="simhash")
     structs = []
     offset = 0
     for i in range(bands):
@@ -382,12 +421,21 @@ def dedup_keep_representatives(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .repartition(graph_partitions, "src")
-        .persist()  # read every round — never recompute the pair pipeline
+        # materialize once — never recompute the pair pipeline per round
+        .localCheckpoint()
     )
-    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    labels = (
+        edges.select("src").distinct()
+        .withColumn("label", F.col("src"))
+        .localCheckpoint()
+    )
     for _ in range(rounds):
         # One shuffle per round: current labels ∪ labels pushed across edges,
-        # then min per node.
+        # then min per node.  Each round is checkpointed: iterative plans
+        # otherwise stack 3 operators per round and the deep DAG's
+        # re-analysis/AQE replanning dominates (measured >10× the actual
+        # work on a small graph).  Blocks live on executors; the pair
+        # pipeline is deterministic, so loss just recomputes upstream.
         prop = edges.join(labels, "src").select(
             F.col("dst").alias("src"), F.col("label")
         )
@@ -395,6 +443,7 @@ def dedup_keep_representatives(
             labels.union(prop)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
     losers = labels.filter(F.col("src") != F.col("label")).select(
         F.col("src").alias(id_col)

@@ -6,12 +6,17 @@ counting, quality scoring, language identification, and content
 fingerprinting over the ``documents`` table.
 
 Everything here is built-in Catalyst expressions (split/regexp/array
-functions) — **no Python UDFs** — so the operators run JVM-side inside
-whole-stage codegen and scale linearly with input.  Each op is a narrow
-projection: at 100 TB the scan reads only ``text`` plus requested columns.
+functions) running JVM-side, with one exception: ``simhash64``'s 64-lane
+bit vote is a vectorized Arrow kernel (the interpreted higher-order
+formulation measures ~10× slower; token hashing stays JVM ``xxhash64``).
+Each op is a narrow projection: at 100 TB the scan reads only ``text``
+plus requested columns.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -128,31 +133,36 @@ def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Da
 
     Per token, each of the 64 bits votes ±1; the sign of each bit-sum forms
     the fingerprint.  Near-duplicate docs differ in few bits (Hamming).
-    Implemented with array expressions (transform/aggregate) — no UDF.
+
+    Hybrid plan (same shape as the MinHash kernel): token hashes stay in
+    the JVM (one ``transform``+``xxhash64`` pass), the 64-lane vote runs as
+    a vectorized Arrow kernel — the pure-Catalyst formulation (64
+    interpreted ``aggregate`` lambdas per row) measures ~10× slower.
+    Deterministic: pure integer math on fixed hashes.
     """
-    toks = tokens(text_col)
+    from pyspark.sql.functions import pandas_udf
+
     hashes_col = "__simhash_tokens"
-    tmp = df.withColumn(hashes_col, F.transform(toks, lambda w: F.xxhash64(w)))
+    tmp = df.withColumn(
+        hashes_col, F.transform(tokens(text_col), lambda w: F.xxhash64(w))
+    )
 
-    def vote_at(i: int):
-        # vote_i = Σ tokens (±1 by bit i); binds i via closure because
-        # PySpark reads higher-order-function lambda arity (2 args only).
-        return F.aggregate(
-            F.col(hashes_col),
-            F.lit(0),
-            lambda acc, h: acc
-            + (
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
-            ).cast("int"),
-        )
+    lanes = np.arange(64, dtype=np.uint64)
 
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        mask = F.shiftleft(F.lit(1).cast("long"), i)
-        sim = sim.bitwiseOR(
-            F.when(vote_at(i) > 0, mask).otherwise(F.lit(0).cast("long"))
-        )
-    return tmp.withColumn(out, sim).drop(hashes_col)
+    @pandas_udf("long")
+    def vote(hashes: pd.Series) -> pd.Series:
+        fps = []
+        for h in hashes:
+            hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = (hu[:, None] >> lanes[None, :]) & np.uint64(1)
+            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            fp = int(np.bitwise_or.reduce(
+                (np.uint64(1) << lanes)[votes > 0], initial=np.uint64(0)
+            ))
+            fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(fps, dtype="int64")
+
+    return tmp.withColumn(out, vote(F.col(hashes_col))).drop(hashes_col)
 
 
 def hamming64(a: Column, b: Column) -> Column:
