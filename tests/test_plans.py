@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: lock in the plan shapes SCALE.md claims
+(pushdown, broadcast joins, partial aggregation, single-exchange windows).
+A correctness-preserving change that silently degrades one of these is a
+scale regression even though every value still matches."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    plan = _plan(spark, "customer_filter_segment")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]" in plan
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    plan = _plan(spark, "fact_enrichment_join")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # the fact side must not be exchanged for the joins
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_aggregate_is_partial_plus_final(spark):
+    plan = _plan(spark, "lineitem_pricing_summary")
+    assert plan.count("HashAggregate") >= 2      # partial + final
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_shared_window_spec_single_exchange(spark):
+    plan = _plan(spark, "orders_year_windows")
+    # one shuffle and one sort serve all three rank functions
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "orders_top20")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_narrow_input_parallelized(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    sh = dedup.shingle_frame(docs, "doc_id", "text", 3)
+    assert sh.rdd.getNumPartitions() >= min(target, 4)
