@@ -37,17 +37,46 @@ def dim_join(
     return fact.join(right, on=on, how=how)
 
 
+def fact_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Join two fact-scale relations — neither side fits in a broadcast.
+
+    At 100 TB a fact⋈fact join (e.g. lineitem⋈orders) must be a
+    co-partitioned sort-merge join: both sides shuffle on the key once, and
+    at rest the shuffle disappears entirely if both tables are bucketed on
+    the key.  The explicit ``merge`` hint encodes that intent so a stale
+    size statistic can never talk the planner into broadcasting a
+    25 TB table.  At small scale AQE may still locally optimize the
+    exchanges; that is fine — the *declared* plan never requires the big
+    side to fit in memory.
+    """
+    return fact.join(other.hint("merge"), on=on, how=how)
+
+
 def enrich(
     fact: DataFrame,
-    dims: list[tuple[DataFrame, str | list[str]]],
+    dims: list[tuple],
     how: str = "left",
 ) -> DataFrame:
     """Chained dim joins (the reference chains two: ``Gold_Orders.py:36-37``).
 
-    All broadcast joins stack into one whole-stage-codegen pass over the fact
-    scan — no materialization between joins.
+    Each entry is ``(dim, on)`` or ``(dim, on, strategy)`` with strategy
+    ``"broadcast"`` (default — true dimensions) or ``"merge"`` (fact-scale
+    sides, routed through :func:`fact_join`).  All broadcast joins stack
+    into one whole-stage-codegen pass over the fact scan — no
+    materialization between joins; a ``merge`` entry introduces the one
+    key-shuffle that join genuinely needs.
     """
     out = fact
-    for dim, on in dims:
-        out = dim_join(out, dim, on, how=how)
+    for entry in dims:
+        dim, on, *rest = entry
+        strategy = rest[0] if rest else "broadcast"
+        if strategy == "merge":
+            out = fact_join(out, dim, on, how=how)
+        else:
+            out = dim_join(out, dim, on, how=how)
     return out

@@ -884,8 +884,11 @@ def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fact_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2: star-schema fact enrichment — chained left equi-joins to dims
-    with explicit broadcast (``/root/reference/Gold_Orders.py:36-37``).
+    """J1/J2: star-schema fact enrichment — chained left equi-joins
+    (``/root/reference/Gold_Orders.py:36-37``) with per-join strategy:
+    ``part``/``supplier`` are true dimensions and broadcast; ``orders`` is
+    fact-scale (¼ of lineitem's rows — at 100 TB it can never fit in a
+    broadcast) so it takes an explicit co-partitioned sort-merge join.
     Row-level floats only (no reordering), so values are bit-exact."""
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
@@ -893,7 +896,11 @@ def fact_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
     fact = joins.enrich(
         lineitem,
-        [(orders, "l_orderkey"), (part, "l_partkey"), (supplier, "l_suppkey")],
+        [
+            (orders, "l_orderkey", "merge"),
+            (part, "l_partkey", "broadcast"),
+            (supplier, "l_suppkey", "broadcast"),
+        ],
     )
     fact = fact.withColumn(
         "revenue", F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))

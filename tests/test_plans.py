@@ -21,12 +21,16 @@ def test_filter_pushdown_and_pruning(spark):
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
 
 
-def test_dim_joins_broadcast_not_shuffle(spark):
+def test_dim_joins_mixed_strategy(spark):
+    # part/supplier are true dims (broadcast); orders is fact-scale and must
+    # NOT be broadcast — it takes a co-partitioned sort-merge join, the only
+    # shape that survives a 100x scale-up of both fact tables.
     plan = _plan(spark, "fact_enrichment_join")
-    assert plan.count("BroadcastHashJoin") == 3
-    assert "SortMergeJoin" not in plan
-    # the fact side must not be exchanged for the joins
-    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("SortMergeJoin") == 1
+    # the true-dim joins never shuffle the fact side
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
 
 
 def test_aggregate_is_partial_plus_final(spark):
