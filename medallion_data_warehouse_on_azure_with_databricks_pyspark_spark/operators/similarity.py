@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -50,6 +50,53 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.withColumn(out, _norm(F.col(vec_col)))
 
 
+def grouped_topk(
+    scored: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Two-phase per-group top-k over a scored relation.
+
+    Phase 1 groups by ``(group, spark_partition_id)`` — every group is
+    wholly contained in one input partition, so the partial hash aggregate
+    finishes each group map-side and the exchange carries only
+    ``partitions × groups × k`` candidate rows.  Phase 2 merges the
+    per-partition candidate arrays and re-slices to the global top k.
+
+    Contrast with ``row_number().over(Window.partitionBy(group))``: the
+    window's exchange moves *every* scored row.  For a brute-force scorer
+    that is the full N×Q cross product — a scale-killer at 100 TB, and the
+    reason this helper exists.  Selection only (``collect_list`` /
+    ``array_sort`` / ``slice``): score values are never recomputed, so
+    bit-exactness vs the oracle is preserved.  Ordering is
+    (score desc, id asc) via a negated-score struct key; float negation is
+    a sign-bit flip, so un-negating restores the exact value.
+
+    Output: ``(group, id, score, rank)`` with rank 1..k.
+    """
+    cand = F.struct(
+        (-F.col(score_col)).alias("__negscore"), F.col(id_col).alias("__id")
+    )
+    partial = scored.groupBy(
+        group_col, F.spark_partition_id().alias("__pid")
+    ).agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__cands"))
+    merged = partial.groupBy(group_col).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__cands"))), 1, k
+        ).alias("__cands")
+    )
+    return merged.select(
+        group_col, F.posexplode("__cands").alias("__pos", "__c")
+    ).select(
+        group_col,
+        F.col("__c.__id").alias(id_col),
+        (-F.col("__c.__negscore")).alias(score_col),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,9 +110,10 @@ def cosine_topk(
 
     Output: ``(query_id, vec_id, cosine, rank)`` with deterministic
     ``(cosine desc, vec_id asc)`` ranking.  The query set is broadcast and
-    the corpus streams through map-side — the only shuffle is the per-query
-    top-k window, whose input is already just (queries × corpus) scored
-    rows; for large query sets switch to ``lsh_topk``.
+    the corpus streams through map-side; per-query top-k runs through
+    :func:`grouped_topk`, so the one exchange carries only
+    partitions × queries × k candidates — never the N×Q scored cross
+    product.  For large query sets switch to ``lsh_topk``.
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
@@ -81,14 +129,7 @@ def cosine_topk(
         _dot(F.col("__qvec"), F.col("__cvec"))
         / (F.col("__qnorm") * F.col("__cnorm")),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return grouped_topk(scored, query_id_col, id_col, k)
 
 
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -164,14 +205,7 @@ def lsh_topk(
         _dot(F.col("__qvec"), F.col("__cvec"))
         / (F.col("__qnorm") * F.col("__cnorm")),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return grouped_topk(scored, query_id_col, id_col, k)
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -218,12 +252,15 @@ def ivf_assign(
     scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
         F.broadcast(pivots), how="cross"
     )
-    scored = scored.withColumn("__d", _l2sq(F.col("__v"), F.col("pivot_vec")))
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("pivot_id").asc())
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select(id_col, "pivot_id", "probe_rank")
+    # negated distance so grouped_topk's (score desc, id asc) ordering is
+    # (distance asc, pivot_id asc); the exchange carries nprobe rows per
+    # vector instead of the full N x pivots cross product.
+    scored = scored.withColumn(
+        "__negd", -_l2sq(F.col("__v"), F.col("pivot_vec"))
+    )
+    ranked = grouped_topk(scored, id_col, "pivot_id", nprobe, score_col="__negd")
+    return ranked.select(
+        id_col, "pivot_id", F.col("rank").alias("probe_rank")
     )
 
 
@@ -270,14 +307,7 @@ def ivf_topk(
         _dot(F.col("__qvec"), F.col("__cvec"))
         / (F.col("__qnorm") * F.col("__cnorm")),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return grouped_topk(scored, query_id_col, id_col, k)
 
 
 def cosine_dedup_pairs(
