@@ -15,9 +15,21 @@ exactly-once file-listing log, but requires a schema up front.  We replicate
 Auto Loader's behavior with a one-time **schema capture**: batch-sample the
 source once, pin the inferred schema as JSON at a ``schemaLocation``
 directory we manage, and stream with the pinned schema thereafter
-(SURVEY.md §7.4.3).  The ``_rescued_data`` column Auto Loader synthesizes for
-unparseable/extra fields is materialized (NULL for schema-conforming parquet
-input) so downstream silver ``drop('_rescued_data')`` behaves identically.
+(SURVEY.md §7.4.3).
+
+``_rescued_data`` (Auto Loader parity, ``Bronze_Layer.py:20-23``): at every
+stream build we re-infer the source's *current* schema (parquet footer
+metadata only — no data scan) and diff it against the pin.  Columns that
+appeared after the pin are read alongside the pinned columns and folded
+into the ``_rescued_data`` JSON string per row (NULL when the row carries
+no drifted fields), then dropped — so downstream silver
+``drop('_rescued_data')`` behaves identically whether or not the source has
+drifted, and drifted data is *captured*, not silently lost.  The pin itself
+never moves (the declared bronze schema is stable); promote a rescued field
+by deleting the pin and re-capturing.  Type *changes* of pinned columns are
+out of scope for parquet sources (the column reader enforces the pinned
+type; a genuinely incompatible file fails the batch rather than corrupting
+rows — the same hard-fail Auto Loader gives without schema evolution mode).
 
 Run-once semantics: the reference's ``trigger(once=True)`` is deprecated
 upstream; ``availableNow=True`` is the recommended equivalent — same
@@ -62,6 +74,24 @@ def capture_schema(
     return schema
 
 
+def drifted_fields(
+    spark: SparkSession, source_dir: str, pinned: T.StructType, fmt: str = "parquet"
+) -> list[T.StructField]:
+    """Fields present in the source's *current* schema but not in the pin.
+
+    Inference touches footer metadata only (``mergeSchema`` unions footers
+    across files — without it parquet inference reads a single footer and
+    would miss the drift); at very large prefixes bound the cost by pointing
+    the diff at the newest landing partition.
+    """
+    reader = spark.read.format(fmt)
+    if fmt == "parquet":
+        reader = reader.option("mergeSchema", "true")
+    current = reader.load(source_dir).schema
+    pinned_names = {f.name for f in pinned.fields}
+    return [f for f in current.fields if f.name not in pinned_names]
+
+
 def read_stream(
     spark: SparkSession,
     source_dir: str,
@@ -70,14 +100,32 @@ def read_stream(
     max_files_per_trigger: int | None = None,
     add_rescue: bool = True,
 ) -> DataFrame:
-    """S1: incremental-discovery file source with pinned schema + rescue col."""
+    """S1: incremental-discovery file source with pinned schema + rescue col.
+
+    Drifted (post-pin) source columns are captured into ``_rescued_data`` as
+    a JSON object per row — Auto Loader parity
+    (``/root/reference/Bronze_Layer.py:20-23``) — never silently dropped.
+    """
     schema = capture_schema(spark, source_dir, schema_location, fmt)
-    reader = spark.readStream.format(fmt).schema(schema)
+    extras = drifted_fields(spark, source_dir, schema, fmt) if add_rescue else []
+    read_schema = T.StructType(list(schema.fields) + extras)
+    reader = spark.readStream.format(fmt).schema(read_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(source_dir)
     if add_rescue:
-        df = df.withColumn(RESCUE_COLUMN, F.lit(None).cast("string"))
+        if extras:
+            names = [f.name for f in extras]
+            any_set = F.lit(False)
+            for n in names:
+                any_set = any_set | F.col(n).isNotNull()
+            df = df.withColumn(
+                RESCUE_COLUMN,
+                F.when(any_set, F.to_json(F.struct(*[F.col(n) for n in names])))
+                .otherwise(F.lit(None).cast("string")),
+            ).drop(*names)
+        else:
+            df = df.withColumn(RESCUE_COLUMN, F.lit(None).cast("string"))
     return df
 
 

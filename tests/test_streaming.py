@@ -46,6 +46,47 @@ def test_ingest_exactly_once_and_incremental(spark, dirs):
     assert spark.read.parquet(dirs["bronze"]).count() == 2 * n_src
 
 
+def test_rescue_captures_drifted_columns(spark, dirs, tmp_path):
+    """Auto Loader `_rescued_data` parity: a column that appears in the
+    source *after* the schema pin is captured as JSON, not silently lost
+    (``/root/reference/Bronze_Layer.py:20-23``)."""
+    from pyspark.sql import functions as F
+
+    # Pin the schema + ingest the clean batch.
+    bronze.ingest(spark, dirs["src"], dirs["bronze"], dirs["ckpt"])
+    n_clean = spark.read.parquet(dirs["bronze"]).count()
+
+    # A late file drifts: same columns plus a new `vendor` field.
+    drifted = (
+        spark.read.parquet(dirs["src"])
+        .limit(10)
+        .withColumn("vendor", F.concat(F.lit("v-"), F.col("event_id")))
+    )
+    staging = str(tmp_path / "drifted")
+    drifted.coalesce(1).write.parquet(staging)
+    import glob
+
+    shutil.copy(
+        glob.glob(os.path.join(staging, "part-*.parquet"))[0],
+        os.path.join(dirs["src"], "part-001-drifted.parquet"),
+    )
+
+    bronze.ingest(spark, dirs["src"], dirs["bronze"], dirs["ckpt"])
+    out = spark.read.parquet(dirs["bronze"])
+    # Bronze schema is unchanged — the drifted column is folded into rescue.
+    assert "vendor" not in out.columns
+    rescued = out.filter(F.col("_rescued_data").isNotNull())
+    assert rescued.count() == 10
+    assert out.count() == n_clean + 10
+    sample = rescued.select(
+        F.get_json_object("_rescued_data", "$.vendor").alias("v"),
+        F.col("event_id"),
+    ).limit(1).collect()[0]
+    assert sample["v"] == f"v-{sample['event_id']}"
+    # Clean rows (old and new) keep a NULL rescue column.
+    assert out.filter(F.col("_rescued_data").isNull()).count() == n_clean
+
+
 def test_schema_pin_survives_capture_calls(spark, dirs):
     s1 = bronze.capture_schema(spark, dirs["src"], dirs["ckpt"] + "/_schema")
     s2 = bronze.capture_schema(spark, dirs["src"], dirs["ckpt"] + "/_schema")
