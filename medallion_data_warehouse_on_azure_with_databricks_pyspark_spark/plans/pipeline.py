@@ -17,12 +17,14 @@ fan-out list (``/root/reference/Bronze_Layer.py:7-11``,
 from __future__ import annotations
 
 import inspect
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..sources import catalog as cat
 from . import expectations as ex
 from . import scd
 
@@ -32,11 +34,12 @@ class Node:
     name: str
     fn: Callable[..., DataFrame]
     deps: list[str]
-    kind: str = "table"                       # "table" | "view"
+    kind: str = "table"              # "table" | "view" | "streaming_source"
     expect_all_or_drop: dict[str, str] | None = None
     expect_all_or_fail: dict[str, str] | None = None
     expect: dict[str, str] | None = None      # warn-only
     comment: str = ""
+    cdc: dict | None = None          # apply_changes config (incremental runs)
 
 
 @dataclass
@@ -112,19 +115,43 @@ class Pipeline:
         state the node produces the initial dimension.
         """
 
+        cfg = dict(
+            keys=keys,
+            sequence_by=sequence_by,
+            stored_as_scd_type=stored_as_scd_type,
+            track_history_column_list=track_history_column_list,
+            now=now,
+            skey=skey,
+        )
+
         def fold(src: DataFrame) -> DataFrame:
             return scd.apply_changes(
                 None,  # stateless within a run; persistent state via storage layer
                 src,
-                keys,
-                sequence_by,
-                stored_as_scd_type=stored_as_scd_type,
-                track_history_column_list=track_history_column_list,
-                now=now,
-                skey=skey,
+                **cfg,
             )
 
-        self._nodes[target] = Node(name=target, fn=fold, deps=[source], kind="table")
+        self._nodes[target] = Node(
+            name=target, fn=fold, deps=[source], kind="table", cdc=cfg
+        )
+
+    def streaming_source(self, name: str, table: str) -> None:
+        """S8/ST5: a node that reads a catalog table *as a stream*
+        (``spark.readStream.table``, ``/root/reference/Gold_Products.py:88,93``).
+
+        In :meth:`run_incremental` the frame flows through downstream view
+        transforms as a stream and each run processes only data the node's
+        checkpoint hasn't seen; in the batch :meth:`run` it degrades to a
+        plain table read so the same pipeline definition works in both
+        modes (DLT's continuous vs triggered duality).
+        """
+
+        def src(spark: SparkSession) -> DataFrame:
+            return spark.readStream.table(table)
+
+        self._nodes[name] = Node(
+            name=name, fn=src, deps=[], kind="streaming_source", comment=table
+        )
 
     # -- execution ----------------------------------------------------------
 
@@ -138,21 +165,29 @@ class Pipeline:
             graph[n.name] = set(n.deps)
         return list(TopologicalSorter(graph).static_order())
 
+    def _eval(self, node: Node, spark: SparkSession, outputs: dict) -> DataFrame:
+        params = inspect.signature(node.fn).parameters
+        # Non-spark params bind positionally to node.deps (normally the
+        # param *names* are the dep names; apply_changes folds differ).
+        dep_iter = iter(node.deps)
+        kwargs = {
+            p: (spark if p == "spark" else outputs[next(dep_iter)])
+            for p in params
+        }
+        return node.fn(**kwargs)
+
     def run(self, spark: SparkSession) -> RunResult:
-        """Execute every node once, expectations applied in declared order."""
+        """Execute every node once as a batch, expectations applied in
+        declared order.  ``streaming_source`` nodes degrade to plain table
+        reads (triggered mode over the full table)."""
         outputs: dict[str, DataFrame] = {}
         reports: dict[str, ex.ExpectationReport] = {}
         for name in self.order():
             node = self._nodes[name]
-            params = inspect.signature(node.fn).parameters
-            # Non-spark params bind positionally to node.deps (normally the
-            # param *names* are the dep names; apply_changes folds differ).
-            dep_iter = iter(node.deps)
-            kwargs = {
-                p: (spark if p == "spark" else outputs[next(dep_iter)])
-                for p in params
-            }
-            df = node.fn(**kwargs)
+            if node.kind == "streaming_source":
+                df = spark.read.table(node.comment)
+            else:
+                df = self._eval(node, spark, outputs)
             if node.expect is not None:
                 reports[name] = ex.check(df, node.expect)
             if node.expect_all_or_fail is not None:
@@ -160,4 +195,108 @@ class Pipeline:
             if node.expect_all_or_drop is not None:
                 df = ex.expect_all_or_drop(df, node.expect_all_or_drop)
             outputs[name] = df
+        return RunResult(outputs=outputs, expectation_reports=reports)
+
+    def run_incremental(
+        self,
+        spark: SparkSession,
+        checkpoint_root: str,
+        database: str,
+    ) -> RunResult:
+        """Incremental (streaming) execution — DLT's triggered pipeline mode.
+
+        ``streaming_source`` frames flow through ``view`` transforms as
+        streams; each materialization point consumes only data its
+        checkpoint (``<checkpoint_root>/<node>``) hasn't seen:
+
+        * ``table`` nodes with a streaming frame append to the catalog table
+          ``<database>.<node>`` via ``writeStream.toTable`` +
+          ``availableNow`` (S2/ST2-ST4 over a table sink).
+        * ``apply_changes`` nodes fold each micro-batch into the persistent
+          SCD state at ``<database>.<node>`` with ``foreachBatch`` — the CDC
+          feed is read *incrementally* (``Gold_Products.py:88-105``
+          end-to-end), initial-load vs merge decided per batch (M4).
+
+        Expectations: ``expect_all_or_drop`` rules are Catalyst filters and
+        apply to the stream itself (rows never reach the sink — DLT drop
+        semantics); warn-only ``expect`` and ``expect_all_or_fail`` need an
+        aggregate, so on streaming nodes they run against the materialized
+        table after the trigger completes.
+
+        Scale notes: state rewrite per micro-batch is a dimension-table
+        pattern (dims are ≪ facts); ``localCheckpoint`` breaks lineage so
+        the overwrite never reads the files it replaces.  Returns batch
+        frames over the materialized tables.
+        """
+        cat.create_schema(spark, database)
+        outputs: dict[str, DataFrame] = {}
+        reports: dict[str, ex.ExpectationReport] = {}
+        for name in self.order():
+            node = self._nodes[name]
+            if node.cdc is not None:
+                # The CDC fold is a batch merge — on a streaming feed it must
+                # run per micro-batch inside foreachBatch, so take the raw
+                # upstream frame here instead of evaluating the fold on it.
+                df = outputs[node.deps[0]]
+                if not df.isStreaming:
+                    df = self._eval(node, spark, outputs)
+            else:
+                df = self._eval(node, spark, outputs)
+            if node.expect_all_or_drop is not None:
+                df = ex.expect_all_or_drop(df, node.expect_all_or_drop)
+            if not df.isStreaming:
+                if node.expect is not None:
+                    reports[name] = ex.check(df, node.expect)
+                if node.expect_all_or_fail is not None:
+                    df = ex.expect_all_or_fail(df, node.expect_all_or_fail)
+                outputs[name] = df
+                continue
+            if node.kind in ("view", "streaming_source"):   # streams keep flowing
+                outputs[name] = df
+                continue
+            target_tbl = f"{database}.{name}"
+            ckpt = os.path.join(checkpoint_root, name)
+            if node.cdc is not None:
+                cfg = node.cdc
+
+                def fold(batch_df: DataFrame, _bid: int,
+                         target_tbl: str = target_tbl, cfg: dict = cfg) -> None:
+                    batch_spark = batch_df.sparkSession
+                    if cat.table_exists(batch_spark, target_tbl):
+                        # the previous fold overwrote the files under this
+                        # name — drop the stale listing before reading state
+                        batch_spark.catalog.refreshTable(target_tbl)
+                        tgt = batch_spark.read.table(target_tbl)
+                    else:
+                        tgt = None
+                    out = scd.apply_changes(tgt, batch_df, **cfg)
+                    if tgt is not None:
+                        out = out.localCheckpoint(eager=True)
+                    out.write.mode("overwrite").format("parquet").saveAsTable(
+                        target_tbl
+                    )
+
+                q = (
+                    df.writeStream.foreachBatch(fold)
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+            else:
+                q = (
+                    df.writeStream.outputMode("append")
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", ckpt)
+                    .toTable(target_tbl)
+                )
+            q.awaitTermination()
+            spark.catalog.refreshTable(target_tbl)
+            materialized = spark.read.table(target_tbl)
+            if node.expect is not None:
+                reports[name] = ex.check(materialized, node.expect)
+            if node.expect_all_or_fail is not None:
+                materialized = ex.expect_all_or_fail(
+                    materialized, node.expect_all_or_fail
+                )
+            outputs[name] = materialized
         return RunResult(outputs=outputs, expectation_reports=reports)

@@ -21,6 +21,7 @@ Determinism rules (both sides must agree bit-for-bit on the value hash):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -665,6 +666,63 @@ def dlt_part_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         track_history_column_list=["p_name", "p_brand", "price"], now=_T1,
     )
     out = p.run(spark).outputs["part_dim"]
+    return out.withColumn("price", F.col("price").cast("double"))
+
+
+@query(
+    "dlt_part_pipeline_incremental",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+           sha256(p_name || p_brand
+                  || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR))
+             AS hash_value,
+           TIMESTAMP '{_T1}' AS effective_start_date,
+           CAST(NULL AS TIMESTAMP) AS effective_end_date,
+           TRUE AS is_current
+    FROM part
+    WHERE p_size <= 45 AND p_name IS NOT NULL
+    """,
+)
+def dlt_part_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/ST5 + M5: the same DLT flow in *incremental* mode — gold consumes
+    bronze as a stream (``spark.readStream.table`` + checkpoint,
+    ``/root/reference/Gold_Products.py:88-105``); ``apply_changes`` folds
+    each micro-batch into persistent SCD2 state via ``foreachBatch``.
+    Same oracle as the batch ``dlt_part_pipeline`` — both modes of one
+    pipeline definition must agree."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import Pipeline
+
+    db = "medallion_dlt_inc"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, f"{db}.db"), ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db}")
+    load(spark, sf_dir, "part").write.saveAsTable(f"{db}.bronze_parts")
+
+    p = Pipeline("products_incremental")
+    p.streaming_source("bronze_parts", f"{db}.bronze_parts")
+
+    @p.view(
+        name="silver_parts",
+        expect_all_or_drop={"size_ok": "p_size <= 45", "name_set": "p_name IS NOT NULL"},
+    )
+    def silver_parts(bronze_parts):
+        return bronze_parts.select(
+            "p_partkey", "p_name", "p_brand", "p_size",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        )
+
+    p.apply_changes(
+        target="part_dim", source="silver_parts", keys=["p_partkey"],
+        sequence_by="p_size", stored_as_scd_type=2,
+        track_history_column_list=["p_name", "p_brand", "price"], now=_T1,
+    )
+    ckpt = tempfile.mkdtemp(prefix="medallion_dlt_inc_")
+    out = p.run_incremental(spark, ckpt, db).outputs["part_dim"]
     return out.withColumn("price", F.col("price").cast("double"))
 
 

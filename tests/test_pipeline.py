@@ -96,3 +96,83 @@ def test_pipeline_unknown_dep_raises(spark):
 
     with pytest.raises(ValueError, match="unknown"):
         p.order()
+
+
+def test_incremental_pipeline_streaming_table_source(spark, tmp_path):
+    """S8/ST5: the gold pipeline consumes bronze *as a stream*
+    (``spark.readStream.table`` + checkpoint, ``Gold_Products.py:88-105``):
+    run 1 initial-loads the SCD2 dim, run 2 processes only the CDC delta,
+    and a plain streaming table node appends only unseen rows."""
+    import shutil
+
+    db = "dlt_inc_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse_dir}/{db}.db", ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db}")
+    bronze_tbl = f"{db}.bronze_products"
+    spark.createDataFrame(
+        [(1, "widget", 10.0, 100), (2, "gadget", 20.0, 100), (3, "gizmo", 5.0, 100)],
+        "product_id int, product_name string, price double, seq int",
+    ).write.saveAsTable(bronze_tbl)
+
+    def build():
+        p = pipeline.Pipeline("inc")
+        p.streaming_source("bronze_products", bronze_tbl)
+
+        @p.view(
+            name="silver_products",
+            expect_all_or_drop={"price_ok": "price > 0"},
+        )
+        def silver_products(bronze_products):
+            return bronze_products.select(
+                "product_id", "product_name", "price", "seq"
+            )
+
+        @p.table(name="silver_products_tbl")
+        def silver_products_tbl(silver_products):
+            return silver_products
+
+        p.apply_changes(
+            target="product_dim", source="silver_products", keys=["product_id"],
+            sequence_by="seq", stored_as_scd_type=2,
+            track_history_column_list=["product_name", "price"], now=T1,
+        )
+        return p
+
+    ckpt = str(tmp_path / "ckpt")
+    out = build().run_incremental(spark, ckpt, db)
+
+    dim = out.outputs["product_dim"]
+    assert dim.count() == 3
+    assert dim.filter("is_current").count() == 3
+    assert out.outputs["silver_products_tbl"].count() == 3
+
+    # CDC delta: price change for product 2 (+ one bad row the drop rule
+    # must reject before it reaches either sink).
+    spark.createDataFrame(
+        [(2, "gadget", 25.0, 200), (4, "doohickey", -1.0, 200)],
+        "product_id int, product_name string, price double, seq int",
+    ).write.insertInto(bronze_tbl)
+
+    p2 = build()
+    p2._nodes["product_dim"].cdc["now"] = T2
+    out2 = p2.run_incremental(spark, ckpt, db)
+
+    dim2 = out2.outputs["product_dim"].collect()
+    by_key = {}
+    for r in dim2:
+        by_key.setdefault(r["product_id"], []).append(r)
+    # product 2: expired old version + new current version.
+    versions = sorted(by_key[2], key=lambda r: r["is_current"])
+    assert len(versions) == 2
+    assert versions[0]["price"] == 20.0 and not versions[0]["is_current"]
+    assert str(versions[0]["effective_end_date"]).startswith("2024-02-01")
+    assert versions[1]["price"] == 25.0 and versions[1]["is_current"]
+    # untouched keys keep their single current row; bad row never lands.
+    assert len(by_key[1]) == 1 and by_key[1][0]["is_current"]
+    assert 4 not in by_key
+    # the append table saw only the 1 new clean row (checkpoint skipped
+    # batch 1's files), not a full re-read.
+    assert out2.outputs["silver_products_tbl"].count() == 4
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
