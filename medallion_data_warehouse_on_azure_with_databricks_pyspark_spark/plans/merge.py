@@ -52,6 +52,7 @@ def merge_dataframes(
     insert_values: dict[str, Column] | None = None,
     delete_condition: Column | str | None = None,
     broadcast_source: bool = True,
+    extra_on: Column | str | None = None,
 ) -> DataFrame:
     """ANSI-MERGE semantics, returned as the new target state.
 
@@ -65,6 +66,12 @@ def merge_dataframes(
     the target value on update; insert defaults to the source column of the
     same name when present, else NULL (matching SQL INSERT-with-columns).
 
+    ``extra_on`` adds non-key ON conjuncts (J4 state predicates like
+    ``t.is_current = true``, ``/root/reference/Gold_Products_No_Delta_Live.py:77-78``);
+    target rows failing it count as unmatched and pass through untouched,
+    source rows matching only such targets fall to the INSERT clause —
+    exactly SQL-MERGE's treatment of a compound ON.
+
     Like SQL MERGE, the source must be unique per key (dedupe upstream with
     ``operators.windows.latest_per_key`` — SURVEY §2.5 W5); duplicates would
     fan out matched target rows.
@@ -73,7 +80,12 @@ def merge_dataframes(
     src = F.broadcast(source) if broadcast_source else source
     tt = target.withColumn(_T_MARK, F.lit(True)).alias("t")
     ss = src.withColumn(_S_MARK, F.lit(True)).alias("s")
-    on = reduce(lambda a, b: a & b, [t(k) == s(k) for k in keys])
+    conds = [t(k) == s(k) for k in keys]
+    if extra_on is not None:
+        conds.append(F.expr(extra_on) if isinstance(extra_on, str) else extra_on)
+    if not conds:
+        raise ValueError("merge needs at least one key or extra_on condition")
+    on = reduce(lambda a, b: a & b, conds)
     # No INSERT clause → source-only rows are irrelevant → LEFT join, which
     # (unlike FULL OUTER) supports broadcast-hash on the source side: the
     # huge target streams map-side with zero shuffle.  With INSERT we need

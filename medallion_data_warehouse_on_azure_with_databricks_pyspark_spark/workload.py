@@ -513,6 +513,79 @@ def scd1_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd1_customer_dim_sql",
+    oracle=f"""
+    WITH init AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+      FROM customer WHERE c_custkey % 2 = 0),
+    upd AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CAST(c_acctbal + 100 AS DECIMAL(12,2)) AS acctbal
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT
+      COALESCE(i.c_custkey, u.c_custkey) AS c_custkey,
+      COALESCE(u.c_name, i.c_name) AS c_name,
+      COALESCE(u.c_mktsegment, i.c_mktsegment) AS c_mktsegment,
+      CAST(COALESCE(u.acctbal, i.acctbal) AS DOUBLE) AS acctbal,
+      sha256(COALESCE(u.c_name, i.c_name)
+             || COALESCE(u.c_mktsegment, i.c_mktsegment)
+             || CAST(COALESCE(u.acctbal, i.acctbal) AS VARCHAR)) AS hash_value,
+      COALESCE(i.c_custkey, u.c_custkey) AS customer_skey,
+      CASE WHEN i.c_custkey IS NULL THEN TIMESTAMP '{_T2}'
+           ELSE TIMESTAMP '{_T1}' END AS created_date,
+      CASE WHEN u.c_custkey IS NULL THEN TIMESTAMP '{_T1}'
+           ELSE TIMESTAMP '{_T2}' END AS updated_date,
+      CASE WHEN i.c_custkey IS NULL OR u.c_custkey IS NULL
+           THEN 'I' ELSE 'U' END AS change_type
+    FROM init i FULL JOIN upd u ON i.c_custkey = u.c_custkey
+    """,
+)
+def scd1_customer_dim_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + M1 via the *SQL string* entry point: the reference's literal
+    SCD1 ``MERGE INTO`` text (``/root/reference/Gold_Customers.py:75-97``,
+    column names adapted to the test schema, composite ON kept) executed by
+    ``plans.merge_sql`` against a catalog table — must agree with the
+    programmatic ``scd1_customer_dim`` (same oracle)."""
+    import shutil
+
+    from .plans import merge_sql
+
+    initial, updates = _customer_snapshots(spark, sf_dir)
+    keys, attrs = ["c_custkey"], ["c_name", "c_mktsegment", "acctbal"]
+    db = "medallion_merge_sql"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, f"{db}.db"), ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db}")
+    scd.scd1_initial(
+        initial, keys, attrs, "customer_skey", now=_T1, skey=F.col("c_custkey")
+    ).write.saveAsTable(f"{db}.customer_dim")
+    scd.prepare_source(updates, attrs, keys).withColumn(
+        "customer_skey", F.col("c_custkey")
+    ).createOrReplaceTempView("silver_customers_updates")
+
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {db}.customer_dim AS target
+      USING silver_customers_updates AS source
+      ON target.c_custkey = source.c_custkey
+        AND target.c_name = source.c_name
+      WHEN MATCHED AND (target.hash_value != source.hash_value) THEN
+        UPDATE SET
+          target.c_name = source.c_name,
+          target.c_mktsegment = source.c_mktsegment,
+          target.acctbal = source.acctbal,
+          target.updated_date = current_timestamp(),
+          target.change_type = 'U',
+          target.hash_value = source.hash_value
+      WHEN NOT MATCHED THEN
+        INSERT (customer_skey, c_custkey, c_name, c_mktsegment, acctbal, created_date, updated_date, change_type, hash_value)
+        VALUES (source.customer_skey, source.c_custkey, source.c_name, source.c_mktsegment, source.acctbal, current_timestamp(), current_timestamp(), 'I', source.hash_value)
+    """, now=_T2)
+    return out.withColumn("acctbal", F.col("acctbal").cast("double"))
+
+
+@query(
     "scd2_part_dim",
     oracle=f"""
     WITH init AS (
