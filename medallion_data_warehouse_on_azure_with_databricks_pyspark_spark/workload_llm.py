@@ -10,13 +10,19 @@ and value hashes match exactly.  LSH plane coordinates are inlined into the
 oracle SQL as literals (both engines see the same planes, so bucket
 assignments agree bit-for-bit).
 
-Omitted oracles (genuinely non-SQL-expressible, rows-only driver check):
+Omitted oracle (genuinely non-SQL-expressible, rows-only driver check):
 
 * ``doc_simhash_pairs`` — fingerprint built on ``xxhash64``, which DuckDB
-  does not provide.
-* ``multimodal_features`` — feature vectors derive from sha256 *digest
-  bytes* reinterpreted as little-endian uint32 lanes; DuckDB has no
-  blob-to-int reinterpretation.
+  does not provide.  Covered instead by an exact fixture oracle: an
+  independent pure-Python XXH64 + brute-force Hamming reference in
+  ``tests/test_llmops.py::test_simhash_pairs_match_pure_python_reference``.
+
+``multimodal_features`` gets a real DuckDB oracle despite the digest-lane
+math: sha256 hex output is decomposed back into little-endian uint32 lanes
+with pure string arithmetic (``strpos`` hex-digit lookup — see
+``_DIGEST_LANE_SQL``), and the float32 lane values round-trip exactly
+because each is n/1000 with n < 1000 and the 16-lane double sum is exact
+(≤28 significant bits).
 """
 
 from __future__ import annotations
@@ -429,20 +435,68 @@ def emb_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (rows-only check: sha256-digest lanes aren't SQL)
+# Multimodal plumbing — oracle reconstructs the stub codec's digest lanes
+# from sha256 hex via string arithmetic
 # ---------------------------------------------------------------------------
 
-@query("multimodal_features")
+
+def _hex_digit_sql(ch: str) -> str:
+    return f"(strpos('0123456789abcdef', {ch}) - 1)"
+
+
+def _digest_byte_sql(h: str, k: int) -> str:
+    """k-th byte (0-based) of a lowercase hex string column ``h``."""
+    hi = _hex_digit_sql(f"substr({h}, {2 * k + 1}, 1)")
+    lo = _hex_digit_sql(f"substr({h}, {2 * k + 2}, 1)")
+    return f"(16*{hi} + {lo})"
+
+
+def _digest_lane_sql(h: str, i: int) -> str:
+    """Little-endian uint32 lane ``i`` of the digest behind hex column ``h``
+    (mirrors ``np.frombuffer(..., dtype=np.uint32)`` in the stub codec)."""
+    return "(" + " + ".join(
+        f"{_digest_byte_sql(h, 4 * i + k)}::BIGINT * {256 ** k}" for k in range(4)
+    ) + ")"
+
+
+#: Ordered double sum of the 16 float32 feature lanes.  The stub tiles the
+#: 32-byte digest to 64 bytes, so lanes 8-15 repeat lanes 0-7 → sum = 2x the
+#: base-lane sum.  Each lane is float32(n)/float32(1000) with n < 1000; the
+#: partial double sums stay ≤28 significant bits, hence bit-exact.
+_DIGEST_LANE_SQL = "2*(" + " + ".join(
+    f"CAST(CAST({_digest_lane_sql('h2', i)} % 1000 AS REAL)"
+    f" / CAST(1000 AS REAL) AS DOUBLE)"
+    for i in range(8)
+) + ")"
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, sha256(CAST(doc_id AS VARCHAR)) AS h1
+      FROM documents),
+    d AS (SELECT media_id, sha256(h1) AS h2, length(h1) AS payload_bytes FROM m)
+    SELECT media_id, 'image' AS media_type,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes,
+           {_DIGEST_LANE_SQL} AS feature_sum
+    FROM d
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode+featurize over synthesized binary
-    media rows (one per document id); deterministic stub codec."""
+    media rows (one per document id); deterministic stub codec.  The oracle
+    re-derives the digest feature lanes in DuckDB (sha256 of the payload =
+    sha256 of the doc-id's sha256 hex, lanes via hex-string arithmetic)."""
     base = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
     media = multimodal.repartition_for_media(
         multimodal.synth_media(base, "media_id"), 8
     )
-    feats = multimodal.extract_features(media)
+    # codec pinned to the stub: the oracle derives the digest lanes, and the
+    # result must not change when a real media library happens to exist.
+    feats = multimodal.extract_features(media, codec="stub")
     return feats.select(
         "media_id", "media_type", "payload_bytes",
         F.aggregate(

@@ -220,13 +220,47 @@ def test_cosine_dedup_pairs_finds_planted_duplicate(spark):
 def test_multimodal_feature_pipeline(spark):
     base = spark.range(20).select(F.col("id").alias("media_id"))
     media = multimodal.synth_media(base, "media_id")
-    feats = multimodal.extract_features(multimodal.repartition_for_media(media, 4))
+    feats = multimodal.extract_features(
+        multimodal.repartition_for_media(media, 4), codec="stub"
+    )
     rows = feats.collect()
     assert len(rows) == 20
     assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
     # deterministic: same content → same features
-    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media, codec="stub").collect()
+    }
     assert all(again[r["media_id"]] == r["features"] for r in rows)
+
+
+def test_multimodal_auto_codec_both_environments(spark):
+    """The `auto` codec self-upgrades to Pillow when installed and falls
+    back to the stub otherwise; over *valid* image payloads (hand-rolled
+    BMPs) the same pipeline contract holds in both environments."""
+    resolved = multimodal.resolve_codec("auto", "image")
+    assert resolved == ("pil" if multimodal.pil_available() else "stub")
+    assert multimodal.resolve_codec("stub", "image") == "stub"
+    assert multimodal.resolve_codec("auto", "audio") == "stub"
+
+    base = spark.range(8).select(F.col("id").alias("media_id"))
+    media = multimodal.synth_media_bmp(base, "media_id")
+    rows = multimodal.extract_features(media, codec="auto").collect()
+    assert len(rows) == 8
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media, codec="auto").collect()
+    }
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    if multimodal.pil_available():
+        # the real decoder must be in play: pixel means, not digest lanes
+        stub = {
+            r["media_id"]: r["features"]
+            for r in multimodal.extract_features(media, codec="stub").collect()
+        }
+        assert any(stub[r["media_id"]] != r["features"] for r in rows)
 
 
 def test_multimodal_resize_and_frames(spark):
@@ -241,3 +275,112 @@ def test_multimodal_resize_and_frames(spark):
     assert len(idx) == 15
     # image rows produce no frames
     assert multimodal.sample_frames(imgs).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fixture oracle: simhash (xxhash64 has no DuckDB equivalent, so the pairs
+# are verified against an independent pure-Python XXH64 + brute-force
+# Hamming reference — no shared code with operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Canonical XXH64 (public algorithm) — validated to match Spark's
+    ``F.xxhash64`` (seed 42) bit-for-bit, including multibyte UTF-8."""
+    n, i = len(data), 0
+    if n >= 32:
+        v = [(seed + _P1 + _P2) & _M64, (seed + _P2) & _M64, seed, (seed - _P1) & _M64]
+        while i <= n - 32:
+            for j in range(4):
+                k = int.from_bytes(data[i:i + 8], "little")
+                v[j] = (_rotl((v[j] + k * _P2) & _M64, 31) * _P1) & _M64
+                i += 8
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M64
+        for vj in v:
+            h = (((h ^ ((_rotl((vj * _P2) & _M64, 31) * _P1) & _M64)) * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((int.from_bytes(data[i:i + 8], "little") * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h ^ k, 27)) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1) & _M64), 23)) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _P5) & _M64), 11)) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxhash64_spark_signed(s: str) -> int:
+    h = _xxh64(s.encode("utf-8"))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_xxh64_reference_matches_spark(spark):
+    words = ["hello", "a", "abcd", "abcdefgh", "lorem ipsum dolor sit amet xyz", ""]
+    rows = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", F.xxhash64("w").alias("h")
+    ).collect()
+    for r in rows:
+        assert _xxhash64_spark_signed(r["w"]) == r["h"], r["w"]
+
+
+def _simhash_reference(text_val: str) -> int:
+    """Independent SimHash: whitespace tokens of trim(lower(text)), 64-bit
+    majority vote over XXH64 token hashes (duplicates kept, like
+    ``F.transform``)."""
+    import re as _re
+
+    toks = _re.split(r"\s+", text_val.strip().lower())
+    votes = [0] * 64
+    for tok in toks:
+        h = _xxh64(tok.encode("utf-8"))
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= 1 << b
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash_pairs_match_pure_python_reference(spark):
+    """Exact fixture oracle for the rows-only `doc_simhash_pairs` query:
+    brute-force all-pairs Hamming over independently computed fingerprints
+    must equal the banded pigeonhole pipeline's output (the <=max_hamming
+    ball is covered exactly — banding is recall-lossless there)."""
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
+    fps = {r["doc_id"]: _simhash_reference(r["text"]) for r in docs}
+    ids = sorted(fps)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((fps[a] ^ fps[b]) & _M64).count("1")
+            if ham <= 8:
+                expected.add((a, b, ham))
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dedup_pairs(
+            spark.read.parquet(f"{sf}/documents.parquet"), max_hamming=8
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0          # the check is not vacuous
