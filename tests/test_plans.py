@@ -33,6 +33,23 @@ def test_dim_joins_mixed_strategy(spark):
     assert "Exchange hashpartitioning(l_suppkey" not in plan
 
 
+def test_merge_split_insert_plan(spark):
+    # A MERGE with an INSERT clause and a broadcastable source must never run
+    # a full-outer join (not broadcastable — both sides would shuffle full
+    # rows).  The engine splits it: matched/update path keeps the broadcast
+    # left-outer (target streams map-side), and inserts come from a LEFT ANTI
+    # join whose target side Catalyst prunes to the ON columns — the only
+    # shuffle of target data at scale moves key columns, not rows.
+    import re
+
+    plan = _plan(spark, "scd1_customer_dim")
+    assert "FullOuter" not in plan
+    assert plan.count("LeftAnti") == 1
+    assert "LeftOuter" in plan and "BroadcastHashJoin" in plan
+    # the anti-join's target scan reads only the merge key
+    assert re.search(r"FileScan parquet \[c_custkey#\d+L?\]", plan)
+
+
 def test_aggregate_is_partial_plus_final(spark):
     plan = _plan(spark, "lineitem_pricing_summary")
     assert plan.count("HashAggregate") >= 2      # partial + final

@@ -94,10 +94,16 @@ def test_schema_pin_survives_capture_calls(spark, dirs):
     assert os.path.exists(os.path.join(dirs["ckpt"], "_schema", bronze.SCHEMA_FILE))
 
 
-def test_stateful_sessionize_cross_batch_timeout(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stateful_sessionize_cross_batch_timeout(spark, tmp_path, provider):
     """Two micro-batches: batch 1's open sessions time out when batch 2
     advances the event-time watermark past last+gap; sessions closed by a
-    later in-batch event emit immediately."""
+    later in-batch event emit immediately.  Runs on both built-in state
+    stores — semantics must not depend on the backend (RocksDB is the
+    large-state scale path, see ``stateful.ROCKSDB_STATE_STORE``)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -136,7 +142,16 @@ def test_stateful_sessionize_cross_batch_timeout(spark, tmp_path):
         .parquet(str(src))
     )
     sess = stateful.sessionize(stream, "ts", "user_id", gap_seconds=1800)
-    out = stateful.run_to_memory(spark, sess, str(tmp_path / "ckpt"))
+    out = stateful.run_to_memory(
+        spark,
+        sess,
+        str(tmp_path / "ckpt"),
+        state_store_provider=(
+            stateful.ROCKSDB_STATE_STORE
+            if provider == "rocksdb"
+            else stateful.HDFS_STATE_STORE
+        ),
+    )
     rows = {
         (r["user_id"], str(r["session_start"]), r["n_events"])
         for r in out.collect()
