@@ -62,6 +62,13 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_cosine_dedup_pairs",
     "multimodal_features",
+    "events_asof_join",
+    "events_range_join_agg",
+    "doc_repetition_stats",
+    "doc_scrub_pii",
+    "doc_bm25_topk",
+    "orders_price_quantiles",
+    "emb_int8_quantize_error",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Temporal join operators: as-of join and range (interval) join.
+
+Neither exists as a built-in Spark join type (the reference engine has no
+equivalent either — this is extension surface for event/time-series
+workloads).  Both are implemented as compositions of shuffle-friendly
+DataFrame primitives, never an inequality-only nested-loop join:
+
+* :func:`asof_join` — "attach the most recent right row at-or-before each
+  left row's timestamp, per key" (ANSI/DuckDB ``ASOF JOIN``, pandas
+  ``merge_asof``).  Implemented as a tagged union + one running
+  ``last(ignorenulls)`` window: a single hash shuffle on the key and one
+  sort — exactly the cost profile of a sort-merge join, independent of how
+  far back the match is.  A naive formulation (theta-join on
+  ``l.ts >= r.ts`` + max-per-key) explodes to O(|L|·|R|) per key; this one
+  is O((|L|+|R|) log) per key.
+* :func:`range_join` — "match right points falling inside each left row's
+  [start, end] interval, per key".  Implemented by time-bucketing both
+  sides at the interval width: each left interval lands in
+  ``span/width + 1`` buckets (≈2 when width ≳ span), each right point in
+  exactly one, and the equi-join on (key, bucket) makes the range predicate
+  a residual filter on co-located rows.  This is the standard
+  bucketed-range-join rewrite (DuckDB/Databricks range-join hints do the
+  same under the hood).
+
+Scale notes (100 TB):
+
+* Both operators shuffle on the join key (+ bucket) only — Catalyst prunes
+  unused columns into the exchange, AQE coalesces small partitions.
+* Hot keys: the window in :func:`asof_join` needs the whole key ordered in
+  one partition, so an extremely hot key serializes (same constraint as any
+  per-key ordered scan).  Mitigation is coarse time-bucketing the key
+  (key, epoch-day) with boundary carry-over — the :func:`range_join`
+  machinery — at the cost of a bounded lookback horizon.
+* ``range_join`` fan-out is ``span/width + 1`` bucket copies of the *left*
+  side only; pick ``bucket_width`` ≈ the typical interval span.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MARK = "__asof_side"  # 0 = right (visible), 1 = left (probing)
+_TS = "__asof_ts"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "",
+    tolerance: Column | None = None,
+    right_seq: str | None = None,
+) -> DataFrame:
+    """Backward as-of left join: for every left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` sharing the ``on`` key(s);
+    nulls when no prior right row exists.
+
+    ``right_cols`` (default: every non-key, non-ts right column) are
+    attached as ``<name><suffix>``; ``right_ts`` itself is always attached
+    (as ``<right_ts><suffix>``) so callers can window/yardstick the match.
+    ``tolerance`` (a Column interval/numeric matching the ts type's
+    difference semantics is *not* needed — pass a Column predicate bound
+    instead): when given, matches older than ``left_ts - tolerance`` are
+    nulled out.  ``right_seq`` breaks ties between right rows sharing
+    (key, ts) — the highest wins, matching "latest version" semantics;
+    without it equal-ts right duplicates are resolved arbitrarily (DuckDB
+    ASOF has the same caveat — dedupe upstream for determinism).
+
+    Plan shape: one Exchange(hashpartitioning(on)) + one sort over the
+    tagged union; the running ``last(payload, ignorenulls=True)`` is a
+    single Window node.  At equal timestamps right rows sort *before* left
+    rows, so a right row at exactly ``left_ts`` is matched (inclusive
+    bound, = DuckDB ``ON l.ts >= r.ts``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+
+    payload_fields = [F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]]
+    seq = F.col(right_seq) if right_seq is not None else F.lit(0)
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_MARK),
+        seq.alias("__asof_seq"),
+        F.struct(*payload_fields).alias(_PAYLOAD),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_MARK),
+        F.lit(0).alias("__asof_seq"),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    # unionByName with missing left columns nulled on the right side
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_MARK).asc(), F.col("__asof_seq").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__match", F.last(_PAYLOAD, ignorenulls=True).over(w)).filter(
+        F.col(_MARK) == 1
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__match.__ts") >= F.col(_TS) - tolerance, F.col("__match")
+            ),
+        )
+    out = matched.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__match.__ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_start: str,
+    left_end: str,
+    right_point: str,
+    bucket_width: int,
+    include_start: bool = False,
+    include_end: bool = True,
+) -> DataFrame:
+    """Bucketed interval join: right rows whose numeric ``right_point``
+    falls in each left row's (``left_start``, ``left_end``] interval,
+    sharing the ``on`` key(s).  Inner-join semantics (left rows with no
+    match produce nothing — re-attach with a left join on the left's key if
+    zero-rows matter; that keeps *this* plan a pure equi-join).
+
+    All three range columns must be numeric (epoch micros for timestamps —
+    ``F.unix_micros``); ``bucket_width`` is in the same unit.  Each left
+    interval is exploded to its covering bucket ids
+    (``floor(start/W) .. floor(end/W)``), each right point maps to exactly
+    one bucket, and the join is a plain equi-join on (keys…, bucket) with
+    the exact range predicate as a residual filter — no per-row cross
+    product, and each qualifying (left, right) pair appears exactly once
+    (bucket ids per left row are distinct).
+
+    Bound inclusivity defaults to half-open ``(start, end]`` — the event-
+    window convention where the anchoring event itself (at ``start``) is
+    excluded.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / w).cast("long"),
+                F.floor(F.col(left_end) / w).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn("__bucket", F.floor(F.col(right_point) / w).cast("long"))
+
+    lo = (
+        rb[right_point] >= lb[left_start]
+        if include_start
+        else rb[right_point] > lb[left_start]
+    )
+    hi = (
+        rb[right_point] <= lb[left_end]
+        if include_end
+        else rb[right_point] < lb[left_end]
+    )
+    cond = [lb["__bucket"] == rb["__bucket"], *[lb[k] == rb[k] for k in keys], lo, hi]
+    from functools import reduce
+
+    joined = lb.join(rb, reduce(lambda a, b: a & b, cond), "inner")
+    # resolve ambiguous key/bucket columns to the left side, drop helpers
+    return joined.drop(rb["__bucket"]).drop(lb["__bucket"]).drop(*[rb[k] for k in keys])

@@ -28,6 +28,10 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
     "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "para"],
+    "it": ["il", "di", "che", "e", "non", "per", "una", "sono", "con", "del"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um", "para", "com"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "je", "op", "zijn"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
 }
 
 #: BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols.
@@ -119,6 +123,46 @@ def detect_language(df: DataFrame, text_col: str = "text", out: str = "lang_pred
     return df.withColumn(out, pred.otherwise(F.lit("und")))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    token-level variant — the public rule set filters docs whose content is
+    dominated by repeated fragments):
+
+    * ``distinct_token_ratio`` — |distinct tokens| / |tokens| (low ⇒ spam).
+    * ``top_token_frac`` — occurrences of the most frequent token / |tokens|
+      (Gopher rejects > 0.2 for the top unigram).
+    * ``dup_bigram_frac`` — 1 − |distinct bigrams| / |bigrams| (Gopher
+      rejects high duplicate n-gram fractions; bigram variant here).
+
+    Pure Catalyst array expressions — one Project node, no shuffle, no UDF.
+    ``top_token_frac`` is O(u·n) per doc via a nested higher-order filter;
+    for web-scale docs (n ≈ 10³ tokens) that is ~10⁶ cheap JVM comparisons,
+    still far below the cost of one extra shuffle.  Ratios are NULL for
+    empty text, and ``dup_bigram_frac`` is NULL below 2 tokens.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    nd = n.cast("double")
+    uniq = F.array_distinct(toks)
+    top_count = F.array_max(
+        F.transform(uniq, lambda u: F.size(F.filter(toks, lambda t: t == u)))
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    has_toks = F.length(F.trim(F.col(text_col))) > 0
+    return df.withColumns({
+        "n_tokens": F.when(has_toks, n).otherwise(F.lit(0)).cast("long"),
+        "distinct_token_ratio": F.when(has_toks, F.size(uniq) / nd),
+        "top_token_frac": F.when(has_toks, top_count.cast("double") / nd),
+        "dup_bigram_frac": F.when(
+            has_toks & (n >= 2),
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double"),
+        ),
+    })
+
+
 def content_fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fingerprint"
 ) -> DataFrame:
@@ -126,6 +170,34 @@ def content_fingerprint(
     whitespace-collapsed text — the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn(out, F.sha2(norm, 256))
+
+
+#: PII / noise scrub patterns, applied in declaration order.  Kept to the
+#: regex subset shared by Java (Spark) and RE2 (DuckDB/Go) — no backrefs,
+#: no lookarounds — so oracle engines replace identically.
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out: str = "clean_text") -> DataFrame:
+    """Training-data hygiene: replace emails / URLs / IPs / phone numbers
+    with typed placeholder tokens and attach per-pattern hit counts
+    (``n_email`` …) so curation can filter PII-dense documents.
+
+    Chained ``regexp_replace`` — single Project, JVM-side, no UDF.  Counts
+    are taken on the *original* text (patterns overlap after replacement).
+    """
+    c = F.col(text_col)
+    cleaned = c
+    counts = {}
+    for name, pat, token in SCRUB_PATTERNS:
+        counts[f"n_{name}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    return df.withColumns({**counts, out: cleaned})
 
 
 def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:

@@ -1046,3 +1046,4 @@ def fact_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-data-pipeline extension queries register themselves on import (bottom
 # of module so the decorator and loaders above are defined).
 from . import workload_llm  # noqa: E402,F401  isort: skip
+from . import workload_ext  # noqa: E402,F401  isort: skip

@@ -1,0 +1,357 @@
+"""Round-2 extension workload: temporal joins, curation quality signals,
+keyword retrieval, exact quantiles, and embedding quantization.
+
+Same contract as ``workload.py`` / ``workload_llm.py`` — every query is a
+Spark callable built from the operator library plus a bit-exact DuckDB
+oracle.  Determinism notes per query family:
+
+* temporal joins — timestamps compare as µs instants on both engines
+  (events ns-parquet is µs-truncated identically); money/value sums go
+  through ``DECIMAL(18,2)``.
+* BM25 — every float constant is inlined via ``repr`` of the *same* Python
+  double the Spark expression uses; the per-(query, doc) term sum is an
+  ordered fold sorted by term text; idf is the log-free rational form (see
+  ``operators/search.py`` docstring).
+* quantiles — Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+  ``pos = p·(n−1)`` linear-interpolation definition and agree bit-for-bit
+  (verified at sf0.01 across all priority groups).
+* int8 quantization — rounding is spelled ``sign(x)·floor(|x|+0.5)`` on
+  both sides so neither engine's native ROUND tie-break is load-bearing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import search, temporal, text
+from .workload import load, load_events, query
+
+# ---------------------------------------------------------------------------
+# Temporal joins (extension: no ASOF/range join in Spark or the reference)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_click, c.value AS value_click
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the most recent prior click
+    (value + timestamp) by the same user — the canonical "state at event
+    time" enrichment.  Implemented as tagged-union + running-last window
+    (one key shuffle, SMJ cost profile — ``operators/temporal.py``); the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return temporal.asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_cols=["value"],
+        suffix="_click",
+        right_seq="event_id",
+    )
+
+
+@query(
+    "events_range_join_agg",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+         m AS (SELECT s.event_id, count(*) AS n_follow,
+                      sum(CAST(e.value AS DECIMAL(18,2))) AS sumv
+               FROM s JOIN events e
+                 ON e.user_id = s.user_id
+                AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+               GROUP BY s.event_id)
+    SELECT s.event_id, s.user_id, s.ts,
+           coalesce(m.n_follow, 0) AS n_follow,
+           CAST(coalesce(m.sumv, 0) AS DOUBLE) AS sum_value
+    FROM s LEFT JOIN m ON s.event_id = m.event_id
+    """,
+)
+def events_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per signup, activity volume in the following
+    hour — bucketed equi-join rewrite (``operators/temporal.py``), never an
+    inequality nested loop.  Zero-match signups are re-attached with a left
+    join on the (tiny) aggregate so the range join itself stays inner."""
+    ev = load_events(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "ts")
+        .withColumn("start_us", F.unix_micros("ts"))
+        .withColumn("end_us", F.col("start_us") + F.lit(3_600_000_000))
+    )
+    points = ev.select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    matches = temporal.range_join(
+        signups,
+        points,
+        on="user_id",
+        left_start="start_us",
+        left_end="end_us",
+        right_point="ts_us",
+        bucket_width=3_600_000_000,
+    )
+    agg = matches.groupBy("event_id").agg(
+        F.count("*").alias("n_follow"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sumv"),
+    )
+    return signups.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n_follow"), F.lit(0)).cast("long").alias("n_follow"),
+        F.coalesce(F.col("sumv").cast("double"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation quality signals
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, length(trim(text)) > 0 AS has_toks,
+                      {_TOKS} AS tk
+               FROM documents),
+    b AS (SELECT doc_id, has_toks, tk, len(tk) AS n,
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN has_toks THEN n ELSE 0 END AS n_tokens,
+           CASE WHEN has_toks
+                THEN len(list_distinct(tk)) / CAST(n AS DOUBLE) END
+             AS distinct_token_ratio,
+           CASE WHEN has_toks
+                THEN CAST(list_max(list_transform(list_distinct(tk),
+                       u -> len(list_filter(tk, x -> x = u)))) AS DOUBLE)
+                     / CAST(n AS DOUBLE) END
+             AS top_token_frac,
+           CASE WHEN has_toks AND n >= 2
+                THEN 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END
+             AS dup_bigram_frac
+    FROM b
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (``operators/text.py
+    repetition_stats``) — pure Catalyst array expressions, one Project."""
+    docs = load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "top_token_frac",
+        "dup_bigram_frac",
+    )
+
+
+def _scrub_oracle() -> str:
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in text.SCRUB_PATTERNS
+    )
+    cleaned = "text"
+    for _, pat, token in text.SCRUB_PATTERNS:
+        cleaned = f"regexp_replace({cleaned}, '{pat}', '{token}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           {cleaned} AS clean_text
+    FROM documents
+    """
+
+
+@query("doc_scrub_pii", oracle=_scrub_oracle())
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / noise scrub (``operators/text.py scrub_pii``): typed
+    placeholder replacement + per-pattern hit counts.  Patterns restricted
+    to the Java∩RE2 regex subset so both engines replace identically."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.scrub_pii(docs)
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in text.SCRUB_PATTERNS],
+        "clean_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+#: Inline query set over the synthetic corpus vocabulary.
+BM25_QUERIES: dict[int, list[str]] = {
+    0: ["table", "merge"],
+    1: ["window", "sort"],
+    2: ["spark", "hash", "value"],
+}
+
+
+def _bm25_oracle() -> str:
+    vals = ",".join(
+        f"({qid}, '{t}')" for qid, terms in sorted(BM25_QUERIES.items())
+        for t in sorted(set(terms))
+    )
+    k1, b = search.K1, search.B
+    k1p1, one_m_b = repr(k1 + 1.0), repr(1.0 - b)
+    return f"""
+    WITH qt(query_id, term) AS (VALUES {vals}),
+    toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    postings AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+      GROUP BY doc_id, term),
+    doclen AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len({_TOKS}) END AS dl
+               FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM doclen),
+    dfp AS (SELECT term, count(DISTINCT doc_id) AS df
+            FROM postings GROUP BY term),
+    contrib AS (
+      -- every literal is ::DOUBLE: DuckDB parses bare float literals as
+      -- exact DECIMALs, which silently re-associates the float math and
+      -- drifts the last ulp vs Spark's all-double evaluation
+      SELECT qt.query_id, p.doc_id, p.term,
+             ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+               * (tf * {k1p1}::DOUBLE)
+               / (tf + {k1!r}::DOUBLE * ({one_m_b}::DOUBLE + ({b!r}::DOUBLE * dl)
+                  / (CAST(sum_dl AS DOUBLE) / n_docs))) AS contrib
+      FROM postings p
+      JOIN dfp USING (term)
+      CROSS JOIN stats
+      JOIN doclen USING (doc_id)
+      JOIN qt USING (term)),
+    scored AS (
+      SELECT query_id, doc_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(contrib ORDER BY term)), (a, x) -> a + x) AS bm25
+      FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, bm25, rank
+    FROM (SELECT query_id, doc_id, bm25,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@query("doc_bm25_topk", oracle=_bm25_oracle())
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per keyword query (``operators/search.py``):
+    vocabulary-filtered postings, broadcast term stats, ordered-fold term
+    sum, two-phase partial top-k."""
+    docs = load(spark, sf_dir, "documents")
+    qt = search.query_terms_df(spark, BM25_QUERIES)
+    return search.bm25_topk(docs, qt, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_price_quantiles",
+    oracle="""
+    WITH q AS (SELECT o_orderpriority,
+                      quantile_cont(o_totalprice, [0.5, 0.9, 0.99]) AS qs
+               FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, CAST([0.5, 0.9, 0.99][i] AS DOUBLE) AS p,
+           qs[i] AS quantile_value
+    FROM q CROSS JOIN (VALUES (1), (2), (3)) t(i)
+    """,
+)
+def orders_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p90/p99 of order value per priority).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    ``pos = p·(n−1)`` interpolation and agree bit-for-bit.  At 100 TB exact
+    percentile sorts each group once (single shuffle);
+    ``percentile_approx`` (KLL-style sketch, map-side mergeable) is the
+    constant-memory alternative when groups stop fitting."""
+    orders = load(spark, sf_dir, "orders")
+    ps = [0.5, 0.9, 0.99]
+    q = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("qs")
+    )
+    return q.select(
+        "o_orderpriority", F.posexplode("qs").alias("pos", "quantile_value")
+    ).select(
+        "o_orderpriority",
+        F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1).alias("p"),
+        "quantile_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+@query(
+    "emb_int8_quantize_error",
+    oracle="""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM d),
+    r AS (SELECT vec_id, scale, len(v) AS n,
+                 CASE WHEN scale > 0 THEN
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(
+                       list_transform(v, x -> x - sign(x / scale)
+                         * floor(abs(x / scale) + 0.5) * scale),
+                       y -> y * y)),
+                     (a, x) -> a + x)
+                 ELSE 0.0 END AS sse
+          FROM s)
+    SELECT vec_id, scale, sse, sse / n AS mse FROM r
+    """,
+)
+def emb_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127) with
+    reconstruction error — the storage-shrink step before ANN indexing at
+    scale (4× smaller vectors, one narrow projection, no shuffle).
+    Rounding is spelled ``sign(x)·floor(|x|+0.5)`` identically on both
+    engines; the SSE is an ordered fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.withColumn(
+        "v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    sc = F.col("scale")
+    diffs = F.transform(
+        F.col("v"),
+        lambda x: x - F.signum(x / sc) * F.floor(F.abs(x / sc) + F.lit(0.5)) * sc,
+    )
+    sse = F.when(
+        sc > 0,
+        F.aggregate(
+            F.transform(diffs, lambda y: y * y), F.lit(0.0), lambda a, x: a + x
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "vec_id",
+        "scale",
+        sse.alias("sse"),
+        (sse / F.size(F.col("v"))).alias("mse"),
+    )

@@ -1,0 +1,144 @@
+"""Round-2 extension operators: repetition stats, PII scrub, BM25,
+quantiles, int8 quantization — behavioral tests on crafted inputs
+(the workload oracle gives cross-engine equivalence; these pin semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    search,
+    text,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_repetition_stats_edges(spark):
+    df = text.repetition_stats(
+        _docs(spark, ["", "one", "spam spam spam spam", "a b c d"])
+    )
+    r = {row["doc_id"]: row for row in df.collect()}
+    assert r[0]["n_tokens"] == 0 and r[0]["distinct_token_ratio"] is None
+    assert r[1]["n_tokens"] == 1 and r[1]["dup_bigram_frac"] is None
+    # all-same tokens: 1 distinct of 4, top token = 4/4, bigrams all dups
+    assert r[2]["distinct_token_ratio"] == 0.25
+    assert r[2]["top_token_frac"] == 1.0
+    assert r[2]["dup_bigram_frac"] == pytest.approx(1 - 1 / 3)
+    # all-distinct: no repetition signal
+    assert r[3]["distinct_token_ratio"] == 1.0
+    assert r[3]["top_token_frac"] == 0.25
+    assert r[3]["dup_bigram_frac"] == 0.0
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    df = text.scrub_pii(
+        _docs(
+            spark,
+            [
+                "mail me at jane.doe+x@example.co.uk today",
+                "see https://example.com/a?b=1 and http://t.co",
+                "server 10.0.255.7 is up",
+                "call +1-800-555-1234 now",
+                "clean text with no pii",
+            ],
+        )
+    )
+    r = {row["doc_id"]: row for row in df.collect()}
+    assert r[0]["n_email"] == 1 and "<EMAIL>" in r[0]["clean_text"]
+    assert "jane" not in r[0]["clean_text"]
+    assert r[1]["n_url"] == 2 and r[1]["clean_text"].count("<URL>") == 2
+    assert r[2]["n_ipv4"] == 1 and "<IP>" in r[2]["clean_text"]
+    assert r[3]["n_phone"] == 1 and "<PHONE>" in r[3]["clean_text"]
+    assert r[4]["clean_text"] == "clean text with no pii"
+    assert all(r[4][f"n_{n}"] == 0 for n, _, _ in text.SCRUB_PATTERNS)
+
+
+def test_extended_language_id(spark):
+    df = text.detect_language(
+        _docs(
+            spark,
+            [
+                "il governo non è per una cosa che sono con del",
+                "o problema de que e do da em um para com",
+                "de regering heeft het een van en dat niet je op zijn",
+                "och att det som en på är av för med",
+            ],
+        )
+    )
+    assert [r["lang_pred"] for r in df.orderBy("doc_id").collect()] == [
+        "it", "pt", "nl", "sv",
+    ]
+
+
+def test_bm25_ranks_heavier_tf_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            "cat cat cat dog",          # heavy cat
+            "cat dog bird fish",        # one cat
+            "dog bird fish mouse",      # no cat
+            "filler words only here",
+        ],
+    )
+    qt = search.query_terms_df(spark, {0: ["cat"]})
+    out = search.bm25_topk(docs, qt, k=10).orderBy("rank").collect()
+    assert [r["doc_id"] for r in out] == [0, 1]  # doc 2 has no term -> absent
+    assert out[0]["bm25"] > out[1]["bm25"]
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    docs = _docs(
+        spark,
+        ["rare common", "common x", "common y", "common z"],
+    )
+    qt = search.query_terms_df(spark, {0: ["rare", "common"]})
+    out = {r["doc_id"]: r["bm25"] for r in search.bm25_topk(docs, qt).collect()}
+    # doc 0 holds the rare term once and common once; its score must beat
+    # any common-only doc by more than the common contribution alone
+    assert out[0] > 2 * max(v for k, v in out.items() if k != 0)
+
+
+def test_bm25_plan_filters_vocab_before_aggregate(spark):
+    docs = _docs(spark, ["a b c", "b c d"])
+    qt = search.query_terms_df(spark, {0: ["b"]})
+    plan = (
+        search.bm25_topk(docs, qt)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the vocabulary join must be broadcast (postings never shuffle the
+    # full token stream) and the final top-k partial-aggregates
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_error_bound(spark):
+    """Reconstruction error per lane is bounded by (scale/2)²."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from tests.conftest import SF_DIR
+
+    out = workload.QUERIES["emb_int8_quantize_error"](spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        bound = (r["scale"] / 2) ** 2 + 1e-12
+        assert 0.0 <= r["mse"] <= bound
+
+
+def test_exact_quantiles_match_python(spark):
+    import numpy as np
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(
+        F.expr("percentile(x, array(0.5, 0.9, 0.99))").alias("q")
+    ).collect()[0]["q"]
+    want = np.quantile(np.array(vals), [0.5, 0.9, 0.99]).tolist()
+    assert got == pytest.approx(want, abs=0.0)

@@ -1,0 +1,129 @@
+"""As-of join and range join: semantics, edges, and plan shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    temporal,
+)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c"), (3, 50, "d")],
+        "k int, ts long, tag string",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 11.0), (2, 149, 20.0), (2, 151, 21.0)],
+        "k int, ts long, v double",
+    )
+
+
+def test_asof_backward_inclusive(spark):
+    out = temporal.asof_join(
+        _left(spark), _right(spark), on="k", left_ts="ts", right_cols=["v"]
+    )
+    by_tag = {r["tag"]: r for r in out.collect()}
+    # a: right row at exactly ts=100 matches (inclusive bound)
+    assert by_tag["a"]["v"] == 10.0
+    # b: latest of the two prior rows wins
+    assert by_tag["b"]["v"] == 11.0
+    # c: 149 <= 150 matches, 151 does not
+    assert by_tag["c"]["v"] == 20.0
+    # d: no prior right row -> nulls
+    assert by_tag["d"]["v"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    out = temporal.asof_join(
+        _left(spark),
+        _right(spark),
+        on="k",
+        left_ts="ts",
+        right_cols=["v"],
+        tolerance=F.lit(10),
+    )
+    by_tag = {r["tag"]: r for r in out.collect()}
+    assert by_tag["a"]["v"] == 10.0       # age 0 <= 10
+    assert by_tag["b"]["v"] is None       # age 50 > 10 -> nulled
+    assert by_tag["c"]["v"] == 20.0       # age 1
+
+
+def test_asof_right_seq_breaks_equal_ts_ties(spark):
+    left = spark.createDataFrame([(1, 100)], "k int, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 1, "old"), (1, 100, 2, "new")], "k int, ts long, seq int, v string"
+    )
+    out = temporal.asof_join(
+        left, right, on="k", left_ts="ts", right_cols=["v"], right_seq="seq"
+    )
+    assert out.collect()[0]["v"] == "new"
+
+
+def test_asof_plan_single_key_exchange(spark):
+    out = temporal.asof_join(
+        _left(spark), _right(spark), on="k", left_ts="ts", right_cols=["v"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the key, one Window; crucially no join node at all
+    assert plan.count("Exchange hashpartitioning(k") == 1
+    assert "Join" not in plan
+
+
+def test_range_join_bounds_and_fanout(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 100, 200)], "id int, k int, start long, stop long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "at_start"), (1, 150, "inside"), (1, 200, "at_end"),
+         (1, 201, "after"), (2, 150, "wrong_key")],
+        "k int, ts long, tag string",
+    )
+    out = temporal.range_join(
+        left, right, on="k", left_start="start", left_end="stop",
+        right_point="ts", bucket_width=50,
+    )
+    tags = sorted(r["tag"] for r in out.collect())
+    # default (start, end]: start excluded, end included; key respected;
+    # and although "inside" lands in a bucket the left interval covers via
+    # two overlapping explosions, each match appears exactly once
+    assert tags == ["at_end", "inside"]
+
+
+def test_range_join_inclusive_start(spark):
+    left = spark.createDataFrame([(1, 1, 100, 200)], "id int, k int, start long, stop long")
+    right = spark.createDataFrame([(1, 100, "x")], "k int, ts long, tag string")
+    out = temporal.range_join(
+        left, right, on="k", left_start="start", left_end="stop",
+        right_point="ts", bucket_width=1000, include_start=True,
+    )
+    assert out.count() == 1
+
+
+def test_range_join_plan_is_equi_join(spark):
+    left = _left(spark).withColumn("stop", F.col("ts") + 100)
+    out = temporal.range_join(
+        left, _right(spark).withColumnRenamed("ts", "rts"),
+        on="k", left_start="ts", left_end="stop",
+        right_point="rts", bucket_width=100,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bucket rewrite must produce a hash-equi join, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_asof_matches_duckdb_asof_on_events(spark, oracle):
+    """Cross-engine spot check at sf0.001 via the registered workload query."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import workload
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = workload.QUERIES["events_asof_join"](spark, SF_DIR)
+    assert_matches_oracle(df, oracle, workload.ORACLE["events_asof_join"])
