@@ -5,35 +5,42 @@ keyword search over the ``documents`` corpus is the standard tool for
 targeted quality audits ("show me the docs matching these terms") and for
 sourcing seed sets for classifier-based filtering.
 
-Spark-first plan, built so every stage is a pruned equi-join or partial
-aggregate:
+Spark-first plan — the corpus is touched exactly once and **nothing about
+the corpus is ever shuffled**:
 
-1. postings: explode docs to tokens, **filter to the query vocabulary
-   first** (the only tokens that can score), then partial-aggregate term
-   frequencies per (doc, term).  At 100 TB the explode never materializes
-   the full token stream into a shuffle — the vocabulary filter cuts it to
-   matching tokens only, and tf aggregation is map-side partial.
-2. document stats: token length per doc (narrow projection), corpus size
-   N and average length as a 1-row broadcast.
-3. df per term over the postings (tiny: ≤ |vocab| rows), broadcast.
-4. score = Σ_terms idf(term) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
-   summed as an **ordered fold over terms sorted by term text** so the
-   float sum is bit-identical on any engine / any partitioning.
-5. per-query top-k via the two-phase partial top-k
-   (:func:`..similarity.grouped_topk`) — the exchange carries
-   partitions×queries×k candidates, never the full scored relation.
+1. per-doc index: ONE pass over the text column computes doc length and
+   the tf of every query-vocabulary term via higher-order array filters —
+   the token stream is never exploded, never shuffled.  The index frame
+   (O(docs) skinny rows) is ``localCheckpoint``-ed: this is the "build the
+   postings index once" step (at warehouse scale you would persist it as a
+   table and share it across query batches).
+2. index metadata: corpus size N, average doc length, and per-term df are
+   two tiny aggregates of the index frame, collected driver-side and
+   compiled into the scoring expressions as literals — the same role as an
+   index header in a search engine.  Bounded by |vocabulary|, not corpus.
+3. scoring: every query's BM25 total is a closed-form column over the
+   per-doc tf array, so ALL queries score in a single map-side projection
+   (posexplode over the per-query score array).  Zero-hit (query, doc)
+   pairs are dropped by a strict ``score > 0`` filter (the rational idf is
+   always positive, so score > 0 ⇔ some query term matched).
+4. per-query top-k via the two-phase partial top-k
+   (:func:`..similarity.grouped_topk`) — the only exchange in the whole
+   plan, carrying partitions×queries×k candidate rows.
 
-Determinism note: ``idf`` uses the *log-free rational form*
-``(N − df + 0.5) / (df + 0.5)`` instead of the textbook
-``ln(1 + (N − df + 0.5)/(df + 0.5))``.  It is order-equivalent (ln is
-monotone) so rankings are identical, and it keeps every score inside
-exact-reproducible float arithmetic — ``ln`` is the one piece of BM25 whose
-last-ulp value is libm-dependent and would break bit-exact cross-engine
-verification.  Pass ``log_idf=True`` for the textbook scoring when
-cross-engine bit-exactness is not required.
+Determinism: scores accumulate in sorted-term order as a left-assoc chain
+seeded at 0.0 — identical to the oracle's ordered fold (absent terms
+contribute exactly +0.0, which is an exact float identity).  ``idf`` uses
+the *log-free rational form* ``(N − df + 0.5) / (df + 0.5)`` instead of the
+textbook ``ln(1 + …)``: order-equivalent (ln is monotone) so rankings are
+identical, but free of libm last-ulp variance across engines.  Pass
+``log_idf=True`` for textbook scoring when cross-engine bit-exactness is
+not required.
 """
 
 from __future__ import annotations
+
+import math
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,55 +74,61 @@ def bm25_topk(
 ) -> DataFrame:
     """Per-query BM25 top-k: ``(query_id, doc_id, bm25, rank)``.
 
-    ``query_terms`` is a (query_id, term) relation — tiny, broadcast
-    everywhere it joins.  Docs with no matching term never leave stage 1.
+    ``query_terms`` is a (query_id, term) relation — tiny by construction
+    (it is the user's query set), so it is collected driver-side and
+    compiled into the plan; see the module docstring for the stage shape.
     """
-    toks = docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
-    vocab = query_terms.select("term").distinct()
-    postings = (
-        toks.join(F.broadcast(vocab), "term")  # vocabulary filter before agg
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    qrows = query_terms.select("query_id", "term").distinct().collect()
+    query_sets: dict[int, set[str]] = {}
+    for r in qrows:
+        query_sets.setdefault(r["query_id"], set()).add(r["term"])
+    vocab = sorted({t for ts in query_sets.values() for t in ts})
+    slot = {t: i for i, t in enumerate(vocab)}
 
-    doclen = docs.select(
-        id_col,
-        F.when(
-            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-        ).otherwise(F.size(tokens(text_col))).alias("dl"),
+    toks = tokens(text_col)
+    tf_arr = F.array(
+        *[F.size(F.filter(toks, lambda x: x == F.lit(t))) for t in vocab]
     )
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    dl = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(toks)
     )
-    df_per_term = postings.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    per_doc = docs.select(
+        F.col(id_col), dl.alias("dl"), tf_arr.alias("__tf")
+    ).localCheckpoint()
 
-    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    if log_idf:
-        idf = F.log1p(idf)
-    scored_terms = (
-        postings.join(F.broadcast(df_per_term), "term")
-        .join(F.broadcast(stats))
-        .join(doclen, id_col)
-        .join(F.broadcast(query_terms), "term")
-        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs"))
-        .withColumn("idf", idf)
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+    # index metadata (two jobs over the checkpointed index, driver-inlined)
+    n_docs, sum_dl = per_doc.agg(F.count("*"), F.sum("dl")).first()
+    avgdl = float(sum_dl) / n_docs if n_docs else 1.0
+    df_row = per_doc.agg(
+        *[
+            F.sum((F.col("__tf")[slot[t]] > 0).cast("long")).alias(t)
+            for t in vocab
+        ]
+    ).first()
+    idf = {}
+    for t in vocab:
+        df_t = df_row[t] or 0
+        idf[t] = (n_docs - df_t + 0.5) / (df_t + 0.5)
+        if log_idf:
+            idf[t] = math.log1p(idf[t])
+
+    def score_for(terms: set[str]):
+        cols = []
+        for t in sorted(terms):  # sorted-term fold order = oracle order
+            tf = F.col("__tf")[slot[t]]
+            denom = tf + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+            cols.append(F.lit(idf[t]) * (tf * (k1 + 1.0)) / denom)
+        return reduce(lambda a, c: a + c, cols, F.lit(0.0))
+
+    qids = sorted(query_sets)
+    scores = F.array(*[score_for(query_sets[q]) for q in qids])
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        per_doc.select(
+            F.col(id_col), F.posexplode(scores).alias("__pos", "bm25")
         )
-    )
-    # ordered fold over (term asc) — float sum order is pinned
-    scored = scored_terms.groupBy("query_id", id_col).agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("term"), F.col("contrib")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["contrib"],
-        ).alias("bm25")
+        .withColumn("query_id", F.element_at(qid_arr, F.col("__pos") + 1))
+        .filter(F.col("bm25") > 0)  # rational idf > 0 ⇒ hit ⇔ score > 0
+        .select("query_id", id_col, "bm25")
     )
     return grouped_topk(scored, "query_id", id_col, k, score_col="bm25")

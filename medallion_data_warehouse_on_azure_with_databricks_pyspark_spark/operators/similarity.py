@@ -264,6 +264,60 @@ def ivf_assign(
     )
 
 
+def kmeans_pivots(
+    corpus: DataFrame,
+    iters: int = 3,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with distributed Lloyd iterations (the real
+    counterpart of :func:`ivf_pivots`' fixed seeds).
+
+    Deterministic by construction, run-to-run and cluster-to-cluster:
+
+    * init = the every-``modulus``-th seed set (no RNG);
+    * assignment tie-breaks on ``pivot_id`` (:func:`ivf_assign`);
+    * per-dimension means accumulate as ``DECIMAL(38,12)`` sums — exact,
+      therefore **partition-order independent**, where a double sum would
+      drift with Spark's nondeterministic partial-agg merge order.
+
+    Scale shape per iteration: one broadcast assignment pass over the
+    corpus + one (cluster, dim) partial-aggregated shuffle of N·D skinny
+    rows — fully map-side combinable; no vector ever funnels through the
+    driver and centroids stay a (P, D) DataFrame, localCheckpoint'ed per
+    round to keep the iterative lineage flat (same pattern as
+    ``dedup.dedup_keep_representatives``).  Empty clusters drop out
+    naturally (no assigned rows → no centroid row).
+    """
+    cents = ivf_pivots(corpus, id_col, vec_col, modulus).localCheckpoint()
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assign = ivf_assign(vecs, cents, 1, id_col, "__v").select(
+            id_col, "pivot_id"
+        )
+        dims = (
+            vecs.join(assign, id_col)
+            .select("pivot_id", F.posexplode(F.col("__v")).alias("dim", "val"))
+        )
+        sums = dims.groupBy("pivot_id", "dim").agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        cents = (
+            sums.withColumn("mean", (F.col("s") / F.col("n")).cast("double"))
+            .groupBy("pivot_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda x: x["mean"],
+                ).alias("pivot_vec")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -274,6 +328,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    pivots: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors live in their nearest
     pivot's inverted list; each query scans only its ``nprobe`` nearest
@@ -284,7 +339,8 @@ def ivf_topk(
     The probe join is an equi-join on ``pivot_id`` with the query side
     broadcast — the corpus shuffles once, on list id.
     """
-    pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    if pivots is None:
+        pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
     corpus_lists = ivf_assign(corpus, pivots, 1, id_col, vec_col)
     c = (
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))

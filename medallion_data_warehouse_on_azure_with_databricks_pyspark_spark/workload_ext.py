@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import search, temporal, text
+from .operators import search, similarity, temporal, text
 from .workload import load, load_events, query
 
 # ---------------------------------------------------------------------------
@@ -354,4 +354,41 @@ def emb_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         sse.alias("sse"),
         (sse / F.size(F.col("v"))).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF + sketches (genuinely non-SQL-expressible: iterative k-means
+# and engine-specific HLL/KLL sketch internals — rows-only driver check,
+# hard behavioral oracles in tests/test_ext.py)
+# ---------------------------------------------------------------------------
+
+@query("emb_ivf_kmeans_topk")
+def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with *trained* centroids: 2 distributed Lloyd rounds
+    (decimal-exact means — deterministic under any partitioning, see
+    ``operators/similarity.py kmeans_pivots``) over the every-37th seed
+    init, then the standard nprobe probe path.  No SQL oracle (iterative);
+    tests pin determinism, SSE descent, and recall vs the exact top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    pivots = similarity.kmeans_pivots(emb, iters=2, modulus=37)
+    from .workload_llm import _emb_queries
+
+    return similarity.ivf_topk(
+        emb, _emb_queries(emb), k=10, nprobe=2, pivots=pivots
+    )
+
+
+@query("events_approx_distinct")
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-user sketch per event type
+    (``approx_count_distinct``, rsd 1%) next to the exact count — the
+    constant-memory, map-side-mergeable path for 100 TB cardinality
+    dashboards (exact distinct = full shuffle of every key).  No oracle:
+    DuckDB's approx_count_distinct is a different HLL; the test asserts the
+    sketch lands within 5% of exact."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )

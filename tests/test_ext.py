@@ -104,17 +104,18 @@ def test_bm25_idf_downweights_common_terms(spark):
     assert out[0] > 2 * max(v for k, v in out.items() if k != 0)
 
 
-def test_bm25_plan_filters_vocab_before_aggregate(spark):
+def test_bm25_plan_has_no_joins_and_one_exchange(spark):
     docs = _docs(spark, ["a b c", "b c d"])
     qt = search.query_terms_df(spark, {0: ["b"]})
     plan = (
         search.bm25_topk(docs, qt)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # the vocabulary join must be broadcast (postings never shuffle the
-    # full token stream) and the final top-k partial-aggregates
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    # scoring is fully map-side over the checkpointed index: no join of any
+    # kind; the only exchanges are the two-phase top-k's, which carry
+    # k-sized candidate arrays, never the scored corpus
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
 
 
 def test_int8_quantize_error_bound(spark):
@@ -142,3 +143,79 @@ def test_exact_quantiles_match_python(spark):
     ).collect()[0]["q"]
     want = np.quantile(np.array(vals), [0.5, 0.9, 0.99]).tolist()
     assert got == pytest.approx(want, abs=0.0)
+
+
+def test_kmeans_pivots_deterministic_and_descending_sse(spark):
+    """Two runs give identical centroids (decimal-exact means), and Lloyd
+    iterations do not increase within-cluster SSE."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        similarity,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def centroids(iters):
+        c = similarity.kmeans_pivots(emb, iters=iters, modulus=37)
+        return {
+            r["pivot_id"]: tuple(r["pivot_vec"]) for r in c.collect()
+        }
+
+    assert centroids(2) == centroids(2)  # run-to-run determinism
+
+    def sse(pivots):
+        assign = similarity.ivf_assign(emb, pivots, 1)
+        joined = (
+            emb.select("vec_id", F.col("embedding").alias("__v"))
+            .join(assign, "vec_id")
+            .join(pivots, "pivot_id")
+        )
+        from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.similarity import (
+            _l2sq,
+        )
+
+        return joined.agg(
+            F.sum(_l2sq(F.col("__v"), F.col("pivot_vec"))).alias("s")
+        ).first()["s"]
+
+    s0 = sse(similarity.ivf_pivots(emb))
+    s2 = sse(similarity.kmeans_pivots(emb, iters=2, modulus=37))
+    assert s2 <= s0 + 1e-9
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        similarity,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, _emb_queries(emb), k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in workload.QUERIES["emb_ivf_kmeans_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # nprobe=2 of ~27 lists; brute floor
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = workload.QUERIES["events_approx_distinct"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.05, (r, err)
