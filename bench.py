@@ -69,6 +69,10 @@ HEADLINE = [
     "doc_bm25_topk",
     "orders_price_quantiles",
     "emb_int8_quantize_error",
+    "orders_status_priority_cube",
+    "orders_analytic_windows",
+    "customer_without_orders",
+    "part_string_functions",
 ]
 
 

@@ -1047,3 +1047,4 @@ def fact_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of module so the decorator and loaders above are defined).
 from . import workload_llm  # noqa: E402,F401  isort: skip
 from . import workload_ext  # noqa: E402,F401  isort: skip
+from . import workload_rel  # noqa: E402,F401  isort: skip

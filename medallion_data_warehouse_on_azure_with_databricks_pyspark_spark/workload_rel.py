@@ -1,0 +1,197 @@
+"""Relational-surface widening queries (round 2): pivot, cube,
+semi/anti joins, analytic window functions, string functions.
+
+Each entry exercises a Spark relational capability a reference user would
+reach for next, with a bit-exact DuckDB oracle.  Determinism: counts are
+exact integers; money sums go through DECIMAL(18,2); percent_rank /
+cume_dist are integer-ratio doubles (identical division on both engines);
+every window order carries a unique tie-breaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .workload import load, query
+
+_YEARS = list(range(1995, 2002))
+
+
+@query(
+    "orders_year_priority_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(f'''count(*) FILTER (year(o_orderdate) = {y}) AS "y{y}"'''
+                      for y in _YEARS)}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_year_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority × year.  Pivot values are given
+    explicitly — at 100 TB an implicit pivot runs an extra distinct pass
+    over the pivot column *and* risks a column explosion; pinning the
+    domain keeps it one partial-aggregated shuffle with a fixed schema."""
+    orders = load(spark, sf_dir, "orders")
+    out = (
+        orders.withColumn("year", F.year("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .pivot("year", _YEARS)
+        .count()
+    )
+    # Spark pivot yields NULL for empty cells; SQL's count FILTER yields 0
+    return out.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(str(y)), F.lit(0)).cast("long").alias(f"y{y}")
+            for y in _YEARS
+        ],
+    )
+
+
+@query(
+    "orders_status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping-id disambiguation (extends the ROLLUP coverage in
+    ``orders_priority_rollup``): all four aggregation lattices in one
+    partial-aggregated pass — Spark expands grouping sets map-side, so the
+    shuffle carries one partial row per (set, group), not 4× the input."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
+@query(
+    "customer_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+    """,
+)
+def customer_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no high-value order (the
+    driver's keys are dense, so the unpredicated anti-join is empty — the
+    price predicate keeps the check meaningful).  The probe-side filter
+    pushes to the orders scan, and the anti join shuffles only the pruned
+    ``o_custkey`` column — never full rows."""
+    customer = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "customer_with_high_value_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def customer_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) with a pushed-down probe-side filter: the
+    ``o_totalprice`` predicate reaches the orders parquet scan before the
+    join, and the semi join deduplicates matches without a distinct."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "orders_analytic_windows",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def orders_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window pack — lag/lead/percent_rank/cume_dist/ntile over
+    one shared per-customer window spec, so Catalyst plans a single
+    exchange + single sort + single Window node for all five functions."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "part_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS name_cap,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           replace(p_type, 'ANODIZED', 'COATED') AS type_replaced,
+           reverse(p_type) AS type_rev,
+           strpos(p_type, 'BRUSHED') AS brushed_pos,
+           levenshtein(p_brand, p_type) AS brand_type_dist
+    FROM part
+    """,
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function pack (capitalize/lpad/replace/reverse/locate/
+    levenshtein) — all JVM-side Catalyst expressions in one Project; the
+    scan reads only the referenced columns."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)),
+            F.expr("substring(p_name, 2)"),
+        ).alias("name_cap"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_type"), F.lit("ANODIZED"), F.lit("COATED")).alias(
+            "type_replaced"
+        ),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.instr(F.col("p_type"), "BRUSHED").cast("long").alias("brushed_pos"),
+        F.levenshtein(F.col("p_brand"), F.col("p_type")).cast("long").alias(
+            "brand_type_dist"
+        ),
+    )

@@ -78,3 +78,27 @@ def test_narrow_input_parallelized(spark):
     target = spark.sparkContext.defaultParallelism
     sh = dedup.shingle_frame(docs, "doc_id", "text", 3)
     assert sh.rdd.getNumPartitions() >= min(target, 4)
+
+
+def test_analytic_window_pack_single_window_node(spark):
+    plan = _plan(spark, "orders_analytic_windows")
+    # five window functions, one shared spec: one exchange, one sort, one
+    # Window node (a second Window would mean a second sort of the fact)
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_anti_join_prunes_probe_side(spark):
+    plan = _plan(spark, "customer_without_orders")
+    assert "LeftAnti" in plan
+    # the orders scan feeding the anti join reads only the key + predicate
+    # columns, and the price filter is pushed to parquet
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
+    assert "GreaterThan(o_totalprice,450000.0)" in plan
+
+
+def test_cube_is_single_partial_aggregated_pass(spark):
+    plan = _plan(spark, "orders_status_priority_cube")
+    assert "Expand" in plan                      # grouping-set expansion map-side
+    assert plan.count("Exchange") == 1           # one shuffle for all lattices
+    assert plan.count("HashAggregate") >= 2      # partial + final
