@@ -73,6 +73,10 @@ HEADLINE = [
     "orders_analytic_windows",
     "customer_without_orders",
     "part_string_functions",
+    "doc_chunks",
+    "doc_mixture_splits",
+    "doc_token_packing",
+    "events_resample_ffill",
 ]
 
 

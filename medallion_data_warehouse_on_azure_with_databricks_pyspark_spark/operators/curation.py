@@ -1,0 +1,142 @@
+"""Corpus-preparation operators: chunking, deterministic sampling/splits,
+token-budget packing.
+
+The last mile of a training-data pipeline (no reference counterpart —
+extension surface): after dedup/quality filtering, documents are chunked to
+model context windows, sources are mixed at configured rates, rows are
+assigned reproducible train/val/test splits, and chunks are packed into
+fixed token budgets.  Everything here is deterministic pure-Catalyst
+expression work — re-running the pipeline on a different cluster layout
+yields byte-identical corpora, which is the property curation pipelines
+live or die by.
+
+Scale notes (100 TB):
+
+* :func:`chunk_documents` — one Project + one Generate (posexplode); the
+  fan-out is ~n_tokens/stride rows per doc with no shuffle.  Chunk text is
+  re-joined from the token array, so the scan reads ``text`` once.
+* :func:`mixture_sample` — stateless per-row hash filter (md5 of the id —
+  NOT ``rand()``: resampling must not depend on partitioning, retries, or
+  row order).  Filters are pushed into whatever scan feeds them.
+* :func:`assign_split` — same hash, disjoint hex window, so the split is
+  independent of the sampling decision.
+* :func:`pack_tokens` — running token sum per group (one shuffle + sort
+  per group key).  A global greedy pack is inherently sequential per
+  group; at 100 TB pack *within* deterministic sub-shards (add a shard
+  column to ``group_cols``) to keep per-task state bounded — the budget
+  boundary error is at most one document per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TWO32 = 1 << 32
+
+
+def _hash_u32(col, lo: int = 1) -> F.Column:
+    """First (or ``lo``-offset) 8 hex digits of md5(id) as a uint32-ranged
+    long — deterministic, partition-independent, identical in any engine
+    with md5/substr/hex-parse."""
+    return F.conv(F.substring(F.md5(col.cast("string")), lo, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping ``size``-token windows every
+    ``stride`` tokens (the standard context-window chunker; ``stride <
+    size`` gives overlap).  Output: ``(id, chunk_id, chunk_text,
+    chunk_tokens)``; every document yields at least one chunk."""
+    if not (0 < stride and 0 < size):
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.posexplode(starts).alias("__i", "__s"),
+    )
+    return ex.select(
+        id_col,
+        (F.col("__s") / stride).cast("long").alias("chunk_id"),
+        F.array_join(F.slice("__t", F.col("__s") + 1, F.lit(size)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(size), F.size("__t") - F.col("__s"))
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-source downsampling: keep a row iff
+    ``hash_u32(id) < rate(source)·2³²``.  Sources absent from ``rates``
+    are dropped (rate 0).  The id hash makes the decision a pure function
+    of the row — stable under retries, repartitioning, and incremental
+    re-runs, unlike ``DataFrame.sample``/``sampleBy``."""
+    u = _hash_u32(F.col(id_col))
+    thr = F.lit(0)
+    for src, rate in sorted(rates.items()):
+        thr = F.when(F.col(source_col) == src, F.lit(int(rate * TWO32))).otherwise(
+            thr
+        )
+    return df.filter(u < thr)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "split",
+    train: int = 80,
+    val: int = 10,
+) -> DataFrame:
+    """Reproducible train/val/test assignment from a *disjoint* hex window
+    of the same id hash (independent of :func:`mixture_sample`'s decision).
+    Percentages are integer percent points; test gets the remainder."""
+    bucket = _hash_u32(F.col(id_col), lo=9) % 100
+    return df.withColumn(
+        out,
+        F.when(bucket < train, F.lit("train"))
+        .when(bucket < train + val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_tokens(
+    df: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequential packing: within each group (ordered by id), a
+    document lands in pack ``floor(tokens_before_it / budget)`` — the
+    standard streaming sequence-packing rule (a document may straddle a
+    budget boundary; the next pack starts at the next document).  Output
+    adds ``pack_id`` and ``pack_pos`` (1-based position inside the pack).
+    Pure integer window math — bit-identical on any engine."""
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    with_cum = df.withColumn("__cum", F.sum(tokens_col).over(w))
+    packed = with_cum.withColumn(
+        "pack_id",
+        F.floor((F.col("__cum") - F.col(tokens_col)) / budget).cast("long"),
+    )
+    wp = Window.partitionBy(group_col, "pack_id").orderBy(id_col)
+    return packed.withColumn(
+        "pack_pos", F.row_number().over(wp).cast("long")
+    ).drop("__cum")

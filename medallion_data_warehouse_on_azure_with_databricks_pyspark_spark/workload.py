@@ -1048,3 +1048,4 @@ def fact_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import workload_llm  # noqa: E402,F401  isort: skip
 from . import workload_ext  # noqa: E402,F401  isort: skip
 from . import workload_rel  # noqa: E402,F401  isort: skip
+from . import workload_cur  # noqa: E402,F401  isort: skip

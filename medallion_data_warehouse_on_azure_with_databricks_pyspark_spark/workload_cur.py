@@ -1,0 +1,164 @@
+"""Corpus-preparation workload queries (chunking, mixing/splits, packing,
+resampling) with bit-exact DuckDB oracles.
+
+Determinism strategy: all four families are integer / string-hash math —
+no float accumulation anywhere — so the only oracle subtlety is hex
+parsing (md5 prefix → uint32 via per-digit ``strpos`` arithmetic, the same
+trick the multimodal oracle uses for sha256 lanes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import curation, temporal, text
+from .workload import load, load_events, query
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+def _hex8_sql(expr: str, lo: int) -> str:
+    """uint32 from 8 hex digits of ``expr`` starting at 1-based ``lo``."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {lo + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents),
+    s AS (SELECT doc_id, tk,
+                 unnest(range(0, greatest(len(tk) - 1, 0) + 1, {_CHUNK_STRIDE}))
+                   AS st
+          FROM t)
+    SELECT doc_id,
+           st // {_CHUNK_STRIDE} AS chunk_id,
+           array_to_string(tk[st + 1 : st + {_CHUNK_SIZE}], ' ') AS chunk_text,
+           least({_CHUNK_SIZE}, len(tk) - st) AS chunk_tokens
+    FROM s
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (``operators/curation.py chunk_documents``):
+    32-token windows every 24 tokens — map-side Generate, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.chunk_documents(
+        docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+#: Per-source sampling rates for the mixture demo (cycled over the driver's
+#: 20 sources).
+MIX_RATES: dict[str, float] = {
+    f"src{i}": [1.0, 0.75, 0.5, 0.25][i % 4] for i in range(20)
+}
+
+
+def _mix_oracle() -> str:
+    thr = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {int(r * curation.TWO32)}"
+        for s, r in sorted(MIX_RATES.items())
+    ) + " ELSE 0 END"
+    u = _hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)
+    b = _hex8_sql("md5(CAST(doc_id AS VARCHAR))", 9)
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN {b} % 100 < 80 THEN 'train'
+                WHEN {b} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    WHERE {u} < {thr}
+    """
+
+
+@query("doc_mixture_splits", oracle=_mix_oracle())
+def doc_mixture_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing + train/val/test assignment
+    (``operators/curation.py``): decisions are pure functions of the row id
+    (md5 windows), so the corpus is byte-identical under retries,
+    repartitioning, and incremental re-runs — ``rand()``/``sample()`` are
+    not.  Pushdown-friendly stateless filter."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = curation.mixture_sample(docs, MIX_RATES)
+    return curation.assign_split(sampled).select("doc_id", "source", "split")
+
+
+@query(
+    "doc_token_packing",
+    oracle="""
+    WITH n AS (SELECT doc_id, source,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END
+                        AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS cum
+          FROM n),
+    p AS (SELECT doc_id, source, n_tokens,
+                 CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+          FROM c)
+    SELECT doc_id, source, n_tokens, pack_id,
+           CAST(row_number() OVER (PARTITION BY source, pack_id
+                ORDER BY doc_id) AS BIGINT) AS pack_pos
+    FROM p
+    """,
+)
+def doc_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token budgets per source
+    (``operators/curation.py pack_tokens``): running-sum window, pure
+    integer math.  At 100 TB pack within deterministic sub-shards (extra
+    group column) to bound per-task sequential state."""
+    docs = text.token_count(load(spark, sf_dir, "documents"))
+    return curation.pack_tokens(
+        docs, budget=512, group_col="source", tokens_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens", "pack_id", "pack_pos")
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn, max(ts) AS mx
+               FROM events GROUP BY user_id),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                   AS slot
+          FROM b)
+    SELECT g.user_id, g.slot, e.ts AS ts_last, e.value AS value_last
+    FROM g ASOF LEFT JOIN events e
+      ON g.user_id = e.user_id AND g.slot >= e.ts
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill (hypertable-style gap fill):
+    each user gets an hourly slot grid spanning their activity, and every
+    slot carries the most recent observation at-or-before it — the grid is
+    generated with ``sequence``/explode (no shuffle beyond the per-user
+    agg) and the fill is one :func:`..operators.temporal.asof_join` (one
+    key shuffle).  Slots before a user's first event stay NULL."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    slots = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("slot"),
+    )
+    events = ev.select("user_id", "ts", "value", "event_id")
+    return temporal.asof_join(
+        slots,
+        events,
+        on="user_id",
+        left_ts="slot",
+        right_ts="ts",
+        right_cols=["value"],
+        suffix="_last",
+        right_seq="event_id",
+    )

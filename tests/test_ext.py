@@ -219,3 +219,71 @@ def test_approx_distinct_within_tolerance(spark):
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert err <= 0.05, (r, err)
+
+
+def test_chunk_documents_windows(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        curation,
+    )
+
+    df = _docs(spark, ["a b c d e", ""])
+    out = curation.chunk_documents(df, size=3, stride=2)
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in out.collect()
+    }
+    assert chunks[(0, 0)] == ("a b c", 3)
+    assert chunks[(0, 1)] == ("c d e", 3)
+    assert chunks[(0, 2)] == ("e", 1)
+    assert (1, 0) in chunks  # empty doc still yields one chunk
+
+
+def test_mixture_sample_deterministic_and_rate_bounds(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        curation,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    keep_all = curation.mixture_sample(docs, {f"src{i}": 1.0 for i in range(20)})
+    assert {r["doc_id"] for r in keep_all.select("doc_id").collect()} == all_ids
+    none = curation.mixture_sample(docs, {})
+    assert none.count() == 0
+    half = curation.mixture_sample(docs, {f"src{i}": 0.5 for i in range(20)})
+    a = {r["doc_id"] for r in half.select("doc_id").collect()}
+    b = {r["doc_id"] for r in half.select("doc_id").collect()}
+    assert a == b  # partition/run independence
+    assert 0.2 < len(a) / len(all_ids) < 0.8
+
+
+def test_assign_split_proportions(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        curation,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {
+        r["split"]: r["n"]
+        for r in curation.assign_split(docs)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert 0.6 < counts.get("train", 0) / total < 0.95
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_pack_tokens_straddles_budget_boundary(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        curation,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s", 4) for i in range(4)], "doc_id long, source string, n_tokens int"
+    )
+    out = curation.pack_tokens(df, budget=10, group_col="source")
+    packs = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in out.collect()}
+    # starts at 0,4,8,12: first three open in pack 0 (doc 2 straddles), doc 3
+    # starts past the budget and opens pack 1
+    assert packs == {0: (0, 1), 1: (0, 2), 2: (0, 3), 3: (1, 1)}
