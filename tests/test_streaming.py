@@ -198,3 +198,44 @@ def test_dataset_fanout(spark, tmp_path):
     n = spark.read.parquet(EVENTS).count()
     assert spark.read.parquet(str(tmp_path / "bronze" / "a")).count() == n
     assert spark.read.parquet(str(tmp_path / "bronze" / "b")).count() == n
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids arriving in later micro-batches (within the
+    watermark horizon) are dropped by the streaming dedup operator."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        stateful,
+        windows as sw,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(name, rows):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["event_id", "ts", "v"])
+            ),
+            str(src / name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    write("b1.parquet", [(1, base, 1.0), (2, base + pd.Timedelta("1min"), 2.0)])
+    write("b2.parquet", [(2, base + pd.Timedelta("2min"), 99.0),   # dup key
+                         (3, base + pd.Timedelta("3min"), 3.0)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = sw.dedup_stream(stream, ["event_id"], ts_col="ts", watermark="10 minutes")
+    out = stateful.run_to_memory(spark, deduped, str(tmp_path / "ckpt"))
+    rows = {(r["event_id"], r["v"]) for r in out.collect()}
+    assert rows == {(1, 1.0), (2, 2.0), (3, 3.0)}
