@@ -392,3 +392,19 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
     )
+
+
+@query("events_approx_quantiles")
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style sketch quantiles (``percentile_approx``, accuracy 10⁻⁴)
+    next to the exact sort-based percentile per event type — the
+    constant-memory mergeable path when groups stop fitting the exact
+    sort at 100 TB.  No oracle (sketch internals are engine-specific); the
+    test bounds the sketch against the exact value."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+        F.expr("percentile(value, 0.99)").alias("p99_exact"),
+    )

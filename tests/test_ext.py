@@ -287,3 +287,33 @@ def test_pack_tokens_straddles_budget_boundary(spark):
     # starts at 0,4,8,12: first three open in pack 0 (doc 2 straddles), doc 3
     # starts past the budget and opens pack 1
     assert packs == {0: (0, 1), 1: (0, 2), 2: (0, 3), 3: (1, 1)}
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = workload.QUERIES["events_approx_quantiles"](spark, SF_DIR).collect()
+    assert rows
+    # percentile_approx's contract is on *rank*, not value: the returned
+    # element's rank must be within the accuracy bound of the target rank
+    # (value distance can be large in a sparse tail at small n).
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload import (
+        load_events,
+    )
+
+    ev = load_events(spark, SF_DIR)
+    for r in rows:
+        vals = sorted(
+            x["value"]
+            for x in ev.filter(F.col("event_type") == r["event_type"])
+            .select("value").collect()
+        )
+        n = len(vals)
+        for p, target in (("p50", 0.5), ("p99", 0.99)):
+            approx = r[f"{p}_approx"]
+            rank = sum(1 for v in vals if v <= approx) / n
+            assert target - 0.05 <= rank <= min(target + 0.05, 1.0), (r, rank)

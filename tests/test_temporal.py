@@ -127,3 +127,67 @@ def test_asof_matches_duckdb_asof_on_events(spark, oracle):
 
     df = workload.QUERIES["events_asof_join"](spark, SF_DIR)
     assert_matches_oracle(df, oracle, workload.ORACLE["events_asof_join"])
+
+
+def test_asof_matches_pandas_merge_asof_random(spark):
+    """Randomized cross-check vs pandas.merge_asof (fixed seed): backward
+    inclusive semantics must agree on every row."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 300, 500
+    left = pd.DataFrame({
+        "k": rng.integers(0, 12, n_l),
+        "ts": rng.integers(0, 10_000, n_l),
+        "lid": np.arange(n_l),
+    }).sort_values("ts").reset_index(drop=True)
+    right = pd.DataFrame({
+        "k": rng.integers(0, 12, n_r),
+        "ts": rng.integers(0, 10_000, n_r),
+        "v": rng.random(n_r),
+    })
+    # unique (k, ts) on the right so both references are deterministic
+    right = right.drop_duplicates(["k", "ts"]).sort_values("ts").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left, right, on="ts", by="k", direction="backward", suffixes=("", "_r")
+    )
+    got = temporal.asof_join(
+        spark.createDataFrame(left, "k long, ts long, lid long"),
+        spark.createDataFrame(right, "k long, ts long, v double"),
+        on="k", left_ts="ts", right_cols=["v"],
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+    want = want.sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(want)
+    for a, b in zip(got["v"].tolist(), want["v"].tolist()):
+        assert (a is None and pd.isna(b)) or (pd.isna(b) and pd.isna(a)) or a == b
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, 200),
+        "start": rng.integers(0, 5_000, 200),
+        "lid": np.arange(200),
+    })
+    left["stop"] = left["start"] + rng.integers(1, 400, 200)
+    right = pd.DataFrame({
+        "k": rng.integers(0, 8, 400),
+        "pt": rng.integers(0, 5_500, 400),
+        "rid": np.arange(400),
+    })
+    merged = left.merge(right, on="k")
+    brute = merged[(merged["pt"] > merged["start"]) & (merged["pt"] <= merged["stop"])]
+    want = set(zip(brute["lid"], brute["rid"]))
+    got_df = temporal.range_join(
+        spark.createDataFrame(left, "k long, start long, lid long, stop long"),
+        spark.createDataFrame(right, "k long, pt long, rid long"),
+        on="k", left_start="start", left_end="stop",
+        right_point="pt", bucket_width=256,
+    )
+    got = {(r["lid"], r["rid"]) for r in got_df.collect()}
+    assert got == want
