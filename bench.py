@@ -77,6 +77,8 @@ HEADLINE = [
     "doc_mixture_splits",
     "doc_token_packing",
     "events_resample_ffill",
+    "corpus_vocab_topk",
+    "events_daily_rolling",
 ]
 
 

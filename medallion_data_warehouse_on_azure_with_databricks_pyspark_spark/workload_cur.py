@@ -162,3 +162,88 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="_last",
         right_seq="event_id",
     )
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                    AS term
+                  FROM documents),
+    freq AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+             FROM toks GROUP BY term),
+    ranked AS (SELECT term, tf, df,
+                      CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT)
+                        AS rank
+               FROM freq)
+    SELECT term, tf, df, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 terms by frequency with doc
+    frequency — the Zipf-curve / tokenizer-coverage audit.  Explode +
+    partial-aggregated count (map-side combine collapses each partition to
+    its distinct terms before the shuffle), then a global top-k over the
+    |vocab|-sized aggregate via ``TakeOrderedAndProject`` — the corpus
+    never sorts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("term")))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 50).select("term", "tf", "df", "rank")
+
+
+@query(
+    "events_daily_rolling",
+    oracle="""
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                      count(*) AS n_events,
+                      count(DISTINCT user_id) AS dau,
+                      sum(CAST(value AS DECIMAL(18,2))) AS sumv
+               FROM events GROUP BY day)
+    SELECT day, n_events, dau,
+           CAST(sumv AS DOUBLE) AS day_value,
+           CAST(sum(n_events) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS events_7d,
+           CAST(sum(sumv) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS value_7d
+    FROM d
+    """,
+)
+def events_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity rollup + 7-day rolling window (classic engagement
+    dashboard): the heavy pass is one partial-aggregated groupBy to ~days
+    rows; the rolling frame then runs over that tiny aggregate (single
+    task is fine — it is O(days), not O(events)).  Money math in decimal."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("dau"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sumv"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "day",
+        "n_events",
+        "dau",
+        F.col("sumv").cast("double").alias("day_value"),
+        F.sum("n_events").over(w).alias("events_7d"),
+        F.sum("sumv").over(w).cast("double").alias("value_7d"),
+    )
