@@ -67,3 +67,31 @@ def save_as_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(name)
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: rows are hash-clustered into ``buckets``
+    files per partition on ``bucket_cols`` (optionally sorted inside each
+    bucket).
+
+    This is the 100 TB co-location primitive: two tables bucketed the same
+    way join with **zero Exchange** — the shuffle was paid once at write
+    time and amortizes over every subsequent join/aggregation on the
+    bucket key (`tests/test_bucketing.py` pins the no-Exchange plan).
+    Spark's bucketing needs the catalog (``saveAsTable``), hence no path
+    variant; bucket counts should be sized so one bucket ≈ one task's
+    comfortable input (128-512 MB).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(
+        buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
