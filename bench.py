@@ -79,6 +79,7 @@ HEADLINE = [
     "events_resample_ffill",
     "corpus_vocab_topk",
     "events_daily_rolling",
+    "events_variant_props",
 ]
 
 

@@ -74,3 +74,27 @@ def call_udf(name: str, *args: Column | str) -> Column:
 def with_udf_column(df: DataFrame, out: str, name: str, *args: Column | str) -> DataFrame:
     """Attach a UDF-derived column (reference pattern ``Silver_Products.py:36``)."""
     return df.withColumn(out, call_udf(name, *args))
+
+
+def register_tokenize_udtf(spark) -> None:
+    """U2+ surface: a Python table function (Spark 4 UDTF) exploding text
+    into (token, position, length) rows — ``SELECT * FROM tokenize(text)``.
+
+    UDTFs are the lateral-join escape hatch when a transform genuinely
+    produces a variable number of rows per input and cannot be expressed
+    with explode over an array expression.  Prefer the Catalyst route
+    (``F.explode(F.split(...))`` — JVM-side, whole-stage codegen) in hot
+    paths: like scalar Python UDFs, a UDTF ships rows through Python.
+    Registered name: ``tokenize``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int, length: int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split()):
+                yield tok, i, len(tok)
+
+    spark.udtf.register("tokenize", Tokenize)

@@ -207,7 +207,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_daily_rolling",
     oracle="""
-    WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    WITH d AS (SELECT date_trunc('day', ts) AS day,
                       count(*) AS n_events,
                       count(DISTINCT user_id) AS dau,
                       sum(CAST(value AS DECIMAL(18,2))) AS sumv
@@ -232,7 +232,7 @@ def events_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     d = ev.groupBy(
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("dau"),

@@ -195,3 +195,31 @@ def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_type_dist"
         ),
     )
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k_val,
+           CAST(props->>'k' AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VARIANT (``parse_json`` +
+    ``try_variant_get``): the open-format answer to schema-on-read JSON at
+    scale — the variant binary encoding is columnar-shreddable, so path
+    extraction does not re-parse text per access (unlike
+    ``get_json_object``, which this complements in ``events_json_props``)."""
+    from .workload import load_events
+
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_id", F.parse_json(F.col("props")).alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "long").alias("k_val"),
+        (F.try_variant_get("v", "$.k", "long") % 10).alias("k_bucket"),
+    )

@@ -317,3 +317,18 @@ def test_approx_quantiles_close_to_exact(spark):
             approx = r[f"{p}_approx"]
             rank = sum(1 for v in vals if v <= approx) / n
             assert target - 0.05 <= rank <= min(target + 0.05, 1.0), (r, rank)
+
+
+def test_tokenize_udtf_lateral(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        udf as udfm,
+    )
+
+    udfm.register_tokenize_udtf(spark)
+    rows = spark.sql(
+        "SELECT t.token, t.pos, t.length FROM (SELECT 'ab cde f' AS s), "
+        "LATERAL tokenize(s) t"
+    ).collect()
+    assert [(r["token"], r["pos"], r["length"]) for r in rows] == [
+        ("ab", 0, 2), ("cde", 1, 3), ("f", 2, 1),
+    ]
