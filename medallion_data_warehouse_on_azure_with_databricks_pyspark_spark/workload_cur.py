@@ -183,9 +183,13 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: top-50 terms by frequency with doc
     frequency — the Zipf-curve / tokenizer-coverage audit.  Explode +
     partial-aggregated count (map-side combine collapses each partition to
-    its distinct terms before the shuffle), then a global top-k over the
-    |vocab|-sized aggregate via ``TakeOrderedAndProject`` — the corpus
-    never sorts."""
+    its distinct terms before the shuffle), then ``orderBy().limit(50)``
+    over the |vocab|-sized aggregate, which lowers to
+    ``TakeOrderedAndProject`` — per-partition heaps of 50 rows merged on
+    the driver, so at web-corpus scale the 10⁷-10⁹-term vocabulary never
+    funnels through one partition (an unpartitioned rank window would).
+    Rank is then derived from the 50-row result with a single-row
+    ``array_sort`` + ``posexplode`` — no Window node anywhere in the plan."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(text.tokens("text")).alias("term")
@@ -193,15 +197,25 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("term").agg(
         F.count("*").alias("tf"), F.count_distinct("doc_id").alias("df")
     )
-    from pyspark.sql import Window
-
-    ranked = freq.withColumn(
-        "rank",
-        F.row_number()
-        .over(Window.orderBy(F.col("tf").desc(), F.col("term")))
-        .cast("int"),
+    top = freq.orderBy(F.col("tf").desc(), "term").limit(50)
+    # (-tf, term) ascending == (tf desc, term asc); integer negation is exact.
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("tf")).alias("__neg_tf"),
+                    F.col("term").alias("term"),
+                    F.col("df").alias("df"),
+                )
+            )
+        ).alias("__a")
     )
-    return ranked.filter(F.col("rank") <= 50).select("term", "tf", "df", "rank")
+    return packed.select(F.posexplode("__a").alias("__pos", "__s")).select(
+        F.col("__s.term").alias("term"),
+        (-F.col("__s.__neg_tf")).alias("tf"),
+        F.col("__s.df").alias("df"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
 
 
 @query(

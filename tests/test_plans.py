@@ -97,6 +97,16 @@ def test_anti_join_prunes_probe_side(spark):
     assert "GreaterThan(o_totalprice,450000.0)" in plan
 
 
+def test_vocab_topk_avoids_unpartitioned_window(spark):
+    # top-50 vocabulary selection must lower to TakeOrderedAndProject
+    # (per-partition heaps), never an unpartitioned rank window that drags
+    # the whole |vocab|-sized aggregate through one task.
+    plan = _plan(spark, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_cube_is_single_partial_aggregated_pass(spark):
     plan = _plan(spark, "orders_status_priority_cube")
     assert "Expand" in plan                      # grouping-set expansion map-side
