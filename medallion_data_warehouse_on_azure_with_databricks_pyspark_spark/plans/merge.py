@@ -61,13 +61,22 @@ def merge_dataframes(
     delete_condition: Column | str | None = None,
     broadcast_source: bool = True,
     extra_on: Column | str | None = None,
+    insert_condition: Column | str | None = None,
 ) -> DataFrame:
     """ANSI-MERGE semantics, returned as the new target state.
 
     * ``WHEN MATCHED [AND update_condition] THEN UPDATE SET update_set``
     * ``WHEN MATCHED AND delete_condition THEN DELETE``
-    * ``WHEN NOT MATCHED THEN INSERT insert_values`` (omit → source-only
-      rows are ignored, i.e. no NOT MATCHED clause)
+    * ``WHEN NOT MATCHED [AND insert_condition] THEN INSERT insert_values``
+      (omit ``insert_values`` → source-only rows are ignored, i.e. no
+      NOT MATCHED clause; source rows failing ``insert_condition`` are
+      likewise ignored)
+
+    Clause precedence is fixed: DELETE is evaluated before UPDATE on
+    matched rows.  SQL MERGE is first-match-wins in *statement order*; a
+    caller translating a statement where a conditional UPDATE precedes
+    DELETE must pre-compose ``delete_condition AND NOT update_condition``
+    (``plans.merge_sql`` does).
 
     ``update_set`` / ``insert_values`` map output-column → expression over
     the aliased sides (use :func:`t` / :func:`s`).  Unmentioned columns keep
@@ -119,6 +128,7 @@ def merge_dataframes(
 
     upd_cond = _cond(update_condition, update_set is not None)
     del_cond = _cond(delete_condition, False)
+    ins_cond = _cond(insert_condition, True)
 
     update_set = update_set or {}
     source_cols = set(source.columns)
@@ -144,15 +154,21 @@ def merge_dataframes(
     keep = ~(matched & del_cond)
     if insert_values is None or split_inserts:
         keep = keep & ~s_only  # (a LEFT join can't produce s_only; harmless)
+    else:
+        # NOT-MATCHED condition: a source-only row failing it (or evaluating
+        # NULL, = SQL "not true") is ignored, not inserted.
+        keep = keep & ~(s_only & ~F.coalesce(ins_cond, F.lit(False)))
     merged = joined.filter(keep).select(*projections)
     if not split_inserts:
         return merged
     # NOT MATCHED branch: anti-join on the full ON condition.  The target
     # side is huge, but Catalyst prunes its scan/shuffle to the columns the
-    # ON clause references (keys + extra_on) — never full rows.
+    # ON clause references (keys + extra_on) — never full rows.  The insert
+    # condition (ANSI: source-side references only) filters before project.
     inserts = (
         source.alias("s")
         .join(target.alias("t"), on, "left_anti")
+        .filter(ins_cond)
         .select(*[ins_exprs[c].alias(c) for c in out_cols])
     )
     return merged.unionByName(inserts)

@@ -61,6 +61,10 @@ class MergeStatement:
     insert_values: dict[str, str] | str | None = None   # "*" for INSERT *
     keys: list[str] = field(default_factory=list)
     extra_on: list[str] = field(default_factory=list)
+    #: WHEN-clause kinds ("update"/"delete"/"insert") in statement order —
+    #: SQL MERGE is first-match-wins, so UPDATE-before-DELETE vs
+    #: DELETE-before-UPDATE are different programs (see merge_into_sql).
+    clause_order: list[str] = field(default_factory=list)
 
 
 def _scan_split(text: str, pattern: str) -> list[str]:
@@ -187,6 +191,7 @@ def parse_merge(statement: str) -> MergeStatement:
             if not im:
                 raise ValueError(f"NOT MATCHED action must be INSERT: {action!r}")
             spec.insert_condition = cond
+            spec.clause_order.append("insert")
             if im.group("star"):
                 spec.insert_values = "*"
             else:
@@ -203,11 +208,13 @@ def parse_merge(statement: str) -> MergeStatement:
         elif re.match(r"DELETE\s*$", action, re.I):
             spec.has_delete = True
             spec.delete_condition = cond
+            spec.clause_order.append("delete")
         else:
             um = re.match(r"UPDATE\s+SET\s+(?P<set>.*)$", action, re.I | re.S)
             if not um:
                 raise ValueError(f"MATCHED action must be UPDATE SET or DELETE: {action!r}")
             spec.update_condition = cond
+            spec.clause_order.append("update")
             set_txt = um.group("set").strip()
             if set_txt == "*":
                 spec.update_set = "*"
@@ -223,9 +230,20 @@ def parse_merge(statement: str) -> MergeStatement:
 
 def _rewrite(expr: str, talias: str, salias: str, now: str | None) -> str:
     """Map statement aliases onto the merge engine's ``t``/``s`` frames and
-    pin ``current_timestamp()`` when ``now`` is given."""
-    expr = re.sub(rf"\b{re.escape(talias)}\s*\.", "t.", expr, flags=re.I)
-    expr = re.sub(rf"\b{re.escape(salias)}\s*\.", "s.", expr, flags=re.I)
+    pin ``current_timestamp()`` when ``now`` is given.
+
+    Both aliases are substituted in ONE pass (alternation + callback): a
+    sequential two-pass rewrite would clobber itself when the statement
+    uses the reserved names swapped (``target AS s``, ``source AS t`` —
+    ``s.x`` → ``t.x`` in pass 1, then back to ``s.x`` in pass 2, silently
+    remapping every target reference onto the source frame)."""
+    if talias.lower() == salias.lower():
+        raise ValueError(f"target and source aliases collide: {talias!r}")
+    rx = re.compile(
+        rf"\b(?:(?P<t>{re.escape(talias)})|(?P<s>{re.escape(salias)}))\s*\.",
+        re.I,
+    )
+    expr = rx.sub(lambda m: "t." if m.group("t") is not None else "s.", expr)
     if now is not None:
         expr = re.sub(
             r"current_timestamp\s*\(\s*\)", f"TIMESTAMP '{now}'", expr, flags=re.I
@@ -287,6 +305,27 @@ def merge_into_sql(
         insert_values = None
 
     extra_on = " AND ".join(f"({rw(e)})" for e in spec.extra_on) or None
+
+    # SQL MERGE is first-match-wins in statement order, but the engine
+    # evaluates DELETE before UPDATE.  When the statement lists UPDATE
+    # before DELETE, restrict the delete to rows the UPDATE clause does NOT
+    # claim (an unconditional UPDATE first makes the DELETE dead code).
+    delete_condition: str | None = None
+    if spec.has_delete:
+        delete_condition = rw(spec.delete_condition) if spec.delete_condition else "true"
+        update_first = (
+            "update" in spec.clause_order
+            and "delete" in spec.clause_order
+            and spec.clause_order.index("update") < spec.clause_order.index("delete")
+        )
+        if update_first:
+            if spec.update_condition is None:
+                delete_condition = "false"
+            else:
+                delete_condition = (
+                    f"({delete_condition}) AND NOT ({rw(spec.update_condition)})"
+                )
+
     new_state = merge_dataframes(
         target_df,
         source_df,
@@ -294,11 +333,10 @@ def merge_into_sql(
         update_condition=rw(spec.update_condition) if spec.update_condition else None,
         update_set=update_set,
         insert_values=insert_values,
-        delete_condition=(
-            rw(spec.delete_condition)
-            if spec.delete_condition
-            else (F.lit(True) if spec.has_delete else None)
+        insert_condition=(
+            rw(spec.insert_condition) if spec.insert_condition else None
         ),
+        delete_condition=delete_condition,
         broadcast_source=broadcast_source,
         extra_on=extra_on,
     )

@@ -160,6 +160,74 @@ def test_merge_sql_state_predicate_is_faithful_to_reference(spark, sql_db):
     assert len(state) == 3
 
 
+def test_merge_sql_conditional_insert(spark, sql_db):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: unmatched source rows
+    failing (or NULL-ing) the condition are ignored, not inserted."""
+    tbl = f"{sql_db}.cond_ins"
+    spark.createDataFrame([(1, 10.0)], "id int, bal double").write.saveAsTable(tbl)
+    spark.createDataFrame(
+        [(1, 11.0), (2, 5.0), (3, 50.0), (4, None)],
+        "id int, bal double",
+    ).createOrReplaceTempView("cond_ins_src")
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {tbl} t USING cond_ins_src u ON t.id = u.id
+      WHEN MATCHED THEN UPDATE SET t.bal = u.bal
+      WHEN NOT MATCHED AND u.bal > 20.0 THEN INSERT (id, bal) VALUES (u.id, u.bal)
+    """)
+    # id=2 fails the condition, id=4's NULL is "not true": both skipped.
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 11.0), (3, 50.0)]
+
+
+def test_merge_sql_update_before_delete_first_match_wins(spark, sql_db):
+    """SQL first-match-wins: a conditional UPDATE listed before an
+    unconditional DELETE updates its rows; only the rest are deleted."""
+    tbl = f"{sql_db}.upd_first"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, bal double"
+    ).write.saveAsTable(tbl)
+    spark.createDataFrame(
+        [(1, 100.0), (2, 1.0)], "id int, bal double"
+    ).createOrReplaceTempView("upd_first_src")
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {tbl} t USING upd_first_src u ON t.id = u.id
+      WHEN MATCHED AND u.bal >= 50.0 THEN UPDATE SET t.bal = u.bal
+      WHEN MATCHED THEN DELETE
+    """)
+    # id=1 claimed by UPDATE (100 >= 50); id=2 falls through to DELETE.
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 100.0), (3, 30.0)]
+
+
+def test_merge_sql_unconditional_update_shadows_delete(spark, sql_db):
+    tbl = f"{sql_db}.upd_shadow"
+    spark.createDataFrame([(1, 10.0)], "id int, bal double").write.saveAsTable(tbl)
+    spark.createDataFrame([(1, 99.0)], "id int, bal double").createOrReplaceTempView(
+        "upd_shadow_src"
+    )
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {tbl} t USING upd_shadow_src u ON t.id = u.id
+      WHEN MATCHED THEN UPDATE SET t.bal = u.bal
+      WHEN MATCHED THEN DELETE
+    """)
+    assert [tuple(r) for r in out.collect()] == [(1, 99.0)]
+
+
+def test_merge_sql_swapped_reserved_aliases(spark, sql_db):
+    """target AS s / source AS t: the single-pass alias rewrite must not
+    clobber itself (a sequential rewrite maps s.→t.→s., corrupting every
+    target reference)."""
+    tbl = f"{sql_db}.swapped"
+    spark.createDataFrame([(1, "old"), (2, "keep")], "k int, v string").write.saveAsTable(tbl)
+    spark.createDataFrame([(1, "new"), (3, "ins")], "k int, v string").createOrReplaceTempView(
+        "swapped_src"
+    )
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {tbl} AS s USING swapped_src AS t ON s.k = t.k
+      WHEN MATCHED AND s.v != t.v THEN UPDATE SET s.v = t.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (t.k, t.v)
+    """)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, "new"), (2, "keep"), (3, "ins")]
+
+
 def test_merge_sql_insert_star_and_update_star(spark, sql_db):
     tbl = f"{sql_db}.kv"
     spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.saveAsTable(tbl)
