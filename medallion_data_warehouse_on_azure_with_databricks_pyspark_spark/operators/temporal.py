@@ -28,9 +28,10 @@ Scale notes (100 TB):
   unused columns into the exchange, AQE coalesces small partitions.
 * Hot keys: the window in :func:`asof_join` needs the whole key ordered in
   one partition, so an extremely hot key serializes (same constraint as any
-  per-key ordered scan).  Mitigation is coarse time-bucketing the key
-  (key, epoch-day) with boundary carry-over — the :func:`range_join`
-  machinery — at the cost of a bounded lookback horizon.
+  per-key ordered scan).  Mitigation: ``asof_join(..., coarse_bucket=W)``
+  re-partitions on (key, time-bucket) with one-bucket carry-over, trading
+  a bounded lookback horizon (matches older than ``(⌊left_ts/W⌋-1)·W`` are
+  nulled) for per-bucket parallelism within the hot key.
 * ``range_join`` fan-out is ``span/width + 1`` bucket copies of the *left*
   side only; pick ``bucket_width`` ≈ the typical interval span.
 """
@@ -43,6 +44,22 @@ from pyspark.sql import functions as F
 _MARK = "__asof_side"  # 0 = right (visible), 1 = left (probing)
 _TS = "__asof_ts"
 _PAYLOAD = "__asof_payload"
+_BUCKET = "__asof_bucket"
+
+
+def _coarse_bucket_col(col: Column, dtype, width: int) -> Column:
+    """Exact ``floor(ts/width)`` as a long; timestamps bucket in epoch
+    micros.  ``pmod`` keeps the division an exact multiple (no float-floor
+    edge at negative timestamps)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        num = F.unix_micros(col)
+    elif isinstance(dtype, DateType):
+        num = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+    else:
+        num = col.cast("long")
+    return ((num - F.pmod(num, F.lit(width))) / width).cast("long")
 
 
 def asof_join(
@@ -52,9 +69,10 @@ def asof_join(
     left_ts: str,
     right_ts: str | None = None,
     right_cols: list[str] | None = None,
-    suffix: str = "",
+    suffix: str = "_asof",
     tolerance: Column | None = None,
     right_seq: str | None = None,
+    coarse_bucket: int | None = None,
 ) -> DataFrame:
     """Backward as-of left join: for every left row, attach the right row
     with the greatest ``right_ts <= left_ts`` sharing the ``on`` key(s);
@@ -63,6 +81,9 @@ def asof_join(
     ``right_cols`` (default: every non-key, non-ts right column) are
     attached as ``<name><suffix>``; ``right_ts`` itself is always attached
     (as ``<right_ts><suffix>``) so callers can window/yardstick the match.
+    Output names must be unique — a suffix that collides with a left column
+    (e.g. ``suffix=""`` with ``right_ts == left_ts``) raises rather than
+    emitting an ambiguous duplicate column.
     ``tolerance`` (a Column interval/numeric matching the ts type's
     difference semantics is *not* needed — pass a Column predicate bound
     instead): when given, matches older than ``left_ts - tolerance`` are
@@ -71,16 +92,39 @@ def asof_join(
     without it equal-ts right duplicates are resolved arbitrarily (DuckDB
     ASOF has the same caveat — dedupe upstream for determinism).
 
-    Plan shape: one Exchange(hashpartitioning(on)) + one sort over the
-    tagged union; the running ``last(payload, ignorenulls=True)`` is a
-    single Window node.  At equal timestamps right rows sort *before* left
-    rows, so a right row at exactly ``left_ts`` is matched (inclusive
+    ``coarse_bucket`` (hot-key mitigation): partition the ordered scan on
+    (key, ``floor(ts/W)``) instead of the key alone, with every right row
+    carried over into the following bucket.  Bounded-lookback contract:
+    a left row at ``t`` (bucket ``b = floor(t/W)``) sees exactly the right
+    rows with ``right_ts >= (b-1)·W`` — any match within ``W`` of ``t`` is
+    always found, anything older than ``2W`` never is, and the cutoff is
+    the deterministic bucket boundary ``(b-1)·W`` (oracle-expressible).
+    Pick ``W`` ≥ the staleness horizon the workload tolerates; cost is one
+    duplicated right stream (2× right rows through the shuffle).  Units:
+    epoch **micros** for timestamp columns, days for dates, the column's
+    own unit for numerics.
+
+    Plan shape: one Exchange(hashpartitioning(on[, bucket])) + one sort
+    over the tagged union; the running ``last(payload, ignorenulls=True)``
+    is a single Window node.  At equal timestamps right rows sort *before*
+    left rows, so a right row at exactly ``left_ts`` is matched (inclusive
     bound, = DuckDB ``ON l.ts >= r.ts``).
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_names = (
+        list(left.columns)
+        + [f"{right_ts}{suffix}"]
+        + [f"{c}{suffix}" for c in right_cols]
+    )
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dupes:
+        raise ValueError(
+            f"asof_join output column collision on {dupes}; pass a suffix "
+            "that does not clash with left columns"
+        )
 
     payload_fields = [F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]]
     seq = F.col(right_seq) if right_seq is not None else F.lit(0)
@@ -98,11 +142,25 @@ def asof_join(
         F.lit(0).alias("__asof_seq"),
         F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
     )
+    part_cols: list[str] = list(keys)
+    if coarse_bucket is not None:
+        width = int(coarse_bucket)
+        if width <= 0:
+            raise ValueError("coarse_bucket must be a positive integer")
+        rb = _coarse_bucket_col(F.col(_TS), r.schema[_TS].dataType, width)
+        # carry-over: each right row is visible in its own bucket and the
+        # next one, so a left row's lookback spans its full previous bucket.
+        r = r.withColumn(_BUCKET, F.explode(F.array(rb, rb + 1)))
+        l = l.withColumn(
+            _BUCKET, _coarse_bucket_col(F.col(_TS), l.schema[_TS].dataType, width)
+        )
+        part_cols.append(_BUCKET)
+
     # unionByName with missing left columns nulled on the right side
     u = l.unionByName(r, allowMissingColumns=True)
 
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col(_TS).asc(), F.col(_MARK).asc(), F.col("__asof_seq").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -32,13 +32,13 @@ def test_asof_backward_inclusive(spark):
     )
     by_tag = {r["tag"]: r for r in out.collect()}
     # a: right row at exactly ts=100 matches (inclusive bound)
-    assert by_tag["a"]["v"] == 10.0
+    assert by_tag["a"]["v_asof"] == 10.0
     # b: latest of the two prior rows wins
-    assert by_tag["b"]["v"] == 11.0
+    assert by_tag["b"]["v_asof"] == 11.0
     # c: 149 <= 150 matches, 151 does not
-    assert by_tag["c"]["v"] == 20.0
+    assert by_tag["c"]["v_asof"] == 20.0
     # d: no prior right row -> nulls
-    assert by_tag["d"]["v"] is None
+    assert by_tag["d"]["v_asof"] is None
 
 
 def test_asof_tolerance_nulls_stale_matches(spark):
@@ -51,9 +51,9 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         tolerance=F.lit(10),
     )
     by_tag = {r["tag"]: r for r in out.collect()}
-    assert by_tag["a"]["v"] == 10.0       # age 0 <= 10
-    assert by_tag["b"]["v"] is None       # age 50 > 10 -> nulled
-    assert by_tag["c"]["v"] == 20.0       # age 1
+    assert by_tag["a"]["v_asof"] == 10.0       # age 0 <= 10
+    assert by_tag["b"]["v_asof"] is None       # age 50 > 10 -> nulled
+    assert by_tag["c"]["v_asof"] == 20.0       # age 1
 
 
 def test_asof_right_seq_breaks_equal_ts_ties(spark):
@@ -64,7 +64,7 @@ def test_asof_right_seq_breaks_equal_ts_ties(spark):
     out = temporal.asof_join(
         left, right, on="k", left_ts="ts", right_cols=["v"], right_seq="seq"
     )
-    assert out.collect()[0]["v"] == "new"
+    assert out.collect()[0]["v_asof"] == "new"
 
 
 def test_asof_plan_single_key_exchange(spark):
@@ -160,8 +160,85 @@ def test_asof_matches_pandas_merge_asof_random(spark):
     ).toPandas().sort_values("lid").reset_index(drop=True)
     want = want.sort_values("lid").reset_index(drop=True)
     assert len(got) == len(want)
-    for a, b in zip(got["v"].tolist(), want["v"].tolist()):
+    for a, b in zip(got["v_asof"].tolist(), want["v"].tolist()):
         assert (a is None and pd.isna(b)) or (pd.isna(b) and pd.isna(a)) or a == b
+
+
+def test_asof_default_suffix_never_collides(spark):
+    out = temporal.asof_join(
+        _left(spark), _right(spark), on="k", left_ts="ts", right_cols=["v"]
+    )
+    assert len(out.columns) == len(set(out.columns))
+    assert "ts_asof" in out.columns
+
+
+def test_asof_colliding_suffix_raises(spark):
+    with pytest.raises(ValueError, match="collision"):
+        temporal.asof_join(
+            _left(spark), _right(spark), on="k", left_ts="ts",
+            right_cols=["v"], suffix="",
+        )
+
+
+def test_asof_coarse_bucket_bounded_lookback_matches_bruteforce(spark):
+    """coarse_bucket=W contract: match = greatest right_ts <= left_ts with
+    right_ts >= (floor(left_ts/W)-1)*W.  Randomized check vs a pandas
+    brute force of exactly that predicate."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    W = 500
+    left = pd.DataFrame({
+        "k": rng.integers(0, 6, 400),
+        "ts": rng.integers(0, 20_000, 400),
+        "lid": np.arange(400),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 6, 600),
+        "ts": rng.integers(0, 20_000, 600),
+        "v": rng.random(600),
+    }).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    def brute(row):
+        lo = (row["ts"] // W - 1) * W
+        cand = right[(right["k"] == row["k"]) & (right["ts"] <= row["ts"]) & (right["ts"] >= lo)]
+        return None if cand.empty else cand.loc[cand["ts"].idxmax(), "v"]
+
+    want = {row["lid"]: brute(row) for _, row in left.iterrows()}
+    got_df = temporal.asof_join(
+        spark.createDataFrame(left, "k long, ts long, lid long"),
+        spark.createDataFrame(right, "k long, ts long, v double"),
+        on="k", left_ts="ts", right_cols=["v"], coarse_bucket=W,
+    )
+    got = {r["lid"]: r["v_asof"] for r in got_df.collect()}
+    assert len(got) == len(want)
+    for lid, w in want.items():
+        g = got[lid]
+        assert (g is None and w is None) or g == w, (lid, g, w)
+
+
+def test_asof_coarse_bucket_splits_hot_key(spark):
+    """Planted hot key: with coarse_bucket the window partitions on
+    (key, bucket), so the hot key's ordered scan is spread over many
+    bucket partitions instead of serializing in one."""
+    import pandas as pd
+
+    n = 5_000
+    left = pd.DataFrame({"k": [1] * n, "ts": range(0, 10 * n, 10), "lid": range(n)})
+    right = pd.DataFrame({"k": [1] * n, "ts": range(5, 10 * n, 10), "v": [1.0] * n})
+    out = temporal.asof_join(
+        spark.createDataFrame(left, "k long, ts long, lid long"),
+        spark.createDataFrame(right, "k long, ts long, v double"),
+        on="k", left_ts="ts", right_cols=["v"], coarse_bucket=1_000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the exchange and sort carry the bucket column -> per-bucket parallelism
+    assert "__asof_bucket" in plan
+    assert plan.count("Exchange hashpartitioning(k") == 1
+    # ~50 buckets exist for the single key; every in-horizon match is found
+    # (only lid=0 at ts=0 has no prior right row)
+    assert out.filter(F.col("v_asof").isNotNull()).count() == n - 1
 
 
 def test_range_join_matches_bruteforce_random(spark):
