@@ -72,12 +72,24 @@ def grouped_topk(
     ``array_sort`` / ``slice``): score values are never recomputed, so
     bit-exactness vs the oracle is preserved.  Ordering is
     (score desc, id asc) via a negated-score struct key; float negation is
-    a sign-bit flip, so un-negating restores the exact value.
+    a sign-bit flip, so un-negating restores the exact value.  NaN scores
+    (e.g. a zero-norm vector's cosine) get an explicit leading sort key:
+    Spark/DuckDB ``ORDER BY score DESC`` treats NaN as greatest, but
+    negation leaves NaN as NaN (``array_sort`` puts it last), so without
+    the flag a NaN row would rank opposite to the oracle.
 
     Output: ``(group, id, score, rank)`` with rank 1..k.
     """
+    is_float = dict(scored.dtypes).get(score_col) in ("float", "double")
+    nan_first = (
+        F.when(F.isnan(F.col(score_col)), F.lit(0)).otherwise(F.lit(1))
+        if is_float
+        else F.lit(1)
+    )
     cand = F.struct(
-        (-F.col(score_col)).alias("__negscore"), F.col(id_col).alias("__id")
+        nan_first.alias("__nanfirst"),
+        (-F.col(score_col)).alias("__negscore"),
+        F.col(id_col).alias("__id"),
     )
     partial = scored.groupBy(
         group_col, F.spark_partition_id().alias("__pid")

@@ -118,6 +118,23 @@ def test_bm25_plan_has_no_joins_and_one_exchange(spark):
     assert plan.count("Exchange") == 2
 
 
+def test_grouped_topk_nan_ranks_first_like_desc_order(spark):
+    """A NaN score (zero-norm vector cosine) must rank FIRST, matching
+    Spark/DuckDB ORDER BY score DESC (NaN = greatest) — the negated-score
+    sort key alone would sort it last."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        similarity,
+    )
+
+    scored = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, float("nan")), ("q", 3, 0.5), ("q", 4, 1.5)],
+        "query_id string, vec_id int, cosine double",
+    )
+    out = similarity.grouped_topk(scored, "query_id", "vec_id", 3)
+    ranked = {r["rank"]: r["vec_id"] for r in out.collect()}
+    assert ranked == {1: 2, 2: 4, 3: 1}
+
+
 def test_int8_quantize_error_bound(spark):
     """Reconstruction error per lane is bounded by (scale/2)²."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
