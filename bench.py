@@ -80,7 +80,27 @@ HEADLINE = [
     "corpus_vocab_topk",
     "events_daily_rolling",
     "events_variant_props",
+    "customer_with_high_value_orders",
+    "orders_year_priority_pivot",
+    "doc_ngram_jaccard_pairs",
+    "doc_simhash_pairs",
+    "emb_ivf_kmeans_topk",
+    "events_approx_distinct",
+    "events_approx_quantiles",
 ]
+
+#: Registered queries deliberately NOT timed in the headline metric, with
+#: the reason.  tests/test_bench_registry.py pins HEADLINE ∪ EXCLUDED ==
+#: workload.QUERIES so new queries can't silently miss the driver gates.
+EXCLUDED = {
+    # duplicates of timed queries through a different entry point — timing
+    # both would double-count the same plan
+    "scd1_customer_dim_sql": "same merge plan as scd1_customer_dim via SQL parser",
+    "dlt_part_pipeline_incremental": "superset re-run of dlt_part_pipeline",
+    # checkpoint-directory streaming harnesses: wall-clock is dominated by
+    # per-run temp-dir setup, already covered by events_stateful_sessions
+    "events_stream_ingest": "file-stream harness setup noise; covered by stateful query",
+}
 
 
 def main() -> None:

@@ -1,0 +1,39 @@
+"""Registry/driver drift gate: every registered query is either timed by
+bench.py or explicitly excluded with a reason — a new queries() entry that
+forgets both fails here instead of silently missing the driver's
+BENCH/CORRECTNESS gates (VERDICT r2 found 13 such strays)."""
+
+from __future__ import annotations
+
+import bench
+
+import __spark_entry__ as entry
+
+
+def test_headline_and_excluded_partition_the_registry():
+    registered = set(entry.queries())
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.EXCLUDED)
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE entries"
+    assert not headline & excluded, "a query cannot be both timed and excluded"
+    assert headline | excluded == registered, (
+        f"drift: missing from bench={sorted(registered - headline - excluded)} "
+        f"stale in bench={sorted((headline | excluded) - registered)}"
+    )
+
+
+def test_every_query_has_oracle_or_documented_weak_check():
+    """Each queries() entry needs an oracle_sql() row for the driver's
+    hash gate; the rows-only set is pinned so additions are deliberate."""
+    registered = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    assert oracles <= registered
+    rows_only = registered - oracles
+    assert rows_only == {
+        # engine-specific sketches / iterative training: no ANSI-SQL oracle,
+        # each has a behavioral pytest instead (see VERDICT r2 adjudication)
+        "doc_simhash_pairs",
+        "emb_ivf_kmeans_topk",
+        "events_approx_distinct",
+        "events_approx_quantiles",
+    }, f"unexpected rows-only queries: {sorted(rows_only)}"
