@@ -108,6 +108,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = session.get_spark(app_name="medallion-bench")
+    # Quiet the JVM: streaming state-store maintenance threads can emit WARNs
+    # during shutdown, and anything printed after the JSON line breaks the
+    # driver's single-line parse (this lost the r3 bench metric).
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM + parquet footers once so timings measure the engine, not
     # first-touch JIT/class-loading noise.
     workload.QUERIES[HEADLINE[0]](spark, sf_dir).count()
@@ -119,6 +123,13 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Stop the session FIRST so shutdown-time log lines (state-store
+    # maintenance, executor teardown) can't land after the JSON result; the
+    # JSON line must be the final stdout the driver sees.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -127,7 +138,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -81,11 +81,19 @@ def grouped_topk(
     Output: ``(group, id, score, rank)`` with rank 1..k.
     """
     is_float = dict(scored.dtypes).get(score_col) in ("float", "double")
-    nan_first = (
-        F.when(F.isnan(F.col(score_col)), F.lit(0)).otherwise(F.lit(1))
-        if is_float
-        else F.lit(1)
-    )
+    # Three-way leading key: 0 = NaN (ORDER BY DESC ranks NaN greatest),
+    # 1 = real value, 2 = NULL (ORDER BY DESC default is NULLS LAST; the
+    # struct's ascending sort is NULLS FIRST on __negscore, which would
+    # otherwise let a NULL score — e.g. a null embedding — outrank every
+    # real score and diverge from the oracle).
+    if is_float:
+        nan_first = (
+            F.when(F.col(score_col).isNull(), F.lit(2))
+            .when(F.isnan(F.col(score_col)), F.lit(0))
+            .otherwise(F.lit(1))
+        )
+    else:
+        nan_first = F.when(F.col(score_col).isNull(), F.lit(2)).otherwise(F.lit(1))
     cand = F.struct(
         nan_first.alias("__nanfirst"),
         (-F.col(score_col)).alias("__negscore"),
@@ -282,6 +290,7 @@ def kmeans_pivots(
     modulus: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Train IVF centroids with distributed Lloyd iterations (the real
     counterpart of :func:`ivf_pivots`' fixed seeds).
@@ -292,18 +301,36 @@ def kmeans_pivots(
     * assignment tie-breaks on ``pivot_id`` (:func:`ivf_assign`);
     * per-dimension means accumulate as ``DECIMAL(38,12)`` sums — exact,
       therefore **partition-order independent**, where a double sum would
-      drift with Spark's nondeterministic partial-agg merge order.
+      drift with Spark's nondeterministic partial-agg merge order;
+    * ``sample_fraction`` gates rows by ``xxhash64(id)`` — a pure function
+      of the id, so the same rows train regardless of partitioning or
+      cluster size (``df.sample`` would not be reproducible across plans).
+
+    ``sample_fraction`` is the production-scale knob: centroid quality
+    converges long before the full corpus is seen (IVF trains on ~1–10%
+    in practice), so training cost should NOT grow linearly with corpus
+    size.  Each Lloyd round then shuffles only sample·N·D skinny rows
+    instead of N·D; the probe path still covers the full corpus.
 
     Scale shape per iteration: one broadcast assignment pass over the
-    corpus + one (cluster, dim) partial-aggregated shuffle of N·D skinny
-    rows — fully map-side combinable; no vector ever funnels through the
-    driver and centroids stay a (P, D) DataFrame, localCheckpoint'ed per
-    round to keep the iterative lineage flat (same pattern as
-    ``dedup.dedup_keep_representatives``).  Empty clusters drop out
-    naturally (no assigned rows → no centroid row).
+    (sampled) corpus + one (cluster, dim) partial-aggregated shuffle of
+    skinny rows — fully map-side combinable; no vector ever funnels
+    through the driver and centroids stay a (P, D) DataFrame,
+    localCheckpoint'ed per round to keep the iterative lineage flat (same
+    pattern as ``dedup.dedup_keep_representatives``).  Empty clusters drop
+    out naturally (no assigned rows → no centroid row).
     """
     cents = ivf_pivots(corpus, id_col, vec_col, modulus).localCheckpoint()
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError("sample_fraction must be in (0, 1]")
+        # Deterministic hash gate: keep ids whose xxhash64 bucket (out of
+        # 1e6) falls below the fraction — stable under any partitioning.
+        vecs = vecs.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < F.lit(int(sample_fraction * 1_000_000))
+        )
     for _ in range(iters):
         assign = ivf_assign(vecs, cents, 1, id_col, "__v").select(
             id_col, "pivot_id"

@@ -59,7 +59,12 @@ def _coarse_bucket_col(col: Column, dtype, width: int) -> Column:
         num = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
     else:
         num = col.cast("long")
-    return ((num - F.pmod(num, F.lit(width))) / width).cast("long")
+    # Keep the division integral: `/` on longs is double division in Spark,
+    # which loses exactness past 2^53 (epoch micros after ~year 2255).  The
+    # numerator is an exact multiple of width, so decimal division yields an
+    # integral value that casts to long without truncation error.
+    exact_multiple = (num - F.pmod(num, F.lit(width))).cast("decimal(38,0)")
+    return (exact_multiple / F.lit(width)).cast("long")
 
 
 def asof_join(
@@ -147,6 +152,17 @@ def asof_join(
         width = int(coarse_bucket)
         if width <= 0:
             raise ValueError("coarse_bucket must be a positive integer")
+        # Buckets are computed per-side from each ts column's dtype; mixed
+        # dtypes (e.g. date left vs timestamp right) would bucket in
+        # different units (days vs micros) and silently mispartition — rows
+        # within the horizon would null out.  Refuse instead.
+        l_dtype, r_dtype = l.schema[_TS].dataType, r.schema[_TS].dataType
+        if l_dtype != r_dtype:
+            raise TypeError(
+                f"coarse_bucket requires matching ts dtypes; got left "
+                f"{l_dtype.simpleString()} vs right {r_dtype.simpleString()} "
+                "— cast one side before the join"
+            )
         rb = _coarse_bucket_col(F.col(_TS), r.schema[_TS].dataType, width)
         # carry-over: each right row is visible in its own bucket and the
         # next one, so a left row's lookback spans its full previous bucket.

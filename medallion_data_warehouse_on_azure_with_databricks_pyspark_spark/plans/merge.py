@@ -127,7 +127,12 @@ def merge_dataframes(
         return F.expr(c) if isinstance(c, str) else c
 
     upd_cond = _cond(update_condition, update_set is not None)
-    del_cond = _cond(delete_condition, False)
+    # SQL MERGE treats a NULL clause condition as "not true": the row falls
+    # through to the next clause instead of matching this one.  `when()`
+    # already skips a NULL condition, but the `keep` filter below would turn
+    # ~(matched & NULL) into NULL and silently DROP the row — coalesce the
+    # delete condition to false so a NULL-condition row survives to UPDATE.
+    del_cond = F.coalesce(_cond(delete_condition, False), F.lit(False))
     ins_cond = _cond(insert_condition, True)
 
     update_set = update_set or {}

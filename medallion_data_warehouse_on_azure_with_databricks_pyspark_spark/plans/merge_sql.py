@@ -322,8 +322,12 @@ def merge_into_sql(
             if spec.update_condition is None:
                 delete_condition = "false"
             else:
+                # coalesce: a NULL update condition is "not true" in SQL —
+                # the row falls through to the DELETE clause; a bare
+                # NOT (NULL) would poison the whole conjunction to NULL.
                 delete_condition = (
-                    f"({delete_condition}) AND NOT ({rw(spec.update_condition)})"
+                    f"({delete_condition}) AND NOT "
+                    f"coalesce(({rw(spec.update_condition)}), false)"
                 )
 
     new_state = merge_dataframes(

@@ -1049,3 +1049,17 @@ from . import workload_llm  # noqa: E402,F401  isort: skip
 from . import workload_ext  # noqa: E402,F401  isort: skip
 from . import workload_rel  # noqa: E402,F401  isort: skip
 from . import workload_cur  # noqa: E402,F401  isort: skip
+
+# The driver's correctness gate covers only the first 50 registration-order
+# entries.  workload_rel/workload_cur registered last, so their 13 queries
+# spent two rounds with no driver-side hash check; rotate them to the front
+# (dicts preserve insertion order) so this round's window covers them.  The
+# rotated-out core queries are long-stable (hash-green in CORRECTNESS_r01–r03)
+# and every oracle stays verified by tests/test_workload_oracle.py regardless
+# of order.
+_FRONT_MODULES = {workload_rel.__name__, workload_cur.__name__}
+_front = {n: f for n, f in QUERIES.items() if f.__module__ in _FRONT_MODULES}
+_rest = {n: f for n, f in QUERIES.items() if f.__module__ not in _FRONT_MODULES}
+QUERIES.clear()
+QUERIES.update(_front)
+QUERIES.update(_rest)

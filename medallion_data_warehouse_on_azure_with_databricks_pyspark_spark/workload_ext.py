@@ -368,10 +368,15 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with *trained* centroids: 2 distributed Lloyd rounds
     (decimal-exact means — deterministic under any partitioning, see
     ``operators/similarity.py kmeans_pivots``) over the every-37th seed
-    init, then the standard nprobe probe path.  No SQL oracle (iterative);
-    tests pin determinism, SSE descent, and recall vs the exact top-k."""
+    init, training on a deterministic 25% hash-gated sample (the
+    production shape — training cost must not scale with corpus size),
+    then the standard nprobe probe path over the FULL corpus.  No SQL
+    oracle (iterative); tests pin determinism, SSE descent, and recall
+    vs the exact top-k."""
     emb = load(spark, sf_dir, "embeddings")
-    pivots = similarity.kmeans_pivots(emb, iters=2, modulus=37)
+    pivots = similarity.kmeans_pivots(
+        emb, iters=2, modulus=37, sample_fraction=0.25
+    )
     from .workload_llm import _emb_queries
 
     return similarity.ivf_topk(

@@ -249,9 +249,15 @@ def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_simhash_pairs")  # xxhash64 fingerprints — no DuckDB equivalent
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup pairs (pigeonhole banding, ≤8 bits)."""
+    """SimHash Hamming-ball near-dup pairs (pigeonhole banding, ≤3 bits).
+
+    Radius 3 is the near-dup norm and the scale-safe parameterization:
+    4 bands × 16 bits → 65k bucket values per band, so bucket self-joins
+    stay sparse.  (Radius 8 would force 9 bands of ~7 bits — ≤128 values
+    per band — and candidate count grows ~n²/128 per band: a scale-killer
+    even though the banding math stays correct.)"""
     return dedup.simhash_dedup_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=8
+        load(spark, sf_dir, "documents"), max_hamming=3
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -135,6 +135,33 @@ def test_grouped_topk_nan_ranks_first_like_desc_order(spark):
     assert ranked == {1: 2, 2: 4, 3: 1}
 
 
+def test_grouped_topk_null_ranks_last_like_desc_order(spark):
+    """A NULL score (e.g. null embedding) must rank LAST: Spark/DuckDB
+    ORDER BY score DESC defaults to NULLS LAST, but the candidate struct's
+    ascending sort is NULLS FIRST on __negscore — without the three-way
+    leading key a NULL row would outrank every real score."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        similarity,
+    )
+
+    scored = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, None), ("q", 3, float("nan")), ("q", 4, 1.5)],
+        "query_id string, vec_id int, cosine double",
+    )
+    out = similarity.grouped_topk(scored, "query_id", "vec_id", 4)
+    ranked = {r["rank"]: r["vec_id"] for r in out.collect()}
+    # NaN first (DESC greatest), then real values desc, NULL dead last.
+    assert ranked == {1: 3, 2: 4, 3: 1, 4: 2}
+    # Non-float score column: NULL still ranks last.
+    scored_int = spark.createDataFrame(
+        [("q", 1, 7), ("q", 2, None), ("q", 3, 9)],
+        "query_id string, vec_id int, cosine int",
+    )
+    out2 = similarity.grouped_topk(scored_int, "query_id", "vec_id", 3)
+    ranked2 = {r["rank"]: r["vec_id"] for r in out2.collect()}
+    assert ranked2 == {1: 3, 2: 1, 3: 2}
+
+
 def test_int8_quantize_error_bound(spark):
     """Reconstruction error per lane is bounded by (scale/2)²."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
@@ -172,13 +199,28 @@ def test_kmeans_pivots_deterministic_and_descending_sse(spark):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
-    def centroids(iters):
-        c = similarity.kmeans_pivots(emb, iters=iters, modulus=37)
+    def centroids(iters, frac=None):
+        c = similarity.kmeans_pivots(
+            emb, iters=iters, modulus=37, sample_fraction=frac
+        )
         return {
             r["pivot_id"]: tuple(r["pivot_vec"]) for r in c.collect()
         }
 
     assert centroids(2) == centroids(2)  # run-to-run determinism
+    # sampled training is hash-gated, so it is just as deterministic —
+    # and trains on a strict subset, so centroids differ from full-corpus.
+    assert centroids(2, 0.25) == centroids(2, 0.25)
+    # repartitioning must not change which rows train (xxhash64 gate is a
+    # pure function of the id, unlike df.sample)
+    emb_reparted = emb.repartition(7)
+    c_rep = {
+        r["pivot_id"]: tuple(r["pivot_vec"])
+        for r in similarity.kmeans_pivots(
+            emb_reparted, iters=2, modulus=37, sample_fraction=0.25
+        ).collect()
+    }
+    assert c_rep == centroids(2, 0.25)
 
     def sse(pivots):
         assign = similarity.ivf_assign(emb, pivots, 1)
@@ -222,7 +264,24 @@ def test_ivf_kmeans_recall_vs_exact(spark):
         for r in workload.QUERIES["emb_ivf_kmeans_topk"](spark, SF_DIR).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, recall  # nprobe=2 of ~27 lists; brute floor
+    # Measured 0.320 at the registered settings (25% hash-gated training
+    # sample, nprobe=2 of 14 lists) on isotropic random embeddings — the
+    # floor has margin but still fails on a real assignment/centroid bug.
+    assert recall >= 0.25, recall
+
+    # Geometry-independent exactness gate: trained pivots + full probe must
+    # reproduce the exact top-k (recall == 1.0).
+    pivots = similarity.kmeans_pivots(
+        emb, iters=2, modulus=37, sample_fraction=0.25
+    )
+    npivots = pivots.count()
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(
+            emb, _emb_queries(emb), k=10, nprobe=npivots, pivots=pivots
+        ).collect()
+    }
+    assert len(exact & full) / len(exact) == 1.0
 
 
 def test_approx_distinct_within_tolerance(spark):

@@ -163,35 +163,83 @@ def test_cosine_topk_matches_numpy(spark):
     assert by_q == expected
 
 
-def test_lsh_topk_recall(spark):
-    emb = spark.read.parquet(EMB)
-    qids = [1, 2, 3, 4, 5, 6, 7, 8]
-    queries = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+def _recall_at_10(spark, approx_fn):
+    """Recall@10 of ``approx_fn(emb, queries)`` against the exact top-k over
+    the workload's own query set (``_emb_queries``) — same settings the
+    registered queries run with, so a pinned floor here fails on any real
+    quality regression (plane generation, list assignment, centroid math)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
     )
-    planes = similarity.random_planes(64, 4, seed=7)   # 16 buckets ≈ 31 rows each
-    approx = similarity.lsh_topk(emb, queries, planes, k=5).collect()
-    exact = similarity.cosine_topk(emb, queries, k=5).collect()
-    a = {(r["query_id"], r["vec_id"]) for r in approx}
-    e = {(r["query_id"], r["vec_id"]) for r in exact}
-    # Approximate: assert plumbing works and recall is nontrivial on random
-    # vectors with a coarse 4-plane table (statistically ≥ a few hits).
-    assert all(r["rank"] <= 5 for r in approx)
-    assert len(a & e) > 0
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in approx_fn(emb, queries).collect()
+    }
+    return len(exact & approx) / len(exact)
 
 
-def test_ivf_topk_recall_and_structure(spark):
+# Recall context: the synthetic embeddings are isotropic unit-norm random
+# vectors — there is NO cluster structure for a coarse quantizer to exploit,
+# so recall at a fixed nprobe/plane-count is data-bounded (≈ the fraction of
+# the corpus scanned, amplified by nearest-pivot correlation), not a defect
+# of the index.  The gates below therefore combine (a) measured floors with
+# margin at the registered-query settings — sf0.01 measurements 2026-08:
+# lsh(4 planes)=0.120, ivf(nprobe=2)=0.275, kmeans(0.25 sample, nprobe=2)
+# =0.320, ivf(nprobe=8)=0.755 — and (b) structural EXACTNESS gates
+# (probing every list must reproduce the exact top-k, recall == 1.0), which
+# detect quality regressions independent of data geometry.
+
+def test_lsh_topk_recall_floor(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _TOPK_PLANES,
+    )
+
+    recall = _recall_at_10(
+        spark, lambda emb, q: similarity.lsh_topk(emb, q, _TOPK_PLANES, k=10)
+    )
+    assert recall >= 0.08, recall   # measured 0.120 at current 4-plane table
+
+
+def test_ivf_topk_recall_floor_and_monotonicity(spark):
+    r2 = _recall_at_10(
+        spark, lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=2)
+    )
+    r8 = _recall_at_10(
+        spark, lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=8)
+    )
+    assert r2 >= 0.20, r2           # measured 0.275 (nprobe=2 of 14 lists)
+    assert r8 >= 0.60, r8           # measured 0.755
+    assert r8 >= r2                 # more probes can only help
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    """Probing EVERY inverted list must reproduce the exact top-k
+    (recall == 1.0): a geometry-independent regression gate on list
+    assignment, candidate generation, and scoring."""
+    emb = spark.read.parquet(EMB)
+    npivots = similarity.ivf_pivots(emb).count()
+    recall = _recall_at_10(
+        spark,
+        lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=npivots),
+    )
+    assert recall == 1.0, recall
+
+
+def test_ivf_topk_structure(spark):
     emb = spark.read.parquet(EMB)
     qids = [0, 25, 50, 75]
     queries = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     approx = similarity.ivf_topk(emb, queries, k=5, nprobe=3, modulus=29).collect()
-    exact = similarity.cosine_topk(emb, queries, k=5).collect()
-    a = {(r["query_id"], r["vec_id"]) for r in approx}
-    e = {(r["query_id"], r["vec_id"]) for r in exact}
     assert all(1 <= r["rank"] <= 5 for r in approx)
-    assert len(a & e) > 0          # nontrivial recall on random vectors
     # every query got candidates from its probed lists only — sanity: k rows max
     from collections import Counter
     per_q = Counter(r["query_id"] for r in approx)
@@ -369,18 +417,22 @@ def test_simhash_pairs_match_pure_python_reference(spark):
     docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
     fps = {r["doc_id"]: _simhash_reference(r["text"]) for r in docs}
     ids = sorted(fps)
-    expected = set()
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            ham = bin((fps[a] ^ fps[b]) & _M64).count("1")
-            if ham <= 8:
-                expected.add((a, b, ham))
 
-    got = {
-        (r["id_a"], r["id_b"], r["hamming"])
-        for r in dedup.simhash_dedup_pairs(
-            spark.read.parquet(f"{sf}/documents.parquet"), max_hamming=8
-        ).collect()
-    }
-    assert got == expected
-    assert len(expected) > 0          # the check is not vacuous
+    # Both the operator default / registered-query radius (3) and the wide
+    # radius (8) must match the brute-force ball exactly.
+    for radius in (3, 8):
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = bin((fps[a] ^ fps[b]) & _M64).count("1")
+                if ham <= radius:
+                    expected.add((a, b, ham))
+
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_dedup_pairs(
+                spark.read.parquet(f"{sf}/documents.parquet"), max_hamming=radius
+            ).collect()
+        }
+        assert got == expected, radius
+        assert len(expected) > 0, radius  # the check is not vacuous

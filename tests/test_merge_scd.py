@@ -63,6 +63,30 @@ def test_merge_delete_condition(spark):
     assert _rows(out, "k", "v") == [(2, "keep")]
 
 
+def test_merge_null_delete_condition_falls_through_to_update(spark):
+    """SQL MERGE treats a NULL clause condition as 'not true': a matched row
+    whose delete condition evaluates NULL must fall through to the UPDATE
+    clause, not be dropped (ADVICE r3: ~(matched & NULL) is NULL and filter()
+    would silently delete the row)."""
+    target = spark.createDataFrame(
+        [(1, "x", "old"), (2, None, "old"), (3, "y", "old")],
+        "k int, flag string, v string",
+    )
+    source = spark.createDataFrame(
+        [(1, "new1"), (2, "new2"), (3, "new3")], "k int, v string"
+    )
+    out = merge.merge_dataframes(
+        target,
+        source,
+        ["k"],
+        delete_condition=merge.t("flag") == F.lit("x"),
+        update_set={"v": merge.s("v")},
+    )
+    # k=1: flag='x' → deleted.  k=2: flag NULL → condition NULL = not true →
+    # UPDATE.  k=3: condition false → UPDATE.
+    assert _rows(out, "k", "v") == [(2, "new2"), (3, "new3")]
+
+
 def test_assert_unique_source_raises(spark):
     source = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
     import pytest

@@ -197,6 +197,48 @@ def test_merge_sql_update_before_delete_first_match_wins(spark, sql_db):
     assert sorted(tuple(r) for r in out.collect()) == [(1, 100.0), (3, 30.0)]
 
 
+def test_merge_sql_null_delete_condition_falls_through_to_update(spark, sql_db):
+    """The advisor's exact repro: WHEN MATCHED AND t.flag = 'x' THEN DELETE
+    WHEN MATCHED THEN UPDATE, with flag NULL — the NULL condition is 'not
+    true', so the row must be UPDATEd, not silently deleted."""
+    tbl = f"{sql_db}.null_del"
+    spark.createDataFrame(
+        [(1, "x", "old"), (2, None, "old")], "id int, flag string, v string"
+    ).write.saveAsTable(tbl)
+    spark.createDataFrame(
+        [(1, "new1"), (2, "new2")], "id int, v string"
+    ).createOrReplaceTempView("null_del_src")
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {tbl} t USING null_del_src u ON t.id = u.id
+      WHEN MATCHED AND t.flag = 'x' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.v = u.v
+    """)
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == [(2, "new2")]
+
+
+def test_merge_sql_null_update_condition_falls_through_to_delete(spark, sql_db):
+    """Update-first statement order: a matched row whose UPDATE condition
+    evaluates NULL is not claimed by the UPDATE clause and falls through to
+    the DELETE — the composed 'AND NOT (upd)' must coalesce the NULL or the
+    whole delete predicate poisons to NULL."""
+    tbl = f"{sql_db}.null_upd"
+    spark.createDataFrame(
+        [(1, 100.0, "old"), (2, None, "old"), (3, 1.0, "old")],
+        "id int, score double, v string",
+    ).write.saveAsTable(tbl)
+    spark.createDataFrame(
+        [(1, "new1"), (2, "new2"), (3, "new3")], "id int, v string"
+    ).createOrReplaceTempView("null_upd_src")
+    out = merge_sql.merge_into_sql(spark, f"""
+      MERGE INTO {tbl} t USING null_upd_src u ON t.id = u.id
+      WHEN MATCHED AND t.score >= 50.0 THEN UPDATE SET t.v = u.v
+      WHEN MATCHED THEN DELETE
+    """)
+    # id=1 claimed by UPDATE; id=2 (NULL score → not true) and id=3 (false)
+    # both fall through to DELETE.
+    assert sorted((r["id"], r["v"]) for r in out.collect()) == [(1, "new1")]
+
+
 def test_merge_sql_unconditional_update_shadows_delete(spark, sql_db):
     tbl = f"{sql_db}.upd_shadow"
     spark.createDataFrame([(1, 10.0)], "id int, bal double").write.saveAsTable(tbl)

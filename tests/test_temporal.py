@@ -218,6 +218,37 @@ def test_asof_coarse_bucket_bounded_lookback_matches_bruteforce(spark):
         assert (g is None and w is None) or g == w, (lid, g, w)
 
 
+def test_asof_coarse_bucket_mixed_ts_dtypes_raises(spark):
+    """date-vs-timestamp ts columns would bucket in different units (days vs
+    micros) and silently mispartition; the join must refuse instead."""
+    left = spark.createDataFrame([(1, "2024-01-02")], "k long, d string").select(
+        "k", F.col("d").cast("date").alias("ts"), F.lit(0).alias("lid")
+    )
+    right = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "k long, t string").select(
+        "k", F.col("t").cast("timestamp").alias("ts"), F.lit(1.0).alias("v")
+    )
+    with pytest.raises(TypeError, match="matching ts dtypes"):
+        temporal.asof_join(
+            left, right, on="k", left_ts="ts", right_cols=["v"], coarse_bucket=86_400,
+        )
+
+
+def test_coarse_bucket_col_integral_past_double_precision(spark):
+    """floor(ts/W) must stay exact past 2^53 (double division would round):
+    epoch-micros-sized longs bucket to the true integer quotient."""
+    big = 2**60 + 3  # unrepresentable as a double
+    w = 1_000
+    df = spark.createDataFrame([(big,), (-big,)], "ts long").select(
+        temporal._coarse_bucket_col(
+            F.col("ts"), spark.createDataFrame([(1,)], "ts long").schema["ts"].dataType, w
+        ).alias("b"),
+        "ts",
+    )
+    got = {r["ts"]: r["b"] for r in df.collect()}
+    assert got[big] == big // w
+    assert got[-big] == -big // w  # floor semantics at negatives (pmod)
+
+
 def test_asof_coarse_bucket_splits_hot_key(spark):
     """Planted hot key: with coarse_bucket the window partitions on
     (key, bucket), so the hot key's ordered scan is spread over many
