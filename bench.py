@@ -87,6 +87,8 @@ HEADLINE = [
     "emb_ivf_kmeans_topk",
     "events_approx_distinct",
     "events_approx_quantiles",
+    "doc_bpe_token_counts",
+    "docs_zorder_pruned_scan",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

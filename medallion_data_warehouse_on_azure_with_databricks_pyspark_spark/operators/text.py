@@ -57,10 +57,38 @@ def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") ->
 
 def bpe_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
     """Sub-word-ish token count via ``TOKEN_REGEX`` extraction — a cheap,
-    deterministic proxy for BPE token counts used in length filtering."""
+    deterministic, SQL-expressible proxy for BPE token counts used in
+    length filtering.  For algorithm-faithful counts see
+    :func:`bpe_token_count_exact`."""
     return df.withColumn(
         out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
     )
+
+
+def bpe_token_count_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "n_bpe_tokens",
+    ranks: dict | None = None,
+) -> DataFrame:
+    """Real byte-level BPE token count (``functions/bpe.py``): GPT-2-style
+    pretokenizer + greedy lowest-rank pair merging — the same algorithm as
+    GPT-2's encoder.py / tiktoken, so loading a real ``merges.txt`` via
+    ``bpe.load_merges`` makes these counts match that tokenizer exactly.
+
+    Arrow-vectorized ``pandas_udf``: no shuffle, no driver data; the ranks
+    dict travels in the UDF closure (KBs for the embedded table —
+    broadcast it explicitly for a 50k-merge production vocabulary).
+    """
+    from ..functions import bpe
+
+    table = dict(ranks) if ranks is not None else bpe.default_ranks()
+
+    @F.pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: bpe.count_tokens(t, table) if t is not None else 0)
+
+    return df.withColumn(out, _count(F.col(text_col)))
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

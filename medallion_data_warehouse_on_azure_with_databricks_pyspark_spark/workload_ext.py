@@ -413,3 +413,43 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
         F.expr("percentile(value, 0.99)").alias("p99_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order clustering exercised end-to-end (write → pruned read)
+# ---------------------------------------------------------------------------
+
+@query(
+    "docs_zorder_pruned_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 50 AND 350
+    """,
+)
+def docs_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout end-to-end: cluster ``documents`` along the
+    (n_chars, doc_id) Morton curve (``functions/layout.py``), write with
+    the atomic dir-swap sink, read back with a predicate on BOTH
+    dimensions.  Because each output file covers a compact square of the
+    (n_chars, doc_id) plane, parquet min/max skipping prunes files for
+    either-column predicates — the open-Spark equivalent of Delta's
+    ``OPTIMIZE ZORDER BY``, and the layout's write cost amortizes over
+    every subsequent pruned scan.  The oracle is the same filter over the
+    raw table: layout must never change query results, only scan cost
+    (tests/test_plans.py asserts the pushed filters and the per-file
+    envelope geometry)."""
+    import re as _re
+
+    from .functions import layout
+    from .sources import writers
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    out = f"/tmp/medallion_layout/zorder_docs_{sf_tag}"
+    writers.overwrite_path(layout.zorder_layout(docs, "n_chars", "doc_id", 8), out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("n_chars").between(100, 300) & F.col("doc_id").between(50, 350))
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -137,6 +137,19 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_bpe_token_counts")  # real BPE: no ANSI-SQL oracle (pytest fixture)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm-faithful byte-level BPE token counts (GPT-2 pretokenizer
+    + greedy lowest-rank merges, ``functions/bpe.py``) — the length-budget
+    signal a curation pipeline actually filters on.  Arrow-vectorized,
+    shuffle-free; ``tests/test_llmops.py`` pins exact counts against an
+    independent recursive-split reference implementation."""
+    df = load(spark, sf_dir, "documents")
+    return text.bpe_token_count_exact(df, "text").select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 @query(
     "doc_text_stats",
     oracle=f"""

@@ -36,4 +36,7 @@ def test_every_query_has_oracle_or_documented_weak_check():
         "emb_ivf_kmeans_topk",
         "events_approx_distinct",
         "events_approx_quantiles",
+        # real byte-level BPE: not SQL-expressible; exact counts pinned by
+        # tests/test_llmops.py against an independent reference encoder
+        "doc_bpe_token_counts",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"

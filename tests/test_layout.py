@@ -59,3 +59,68 @@ def test_zorder_layout_files_are_range_disjoint_and_compact(spark, tmp_path):
     assert len(ranges) >= 4
     for (f1, (a1, b1)), (f2, (a2, b2)) in itertools.combinations(ranges.items(), 2):
         assert b1 < a2 or b2 < a1, (f1, f2)  # no Morton-range overlap
+
+
+def test_zorder_query_matches_raw_filter_and_pushes_predicates(spark):
+    """The registered docs_zorder_pruned_scan query: layout must never
+    change results (same rows as filtering the raw table), and both
+    filter dimensions must reach the parquet scan as pushed predicates
+    so min/max skipping can act on the clustered files."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from tests.conftest import SF_DIR
+
+    q = workload.QUERIES["docs_zorder_pruned_scan"](spark, SF_DIR)
+    got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in q.collect()}
+    raw = {
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("n_chars").between(100, 300) & F.col("doc_id").between(50, 350))
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    assert got == raw and len(got) > 0
+
+    # toString truncates PushedFilters with "..."; formatted explain lists
+    # every pushed predicate in full.
+    fm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = q._jdf.queryExecution().explainString(fm)
+    for col in ("n_chars", "doc_id"):
+        assert f"GreaterThanOrEqual({col}," in plan, plan
+        assert f"LessThanOrEqual({col}," in plan, plan
+
+
+def test_zorder_layout_envelopes_prune_documents(spark):
+    """Geometry check on the query's actual output files: each clustered
+    file covers a compact sub-envelope of the (n_chars, doc_id) plane, so
+    a both-dimension predicate can skip most files — the whole point of
+    paying the one-time layout shuffle."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+    from tests.conftest import SF_DIR
+
+    # materialize the layout via the registered query
+    workload.QUERIES["docs_zorder_pruned_scan"](spark, SF_DIR).count()
+    sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    back = (
+        spark.read.parquet(f"/tmp/medallion_layout/zorder_docs_{sf_tag}")
+        .withColumn("f", F.input_file_name())
+    )
+    env = back.groupBy("f").agg(
+        F.min("n_chars").alias("cmin"), F.max("n_chars").alias("cmax"),
+        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
+    ).collect()
+    assert len(env) >= 4
+    full_c = max(r["cmax"] for r in env) - min(r["cmin"] for r in env)
+    full_d = max(r["dmax"] for r in env) - min(r["dmin"] for r in env)
+    # average per-file envelope area must be a small fraction of the full
+    # plane (a random layout would put every file near area ≈ full area)
+    areas = [
+        (r["cmax"] - r["cmin"]) * (r["dmax"] - r["dmin"]) for r in env
+    ]
+    avg_frac = (sum(areas) / len(areas)) / max(full_c * full_d, 1)
+    assert avg_frac <= 0.5, avg_frac
