@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import importlib.util
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -57,13 +58,17 @@ def resolve_codec(codec: str, media_type: str) -> str:
 def _decode_bytes(payload: bytes, media_type: str, codec: str = "stub") -> np.ndarray:
     """Decode a payload to a ``FEATURE_DIM``-float feature vector.
 
-    ``codec="pil"`` is the real path: Pillow decodes the bytes, downsamples
-    to a 4×4 grayscale patch and emits normalized pixel intensities —
-    raising on corrupt bytes like any decoder.  ``codec="stub"`` derives a
-    stable vector from the payload's sha256 (content-determined, so dedup /
-    feature pipelines behave like the real thing shape-wise) and is the
-    deterministic choice for oracle-checked runs.  ``codec="auto"`` picks
-    ``pil`` when Pillow is installed, else ``stub``.
+    ``codec="pil"`` is the Pillow path: decode, downsample to a 4×4
+    grayscale patch, emit normalized pixel intensities — raising on
+    corrupt bytes like any decoder.  ``codec="png"`` is the same real
+    decode→resample→normalize pipeline through the pure-stdlib PNG
+    decoder below (:func:`_decode_png` — zlib + spec filters, no media
+    library), so the genuine-decode lane executes even in media-less
+    containers.  ``codec="stub"`` derives a stable vector from the
+    payload's sha256 (content-determined, so dedup / feature pipelines
+    behave like the real thing shape-wise) and is the deterministic choice
+    for oracle-checked runs.  ``codec="auto"`` picks ``pil`` when Pillow
+    is installed, else ``stub``.
     """
     if payload is None:
         raise ValueError("cannot decode empty payload")
@@ -75,9 +80,169 @@ def _decode_bytes(payload: bytes, media_type: str, codec: str = "stub") -> np.nd
 
         img = Image.open(io.BytesIO(bytes(payload))).convert("L").resize((4, 4))
         return (np.asarray(img, dtype=np.float32) / 255.0).reshape(FEATURE_DIM)
+    if codec == "png":
+        arr = _decode_png(bytes(payload))
+        patch = _box_resize(arr, 4, 4)
+        return (patch.astype(np.float32) / 255.0).reshape(FEATURE_DIM)
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (public spec, RFC 2083): lets the real
+# decode/resize lane run in containers without any media library.
+# Supports 8-bit grayscale (color type 0), all five scanline filters on
+# decode, filter 0 on encode; CRC-verified chunk walk.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 array as an 8-bit grayscale PNG (filter 0)."""
+    h, w = arr.shape
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])        # bit depth 8, gray, deflate, adaptive, no interlace
+    )
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG to an (H, W) uint8 array.
+
+    Spec-faithful for the supported subset: signature + CRC verification
+    on every chunk, multi-IDAT concatenation, and full reconstruction of
+    all five scanline filters (None/Sub/Up/Average/Paeth) — not just the
+    filter our encoder happens to write."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    idat = b""
+    while pos < len(payload):
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        length = int.from_bytes(payload[pos:pos + 4], "big")
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk body")
+        crc = int.from_bytes(payload[pos + 8 + length:pos + 12 + length], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type = body[8], body[9]
+            if (bit_depth, color_type) != (8, 0):
+                raise ValueError(
+                    "unsupported PNG: only 8-bit grayscale (type 0)"
+                )
+            if body[12] != 0:
+                raise ValueError("unsupported PNG: interlaced")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        line = raw[y * stride:(y + 1) * stride]
+        ftype, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int32)
+        cur = np.empty(width, dtype=np.int32)
+        if ftype == 0:                      # None
+            cur[:] = data
+        elif ftype == 2:                    # Up
+            cur[:] = (data + prev) & 0xFF
+        elif ftype in (1, 3, 4):            # Sub / Average / Paeth: sequential
+            for x in range(width):
+                a = cur[x - 1] if x > 0 else 0          # left
+                b = prev[x]                              # up
+                c = prev[x - 1] if x > 0 else 0          # up-left
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (data[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _box_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box (area-average) downsample to (out_h, out_w): each output pixel
+    is the mean of its source bin — deterministic integer-free float math,
+    truncated back to uint8."""
+    h, w = arr.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = arr[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = int(block.mean())
+    return out
+
+
+def _png_pixels(seed: int, width: int = 8, height: int = 8) -> np.ndarray:
+    digest = hashlib.sha256(seed.to_bytes(8, "little", signed=True)).digest()
+    n_px = width * height
+    pixels = (digest * (n_px // len(digest) + 1))[:n_px]
+    return np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).copy()
+
+
+def synth_media_png(df: DataFrame, id_col: str, width: int = 8, height: int = 8) -> DataFrame:
+    """Test fixture for the stdlib real-codec path: one valid grayscale PNG
+    per id (content-hash pixels), decodable by :func:`_decode_png`, Pillow,
+    or any spec decoder — so ``codec="png"`` exercises genuine
+    decode/resample plumbing with zero media-library dependency."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _encode_png(_png_pixels(int(i), width, height))
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "media_type": "image",
+                "payload": payloads,
+                "width": width, "height": height, "duration_ms": 0,
+                "codec": "png",
+            })
+
+    return df.select(F.col(id_col).cast("long")).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def synth_media(
@@ -183,17 +348,29 @@ RESIZE_SCHEMA = T.StructType([
 ])
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage (stub transform: passthrough payload, new dims).
+def resize_images(
+    df: DataFrame, width: int, height: int, codec: str = "stub"
+) -> DataFrame:
+    """Resize stage: binary in, binary out, metadata updated.
 
-    Real codec drop-in replaces the body; the Spark contract — binary in,
-    binary out, metadata updated — is what downstream stages rely on."""
+    ``codec="png"`` is a real decode → box-resample → re-encode roundtrip
+    through the stdlib PNG codec (output payloads are valid PNGs of the
+    new dimensions).  ``codec="stub"`` passes payloads through untouched —
+    the deterministic environment-independent lane.  Either way the Spark
+    contract downstream stages rely on is identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if codec == "png":
+                payloads = [
+                    _encode_png(_box_resize(_decode_png(bytes(p)), height, width))
+                    for p in pdf["payload"]
+                ]
+            else:
+                payloads = pdf["payload"]       # stub: no pixel transform
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "payload": pdf["payload"],      # stub: no pixel transform
+                "payload": payloads,
                 "width": width,
                 "height": height,
             })

@@ -997,8 +997,18 @@ def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sessions = stateful.sessionize(stream, "ts", "user_id", gap_seconds=1800)
     # 150 active users — 8 state stores, not one per shuffle partition.
+    # SPARK_GRAFT_STATE_STORE=rocksdb benches the off-heap provider
+    # (results are provider-independent; see SCALE.md "State-store A/B").
+    provider = {
+        "rocksdb": stateful.ROCKSDB_STATE_STORE,
+        "hdfs": stateful.HDFS_STATE_STORE,
+    }.get(os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower())
     return stateful.run_to_memory(
-        spark, sessions, os.path.join(work, "ckpt"), state_partitions=8
+        spark,
+        sessions,
+        os.path.join(work, "ckpt"),
+        state_partitions=8,
+        state_store_provider=provider,
     )
 
 

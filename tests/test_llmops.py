@@ -261,6 +261,39 @@ def test_cosine_dedup_pairs_finds_planted_duplicate(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 9999)}
 
 
+def test_dedup_representatives_adversarial_star_graph(spark):
+    """Adversarial cluster shape: ONE giant near-dup cluster (a star of
+    10⁵ edges around node 0 — the 'same boilerplate page crawled 100k
+    times' case).  The auto-derived graph_partitions path and per-round
+    checkpoints must converge in bounded wall-clock and keep exactly the
+    min-id representative; a propagation bug (or lineage blow-up) shows up
+    here as a timeout or a wrong survivor set."""
+    import time
+
+    N = 100_000
+    corpus = spark.range(N + 1).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    pairs = spark.range(1, N + 1).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    t0 = time.perf_counter()
+    kept = dedup.dedup_keep_representatives(corpus, pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    elapsed = time.perf_counter() - t0
+    assert ids == [0]                       # min-id representative survives
+    assert elapsed < 90.0, elapsed          # measured ~9.5 s cold at 100k edges
+
+    # chain topology: min label must flood hop-by-hop across all `rounds`
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 205)], "id_a long, id_b long"
+    )
+    chain_corpus = spark.range(200, 206).select(F.col("id").alias("doc_id"))
+    kept_chain = dedup.dedup_keep_representatives(chain_corpus, chain)
+    assert sorted(r["doc_id"] for r in kept_chain.collect()) == [200]
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
