@@ -158,28 +158,39 @@ def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit i = (vec · plane_i) >= 0."""
+def _plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """``array<double>`` of ordered-fold dot products vec · plane_i — the
+    shared primitive for bucketing (sign) and multi-probe (|margin|)."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for plane in planes
+    ])
+
+
+def _bucket_from_dots(dots: Column, n_planes: int) -> Column:
+    """Sign-pattern bucket id from the dots array: bit i = dots[i] >= 0."""
     bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(p)) for p in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(planes)
+        F.when(F.get(dots, i) >= 0, F.lit(1 << i).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(n_planes)
     ]
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = (vec · plane_i) >= 0."""
+    return _bucket_from_dots(_plane_dots(vec, planes), len(planes))
 
 
 def with_lsh_bucket(
@@ -201,6 +212,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: rank only corpus rows in the query's bucket.
 
@@ -208,15 +220,61 @@ def lsh_topk(
     count is N/2^b per query.  Equi-join on the bucket id (broadcast query
     side) replaces the cross join — this is the 100 TB path.  Recall is
     tunable via plane count (fewer planes → bigger buckets → higher recall).
+
+    ``n_probes > 0`` enables multi-probe (Lv et al., "Multi-Probe LSH",
+    VLDB 2007): each query ALSO probes the Hamming-1 neighbor buckets
+    reached by flipping its ``n_probes`` least-confident plane bits
+    (smallest |q·plane| margin — the planes the query sits closest to, so
+    the flipped buckets are the likeliest to hide true neighbors).  Recall
+    rises steeply at (n_probes+1)× candidate cost, WITHOUT extra hash
+    tables or a bigger corpus index — only the tiny broadcast query side
+    fans out; the corpus keeps its single bucket id.  At ``n_probes ==
+    len(planes)`` every Hamming-1 bucket is probed and margin order is
+    irrelevant (the form the SQL-oracle-checked workload query uses).
     """
+    n_planes = len(planes)
+    if not 0 <= n_probes <= n_planes:
+        raise ValueError("n_probes must be in [0, len(planes)]")
     cb = with_lsh_bucket(
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")),
         planes, "__cvec", "bucket",
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
-    qb = with_lsh_bucket(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
-        planes, "__qvec", "bucket",
-    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    qb = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .withColumn("__dots", _plane_dots(F.col("__qvec"), planes))
+        .withColumn("__b0", _bucket_from_dots(F.col("__dots"), n_planes))
+        .withColumn("__qnorm", _norm(F.col("__qvec")))
+    )
+    if n_probes:
+        # plane indices ordered by |margin| asc (tie-break on index), the
+        # first n_probes of which get flipped — one extra probe bucket each
+        order = F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda i: F.struct(
+                        F.abs(F.get(F.col("__dots"), i)).alias("m"),
+                        i.alias("i"),
+                    ),
+                )
+            ),
+            lambda s: s["i"],
+        )
+        flips = F.slice(order, 1, n_probes)
+        probes = F.concat(
+            F.array(F.col("__b0")),
+            F.transform(
+                flips,
+                # 2^i via double pow is exact for i < 53 plane bits
+                lambda i: F.col("__b0").bitwiseXOR(
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long")
+                ),
+            ),
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    else:
+        qb = qb.withColumn("bucket", F.col("__b0"))
+    qb = qb.drop("__dots", "__b0")
     scored = cb.join(F.broadcast(qb), "bucket")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))

@@ -345,9 +345,13 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN (1 << pid)::BIGINT ELSE 0::BIGINT END) AS bucket
       FROM embeddings e CROSS JOIN {_planes_values(_TOPK_PLANES)}
       GROUP BY vec_id),
-    q AS (SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
-          FROM buckets b JOIN embeddings e USING (vec_id)
-          WHERE b.vec_id % 25 = 0),
+    q0 AS (SELECT b.vec_id AS query_id, b.bucket, e.embedding AS qe
+           FROM buckets b JOIN embeddings e USING (vec_id)
+           WHERE b.vec_id % 25 = 0),
+    q AS (SELECT query_id, qe,
+                 CASE WHEN pr.pid = -1 THEN bucket
+                      ELSE xor(bucket, (1 << pr.pid)::BIGINT) END AS bucket
+          FROM q0 CROSS JOIN (VALUES (-1), (0), (1), (2), (3)) AS pr(pid)),
     c AS (SELECT b.vec_id, b.bucket, e.embedding AS ce
           FROM buckets b JOIN embeddings e USING (vec_id)),
     scored AS (
@@ -364,12 +368,17 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-10: rank only the query's bucket (16
-    buckets from 4 seeded planes).  Plane literals are inlined in the oracle,
-    and both engines fold dot products in element order, so bucket
-    assignments and cosines match bit-for-bit."""
+    """Multi-probe random-hyperplane LSH top-10 (Lv et al., VLDB 2007):
+    each query ranks its own bucket plus all four Hamming-1 neighbor
+    buckets (5 of 16 — sf0.01 recall@10 0.12 → ~0.5 for 5× candidates,
+    with no extra hash table and no corpus-side change).  Plane literals
+    are inlined in the oracle, both engines fold dot products in element
+    order, and at n_probes == n_planes the probe set is margin-order-free,
+    so bucket assignments and cosines match bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, _emb_queries(emb), _TOPK_PLANES, k=10)
+    return similarity.lsh_topk(
+        emb, _emb_queries(emb), _TOPK_PLANES, k=10, n_probes=len(_TOPK_PLANES)
+    )
 
 
 def _fold_l2sq(a: str, b: str) -> str:

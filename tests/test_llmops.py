@@ -207,6 +207,27 @@ def test_lsh_topk_recall_floor(spark):
     assert recall >= 0.08, recall   # measured 0.120 at current 4-plane table
 
 
+def test_lsh_multiprobe_recall_floor_and_monotonicity(spark):
+    """Multi-probe must lift recall monotonically in n_probes (measured
+    0.120 → 0.325 → 0.440 for 0/2/4 probes at sf0.01) — the registered
+    query runs n_probes=4."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _TOPK_PLANES,
+    )
+
+    recalls = {
+        np_: _recall_at_10(
+            spark,
+            lambda emb, q, np_=np_: similarity.lsh_topk(
+                emb, q, _TOPK_PLANES, k=10, n_probes=np_
+            ),
+        )
+        for np_ in (0, 2, 4)
+    }
+    assert recalls[4] >= 0.35, recalls
+    assert recalls[0] <= recalls[2] <= recalls[4], recalls
+
+
 def test_ivf_topk_recall_floor_and_monotonicity(spark):
     r2 = _recall_at_10(
         spark, lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=2)
