@@ -330,6 +330,24 @@ def ivf_assign(
     scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
         F.broadcast(pivots), how="cross"
     )
+    if nprobe == 1:
+        # Nearest-pivot-only (the corpus-assignment and Lloyd-round case):
+        # min(struct(distance, pivot_id)) is a partial-aggregable shuffle —
+        # map-side combine collapses each partition to one row per vector
+        # before the exchange, where the general path pays a Window sort.
+        # Identical (distance asc, pivot_id asc) tie-break as grouped_topk.
+        return (
+            scored.withColumn("__d", _l2sq(F.col("__v"), F.col("pivot_vec")))
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("pivot_id"))).alias("__b")
+            )
+            .select(
+                id_col,
+                F.col("__b.pivot_id").alias("pivot_id"),
+                F.lit(1).cast("int").alias("probe_rank"),
+            )
+        )
     # negated distance so grouped_topk's (score desc, id asc) ordering is
     # (distance asc, pivot_id asc); the exchange carries nprobe rows per
     # vector instead of the full N x pivots cross product.
