@@ -339,43 +339,69 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    band_combo: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming ball.
 
     Candidate generation uses the pigeonhole trick: split the 64-bit
-    fingerprint into ``max_hamming + 1`` bands — any pair within the ball
-    agrees exactly on ≥1 band.  Bucket-join on (band, band bits), verify
-    full Hamming distance.  Same index-then-verify scaling shape as LSH.
+    fingerprint into ``max_hamming + band_combo`` bands — ``max_hamming``
+    errors can dirty at most that many bands, so every pair in the ball
+    has ≥ ``band_combo`` clean bands, i.e. agrees exactly on at least one
+    ``band_combo``-subset of bands.  Bucket-join on (subset id, subset
+    bits), verify full Hamming distance — the same index-then-verify
+    scaling shape as LSH.
+
+    ``band_combo`` is the wide-radius scale lever (the block-permutation
+    scheme of Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007).  Single-level banding at radius 8 forces 9 bands
+    of ~7 bits — ≤128 distinct values per band, so bucket self-joins grow
+    ~n²/128 per band.  ``band_combo=2`` keys each posting on a *pair* of
+    bands instead: 10 bands of ~6 bits → C(10,2)=45 keys of ~13 bits per
+    doc — 5× more index rows but ~2⁷× sparser buckets, which is the
+    winning trade as soon as n ≫ 2⁷.  Radius-3 banding already has 16-bit
+    bands, so the default stays single-level there.
     """
-    bands = max_hamming + 1
+    from itertools import combinations
+
+    if band_combo < 1:
+        raise ValueError("band_combo must be >= 1")
+    bands = max_hamming + band_combo
     # Cover all 64 bits: the first (64 % bands) bands are one bit wider.
     base_w, extra = divmod(64, bands)
     narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
     fp = simhash64(narrow, text_col, out="simhash")
-    structs = []
+    # per-band bit slices, then one posting per band_combo-subset keyed on
+    # the concatenated slice values
+    band_bits = []
     offset = 0
     for i in range(bands):
         w = base_w + (1 if i < extra else 0)
-        structs.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), offset)
-                .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
-                .alias("bits"),
-            )
+        band_bits.append(
+            F.shiftrightunsigned(F.col("simhash"), offset)
+            .bitwiseAND(F.lit((1 << w) - 1).cast("long"))
         )
         offset += w
+    structs = []
+    for combo_id, combo in enumerate(combinations(range(bands), band_combo)):
+        structs.append(
+            F.struct(
+                F.lit(combo_id).alias("band"),
+                *[band_bits[b].alias(f"bits{j}") for j, b in enumerate(combo)],
+            )
+        )
+    bit_cols = [f"bits{j}" for j in range(band_combo)]
     banded = fp.select(
         id_col, "simhash", F.explode(F.array(*structs)).alias("bb")
-    ).select(id_col, "simhash", "bb.band", "bb.bits")
+    ).select(id_col, "simhash", "bb.band", *[f"bb.{c}" for c in bit_cols])
     a = banded.alias("a")
     b = banded.alias("b")
+    key_eq = F.col("a.band") == F.col("b.band")
+    for c in bit_cols:
+        key_eq = key_eq & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            key_eq & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -472,9 +472,10 @@ def test_simhash_pairs_match_pure_python_reference(spark):
     fps = {r["doc_id"]: _simhash_reference(r["text"]) for r in docs}
     ids = sorted(fps)
 
-    # Both the operator default / registered-query radius (3) and the wide
-    # radius (8) must match the brute-force ball exactly.
-    for radius in (3, 8):
+    # Registered-query radius (3, single-level), wide radius (8,
+    # single-level), and wide radius with two-level band-pair keys (the
+    # scale-safe parameterization) must ALL match the brute-force ball.
+    for radius, combo in ((3, 1), (8, 1), (8, 2)):
         expected = set()
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
@@ -485,8 +486,10 @@ def test_simhash_pairs_match_pure_python_reference(spark):
         got = {
             (r["id_a"], r["id_b"], r["hamming"])
             for r in dedup.simhash_dedup_pairs(
-                spark.read.parquet(f"{sf}/documents.parquet"), max_hamming=radius
+                spark.read.parquet(f"{sf}/documents.parquet"),
+                max_hamming=radius,
+                band_combo=combo,
             ).collect()
         }
-        assert got == expected, radius
-        assert len(expected) > 0, radius  # the check is not vacuous
+        assert got == expected, (radius, combo)
+        assert len(expected) > 0, (radius, combo)  # the check is not vacuous
