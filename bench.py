@@ -89,6 +89,7 @@ HEADLINE = [
     "events_approx_quantiles",
     "doc_bpe_token_counts",
     "docs_zorder_pruned_scan",
+    "doc_benchmark_decontamination",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

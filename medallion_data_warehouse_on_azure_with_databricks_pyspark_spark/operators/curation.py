@@ -140,3 +140,58 @@ def pack_tokens(
     return packed.withColumn(
         "pack_pos", F.row_number().over(wp).cast("long")
     ).drop("__cum")
+
+
+def decontaminate_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with an evaluation set — the train/test-overlap hygiene step
+    every serious LLM corpus runs (13-gram overlap is the convention
+    published with GPT-3 and reused by later corpus papers).
+
+    Output per corpus document: ``n_grams`` (its distinct n-gram count),
+    ``n_contaminated_grams`` (how many of those appear anywhere in the
+    benchmark set), and ``contaminated`` (any overlap at all).  Callers
+    drop or audit flagged rows; the thresholding policy is theirs.
+
+    Scale shape (100 TB corpus, MB-scale eval sets): the benchmark's
+    distinct-gram set is tiny and **broadcast**, so the corpus is scanned
+    once with NO corpus-side shuffle except the per-doc count aggregate
+    (map-side combinable on ``id_col``).  Shingling reuses
+    ``dedup.shingles_of_tokens`` (distinct grams, short docs yield one
+    short shingle) so the gram definition matches the dedup family's.
+    """
+    from . import dedup
+    from . import text as text_ops
+
+    def grams(df: DataFrame, col: str):
+        return dedup.shingles_of_tokens(text_ops.tokens(col), n)
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(benchmark, bench_text_col)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), F.explode(grams(corpus, text_col)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(grams(corpus, text_col)).alias("n_grams")
+    )
+    n_hit = F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long")
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        n_hit.alias("n_contaminated_grams"),
+        (n_hit > 0).alias("contaminated"),
+    )

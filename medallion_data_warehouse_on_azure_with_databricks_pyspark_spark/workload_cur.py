@@ -261,3 +261,38 @@ def events_daily_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").over(w).alias("events_7d"),
         F.sum("sumv").over(w).cast("double").alias("value_7d"),
     )
+
+
+@query(
+    "doc_benchmark_decontamination",
+    oracle=r"""
+    WITH ct AS (SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, greatest(len(t) - 6, 1) + 1),
+                    i -> array_to_string(t[i:i+6], ' '))) AS g
+           FROM ct),
+    bg AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 50 = 0),
+    cg AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+    hits AS (SELECT cg.doc_id, count(*) AS n_contaminated_grams
+             FROM cg JOIN bg USING (gram) GROUP BY 1)
+    SELECT s.doc_id,
+           len(s.g) AS n_grams,
+           coalesce(h.n_contaminated_grams, 0) AS n_contaminated_grams,
+           coalesce(h.n_contaminated_grams, 0) > 0 AS contaminated
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def doc_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap detection (``curation.decontaminate_flags``):
+    every 50th document stands in for a benchmark set; corpus docs sharing
+    any word 7-gram with it are flagged (7 instead of the published 13
+    because the synthetic docs are short — the operator default stays 13).
+    The benchmark gram set broadcasts; the corpus is scanned once and only
+    the per-doc hit count shuffles.  Oracle mirrors the shingle definition
+    (distinct grams, short docs one shingle) in DuckDB list functions."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return curation.decontaminate_flags(docs, bench, n=7)
