@@ -90,6 +90,7 @@ HEADLINE = [
     "doc_bpe_token_counts",
     "docs_zorder_pruned_scan",
     "doc_benchmark_decontamination",
+    "doc_cross_corpus_dedup",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -330,6 +330,90 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH near-dup pairs: every ``left`` document
+    that near-duplicates any ``right`` document — the incremental-crawl
+    case (dedup a new shard against the standing corpus) and the
+    cross-source case (dedup CommonCrawl against books), where the
+    self-join operator cannot be used because the two sides are different
+    tables.
+
+    Same index-then-verify shape as :func:`minhash_dedup_pairs`, with the
+    same seeded hash family on BOTH sides (signatures are only comparable
+    under identical coefficients).  The band join is left-index ×
+    right-index — at 100 TB the standing corpus's banded index is the
+    precomputed reusable artifact, and each new shard only pays its own
+    signature pass plus a join against it.  Output:
+    ``(left_id, right_id, jaccard)`` for verified pairs ≥ ``threshold``.
+    """
+    def banded_index(df: DataFrame, alias: str) -> DataFrame:
+        sh = shingle_frame(df, id_col, text_col, n)
+        rows_per_band = num_hashes // bands
+        sig = with_minhash_signature(
+            sh, id_col, "sh", out="sig", num_hashes=num_hashes, seed=seed
+        ).select(id_col, "sig")
+        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        return sig.select(
+            F.col(id_col).alias(alias),
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"),
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(alias, "bb.band", "bb.bucket")
+
+    lsh_l = banded_index(left, "left_id")
+    lsh_r = banded_index(right, "right_id")
+    cand = (
+        lsh_l.join(lsh_r, ["band", "bucket"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sh_l = shingle_frame(left, id_col, text_col, n).select(
+        F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")
+    )
+    sh_r = shingle_frame(right, id_col, text_col, n).select(
+        F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")
+    )
+    return (
+        cand.join(sh_l, "left_id").join(sh_r, "right_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_l", "sh_r")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_l") + F.size("sh_r") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

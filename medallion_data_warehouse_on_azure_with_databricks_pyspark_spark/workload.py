@@ -1075,7 +1075,7 @@ _CHANGED_RECENTLY = [
     # round 4: new or behavior/code-path-touched (see COVERAGE.md round 4)
     "emb_lsh_topk", "emb_ivf_topk", "emb_ivf_kmeans_topk",
     "doc_simhash_pairs", "doc_bpe_token_counts", "docs_zorder_pruned_scan",
-    "events_stateful_sessions",
+    "doc_cross_corpus_dedup", "events_stateful_sessions",
     "scd1_customer_dim", "scd1_customer_dim_sql", "scd2_part_dim",
     "order_fact_upsert", "dlt_part_pipeline", "dlt_part_pipeline_incremental",
     "events_asof_join", "events_range_join_agg",

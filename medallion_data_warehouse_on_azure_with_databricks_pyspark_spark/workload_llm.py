@@ -260,6 +260,32 @@ def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@query(
+    "doc_cross_corpus_dedup",
+    oracle="WITH " + _JACCARD_PAIRS_CTES.format(threshold="0.8") + """
+    SELECT id_a AS a_id, id_b AS b_id, jaccard
+    FROM dup_pairs WHERE (id_a % 2) <> (id_b % 2)
+    """,
+)
+def doc_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (``dedup.minhash_dedup_pairs_between``): odd
+    doc_ids play the incoming crawl shard, even ids the standing corpus;
+    output is every shard doc near-duplicating a corpus doc.  Columns are
+    normalized to (a_id, b_id) = (min, max) so the oracle — the exact
+    cross-parity Jaccard pair set (LSH misses J ≥ 0.8 with prob ≤ 1.5e-7
+    at 32×4 bands, same argument as doc_minhash_dedup_pairs) — compares
+    order-insensitively."""
+    docs = load(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    pairs = dedup.minhash_dedup_pairs_between(shard, corpus, threshold=0.8)
+    return pairs.select(
+        F.least("left_id", "right_id").alias("a_id"),
+        F.greatest("left_id", "right_id").alias("b_id"),
+        "jaccard",
+    )
+
+
 @query("doc_simhash_pairs")  # xxhash64 fingerprints — no DuckDB equivalent
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (pigeonhole banding, ≤3 bits).

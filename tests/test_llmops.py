@@ -282,6 +282,40 @@ def test_cosine_dedup_pairs_finds_planted_duplicate(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 9999)}
 
 
+def test_minhash_dedup_between_finds_cross_corpus_dups(spark):
+    """Cross-corpus variant: a shard doc near-duplicating a corpus doc is
+    found; shard-internal duplicates are NOT reported (that is the
+    self-join operator's job); verified jaccard is exact."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0 (one word changed)
+            (1, "the quick brown fox jumps over the lazy cat again and again today"),
+            # identical pair WITHIN the shard — must not appear in output
+            (3, "internal duplicate text body repeated across the shard here"),
+            (5, "internal duplicate text body repeated across the shard here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup_pairs_between(
+        shard, corpus, threshold=0.5
+    ).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 0)}
+    (p,) = pairs
+    # exact jaccard of the two 3-gram shingle sets, computed independently
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    a, b = sh(shard.collect()[0]["text"]), sh(corpus.collect()[0]["text"])
+    assert p["jaccard"] == len(a & b) / len(a | b)
+
+
 def test_dedup_representatives_adversarial_star_graph(spark):
     """Adversarial cluster shape: ONE giant near-dup cluster (a star of
     10⁵ edges around node 0 — the 'same boilerplate page crawled 100k
