@@ -1,13 +1,22 @@
-"""Benchmark harness: runs the engine's headline queries and prints ONE JSON
-line ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}``.
+"""Benchmark harness: runs the engine's headline queries and prints a tiny,
+CONSTANT-SIZE final JSON line ``{"metric": "headline_queries_total",
+"value": total_sec, "unit": "sec", "sf": ..., "n_queries": N}``.
+
+The driver captures only a bounded tail of stdout, so the final line must
+never grow with query count (the r3/r4 bench gates were lost to exactly
+that: a 64-query per-query map pushed the line past the parse window).
+The per-query timing map therefore goes to (a) an earlier stdout line keyed
+``"detail"`` and (b) the side file ``BENCH_QUERIES.json`` next to this
+script — never the final line.
 
 Data dir: ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``);
 parallelism: ``local[$SPARK_GRAFT_CPUS]`` (default 32).
 
 Each query is forced with a cheap terminal action (``count`` on the final
 plan) so timings cover scan → shuffle → result without driver-side collect
-overhead dominating.
+overhead dominating.  Each query is timed as the best of two back-to-back
+runs: first-run JIT on array-fold kernels costs ~2× and was blurring the
+driver-vs-local comparison (see VERDICT r4 "What's wrong" #3).
 """
 
 from __future__ import annotations
@@ -123,25 +132,54 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = workload.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        # Best-of-two: the second run reuses JIT-compiled codegen, loaded
+        # classes, and cached parquet footers, so it measures the plan, not
+        # cold-start noise.  Streaming-checkpoint queries use fresh temp
+        # dirs per call, so both runs do real work either way.
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # Stop the session FIRST so shutdown-time log lines (state-store
     # maintenance, executor teardown) can't land after the JSON result; the
-    # JSON line must be the final stdout the driver sees.
+    # final JSON line must be the last stdout the driver sees.
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
 
+    detail_line, summary_line = render_output(timings, sf)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json"), "w") as fh:
+        fh.write(detail_line + "\n")
+    print(detail_line)
+    print(summary_line)
+
+
+def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
+    """Build the two output lines: a per-query detail line and a
+    CONSTANT-SIZE summary line.
+
+    The detail line is keyed ``"detail"`` (not ``"metric"``) so a
+    tail-window regex can't confuse a truncated copy of it with the summary
+    line; the summary line carries no per-query map, so it stays ~100 bytes
+    at any query count (tests/test_bench_registry.py pins this).
+    """
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    detail = json.dumps(
+        {"detail": "per_query_sec", "queries": timings, "sf": sf},
+        sort_keys=True,
+    )
+    summary = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+    })
+    return detail, summary
 
 
 if __name__ == "__main__":

@@ -1060,33 +1060,70 @@ from . import workload_ext  # noqa: E402,F401  isort: skip
 from . import workload_rel  # noqa: E402,F401  isort: skip
 from . import workload_cur  # noqa: E402,F401  isort: skip
 
-# The driver's correctness gate covers only the first 50 registration-order
-# entries.  Prioritize the window deliberately (dicts preserve insertion
-# order): (1) workload_rel/workload_cur — never driver-checked before this
-# round; (2) queries whose behavior or code path changed in round 4 (ANN
-# multi-probe/assignment, merge-engine NULL-condition semantics, temporal
-# guards, the new BPE/Z-order queries) so changes always get a fresh
-# driver-side hash; (3) everything else in module order.  The entries that
-# fall outside the window are exactly the unchanged queries hash-green in
-# CORRECTNESS_r01–r03, and every oracle stays verified at sf0.001 AND
-# sf0.01 by tests/test_workload_oracle.py regardless of order.
-_FRONT_MODULES = {workload_rel.__name__, workload_cur.__name__}
-_CHANGED_RECENTLY = [
-    # round 4: new or behavior/code-path-touched (see COVERAGE.md round 4)
+# ---------------------------------------------------------------------------
+# Correctness-window rotation (standing policy, VERDICT r4 ask #2)
+# ---------------------------------------------------------------------------
+# The driver's correctness gate hashes only the FIRST 50 entries of
+# queries(); with 67 registered queries, ~17 always miss a given round.
+# CORRECTNESS_PRIORITY is the explicit, auditable ordering the gate
+# consumes (no insertion-order side effects — ADVICE r4).  Rotation rule,
+# applied at the top of every round:
+#
+#   1. Queries WITHOUT a driver hash row last round move to the FRONT
+#      (least-recently-driver-checked first), so no query ever goes more
+#      than two rounds without a driver-side row.
+#   2. Queries whose code path changes THIS round come next — a changed
+#      query must always get a fresh driver hash.
+#   3. The remaining recently-checked queries follow; the 17 that fall off
+#      the end are the longest-continuously-green, unchanged ones (they
+#      rotate to the front next round by rule 1).
+#
+# Every oracle additionally stays verified at sf0.001 AND sf0.01 every
+# round by tests/test_workload_oracle.py regardless of window position.
+CORRECTNESS_PRIORITY = [
+    # -- rule 1: no driver row in r4 (last checked r2/r3) -------------------
+    "doc_token_counts", "doc_text_stats", "doc_language_id",
+    "doc_exact_dedup", "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
+    "doc_dedup_representatives", "emb_cosine_topk", "emb_cosine_dedup_pairs",
+    "multimodal_features", "doc_repetition_stats", "doc_scrub_pii",
+    "doc_bm25_topk", "orders_price_quantiles", "emb_int8_quantize_error",
+    "events_approx_distinct", "events_approx_quantiles",
+    # -- rule 2: code path touched in round 5 (ANN recall retune, k-means
+    #    speedup, cross-corpus index materialization, decontamination
+    #    single-scan rewrite, z-order path handling) -----------------------
     "emb_lsh_topk", "emb_ivf_topk", "emb_ivf_kmeans_topk",
-    "doc_simhash_pairs", "doc_bpe_token_counts", "docs_zorder_pruned_scan",
-    "doc_cross_corpus_dedup", "events_stateful_sessions",
-    "scd1_customer_dim", "scd1_customer_dim_sql", "scd2_part_dim",
-    "order_fact_upsert", "dlt_part_pipeline", "dlt_part_pipeline_incremental",
-    "events_asof_join", "events_range_join_agg",
+    "doc_cross_corpus_dedup", "doc_benchmark_decontamination",
+    "docs_zorder_pruned_scan",
+    # -- rule 3: r4-checked, unchanged (front part stays in the window) ----
+    "orders_year_priority_pivot", "orders_status_priority_cube",
+    "customer_without_orders", "customer_with_high_value_orders",
+    "orders_analytic_windows", "part_string_functions",
+    "events_variant_props", "doc_chunks", "doc_mixture_splits",
+    "doc_token_packing", "events_resample_ffill", "corpus_vocab_topk",
+    "events_daily_rolling", "doc_simhash_pairs", "doc_bpe_token_counts",
+    "events_stateful_sessions", "scd1_customer_dim", "scd1_customer_dim_sql",
+    "scd2_part_dim", "order_fact_upsert", "dlt_part_pipeline",
+    "dlt_part_pipeline_incremental", "events_asof_join",
+    "events_range_join_agg", "events_hourly_windows",
+    "events_sliding_windows", "events_session_windows",
+    # -- rule 3 tail: longest-green core, rotates out this round (r1/r2
+    #    green, unchanged since; front of the r6 window by rule 1) ---------
+    "customer_segment_count", "customer_filter_segment",
+    "part_type_token_count", "customer_change_hash", "orders_year_windows",
+    "orders_duplicate_custkeys", "lineitem_pricing_summary",
+    "events_json_props", "orders_priority_rollup", "customer_set_ops",
+    "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
+    "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
+    "events_stream_ingest",
 ]
-_front = {n: f for n, f in QUERIES.items() if f.__module__ in _FRONT_MODULES}
-_changed = {n: QUERIES[n] for n in _CHANGED_RECENTLY if n in QUERIES}
-_rest = {
-    n: f for n, f in QUERIES.items()
-    if f.__module__ not in _FRONT_MODULES and n not in _changed
-}
+
+_registered = set(QUERIES)
+_prioritized = set(CORRECTNESS_PRIORITY)
+assert len(CORRECTNESS_PRIORITY) == len(_prioritized), "duplicate priority entries"
+assert _prioritized == _registered, (
+    f"CORRECTNESS_PRIORITY drift: missing={sorted(_registered - _prioritized)} "
+    f"stale={sorted(_prioritized - _registered)}"
+)
+_ordered = {n: QUERIES[n] for n in CORRECTNESS_PRIORITY}
 QUERIES.clear()
-QUERIES.update(_front)
-QUERIES.update(_changed)
-QUERIES.update(_rest)
+QUERIES.update(_ordered)

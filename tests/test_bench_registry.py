@@ -22,6 +22,19 @@ def test_headline_and_excluded_partition_the_registry():
     )
 
 
+def test_summary_line_is_constant_size():
+    """The driver parses only a bounded (~2000-char) stdout tail; the r3 and
+    r4 bench gates were both lost to the final line outgrowing it.  Pin the
+    summary line small at ANY query count, and pin that the detail line can
+    never be mistaken for it."""
+    timings = {f"query_with_a_rather_long_name_{i:04d}": 123.4567 for i in range(500)}
+    detail, summary = bench.render_output(timings, sf=0.1)
+    assert len(summary) < 200, f"summary line grew to {len(summary)} bytes"
+    assert summary.startswith('{"metric"')
+    assert '"queries"' not in summary
+    assert not detail.startswith('{"metric"')
+
+
 def test_every_query_has_oracle_or_documented_weak_check():
     """Each queries() entry needs an oracle_sql() row for the driver's
     hash gate; the rows-only set is pinned so additions are deliberate."""
