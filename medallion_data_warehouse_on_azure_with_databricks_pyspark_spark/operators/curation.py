@@ -162,34 +162,42 @@ def decontaminate_flags(
 
     Scale shape (100 TB corpus, MB-scale eval sets): the benchmark's
     distinct-gram set is tiny and **broadcast**, so the corpus is scanned
-    once with NO corpus-side shuffle except the per-doc count aggregate
-    (map-side combinable on ``id_col``).  Shingling reuses
-    ``dedup.shingles_of_tokens`` (distinct grams, short docs yield one
-    short shingle) so the gram definition matches the dedup family's.
+    **once**: the shingle array is materialized via ``dedup.with_shingles``
+    (two-step projection — tokenization runs once per row, not once per
+    shingle index), and both the exploded gram stream and the per-doc
+    ``n_grams`` total derive from that one column, aggregated back together
+    in a single map-side-combinable ``groupBy(id)``.  Shingle semantics
+    (distinct grams, short docs yield one short shingle) match the dedup
+    family's.
     """
     from . import dedup
-    from . import text as text_ops
-
-    def grams(df: DataFrame, col: str):
-        return dedup.shingles_of_tokens(text_ops.tokens(col), n)
 
     bench_grams = (
-        benchmark.select(F.explode(grams(benchmark, bench_text_col)).alias("gram"))
+        dedup.with_shingles(benchmark, bench_text_col, n, out="__sh")
+        .select(F.explode("__sh").alias("gram"))
         .distinct()
     )
-    doc_grams = corpus.select(
-        F.col(id_col), F.explode(grams(corpus, text_col)).alias("gram")
+    # One corpus scan: explode the materialized shingle column, carrying
+    # its size alongside, so totals and hit-counts come from the same pass.
+    doc_grams = dedup.with_shingles(corpus, text_col, n, out="__sh").select(
+        F.col(id_col),
+        F.size("__sh").alias("__n_grams"),
+        F.explode("__sh").alias("gram"),
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+    flagged = (
+        doc_grams.join(
+            F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
+        )
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated_grams"))
+        .agg(
+            F.first("__n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_contaminated_grams"
+            ),
+        )
     )
-    totals = corpus.select(
-        F.col(id_col), F.size(grams(corpus, text_col)).alias("n_grams")
-    )
-    n_hit = F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long")
-    return totals.join(hits, id_col, "left").select(
+    n_hit = F.col("n_contaminated_grams").cast("long")
+    return flagged.select(
         id_col,
         F.col("n_grams").cast("long").alias("n_grams"),
         n_hit.alias("n_contaminated_grams"),

@@ -261,14 +261,16 @@ def lsh_topk(
             lambda s: s["i"],
         )
         flips = F.slice(order, 1, n_probes)
+        # Literal long powers of two indexed by plane id: exact for every
+        # plane index the long-typed bucket can hold (double pow would
+        # silently round past i >= 53 and probe the wrong bucket — ADVICE
+        # r4).
+        pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
         probes = F.concat(
             F.array(F.col("__b0")),
             F.transform(
                 flips,
-                # 2^i via double pow is exact for i < 53 plane bits
-                lambda i: F.col("__b0").bitwiseXOR(
-                    F.pow(F.lit(2.0), i.cast("double")).cast("long")
-                ),
+                lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i)),
             ),
         )
         qb = qb.withColumn("bucket", F.explode(probes))
