@@ -46,19 +46,31 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed events loader.
+    """Typed events loader, adaptive to the parquet timestamp physical type.
 
-    The driver's events table stores TIMESTAMP(NANOS) parquet — unreadable
-    by Spark's timestamp types (µs max).  Read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable so it works
-    on driver-owned sessions too) and surface both the raw nanos and a
-    µs-truncated proper timestamp column ``ts``.
+    The driver's events table has shipped both TIMESTAMP(NANOS) parquet
+    (unreadable by Spark's timestamp types — µs max) and plain µs-precision
+    parquet across testdata generations; this loader normalizes either to
+    the same surface: ``ts`` TIMESTAMP (UTC instant, µs precision) plus the
+    raw epoch-nanos ``ts_ns`` long.
+
+    * NANOS files: read as epoch-nanos long via
+      ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable so it works
+      on driver-owned sessions too) and µs-truncate into ``ts``.
+    * µs files: parquet without a UTC flag arrives as TIMESTAMP_NTZ; the
+      session timezone is pinned UTC (session.py), so the NTZ→TIMESTAMP cast
+      preserves the wall clock and yields the identical instant the NANOS
+      path produced.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
 
 
 def query(name: str, oracle: str | None = None):
@@ -836,9 +848,16 @@ def events_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{work}/ckpt",
     )
     out = spark.read.parquet(f"{work}/bronze")
+    # Bronze preserves the source physical type: epoch-nanos long for
+    # TIMESTAMP(NANOS) parquet generations, a real µs timestamp otherwise
+    # (NTZ wall clock ≡ UTC instant under the pinned session timezone).
+    if dict(out.dtypes)["ts"] == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return out.select(
         "event_id", "user_id", "event_type", "value", "props",
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us.alias("ts_us"),
         F.col("_rescued_data"),
     )
 
@@ -987,14 +1006,19 @@ def events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     os.makedirs(src)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
+    # The stream schema must match the parquet physical type: epoch-nanos
+    # long (TIMESTAMP(NANOS) generations) vs a real µs timestamp.  Probe
+    # the footer with a batch read, then normalize to a TIMESTAMP column.
+    ts_is_long = dict(spark.read.parquet(src).dtypes)["ts"] == "bigint"
+    ts_ddl = "long" if ts_is_long else "timestamp"
+    stream = spark.readStream.schema(
+        f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     sessions = stateful.sessionize(stream, "ts", "user_id", gap_seconds=1800)
     # 150 active users — 8 state stores, not one per shuffle partition.
     # SPARK_GRAFT_STATE_STORE=rocksdb benches the off-heap provider
