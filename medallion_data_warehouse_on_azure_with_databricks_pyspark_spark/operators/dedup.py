@@ -248,16 +248,30 @@ def minhash_lsh_candidates(
     return _lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, seed)
 
 
-def _lsh_candidates_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+def banded_frame(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    out_id: str | None = None,
 ) -> DataFrame:
+    """LSH band index ``(id, band, bucket)`` from a shingle frame.
+
+    One row per (doc, band); ``bucket`` is the xxhash64 of that band's
+    signature slice.  This is THE reusable dedup artifact: at 100 TB it is
+    written once per corpus (``build_minhash_index``) and every self-join,
+    cross-corpus join, or incremental-shard join reads it instead of
+    re-hashing text.
+    """
+    out_id = out_id or id_col
     rows_per_band = num_hashes // bands
     sig = with_minhash_signature(
         sh, id_col, "sh", out="sig", num_hashes=num_hashes, seed=seed
     ).select(id_col, "sig")
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig.select(
-        id_col,
+    return sig.select(
+        F.col(id_col).alias(out_id),
         F.explode(
             F.transform(
                 band_idx,
@@ -275,7 +289,13 @@ def _lsh_candidates_from_shingles(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(out_id, "bb.band", "bb.bucket")
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    banded = banded_frame(sh, id_col, num_hashes, bands, seed)
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -350,57 +370,39 @@ def minhash_dedup_pairs_between(
 
     Same index-then-verify shape as :func:`minhash_dedup_pairs`, with the
     same seeded hash family on BOTH sides (signatures are only comparable
-    under identical coefficients).  The band join is left-index ×
-    right-index — at 100 TB the standing corpus's banded index is the
-    precomputed reusable artifact, and each new shard only pays its own
-    signature pass plus a join against it.  Output:
+    under identical coefficients).  Each side's shingle frame is computed
+    **once** and persisted — the band index and the exact-Jaccard verify
+    both read it (mirrors the self-join variant's persist).  At 100 TB the
+    standing corpus should not be re-shingled per shard at all: write its
+    index once with :func:`build_minhash_index` and join shards against it
+    via :func:`minhash_pairs_against_index`.  Output:
     ``(left_id, right_id, jaccard)`` for verified pairs ≥ ``threshold``.
     """
-    def banded_index(df: DataFrame, alias: str) -> DataFrame:
-        sh = shingle_frame(df, id_col, text_col, n)
-        rows_per_band = num_hashes // bands
-        sig = with_minhash_signature(
-            sh, id_col, "sh", out="sig", num_hashes=num_hashes, seed=seed
-        ).select(id_col, "sig")
-        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-        return sig.select(
-            F.col(id_col).alias(alias),
-            F.explode(
-                F.transform(
-                    band_idx,
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        F.col("sig"),
-                                        b * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda v: v.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select(alias, "bb.band", "bb.bucket")
-
-    lsh_l = banded_index(left, "left_id")
-    lsh_r = banded_index(right, "right_id")
+    sh_l = shingle_frame(left, id_col, text_col, n).persist()
+    sh_r = shingle_frame(right, id_col, text_col, n).persist()
+    lsh_l = banded_frame(sh_l, id_col, num_hashes, bands, seed, out_id="left_id")
+    lsh_r = banded_frame(sh_r, id_col, num_hashes, bands, seed, out_id="right_id")
     cand = (
         lsh_l.join(lsh_r, ["band", "bucket"])
         .select("left_id", "right_id")
         .distinct()
     )
-    sh_l = shingle_frame(left, id_col, text_col, n).select(
-        F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")
+    return _verify_pairs_between(
+        cand,
+        sh_l.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")),
+        sh_r.select(F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")),
+        threshold,
     )
-    sh_r = shingle_frame(right, id_col, text_col, n).select(
-        F.col(id_col).alias("right_id"), F.col("sh").alias("sh_r")
-    )
+
+
+def _verify_pairs_between(
+    cand: DataFrame, sh_l: DataFrame, sh_r: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of cross-corpus candidate pairs.
+
+    ``sh_l``/``sh_r`` carry ``(left_id, sh_l)`` / ``(right_id, sh_r)``;
+    work is proportional to the candidate count only.
+    """
     return (
         cand.join(sh_l, "left_id").join(sh_r, "right_id")
         .withColumn("inter", F.size(F.array_intersect("sh_l", "sh_r")))
@@ -411,6 +413,119 @@ def minhash_dedup_pairs_between(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
+    )
+
+
+#: Index layout version written by build_minhash_index.
+_MINHASH_INDEX_VERSION = 1
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> str:
+    """Materialize the standing corpus's MinHash-LSH index to ``path``.
+
+    Writes two parquet tables plus a params manifest:
+
+    * ``{path}/bands``    — ``(doc_id, band, bucket)``, the LSH band index
+      (``bands`` rows per doc; the join side of every future shard dedup).
+    * ``{path}/shingles`` — ``(doc_id, sh)``, the distinct word-n-gram sets
+      (read only for candidate verification).
+    * ``{path}/meta.json`` — ``{n, num_hashes, bands, seed, id_col,
+      version}``; signatures are only comparable under identical hash
+      coefficients, so :func:`minhash_pairs_against_index` refuses an index
+      built under different parameters instead of silently returning wrong
+      pairs.
+
+    This is the "cluster once, scan many" artifact the cross-corpus
+    docstring promises: the corpus text is tokenized and hashed exactly
+    once, ever; each incoming shard pays its own signature pass plus a
+    band join against ``bands`` (size ≈ corpus_docs × bands rows — ~32
+    rows/doc, a few percent of typical document text volume per TB).
+    Append-only corpora extend the index by writing new docs' band/shingle
+    rows under the same manifest; a parameter change requires a rebuild.
+    """
+    import json
+    import os
+
+    sh = shingle_frame(df, id_col, text_col, n).persist()
+    banded = banded_frame(sh, id_col, num_hashes, bands, seed)
+    banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    meta = {
+        "version": _MINHASH_INDEX_VERSION,
+        "id_col": id_col,
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "seed": seed,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    sh.unpersist()
+    return path
+
+
+def minhash_pairs_against_index(
+    shard: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs between ``shard`` and a corpus index built by
+    :func:`build_minhash_index` — WITHOUT touching the corpus text.
+
+    The incremental-crawl hot path: the corpus's shingle/band tables are
+    read from parquet (its text is never rescanned — by construction: this
+    function does not take the corpus DataFrame at all), the shard is
+    shingled once (persisted for its band pass + verification), and the
+    band join + exact-Jaccard verify proceed exactly as
+    :func:`minhash_dedup_pairs_between`.  Hash-family parameters come from
+    the index manifest; a mismatched ``id_col`` request raises rather than
+    joining incomparable signatures.
+
+    Output: ``(left_id, right_id, jaccard)`` — left = shard, right =
+    corpus — for verified pairs ≥ ``threshold``.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _MINHASH_INDEX_VERSION:
+        raise ValueError(f"unsupported minhash index version: {meta.get('version')}")
+    spark = shard.sparkSession
+    corpus_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    corpus_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
+    cid = meta["id_col"]
+    sh_s = shingle_frame(shard, id_col, text_col, meta["n"]).persist()
+    lsh_s = banded_frame(
+        sh_s, id_col, meta["num_hashes"], meta["bands"], meta["seed"],
+        out_id="left_id",
+    )
+    cand = (
+        lsh_s.join(
+            corpus_bands.select(
+                F.col(cid).alias("right_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    return _verify_pairs_between(
+        cand,
+        sh_s.select(F.col(id_col).alias("left_id"), F.col("sh").alias("sh_l")),
+        corpus_sh.select(F.col(cid).alias("right_id"), F.col("sh").alias("sh_r")),
+        threshold,
     )
 
 

@@ -316,6 +316,65 @@ def test_minhash_dedup_between_finds_cross_corpus_dups(spark):
     assert p["jaccard"] == len(a & b) / len(a | b)
 
 
+def test_minhash_index_matches_between(spark, tmp_path):
+    """The materialized-index path must return exactly the same verified
+    pair set as the in-query cross-corpus operator (same hash family, same
+    band keys, same exact-Jaccard verify) on real document data."""
+    docs = spark.read.parquet(DOCS)
+    shard = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = dedup.build_minhash_index(corpus, str(tmp_path / "idx"))
+    via_index = dedup.minhash_pairs_against_index(
+        shard, idx, threshold=0.8
+    ).collect()
+    direct = dedup.minhash_dedup_pairs_between(
+        shard, corpus, threshold=0.8
+    ).collect()
+    key = lambda r: (r["left_id"], r["right_id"], round(r["jaccard"], 12))
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+    assert via_index  # sf0.001 documents contain planted near-dups
+
+
+def test_minhash_index_never_rescans_corpus_text(spark, tmp_path):
+    """After the index is built, the corpus TEXT must never be needed
+    again: delete the corpus source parquet and the shard query must still
+    run off the index alone (by construction the API takes no corpus df)."""
+    import shutil
+
+    corpus_dir = tmp_path / "corpus_src"
+    spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(corpus_dir))
+    corpus = spark.read.parquet(str(corpus_dir))
+    idx = dedup.build_minhash_index(corpus, str(tmp_path / "idx"))
+    shutil.rmtree(corpus_dir)  # corpus text is gone; only the index remains
+    shard = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy cat again and again today")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_pairs_against_index(shard, idx, threshold=0.5).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 0)}
+
+
+def test_minhash_index_version_mismatch_raises(spark, tmp_path):
+    import json
+
+    corpus = spark.createDataFrame(
+        [(0, "some corpus text body")], "doc_id long, text string"
+    )
+    idx = dedup.build_minhash_index(corpus, str(tmp_path / "idx"))
+    meta_path = tmp_path / "idx" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["version"] = 999
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="version"):
+        dedup.minhash_pairs_against_index(corpus, idx)
+
+
 def test_dedup_representatives_adversarial_star_graph(spark):
     """Adversarial cluster shape: ONE giant near-dup cluster (a star of
     10⁵ edges around node 0 — the 'same boilerplate page crawled 100k
