@@ -31,6 +31,19 @@ from .workload import load, load_events, query
 #: cluster once, scan many — see docs_zorder_pruned_scan.
 _ZORDER_LAID_OUT: set[str] = set()
 
+
+def zorder_layout_path(sf_dir: str) -> str:
+    """The pid-scoped layout dir docs_zorder_pruned_scan writes for ``sf_dir``.
+
+    Pid-scoping (ADVICE r4) keeps concurrent runners on the same sf from
+    racing the atomic dir swap; tests and tooling resolve the same path
+    through this helper instead of re-deriving the naming scheme."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_layout/zorder_docs_{sf_tag}_pid{_os.getpid()}"
+
 # ---------------------------------------------------------------------------
 # Temporal joins (extension: no ASOF/range join in Spark or the reference)
 # ---------------------------------------------------------------------------
@@ -449,15 +462,11 @@ def docs_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped when this process already laid the table out, mirroring
     production: cluster once, scan many.  A repeated in-process call (e.g.
     bench.py's best-of-two) therefore times the amortized pruned scan."""
-    import os as _os
-    import re as _re
-
     from .functions import layout
     from .sources import writers
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    out = f"/tmp/medallion_layout/zorder_docs_{sf_tag}_pid{_os.getpid()}"
+    out = zorder_layout_path(sf_dir)
     if out not in _ZORDER_LAID_OUT:
         writers.overwrite_path(
             layout.zorder_layout(docs, "n_chars", "doc_id", 8), out

@@ -100,14 +100,14 @@ def test_zorder_layout_envelopes_prune_documents(spark):
     paying the one-time layout shuffle."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
         workload,
+        workload_ext,
     )
     from tests.conftest import SF_DIR
 
     # materialize the layout via the registered query
     workload.QUERIES["docs_zorder_pruned_scan"](spark, SF_DIR).count()
-    sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
     back = (
-        spark.read.parquet(f"/tmp/medallion_layout/zorder_docs_{sf_tag}")
+        spark.read.parquet(workload_ext.zorder_layout_path(SF_DIR))
         .withColumn("f", F.input_file_name())
     )
     env = back.groupBy("f").agg(
