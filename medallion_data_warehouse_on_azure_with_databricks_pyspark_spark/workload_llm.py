@@ -436,7 +436,7 @@ def _fold_l2sq(a: str, b: str) -> str:
     q AS (
       SELECT a.vec_id AS query_id, a.pivot_id, e.embedding AS qe
       FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
-      WHERE a.vec_id % 25 = 0 AND a.rnk <= 2),
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= 12),
     scored AS (
       SELECT q.query_id, c.vec_id,
              {_fold_dot('q.qe', 'c.ce')}
@@ -453,12 +453,15 @@ def _fold_l2sq(a: str, b: str) -> str:
 )
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10: deterministic pivot quantizer (every
-    37th vector), corpus in inverted lists, queries probe their 2 nearest
-    lists.  The oracle replays assignment and probing with the same
-    ordered-fold distances, so results match bit-for-bit."""
+    37th vector), corpus in inverted lists, queries probe their 12 nearest
+    lists.  nprobe=12 is the production-recall setting (ADVICE r4 asked
+    for ≥0.8 on a registered ANN query): measured recall@10 = 0.97 at
+    sf0.01 (0.275 at the old nprobe=2), pinned as a 0.80 floor in
+    tests/test_llmops.py.  The oracle replays assignment and probing with
+    the same ordered-fold distances, so results match bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, _emb_queries(emb), k=10, nprobe=2, modulus=37
+        emb, _emb_queries(emb), k=10, nprobe=12, modulus=37
     )
 
 

@@ -232,12 +232,14 @@ def test_ivf_topk_recall_floor_and_monotonicity(spark):
     r2 = _recall_at_10(
         spark, lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=2)
     )
-    r8 = _recall_at_10(
-        spark, lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=8)
+    r12 = _recall_at_10(
+        spark, lambda emb, q: similarity.ivf_topk(emb, q, k=10, nprobe=12)
     )
     assert r2 >= 0.20, r2           # measured 0.275 (nprobe=2 of 14 lists)
-    assert r8 >= 0.60, r8           # measured 0.755
-    assert r8 >= r2                 # more probes can only help
+    # nprobe=12 is the REGISTERED emb_ivf_topk setting — the production
+    # recall target (≥0.8, ADVICE r4; measured 0.97 at sf0.01).
+    assert r12 >= 0.80, r12
+    assert r12 >= r2                # more probes can only help
 
 
 def test_ivf_topk_full_probe_is_exact(spark):
