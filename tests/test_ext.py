@@ -264,15 +264,17 @@ def test_ivf_kmeans_recall_vs_exact(spark):
         for r in workload.QUERIES["emb_ivf_kmeans_topk"](spark, SF_DIR).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # Measured 0.320 at the registered settings (25% hash-gated training
-    # sample, nprobe=2 of 14 lists) on isotropic random embeddings — the
-    # floor has margin but still fails on a real assignment/centroid bug.
-    assert recall >= 0.25, recall
+    # Registered settings: one Lloyd round on a 25% hash-gated training
+    # sample, nprobe=12, on isotropic random embeddings —
+    # measured 0.975 at both sf0.001 and sf0.01; the 0.80 floor is the
+    # production recall target (VERDICT r4 #5) with margin, and still
+    # fails on a real assignment/centroid bug.
+    assert recall >= 0.80, recall
 
     # Geometry-independent exactness gate: trained pivots + full probe must
     # reproduce the exact top-k (recall == 1.0).
     pivots = similarity.kmeans_pivots(
-        emb, iters=2, modulus=37, sample_fraction=0.25
+        emb, iters=1, modulus=37, sample_fraction=0.25
     )
     npivots = pivots.count()
     full = {
