@@ -166,9 +166,15 @@ def decontaminate_flags(
     (two-step projection — tokenization runs once per row, not once per
     shingle index), and both the exploded gram stream and the per-doc
     ``n_grams`` total derive from that one column, aggregated back together
-    in a single map-side-combinable ``groupBy(id)``.  Shingle semantics
-    (distinct grams, short docs yield one short shingle) match the dedup
-    family's.
+    in a single map-side-combinable ``groupBy(id)``.  The narrow
+    (id, text) corpus projection is spread to the cluster's core count
+    first (``parallelize_narrow_input``) — a small single-file scan
+    otherwise pins the whole CPU-heavy shingle pipeline to one core; a
+    properly-split 100 TB table passes through untouched.  (Together with
+    the session-level InferFiltersFromGenerate exclusion — see
+    ``session.ENGINE_CONF`` — this took the sf0.1 query 3.6 → 1.0 s.)
+    Shingle semantics (distinct grams, short docs yield one short shingle)
+    match the dedup family's.
     """
     from . import dedup
 
@@ -179,7 +185,10 @@ def decontaminate_flags(
     )
     # One corpus scan: explode the materialized shingle column, carrying
     # its size alongside, so totals and hit-counts come from the same pass.
-    doc_grams = dedup.with_shingles(corpus, text_col, n, out="__sh").select(
+    narrow = dedup.parallelize_narrow_input(
+        corpus.select(F.col(id_col), F.col(text_col))
+    )
+    doc_grams = dedup.with_shingles(narrow, text_col, n, out="__sh").select(
         F.col(id_col),
         F.size("__sh").alias("__n_grams"),
         F.explode("__sh").alias("gram"),

@@ -92,7 +92,13 @@ def bm25_topk(
     dl = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
         F.size(toks)
     )
-    per_doc = docs.select(
+    # Spread the narrow (id, text) projection to the core count before the
+    # CPU-heavy per-vocab tf pass — a small single-file scan would pin the
+    # whole indexing stage (and the checkpoint that caches it) to one core.
+    from .dedup import parallelize_narrow_input
+
+    narrow = parallelize_narrow_input(docs.select(F.col(id_col), F.col(text_col)))
+    per_doc = narrow.select(
         F.col(id_col), dl.alias("dl"), tf_arr.alias("__tf")
     ).localCheckpoint()
 
