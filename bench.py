@@ -100,6 +100,7 @@ HEADLINE = [
     "docs_zorder_pruned_scan",
     "doc_benchmark_decontamination",
     "doc_cross_corpus_dedup",
+    "doc_winnow_overlap_pairs",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

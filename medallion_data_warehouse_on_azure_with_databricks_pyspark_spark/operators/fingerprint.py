@@ -1,0 +1,179 @@
+"""Winnowing document fingerprints (rolling-hash selection) and
+partial-overlap detection.
+
+Implements the winnowing algorithm of Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD 2003)
+— the fingerprint scheme behind MOSS.  Where the MinHash family scores
+*whole-document* Jaccard similarity, winnowing fingerprints are *local*:
+any shared substring of at least ``w + k - 1`` tokens is guaranteed to
+contribute at least one common fingerprint, so a small document pasted
+into a larger one is found even though whole-doc Jaccard is low.  That
+containment case is the classic training-data leak (a benchmark answer
+embedded in a web page; a license header carrying a document) and is the
+gap this operator closes in the dedup family (``operators/dedup.py``).
+
+Spark-first shape: every step is a Catalyst array expression — token
+k-grams by positional slice, a polynomial rolling hash folded over the
+gram's characters, window minima by ``array_min`` over slices — so the
+whole fingerprint column is one whole-stage-codegen projection with no
+UDF, no shuffle, and no Python.  The pair stage is the family's standard
+inverted index: explode fingerprints, bucket-join, count shared prints
+per pair — never all-pairs.
+
+The hash is arithmetic (``h = Σ code(c)·B^i mod M`` with B=257,
+M=2^31-1), NOT xxhash, precisely so a SQL oracle can replay it exactly:
+DuckDB computes the identical fold with ``list_reduce``/``ord``, making
+the registered query hash-green rather than rows-only.
+
+Scale notes (100 TB): fingerprint density is ~2/(w+1) of the k-gram
+stream (winnowing's guarantee: ≥1 selection per window, expected 2/(w+1)
+distinct), so the inverted index carries a small constant fraction of
+the token volume.  Hot fingerprints (boilerplate) are bounded by
+``max_fp_freq`` exactly like ``max_shingle_freq`` in the Jaccard path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Polynomial base / modulus for the rolling gram hash.  B > any char
+#: code we care about; M = Mersenne 2^31-1 keeps acc·B + code < 2^40 —
+#: exact in a long under ANSI mode, and replayable in DuckDB BIGINTs.
+_HASH_BASE = 257
+_HASH_MOD = (1 << 31) - 1
+
+
+def _gram_hash(gram: Column) -> Column:
+    """Polynomial hash of a gram string: fold ``acc*B + code(c) mod M``
+    over its characters in order (``ascii`` = leading code point, one
+    element per character after the empty-string split)."""
+    chars = F.split(gram, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _HASH_BASE + F.ascii(c)) % _HASH_MOD,
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    out: str = "fps",
+) -> DataFrame:
+    """``(id, fps)``: the winnowing fingerprint set of each document.
+
+    Pipeline (all Catalyst expressions, one projection):
+
+    1. whitespace tokens (lowercased — same normalization as the shingle
+       family);
+    2. positional token k-grams (short docs yield one short gram, the
+       shingle-family guard);
+    3. polynomial hash per gram (:func:`_gram_hash`);
+    4. window minima: for every window of ``w`` consecutive gram hashes
+       take ``array_min`` — winnowing's selection rule.  Selecting by
+       value (not rightmost-position) keeps the fingerprint *set*
+       identical to the paper's for dedup purposes while staying a pure
+       array expression;
+    5. distinct minima = the fingerprint set.
+
+    The narrow input is spread to the core count first
+    (``parallelize_narrow_input``) — single-file scans must not pin the
+    hash pipeline to one core.
+    """
+    from .dedup import parallelize_narrow_input
+    from .text import tokens
+
+    narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
+    toks = F.col("__toks")
+    n_grams = F.greatest(F.size(toks) - k, F.lit(0)) + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(F.col("__grams"), _gram_hash)
+    n_windows = F.greatest(F.size(F.col("__h")) - w, F.lit(0)) + 1
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(F.col("__h"), i + 1, w)),
+    )
+    return (
+        narrow.withColumn("__toks", tokens(text_col))
+        .withColumn("__grams", grams)
+        .withColumn("__h", hashes)
+        .withColumn(out, F.array_distinct(mins))
+        .select(id_col, out)
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Partial-overlap candidate pairs by shared winnowing fingerprints.
+
+    Output ``(left_id, right_id, shared, containment)`` with
+    ``left_id < right_id``: ``shared`` = common fingerprint count,
+    ``containment`` = shared / min(|fps_l|, |fps_r|) — ≈1.0 when the
+    smaller document is wholly contained in the larger, regardless of how
+    big the larger one is (the case whole-doc Jaccard scores near 0).
+
+    Inverted-index shape: fingerprints explode once, pairs form inside
+    fingerprint buckets only, and per-pair work is a count aggregate —
+    the corpus text is never self-joined.  ``max_fp_freq`` drops
+    boilerplate fingerprints shared by more than that many documents
+    (the hot-bucket cap, same contract as ``max_shingle_freq``).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist()
+    sizes = fps.select(
+        F.col(id_col), F.size("fps").alias("__n_fp")
+    )
+    inv = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    if max_fp_freq is not None:
+        hot = (
+            inv.groupBy("fp")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > max_fp_freq)
+            .select("fp")
+        )
+        inv = inv.join(F.broadcast(hot), "fp", "left_anti")
+    a = inv.select(F.col(id_col).alias("left_id"), "fp")
+    b = inv.select(F.col(id_col).alias("right_id"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col(id_col).alias("left_id"), F.col("__n_fp").alias("__nl")
+            ),
+            "left_id",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("right_id"), F.col("__n_fp").alias("__nr")
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            "shared",
+            (
+                F.col("shared")
+                / F.least(F.col("__nl"), F.col("__nr")).cast("double")
+            ).alias("containment"),
+        )
+    )

@@ -1112,9 +1112,11 @@ CORRECTNESS_PRIORITY = [
     "multimodal_features", "doc_repetition_stats", "doc_scrub_pii",
     "doc_bm25_topk", "orders_price_quantiles", "emb_int8_quantize_error",
     "events_approx_distinct", "events_approx_quantiles",
-    # -- rule 2: code path touched in round 5 (ANN recall retune, k-means
-    #    speedup, cross-corpus index materialization, decontamination
-    #    single-scan rewrite, z-order path handling) -----------------------
+    # -- rule 2: new this round, or code path touched (ANN recall retune,
+    #    k-means speedup, cross-corpus index materialization,
+    #    decontamination single-scan rewrite, z-order path handling,
+    #    winnowing fingerprints NEW in r6) --------------------------------
+    "doc_winnow_overlap_pairs",
     "emb_lsh_topk", "emb_ivf_topk", "emb_ivf_kmeans_topk",
     "doc_cross_corpus_dedup", "doc_benchmark_decontamination",
     "docs_zorder_pruned_scan",

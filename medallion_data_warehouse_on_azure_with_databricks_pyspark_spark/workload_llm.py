@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, fingerprint, multimodal, similarity, text
 from .workload import load, query
 
 # ---------------------------------------------------------------------------
@@ -283,6 +283,57 @@ def doc_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("left_id", "right_id").alias("a_id"),
         F.greatest("left_id", "right_id").alias("b_id"),
         "jaccard",
+    )
+
+
+@query(
+    "doc_winnow_overlap_pairs",
+    oracle=r"""
+    WITH ct AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 5, 0) + 1 + 1),
+                            i -> array_to_string(t[i:i+4], ' ')) AS g
+      FROM ct),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(g, s -> list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(range(1, len(s) + 1), j -> ord(s[j])::BIGINT)),
+                (acc, c) -> (acc * 257 + c) % 2147483647)) AS h
+      FROM grams),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 4, 0) + 1 + 1),
+               i -> list_aggregate(h[i:i+3], 'min'))) AS f
+      FROM hashes),
+    inv AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    shared AS (
+      SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS shared
+      FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3)
+    SELECT s.left_id, s.right_id, s.shared,
+           s.shared / least(len(fl.f), len(fr.f))::DOUBLE AS containment
+    FROM shared s
+    JOIN fps fl ON fl.doc_id = s.left_id
+    JOIN fps fr ON fr.doc_id = s.right_id
+    """,
+)
+def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint partial-overlap pairs (Schleimer/Wilkerson/
+    Aiken, SIGMOD 2003 — ``operators/fingerprint.py``): token 5-grams,
+    polynomial rolling hash, window-4 minima; pairs sharing ≥3 selected
+    fingerprints with a containment score.  Catches the copied-passage /
+    embedded-document case whole-doc MinHash Jaccard misses.  The hash is
+    plain modular arithmetic precisely so the oracle replays the entire
+    pipeline (grams → hash fold → window minima → bucket join) exactly in
+    DuckDB — hash-green, not rows-only."""
+    return fingerprint.fingerprint_overlap_pairs(
+        load(spark, sf_dir, "documents"), k=5, w=4, min_shared=3
     )
 
 

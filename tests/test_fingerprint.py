@@ -1,0 +1,126 @@
+"""Winnowing fingerprints: exact pure-Python reference parity, the
+paper's coverage guarantee, the containment case MinHash misses, and the
+hot-fingerprint cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    dedup,
+    fingerprint,
+)
+from tests.conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+
+
+def _ref_fps(text: str, k: int = 5, w: int = 4) -> list[int]:
+    """Independent reference: tokens → positional k-grams → polynomial
+    char hash → window-w minima → order-preserving distinct."""
+    toks = text.strip().lower().split()
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(max(len(toks) - k, 0) + 1)
+    ]
+    hs = []
+    for g in grams:
+        acc = 0
+        for c in g:
+            acc = (acc * 257 + ord(c)) % ((1 << 31) - 1)
+        hs.append(acc)
+    mins = [min(hs[i : i + w]) for i in range(max(len(hs) - w, 0) + 1)]
+    out: list[int] = []
+    for m in mins:
+        if m not in out:
+            out.append(m)
+    return out
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    """Every document's fingerprint array must equal the independent
+    reference bit-for-bit (order included — array_distinct preserves
+    first-occurrence order, and so does the reference)."""
+    docs = spark.read.parquet(DOCS)
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in fingerprint.winnow_fingerprints(docs).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _ref_fps(r["text"]), r["doc_id"]
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """The winnowing guarantee (SIGMOD'03): two documents sharing a run of
+    at least w + k - 1 tokens share at least one selected fingerprint."""
+    k, w = 5, 4
+    run = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    assert len(run) >= w + k - 1
+    a = "one two three " + " ".join(run) + " four five six"
+    b = "seven eight nine ten " + " ".join(run) + " eleven"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in fingerprint.winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert fps[1] & fps[2], "shared run produced no shared fingerprint"
+
+
+def test_containment_found_where_whole_doc_jaccard_misses(spark):
+    """A short document pasted verbatim into a much larger one: whole-doc
+    MinHash at threshold 0.8 must NOT pair them (true Jaccard is tiny),
+    while fingerprint containment for the pair is ≈ 1.0 — the exact gap
+    this operator exists to close."""
+    inner = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew quartz potions under a vexing midnight sky"
+    )
+    filler = " ".join(f"filler{i} padding{i} noise{i}" for i in range(60))
+    big = filler + " " + inner + " " + " ".join(
+        f"tail{i} extra{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, inner), (2, big)], "doc_id long, text string"
+    )
+    minhash = dedup.minhash_dedup_pairs(df, threshold=0.8).collect()
+    assert minhash == []
+
+    pairs = fingerprint.fingerprint_overlap_pairs(df, min_shared=3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["left_id"], p["right_id"]) == (1, 2)
+    assert p["containment"] == 1.0, p
+
+
+def test_max_fp_freq_drops_boilerplate(spark):
+    """A fingerprint appearing in more than max_fp_freq docs must not
+    generate candidate pairs (the hot-bucket cap)."""
+    boiler = (
+        "standard license header apache version two point zero granted "
+        "to every file in this repository without exception"
+    )
+    rows = [(i, boiler + f" unique{i} suffix{i} token{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = fingerprint.fingerprint_overlap_pairs(
+        df, min_shared=1, max_fp_freq=3
+    ).collect()
+    uncapped = fingerprint.fingerprint_overlap_pairs(
+        df, min_shared=1
+    ).collect()
+    assert len(uncapped) == 15  # all C(6,2) pairs share the boilerplate
+    assert len(capped) == 0  # every shared print exceeds the cap
+
+
+def test_short_doc_single_gram(spark):
+    """Docs shorter than k tokens yield exactly one (short) gram and one
+    fingerprint — the shingle-family guard, no empty arrays anywhere."""
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    fps = {
+        r["doc_id"]: r["fps"]
+        for r in fingerprint.winnow_fingerprints(df).collect()
+    }
+    assert len(fps[1]) == 1 and fps[1] == fps[2]
+    pairs = fingerprint.fingerprint_overlap_pairs(df, min_shared=1).collect()
+    assert [(p["left_id"], p["right_id"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["containment"] == 1.0
