@@ -34,8 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(workload.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in
+    CORRECTNESS_PRIORITY order (the driver's 50-entry window consumes the
+    front of this dict — see workload.py's rotation policy)."""
+    return workload.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_benchmark_decontamination",
     "doc_cross_corpus_dedup",
     "doc_winnow_overlap_pairs",
+    "emb_ivf_indexed_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

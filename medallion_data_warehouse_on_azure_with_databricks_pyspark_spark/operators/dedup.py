@@ -473,6 +473,39 @@ def build_minhash_index(
     return path
 
 
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Extend an existing index with new documents' band/shingle rows —
+    the append-only corpus cadence (SCALE.md): the standing rows are
+    never recomputed or rewritten, only the new docs pay a signature
+    pass.  Hash-family parameters come from the manifest (the new rows
+    are only comparable to the old ones under identical coefficients);
+    callers own id uniqueness across appends, exactly as with any
+    append-mode table."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _MINHASH_INDEX_VERSION:
+        raise ValueError(f"unsupported minhash index version: {meta.get('version')}")
+    sh = shingle_frame(new_docs, id_col, text_col, meta["n"]).persist()
+    banded = banded_frame(
+        sh, id_col, meta["num_hashes"], meta["bands"], meta["seed"],
+        out_id=meta["id_col"],
+    )
+    banded.write.mode("append").parquet(os.path.join(index_path, "bands"))
+    sh.selectExpr(f"{id_col} as {meta['id_col']}", "sh").write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "shingles"))
+    sh.unpersist()
+    return index_path
+
+
 def minhash_pairs_against_index(
     shard: DataFrame,
     index_path: str,

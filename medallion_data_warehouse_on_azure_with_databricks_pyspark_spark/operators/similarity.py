@@ -520,3 +520,134 @@ def cosine_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized IVF index (cluster once, probe many)
+# ---------------------------------------------------------------------------
+
+#: Index layout version written by build_ivf_index.
+_IVF_INDEX_VERSION = 1
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    modulus: int = 37,
+    kmeans_iters: int = 0,
+    sample_fraction: float | None = None,
+) -> str:
+    """Materialize the corpus's IVF index to ``path`` — the embedding-side
+    twin of ``dedup.build_minhash_index``.
+
+    Writes:
+
+    * ``{path}/lists``  — the corpus ``(id, vec)`` rows **hive-partitioned
+      by pivot_id** (one parquet directory per inverted list, one file per
+      list via a pre-write repartition).  This layout IS the ANN win at
+      100 TB: a query batch probing ``nprobe`` of ``P`` lists reads
+      ~nprobe/P of the corpus bytes through static partition pruning —
+      the other lists are never opened.
+    * ``{path}/pivots`` — ``(pivot_id, pivot_vec)``, tiny, broadcast at
+      query time.
+    * ``{path}/meta.json`` — ``{id_col, vec_col, modulus, kmeans_iters,
+      version}``; probing is only meaningful against the quantizer that
+      built the lists, so the reader refuses a mismatched manifest.
+
+    ``kmeans_iters > 0`` trains the quantizer with that many Lloyd rounds
+    (``kmeans_pivots``; deterministic, optionally sample-trained);
+    ``kmeans_iters == 0`` uses the fixed-stride pivots (oracle-checkable).
+    Assignment cost is one broadcast-pivot pass over the corpus — paid
+    once, amortized over every subsequent query batch.  Append-only
+    corpora assign-and-append new vectors' list rows under the same
+    manifest; retraining the quantizer requires a rebuild.
+    """
+    import json
+    import os
+
+    if kmeans_iters > 0:
+        pivots = kmeans_pivots(
+            corpus, iters=kmeans_iters, modulus=modulus,
+            id_col=id_col, vec_col=vec_col, sample_fraction=sample_fraction,
+        )
+    else:
+        pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    assign = ivf_assign(corpus, pivots, 1, id_col, vec_col)
+    lists = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(assign.select(id_col, "pivot_id"), id_col)
+        .repartition("pivot_id")
+    )
+    lists.write.mode("overwrite").partitionBy("pivot_id").parquet(
+        os.path.join(path, "lists")
+    )
+    pivots.write.mode("overwrite").parquet(os.path.join(path, "pivots"))
+    meta = {
+        "version": _IVF_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "modulus": modulus,
+        "kmeans_iters": kmeans_iters,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def ivf_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k against a :func:`build_ivf_index` artifact,
+    reading ONLY the probed inverted lists.
+
+    The query batch is assigned to its ``nprobe`` nearest pivots, the
+    probed list ids are collected driver-side (bounded: ≤ |queries| ×
+    nprobe — the query batch is small by contract, same as
+    ``bm25_topk``'s query set), and the lists table is read with a
+    ``pivot_id IN (...)`` predicate that prunes at the partition level:
+    un-probed lists contribute zero scan tasks, so query cost scales with
+    nprobe/P of the corpus, not the corpus.  Scoring and ranking are the
+    in-memory ``ivf_topk`` path verbatim (same tie-breaks)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _IVF_INDEX_VERSION:
+        raise ValueError(f"unsupported ivf index version: {meta.get('version')}")
+    id_col = meta["id_col"]
+    spark = queries.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    q_probes = ivf_assign(queries, pivots, nprobe, query_id_col, vec_col)
+    probed = sorted(
+        r["pivot_id"]
+        for r in q_probes.select("pivot_id").distinct().collect()
+    )
+    lists = spark.read.parquet(os.path.join(index_path, "lists")).filter(
+        F.col("pivot_id").isin(probed)
+    )
+    c = lists.select(
+        F.col(id_col), F.col("pivot_id"), F.col(meta["vec_col"]).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .join(q_probes.select(query_id_col, "pivot_id"), query_id_col)
+        .withColumn("__qnorm", _norm(F.col("__qvec")))
+    )
+    scored = c.join(F.broadcast(q), "pivot_id")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "cosine",
+        _dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
+    )
+    return grouped_topk(scored, query_id_col, id_col, k)

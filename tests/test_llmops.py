@@ -588,3 +588,87 @@ def test_simhash_pairs_match_pure_python_reference(spark):
         }
         assert got == expected, (radius, combo)
         assert len(expected) > 0, (radius, combo)  # the check is not vacuous
+
+
+def test_ivf_index_matches_inmemory_path(spark, tmp_path):
+    """ivf_topk_against_index must reproduce the in-memory ivf_topk
+    bit-for-bit (same quantizer, same tie-breaks) on real embeddings."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_ivf_index(emb, str(tmp_path / "ivf"))
+    via_index = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=12
+    ).collect()
+    direct = similarity.ivf_topk(
+        emb, queries, k=10, nprobe=12, modulus=37
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+    assert via_index
+
+
+def test_ivf_index_prunes_unprobed_lists(spark, tmp_path):
+    """Partition pruning is the point of the artifact: a 1-query nprobe=2
+    probe must plan a scan restricted to exactly the 2 probed list
+    partitions (``PartitionFilters: [pivot_id IN (a,b)]``) — un-probed
+    lists contribute zero scan tasks."""
+    import re
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    idx = similarity.build_ivf_index(emb, str(tmp_path / "ivf"))
+    one_query = _emb_queries(emb).limit(1)
+    out = similarity.ivf_topk_against_index(one_query, idx, k=10, nprobe=2)
+    fm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(fm)
+    m = re.search(r"PartitionFilters: \[pivot_id#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2, m.group(1)
+    assert similarity.ivf_pivots(emb).count() > 2  # pruning skipped lists
+
+
+def test_ivf_index_version_mismatch_raises(spark, tmp_path):
+    import json
+
+    emb = spark.read.parquet(EMB)
+    idx = similarity.build_ivf_index(emb, str(tmp_path / "ivf"))
+    meta_path = tmp_path / "ivf" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["version"] = 999
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="version"):
+        similarity.ivf_topk_against_index(emb.limit(1), idx)
+
+
+def test_minhash_index_append_equals_full_rebuild(spark, tmp_path):
+    """Appending new docs to an index must answer shard queries exactly
+    like an index built on the full corpus in one shot (same hash family
+    from the manifest, standing rows untouched)."""
+    docs = spark.read.parquet(DOCS)
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 1)
+    shard = docs.filter(F.col("doc_id") % 3 == 2)
+
+    appended = dedup.build_minhash_index(old, str(tmp_path / "a"))
+    dedup.append_to_minhash_index(new, appended)
+    full = dedup.build_minhash_index(
+        old.unionByName(new), str(tmp_path / "b")
+    )
+    key = lambda r: (r["left_id"], r["right_id"], round(r["jaccard"], 12))
+    via_appended = sorted(
+        map(key, dedup.minhash_pairs_against_index(shard, appended).collect())
+    )
+    via_full = sorted(
+        map(key, dedup.minhash_pairs_against_index(shard, full).collect())
+    )
+    assert via_appended == via_full
+    assert via_appended  # planted near-dups cross the split
