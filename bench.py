@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_cross_corpus_dedup",
     "doc_winnow_overlap_pairs",
     "emb_ivf_indexed_topk",
+    "doc_gopher_quality",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -212,3 +212,98 @@ def decontaminate_flags(
         n_hit.alias("n_contaminated_grams"),
         (n_hit > 0).alias("contaminated"),
     )
+
+
+#: The "must contain ≥2 of these" word list from the Gopher/MassiveWeb
+#: quality rules (Rae et al. 2021, appendix A; reused by RefinedWeb/Dolma).
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_words: int = 2,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+) -> DataFrame:
+    """The Gopher/MassiveWeb document-quality rules (Rae et al. 2021,
+    appendix A) as one Catalyst projection — the published rule set most
+    large-scale corpus pipelines start from (RefinedWeb, Dolma).
+
+    Per document: one boolean per rule plus the conjunction
+    ``gopher_pass``.  Rules (defaults = the paper's):
+
+    * ``ok_word_count``      — 50 ≤ words ≤ 100,000
+    * ``ok_mean_word_len``   — 3 ≤ mean word length ≤ 10
+    * ``ok_symbol_ratio``    — (# + …) occurrences / words ≤ 0.1
+    * ``ok_bullet_lines``    — ≤ 90% of lines start with a bullet
+    * ``ok_ellipsis_lines``  — ≤ 30% of lines end with an ellipsis
+    * ``ok_alpha_words``     — ≥ 80% of words contain a letter
+    * ``ok_required_words``  — ≥ 2 of the 8 required common words
+      (``required_words`` — the paper's English function words by
+      default; corpora in another language/domain supply their own)
+
+    Flags are returned (not filtered) so callers audit before dropping —
+    same contract as ``decontaminate_flags``.  Everything is plain
+    string/array arithmetic: one scan, no UDF, no shuffle; ratios are
+    explicit double divisions so a SQL oracle agrees bit-for-bit.
+    """
+    from .text import tokens
+
+    c = F.col(text_col)
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    n_words_d = n_words.cast("double")
+    mean_wl = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / n_words_d
+    )
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words_d
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ).cast("double")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    ).cast("double")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike(r"[a-z]"))
+    ).cast("double")
+    required = F.array(*[F.lit(w) for w in required_words])
+    n_required = F.size(F.array_intersect(F.array_distinct(toks), required))
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "ok_bullet_lines": bullet_lines / n_lines <= max_bullet_line_ratio,
+        "ok_ellipsis_lines": ellipsis_lines / n_lines
+        <= max_ellipsis_line_ratio,
+        "ok_alpha_words": alpha_words / n_words_d >= min_alpha_word_ratio,
+        "ok_required_words": n_required >= min_required_words,
+    }
+    out = df.withColumn("__toks", tokens(text_col)).withColumns(flags)
+    gopher_pass = F.lit(True)
+    for name in flags:
+        gopher_pass = gopher_pass & F.col(name)
+    return out.withColumn("gopher_pass", gopher_pass).select(
+        id_col, *flags.keys(), "gopher_pass"
+    )

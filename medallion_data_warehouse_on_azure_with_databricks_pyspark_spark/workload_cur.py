@@ -296,3 +296,65 @@ def doc_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return curation.decontaminate_flags(docs, bench, n=7)
+
+
+@query(
+    "doc_gopher_quality",
+    oracle=r"""
+    WITH ct AS (
+      SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(t, x -> length(x)::DOUBLE)), (a,b) -> a + b)
+               / len(t) AS mean_wl,
+             (length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+               / len(t) AS symbol_ratio,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+               / len(string_split(text, chr(10))) AS bullet_ratio,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> regexp_matches(trim(l), '\.\.\.$')))::DOUBLE
+               / len(string_split(text, chr(10))) AS ellipsis_ratio,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / len(t) AS alpha_ratio,
+             len(list_intersect(list_distinct(t),
+                 ['join','hash','row','batch','scan','column','filter',
+                  'table'])) AS n_req
+      FROM ct)
+    SELECT doc_id,
+           n_words >= 30 AND n_words <= 100000 AS ok_word_count,
+           mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+           symbol_ratio <= 0.1 AS ok_symbol_ratio,
+           bullet_ratio <= 0.9 AS ok_bullet_lines,
+           ellipsis_ratio <= 0.3 AS ok_ellipsis_lines,
+           alpha_ratio >= 0.8 AS ok_alpha_words,
+           n_req >= 2 AS ok_required_words,
+           (n_words >= 30 AND n_words <= 100000)
+            AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+            AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+            AND n_req >= 2 AS gopher_pass
+    FROM m
+    """,
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveWeb quality rules (Rae et al. 2021, appendix A —
+    ``curation.gopher_quality_flags``) over the documents table: one
+    boolean per rule + the conjunction, one scan, no shuffle.  The
+    registered run lowers ``min_words`` to 30 and supplies corpus-domain
+    required words (the synthetic docs are short Spark-vocabulary text
+    with no English function words — the operator defaults stay the
+    paper's); the oracle replays every ratio with the same explicit
+    double arithmetic."""
+    return curation.gopher_quality_flags(
+        load(spark, sf_dir, "documents"),
+        min_words=30,
+        required_words=(
+            "join", "hash", "row", "batch", "scan", "column", "filter",
+            "table",
+        ),
+    )

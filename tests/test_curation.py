@@ -37,3 +37,39 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert not rows[12]["contaminated"]
     # totals are the doc's own distinct n-gram count
     assert rows[12]["n_grams"] == 3  # 7 tokens → 3 five-grams
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule (Rae et al. 2021 defaults) trips on its own
+    crafted violation while a clean document passes everything."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    base = ("the quick brown fox jumps over and over that lazy dog to have "
+            "fun with friends near be water ") * 3  # 57 words, en function words
+    rows = [
+        (0, base),                                          # passes all
+        (1, "the and of to be that have with short"),       # < 50 words
+        (2, " ".join(["extraordinarily"] * 60) + " the and"),  # mean len > 10
+        (3, base + " " + " ".join(["#"] * 12)),             # symbol ratio
+        (4, "\n".join("- " + w for w in base.split()[:55])),  # bullet lines
+        (5, "\n".join(w + "..." for w in base.split()[:55])),  # ellipsis lines
+        (6, base.split(" ", 1)[1] + " " + " ".join(str(i) for i in range(40))),
+        (7, " ".join(f"tok{i}" for i in range(60))),        # no required words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[0]["gopher_pass"] is True
+    expect_broken = {
+        1: "ok_word_count",
+        2: "ok_mean_word_len",
+        3: "ok_symbol_ratio",
+        4: "ok_bullet_lines",
+        5: "ok_ellipsis_lines",
+        6: "ok_alpha_words",
+        7: "ok_required_words",
+    }
+    for did, flag in expect_broken.items():
+        assert got[did][flag] is False, (did, flag, got[did])
+        assert got[did]["gopher_pass"] is False, did
