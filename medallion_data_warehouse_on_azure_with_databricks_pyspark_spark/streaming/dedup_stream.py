@@ -1,0 +1,100 @@
+"""Streaming dedup-on-arrival: the continuous-crawl ingestion pattern.
+
+Each arriving micro-batch of documents is near-dup-checked against the
+standing corpus's materialized MinHash index
+(``operators/dedup.build_minhash_index``), survivors are appended to both
+the accepted-documents table and the index itself, and flagged duplicates
+are quarantined with their matching corpus doc — so the corpus only ever
+grows by novel content, and the check for batch N+1 automatically sees
+what batch N admitted.
+
+Why ``foreachBatch``: the per-batch logic (index join + exact-Jaccard
+verify + index append) is a batch computation over an incremental input —
+exactly the case Structured Streaming's ``foreachBatch`` exists for.  The
+stream carries only the new documents; the standing corpus is touched
+exclusively through its index artifact (band rows + shingle sets), never
+re-scanned as text.
+
+Scale notes (100 TB standing corpus, GB-scale batches): per batch the
+work is the batch's own shingle pass plus a band equi-join against the
+index — independent of corpus *text* size; the index append writes only
+the batch's rows.  Checkpointing makes ingestion restartable; the index
+append is idempotent per batch id is NOT guaranteed by parquet append, so
+production runs pair the checkpoint with the driver's exactly-once sink
+(``sources/writers.overwrite_path`` per-batch dirs) — here the run-once
+``availableNow`` trigger keeps the semantics exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    accepted_dir: str,
+    rejected_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    threshold: float = 0.8,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Run-once streaming ingestion of ``source_dir`` parquet files with
+    dedup-on-arrival against (and append-into) ``index_path``.
+
+    Per micro-batch:
+
+    1. intra-batch near-dups collapse to their min-id representative
+       (``minhash_dedup_pairs`` + ``dedup_keep_representatives``);
+    2. representatives matching the standing index at ``threshold``
+       land in ``rejected_dir`` with ``(doc_id, matched_id, jaccard)``;
+    3. novel documents land in ``accepted_dir`` AND are appended to the
+       index (``append_to_minhash_index``), so later batches dedup
+       against them too.
+
+    ``max_files_per_trigger=1`` makes each source file its own batch —
+    deterministic batch boundaries for tests and replay.
+    """
+    from ..operators import dedup
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        reps = dedup.dedup_keep_representatives(
+            batch, dedup.minhash_dedup_pairs(batch, threshold=threshold)
+        ).persist()
+        pairs = dedup.minhash_pairs_against_index(
+            reps, index_path, threshold=threshold
+        )
+        best = (
+            pairs.groupBy("left_id")
+            .agg(F.max(F.struct("jaccard", "right_id")).alias("__b"))
+            .select(
+                F.col("left_id").alias("doc_id"),
+                F.col("__b.right_id").alias("matched_id"),
+                F.col("__b.jaccard").alias("jaccard"),
+            )
+        ).persist()
+        best.write.mode("append").parquet(rejected_dir)
+        accepted = reps.join(
+            best.select("doc_id"), "doc_id", "left_anti"
+        ).persist()
+        accepted.write.mode("append").parquet(accepted_dir)
+        dedup.append_to_minhash_index(accepted, index_path)
+        for df in (best, accepted, reps, batch):
+            df.unpersist()
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
