@@ -103,6 +103,7 @@ HEADLINE = [
     "doc_winnow_overlap_pairs",
     "emb_ivf_indexed_topk",
     "doc_gopher_quality",
+    "emb_lsh_multitable_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

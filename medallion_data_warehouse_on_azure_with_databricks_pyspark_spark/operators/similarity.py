@@ -651,3 +651,121 @@ def ivf_topk_against_index(
         / (F.col("__qnorm") * F.col("__cnorm")),
     )
     return grouped_topk(scored, query_id_col, id_col, k)
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    n_probes: int = 0,
+) -> DataFrame:
+    """Multi-table sign-LSH top-k — the classic E2LSH amplification
+    (Indyk-Motwani; Gionis/Indyk/Motwani VLDB'99): ``L`` independent
+    hash tables, a corpus row is a candidate if it collides with the
+    query in ANY table, so the miss probability multiplies across tables
+    (per-table recall r → union recall ≈ 1-(1-r)^L on independent
+    tables).  This is the production lever when single-table recall
+    plateaus: more tables buy recall at linear candidate cost with NO
+    change to per-table bucket sparsity (unlike fewer planes, which
+    fattens every bucket).
+
+    One corpus pass computes all ``L`` bucket ids into an array that
+    posexplodes to ``(id, table_id, bucket)`` — the corpus is scanned
+    once, not ``L`` times; at 100 TB this exploded index (L rows/vector)
+    is the persisted artifact.  The query side optionally multi-probes
+    within each table (``n_probes`` Hamming-1 flips per table, Lv et al.
+    VLDB'07 — composes with amplification).  Candidates are distinct
+    ``(query, id)`` pairs across tables; exact cosine runs once per
+    candidate (dedup BEFORE scoring), then the standard two-phase top-k.
+    """
+    if not tables:
+        raise ValueError("tables must be non-empty")
+    n_planes = len(tables[0])
+    if any(len(t) != n_planes for t in tables):
+        raise ValueError("all tables must have the same plane count")
+    if not 0 <= n_probes <= n_planes:
+        raise ValueError("n_probes must be in [0, n_planes]")
+
+    def bucket_array(vec: Column) -> Column:
+        return F.array(*[_sign_bucket(vec, t) for t in tables])
+
+    cb = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        .withColumn("__bs", bucket_array(F.col("__cvec")))
+        .select(
+            id_col, F.posexplode("__bs").alias("table_id", "bucket")
+        )
+    )
+    q_sel = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    per_table = []
+    for t_id, planes in enumerate(tables):
+        qb = (
+            q_sel.withColumn("__dots", _plane_dots(F.col("__qvec"), planes))
+            .withColumn("__b0", _bucket_from_dots(F.col("__dots"), n_planes))
+        )
+        if n_probes:
+            order = F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda i: F.struct(
+                            F.abs(F.get(F.col("__dots"), i)).alias("m"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                lambda s: s["i"],
+            )
+            flips = F.slice(order, 1, n_probes)
+            pow2 = F.array(
+                *[F.lit(1 << j).cast("long") for j in range(n_planes)]
+            )
+            probes = F.concat(
+                F.array(F.col("__b0")),
+                F.transform(
+                    flips, lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i))
+                ),
+            )
+            qb = qb.withColumn("bucket", F.explode(probes))
+        else:
+            qb = qb.withColumn("bucket", F.col("__b0"))
+        per_table.append(
+            qb.select(
+                query_id_col,
+                F.lit(t_id).cast("int").alias("table_id"),
+                "bucket",
+            )
+        )
+    q_probes = per_table[0]
+    for p in per_table[1:]:
+        q_probes = q_probes.unionByName(p)
+    cand = (
+        cb.join(F.broadcast(q_probes), ["table_id", "bucket"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    c_vec = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    q_vec = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    scored = (
+        cand.join(c_vec, id_col)
+        .join(F.broadcast(q_vec), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    return grouped_topk(scored, query_id_col, id_col, k)

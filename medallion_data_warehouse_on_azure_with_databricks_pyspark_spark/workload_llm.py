@@ -458,6 +458,78 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Three independent 4-plane tables for the amplified-LSH query (E2LSH):
+#: table 0 is the single-table query's family, 1-2 are fresh seeds.
+_LSH_TABLES = [similarity.random_planes(64, 4, seed=s) for s in (7, 11, 13)]
+
+
+def _multitable_lsh_oracle(tables: list[list[list[float]]]) -> str:
+    """DuckDB replay of lsh_multitable_topk at n_probes == n_planes: per
+    table, bucket both sides and fan each query over its full Hamming-1
+    probe set; candidates are the distinct union of per-table collisions;
+    exact cosine + rank run once per candidate pair."""
+    n_planes = len(tables[0])
+    per_table = []
+    for t, planes in enumerate(tables):
+        per_table.append(f"""
+    b{t} AS (
+      SELECT vec_id,
+             SUM(CASE WHEN {_fold_dot('e.embedding', 'planes.p')} >= 0
+                 THEN (1 << pid)::BIGINT ELSE 0::BIGINT END) AS bucket
+      FROM embeddings e CROSS JOIN {_planes_values(planes)}
+      GROUP BY vec_id),
+    q{t} AS (
+      SELECT b.vec_id AS query_id,
+             CASE WHEN pr.pid = -1 THEN b.bucket
+                  ELSE xor(b.bucket, (1 << pr.pid)::BIGINT) END AS bucket
+      FROM b{t} b CROSS JOIN
+           (VALUES {", ".join(f"({i})" for i in range(-1, n_planes))}) AS pr(pid)
+      WHERE b.vec_id % 25 = 0),
+    c{t} AS (
+      SELECT q.query_id, b.vec_id
+      FROM q{t} q JOIN b{t} b USING (bucket)
+      WHERE b.vec_id <> q.query_id)""")
+    bodies = ",".join(per_table)
+    union = "\n      UNION\n      ".join(
+        f"SELECT query_id, vec_id FROM c{t}" for t in range(len(tables))
+    )
+    return f"""
+    WITH {bodies.lstrip()},
+    cand AS (
+      {union}),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             {_fold_dot('qe.embedding', 'ce.embedding')}
+               / ({_fold_norm('qe.embedding')} * {_fold_norm('ce.embedding')})
+               AS cosine
+      FROM cand
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("emb_lsh_multitable_topk", oracle=_multitable_lsh_oracle(_LSH_TABLES))
+def emb_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amplified LSH top-10: three independent 4-plane tables (E2LSH,
+    Gionis/Indyk/Motwani VLDB'99), each fully multi-probed — a corpus row
+    is a candidate on a collision in ANY table, so the miss probability
+    multiplies: measured recall@10 0.5 (one table) → ~0.89 (three) at
+    sf0.01, the production recall lever when per-table sparsity must not
+    change.  One corpus pass computes all three bucket ids (posexploded
+    index, the 100 TB artifact); candidates dedup before exact scoring.
+    The oracle replays all three tables and the probe fans bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_multitable_topk(
+        emb, _emb_queries(emb), _LSH_TABLES, k=10, n_probes=4
+    )
+
+
 def _fold_l2sq(a: str, b: str) -> str:
     """Ordered-fold squared L2 distance (bit-exact vs ``similarity._l2sq``)."""
     d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
