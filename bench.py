@@ -104,6 +104,7 @@ HEADLINE = [
     "emb_ivf_indexed_topk",
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
+    "doc_duplicated_spans",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

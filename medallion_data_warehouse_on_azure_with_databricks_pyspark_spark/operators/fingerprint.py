@@ -56,6 +56,103 @@ def _gram_hash(gram: Column) -> Column:
     )
 
 
+def positional_gram_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """``(id, pos, gram_hash)``: the polynomial hash of the token k-gram at
+    every 0-based position — the positional primitive shared by winnowing
+    (window minima over it) and duplicated-span detection (inverted index
+    over it).  Short docs yield one position (the shingle-family guard);
+    the narrow input is spread to the core count first."""
+    from .dedup import parallelize_narrow_input
+    from .text import tokens
+
+    narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
+    toks = F.col("__toks")
+    n_grams = F.greatest(F.size(toks) - k, F.lit(0)) + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        narrow.withColumn("__toks", tokens(text_col))
+        .withColumn("__h", F.transform(grams, _gram_hash))
+        .select(id_col, F.posexplode("__h").alias("pos", "gram_hash"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — the exact-substring dedup target
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"): any token k-gram occurring ≥ ``min_occurrences``
+    times across the corpus marks its span as duplicated; overlapping and
+    adjacent marked spans merge into maximal intervals per document.
+
+    Output ``(id, span_start, span_end, span_tokens)`` with 0-based
+    inclusive token indices.  Where the suffix-array formulation needs a
+    global sort of the corpus, this k-gram relaxation is two shuffles —
+    an inverted-index count on the gram hash and a per-doc window merge —
+    at the cost of a fixed granularity ``k`` (spans shorter than ``k``
+    tokens are not flagged; the paper's 50-token threshold maps to
+    ``k=50``).  Repeats *within* one document count toward
+    ``min_occurrences`` (so boilerplate repeated inside a single doc is
+    flagged too, matching the paper's total-occurrence rule).
+
+    The interval merge is the classic running-max window: a span starts a
+    new group iff its start exceeds the running max end + 1 of all prior
+    spans in the doc; SQL-expressible, so the oracle replays it exactly.
+    """
+    from pyspark.sql import Window
+
+    occ = positional_gram_hashes(df, id_col, text_col, k)
+    dup = (
+        occ.groupBy("gram_hash")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("gram_hash")
+    )
+    marked = occ.join(dup, "gram_hash").select(
+        F.col(id_col),
+        F.col("pos").alias("__s"),
+        (F.col("pos") + k - 1).alias("__e"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = marked.withColumn(
+        "__new", (F.col("__s") > F.coalesce(F.max("__e").over(w), F.lit(-2)) + 1).cast("int")
+    ).withColumn(
+        "__grp",
+        F.sum("__new").over(
+            Window.partitionBy(id_col).orderBy("__s", "__e")
+        ),
+    )
+    return (
+        grouped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__s").alias("span_start"),
+            F.max("__e").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -337,6 +337,68 @@ def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_duplicated_spans",
+    oracle=r"""
+    WITH ct AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 5, 0) + 1 + 1),
+                            i -> array_to_string(t[i:i+4], ' ')) AS g
+      FROM ct),
+    hs AS (
+      SELECT doc_id,
+             list_transform(g, s -> list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(range(1, len(s) + 1), j -> ord(s[j])::BIGINT)),
+                (acc, c) -> (acc * 257 + c) % 2147483647)) AS h
+      FROM grams),
+    occ AS (
+      SELECT doc_id, u.pos, u.gh
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(h) + 1),
+                          i -> {'pos': i - 1, 'gh': h[i]})) AS u
+            FROM hs)),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+    marked AS (
+      SELECT o.doc_id, o.pos AS s, o.pos + 4 AS e
+      FROM occ o JOIN dup USING (gh)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM marked),
+    grouped AS (
+      SELECT doc_id, s, e,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM flagged)
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) + 1 AS span_tokens
+    FROM grouped GROUP BY doc_id, grp
+    """,
+)
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans (Lee et al. 2021 exact-substring
+    dedup, k-gram relaxation — ``operators/fingerprint.duplicated_spans``):
+    every token 5-gram occurring ≥2 times corpus-wide marks its span;
+    overlapping/adjacent marks merge per doc via the running-max-end
+    window.  Two shuffles total (gram-hash count + per-doc window); the
+    oracle replays hashes, counts, and the interval merge exactly."""
+    q = fingerprint.duplicated_spans(
+        load(spark, sf_dir, "documents"), k=5, min_occurrences=2
+    )
+    return q.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 @query("doc_simhash_pairs")  # xxhash64 fingerprints — no DuckDB equivalent
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (pigeonhole banding, ≤3 bits).

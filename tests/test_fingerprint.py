@@ -124,3 +124,40 @@ def test_short_doc_single_gram(spark):
     pairs = fingerprint.fingerprint_overlap_pairs(df, min_shared=1).collect()
     assert [(p["left_id"], p["right_id"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["containment"] == 1.0
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    """Crafted cross-doc and intra-doc repeats: spans, offsets, and the
+    interval merge must match an independent reference exactly."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    d1 = "one two three " + shared + " x1 y1 z1"
+    d2 = "seven eight " + shared + " p q r s"
+    d3 = ("repeatme one two three four five middlefiller junk "
+          "repeatme one two three four five end")
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in fingerprint.duplicated_spans(df, k=5).collect()
+    )
+    # docs 1/2: the 9-token shared run at their own offsets; doc 3: the
+    # 6-token internal repeat twice ("one two three" inside d1/d3 is only
+    # 3 tokens — below k, correctly NOT flagged on its own).
+    assert got == [
+        (1, 3, 11, 9),
+        (2, 2, 10, 9),
+        (3, 0, 5, 6),
+        (3, 8, 13, 6),
+    ], got
+
+
+def test_duplicated_spans_below_k_not_flagged(spark):
+    """Shared runs shorter than k tokens produce no spans (the granularity
+    contract of the k-gram relaxation)."""
+    df = spark.createDataFrame(
+        [(1, "common four token run aaa bbb ccc"),
+         (2, "xxx yyy common four token run zzz")],
+        "doc_id long, text string",
+    )
+    assert fingerprint.duplicated_spans(df, k=5).collect() == []
