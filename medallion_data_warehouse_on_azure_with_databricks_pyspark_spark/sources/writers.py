@@ -95,3 +95,48 @@ def save_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def compact_path(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Compact a parquet directory's small files toward ``target_file_mb``
+    and return the new file count — the OPTIMIZE/bin-packing maintenance
+    op every long-lived table needs (streaming sinks, per-batch appends,
+    and hive-partitioned writes all accrete small files, and at 100 TB
+    file-count is a planning-time cost: each file is a split to list,
+    open, and footer-read).
+
+    File count is sized from the directory's actual bytes
+    (``ceil(total_bytes / target)``, floor 1), the data is rewritten
+    through the atomic staging + dir-swap protocol of
+    :func:`overwrite_path` (readers never see a half-compacted table),
+    and row content is preserved exactly — compaction changes layout,
+    never data.  ``partition_by`` re-partitions the rewrite by those
+    columns (compact AND cluster in one pass).  Parquet compression makes
+    the on-disk result approximate; the guarantee is the file-count
+    reduction, not an exact size.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(n_files, *partition_by)
+    else:
+        out = df.repartition(n_files)
+    overwrite_path(out, path, partition_by=partition_by)
+    written = 0
+    for root, _dirs, files in os.walk(path):
+        written += sum(
+            1 for f in files if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return written

@@ -121,3 +121,29 @@ def test_medallion_end_to_end(spark, tmp_path):
     assert out["with_dim"] == out["n"]  # every order resolved its dim key
     for t in ("silver_t.customers", "gold_t.order_fact"):
         catalog.drop_table(spark, t)
+
+
+def test_compact_path_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must shrink file count to the byte-derived target and
+    keep row content byte-identical (layout-only operation)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        writers,
+    )
+
+    path = str(tmp_path / "frag")
+    # 40 tiny appends -> 40+ small files (a streaming-sink shape)
+    for i in range(40):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    import os
+
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert before >= 40
+    rows_before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    written = writers.compact_path(spark, path, target_file_mb=128)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert written == after == 1  # 400 tiny rows << 128 MB -> one file
+    rows_after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before
