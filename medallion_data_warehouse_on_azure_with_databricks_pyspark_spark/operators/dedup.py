@@ -451,14 +451,23 @@ def build_minhash_index(
     rows/doc, a few percent of typical document text volume per TB).
     Append-only corpora extend the index by writing new docs' band/shingle
     rows under the same manifest; a parameter change requires a rebuild.
+
+    The build stages the whole artifact (both tables + manifest) and
+    promotes it with one directory rename — a crashed rebuild can never
+    leave readers a live index mixing new band rows with old shingles or
+    a stale manifest.
     """
     import json
     import os
+    import uuid
 
+    from ..sources.writers import atomic_dir_swap
+
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
     sh = shingle_frame(df, id_col, text_col, n).persist()
     banded = banded_frame(sh, id_col, num_hashes, bands, seed)
-    banded.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    banded.write.mode("overwrite").parquet(os.path.join(stage, "bands"))
+    sh.write.mode("overwrite").parquet(os.path.join(stage, "shingles"))
     meta = {
         "version": _MINHASH_INDEX_VERSION,
         "id_col": id_col,
@@ -467,9 +476,10 @@ def build_minhash_index(
         "bands": bands,
         "seed": seed,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(stage, "meta.json"), "w") as f:
         json.dump(meta, f)
     sh.unpersist()
+    atomic_dir_swap(stage, path.rstrip("/"))
     return path
 
 
@@ -512,6 +522,7 @@ def minhash_pairs_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    persist_shard: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between ``shard`` and a corpus index built by
     :func:`build_minhash_index` — WITHOUT touching the corpus text.
@@ -521,9 +532,14 @@ def minhash_pairs_against_index(
     function does not take the corpus DataFrame at all), the shard is
     shingled once (persisted for its band pass + verification), and the
     band join + exact-Jaccard verify proceed exactly as
-    :func:`minhash_dedup_pairs_between`.  Hash-family parameters come from
-    the index manifest; a mismatched ``id_col`` request raises rather than
-    joining incomparable signatures.
+    :func:`minhash_dedup_pairs_between`.  Hash-family parameters (incl.
+    the corpus-side id column name) come from the index manifest.
+
+    ``persist_shard=False`` skips the shard-shingle persist: SQL-cache
+    entries outlive the returned DataFrame (Spark's cache manager is not
+    GC-driven), so long-running loops that call this per batch — e.g.
+    ``streaming/dedup_stream.py`` — should trade the one extra shingle
+    pass over the (small) batch for a cache that cannot accumulate.
 
     Output: ``(left_id, right_id, jaccard)`` — left = shard, right =
     corpus — for verified pairs ≥ ``threshold``.
@@ -539,7 +555,9 @@ def minhash_pairs_against_index(
     corpus_bands = spark.read.parquet(os.path.join(index_path, "bands"))
     corpus_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
     cid = meta["id_col"]
-    sh_s = shingle_frame(shard, id_col, text_col, meta["n"]).persist()
+    sh_s = shingle_frame(shard, id_col, text_col, meta["n"])
+    if persist_shard:
+        sh_s = sh_s.persist()
     lsh_s = banded_frame(
         sh_s, id_col, meta["num_hashes"], meta["bands"], meta["seed"],
         out_id="left_id",

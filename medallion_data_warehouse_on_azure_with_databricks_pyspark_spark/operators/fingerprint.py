@@ -56,31 +56,45 @@ def _gram_hash(gram: Column) -> Column:
     )
 
 
+def _gram_hash_array(toks: Column, k: int) -> Column:
+    """``array<long>`` of k-gram polynomial hashes over a token array —
+    THE shared gram definition: winnowing takes window minima over it,
+    duplicated-span detection inverts it, and both DuckDB oracles replay
+    it, so it must exist exactly once.  Short docs yield one (short)
+    gram — the shingle-family guard."""
+    n_grams = F.greatest(F.size(toks) - k, F.lit(0)) + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.transform(grams, _gram_hash)
+
+
 def positional_gram_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
 ) -> DataFrame:
-    """``(id, pos, gram_hash)``: the polynomial hash of the token k-gram at
-    every 0-based position — the positional primitive shared by winnowing
-    (window minima over it) and duplicated-span detection (inverted index
-    over it).  Short docs yield one position (the shingle-family guard);
-    the narrow input is spread to the core count first."""
+    """``(id, pos, gram_hash, n_tokens)``: the polynomial hash of the
+    token k-gram at every 0-based position, plus the document's token
+    count (consumers cap span ends with it).  The positional primitive
+    shared by winnowing (window minima) and duplicated-span detection
+    (inverted index); the narrow input is spread to the core count
+    first."""
     from .dedup import parallelize_narrow_input
     from .text import tokens
 
     narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
-    toks = F.col("__toks")
-    n_grams = F.greatest(F.size(toks) - k, F.lit(0)) + 1
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
     return (
         narrow.withColumn("__toks", tokens(text_col))
-        .withColumn("__h", F.transform(grams, _gram_hash))
-        .select(id_col, F.posexplode("__h").alias("pos", "gram_hash"))
+        .withColumn("__h", _gram_hash_array(F.col("__toks"), k))
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens"),
+            F.posexplode("__h").alias("pos", "gram_hash"),
+        )
+        .select(id_col, "pos", "gram_hash", "n_tokens")
     )
 
 
@@ -110,10 +124,14 @@ def duplicated_spans(
     The interval merge is the classic running-max window: a span starts a
     new group iff its start exceeds the running max end + 1 of all prior
     spans in the doc; SQL-expressible, so the oracle replays it exactly.
+    ``occ`` is persisted for its two uses (the count aggregate and the
+    marked join) so the per-character hash fold runs once, not twice.
+    Span ends are capped at the document's last token index (a shorter-
+    than-k doc's clamped gram must not report a span past its end).
     """
     from pyspark.sql import Window
 
-    occ = positional_gram_hashes(df, id_col, text_col, k)
+    occ = positional_gram_hashes(df, id_col, text_col, k).persist()
     dup = (
         occ.groupBy("gram_hash")
         .agg(F.count("*").alias("__c"))
@@ -123,7 +141,7 @@ def duplicated_spans(
     marked = occ.join(dup, "gram_hash").select(
         F.col(id_col),
         F.col("pos").alias("__s"),
-        (F.col("pos") + k - 1).alias("__e"),
+        F.least(F.col("pos") + k - 1, F.col("n_tokens") - 1).alias("__e"),
     )
     w = (
         Window.partitionBy(id_col)
@@ -185,13 +203,6 @@ def winnow_fingerprints(
     from .text import tokens
 
     narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
-    toks = F.col("__toks")
-    n_grams = F.greatest(F.size(toks) - k, F.lit(0)) + 1
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    hashes = F.transform(F.col("__grams"), _gram_hash)
     n_windows = F.greatest(F.size(F.col("__h")) - w, F.lit(0)) + 1
     mins = F.transform(
         F.sequence(F.lit(0), n_windows - 1),
@@ -199,8 +210,7 @@ def winnow_fingerprints(
     )
     return (
         narrow.withColumn("__toks", tokens(text_col))
-        .withColumn("__grams", grams)
-        .withColumn("__h", hashes)
+        .withColumn("__h", _gram_hash_array(F.col("__toks"), k))
         .withColumn(out, F.array_distinct(mins))
         .select(id_col, out)
     )

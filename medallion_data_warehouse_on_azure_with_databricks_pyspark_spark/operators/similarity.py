@@ -563,9 +563,17 @@ def build_ivf_index(
     once, amortized over every subsequent query batch.  Append-only
     corpora assign-and-append new vectors' list rows under the same
     manifest; retraining the quantizer requires a rebuild.
+
+    The build stages the whole artifact (lists + pivots + manifest) and
+    promotes it with one directory rename — a crashed rebuild can never
+    leave readers lists quantized by one pivot set next to a different
+    live pivot table.
     """
     import json
     import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
 
     if kmeans_iters > 0:
         pivots = kmeans_pivots(
@@ -580,10 +588,11 @@ def build_ivf_index(
         .join(assign.select(id_col, "pivot_id"), id_col)
         .repartition("pivot_id")
     )
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
     lists.write.mode("overwrite").partitionBy("pivot_id").parquet(
-        os.path.join(path, "lists")
+        os.path.join(stage, "lists")
     )
-    pivots.write.mode("overwrite").parquet(os.path.join(path, "pivots"))
+    pivots.write.mode("overwrite").parquet(os.path.join(stage, "pivots"))
     meta = {
         "version": _IVF_INDEX_VERSION,
         "id_col": id_col,
@@ -591,8 +600,9 @@ def build_ivf_index(
         "modulus": modulus,
         "kmeans_iters": kmeans_iters,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(stage, "meta.json"), "w") as f:
         json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
     return path
 
 
@@ -626,7 +636,11 @@ def ivf_topk_against_index(
     id_col = meta["id_col"]
     spark = queries.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    q_probes = ivf_assign(queries, pivots, nprobe, query_id_col, vec_col)
+    # Persisted: the assignment feeds both the driver-side probed-list
+    # collect and the scoring join — one broadcast-pivots pass, not two.
+    q_probes = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).persist()
     probed = sorted(
         r["pivot_id"]
         for r in q_probes.select("pivot_id").distinct().collect()

@@ -52,6 +52,21 @@ def overwrite_path(
         shutil.rmtree(old)
 
 
+def atomic_dir_swap(stage: str, path: str) -> None:
+    """Promote a fully-built staging directory to ``path`` with the same
+    rename protocol as :func:`overwrite_path` — used by multi-table
+    artifacts (MinHash/IVF indexes: several parquet tables + a manifest)
+    that must appear to readers all-at-once or not at all.  A build that
+    crashes mid-way leaves only an orphaned ``.__stage_*`` dir; the live
+    artifact is never a mix of old and new components."""
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def save_as_table(
     df: DataFrame,
     name: str,
@@ -111,17 +126,29 @@ def compact_path(
     open, and footer-read).
 
     File count is sized from the directory's actual bytes
-    (``ceil(total_bytes / target)``, floor 1), the data is rewritten
-    through the atomic staging + dir-swap protocol of
-    :func:`overwrite_path` (readers never see a half-compacted table),
-    and row content is preserved exactly — compaction changes layout,
-    never data.  ``partition_by`` re-partitions the rewrite by those
-    columns (compact AND cluster in one pass).  Parquet compression makes
-    the on-disk result approximate; the guarantee is the file-count
-    reduction, not an exact size.
+    (``ceil(total_bytes / target)``, floor 1), the data is rewritten to a
+    staging dir and promoted with one rename (readers never see a
+    half-compacted table), and row content is preserved exactly —
+    compaction changes layout, never data.  ``partition_by``
+    re-partitions the rewrite by those columns (compact AND cluster in
+    one pass).  Parquet compression makes the on-disk result
+    approximate; the guarantee is the file-count reduction, not an exact
+    size.
+
+    **Plain-parquet directories only** (always staged as parquet,
+    regardless of delta availability): a Delta table's directory mixes
+    live and tombstoned files that only the transaction log separates —
+    listing-based compaction would resurrect deleted rows, so Delta
+    tables are refused here (use ``OPTIMIZE`` there instead).
     """
     import math
 
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        raise ValueError(
+            "compact_path is for plain parquet directories; this is a "
+            "Delta table — compact it with OPTIMIZE so tombstoned files "
+            "are not resurrected"
+        )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -133,7 +160,12 @@ def compact_path(
         out = df.repartition(n_files, *partition_by)
     else:
         out = df.repartition(n_files)
-    overwrite_path(out, path, partition_by=partition_by)
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    writer = out.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(stage)
+    atomic_dir_swap(stage, path.rstrip("/"))
     written = 0
     for root, _dirs, files in os.walk(path):
         written += sum(

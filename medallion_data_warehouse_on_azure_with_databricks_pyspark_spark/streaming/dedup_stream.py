@@ -18,11 +18,16 @@ re-scanned as text.
 Scale notes (100 TB standing corpus, GB-scale batches): per batch the
 work is the batch's own shingle pass plus a band equi-join against the
 index — independent of corpus *text* size; the index append writes only
-the batch's rows.  Checkpointing makes ingestion restartable; the index
-append is idempotent per batch id is NOT guaranteed by parquet append, so
-production runs pair the checkpoint with the driver's exactly-once sink
-(``sources/writers.overwrite_path`` per-batch dirs) — here the run-once
-``availableNow`` trigger keeps the semantics exact.
+the batch's rows.
+
+Restart semantics: the accepted/rejected sinks write each batch into its
+own ``batch_id=N`` directory with OVERWRITE, so a crash-and-replay of a
+batch rewrites the same directory instead of duplicating rows
+(exactly-once for the document tables).  The index append is at-least-
+once: a replayed batch may re-append its band/shingle rows, which can
+never change a future dedup DECISION (candidates are ``distinct`` and
+the quarantine aggregate collapses duplicate identical pairs) — the cost
+is index storage only, reclaimed by the next compaction/rebuild.
 """
 
 from __future__ import annotations
@@ -39,6 +44,8 @@ def dedup_ingest(
     rejected_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
     threshold: float = 0.8,
     max_files_per_trigger: int = 1,
 ) -> None:
@@ -50,14 +57,21 @@ def dedup_ingest(
     1. intra-batch near-dups collapse to their min-id representative
        (``minhash_dedup_pairs`` + ``dedup_keep_representatives``);
     2. representatives matching the standing index at ``threshold``
-       land in ``rejected_dir`` with ``(doc_id, matched_id, jaccard)``;
+       land in ``rejected_dir`` with ``(id, matched_id, jaccard)``;
     3. novel documents land in ``accepted_dir`` AND are appended to the
        index (``append_to_minhash_index``), so later batches dedup
        against them too.
 
-    ``max_files_per_trigger=1`` makes each source file its own batch —
-    deterministic batch boundaries for tests and replay.
+    ``id_col``/``text_col`` name the stream's document columns (``schema``
+    must carry both).  ``max_files_per_trigger=1`` makes each source file
+    its own batch — deterministic batch boundaries for tests and replay.
+    Per-batch document writes go to ``batch_id=N`` subdirectories with
+    overwrite (idempotent under replay — see module docstring); the
+    shard-side operator persist is disabled so a long-running stream
+    cannot accumulate SQL-cache entries batch over batch.
     """
+    import os
+
     from ..operators import dedup
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -65,26 +79,37 @@ def dedup_ingest(
             return
         batch = batch.persist()
         reps = dedup.dedup_keep_representatives(
-            batch, dedup.minhash_dedup_pairs(batch, threshold=threshold)
+            batch,
+            dedup.minhash_dedup_pairs(
+                batch, id_col=id_col, text_col=text_col, threshold=threshold
+            ),
+            id_col=id_col,
         ).persist()
         pairs = dedup.minhash_pairs_against_index(
-            reps, index_path, threshold=threshold
+            reps, index_path, id_col=id_col, text_col=text_col,
+            threshold=threshold, persist_shard=False,
         )
         best = (
             pairs.groupBy("left_id")
             .agg(F.max(F.struct("jaccard", "right_id")).alias("__b"))
             .select(
-                F.col("left_id").alias("doc_id"),
+                F.col("left_id").alias(id_col),
                 F.col("__b.right_id").alias("matched_id"),
                 F.col("__b.jaccard").alias("jaccard"),
             )
         ).persist()
-        best.write.mode("append").parquet(rejected_dir)
+        best.write.mode("overwrite").parquet(
+            os.path.join(rejected_dir, f"batch_id={batch_id}")
+        )
         accepted = reps.join(
-            best.select("doc_id"), "doc_id", "left_anti"
+            best.select(id_col), id_col, "left_anti"
         ).persist()
-        accepted.write.mode("append").parquet(accepted_dir)
-        dedup.append_to_minhash_index(accepted, index_path)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+        dedup.append_to_minhash_index(
+            accepted, index_path, id_col=id_col, text_col=text_col
+        )
         for df in (best, accepted, reps, batch):
             df.unpersist()
 

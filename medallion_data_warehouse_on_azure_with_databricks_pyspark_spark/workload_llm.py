@@ -344,26 +344,26 @@ def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents),
     grams AS (
-      SELECT doc_id,
+      SELECT doc_id, len(t) AS n_toks,
              list_transform(range(1, greatest(len(t) - 5, 0) + 1 + 1),
                             i -> array_to_string(t[i:i+4], ' ')) AS g
       FROM ct),
     hs AS (
-      SELECT doc_id,
+      SELECT doc_id, n_toks,
              list_transform(g, s -> list_reduce(
                 list_prepend(0::BIGINT,
                   list_transform(range(1, len(s) + 1), j -> ord(s[j])::BIGINT)),
                 (acc, c) -> (acc * 257 + c) % 2147483647)) AS h
       FROM grams),
     occ AS (
-      SELECT doc_id, u.pos, u.gh
-      FROM (SELECT doc_id,
+      SELECT doc_id, n_toks, u.pos, u.gh
+      FROM (SELECT doc_id, n_toks,
                    unnest(list_transform(range(1, len(h) + 1),
                           i -> {'pos': i - 1, 'gh': h[i]})) AS u
             FROM hs)),
     dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
     marked AS (
-      SELECT o.doc_id, o.pos AS s, o.pos + 4 AS e
+      SELECT o.doc_id, o.pos AS s, least(o.pos + 4, o.n_toks - 1) AS e
       FROM occ o JOIN dup USING (gh)),
     flagged AS (
       SELECT doc_id, s, e,

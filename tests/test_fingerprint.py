@@ -161,3 +161,16 @@ def test_duplicated_spans_below_k_not_flagged(spark):
         "doc_id long, text string",
     )
     assert fingerprint.duplicated_spans(df, k=5).collect() == []
+
+
+def test_duplicated_spans_short_doc_end_is_capped(spark):
+    """A duplicated doc shorter than k must report a span capped at its
+    own last token index, never past the end of the document."""
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in fingerprint.duplicated_spans(df, k=5).collect()
+    )
+    assert got == [(1, 0, 1, 2), (2, 0, 1, 2)], got

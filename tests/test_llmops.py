@@ -716,3 +716,25 @@ def test_lsh_multitable_single_table_equals_lsh_topk(spark):
     ).collect()
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
     assert sorted(map(key, multi)) == sorted(map(key, single))
+
+
+def test_minhash_index_rebuild_replaces_atomically(spark, tmp_path):
+    """Rebuilding an index over the same path must fully replace all
+    three components (bands/shingles/manifest) — never mix hash
+    families — and leave no staging dirs behind."""
+    import json
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "some corpus text body here"), (1, "other corpus text body")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    dedup.build_minhash_index(docs, path, num_hashes=128, bands=32)
+    dedup.build_minhash_index(docs, path, num_hashes=64, bands=16)
+    meta = json.loads((tmp_path / "idx" / "meta.json").read_text())
+    assert (meta["num_hashes"], meta["bands"]) == (64, 16)
+    bands = spark.read.parquet(f"{path}/bands")
+    assert bands.count() == 2 * 16  # only the NEW family's rows
+    assert not [d for d in os.listdir(tmp_path) if "__stage_" in d]
+    assert not [d for d in os.listdir(tmp_path) if "__old_" in d]
