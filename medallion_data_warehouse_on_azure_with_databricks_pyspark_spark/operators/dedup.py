@@ -678,15 +678,20 @@ def dedup_keep_representatives(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    rounds: int = 5,
+    rounds: int = 20,
     graph_partitions: int | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs to clusters and keep the min-id representative.
 
-    Iterative label propagation (min-id flood) over the pair graph for
-    ``rounds`` iterations — near-dup graphs are overwhelmingly tiny cliques/
-    chains, so a handful of rounds converges; each round is one join+agg
-    (no driver-side loops over rows).
+    Iterative label propagation (min-id flood) over the pair graph, with
+    an exact convergence exit: labels only ever decrease under min-id
+    flood, so the label SUM is strictly monotone and an unchanged sum
+    after a round ⇔ no node changed ⇔ fixpoint — one cheap aggregate per
+    round, no join-based diff.  Near-dup graphs are overwhelmingly tiny
+    cliques/chains that converge in 2-3 rounds, so the ``rounds`` cap
+    (now 20, protecting pathological chains up to that diameter) is
+    almost never reached and raising it costs nothing; each round is one
+    join+agg (no driver-side loops over rows).
 
     Scale shape: propagation runs only over nodes that appear in a pair
     (≪ corpus — the edge list is persisted and each round touches just it),
@@ -720,6 +725,15 @@ def dedup_keep_representatives(
         .withColumn("label", F.col("src"))
         .localCheckpoint()
     )
+    # Exact-decimal label sum: the convergence signature (labels only
+    # decrease; equal sum ⇔ fixpoint).  DECIMAL(38,0) cannot overflow or
+    # round for any realistic id space.
+    def _sig(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sig = _sig(labels)
     for _ in range(rounds):
         # One shuffle per round: current labels ∪ labels pushed across edges,
         # then min per node.  Each round is checkpointed: iterative plans
@@ -736,6 +750,10 @@ def dedup_keep_representatives(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
+        sig = _sig(labels)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     losers = labels.filter(F.col("src") != F.col("label")).select(
         F.col("src").alias(id_col)
     )

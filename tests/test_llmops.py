@@ -738,3 +738,43 @@ def test_minhash_index_rebuild_replaces_atomically(spark, tmp_path):
     assert bands.count() == 2 * 16  # only the NEW family's rows
     assert not [d for d in os.listdir(tmp_path) if "__stage_" in d]
     assert not [d for d in os.listdir(tmp_path) if "__old_" in d]
+
+
+def test_dedup_representatives_long_chain_converges(spark):
+    """A 30-node chain (diameter ≫ the old fixed 5 rounds) must fully
+    flood to the min id — the convergence-exit loop runs as many rounds
+    as the graph actually needs, up to the cap."""
+    n = 30
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n - 1)],
+        "id_a long, id_b long, jaccard double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_representatives(df, pairs).collect()
+    )
+    assert kept == [0]  # one chain -> one representative
+
+
+def test_dedup_representatives_local_min_far_from_global_min(spark):
+    """Pathological id layout: a path where a local-min id sits 8 hops
+    from the component's true min.  A fixed 5-round flood would keep BOTH
+    as representatives; running to convergence keeps exactly one."""
+    # path: 10-11-12-13-14-15-16-17-18-0  (node 10 is a local min, the
+    # true min 0 is 9 hops away)
+    ids = [10, 11, 12, 13, 14, 15, 16, 17, 18, 0]
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in ids], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b, 0.9) for a, b in zip(ids, ids[1:])],
+        "id_a long, id_b long, jaccard double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_representatives(df, pairs).collect()
+    )
+    assert kept == [0], kept  # one component -> exactly one representative
