@@ -105,6 +105,7 @@ HEADLINE = [
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",
+    "doc_source_caps",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

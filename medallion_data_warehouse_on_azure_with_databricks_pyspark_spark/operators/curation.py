@@ -307,3 +307,40 @@ def gopher_quality_flags(
     return out.withColumn("gopher_pass", gopher_pass).select(
         id_col, *flags.keys(), "gopher_pass"
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group document cap — the domain rate-limiting
+    step of web-corpus pipelines (no single source/domain may dominate
+    the mixture, a standard control in C4/MassiveWeb-style curation).
+
+    Selection is hash-ranked, not arbitrary: each group keeps its ``cap``
+    rows with the smallest ``md5(id)`` rank (id tie-break), so the
+    surviving set is a pure function of the data — identical under
+    retries, repartitioning, and incremental re-runs, and statistically a
+    uniform subsample of the group (unlike "first cap rows", which bakes
+    in scan order).
+
+    Scale shape: selection runs through ``similarity.grouped_topk`` — a
+    two-phase per-group k-heap whose exchange carries at most
+    ``partitions × groups × cap`` candidate id rows, never the corpus —
+    then a left-semi join restores the full surviving rows.  Contrast a
+    ``row_number`` window, which would shuffle every row of the 100 TB
+    table to rank it.
+    """
+    from .similarity import grouped_topk
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    scored = df.select(F.col(id_col), F.col(group_col)).withColumn(
+        "__score", -_hash_u32(F.col(id_col)).cast("double")
+    )
+    keep = grouped_topk(scored, group_col, id_col, cap, score_col="__score")
+    return df.join(
+        keep.select(id_col), id_col, "left_semi"
+    )

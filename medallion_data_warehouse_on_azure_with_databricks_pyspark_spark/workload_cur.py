@@ -358,3 +358,28 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table",
         ),
     )
+
+
+@query(
+    "doc_source_caps",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)}, doc_id
+             ) AS rn
+      FROM documents) WHERE rn <= 10
+    """,
+)
+def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (``curation.cap_per_group``): no source may
+    contribute more than 10 documents — the domain rate-limiting control
+    of C4/MassiveWeb-style pipelines.  Selection is hash-ranked (smallest
+    md5(id) first), so survivors are a deterministic uniform subsample of
+    each source; the engine runs it through the two-phase grouped_topk
+    k-heap (exchange carries ≤ partitions × sources × cap id rows), while
+    the oracle uses the equivalent full row_number window — identical
+    survivor sets, different physical cost."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.cap_per_group(docs, cap=10).select("doc_id", "source")

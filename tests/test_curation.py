@@ -73,3 +73,31 @@ def test_gopher_quality_rules(spark):
     for did, flag in expect_broken.items():
         assert got[did][flag] is False, (did, flag, got[did])
         assert got[did]["gopher_pass"] is False, did
+
+
+def test_cap_per_group_deterministic_and_binding(spark):
+    """Per-group cap: exactly min(cap, group size) survivors per group,
+    identical under repartitioning (hash-ranked, not scan-ordered), and
+    survivors are a subset of the input."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.curation import (
+        cap_per_group,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"s{i % 3}", f"t{i}") for i in range(40)]  # 3 groups: 14/13/13
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = cap_per_group(df, cap=5)
+    counts = {
+        r["source"]: r["c"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    ids_reparted = sorted(
+        r["doc_id"] for r in cap_per_group(df.repartition(7), cap=5).collect()
+    )
+    assert ids == ids_reparted
+    assert set(ids) <= set(range(40))
+
+    # cap larger than every group passes everything through
+    assert cap_per_group(df, cap=100).count() == 40
