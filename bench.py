@@ -106,6 +106,7 @@ HEADLINE = [
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",
     "doc_source_caps",
+    "doc_duplication_stats",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -171,6 +171,46 @@ def duplicated_spans(
     )
 
 
+def duplication_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplication rollup — the filtering metric Lee et al.
+    2021 actually act on: ``(id, n_tokens, dup_tokens, dup_ratio,
+    n_spans)``, where ``dup_tokens`` is the union size of the document's
+    duplicated spans (:func:`duplicated_spans` already merges overlaps,
+    so a straight sum is exact) and ``dup_ratio = dup_tokens/n_tokens``.
+    Documents with NO duplicated span appear with zeros — the rollup
+    covers the whole corpus, not just flagged docs, so a threshold filter
+    (``dup_ratio <= x``) can be applied directly."""
+    from .text import token_count
+
+    spans = duplicated_spans(df, id_col, text_col, k, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    base = token_count(
+        df.select(F.col(id_col), F.col(text_col)), text_col, out="n_tokens"
+    ).select(id_col, "n_tokens")
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("dup_ratio"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -606,6 +606,39 @@ def build_ivf_index(
     return path
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    index_path: str,
+) -> str:
+    """Extend an existing IVF index with new vectors — the append-only
+    corpus cadence: the new rows are assigned against the index's STORED
+    pivots (reading them is the only index access; standing list rows are
+    never rewritten) and appended into the matching ``pivot_id=``
+    partitions.  The quantizer is deliberately NOT retrained — recall
+    degrades gracefully as the distribution drifts, and a retrain is an
+    explicit rebuild.  Callers own id uniqueness across appends."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _IVF_INDEX_VERSION:
+        raise ValueError(f"unsupported ivf index version: {meta.get('version')}")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark = new_vectors.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    assign = ivf_assign(new_vectors, pivots, 1, id_col, vec_col)
+    (
+        new_vectors.select(F.col(id_col), F.col(vec_col))
+        .join(assign.select(id_col, "pivot_id"), id_col)
+        .repartition("pivot_id")
+        .write.mode("append")
+        .partitionBy("pivot_id")
+        .parquet(os.path.join(index_path, "lists"))
+    )
+    return index_path
+
+
 def ivf_topk_against_index(
     queries: DataFrame,
     index_path: str,

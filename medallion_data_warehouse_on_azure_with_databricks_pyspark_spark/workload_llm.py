@@ -785,3 +785,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("features"), F.lit(0.0), lambda a, v: a + v.cast("double")
         ).alias("feature_sum"),
     )
+
+
+@query(
+    "doc_duplication_stats",
+    oracle=r"""
+    WITH ct AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, len(t) AS n_toks,
+             list_transform(range(1, greatest(len(t) - 5, 0) + 1 + 1),
+                            i -> array_to_string(t[i:i+4], ' ')) AS g
+      FROM ct),
+    hs AS (
+      SELECT doc_id, n_toks,
+             list_transform(g, s -> list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(range(1, len(s) + 1), j -> ord(s[j])::BIGINT)),
+                (acc, c) -> (acc * 257 + c) % 2147483647)) AS h
+      FROM grams),
+    occ AS (
+      SELECT doc_id, n_toks, u.pos, u.gh
+      FROM (SELECT doc_id, n_toks,
+                   unnest(list_transform(range(1, len(h) + 1),
+                          i -> {'pos': i - 1, 'gh': h[i]})) AS u
+            FROM hs)),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+    marked AS (
+      SELECT o.doc_id, o.pos AS s, least(o.pos + 4, o.n_toks - 1) AS e
+      FROM occ o JOIN dup USING (gh)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS nw
+      FROM marked),
+    grouped AS (
+      SELECT doc_id, s, e,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, max(e) - min(s) + 1 AS span_tokens
+      FROM grouped GROUP BY doc_id, grp),
+    rolled AS (
+      SELECT doc_id, sum(span_tokens) AS dup_tokens, count(*) AS n_spans
+      FROM spans GROUP BY doc_id),
+    base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           coalesce(r.dup_tokens, 0)::DOUBLE
+             / greatest(b.n_tokens, 1)::DOUBLE AS dup_ratio,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans
+    FROM base b LEFT JOIN rolled r USING (doc_id)
+    """,
+)
+def doc_duplication_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication rollup (``fingerprint.duplication_stats``):
+    duplicated-token count, ratio, and span count for EVERY document —
+    the corpus-filtering metric Lee et al. 2021 threshold on (drop or
+    trim docs whose dup_ratio exceeds policy).  Oracle replays the whole
+    span pipeline plus the rollup."""
+    return fingerprint.duplication_stats(
+        load(spark, sf_dir, "documents"), k=5, min_occurrences=2
+    )

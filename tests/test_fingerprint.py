@@ -174,3 +174,26 @@ def test_duplicated_spans_short_doc_end_is_capped(spark):
         for r in fingerprint.duplicated_spans(df, k=5).collect()
     )
     assert got == [(1, 0, 1, 2), (2, 0, 1, 2)], got
+
+
+def test_duplication_stats_rollup(spark):
+    """Rollup invariants on crafted docs: merged-span union sizes, zeros
+    for clean docs, and ratio = dup_tokens/n_tokens."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    d1 = "one two three " + shared + " x1 y1 z1"          # 18 tokens, 9 dup
+    d2 = "seven eight " + shared + " p q r s"             # 17 tokens, 9 dup
+    d3 = "a completely clean document with no repeats at all here"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in fingerprint.duplication_stats(df, k=5).collect()
+    }
+    assert len(got) == 3  # every doc appears, flagged or not
+    assert (got[1]["dup_tokens"], got[1]["n_spans"]) == (9, 1)
+    assert (got[2]["dup_tokens"], got[2]["n_spans"]) == (9, 1)
+    assert (got[3]["dup_tokens"], got[3]["n_spans"], got[3]["dup_ratio"]) == (
+        0, 0, 0.0,
+    )
+    assert got[1]["dup_ratio"] == 9 / got[1]["n_tokens"]

@@ -778,3 +778,30 @@ def test_dedup_representatives_local_min_far_from_global_min(spark):
         for r in dedup.dedup_keep_representatives(df, pairs).collect()
     )
     assert kept == [0], kept  # one component -> exactly one representative
+
+
+def test_ivf_index_append_matches_stored_pivot_inmemory(spark, tmp_path):
+    """Appending vectors to an IVF index must answer queries exactly like
+    the in-memory path over the full corpus with the index's STORED
+    pivots (the quantizer is frozen on append — by design)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.build_ivf_index(old, str(tmp_path / "ivf"))
+    similarity.append_to_ivf_index(new, idx)
+
+    queries = _emb_queries(emb)
+    via_index = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=4
+    ).collect()
+    stored_pivots = spark.read.parquet(str(tmp_path / "ivf" / "pivots"))
+    direct = similarity.ivf_topk(
+        emb, queries, k=10, nprobe=4, pivots=stored_pivots
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+    assert via_index
