@@ -112,3 +112,30 @@ def test_cube_is_single_partial_aggregated_pass(spark):
     assert "Expand" in plan                      # grouping-set expansion map-side
     assert plan.count("Exchange") == 1           # one shuffle for all lattices
     assert plan.count("HashAggregate") >= 2      # partial + final
+
+
+def test_winnow_and_span_queries_avoid_cartesian(spark):
+    # Pair generation MUST go through the fingerprint/gram inverted-index
+    # equi-joins — a nested-loop or cartesian anywhere means the all-pairs
+    # shape the operators exist to avoid.
+    for q in ("doc_winnow_overlap_pairs", "doc_duplicated_spans",
+              "doc_duplication_stats"):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_source_caps_avoid_row_number_window(spark):
+    # The per-group cap must lower to the two-phase k-heap partial
+    # aggregate (exchange carries groups x cap candidates), never a
+    # row_number window that shuffles every corpus row to rank it.
+    plan = _plan(spark, "doc_source_caps")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan               # partial+final k-heap
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark):
+    # The indexed ANN probe's lists scan must carry a pivot_id partition
+    # filter — un-probed inverted lists contribute zero scan tasks.
+    plan = _plan(spark, "emb_ivf_indexed_topk")
+    assert "PartitionFilters: [pivot_id" in plan
