@@ -710,6 +710,7 @@ def lsh_multitable_topk(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
     n_probes: int = 0,
+    max_bucket_freq: int | None = None,
 ) -> DataFrame:
     """Multi-table sign-LSH top-k — the classic E2LSH amplification
     (Indyk-Motwani; Gionis/Indyk/Motwani VLDB'99): ``L`` independent
@@ -729,6 +730,15 @@ def lsh_multitable_topk(
     VLDB'07 — composes with amplification).  Candidates are distinct
     ``(query, id)`` pairs across tables; exact cosine runs once per
     candidate (dedup BEFORE scoring), then the standard two-phase top-k.
+
+    ``max_bucket_freq`` is the hot-bucket cap (same contract as the dedup
+    family's ``max_shingle_freq``): per-table buckets holding more than
+    that many corpus vectors are dropped from candidate generation — a
+    degenerate cluster (e.g. millions of near-identical boilerplate
+    embeddings hashing together in EVERY table) otherwise turns the
+    bucket join quadratic.  A vector is only excluded via its hot
+    buckets; it stays reachable through any non-hot bucket in another
+    table, so the recall trade is explicit and bounded.
     """
     if not tables:
         raise ValueError("tables must be non-empty")
@@ -748,6 +758,14 @@ def lsh_multitable_topk(
             id_col, F.posexplode("__bs").alias("table_id", "bucket")
         )
     )
+    if max_bucket_freq is not None:
+        hot = (
+            cb.groupBy("table_id", "bucket")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > max_bucket_freq)
+            .select("table_id", "bucket")
+        )
+        cb = cb.join(F.broadcast(hot), ["table_id", "bucket"], "left_anti")
     q_sel = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )

@@ -805,3 +805,34 @@ def test_ivf_index_append_matches_stored_pivot_inmemory(spark, tmp_path):
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
     assert sorted(map(key, via_index)) == sorted(map(key, direct))
     assert via_index
+
+
+def test_lsh_multitable_hot_bucket_cap(spark):
+    """A degenerate cluster (many identical vectors) must be droppable
+    from candidate generation via max_bucket_freq, while normal vectors
+    keep ranking — and with no cap the hot cluster dominates results."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _LSH_TABLES,
+    )
+
+    dim = 64
+    hot_vec = [1.0] + [0.0] * (dim - 1)
+    rows = [(i, hot_vec) for i in range(100)]          # degenerate cluster
+    rows += [(100 + i, [0.0] * i + [1.0, 0.5] + [0.0] * (dim - 2 - i))
+             for i in range(8)]                        # normal spread
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # query FROM the degenerate cluster: its 99 identical twins share its
+    # bucket in every table, so uncapped results are all hot twins
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    uncapped = similarity.lsh_multitable_topk(
+        emb, q, _LSH_TABLES, k=10, n_probes=4
+    ).collect()
+    assert uncapped and all(r["vec_id"] < 100 for r in uncapped)
+    capped = similarity.lsh_multitable_topk(
+        emb, q, _LSH_TABLES, k=10, n_probes=4, max_bucket_freq=50
+    ).collect()
+    # the 100-vector bucket exceeds the cap in every table -> no hot twin
+    # can become a candidate; any surviving result is a normal vector
+    assert all(r["vec_id"] >= 100 for r in capped), capped
