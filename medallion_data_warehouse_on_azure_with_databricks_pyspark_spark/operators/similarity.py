@@ -834,3 +834,159 @@ def lsh_multitable_topk(
         )
     )
     return grouped_topk(scored, query_id_col, id_col, k)
+
+
+#: Index layout version written by build_lsh_index.
+_LSH_INDEX_VERSION = 1
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the multi-table LSH index — the third artifact of the
+    family (MinHash bands, IVF lists, LSH buckets).
+
+    Writes ``{path}/buckets`` — ``(id, table_id, bucket)``, the exploded
+    per-table sign buckets (L rows/vector, the join side of every future
+    query batch) — ``{path}/vectors`` — ``(id, vec)`` stored ONCE, read
+    only to score candidates — and ``{path}/meta.json`` pinning the plane
+    tables themselves (buckets are only meaningful under the exact planes
+    that produced them, so the reader takes NO plane argument: the
+    manifest is the single source of truth).  Staged + promoted with one
+    rename, like the other index builders."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    if not tables:
+        raise ValueError("tables must be non-empty")
+
+    def bucket_array(vec: Column) -> Column:
+        return F.array(*[_sign_bucket(vec, t) for t in tables])
+
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .withColumn("__bs", bucket_array(F.col("__v")))
+        .select(id_col, F.posexplode("__bs").alias("table_id", "bucket"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "buckets"))
+    )
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _LSH_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "tables": tables,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def lsh_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    n_probes: int = 0,
+) -> DataFrame:
+    """Amplified-LSH top-k against a :func:`build_lsh_index` artifact:
+    identical candidates, scores, and ranks as the in-memory
+    :func:`lsh_multitable_topk` under the manifest's plane tables — the
+    corpus is touched only through its bucket index and stored vectors
+    (bucket pass paid once at build, never per query batch)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _LSH_INDEX_VERSION:
+        raise ValueError(f"unsupported lsh index version: {meta.get('version')}")
+    tables = meta["tables"]
+    id_col = meta["id_col"]
+    n_planes = len(tables[0])
+    if not 0 <= n_probes <= n_planes:
+        raise ValueError("n_probes must be in [0, n_planes]")
+    spark = queries.sparkSession
+    cb = spark.read.parquet(os.path.join(index_path, "buckets"))
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
+    q_sel = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    per_table = []
+    for t_id, planes in enumerate(tables):
+        qb = (
+            q_sel.withColumn("__dots", _plane_dots(F.col("__qvec"), planes))
+            .withColumn("__b0", _bucket_from_dots(F.col("__dots"), n_planes))
+        )
+        if n_probes:
+            order = F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda i: F.struct(
+                            F.abs(F.get(F.col("__dots"), i)).alias("m"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                lambda s: s["i"],
+            )
+            flips = F.slice(order, 1, n_probes)
+            pow2 = F.array(
+                *[F.lit(1 << j).cast("long") for j in range(n_planes)]
+            )
+            probes = F.concat(
+                F.array(F.col("__b0")),
+                F.transform(
+                    flips, lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i))
+                ),
+            )
+            qb = qb.withColumn("bucket", F.explode(probes))
+        else:
+            qb = qb.withColumn("bucket", F.col("__b0"))
+        per_table.append(
+            qb.select(
+                query_id_col,
+                F.lit(t_id).cast("int").alias("table_id"),
+                "bucket",
+            )
+        )
+    q_probes = per_table[0]
+    for p in per_table[1:]:
+        q_probes = q_probes.unionByName(p)
+    cand = (
+        cb.join(F.broadcast(q_probes), ["table_id", "bucket"])
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    c_vec = vectors.select(
+        F.col(id_col), F.col(meta["vec_col"]).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    q_vec = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    scored = (
+        cand.join(c_vec, id_col)
+        .join(F.broadcast(q_vec), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    return grouped_topk(scored, query_id_col, id_col, k)

@@ -836,3 +836,25 @@ def test_lsh_multitable_hot_bucket_cap(spark):
     # the 100-vector bucket exceeds the cap in every table -> no hot twin
     # can become a candidate; any surviving result is a normal vector
     assert all(r["vec_id"] >= 100 for r in capped), capped
+
+
+def test_lsh_index_matches_inmemory_multitable(spark, tmp_path):
+    """The materialized LSH index must reproduce lsh_multitable_topk
+    bit-for-bit under the manifest's plane tables (planes round-trip
+    through JSON exactly — they are Python floats)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _LSH_TABLES, _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_lsh_index(emb, str(tmp_path / "lsh"), _LSH_TABLES)
+    via_index = similarity.lsh_topk_against_index(
+        queries, idx, k=10, n_probes=4
+    ).collect()
+    direct = similarity.lsh_multitable_topk(
+        emb, queries, _LSH_TABLES, k=10, n_probes=4
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+    assert via_index
