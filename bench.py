@@ -120,6 +120,7 @@ EXCLUDED = {
     # checkpoint-directory streaming harnesses: wall-clock is dominated by
     # per-run temp-dir setup, already covered by events_stateful_sessions
     "events_stream_ingest": "file-stream harness setup noise; covered by stateful query",
+    "doc_stream_dedup_ingest": "file-stream + scratch-index harness setup noise; the dedup math it exercises is timed via doc_cross_corpus_dedup and doc_minhash_dedup_pairs",
 }
 
 

@@ -1118,7 +1118,7 @@ CORRECTNESS_PRIORITY = [
     #    winnowing fingerprints NEW in r6) --------------------------------
     "doc_winnow_overlap_pairs", "emb_ivf_indexed_topk", "doc_gopher_quality",
     "emb_lsh_multitable_topk", "doc_duplicated_spans", "doc_source_caps",
-    "doc_duplication_stats",
+    "doc_duplication_stats", "doc_stream_dedup_ingest",
     "emb_lsh_topk", "emb_ivf_topk", "emb_ivf_kmeans_topk",
     "doc_cross_corpus_dedup", "doc_benchmark_decontamination",
     "docs_zorder_pruned_scan",

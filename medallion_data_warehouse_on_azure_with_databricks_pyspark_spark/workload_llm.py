@@ -855,3 +855,68 @@ def doc_duplication_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint.duplication_stats(
         load(spark, sf_dir, "documents"), k=5, min_occurrences=2
     )
+
+
+@query(
+    "doc_stream_dedup_ingest",
+    oracle="WITH RECURSIVE " + _JACCARD_PAIRS_CTES.format(threshold="0.8") + """,
+    odd_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      WHERE id_a % 2 = 1 AND id_b % 2 = 1
+      UNION ALL
+      SELECT id_b, id_a FROM dup_pairs
+      WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 1
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN odd_edges e ON cc.node = e.src),
+    labels AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+    reps AS (SELECT node AS doc_id FROM labels WHERE node = label),
+    matched AS (
+      SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+      FROM dup_pairs WHERE (id_a % 2) <> (id_b % 2))
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    JOIN reps USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
+    """,
+)
+def doc_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-arrival end-to-end in the driver gate
+    (``streaming/dedup_stream.dedup_ingest``): even doc_ids form the
+    standing corpus (their MinHash index is built in a scratch dir), odd
+    doc_ids arrive as a checkpointed availableNow stream, and the query
+    returns the ACCEPTED table — intra-batch near-dups collapsed to
+    min-id representatives, index matches quarantined.  The oracle
+    replays the decision exactly in SQL: connected-component
+    representatives over odd-odd exact-Jaccard pairs ≥0.8, minus any rep
+    with a cross-parity pair (LSH misses J ≥ 0.8 with probability
+    ≤ 1.5e-7 at 32×4 bands — the cross-corpus argument).  The first
+    streaming LLM-ops query with a full value-hash oracle."""
+    import os
+    import tempfile
+
+    from .streaming import dedup_stream
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    work = tempfile.mkdtemp(prefix="medallion_streamdedup_")
+    idx = dedup.build_minhash_index(corpus, os.path.join(work, "idx"))
+    src = os.path.join(work, "src")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src)
+    dedup_stream.dedup_ingest(
+        spark,
+        source_dir=src,
+        index_path=idx,
+        accepted_dir=os.path.join(work, "accepted"),
+        rejected_dir=os.path.join(work, "rejected"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        schema=(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ),
+        threshold=0.8,
+    )
+    return spark.read.parquet(os.path.join(work, "accepted")).select(
+        "doc_id", "lang", "n_chars"
+    )
