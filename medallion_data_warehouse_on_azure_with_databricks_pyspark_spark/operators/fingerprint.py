@@ -185,7 +185,14 @@ def duplication_stats(
     so a straight sum is exact) and ``dup_ratio = dup_tokens/n_tokens``.
     Documents with NO duplicated span appear with zeros — the rollup
     covers the whole corpus, not just flagged docs, so a threshold filter
-    (``dup_ratio <= x``) can be applied directly."""
+    (``dup_ratio <= x``) can be applied directly.
+
+    ``n_tokens`` deliberately comes from a second narrow (id, text)
+    projection (``token_count`` — blank text counts 0) rather than from
+    the span pipeline's per-position count (which, like the whole shingle
+    family, counts blank text as one empty token): reusing the pipeline
+    count would save a scan but change the blank-text semantics this
+    column shares with ``doc_token_counts``."""
     from .text import token_count
 
     spans = duplicated_spans(df, id_col, text_col, k, min_occurrences)

@@ -193,6 +193,43 @@ def _sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return _bucket_from_dots(_plane_dots(vec, planes), len(planes))
 
 
+def _with_probe_buckets(qb: DataFrame, n_planes: int, n_probes: int) -> DataFrame:
+    """Attach the probe ``bucket`` column to a query frame carrying
+    ``__dots``/``__b0`` — THE single multi-probe definition (Lv et al.
+    VLDB'07) shared by every LSH path (single-table, multi-table, and the
+    materialized index), so the bit-equality the index/in-memory tests
+    pin can never drift between copies.
+
+    With ``n_probes`` the query fans out to its base bucket plus the
+    Hamming-1 buckets of its ``n_probes`` least-confident plane bits
+    (smallest |margin|, index tie-break).  Powers of two are literal
+    longs — a double ``pow`` would round past plane 52 and probe the
+    wrong bucket (ADVICE r4)."""
+    if not n_probes:
+        return qb.withColumn("bucket", F.col("__b0"))
+    order = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda i: F.struct(
+                    F.abs(F.get(F.col("__dots"), i)).alias("m"),
+                    i.alias("i"),
+                ),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    flips = F.slice(order, 1, n_probes)
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
+    probes = F.concat(
+        F.array(F.col("__b0")),
+        F.transform(
+            flips, lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i))
+        ),
+    )
+    return qb.withColumn("bucket", F.explode(probes))
+
+
 def with_lsh_bucket(
     df: DataFrame,
     planes: list[list[float]],
@@ -245,38 +282,7 @@ def lsh_topk(
         .withColumn("__b0", _bucket_from_dots(F.col("__dots"), n_planes))
         .withColumn("__qnorm", _norm(F.col("__qvec")))
     )
-    if n_probes:
-        # plane indices ordered by |margin| asc (tie-break on index), the
-        # first n_probes of which get flipped — one extra probe bucket each
-        order = F.transform(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                    lambda i: F.struct(
-                        F.abs(F.get(F.col("__dots"), i)).alias("m"),
-                        i.alias("i"),
-                    ),
-                )
-            ),
-            lambda s: s["i"],
-        )
-        flips = F.slice(order, 1, n_probes)
-        # Literal long powers of two indexed by plane id: exact for every
-        # plane index the long-typed bucket can hold (double pow would
-        # silently round past i >= 53 and probe the wrong bucket — ADVICE
-        # r4).
-        pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
-        probes = F.concat(
-            F.array(F.col("__b0")),
-            F.transform(
-                flips,
-                lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i)),
-            ),
-        )
-        qb = qb.withColumn("bucket", F.explode(probes))
-    else:
-        qb = qb.withColumn("bucket", F.col("__b0"))
-    qb = qb.drop("__dots", "__b0")
+    qb = _with_probe_buckets(qb, n_planes, n_probes).drop("__dots", "__b0")
     scored = cb.join(F.broadcast(qb), "bucket")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -616,7 +622,14 @@ def append_to_ivf_index(
     never rewritten) and appended into the matching ``pivot_id=``
     partitions.  The quantizer is deliberately NOT retrained — recall
     degrades gracefully as the distribution drifts, and a retrain is an
-    explicit rebuild.  Callers own id uniqueness across appends."""
+    explicit rebuild.  Callers own id uniqueness across appends.
+
+    Replay semantics: the append is at-least-once (plain parquet append
+    carries no transaction); a replayed append duplicates the batch's
+    list rows.  The read path (:func:`ivf_topk_against_index`) dedups
+    probed list rows per id before scoring, so a replay can never put
+    the same vector in two of a query's top-k ranks — the cost of a
+    replay is index storage only, reclaimed at the next rebuild."""
     import json
     import os
 
@@ -678,8 +691,14 @@ def ivf_topk_against_index(
         r["pivot_id"]
         for r in q_probes.select("pivot_id").distinct().collect()
     )
-    lists = spark.read.parquet(os.path.join(index_path, "lists")).filter(
-        F.col("pivot_id").isin(probed)
+    lists = (
+        spark.read.parquet(os.path.join(index_path, "lists"))
+        .filter(F.col("pivot_id").isin(probed))
+        # Replay guard: an at-least-once append_to_ivf_index can leave
+        # duplicate list rows for a vector; dedup per (id, pivot) over the
+        # PROBED subset only (bounded exchange), so a duplicated vector
+        # can never occupy two of a query's top-k ranks.
+        .dropDuplicates([id_col, "pivot_id"])
     )
     c = lists.select(
         F.col(id_col), F.col("pivot_id"), F.col(meta["vec_col"]).alias("__cvec")
@@ -759,6 +778,10 @@ def lsh_multitable_topk(
         )
     )
     if max_bucket_freq is not None:
+        # cb (the L-table plane-dot fold over the whole corpus) feeds both
+        # the hot-bucket aggregate and the anti-join — persist it so the
+        # dominant corpus pass runs once, not twice.
+        cb = cb.persist()
         hot = (
             cb.groupBy("table_id", "bucket")
             .agg(F.count("*").alias("__c"))
@@ -775,32 +798,7 @@ def lsh_multitable_topk(
             q_sel.withColumn("__dots", _plane_dots(F.col("__qvec"), planes))
             .withColumn("__b0", _bucket_from_dots(F.col("__dots"), n_planes))
         )
-        if n_probes:
-            order = F.transform(
-                F.array_sort(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                        lambda i: F.struct(
-                            F.abs(F.get(F.col("__dots"), i)).alias("m"),
-                            i.alias("i"),
-                        ),
-                    )
-                ),
-                lambda s: s["i"],
-            )
-            flips = F.slice(order, 1, n_probes)
-            pow2 = F.array(
-                *[F.lit(1 << j).cast("long") for j in range(n_planes)]
-            )
-            probes = F.concat(
-                F.array(F.col("__b0")),
-                F.transform(
-                    flips, lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i))
-                ),
-            )
-            qb = qb.withColumn("bucket", F.explode(probes))
-        else:
-            qb = qb.withColumn("bucket", F.col("__b0"))
+        qb = _with_probe_buckets(qb, n_planes, n_probes)
         per_table.append(
             qb.select(
                 query_id_col,
@@ -866,6 +864,11 @@ def build_lsh_index(
 
     if not tables:
         raise ValueError("tables must be non-empty")
+    if any(len(t) != len(tables[0]) for t in tables):
+        # Same contract as lsh_multitable_topk: a ragged table list must
+        # fail HERE — the reader derives n_planes from table 0 and would
+        # otherwise silently mis-probe the stored buckets.
+        raise ValueError("all tables must have the same plane count")
 
     def bucket_array(vec: Column) -> Column:
         return F.array(*[_sign_bucket(vec, t) for t in tables])
@@ -931,32 +934,7 @@ def lsh_topk_against_index(
             q_sel.withColumn("__dots", _plane_dots(F.col("__qvec"), planes))
             .withColumn("__b0", _bucket_from_dots(F.col("__dots"), n_planes))
         )
-        if n_probes:
-            order = F.transform(
-                F.array_sort(
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                        lambda i: F.struct(
-                            F.abs(F.get(F.col("__dots"), i)).alias("m"),
-                            i.alias("i"),
-                        ),
-                    )
-                ),
-                lambda s: s["i"],
-            )
-            flips = F.slice(order, 1, n_probes)
-            pow2 = F.array(
-                *[F.lit(1 << j).cast("long") for j in range(n_planes)]
-            )
-            probes = F.concat(
-                F.array(F.col("__b0")),
-                F.transform(
-                    flips, lambda i: F.col("__b0").bitwiseXOR(F.get(pow2, i))
-                ),
-            )
-            qb = qb.withColumn("bucket", F.explode(probes))
-        else:
-            qb = qb.withColumn("bucket", F.col("__b0"))
+        qb = _with_probe_buckets(qb, n_planes, n_probes)
         per_table.append(
             qb.select(
                 query_id_col,

@@ -1088,7 +1088,7 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Correctness-window rotation (standing policy, VERDICT r4 ask #2)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate hashes only the FIRST 50 entries of
-# queries(); with 74 registered queries, ~24 always miss a given round.
+# queries(); with 75 registered queries, 25 always miss a given round.
 # CORRECTNESS_PRIORITY is the explicit, auditable ordering the gate
 # consumes (no insertion-order side effects — ADVICE r4).  Rotation rule,
 # applied at the top of every round:

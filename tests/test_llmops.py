@@ -858,3 +858,35 @@ def test_lsh_index_matches_inmemory_multitable(spark, tmp_path):
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
     assert sorted(map(key, via_index)) == sorted(map(key, direct))
     assert via_index
+
+
+def test_ivf_index_append_replay_is_result_safe(spark, tmp_path):
+    """A replayed (duplicate) append must not change query results: the
+    read path dedups probed list rows per id, so a doubled vector cannot
+    occupy two top-k ranks."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = _emb_queries(emb)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+
+    once = similarity.build_ivf_index(old, str(tmp_path / "a"))
+    similarity.append_to_ivf_index(new, once)
+    r_once = sorted(map(key, similarity.ivf_topk_against_index(
+        queries, once, k=10, nprobe=4).collect()))
+
+    twice = similarity.build_ivf_index(old, str(tmp_path / "b"))
+    similarity.append_to_ivf_index(new, twice)
+    similarity.append_to_ivf_index(new, twice)   # replayed batch
+    r_twice = sorted(map(key, similarity.ivf_topk_against_index(
+        queries, twice, k=10, nprobe=4).collect()))
+    assert r_once == r_twice
+    # each top-k id appears at most once per query
+    per_q = {}
+    for q, _rank, vid, _c in r_twice:
+        assert vid not in per_q.setdefault(q, set())
+        per_q[q].add(vid)
