@@ -24,10 +24,13 @@ Restart semantics: the accepted/rejected sinks write each batch into its
 own ``batch_id=N`` directory with OVERWRITE, so a crash-and-replay of a
 batch rewrites the same directory instead of duplicating rows
 (exactly-once for the document tables).  The index append is at-least-
-once: a replayed batch may re-append its band/shingle rows, which can
-never change a future dedup DECISION (candidates are ``distinct`` and
-the quarantine aggregate collapses duplicate identical pairs) — the cost
-is index storage only, reclaimed by the next compaction/rebuild.
+once: a replayed batch may re-append its band/shingle rows.  Because the
+append happens before the checkpoint commit, the replay would otherwise
+see its own rows in the index and self-quarantine — the per-batch guard
+in ``process_batch`` drops index matches whose ``right_id`` is in the
+current batch, so a replay reproduces the original accept/reject split
+exactly; the duplicated index rows cost storage only (candidates are
+``distinct``), reclaimed by the next compaction/rebuild.
 """
 
 from __future__ import annotations
@@ -88,6 +91,20 @@ def dedup_ingest(
         pairs = dedup.minhash_pairs_against_index(
             reps, index_path, id_col=id_col, text_col=text_col,
             threshold=threshold, persist_shard=False,
+        )
+        # Crash-replay guard: the index append below runs BEFORE the
+        # streaming checkpoint commits this batch, so a replayed batch
+        # finds its own representatives already in the index (jaccard
+        # 1.0 self-matches) and would quarantine every previously
+        # admitted doc — overwriting accepted/batch_id=N with nothing.
+        # Dropping pairs whose right_id belongs to the current batch
+        # restores idempotency; it cannot mask a genuine duplicate
+        # because intra-batch duplicates were already collapsed to
+        # representatives above.
+        pairs = pairs.join(
+            reps.select(F.col(id_col).alias("right_id")),
+            "right_id",
+            "left_anti",
         )
         best = (
             pairs.groupBy("left_id")

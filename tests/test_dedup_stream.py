@@ -96,3 +96,58 @@ def test_streaming_dedup_ingest_e2e(spark, tmp_path):
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {
         1, 2, 101, 103, 202,
     }
+
+
+def test_crash_replay_batch_is_idempotent(spark, tmp_path):
+    """A batch replayed AFTER its index append committed (crash before the
+    streaming checkpoint commit) must reproduce the original accept/reject
+    split — its reps are already in the index, and without the self-batch
+    guard every one of them would self-match at jaccard 1.0 and overwrite
+    ``accepted/batch_id=0`` with nothing."""
+    corpus = spark.createDataFrame(
+        [(1, _variant("ending red"))], "doc_id long, text string"
+    )
+    idx = dedup.build_minhash_index(corpus, str(tmp_path / "idx"))
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (101, "a wholly novel crawl document with its own content "
+                  "mentioning catalysts tungsten codegen and arrow batches"),
+            (102, _variant("ending blue")),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+
+    kwargs = dict(
+        spark=spark,
+        source_dir=f"{src}/*",
+        index_path=idx,
+        accepted_dir=str(tmp_path / "accepted"),
+        rejected_dir=str(tmp_path / "rejected"),
+        threshold=0.8,
+    )
+    dedup_stream.dedup_ingest(checkpoint_dir=str(tmp_path / "ckpt1"), **kwargs)
+    first_accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+    assert first_accepted == {101}
+
+    # Fresh checkpoint ⇒ Structured Streaming replays the same file as
+    # batch 0, now against an index that already holds doc 101's rows.
+    dedup_stream.dedup_ingest(checkpoint_dir=str(tmp_path / "ckpt2"), **kwargs)
+    accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "accepted")).collect()
+    }
+    rejected = {
+        r["doc_id"]: r["matched_id"]
+        for r in spark.read.parquet(str(tmp_path / "rejected")).collect()
+    }
+    assert accepted == {101}, accepted      # not silently dropped
+    assert rejected == {102: 1}, rejected   # still matches the CORPUS doc,
+    #                                         never itself / a batch peer
+    # replayed append is at-least-once: doc 101's band rows appear twice
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert bands.filter("doc_id = 101").count() == 64
