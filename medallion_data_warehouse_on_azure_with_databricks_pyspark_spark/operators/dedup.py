@@ -360,6 +360,7 @@ def minhash_dedup_pairs_between(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
     """Cross-corpus MinHash-LSH near-dup pairs: every ``left`` document
     that near-duplicates any ``right`` document — the incremental-crawl
@@ -377,9 +378,16 @@ def minhash_dedup_pairs_between(
     index once with :func:`build_minhash_index` and join shards against it
     via :func:`minhash_pairs_against_index`.  Output:
     ``(left_id, right_id, jaccard)`` for verified pairs ≥ ``threshold``.
+
+    ``persist=False`` skips the per-side shingle persists (one extra
+    shingle pass per side, zero SQL-cache growth — same contract as
+    ``minhash_pairs_against_index.persist_shard``; use it from
+    long-running per-batch loops).
     """
-    sh_l = shingle_frame(left, id_col, text_col, n).persist()
-    sh_r = shingle_frame(right, id_col, text_col, n).persist()
+    sh_l = shingle_frame(left, id_col, text_col, n)
+    sh_r = shingle_frame(right, id_col, text_col, n)
+    if persist:
+        sh_l, sh_r = sh_l.persist(), sh_r.persist()
     lsh_l = banded_frame(sh_l, id_col, num_hashes, bands, seed, out_id="left_id")
     lsh_r = banded_frame(sh_r, id_col, num_hashes, bands, seed, out_id="right_id")
     cand = (

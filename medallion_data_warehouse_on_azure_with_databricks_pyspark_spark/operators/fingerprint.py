@@ -271,6 +271,7 @@ def fingerprint_overlap_pairs(
     w: int = 4,
     min_shared: int = 3,
     max_fp_freq: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Partial-overlap candidate pairs by shared winnowing fingerprints.
 
@@ -285,8 +286,15 @@ def fingerprint_overlap_pairs(
     the corpus text is never self-joined.  ``max_fp_freq`` drops
     boilerplate fingerprints shared by more than that many documents
     (the hot-bucket cap, same contract as ``max_shingle_freq``).
+
+    ``persist=False`` skips the fingerprint-frame persist (trading one
+    extra fingerprint pass for a SQL cache that cannot accumulate —
+    same contract as ``minhash_pairs_against_index.persist_shard``;
+    use it from long-running per-batch loops).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist()
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if persist:
+        fps = fps.persist()
     sizes = fps.select(
         F.col(id_col), F.size("fps").alias("__n_fp")
     )

@@ -682,15 +682,18 @@ def ivf_topk_against_index(
     id_col = meta["id_col"]
     spark = queries.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    # Persisted: the assignment feeds both the driver-side probed-list
-    # collect and the scoring join — one broadcast-pivots pass, not two.
-    q_probes = ivf_assign(
+    # The (query_id, pivot_id) assignment is ≤ |queries| × nprobe rows —
+    # bounded small by the same contract as the probed-list collect below
+    # — so collect it ONCE and replay it as a local DataFrame: the
+    # driver-side probe list and the scoring join share one assignment
+    # pass with no persist(), so repeated calls in a long-lived session
+    # leave nothing in the SQL cache (ADVICE r6).
+    assign_proj = ivf_assign(
         queries, pivots, nprobe, query_id_col, vec_col
-    ).persist()
-    probed = sorted(
-        r["pivot_id"]
-        for r in q_probes.select("pivot_id").distinct().collect()
-    )
+    ).select(query_id_col, "pivot_id")
+    assign_rows = assign_proj.collect()
+    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
+    probed = sorted({r["pivot_id"] for r in assign_rows})
     lists = (
         spark.read.parquet(os.path.join(index_path, "lists"))
         .filter(F.col("pivot_id").isin(probed))

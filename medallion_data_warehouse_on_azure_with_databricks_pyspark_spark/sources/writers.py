@@ -112,6 +112,26 @@ def save_bucketed_table(
     writer.saveAsTable(name)
 
 
+def _discover_partition_columns(path: str) -> list[str]:
+    """Partition-column names of a hive-layout directory, outermost first
+    — one ``key=value`` level per nesting depth — or ``[]`` for a flat
+    directory.  Follows the first data-bearing chain; hive layouts are
+    uniform by construction (every writer here and in Spark emits the
+    same key at the same depth)."""
+    keys: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d))
+            and "=" in d and not d.startswith((".", "_"))
+        ]
+        if not subdirs:
+            return keys
+        keys.append(sorted(subdirs)[0].split("=", 1)[0])
+        cur = os.path.join(cur, sorted(subdirs)[0])
+
+
 def compact_path(
     spark,
     path: str,
@@ -149,6 +169,14 @@ def compact_path(
             "Delta table — compact it with OPTIMIZE so tombstoned files "
             "are not resurrected"
         )
+    discovered = _discover_partition_columns(path)
+    if partition_by is None and discovered:
+        # A hive-partitioned layout rewritten without partitionBy would
+        # flatten the partition columns into the data files — losing
+        # directory pruning. Derive the keys from the key=value levels so
+        # compaction preserves layout (ADVICE r6); the caller can still
+        # pass an explicit partition_by to re-cluster differently.
+        partition_by = discovered
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:

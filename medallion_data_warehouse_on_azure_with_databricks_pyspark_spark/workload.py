@@ -1154,11 +1154,14 @@ def ordered_queries() -> dict:
     import-time assert here would mis-fire when a sibling module is the
     import entry point (circular partial-import)."""
     registered, prioritized = set(QUERIES), set(CORRECTNESS_PRIORITY)
-    assert len(CORRECTNESS_PRIORITY) == len(prioritized), (
-        "duplicate priority entries"
-    )
-    assert prioritized == registered, (
-        f"CORRECTNESS_PRIORITY drift: missing={sorted(registered - prioritized)} "
-        f"stale={sorted(prioritized - registered)}"
-    )
+    # real raises, not asserts: the driver gate must fail loudly on a
+    # drifted registry even under `python -O` (ADVICE r6)
+    if len(CORRECTNESS_PRIORITY) != len(prioritized):
+        raise ValueError("duplicate CORRECTNESS_PRIORITY entries")
+    if prioritized != registered:
+        raise ValueError(
+            f"CORRECTNESS_PRIORITY drift: "
+            f"missing={sorted(registered - prioritized)} "
+            f"stale={sorted(prioritized - registered)}"
+        )
     return {n: QUERIES[n] for n in CORRECTNESS_PRIORITY}

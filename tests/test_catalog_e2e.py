@@ -147,3 +147,47 @@ def test_compact_path_reduces_files_preserves_rows(spark, tmp_path):
     assert written == after == 1  # 400 tiny rows << 128 MB -> one file
     rows_after = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert rows_after == rows_before
+
+
+def test_compact_path_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a hive-partitioned directory WITHOUT an explicit
+    partition_by must keep the key=value layout (directory pruning), not
+    flatten the partition columns into the data files (ADVICE r6)."""
+    import os
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        writers,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(60)], "id long, pid int, s string"
+    )
+    # several appends per partition -> many small files under each pid=
+    for _ in range(5):
+        df.write.mode("append").partitionBy("pid").parquet(path)
+    rows_before = sorted(
+        (r["id"], r["pid"], r["s"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+    writers.compact_path(spark, path, target_file_mb=128)
+    subdirs = sorted(d for d in os.listdir(path) if not d.startswith((".", "_")))
+    assert subdirs == ["pid=0", "pid=1", "pid=2"], subdirs
+    rows_after = sorted(
+        (r["id"], r["pid"], r["s"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert rows_after == rows_before
+    # partition pruning still works: pid reaches the scan as a partition
+    # filter (inputFiles() ignores pruning, so check the physical plan)
+    plan = (
+        spark.read.parquet(path)
+        .filter("pid = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "pid" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
