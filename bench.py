@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_cross_corpus_dedup",
     "doc_winnow_overlap_pairs",
     "emb_ivf_indexed_topk",
+    "emb_lsh_indexed_topk",
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",

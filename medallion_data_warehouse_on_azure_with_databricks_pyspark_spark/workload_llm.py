@@ -690,6 +690,45 @@ def emb_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LSH index dirs already written by THIS process (same build-once /
+#: probe-many lifecycle as the IVF index lane).
+_LSH_INDEX_BUILT: set[str] = set()
+
+
+def lsh_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk LSH index path for ``sf_dir`` (concurrent
+    runners must not race the overwrite; tests resolve via this helper)."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_lsh_index/{sf_tag}_pid{_os.getpid()}"
+
+
+@query("emb_lsh_indexed_topk", oracle=_multitable_lsh_oracle(_LSH_TABLES))
+def emb_lsh_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized amplified-LSH lane end-to-end: write the corpus's
+    three-table sign-bucket index once per process
+    (``similarity.build_lsh_index`` — the plane tables live in the
+    manifest, so the reader probes under exactly the planes that bucketed
+    the corpus), then serve the query batch via
+    ``lsh_topk_against_index`` at full multi-probe.  Candidates, cosines,
+    and ranks are bit-identical to the in-memory
+    ``emb_lsh_multitable_topk`` — same tables, probe fan, and tie-breaks
+    — so the same DuckDB oracle hash-verifies the artifact path.  At
+    100 TB the bucket pass is paid once at build; each query batch joins
+    L small probe rows against the bucket table and reads stored vectors
+    only for candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = lsh_index_path(sf_dir)
+    if path not in _LSH_INDEX_BUILT:
+        similarity.build_lsh_index(emb, path, _LSH_TABLES)
+        _LSH_INDEX_BUILT.add(path)
+    return similarity.lsh_topk_against_index(
+        _emb_queries(emb), path, k=10, n_probes=4
+    )
+
+
 @query(
     "emb_cosine_dedup_pairs",
     oracle=f"""
