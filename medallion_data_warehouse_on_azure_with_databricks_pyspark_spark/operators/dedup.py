@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import index_maintenance
 from .text import content_fingerprint, simhash64, tokens
 
 # Mersenne prime 2^31-1 for the minhash universal-hash family: operands stay
@@ -579,6 +580,11 @@ def minhash_pairs_against_index(
         )
         .select("left_id", "right_id")
         .distinct()
+    )
+    # deleted corpus docs stop matching immediately (physical removal
+    # happens at the next index_maintenance.compact_index)
+    cand = index_maintenance.exclude_tombstoned(
+        cand, index_path, "right_id", cid
     )
     return _verify_pairs_between(
         cand,

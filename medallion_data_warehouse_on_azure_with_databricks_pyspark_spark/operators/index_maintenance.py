@@ -1,0 +1,207 @@
+"""Lifecycle maintenance for the on-disk index family (MinHash bands,
+IVF lists, multi-table LSH buckets).
+
+A 100 TB corpus does not only grow: takedowns, TTL expiry, and re-crawls
+all REMOVE documents, and an index whose rows outlive their documents
+keeps generating candidate pairs for content that no longer exists.  The
+lifecycle here is the standard log-structured one:
+
+* :func:`delete_from_index` appends the deleted ids to a ``tombstones/``
+  table inside the index directory — O(|deleted ids|), no index rows are
+  touched.  Every index read path (``minhash_pairs_against_index``,
+  ``ivf_topk_against_index``, ``lsh_topk_against_index``) anti-joins its
+  candidates against the tombstone set, so a deleted document stops
+  matching immediately.
+* :func:`compact_index` folds the tombstones in: each index table is
+  rewritten WITHOUT the tombstoned ids (and without the duplicate rows
+  an at-least-once append replay may have left), staged, and promoted
+  with one directory rename — the same crash-safe build contract as the
+  index builders — after which the tombstone table is gone and reads pay
+  no anti-join at all.
+
+Deletes are cheap and frequent; compaction is the periodic amortizer
+(run it when ``tombstones/`` grows past a few percent of the index, the
+same cadence as small-file compaction).  The tombstone anti-join
+broadcasts the tombstone set — correct while deletes-since-compaction
+are small, which the compaction cadence guarantees; an unbounded
+tombstone backlog is exactly the signal to compact.
+
+Family detection is by manifest shape (the three builders write disjoint
+parameter sets), so one ``compact_index`` entry point serves all three
+artifacts without the caller restating what built them.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Subdirectory holding the pending-delete id set inside an index dir.
+TOMBSTONE_DIR = "tombstones"
+
+#: Compaction rewrites target this many bytes per output file (matches
+#: sources.writers.compact_path's default bin-packing target).
+_TARGET_FILE_MB = 128
+
+
+def _read_meta(index_path: str) -> dict:
+    with open(os.path.join(index_path, "meta.json")) as f:
+        return json.load(f)
+
+
+def _family(meta: dict) -> str:
+    """Which builder wrote this manifest — the three families pin
+    disjoint parameter keys."""
+    if "num_hashes" in meta:
+        return "minhash"
+    if "modulus" in meta:
+        return "ivf"
+    if "tables" in meta:
+        return "lsh"
+    raise ValueError(f"unrecognized index manifest: {sorted(meta)}")
+
+
+def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The index's pending-delete id set (distinct), or ``None`` when no
+    delete has happened since the last build/compaction — callers skip
+    the anti-join entirely in the common no-deletes case."""
+    tomb = os.path.join(index_path, TOMBSTONE_DIR)
+    if not os.path.isdir(tomb) or not any(
+        f.endswith(".parquet") for f in os.listdir(tomb)
+    ):
+        return None
+    return spark.read.parquet(tomb).distinct()
+
+
+def exclude_tombstoned(
+    df: DataFrame, index_path: str, col: str, id_col: str
+) -> DataFrame:
+    """``df`` minus rows whose ``col`` is a tombstoned id — identity when
+    the index has no tombstones.  Broadcast anti-join: the tombstone set
+    is small by the compaction-cadence contract (module docstring)."""
+    tomb = read_tombstones(df.sparkSession, index_path)
+    if tomb is None:
+        return df
+    return df.join(
+        F.broadcast(tomb.select(F.col(id_col).alias(col))), col, "left_anti"
+    )
+
+
+def delete_from_index(
+    ids: DataFrame, index_path: str, id_col: str | None = None
+) -> str:
+    """Mark documents/vectors as deleted in any of the three index
+    artifacts — appends their ids to ``{index_path}/tombstones``.
+
+    ``ids`` needs one column carrying the ids (named ``id_col``, default:
+    the index manifest's own id column).  The operation is O(|ids|): no
+    index rows are read or rewritten; the read paths exclude tombstoned
+    ids from candidates, and the next :func:`compact_index` makes the
+    removal physical.  Idempotent — deleting an id twice, or an id the
+    index never held, is harmless (tombstones are applied as a distinct
+    anti-join set)."""
+    meta = _read_meta(index_path)
+    target = meta["id_col"]
+    src = id_col or target
+    (
+        ids.select(F.col(src).alias(target))
+        .distinct()
+        .write.mode("append")
+        .parquet(os.path.join(index_path, TOMBSTONE_DIR))
+    )
+    return index_path
+
+
+def _target_files(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return max(1, math.ceil(total / (_TARGET_FILE_MB * 1024 * 1024)))
+
+
+def _live(df: DataFrame, tomb: DataFrame | None, id_col: str) -> DataFrame:
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def compact_index(spark: SparkSession, index_path: str) -> str:
+    """Fold tombstones into any of the three index artifacts and merge
+    replay-duplicated rows, rewriting each table bin-packed toward the
+    standard file-size target.
+
+    The rewrite drops (a) every row belonging to a tombstoned id and
+    (b) the duplicate rows an at-least-once append replay may have left
+    (the read paths already neutralize those per query; compaction
+    reclaims their storage).  Query results over the surviving ids are
+    bit-identical before and after — compaction changes layout, never
+    live data.  The whole artifact (tables + manifest, WITHOUT the
+    tombstone table) is staged and promoted with one directory rename,
+    so readers never see a half-compacted index, and a crash leaves the
+    old index fully live."""
+    meta = _read_meta(index_path)
+    fam = _family(meta)
+    id_col = meta["id_col"]
+    tomb = read_tombstones(spark, index_path)
+    stage = f"{index_path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    n_files = _target_files(index_path)
+
+    def rd(table: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(index_path, table))
+
+    def wr(df: DataFrame, table: str, partition_by: str | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(os.path.join(stage, table))
+
+    if fam == "minhash":
+        # band rows replay-duplicate as exact copies -> distinct;
+        # shingle rows carry one set per id -> first row per id.
+        wr(
+            _live(rd("bands"), tomb, id_col).distinct().repartition(n_files),
+            "bands",
+        )
+        wr(
+            _live(rd("shingles"), tomb, id_col)
+            .dropDuplicates([id_col])
+            .repartition(n_files),
+            "shingles",
+        )
+    elif fam == "ivf":
+        # keep the hive layout: one directory per inverted list is the
+        # partition-pruning contract ivf_topk_against_index relies on.
+        wr(
+            _live(rd("lists"), tomb, id_col)
+            .dropDuplicates([id_col, "pivot_id"])
+            .repartition("pivot_id"),
+            "lists",
+            partition_by="pivot_id",
+        )
+        wr(rd("pivots"), "pivots")
+    else:  # lsh
+        wr(
+            _live(rd("buckets"), tomb, id_col).distinct().repartition(n_files),
+            "buckets",
+        )
+        wr(
+            _live(rd("vectors"), tomb, id_col)
+            .dropDuplicates([id_col])
+            .repartition(n_files),
+            "vectors",
+        )
+
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    from ..sources.writers import atomic_dir_swap
+
+    atomic_dir_swap(stage, index_path.rstrip("/"))
+    return index_path

@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import index_maintenance
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns, double accumulation in order."""
@@ -703,6 +705,11 @@ def ivf_topk_against_index(
         # can never occupy two of a query's top-k ranks.
         .dropDuplicates([id_col, "pivot_id"])
     )
+    # deleted vectors stop ranking immediately (physical removal happens
+    # at the next index_maintenance.compact_index)
+    lists = index_maintenance.exclude_tombstoned(
+        lists, index_path, id_col, id_col
+    )
     c = lists.select(
         F.col(id_col), F.col("pivot_id"), F.col(meta["vec_col"]).alias("__cvec")
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
@@ -952,6 +959,11 @@ def lsh_topk_against_index(
         cb.join(F.broadcast(q_probes), ["table_id", "bucket"])
         .select(query_id_col, id_col)
         .distinct()
+    )
+    # deleted vectors stop ranking immediately (physical removal happens
+    # at the next index_maintenance.compact_index)
+    cand = index_maintenance.exclude_tombstoned(
+        cand, index_path, id_col, id_col
     )
     if exclude_self:
         cand = cand.filter(F.col(query_id_col) != F.col(id_col))

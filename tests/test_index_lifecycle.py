@@ -1,0 +1,216 @@
+"""Index lifecycle: tombstone deletes take effect immediately on every
+read path, and compaction folds them in physically while preserving
+query bit-equality for surviving ids (takedown/TTL/re-crawl semantics
+for the three on-disk index artifacts)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    dedup,
+    index_maintenance,
+    similarity,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+TOPK_KEY = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+
+
+def _delete(spark, idx, ids, id_col):
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(i,) for i in ids], f"{id_col} long"), idx
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def test_minhash_delete_then_probe_and_compact(spark, tmp_path):
+    docs = spark.read.parquet(DOCS)
+    idx = dedup.build_minhash_index(docs, str(tmp_path / "idx"))
+    # the shard IS the corpus -> every doc matches itself at jaccard 1.0
+    shard = docs.limit(20)
+    before = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_pairs_against_index(shard, idx).collect()
+    }
+    assert before
+    victims = sorted({r for _l, r in before})[:3]
+
+    _delete(spark, idx, victims, "doc_id")
+    after_delete = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_pairs_against_index(shard, idx).collect()
+    }
+    assert after_delete == {p for p in before if p[1] not in set(victims)}
+
+    index_maintenance.compact_index(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    # physically gone from both tables, surviving pairs bit-identical
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert bands.filter(F.col("doc_id").isin(victims)).count() == 0
+    sh = spark.read.parquet(f"{idx}/shingles")
+    assert sh.filter(F.col("doc_id").isin(victims)).count() == 0
+    after_compact = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_pairs_against_index(shard, idx).collect()
+    }
+    assert after_compact == after_delete
+
+
+def test_minhash_compact_merges_replayed_append(spark, tmp_path):
+    docs = spark.read.parquet(DOCS).limit(10)
+    idx = dedup.build_minhash_index(docs, str(tmp_path / "idx"))
+    new = spark.createDataFrame(
+        [(9001, "a novel appended document about arrow batches and codegen")],
+        "doc_id long, text string",
+    )
+    dedup.append_to_minhash_index(new, idx)
+    dedup.append_to_minhash_index(new, idx)  # at-least-once replay
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert bands.filter("doc_id = 9001").count() == 64  # 2x 32 bands
+
+    index_maintenance.compact_index(spark, idx)
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert bands.filter("doc_id = 9001").count() == 32  # folded to one copy
+    assert (
+        spark.read.parquet(f"{idx}/shingles").filter("doc_id = 9001").count()
+        == 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def test_ivf_delete_then_probe_and_compact(spark, tmp_path):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_ivf_index(emb, str(tmp_path / "ivf"))
+    before = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=12
+    ).collect()
+    victims = sorted({r["vec_id"] for r in before})[:5]
+
+    _delete(spark, idx, victims, "vec_id")
+    after_delete = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=12
+    ).collect()
+    got_ids = {r["vec_id"] for r in after_delete}
+    assert not got_ids & set(victims)
+    assert after_delete  # other vectors still rank
+
+    index_maintenance.compact_index(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.filter(F.col("vec_id").isin(victims)).count() == 0
+    after_compact = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=12
+    ).collect()
+    assert sorted(map(TOPK_KEY, after_compact)) == sorted(
+        map(TOPK_KEY, after_delete)
+    )
+    # hive layout survived compaction (partition pruning contract)
+    subdirs = [
+        d for d in os.listdir(os.path.join(idx, "lists"))
+        if d.startswith("pivot_id=")
+    ]
+    assert subdirs
+
+
+def test_ivf_compact_without_tombstones_is_bit_identical(spark, tmp_path):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_ivf_index(emb, str(tmp_path / "ivf"))
+    before = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=12
+    ).collect()
+    index_maintenance.compact_index(spark, idx)
+    after = similarity.ivf_topk_against_index(
+        queries, idx, k=10, nprobe=12
+    ).collect()
+    assert sorted(map(TOPK_KEY, after)) == sorted(map(TOPK_KEY, before))
+
+
+# ---------------------------------------------------------------------------
+# LSH
+# ---------------------------------------------------------------------------
+
+def test_lsh_delete_then_probe_and_compact(spark, tmp_path):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _LSH_TABLES, _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_lsh_index(emb, str(tmp_path / "lsh"), _LSH_TABLES)
+    before = similarity.lsh_topk_against_index(
+        queries, idx, k=10, n_probes=4
+    ).collect()
+    victims = sorted({r["vec_id"] for r in before})[:5]
+
+    _delete(spark, idx, victims, "vec_id")
+    after_delete = similarity.lsh_topk_against_index(
+        queries, idx, k=10, n_probes=4
+    ).collect()
+    assert not {r["vec_id"] for r in after_delete} & set(victims)
+    assert after_delete
+
+    index_maintenance.compact_index(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    for table in ("buckets", "vectors"):
+        live = spark.read.parquet(f"{idx}/{table}")
+        assert live.filter(F.col("vec_id").isin(victims)).count() == 0
+    after_compact = similarity.lsh_topk_against_index(
+        queries, idx, k=10, n_probes=4
+    ).collect()
+    assert sorted(map(TOPK_KEY, after_compact)) == sorted(
+        map(TOPK_KEY, after_delete)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared semantics
+# ---------------------------------------------------------------------------
+
+def test_delete_is_idempotent_and_ignores_unknown_ids(spark, tmp_path):
+    docs = spark.read.parquet(DOCS).limit(10)
+    idx = dedup.build_minhash_index(docs, str(tmp_path / "idx"))
+    ids = [r["doc_id"] for r in docs.limit(2).collect()]
+    _delete(spark, idx, ids, "doc_id")
+    _delete(spark, idx, ids + [123456789], "doc_id")  # repeat + unknown
+    shard = docs
+    pairs = dedup.minhash_pairs_against_index(shard, idx).collect()
+    assert not {r["right_id"] for r in pairs} & set(ids)
+    index_maintenance.compact_index(spark, idx)
+    assert (
+        spark.read.parquet(f"{idx}/bands")
+        .filter(F.col("doc_id").isin(ids))
+        .count()
+        == 0
+    )
+
+
+def test_compact_unrecognized_manifest_raises(spark, tmp_path):
+    import json
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "meta.json").write_text(json.dumps({"id_col": "x", "version": 1}))
+    with pytest.raises(ValueError, match="unrecognized"):
+        index_maintenance.compact_index(spark, str(bad))
