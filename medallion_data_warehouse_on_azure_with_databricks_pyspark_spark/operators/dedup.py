@@ -294,9 +294,31 @@ def banded_frame(
 
 
 def _lsh_candidates_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int, bands: int, seed: int
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     banded = banded_frame(sh, id_col, num_hashes, bands, seed)
+    if max_band_freq is not None:
+        # Hot-bucket cap: a (band, bucket) shared by f docs contributes
+        # f(f-1)/2 candidate rows — a boilerplate cluster of 10⁶ docs
+        # would emit ~5·10¹¹ pairs from ONE bucket.  Dropping buckets
+        # hotter than the cap bounds the fan-out; near-dup pairs collide
+        # in many independent bands, so pair recall loss needs ALL of a
+        # pair's buckets hot — negligible outside degenerate clusters
+        # (same contract as lsh_multitable_topk.max_bucket_freq).
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") > max_band_freq)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
@@ -324,6 +346,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection with **exact verification**: candidates
     from LSH buckets, then true Jaccard computed only for candidates (join
@@ -333,9 +356,16 @@ def minhash_dedup_pairs(
     O(docs²) comparisons, with verification work proportional to the
     candidate count.  The shingle table is computed once and persisted —
     the signature pass and both verification joins read it.
+
+    ``max_band_freq`` drops LSH buckets shared by more than that many
+    docs before the self-join (a boilerplate cluster's bucket emits
+    O(f²) candidate rows); at 100 TB always set it — the registered
+    workload runs with 10⁴.
     """
     sh = shingle_frame(df, id_col, text_col, n).persist()
-    cand = _lsh_candidates_from_shingles(sh, id_col, num_hashes, bands, seed)
+    cand = _lsh_candidates_from_shingles(
+        sh, id_col, num_hashes, bands, seed, max_band_freq=max_band_freq
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -243,8 +243,17 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via shingle inverted index
-    (candidates share ≥1 shingle; never all-pairs)."""
-    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    (candidates share ≥1 shingle; never all-pairs).
+
+    Runs with the production hot-shingle cap ACTIVE (the operator's own
+    100 TB guidance): shingles in more than 10⁴ docs are dropped from the
+    index before the self-join.  At J ≥ 0.8 a surviving pair also shares
+    rare shingles, so the uncapped exact-Jaccard oracle stays hash-green
+    — the cap bounds fan-out, not recall (ADVICE r6)."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8,
+        max_shingle_freq=10_000,
+    )
 
 
 @query(
@@ -256,8 +265,17 @@ def doc_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle note: verification makes the output equal the exact pair set
     whenever LSH recall is 1; at J ≥ 0.8 a pair escapes all 32 bands with
-    probability ≤ 1.5e-7, so the exact-Jaccard SQL is the oracle."""
-    return dedup.minhash_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    probability ≤ 1.5e-7, so the exact-Jaccard SQL is the oracle.
+
+    Runs with the production hot-bucket cap ACTIVE: LSH buckets shared by
+    more than 10⁴ docs are dropped before the self-join (a boilerplate
+    cluster's bucket emits O(f²) candidate rows).  A capped pair must be
+    hot in ALL its colliding bands to be lost, so the uncapped oracle
+    stays hash-green (ADVICE r6)."""
+    return dedup.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8,
+        max_band_freq=10_000,
+    )
 
 
 @query(

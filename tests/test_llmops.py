@@ -95,6 +95,51 @@ def test_ngram_vs_minhash_agree_on_real_data(spark):
     assert mh == exact
 
 
+def test_dedup_hot_caps_bound_fanout_without_recall_loss(spark):
+    """The registered production caps must be no-ops on natural text (no
+    recall loss — the workload oracle proves the same at sf0.01), while a
+    degenerate boilerplate cluster IS droppable by a small cap."""
+    docs = spark.read.parquet(DOCS)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_shingle_freq=10_000
+        ).collect()
+    }
+    assert capped == uncapped and capped
+    mh_capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.8, max_band_freq=10_000
+        ).collect()
+    }
+    assert mh_capped == uncapped
+
+    # degenerate cluster: 40 identical docs share every band bucket, so a
+    # cap of 10 drops all their buckets -> zero candidate pairs from the
+    # cluster; a distinct near-dup pair outside the cluster survives.
+    boiler = [(i, "the same boilerplate footer text repeated verbatim "
+                  "across the entire mirror of the site") for i in range(40)]
+    pair = [
+        (100, "a unique article about spark adaptive execution and "
+              "shuffle partition coalescing at scale x"),
+        (101, "a unique article about spark adaptive execution and "
+              "shuffle partition coalescing at scale y"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            df, threshold=0.8, max_band_freq=10
+        ).collect()
+    }
+    assert got == {(100, 101)}, got
+
+
 def test_minhash_jaccard_estimates_match_exact(spark):
     docs = spark.read.parquet(DOCS)
     rows = dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()
