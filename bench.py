@@ -103,6 +103,7 @@ HEADLINE = [
     "doc_winnow_overlap_pairs",
     "emb_ivf_indexed_topk",
     "emb_lsh_indexed_topk",
+    "doc_simhash_poly_pairs",
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",

@@ -634,6 +634,7 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_combo: int = 1,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming ball.
 
@@ -654,16 +655,25 @@ def simhash_dedup_pairs(
     doc — 5× more index rows but ~2⁷× sparser buckets, which is the
     winning trade as soon as n ≫ 2⁷.  Radius-3 banding already has 16-bit
     bands, so the default stays single-level there.
+
+    ``hash_family`` selects the per-token hash: ``"xxhash64"`` (default,
+    fastest) or ``"poly"`` (``text.simhash64_poly`` — exact arithmetic a
+    DuckDB oracle replays end-to-end; the hash-verified workload lane).
     """
     from itertools import combinations
 
+    from .text import simhash64_poly
+
     if band_combo < 1:
         raise ValueError("band_combo must be >= 1")
+    if hash_family not in ("xxhash64", "poly"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     bands = max_hamming + band_combo
     # Cover all 64 bits: the first (64 % bands) bands are one bit wider.
     base_w, extra = divmod(64, bands)
     narrow = parallelize_narrow_input(df.select(F.col(id_col), F.col(text_col)))
-    fp = simhash64(narrow, text_col, out="simhash")
+    fp_fn = simhash64 if hash_family == "xxhash64" else simhash64_poly
+    fp = fp_fn(narrow, text_col, out="simhash")
     # per-band bit slices, then one posting per band_combo-subset keyed on
     # the concatenated slice values
     band_bits = []

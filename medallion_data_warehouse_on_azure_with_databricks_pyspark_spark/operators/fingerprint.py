@@ -44,15 +44,17 @@ _HASH_BASE = 257
 _HASH_MOD = (1 << 31) - 1
 
 
-def _gram_hash(gram: Column) -> Column:
+def _gram_hash(gram: Column, base: int = _HASH_BASE) -> Column:
     """Polynomial hash of a gram string: fold ``acc*B + code(c) mod M``
     over its characters in order (``ascii`` = leading code point, one
-    element per character after the empty-string split)."""
+    element per character after the empty-string split).  ``base``
+    selects an independent family member (text.simhash64_poly combines
+    two bases into one wide token hash)."""
     chars = F.split(gram, "")
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * _HASH_BASE + F.ascii(c)) % _HASH_MOD,
+        lambda acc, c: (acc * base + F.ascii(c)) % _HASH_MOD,
     )
 
 

@@ -228,24 +228,14 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out: str = "clean_text") ->
     return df.withColumns({**counts, out: cleaned})
 
 
-def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """64-bit SimHash over whitespace tokens using ``xxhash64`` (JVM-side).
-
-    Per token, each of the 64 bits votes ±1; the sign of each bit-sum forms
-    the fingerprint.  Near-duplicate docs differ in few bits (Hamming).
-
-    Hybrid plan (same shape as the MinHash kernel): token hashes stay in
-    the JVM (one ``transform``+``xxhash64`` pass), the 64-lane vote runs as
-    a vectorized Arrow kernel — the pure-Catalyst formulation (64
-    interpreted ``aggregate`` lambdas per row) measures ~10× slower.
-    Deterministic: pure integer math on fixed hashes.
-    """
+def _simhash_vote(
+    tmp: DataFrame, hashes_col: str, out: str
+) -> DataFrame:
+    """The shared 64-lane ±1 vote over a per-token hash array column —
+    vectorized Arrow kernel (the pure-Catalyst formulation, 64
+    interpreted ``aggregate`` lambdas per row, measures ~10× slower).
+    Deterministic: pure integer math on fixed hashes."""
     from pyspark.sql.functions import pandas_udf
-
-    hashes_col = "__simhash_tokens"
-    tmp = df.withColumn(
-        hashes_col, F.transform(tokens(text_col), lambda w: F.xxhash64(w))
-    )
 
     lanes = np.arange(64, dtype=np.uint64)
 
@@ -263,6 +253,54 @@ def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Da
         return pd.Series(fps, dtype="int64")
 
     return tmp.withColumn(out, vote(F.col(hashes_col))).drop(hashes_col)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens using ``xxhash64`` (JVM-side).
+
+    Per token, each of the 64 bits votes ±1; the sign of each bit-sum forms
+    the fingerprint.  Near-duplicate docs differ in few bits (Hamming).
+
+    Hybrid plan (same shape as the MinHash kernel): token hashes stay in
+    the JVM (one ``transform``+``xxhash64`` pass), the 64-lane vote runs as
+    a vectorized Arrow kernel (:func:`_simhash_vote`).
+    """
+    hashes_col = "__simhash_tokens"
+    tmp = df.withColumn(
+        hashes_col, F.transform(tokens(text_col), lambda w: F.xxhash64(w))
+    )
+    return _simhash_vote(tmp, hashes_col, out)
+
+
+def simhash64_poly(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """SimHash whose token hashes come from the arithmetic polynomial
+    family (``fingerprint._gram_hash``) instead of ``xxhash64`` — every
+    step is exact integer math a DuckDB oracle can replay, so this lane
+    is fully hash-verifiable where the xxhash64 lane is rows-only.
+
+    Token hash = ``poly(base=263) * 2^31 + poly(base=257)`` — two
+    independent family members concatenated into a 62-bit hash (each is
+    mod 2^31-1).  Lanes 62-63 are constant zero, so the effective
+    fingerprint is 62 bits; the vote, banding, and Hamming verify are
+    unchanged (:func:`_simhash_vote` over the same 64 lanes).  Quality:
+    near-dup detection needs well-mixed, independent bits per token,
+    which the two-base polynomial family provides; xxhash64 remains the
+    default for raw per-token throughput.
+    """
+    from .fingerprint import _gram_hash
+
+    hashes_col = "__simhash_tokens"
+    wide = F.lit(1 << 31).cast("long")
+    tmp = df.withColumn(
+        hashes_col,
+        F.transform(
+            tokens(text_col),
+            lambda w: _gram_hash(w, base=263) * wide + _gram_hash(w),
+        ),
+    )
+    return _simhash_vote(tmp, hashes_col, out)
 
 
 def hamming64(a: Column, b: Column) -> Column:

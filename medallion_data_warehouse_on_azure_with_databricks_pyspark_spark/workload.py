@@ -1116,7 +1116,7 @@ CORRECTNESS_PRIORITY = [
     #    k-means speedup, cross-corpus index materialization,
     #    decontamination single-scan rewrite, z-order path handling,
     #    winnowing fingerprints NEW in r6) --------------------------------
-    "emb_lsh_indexed_topk",
+    "emb_lsh_indexed_topk", "doc_simhash_poly_pairs",
     "doc_winnow_overlap_pairs", "emb_ivf_indexed_topk", "doc_gopher_quality",
     "emb_lsh_multitable_topk", "doc_duplicated_spans", "doc_source_caps",
     "doc_duplication_stats", "doc_stream_dedup_ingest",

@@ -16,6 +16,9 @@ Omitted oracle (genuinely non-SQL-expressible, rows-only driver check):
   does not provide.  Covered instead by an exact fixture oracle: an
   independent pure-Python XXH64 + brute-force Hamming reference in
   ``tests/test_llmops.py::test_simhash_pairs_match_pure_python_reference``.
+  Its polynomial-hash twin ``doc_simhash_poly_pairs`` (same banding,
+  ``fingerprint._gram_hash`` token hashes) IS fully DuckDB-replayable and
+  carries the family's hash-verified oracle.
 
 ``multimodal_features`` gets a real DuckDB oracle despite the digest-lane
 math: sha256 hex output is decomposed back into little-endian uint32 lanes
@@ -428,6 +431,66 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even though the banding math stays correct.)"""
     return dedup.simhash_dedup_pairs(
         load(spark, sf_dir, "documents"), max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+#: Per-token polynomial hash replay (two bases concatenated into the
+#: 62-bit token hash of ``text.simhash64_poly``) — mirrors
+#: ``fingerprint._gram_hash`` exactly, like the winnowing oracle.
+_POLY_TOKEN_HASH = (
+    "(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(w) + 1),"
+    " j -> ord(w[j])::BIGINT)), (acc, c) -> (acc * 263 + c) % 2147483647)"
+    " * 2147483648::BIGINT"
+    " + list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(w) + 1),"
+    " j -> ord(w[j])::BIGINT)), (acc, c) -> (acc * 257 + c) % 2147483647))"
+)
+
+
+@query(
+    "doc_simhash_poly_pairs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents),
+    th AS (
+      SELECT doc_id, unnest(list_transform(t, w -> {_POLY_TOKEN_HASH})) AS h
+      FROM toks),
+    votes AS (
+      SELECT doc_id, lane,
+             SUM(CASE WHEN (h >> lane) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS lane)
+      GROUP BY doc_id, lane),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << lane)
+                           ELSE 0::BIGINT END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS bits
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bits = b.bits
+                    AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = id_a
+    JOIN fp fb ON fb.doc_id = id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+    """,
+)
+def doc_simhash_poly_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball pairs on the POLYNOMIAL token-hash family —
+    the hash-verified twin of ``doc_simhash_pairs``: identical radius-3
+    pigeonhole banding (4×16 bits), but every token hash is exact
+    integer arithmetic (two ``fingerprint._gram_hash`` bases widened to
+    62 bits), so the DuckDB oracle replays hashes, votes, banding, and
+    the Hamming verify end-to-end.  This takes SimHash out of the
+    ``no_oracle`` set; the xxhash64 lane stays registered as the
+    throughput default (ADVICE r6)."""
+    return dedup.simhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3, hash_family="poly"
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -635,6 +635,57 @@ def test_simhash_pairs_match_pure_python_reference(spark):
         assert len(expected) > 0, (radius, combo)  # the check is not vacuous
 
 
+def _poly_fold(s: str, base: int) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * base + ord(ch)) % ((1 << 31) - 1)
+    return acc
+
+
+def _simhash_poly_reference(txt: str) -> int:
+    """Independent reimplementation of text.simhash64_poly (two-base
+    polynomial token hashes widened to 62 bits, 64-lane ±1 vote)."""
+    toks = txt.strip().lower().split() or [""]
+    votes = [0] * 64
+    for w in toks:
+        h = _poly_fold(w, 263) * (1 << 31) + _poly_fold(w, 257)
+        for lane in range(64):
+            votes[lane] += 1 if (h >> lane) & 1 else -1
+    fp = 0
+    for lane in range(64):
+        if votes[lane] > 0:
+            fp |= 1 << lane
+    return fp
+
+
+def test_simhash_poly_pairs_match_pure_python_reference(spark):
+    """The poly-hash lane (registered as the hash-verified
+    `doc_simhash_poly_pairs`) must equal the brute-force Hamming ball
+    over independently computed polynomial fingerprints."""
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    fps = {r["doc_id"]: _simhash_poly_reference(r["text"]) for r in docs}
+    ids = sorted(fps)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(fps[a] ^ fps[b]).count("1")
+            if ham <= 3:
+                expected.add((a, b, ham))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_dedup_pairs(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            max_hamming=3,
+            hash_family="poly",
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the check is not vacuous
+
+
 def test_ivf_index_matches_inmemory_path(spark, tmp_path):
     """ivf_topk_against_index must reproduce the in-memory ivf_topk
     bit-for-bit (same quantizer, same tie-breaks) on real embeddings."""
