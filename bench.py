@@ -104,6 +104,7 @@ HEADLINE = [
     "emb_ivf_indexed_topk",
     "emb_lsh_indexed_topk",
     "doc_simhash_poly_pairs",
+    "scd2_part_dim_deletes",
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",
@@ -119,6 +120,7 @@ EXCLUDED = {
     # both would double-count the same plan
     "scd1_customer_dim_sql": "same merge plan as scd1_customer_dim via SQL parser",
     "dlt_part_pipeline_incremental": "superset re-run of dlt_part_pipeline",
+    "dlt_part_pipeline_deletes": "three-run checkpointed streaming harness; the delete-merge math is timed via scd2_part_dim_deletes (same oracle)",
     # checkpoint-directory streaming harnesses: wall-clock is dominated by
     # per-run temp-dir setup, already covered by events_stateful_sessions
     "events_stream_ingest": "file-stream harness setup noise; covered by stateful query",

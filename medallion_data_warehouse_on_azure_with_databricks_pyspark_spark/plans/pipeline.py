@@ -106,6 +106,7 @@ class Pipeline:
         track_history_column_list: list[str] | None = None,
         now=None,
         skey=None,
+        apply_as_deletes: str | None = None,
     ) -> None:
         """M5: ``dlt.create_streaming_table`` + ``dlt.apply_changes``
         (``/root/reference/Gold_Products.py:96-105``) as one node: the CDC
@@ -113,6 +114,11 @@ class Pipeline:
 
         Initial-load vs merge branching (M4) happens per run: with no prior
         state the node produces the initial dimension.
+
+        ``apply_as_deletes`` is the DLT delete-event predicate (a SQL
+        boolean expression over the feed, e.g. ``"operation = 'DELETE'"``):
+        matching rows expire the key instead of upserting it — see
+        ``scd.apply_changes`` for the exact latest-wins semantics.
         """
 
         cfg = dict(
@@ -122,6 +128,7 @@ class Pipeline:
             track_history_column_list=track_history_column_list,
             now=now,
             skey=skey,
+            apply_as_deletes=apply_as_deletes,
         )
 
         def fold(src: DataFrame) -> DataFrame:

@@ -198,6 +198,7 @@ def apply_changes(
     skey_col: str = "dim_skey",
     now: Column | str | None = None,
     skey: Column | None = None,
+    apply_as_deletes: Column | str | None = None,
 ) -> DataFrame:
     """M5: ``dlt.apply_changes`` equivalent
     (``/root/reference/Gold_Products.py:98-105``).
@@ -206,17 +207,73 @@ def apply_changes(
     (the W5-corrected pick — the reference computes but never applies this
     filter), then routes to SCD1 or two-phase SCD2.  ``target=None`` means
     initial load.
+
+    ``apply_as_deletes`` (DLT parity — the reference's API surface accepts
+    it at ``Gold_Products.py:98-105`` but leaves it unused) marks change
+    rows matching the predicate as DELETE events.  Latest-wins per key
+    applies first, so a key whose newest event is a delete is deleted and
+    a delete followed by a newer upsert is a reinsert.  A deleted key's
+    current SCD2 row is expired (``is_current=false``,
+    ``effective_end_date=now``) with NO successor inserted — history rows
+    are kept; under SCD1 the key's row is removed from the dimension.
+    A later upsert re-creates the key as a brand-new current row.
     """
     attrs = track_history_column_list or [
-        c for c in source.columns if c not in keys and c != sequence_by
+        c
+        for c in source.columns
+        if c not in keys and c != sequence_by
     ]
     latest = latest_per_key(source, keys, sequence_by)
+    deletes = None
+    if apply_as_deletes is not None:
+        cond = (
+            F.expr(apply_as_deletes)
+            if isinstance(apply_as_deletes, str)
+            else apply_as_deletes
+        )
+        deletes = latest.filter(cond).select(*keys)
+        latest = latest.filter(~cond)
     if stored_as_scd_type == 1:
         if target is None:
-            return scd1_initial(latest, keys, attrs, skey_col, now=now, skey=skey)
-        return scd1_merge(target, latest, keys, attrs, skey_col, now=now, skey=skey)
+            out = scd1_initial(latest, keys, attrs, skey_col, now=now, skey=skey)
+        else:
+            out = scd1_merge(
+                target, latest, keys, attrs, skey_col, now=now, skey=skey
+            )
+        if deletes is not None:
+            out = out.join(deletes, keys, "left_anti")
+        return out
     if stored_as_scd_type == 2:
         if target is None:
+            # initial load: keys whose newest event is a delete never enter
             return scd2_initial(latest, keys, attrs, now=now)
-        return scd2_merge(target, latest, keys, attrs, now=now)
+        out = scd2_merge(target, latest, keys, attrs, now=now)
+        if deletes is not None:
+            out = _scd2_expire_deleted(out, deletes, keys, now=now)
+        return out
     raise ValueError(f"unsupported SCD type: {stored_as_scd_type}")
+
+
+def _scd2_expire_deleted(
+    state: DataFrame,
+    deleted_keys: DataFrame,
+    keys: list[str],
+    now: Column | str | None = None,
+) -> DataFrame:
+    """Expire the current SCD2 row of every key in ``deleted_keys``
+    (no successor row) — history and unrelated keys pass through
+    untouched.  One join against the (small, per-batch) delete-key set."""
+    ts = _now(now)
+    d = deleted_keys.withColumn("__del", F.lit(True))
+    hit = F.coalesce(F.col("__del"), F.lit(False)) & F.col("is_current")
+    return (
+        state.join(F.broadcast(d), keys, "left_outer")
+        .withColumn(
+            "effective_end_date",
+            F.when(hit, ts).otherwise(F.col("effective_end_date")),
+        )
+        .withColumn(
+            "is_current", F.when(hit, F.lit(False)).otherwise(F.col("is_current"))
+        )
+        .drop("__del")
+    )

@@ -460,6 +460,7 @@ def part_brand_upper_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T1 = "2024-01-01 00:00:00"
 _T2 = "2024-02-01 00:00:00"
+_T3 = "2024-03-01 00:00:00"
 
 
 def _customer_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -653,6 +654,84 @@ def scd2_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_part_dim_deletes",
+    oracle=f"""
+    WITH init AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      FROM part),
+    originals AS (
+      SELECT i.*, TIMESTAMP '{_T1}' AS effective_start_date,
+             CASE WHEN i.p_partkey % 7 = 0 OR i.p_partkey % 5 = 0
+                  THEN TIMESTAMP '{_T2}'
+                  ELSE CAST(NULL AS TIMESTAMP) END AS effective_end_date,
+             (i.p_partkey % 7 <> 0 AND i.p_partkey % 5 <> 0) AS is_current
+      FROM init i),
+    fresh2 AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice * 1.10 AS DECIMAL(12,2)) AS price,
+             TIMESTAMP '{_T2}' AS effective_start_date,
+             CAST(NULL AS TIMESTAMP) AS effective_end_date,
+             TRUE AS is_current
+      FROM part WHERE p_partkey % 5 = 0 AND p_partkey % 7 <> 0),
+    fresh3 AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice * 1.20 AS DECIMAL(12,2)) AS price,
+             TIMESTAMP '{_T3}' AS effective_start_date,
+             CAST(NULL AS TIMESTAMP) AS effective_end_date,
+             TRUE AS is_current
+      FROM part WHERE p_partkey % 14 = 0)
+    SELECT p_partkey, p_name, p_brand, CAST(price AS DOUBLE) AS price,
+           sha256(p_name || p_brand || CAST(price AS VARCHAR)) AS hash_value,
+           effective_start_date, effective_end_date, is_current
+    FROM (SELECT * FROM originals UNION ALL
+          SELECT * FROM fresh2 UNION ALL
+          SELECT * FROM fresh3)
+    """,
+)
+def scd2_part_dim_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 + delete events (``apply_as_deletes`` DLT parity — the
+    reference's API surface at ``/root/reference/Gold_Products.py:98-105``
+    accepts the param but never uses it): a three-run CDC lifecycle over
+    the part dimension.
+
+    Run 1 (initial, T1): every part upserts.  Run 2 (T2): every 5th part
+    reprices ×1.10 while every 7th part emits a DELETE with a higher
+    sequence — for keys in both (every 35th) the delete wins
+    (latest-per-key before the delete split), so their current rows are
+    expired WITHOUT a successor.  Run 3 (T3): every 14th part — half of
+    the deleted keys — is re-upserted at ×1.20 and comes back as a
+    brand-new current row while its expired history survives."""
+    part = load(spark, sf_dir, "part")
+
+    def snap(factor: float | None, flt, op: str, seq: int) -> DataFrame:
+        price = (
+            F.col("p_retailprice")
+            if factor is None
+            else F.col("p_retailprice") * factor
+        )
+        return part.filter(flt).select(
+            "p_partkey", "p_name", "p_brand",
+            price.cast("decimal(12,2)").alias("price"),
+            F.lit(op).alias("op"), F.lit(seq).alias("seq"),
+        )
+
+    kw = dict(
+        keys=["p_partkey"], sequence_by="seq", stored_as_scd_type=2,
+        track_history_column_list=["p_name", "p_brand", "price"],
+        apply_as_deletes="op = 'D'",
+    )
+    k = F.col("p_partkey")
+    dim = scd.apply_changes(None, snap(None, F.lit(True), "U", 1), now=_T1, **kw)
+    feed2 = snap(1.10, k % 5 == 0, "U", 2).unionByName(
+        snap(None, k % 7 == 0, "D", 3)
+    )
+    dim = scd.apply_changes(dim, feed2, now=_T2, **kw)
+    dim = scd.apply_changes(dim, snap(1.20, k % 14 == 0, "U", 4), now=_T3, **kw)
+    return dim.withColumn("price", F.col("price").cast("double"))
+
+
+@query(
     "order_fact_upsert",
     oracle=f"""
     WITH cust_dim AS (
@@ -808,6 +887,103 @@ def dlt_part_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     ckpt = tempfile.mkdtemp(prefix="medallion_dlt_inc_")
     out = p.run_incremental(spark, ckpt, db).outputs["part_dim"]
+    return out.withColumn("price", F.col("price").cast("double"))
+
+
+@query(
+    "dlt_part_pipeline_deletes",
+    oracle=f"""
+    WITH init AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice AS DECIMAL(12,2)) AS price
+      FROM part),
+    originals AS (
+      SELECT i.*, TIMESTAMP '{_T1}' AS effective_start_date,
+             CASE WHEN i.p_partkey % 7 = 0 OR i.p_partkey % 5 = 0
+                  THEN TIMESTAMP '{_T2}'
+                  ELSE CAST(NULL AS TIMESTAMP) END AS effective_end_date,
+             (i.p_partkey % 7 <> 0 AND i.p_partkey % 5 <> 0) AS is_current
+      FROM init i),
+    fresh2 AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice * 1.10 AS DECIMAL(12,2)) AS price,
+             TIMESTAMP '{_T2}' AS effective_start_date,
+             CAST(NULL AS TIMESTAMP) AS effective_end_date,
+             TRUE AS is_current
+      FROM part WHERE p_partkey % 5 = 0 AND p_partkey % 7 <> 0),
+    fresh3 AS (
+      SELECT p_partkey, p_name, p_brand,
+             CAST(p_retailprice * 1.20 AS DECIMAL(12,2)) AS price,
+             TIMESTAMP '{_T3}' AS effective_start_date,
+             CAST(NULL AS TIMESTAMP) AS effective_end_date,
+             TRUE AS is_current
+      FROM part WHERE p_partkey % 14 = 0)
+    SELECT p_partkey, p_name, p_brand, CAST(price AS DOUBLE) AS price,
+           sha256(p_name || p_brand || CAST(price AS VARCHAR)) AS hash_value,
+           effective_start_date, effective_end_date, is_current
+    FROM (SELECT * FROM originals UNION ALL
+          SELECT * FROM fresh2 UNION ALL
+          SELECT * FROM fresh3)
+    """,
+)
+def dlt_part_pipeline_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete-event CDC lifecycle in *incremental* pipeline mode: the
+    same three-run feed as ``scd2_part_dim_deletes`` (same oracle — the
+    two entry points must agree), but flowing through
+    ``Pipeline.apply_changes(apply_as_deletes=...)`` with a persistent
+    streaming checkpoint: each run appends its CDC events to the bronze
+    table and folds ONLY the unseen rows into the persistent SCD2 state
+    via foreachBatch (S8/ST5 + M5 + deletes end-to-end)."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import Pipeline
+
+    db = "medallion_dlt_del"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, f"{db}.db"), ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db}")
+    ckpt = tempfile.mkdtemp(prefix="medallion_dlt_del_")
+
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def snap(factor: float | None, flt, op: str, seq: int) -> DataFrame:
+        price = (
+            F.col("p_retailprice")
+            if factor is None
+            else F.col("p_retailprice") * factor
+        )
+        return part.filter(flt).select(
+            "p_partkey", "p_name", "p_brand",
+            price.cast("decimal(12,2)").alias("price"),
+            F.lit(op).alias("op"), F.lit(seq).alias("seq"),
+        )
+
+    def fold_round(now: str) -> DataFrame:
+        # the pipeline DEFINITION is rebuilt per run (cheap, stateless);
+        # the SCD state + checkpoint persist in db/ckpt across runs
+        p = Pipeline("products_deletes")
+        p.streaming_source("bronze_cdc", f"{db}.bronze_cdc")
+        p.apply_changes(
+            target="part_dim_del", source="bronze_cdc", keys=["p_partkey"],
+            sequence_by="seq", stored_as_scd_type=2,
+            track_history_column_list=["p_name", "p_brand", "price"],
+            now=now, apply_as_deletes="op = 'D'",
+        )
+        return p.run_incremental(spark, ckpt, db).outputs["part_dim_del"]
+
+    snap(None, F.lit(True), "U", 1).write.saveAsTable(f"{db}.bronze_cdc")
+    fold_round(_T1)
+    snap(1.10, k % 5 == 0, "U", 2).unionByName(
+        snap(None, k % 7 == 0, "D", 3)
+    ).write.mode("append").saveAsTable(f"{db}.bronze_cdc")
+    fold_round(_T2)
+    snap(1.20, k % 14 == 0, "U", 4).write.mode("append").saveAsTable(
+        f"{db}.bronze_cdc"
+    )
+    out = fold_round(_T3)
     return out.withColumn("price", F.col("price").cast("double"))
 
 
@@ -1117,6 +1293,7 @@ CORRECTNESS_PRIORITY = [
     #    decontamination single-scan rewrite, z-order path handling,
     #    winnowing fingerprints NEW in r6) --------------------------------
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs",
+    "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
     "doc_winnow_overlap_pairs", "emb_ivf_indexed_topk", "doc_gopher_quality",
     "emb_lsh_multitable_topk", "doc_duplicated_spans", "doc_source_caps",
     "doc_duplication_stats", "doc_stream_dedup_ingest",

@@ -154,3 +154,86 @@ def test_apply_changes_dedupes_by_sequence(spark):
     assert _rows(dim2, "id", "v", "is_current") == [
         (1, "new", False), (1, "newer", True), (2, "x", True),
     ]
+
+
+T3 = "2024-03-01 00:00:00"
+
+
+def test_apply_changes_deletes_scd2(spark):
+    """apply_as_deletes (DLT parity): a key whose newest event is a delete
+    has its current row expired with NO successor; latest-wins applies
+    before the delete split; a later upsert reinserts the key fresh; the
+    whole fold is idempotent."""
+    kw = dict(
+        keys=["id"], sequence_by="seq", stored_as_scd_type=2,
+        track_history_column_list=["v"], apply_as_deletes="op = 'D'",
+    )
+    feed = spark.createDataFrame(
+        [(1, "a", 1, "U"), (2, "b", 1, "U"), (3, "c", 1, "U"),
+         (4, "never-lands", 1, "D")],
+        "id int, v string, seq int, op string",
+    )
+    dim = scd.apply_changes(None, feed, now=T1, **kw)
+    # initial load: a key whose newest event is a delete never enters
+    assert _rows(dim, "id", "v", "is_current") == [
+        (1, "a", True), (2, "b", True), (3, "c", True),
+    ]
+
+    feed2 = spark.createDataFrame(
+        [(1, "a", 2, "D"), (1, "a9", 3, "U"),   # delete superseded by upsert
+         (2, "b2", 2, "U"),                     # plain change
+         (3, "c", 2, "D")],                     # delete wins
+        "id int, v string, seq int, op string",
+    )
+    dim2 = scd.apply_changes(dim, feed2, now=T2, **kw)
+    assert _rows(dim2, "id", "v", "is_current") == [
+        (1, "a", False), (1, "a9", True),
+        (2, "b", False), (2, "b2", True),
+        (3, "c", False),                        # expired, no successor
+    ]
+    ends = {
+        (r["id"], r["v"]): r["effective_end_date"] for r in dim2.collect()
+    }
+    assert ends[(3, "c")] is not None and ends[(1, "a9")] is None
+
+    # delete-then-reinsert across runs: id 3 comes back as a NEW current row
+    feed3 = spark.createDataFrame(
+        [(3, "c3", 4, "U")], "id int, v string, seq int, op string"
+    )
+    dim3 = scd.apply_changes(dim2, feed3, now=T3, **kw)
+    assert _rows(dim3, "id", "v", "is_current") == [
+        (1, "a", False), (1, "a9", True),
+        (2, "b", False), (2, "b2", True),
+        (3, "c", False), (3, "c3", True),
+    ]
+    starts = {
+        (r["id"], r["v"]): r["effective_start_date"] for r in dim3.collect()
+    }
+    assert str(starts[(3, "c3")]).startswith("2024-03-01")
+
+    # idempotence: the same feed folded again changes nothing
+    dim4 = scd.apply_changes(dim3, feed3, now="2024-04-01 00:00:00", **kw)
+    assert sorted(map(tuple, dim4.collect())) == sorted(
+        map(tuple, dim3.collect())
+    )
+
+
+def test_apply_changes_deletes_scd1(spark):
+    """Under SCD1 a delete removes the key's row from the dimension."""
+    kw = dict(
+        keys=["id"], sequence_by="seq", stored_as_scd_type=1,
+        track_history_column_list=["v"], apply_as_deletes="op = 'D'",
+    )
+    feed = spark.createDataFrame(
+        [(1, "a", 1, "U"), (2, "b", 1, "U")],
+        "id int, v string, seq int, op string",
+    )
+    d = scd.apply_changes(None, feed, now=T1, **kw)
+    feed2 = spark.createDataFrame(
+        [(1, "ignored", 2, "D")], "id int, v string, seq int, op string"
+    )
+    d2 = scd.apply_changes(d, feed2, now=T2, **kw)
+    assert _rows(d2, "id", "v") == [(2, "b")]
+    # deleting an absent key is a no-op (idempotent)
+    d3 = scd.apply_changes(d2, feed2, now=T3, **kw)
+    assert _rows(d3, "id", "v") == [(2, "b")]
