@@ -105,6 +105,7 @@ HEADLINE = [
     "emb_lsh_indexed_topk",
     "doc_simhash_poly_pairs",
     "scd2_part_dim_deletes",
+    "dlt_part_quarantine",
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",

@@ -66,6 +66,39 @@ def expect_all_or_drop(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     return df.filter(_conjunction(rules))
 
 
+def expect_all_or_quarantine(
+    df: DataFrame, rules: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine mode: split into ``(passed, quarantined)`` where
+    quarantined rows keep every source column plus ``violated_rules`` —
+    the array of rule NAMES the row broke — so a data steward can triage
+    and replay them (DLT-grade pipelines route violations to a quarantine
+    table instead of discarding them like ``expect_all_or_drop``).
+
+    Both sides are pure Catalyst projections/filters over the input (each
+    rule predicate is evaluated once per row per side, pushdown-friendly,
+    streaming-safe); a caller materializing both sides pays two scans of
+    the source unless it persists — the pipeline integration writes each
+    side to its own sink, which is exactly that shape.
+    """
+    # "not TRUE" counts as a violation (NULL-evaluating rules quarantine,
+    # matching expect_all_or_drop, whose filter keeps only TRUE rows)
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(F.expr(rule), F.lit(False)), F.lit(name))
+                for name, rule in rules.items()
+            ]
+        )
+    )
+    tagged = df.withColumn("violated_rules", viol)
+    passed = tagged.filter(F.size("violated_rules") == 0).drop(
+        "violated_rules"
+    )
+    quarantined = tagged.filter(F.size("violated_rules") > 0)
+    return passed, quarantined
+
+
 def expect_all_or_fail(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     """'expect_or_fail' mode (``/root/reference/Gold_Products.py:49-51``):
     raise if any row violates any rule, else pass the input through."""

@@ -38,6 +38,7 @@ class Node:
     expect_all_or_drop: dict[str, str] | None = None
     expect_all_or_fail: dict[str, str] | None = None
     expect: dict[str, str] | None = None      # warn-only
+    expect_all_or_quarantine: dict[str, str] | None = None
     comment: str = ""
     cdc: dict | None = None          # apply_changes config (incremental runs)
 
@@ -66,11 +67,18 @@ class Pipeline:
         expect_all_or_drop: dict[str, str] | None = None,
         expect_all_or_fail: dict[str, str] | None = None,
         expect: dict[str, str] | None = None,
+        expect_all_or_quarantine: dict[str, str] | None = None,
     ):
         """``@dlt.table`` equivalent (``/root/reference/Gold_Products.py:84``).
 
         Dependencies = the decorated function's parameter names (each must be
         a registered node); a ``spark`` parameter injects the session instead.
+
+        ``expect_all_or_quarantine`` routes violating rows (tagged with the
+        rule names they broke) to the side output ``<node>__quarantine``
+        instead of discarding them — batch runs expose it in
+        ``RunResult.outputs``; incremental runs materialize it as the
+        catalog table ``<database>.<node>__quarantine``.
         """
 
         def deco(f: Callable[..., DataFrame]):
@@ -81,6 +89,7 @@ class Pipeline:
                 expect_all_or_drop=expect_all_or_drop,
                 expect_all_or_fail=expect_all_or_fail,
                 expect=expect, comment=comment,
+                expect_all_or_quarantine=expect_all_or_quarantine,
             )
             return f
 
@@ -201,6 +210,11 @@ class Pipeline:
                 df = ex.expect_all_or_fail(df, node.expect_all_or_fail)
             if node.expect_all_or_drop is not None:
                 df = ex.expect_all_or_drop(df, node.expect_all_or_drop)
+            if node.expect_all_or_quarantine is not None:
+                df, quarantined = ex.expect_all_or_quarantine(
+                    df, node.expect_all_or_quarantine
+                )
+                outputs[f"{name}__quarantine"] = quarantined
             outputs[name] = df
         return RunResult(outputs=outputs, expectation_reports=reports)
 
@@ -251,14 +265,23 @@ class Pipeline:
                 df = self._eval(node, spark, outputs)
             if node.expect_all_or_drop is not None:
                 df = ex.expect_all_or_drop(df, node.expect_all_or_drop)
+            quarantined = None
+            if node.expect_all_or_quarantine is not None:
+                df, quarantined = ex.expect_all_or_quarantine(
+                    df, node.expect_all_or_quarantine
+                )
             if not df.isStreaming:
                 if node.expect is not None:
                     reports[name] = ex.check(df, node.expect)
                 if node.expect_all_or_fail is not None:
                     df = ex.expect_all_or_fail(df, node.expect_all_or_fail)
+                if quarantined is not None:
+                    outputs[f"{name}__quarantine"] = quarantined
                 outputs[name] = df
                 continue
             if node.kind in ("view", "streaming_source"):   # streams keep flowing
+                if quarantined is not None:
+                    outputs[f"{name}__quarantine"] = quarantined
                 outputs[name] = df
                 continue
             target_tbl = f"{database}.{name}"
@@ -297,6 +320,21 @@ class Pipeline:
                     .toTable(target_tbl)
                 )
             q.awaitTermination()
+            if quarantined is not None:
+                # the quarantine side output is its own streaming sink with
+                # its own checkpoint (offsets advance independently — a
+                # quarantined row is delivered exactly once per sink)
+                qq = (
+                    quarantined.writeStream.outputMode("append")
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", f"{ckpt}__quarantine")
+                    .toTable(f"{target_tbl}__quarantine")
+                )
+                qq.awaitTermination()
+                spark.catalog.refreshTable(f"{target_tbl}__quarantine")
+                outputs[f"{name}__quarantine"] = spark.read.table(
+                    f"{target_tbl}__quarantine"
+                )
             spark.catalog.refreshTable(target_tbl)
             materialized = spark.read.table(target_tbl)
             if node.expect is not None:

@@ -891,6 +891,52 @@ def dlt_part_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "dlt_part_quarantine",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+           CASE WHEN p_size > 45 AND p_name IS NULL
+                THEN ['size_ok', 'name_set']
+                WHEN p_size > 45 THEN ['size_ok']
+                ELSE ['name_set'] END AS violated_rules
+    FROM part WHERE p_size > 45 OR p_name IS NULL
+    """,
+)
+def dlt_part_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 quarantine mode: the dlt_part_pipeline silver rules routed
+    through ``expect_all_or_quarantine`` instead of drop — violating rows
+    land in the ``<node>__quarantine`` side output tagged with the NAMES
+    of the rules they broke (rule-dict order), so data stewards can
+    triage and replay instead of losing the rows.  The main output is
+    bit-identical to the drop-mode pipeline's (same predicate)."""
+    from .plans.pipeline import Pipeline
+
+    p = Pipeline("products_quarantine")
+
+    @p.table(name="bronze_parts")
+    def bronze_parts(spark):
+        return load(spark, sf_dir, "part")
+
+    @p.view(
+        name="silver_parts",
+        expect_all_or_quarantine={
+            "size_ok": "p_size <= 45", "name_set": "p_name IS NOT NULL",
+        },
+    )
+    def silver_parts(bronze_parts):
+        return bronze_parts.select(
+            "p_partkey", "p_name", "p_brand", "p_size",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        )
+
+    quar = p.run(spark).outputs["silver_parts__quarantine"]
+    return quar.select(
+        "p_partkey", "p_name", "p_brand",
+        F.col("price").cast("double").alias("price"), "violated_rules",
+    )
+
+
+@query(
     "dlt_part_pipeline_deletes",
     oracle=f"""
     WITH init AS (
@@ -1294,6 +1340,7 @@ CORRECTNESS_PRIORITY = [
     #    winnowing fingerprints NEW in r6) --------------------------------
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs",
     "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
+    "dlt_part_quarantine",
     "doc_winnow_overlap_pairs", "emb_ivf_indexed_topk", "doc_gopher_quality",
     "emb_lsh_multitable_topk", "doc_duplicated_spans", "doc_source_caps",
     "doc_duplication_stats", "doc_stream_dedup_ingest",

@@ -87,6 +87,52 @@ def test_pipeline_topo_and_expectations(spark):
     assert _rows(res.outputs["dim"], "id", "v", "is_current") == [(1, "x2", True)]
 
 
+def test_expect_all_or_quarantine_split(spark):
+    """Quarantine mode: passed rows are clean, violating rows carry the
+    names of every rule they broke; NULL-evaluating rules quarantine
+    (matching expect_all_or_drop's keep-only-TRUE filter)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, None)], "id int, name string"
+    )
+    rules = {"id_set": "id IS NOT NULL", "name_set": "name IS NOT NULL",
+             "id_pos": "id > 0"}
+    passed, quarantined = ex.expect_all_or_quarantine(df, rules)
+    assert _rows(passed, "id", "name") == [(1, "a")]
+    assert "violated_rules" not in passed.columns
+    got = {
+        r["id"]: sorted(r["violated_rules"]) for r in quarantined.collect()
+    }
+    # id > 0 is NULL for the null id -> counts as violated
+    assert got == {2: ["name_set"], None: ["id_pos", "id_set", "name_set"]}
+
+
+def test_pipeline_quarantine_batch(spark):
+    p = pipeline.Pipeline("quarantine")
+
+    @p.table
+    def raw(spark):
+        return spark.createDataFrame(
+            [(1, "x", 5), (2, None, 7), (3, "z", -1)],
+            "id int, v string, qty int",
+        )
+
+    @p.table(
+        name="clean",
+        expect_all_or_quarantine={"v_set": "v IS NOT NULL",
+                                  "qty_pos": "qty > 0"},
+    )
+    def clean(raw):
+        return raw
+
+    res = p.run(spark)
+    assert _rows(res.outputs["clean"], "id", "v", "qty") == [(1, "x", 5)]
+    quar = {
+        r["id"]: sorted(r["violated_rules"])
+        for r in res.outputs["clean__quarantine"].collect()
+    }
+    assert quar == {2: ["v_set"], 3: ["qty_pos"]}
+
+
 def test_pipeline_unknown_dep_raises(spark):
     p = pipeline.Pipeline()
 
@@ -96,6 +142,55 @@ def test_pipeline_unknown_dep_raises(spark):
 
     with pytest.raises(ValueError, match="unknown"):
         p.order()
+
+
+def test_incremental_pipeline_quarantine_table(spark, tmp_path):
+    """Streaming quarantine: violating rows land exactly once in
+    <db>.<node>__quarantine (own sink + checkpoint); a second run
+    processes only unseen rows for BOTH sinks."""
+    import shutil
+
+    db = "dlt_quar_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    warehouse_dir = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse_dir}/{db}.db", ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db}")
+    bronze_tbl = f"{db}.bronze_rows"
+    spark.createDataFrame(
+        [(1, 5), (2, -1)], "id int, qty int"
+    ).write.saveAsTable(bronze_tbl)
+
+    def build():
+        p = pipeline.Pipeline("quar_inc")
+        p.streaming_source("bronze_rows", bronze_tbl)
+
+        @p.table(
+            name="clean_rows",
+            expect_all_or_quarantine={"qty_pos": "qty > 0"},
+        )
+        def clean_rows(bronze_rows):
+            return bronze_rows
+
+        return p
+
+    ckpt = str(tmp_path / "ckpt")
+    out = build().run_incremental(spark, ckpt, db)
+    assert _rows(out.outputs["clean_rows"], "id", "qty") == [(1, 5)]
+    assert {
+        (r["id"], tuple(r["violated_rules"]))
+        for r in out.outputs["clean_rows__quarantine"].collect()
+    } == {(2, ("qty_pos",))}
+
+    # delta: one good, one bad row; prior rows must not reprocess
+    spark.createDataFrame(
+        [(3, 7), (4, 0)], "id int, qty int"
+    ).write.insertInto(bronze_tbl)
+    out2 = build().run_incremental(spark, ckpt, db)
+    assert _rows(out2.outputs["clean_rows"], "id", "qty") == [(1, 5), (3, 7)]
+    assert {
+        (r["id"], tuple(r["violated_rules"]))
+        for r in out2.outputs["clean_rows__quarantine"].collect()
+    } == {(2, ("qty_pos",)), (4, ("qty_pos",))}
 
 
 def test_incremental_pipeline_streaming_table_source(spark, tmp_path):
