@@ -159,6 +159,44 @@ def test_apply_changes_dedupes_by_sequence(spark):
 T3 = "2024-03-01 00:00:00"
 
 
+def test_scd2_state_roundtrip_through_storage(spark, tmp_path, storage_backend):
+    """The SCD2 lifecycle with its state PERSISTED between runs through
+    the active storage backend (overwrite_path + format-matched read):
+    the merge math must be backend-independent, and the written state
+    must carry the backend's layout.  Parametrized over parquet/delta —
+    the delta case skip-gates here and proves the lane the day an
+    environment provides delta-spark."""
+    from tests.conftest import assert_storage_layout
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        readers,
+        writers,
+    )
+
+    loc = str(tmp_path / "dim")
+    initial = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, v string"
+    )
+    writers.overwrite_path(
+        scd.scd2_initial(initial, ["id"], ["v"], now=T1), loc
+    )
+    assert_storage_layout(loc, storage_backend)
+
+    state = readers.read_delta(spark, loc)
+    batch = spark.createDataFrame([(1, "a2"), (3, "c")], "id int, v string")
+    writers.overwrite_path(
+        scd.scd2_merge(
+            state, batch, ["id"], ["v"], now=T2
+        ).localCheckpoint(eager=True),  # break lineage: don't read files
+        loc,                            # the overwrite is replacing
+    )
+    final = readers.read_delta(spark, loc)
+    assert _rows(final, "id", "v", "is_current") == [
+        (1, "a", False), (1, "a2", True), (2, "b", True), (3, "c", True),
+    ]
+    assert_storage_layout(loc, storage_backend)
+
+
 def test_apply_changes_deletes_scd2(spark):
     """apply_as_deletes (DLT parity): a key whose newest event is a delete
     has its current row expired with NO successor; latest-wins applies
