@@ -145,16 +145,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = workload.QUERIES[name]
-        best = float("inf")
         # Best-of-two: the second run reuses JIT-compiled codegen, loaded
         # classes, and cached parquet footers, so it measures the plan, not
         # cold-start noise.  Streaming-checkpoint queries use fresh temp
         # dirs per call, so both runs do real work either way.
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        # Noise floor (ADVICE r6): ambient box load makes sub-second
+        # queries swing 3-4x between identical-code runs.  When the two
+        # runs disagree by >2x, one of them hit a load spike — take a
+        # third and keep the best, so the recorded number reflects the
+        # plan, not the scheduler.  Well-behaved queries still pay
+        # exactly two runs.
+        if max(runs) > 2 * min(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     # Stop the session FIRST so shutdown-time log lines (state-store
     # maintenance, executor teardown) can't land after the JSON result; the

@@ -1327,47 +1327,49 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
 # round by tests/test_workload_oracle.py regardless of window position.
 CORRECTNESS_PRIORITY = [
-    # -- rule 1: no driver row in r4 (last checked r2/r3) -------------------
-    "doc_token_counts", "doc_text_stats", "doc_language_id",
-    "doc_exact_dedup", "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
-    "doc_dedup_representatives", "emb_cosine_topk", "emb_cosine_dedup_pairs",
-    "multimodal_features", "doc_repetition_stats", "doc_scrub_pii",
-    "doc_bm25_topk", "orders_price_quantiles", "emb_int8_quantize_error",
-    "events_approx_distinct", "events_approx_quantiles",
-    # -- rule 2: new this round, or code path touched (ANN recall retune,
-    #    k-means speedup, cross-corpus index materialization,
-    #    decontamination single-scan rewrite, z-order path handling,
-    #    winnowing fingerprints NEW in r6) --------------------------------
-    "emb_lsh_indexed_topk", "doc_simhash_poly_pairs",
-    "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
-    "dlt_part_quarantine",
-    "doc_winnow_overlap_pairs", "emb_ivf_indexed_topk", "doc_gopher_quality",
-    "emb_lsh_multitable_topk", "doc_duplicated_spans", "doc_source_caps",
-    "doc_duplication_stats", "doc_stream_dedup_ingest",
-    "emb_lsh_topk", "emb_ivf_topk", "emb_ivf_kmeans_topk",
-    "doc_cross_corpus_dedup", "doc_benchmark_decontamination",
-    "docs_zorder_pruned_scan",
-    # -- rule 3: r4-checked, unchanged (front part stays in the window) ----
-    "orders_year_priority_pivot", "orders_status_priority_cube",
-    "customer_without_orders", "customer_with_high_value_orders",
-    "orders_analytic_windows", "part_string_functions",
-    "events_variant_props", "doc_chunks", "doc_mixture_splits",
-    "doc_token_packing", "events_resample_ffill", "corpus_vocab_topk",
-    "events_daily_rolling", "doc_simhash_pairs", "doc_bpe_token_counts",
-    "events_stateful_sessions", "scd1_customer_dim", "scd1_customer_dim_sql",
-    "scd2_part_dim", "order_fact_upsert", "dlt_part_pipeline",
-    "dlt_part_pipeline_incremental", "events_asof_join",
-    "events_range_join_agg", "events_hourly_windows",
-    "events_sliding_windows", "events_session_windows",
-    # -- rule 3 tail: longest-green core, rotates out this round (r1/r2
-    #    green, unchanged since; front of the r6 window by rule 1) ---------
-    "customer_segment_count", "customer_filter_segment",
-    "part_type_token_count", "customer_change_hash", "orders_year_windows",
+    # -- rule 1: no driver hash row in r6 (last checked r4/r5; unchanged
+    #    code — rotate to the front so every oracle gets a fresh driver
+    #    hash at least every other round) --------------------------------
+    "order_fact_upsert", "events_asof_join", "events_range_join_agg",
+    "events_hourly_windows", "events_sliding_windows",
+    "events_session_windows", "customer_segment_count",
+    "customer_filter_segment", "part_type_token_count",
+    "customer_change_hash", "orders_year_windows",
     "orders_duplicate_custkeys", "lineitem_pricing_summary",
     "events_json_props", "orders_priority_rollup", "customer_set_ops",
     "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
     "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
     "events_stream_ingest",
+    # -- rule 2: NEW in r7 (LSH-index lane, poly SimHash, CDC deletes x2,
+    #    quarantine) or code path touched in r7 (dedup hot-key caps, IVF
+    #    probe-collect rewrite, index tombstone read paths + streaming
+    #    replay guard, apply_changes delete support threading) -----------
+    "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
+    "dlt_part_pipeline_deletes", "dlt_part_quarantine",
+    "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
+    "emb_ivf_indexed_topk", "doc_cross_corpus_dedup",
+    "doc_stream_dedup_ingest", "emb_lsh_multitable_topk", "dlt_part_pipeline",
+    "dlt_part_pipeline_incremental",
+    # -- rule 3: r6-checked, unchanged (front part stays in the window;
+    #    the tail past entry 50 is the longest-continuously-green set and
+    #    rotates back in by rule 1 next round) ---------------------------
+    "doc_token_counts", "doc_text_stats", "doc_language_id",
+    "doc_exact_dedup", "doc_dedup_representatives", "emb_cosine_topk",
+    "emb_cosine_dedup_pairs", "multimodal_features", "doc_repetition_stats",
+    "doc_scrub_pii", "doc_bm25_topk", "orders_price_quantiles",
+    "emb_int8_quantize_error", "events_approx_distinct",
+    "events_approx_quantiles", "doc_winnow_overlap_pairs",
+    "doc_gopher_quality", "doc_duplicated_spans", "doc_source_caps",
+    "doc_duplication_stats", "emb_lsh_topk", "emb_ivf_topk",
+    "emb_ivf_kmeans_topk", "doc_benchmark_decontamination",
+    "docs_zorder_pruned_scan", "orders_year_priority_pivot",
+    "orders_status_priority_cube", "customer_without_orders",
+    "customer_with_high_value_orders", "orders_analytic_windows",
+    "part_string_functions", "events_variant_props", "doc_chunks",
+    "doc_mixture_splits", "doc_token_packing", "events_resample_ffill",
+    "corpus_vocab_topk", "events_daily_rolling", "doc_simhash_pairs",
+    "doc_bpe_token_counts", "events_stateful_sessions", "scd1_customer_dim",
+    "scd1_customer_dim_sql", "scd2_part_dim",
 ]
 
 def ordered_queries() -> dict:

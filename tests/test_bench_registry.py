@@ -66,9 +66,14 @@ def test_ordered_queries_serves_priority_window():
     ordered = workload.ordered_queries()
     assert set(ordered) == set(workload.QUERIES)
     window = list(ordered)[:50]
+    # round 7's new queries + the rotated-to-front stale block must get a
+    # fresh driver hash this round
     for q in (
-        "doc_winnow_overlap_pairs", "emb_ivf_topk", "emb_ivf_kmeans_topk",
-        "doc_benchmark_decontamination", "doc_bm25_topk",
+        "emb_lsh_indexed_topk", "doc_simhash_poly_pairs",
+        "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
+        "dlt_part_quarantine", "doc_ngram_jaccard_pairs",
+        "doc_minhash_dedup_pairs", "order_fact_upsert",
+        "lineitem_pricing_summary", "events_stream_ingest",
     ):
         assert q in window, q
 
