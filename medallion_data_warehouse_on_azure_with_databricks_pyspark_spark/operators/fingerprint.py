@@ -69,7 +69,11 @@ def _gram_hash_array(toks: Column, k: int) -> Column:
         F.sequence(F.lit(0), n_grams - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return F.transform(grams, _gram_hash)
+    # NOTE: _gram_hash takes an optional ``base`` kwarg, which makes it a
+    # two-parameter callable — and F.transform calls two-parameter lambdas
+    # as (element, index), silently binding the array index to ``base``.
+    # Always wrap in an explicit one-arg lambda here.
+    return F.transform(grams, lambda g: _gram_hash(g))
 
 
 def positional_gram_hashes(
