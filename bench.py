@@ -126,6 +126,7 @@ EXCLUDED = {
     # per-run temp-dir setup, already covered by events_stateful_sessions
     "events_stream_ingest": "file-stream harness setup noise; covered by stateful query",
     "doc_stream_dedup_ingest": "file-stream + scratch-index harness setup noise; the dedup math it exercises is timed via doc_cross_corpus_dedup and doc_minhash_dedup_pairs",
+    "events_json_rescue_ingest": "file-stream harness setup noise (JSON landing-zone synthesis + checkpointed ingest per run); the rescue math is a single zero-shuffle Catalyst projection",
 }
 
 
