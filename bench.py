@@ -111,6 +111,7 @@ HEADLINE = [
     "doc_duplicated_spans",
     "doc_source_caps",
     "doc_duplication_stats",
+    "doc_hybrid_search_rrf",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

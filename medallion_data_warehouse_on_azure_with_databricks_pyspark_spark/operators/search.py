@@ -138,3 +138,56 @@ def bm25_topk(
         .select("query_id", id_col, "bm25")
     )
     return grouped_topk(scored, "query_id", id_col, k, score_col="bm25")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    out: str = "rrf",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of N per-query
+    rank lists: ``score(doc) = Σ_lanes 1 / (rrf_k + rank_lane(doc))``.
+
+    The standard hybrid-retrieval combiner (sparse BM25 + dense ANN): rank
+    lists live on incomparable score scales, so fusion uses only the ranks.
+    ``rrf_k = 60`` is the paper's constant.
+
+    Scale shape: the inputs are top-k lists — queries × k rows per lane,
+    microscopic next to the corpora that produced them — so the union +
+    one grouped aggregate here is never the bottleneck; the heavy lifting
+    stays inside the lane operators (:func:`bm25_topk`,
+    ``similarity.*_topk``), each already scale-shaped on its own.
+
+    Determinism: per-lane contributions fold in lane order (array_sort on
+    a ``(lane, contrib)`` struct, left-assoc sum seeded 0.0), so N-lane
+    double addition has a fixed association both engines replay; a doc
+    absent from a lane contributes exactly ``+0.0``.  Final order is
+    (fused score desc, id asc) through the two-phase
+    :func:`..similarity.grouped_topk`.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one rank list")
+    tagged = None
+    for lane, df in enumerate(rankings):
+        part = df.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.lit(lane).alias("__lane"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))
+            ).alias("__contrib"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy(query_col, id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__lane", "__contrib"))),
+            F.lit(0.0),
+            lambda acc, e: acc + e["__contrib"],
+        ).alias(out)
+    )
+    return grouped_topk(fused, query_col, id_col, k, score_col=out)

@@ -141,7 +141,7 @@ def events_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Curation quality signals
 # ---------------------------------------------------------------------------
 
-_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+from .oracle_fragments import TOKS as _TOKS  # noqa: E402
 
 
 @query(
@@ -221,7 +221,7 @@ BM25_QUERIES: dict[int, list[str]] = {
 }
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = 10) -> str:
     vals = ",".join(
         f"({qid}, '{t}')" for qid, terms in sorted(BM25_QUERIES.items())
         for t in sorted(set(terms))
@@ -266,7 +266,7 @@ def _bm25_oracle() -> str:
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY bm25 DESC, doc_id) AS INT) AS rank
           FROM scored)
-    WHERE rank <= 10
+    WHERE rank <= {k}
     """
 
 
@@ -278,6 +278,74 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     qt = search.query_terms_df(spark, BM25_QUERIES)
     return search.bm25_topk(docs, qt, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine, fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+def _hybrid_rrf_oracle() -> str:
+    from .oracle_fragments import fold_dot as _fold_dot
+    from .oracle_fragments import fold_norm as _fold_norm
+
+    qvecs = ", ".join(str(q * 25) for q in sorted(BM25_QUERIES))
+    return f"""
+    WITH sparse AS ({_bm25_oracle(20)}),
+    dense AS (
+      WITH q AS (SELECT vec_id AS qvec, embedding AS qe
+                 FROM embeddings WHERE vec_id IN ({qvecs})),
+      dscored AS (
+        SELECT q.qvec, c.vec_id,
+               {_fold_dot('q.qe', 'c.embedding')}
+                 / ({_fold_norm('q.qe')} * {_fold_norm('c.embedding')}) AS cosine
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id <> q.qvec)
+      SELECT CAST(qvec // 25 AS INT) AS query_id, vec_id AS doc_id, rank
+      FROM (SELECT qvec, vec_id,
+                   CAST(row_number() OVER (PARTITION BY qvec
+                        ORDER BY cosine DESC, vec_id) AS INT) AS rank
+            FROM dscored)
+      WHERE rank <= 20),
+    fused AS (
+      SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0::DOUBLE / (60.0::DOUBLE + s.rank), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + d.rank), 0.0::DOUBLE)
+               AS rrf
+      FROM sparse s
+      FULL JOIN dense d ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+    SELECT query_id, doc_id, rrf, rank
+    FROM (SELECT query_id, doc_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf DESC, doc_id) AS INT) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@query("doc_hybrid_search_rrf", oracle=_hybrid_rrf_oracle())
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (sparse lane) and exact cosine top-20
+    (dense lane, query vectors keyed 25·query_id in the aligned embeddings
+    corpus) fused by reciprocal rank (``operators/search.py rrf_fuse``,
+    Cormack & Clarke 2009).  Rank lists are queries×20 rows, so the fusion
+    join is microscopic next to the lane scans; in production the dense
+    lane swaps to the IVF/LSH index read paths with the fusion unchanged —
+    RRF only consumes ranks.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qt = search.query_terms_df(spark, BM25_QUERIES)
+    sparse = search.bm25_topk(docs, qt, k=20).select("query_id", "doc_id", "rank")
+    dq = emb.filter(
+        F.col("vec_id").isin([q * 25 for q in sorted(BM25_QUERIES)])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    dense = similarity.cosine_topk(emb, dq, k=20).select(
+        (F.col("query_id") / 25).cast("int").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    return search.rrf_fuse([sparse, dense], k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ from .workload import load, query
 # Shared SQL fragments (mirror text.py exactly)
 # ---------------------------------------------------------------------------
 
-_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+from .oracle_fragments import TOKS as _TOKS  # noqa: E402
 _EN_STOPS = "['" + "','".join(text.LANG_STOPWORDS["en"]) + "']"
 
 #: Distinct word-3-gram shingles — mirrors ``dedup.shingles`` (slice clamps,
@@ -79,24 +79,9 @@ _JACCARD_PAIRS_SQL = (
 )
 
 
-def _fold_dot(a: str, b: str) -> str:
-    """Ordered-fold dot product of two list expressions (DOUBLE, bit-exact
-    vs Spark's ``F.aggregate`` with 0.0 seed)."""
-    return (
-        f"list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-        f"(x, y) -> x + y)"
-    )
-
-
-def _fold_norm(a: str) -> str:
-    return (
-        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
-        f"(x, y) -> x + y))"
-    )
+# shared with workload_ext via the leaf module (circular-import-safe)
+from .oracle_fragments import fold_dot as _fold_dot  # noqa: E402
+from .oracle_fragments import fold_norm as _fold_norm  # noqa: E402
 
 
 def _planes_values(planes: list[list[float]]) -> str:
