@@ -112,6 +112,7 @@ HEADLINE = [
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",
+    "emb_semantic_dedup",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

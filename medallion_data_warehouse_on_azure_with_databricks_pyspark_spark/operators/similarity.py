@@ -983,3 +983,66 @@ def lsh_topk_against_index(
         )
     )
     return grouped_topk(scored, query_id_col, id_col, k)
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    modulus: int = 37,
+    pivots: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster-partitioned
+    semantic deduplication over an embedding corpus.
+
+    The paper's recipe, Spark-shaped: (1) coarse-cluster the corpus
+    (k-means there; the deterministic IVF quantizer here — same pivots as
+    :func:`ivf_pivots`, so a warehouse reuses ONE clustering for both ANN
+    search and dedup); (2) compute pairwise cosine only WITHIN clusters;
+    (3) of any pair above ``threshold``, keep the lower-id document.  A doc
+    survives iff its cluster holds no smaller-id semantic duplicate —
+    non-iterative, so the decision is per-pair parallel and exactly
+    SQL-replayable (the iterative variant's survivor set depends on
+    removal order; at 10⁹ docs an order-dependent sequential scan is not a
+    distributed shape).
+
+    Scale: the whole point of the cluster partition is that the quadratic
+    term is ``Σ |cluster|²``, never ``N²`` — pivot count grows with the
+    corpus (``modulus`` fixes pivots ∝ N here; a trained quantizer fixes
+    k ≈ N/target_cluster_size), keeping per-cluster lists bounded, and the
+    self-join is a shuffle on ``pivot_id`` whose skew is capped by the
+    quantizer's balance.  Output: ``(id, pivot_id)`` survivors.
+    """
+    if pivots is None:
+        pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    assign = ivf_assign(corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col)
+    clustered = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
+        .join(assign.select(id_col, "pivot_id"), id_col)
+        .withColumn("__norm", _norm(F.col("__vec")))
+    )
+    lhs = clustered.select(
+        "pivot_id",
+        F.col(id_col).alias("id_a"),
+        F.col("__vec").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    rhs = clustered.select(
+        "pivot_id",
+        F.col(id_col).alias("id_b"),
+        F.col("__vec").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    dropped = (
+        lhs.join(rhs, "pivot_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return clustered.join(dropped, id_col, "left_anti").select(id_col, "pivot_id")

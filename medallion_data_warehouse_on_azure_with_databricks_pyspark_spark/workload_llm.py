@@ -821,6 +821,45 @@ def emb_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dedup_pairs(emb, _DEDUP_PLANES, threshold=0.9)
 
 
+@query(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH pivots AS (
+      SELECT vec_id AS pivot_id, embedding AS pv
+      FROM embeddings WHERE vec_id % 37 = 0),
+    assign AS (
+      SELECT vec_id, pivot_id
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY {_fold_l2sq('e.embedding', 'p.pv')},
+                                 p.pivot_id) AS rnk
+            FROM embeddings e CROSS JOIN pivots p)
+      WHERE rnk = 1),
+    c AS (SELECT a.vec_id, a.pivot_id, e.embedding AS v
+          FROM assign a JOIN embeddings e USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM c a JOIN c b ON a.pivot_id = b.pivot_id AND a.vec_id < b.vec_id
+      WHERE {_fold_dot('a.v', 'b.v')}
+              / ({_fold_norm('a.v')} * {_fold_norm('b.v')}) >= 0.35)
+    SELECT c.vec_id, c.pivot_id
+    FROM c ANTI JOIN dropped d ON c.vec_id = d.vec_id
+    """,
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) survivors: IVF-cluster the corpus with
+    the SAME deterministic quantizer the ANN lanes use, pairwise cosine
+    within clusters only, drop any vector with a smaller-id duplicate
+    (``operators/similarity.py semantic_dedup_survivors``).  The quadratic
+    term is per-cluster, never corpus-wide — the paper's reason for
+    clustering first.  Threshold 0.35 is calibrated to the synthetic
+    corpus's similarity scale (no planted near-identical vectors; max
+    pairwise cosine ≈0.51), dropping ~11% so the drop path is genuinely
+    exercised; production near-dup pruning runs 0.9+."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_survivors(emb, threshold=0.35, modulus=37)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing — oracle reconstructs the stub codec's digest lanes
 # from sha256 hex via string arithmetic

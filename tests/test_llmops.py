@@ -986,3 +986,33 @@ def test_ivf_index_append_replay_is_result_safe(spark, tmp_path):
     for q, _rank, vid, _c in r_twice:
         assert vid not in per_q.setdefault(q, set())
         per_q[q].add(vid)
+
+
+def test_semantic_dedup_keeps_lowest_id_within_cluster(spark):
+    """SemDeDup survivor rule: a vector is dropped iff a smaller-id
+    near-duplicate shares its cluster; duplicates split across clusters
+    are both kept (the paper's intra-cluster scope)."""
+    # pivot ids are multiples of 3 (modulus=3): 0 and 3 seed two clusters
+    # on orthogonal axes; near-dups of each pivot cluster with it.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0, same cluster -> drop
+        (2, [0.98, -0.01, 0.0, 0.0]),  # near-dup of 0/1, same cluster -> drop
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.99, 0.01, 0.0]),   # near-dup of 3, same cluster -> drop
+        (5, [0.0, 0.0, 1.0, 0.0]),     # lone vector, equidistant to both
+                                       # pivots -> tie-break to pivot 0, kept
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.semantic_dedup_survivors(df, threshold=0.9, modulus=3)
+    got = {(r["vec_id"], r["pivot_id"]) for r in out.collect()}
+    assert got == {(0, 0), (3, 3), (5, 0)}
+
+
+def test_semantic_dedup_threshold_one_keeps_everything(spark):
+    emb = spark.read.parquet(EMB)
+    out = similarity.semantic_dedup_survivors(emb, threshold=1.0000001)
+    assert out.count() == emb.count()
