@@ -1162,6 +1162,73 @@ def events_json_rescue_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_watermark_windows",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             event_type,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2, 3),
+    wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)
+    SELECT window_start, window_end, event_type, n_events, total_value
+    FROM agg, wm WHERE epoch_ms(window_end) <= wm_ms
+    """,
+)
+def events_stream_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5/§2.9 as a REAL append-mode stream: checkpointed availableNow run
+    of the tumbling-window aggregation with a 1-hour watermark, parquet
+    sink read back.  Append mode only emits windows the watermark has
+    closed, so the result is the batch group-by MINUS the trailing open
+    windows — the oracle replays Spark's exact finalization rule, pinned
+    empirically: watermark = ms-floor(max event time) − delay, a window
+    emits iff ``epoch_ms(window_end) <= watermark_ms`` (boundary
+    inclusive).  The batch twin ``events_hourly_windows`` covers the same
+    aggregation's full result; this lane driver-verifies the streaming
+    state-store eviction semantics end-to-end.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import windows as sw
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="medallion_wm_windows_")
+    source = os.path.join(work, "source")
+    os.makedirs(source)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(source, "events.parquet"))
+    physical = spark.read.parquet(source).schema
+    stream = spark.readStream.schema(physical).parquet(source)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = sw.tumbling(
+        stream, "ts", "1 hour", ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sumv"),
+        ],
+        watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .option("path", f"{work}/out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out").select(
+        "window_start", "window_end", "event_type",
+        "n_events", F.col("sumv").cast("double").alias("total_value"),
+    )
+
+
+@query(
     "events_hourly_windows",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -1422,6 +1489,7 @@ CORRECTNESS_PRIORITY = [
     #    probe-collect rewrite, index tombstone read paths + streaming
     #    replay guard, apply_changes delete support threading) -----------
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
+    "events_stream_watermark_windows",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
