@@ -113,3 +113,71 @@ def test_schema_pin_written_for_declared_schema(spark, tmp_path):
     pin_file = tmp_path / "ckpt" / "_schema" / "_captured_schema.json"
     assert os.path.exists(pin_file)
     assert T.StructType.fromJson(json.load(open(pin_file))) == PIN
+
+
+# ---------------------------------------------------------------------------
+# CSV twin (shared rescue core; JSON lane carries the driver hash row)
+# ---------------------------------------------------------------------------
+
+HEADER = ["a", "b", "c", "note"]
+
+
+def _parse_csv(spark, lines: list[str]):
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    return js.parse_csv_with_rescue(df, PIN, HEADER).collect()
+
+
+def test_csv_conforming_row(spark):
+    (r,) = _parse_csv(spark, ["1,x,4.0,"])
+    assert tuple(r) == (1, "x", 4.0, None)
+
+
+def test_csv_type_change_rescued(spark):
+    (r,) = _parse_csv(spark, ["N/A,x,2,"])
+    assert (r["a"], r["b"], r["c"]) == (None, "x", 2.0)
+    assert json.loads(r["_rescued_data"]) == {"a": "N/A"}
+
+
+def test_csv_out_of_pin_column_rescued_when_present(spark):
+    (r1,) = _parse_csv(spark, ["1,x,2.0,hello"])
+    assert json.loads(r1["_rescued_data"]) == {"note": "hello"}
+    # short row: the out-of-pin column is absent, not rescued
+    (r2,) = _parse_csv(spark, ["1,x,2.0"])
+    assert r2["_rescued_data"] is None
+
+
+def test_csv_quoted_separator_honored(spark):
+    (r,) = _parse_csv(spark, ['1,"x,y",2.0,'])
+    assert r["b"] == "x,y"
+
+
+def test_csv_header_lines_dropped(spark):
+    rows = _parse_csv(spark, ["a,b,c,note", "1,x,2.0,"])
+    assert len(rows) == 1 and rows[0]["a"] == 1
+
+
+def test_csv_pin_must_be_subset_of_header(spark):
+    df = spark.createDataFrame([("1,2",)], "value string")
+    with pytest.raises(ValueError, match="absent from the CSV header"):
+        js.parse_csv_with_rescue(df, PIN, ["a", "b"])
+
+
+def test_csv_incremental_ingest(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.csv").write_text("a,b,c,note\n1,x,1.5,\nbad,y,2.5,hi\n")
+    kw = dict(
+        source_dir=str(src),
+        bronze_dir=str(tmp_path / "bronze"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        header=HEADER,
+        schema=PIN,
+    )
+    js.ingest_csv(spark, **kw)
+    out = {r["b"]: r for r in spark.read.parquet(str(tmp_path / "bronze")).collect()}
+    assert len(out) == 2
+    assert out["x"]["_rescued_data"] is None
+    assert json.loads(out["y"]["_rescued_data"]) == {"a": "bad", "note": "hi"}
+    (src / "f2.csv").write_text("a,b,c,note\n3,z,9.0,\n")
+    js.ingest_csv(spark, **kw)
+    assert spark.read.parquet(str(tmp_path / "bronze")).count() == 3
