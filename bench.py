@@ -113,6 +113,7 @@ HEADLINE = [
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",
     "emb_semantic_dedup",
+    "emb_chunk_mean_pool",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -1046,3 +1046,49 @@ def semantic_dedup_survivors(
         .distinct()
     )
     return clustered.join(dropped, id_col, "left_anti").select(id_col, "pivot_id")
+
+
+def mean_pool_chunks(
+    chunks: DataFrame,
+    group_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pooled",
+) -> DataFrame:
+    """Pool chunk embeddings into one vector per document: elementwise mean
+    over the group's chunk vectors in ``id_col`` order.
+
+    The standard long-document embedding recipe (chunk → embed → pool):
+    retrieval indexes store the pooled doc vector, rerankers go back to the
+    chunks.  One grouped aggregate; per-group state is ``O(dim)`` after the
+    map-side partial ``collect_list`` of that partition's chunks, and
+    chunks-per-doc is bounded by the upstream chunker
+    (``operators/curation.py doc_chunks``), so the exchange carries
+    documents, never the corpus's full chunk multiplicity in one partition.
+
+    Determinism: chunk arrays fold left in ``id_col`` order from an
+    all-zero seed (``0.0 + x`` is an exact float identity), then one
+    division by the chunk count — both replayable as an ordered
+    ``list_reduce`` in the oracle.  Output: ``(group, n_chunks, out)``
+    with ``out`` ``array<double>``.
+    """
+    arrs = chunks.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    g = arrs.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__v").alias("v")))
+        ).alias("__lst"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    zero = F.transform(F.element_at("__lst", 1)["v"], lambda _: F.lit(0.0))
+    summed = F.aggregate(
+        "__lst", zero, lambda acc, e: F.zip_with(acc, e["v"], lambda a, b: a + b)
+    )
+    return g.select(
+        group_col,
+        "n_chunks",
+        F.transform(summed, lambda x: x / F.col("n_chunks")).alias(out),
+    )

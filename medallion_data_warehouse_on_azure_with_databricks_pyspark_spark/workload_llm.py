@@ -860,6 +860,41 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_survivors(emb, threshold=0.35, modulus=37)
 
 
+@query(
+    "emb_chunk_mean_pool",
+    oracle="""
+    WITH c AS (SELECT vec_id // 5 AS doc_id, vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    g AS (SELECT doc_id, count(*) AS n_chunks,
+                 list(v ORDER BY vec_id) AS l
+          FROM c GROUP BY doc_id),
+    s AS (SELECT doc_id, n_chunks,
+                 list_reduce(
+                   list_prepend(list_transform(l[1], x -> 0.0::DOUBLE), l),
+                   (a, b) -> list_transform(range(1, len(a) + 1),
+                                            i -> a[i] + b[i])) AS summed
+          FROM g)
+    SELECT doc_id, n_chunks,
+           CAST(unnest(range(1, len(summed) + 1)) - 1 AS INT) AS dim,
+           unnest(list_transform(summed, x -> x / n_chunks)) AS pooled
+    FROM s
+    """,
+)
+def emb_chunk_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding pooling (``operators/similarity.py
+    mean_pool_chunks``): the embeddings table read as 5-chunks-per-doc,
+    elementwise mean in vec_id order from a zero seed.  Output posexploded
+    to ``(doc_id, n_chunks, dim, pooled)`` scalar rows so the driver's
+    value hash covers every lane of every pooled vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    chunks = emb.withColumn("doc_id", F.expr("vec_id div 5"))
+    pooled = similarity.mean_pool_chunks(chunks)
+    return pooled.select(
+        "doc_id", "n_chunks", F.posexplode("pooled").alias("dim", "pooled")
+    ).select("doc_id", "n_chunks", "dim", "pooled")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing — oracle reconstructs the stub codec's digest lanes
 # from sha256 hex via string arithmetic
