@@ -114,6 +114,7 @@ HEADLINE = [
     "doc_hybrid_search_rrf",
     "emb_semantic_dedup",
     "emb_chunk_mean_pool",
+    "doc_quality_classifier",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

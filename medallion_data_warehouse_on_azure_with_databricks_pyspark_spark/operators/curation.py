@@ -344,3 +344,56 @@ def cap_per_group(
     return df.join(
         keep.select(id_col), id_col, "left_semi"
     )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngrams: tuple[int, ...] = (1, 2),
+    threshold: float = 0.0,
+    out: str = "clf_score",
+) -> DataFrame:
+    """fastText-style hashed linear text classifier (Joulin et al. 2016):
+    the classifier-based filtering step of modern curation pipelines
+    (CCNet/DCLM/FineWeb-Edu shape) as a single Catalyst projection.
+
+    ``score = (1/|F|) · Σ_{f∈F} weights[poly_hash(f) mod B]`` over the
+    document's token n-gram features (feature hashing — no vocabulary,
+    fixed-width weight table).  ``weights`` is the trained dense table
+    (bucket-indexed, ``B = len(weights)``), inlined into the plan as a
+    literal array: at any corpus size the model ships with the query, no
+    join, no shuffle, no UDF.  The linear score is emitted rather than the
+    sigmoid — monotone-equivalent for ranking/thresholding, and exactly
+    replayable cross-engine (libm ``exp`` is not).
+
+    Output: input columns + ``n_features``, ``out``, and ``keep``
+    (``score >= threshold``).  Token hashes use the arithmetic polynomial
+    family (``fingerprint._gram_hash``), so an oracle replays every
+    feature bucket bit-for-bit.
+    """
+    from .fingerprint import _gram_hash_array
+    from .text import tokens
+
+    if not weights:
+        raise ValueError("weights table must be non-empty")
+    n_buckets = len(weights)
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(text_col)
+    feats = F.concat(
+        *[_gram_hash_array(toks, k) for k in ngrams]
+    )
+    contribs = F.transform(
+        feats, lambda h: F.element_at(wlit, (h % n_buckets).cast("int") + 1)
+    )
+    score = F.aggregate(contribs, F.lit(0.0), lambda a, x: a + x) / F.size(
+        contribs
+    )
+    return df.withColumns(
+        {
+            "n_features": F.size(contribs).cast("long"),
+            out: score,
+            "keep": score >= F.lit(float(threshold)),
+        }
+    )

@@ -383,3 +383,66 @@ def doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor sets, different physical cost."""
     docs = load(spark, sf_dir, "documents")
     return curation.cap_per_group(docs, cap=10).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based filtering (fastText-shape hashed linear model)
+# ---------------------------------------------------------------------------
+
+#: Deterministic stand-in weight table (B = 256 buckets).  A production
+#: pipeline loads trained weights; the lane's value is the feature-hash /
+#: lookup / fold plumbing, which is weight-agnostic.  Weights are
+#: k/128 (dyadic rationals) so the inlined literals parse to EXACTLY the
+#: same double in both engines — DuckDB parses float literals through
+#: DECIMAL, and its decimal→double conversion can land one ulp off the
+#: correctly-rounded parse for deep-precision reprs.
+_CLF_WEIGHTS = [((b * 37 + 11) % 97 - 48) / 128.0 for b in range(256)]
+
+
+def _clf_oracle() -> str:
+    wl = "[" + ",".join(repr(w) for w in _CLF_WEIGHTS) + "]::DOUBLE[]"
+    b = len(_CLF_WEIGHTS)
+
+    def grams(k: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len(t) - {k}, 0) + 1 + 1), "
+            f"i -> array_to_string(t[i:i+{k - 1}], ' '))"
+        )
+
+    poly = (
+        "s -> list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, len(s) + 1), j -> ord(s[j])::BIGINT)), "
+        "(acc, c) -> (acc * 257 + c) % 2147483647)"
+    )
+    return rf"""
+    WITH ct AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             list_concat(list_transform({grams(1)}, {poly}),
+                         list_transform({grams(2)}, {poly})) AS h
+      FROM ct),
+    scored AS (
+      SELECT doc_id, len(h) AS n_features,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(h, x -> ({wl})[(x % {b})::INT + 1])),
+               (a, v) -> a + v) / len(h) AS clf_score
+      FROM feats)
+    SELECT doc_id, CAST(n_features AS BIGINT) AS n_features, clf_score,
+           clf_score >= 0.0 AS keep
+    FROM scored
+    """
+
+
+@query("doc_quality_classifier", oracle=_clf_oracle())
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based filtering (``operators/curation.py
+    hashed_classifier_score``): fastText-shape hashed linear model —
+    unigram+bigram polynomial feature hashes into a 256-bucket weight
+    table inlined as a plan literal, ordered-fold mean score, keep flag at
+    0.  One Catalyst projection: no vocabulary join, no shuffle, no UDF —
+    the exact shape a trained CCNet/DCLM-style filter runs at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    out = curation.hashed_classifier_score(docs, _CLF_WEIGHTS, threshold=0.0)
+    return out.select("doc_id", "n_features", "clf_score", "keep")

@@ -4,6 +4,8 @@ registered curation queries are oracle-verified in test_workload_oracle).
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_decontaminate_flags_planted_overlap(spark):
     """Planted contamination: a corpus doc embedding a benchmark sentence
@@ -101,3 +103,42 @@ def test_cap_per_group_deterministic_and_binding(spark):
 
     # cap larger than every group passes everything through
     assert cap_per_group(df, cap=100).count() == 40
+
+
+def test_hashed_classifier_score_exact_fold(spark):
+    """Crafted corpus: score equals the hand-computed feature-hash mean;
+    keep flag respects the threshold."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.curation import (
+        hashed_classifier_score,
+    )
+
+    M = (1 << 31) - 1
+
+    def poly(s):
+        acc = 0
+        for c in s:
+            acc = (acc * 257 + ord(c)) % M
+        return acc
+
+    weights = [((b * 13 + 5) % 64 - 32) / 64.0 for b in range(32)]
+    text = "alpha beta gamma"
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    expected = 0.0
+    for f in feats:
+        expected += weights[poly(f) % 32]
+    expected /= len(feats)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = hashed_classifier_score(df, weights, threshold=expected).collect()
+    assert r["n_features"] == 5
+    assert r["clf_score"] == expected
+    assert r["keep"] is True  # >= threshold (equality)
+
+
+def test_hashed_classifier_rejects_empty_weights(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.curation import (
+        hashed_classifier_score,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hashed_classifier_score(df, [])
