@@ -115,6 +115,7 @@ HEADLINE = [
     "emb_semantic_dedup",
     "emb_chunk_mean_pool",
     "doc_quality_classifier",
+    "doc_lm_fluency",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

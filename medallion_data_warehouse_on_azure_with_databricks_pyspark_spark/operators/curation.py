@@ -397,3 +397,83 @@ def hashed_classifier_score(
             "keep": score >= F.lit(float(threshold)),
         }
     )
+
+
+def ngram_lm_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out: str = "lm_score",
+) -> DataFrame:
+    """Bigram-LM fluency scoring — the CCNet/Wenzek et al. 2020
+    perplexity-filter shape, reformulated log-free.
+
+    Trains add-``alpha``-smoothed bigram conditionals on the corpus ITSELF
+    (self-scoring: boilerplate and gibberish score low against the
+    corpus's own statistics, and no external LM means no contamination
+    vector), then scores each document by the **arithmetic mean** of
+    ``p(w_i | w_{i-1})``.  Log-free on purpose: ``ln`` is libm (not
+    bit-reproducible across engines), while count ratios and ordered
+    sums are exact IEEE ops — same trade the BM25 lane makes with its
+    rational idf.  Low mean-conditional-probability ⇒ unusual token
+    transitions ⇒ the same documents a perplexity filter flags.
+
+    Scale: two grouped counts (bigram, context) + one equi-join of the
+    corpus bigram stream against the count table — the standard
+    distributed LM-count shape; per-doc state afterwards is the doc's own
+    bigram probabilities (bounded by doc length), folded in position
+    order for bit-reproducibility.  Vocabulary size is ONE scalar
+    collected driver-side.
+
+    Output: ``(id, n_bigrams, out)``; docs with <2 tokens score NULL.
+    """
+    from .text import tokens
+
+    toks = tokens(text_col)
+    # zip(t[1:n-1], t[2:n]) — F.sequence can't express this (start > stop
+    # yields a DESCENDING sequence for 1-token docs); slice lengths of 0
+    # give clean empty arrays instead.
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), n1),
+        F.slice(toks, F.lit(2), n1),
+        lambda p, w: F.struct(p.alias("prev"), w.alias("w")),
+    )
+    bi = df.select(
+        F.col(id_col), F.posexplode_outer(bigrams).alias("pos", "bg")
+    ).select(
+        id_col, "pos", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w")
+    )
+    pairs = bi.filter(F.col("prev").isNotNull())
+    c2 = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab_size = (
+        df.select(F.explode(toks).alias("tok")).select("tok").distinct().count()
+    )
+    scored = (
+        pairs.join(c2, ["prev", "w"])
+        .join(c1, "prev")
+        .withColumn(
+            "__p",
+            (F.col("c2") + F.lit(float(alpha)))
+            / (F.col("c1") + F.lit(float(alpha)) * F.lit(float(vocab_size))),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "__p"))),
+            F.lit(0.0),
+            lambda a, e: a + e["__p"],
+        ).alias("__s"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            (F.col("__s") / F.col("n_bigrams")).alias(out),
+        )
+    )

@@ -1490,6 +1490,7 @@ CORRECTNESS_PRIORITY = [
     #    replay guard, apply_changes delete support threading) -----------
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
+    "doc_lm_fluency",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",

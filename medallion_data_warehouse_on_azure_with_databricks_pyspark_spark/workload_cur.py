@@ -446,3 +446,48 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = curation.hashed_classifier_score(docs, _CLF_WEIGHTS, threshold=0.0)
     return out.select("doc_id", "n_features", "clf_score", "keep")
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency (perplexity-filter shape, log-free)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_lm_fluency",
+    oracle=rf"""
+    WITH ct AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id, i AS pos, t[i] AS prev, t[i + 1] AS w
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i
+            FROM ct)),
+    c2 AS (SELECT prev, w, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vs
+          FROM (SELECT unnest(t) AS tok FROM ct)),
+    p AS (SELECT bi.doc_id, bi.pos,
+                 (c2.c2 + 1.0::DOUBLE) / (c1.c1 + 1.0::DOUBLE * vs) AS pr
+          FROM bi JOIN c2 USING (prev, w) JOIN c1 USING (prev) CROSS JOIN v),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list(pr ORDER BY pos)), (a, x) -> a + x) AS s
+            FROM p GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.s / a.n_bigrams AS lm_score
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM fluency scores (``operators/curation.py
+    ngram_lm_fluency``): add-one-smoothed conditionals from the corpus's
+    own bigram counts, per-doc mean conditional probability folded in
+    position order.  The log-free reformulation of the CCNet perplexity
+    filter — count ratios and ordered sums are exact IEEE ops, ``ln``
+    is not (libm)."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.ngram_lm_fluency(docs).select(
+        "doc_id", "n_bigrams", "lm_score"
+    )

@@ -142,3 +142,24 @@ def test_hashed_classifier_rejects_empty_weights(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         hashed_classifier_score(df, [])
+
+
+def test_ngram_lm_fluency_repeated_phrase_beats_gibberish(spark):
+    """Self-trained bigram LM: a document whose bigrams dominate the corpus
+    scores higher than one made of transitions seen nowhere else; a
+    one-token doc scores NULL."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.curation import (
+        ngram_lm_fluency,
+    )
+
+    common = "the quick brown fox"
+    rows = [(i, common) for i in range(5)] + [
+        (10, "zyx wvu tsr qpo"),   # unique transitions
+        (11, "single"),            # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_lm_fluency(df).collect()}
+    assert out[0]["lm_score"] > out[10]["lm_score"]
+    assert out[11]["n_bigrams"] == 0 and out[11]["lm_score"] is None
+    # the five copies score identically (shared statistics)
+    assert {out[i]["lm_score"] for i in range(5)} == {out[0]["lm_score"]}
