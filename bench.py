@@ -133,6 +133,7 @@ EXCLUDED = {
     "doc_stream_dedup_ingest": "file-stream + scratch-index harness setup noise; the dedup math it exercises is timed via doc_cross_corpus_dedup and doc_minhash_dedup_pairs",
     "events_json_rescue_ingest": "file-stream harness setup noise (JSON landing-zone synthesis + checkpointed ingest per run); the rescue math is a single zero-shuffle Catalyst projection",
     "events_stream_watermark_windows": "checkpointed streaming harness; the window aggregation it runs is timed via events_hourly_windows (same groupBy plan)",
+    "events_stream_dropdup_ingest": "checkpointed streaming harness over a doubled copy of events; the stateful dedup operator is a built-in whose per-key state math has no batch twin to time",
 }
 
 

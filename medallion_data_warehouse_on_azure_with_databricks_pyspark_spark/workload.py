@@ -1229,6 +1229,64 @@ def events_stream_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "events_stream_dropdup_ingest",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+)
+def events_stream_dropdup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup-on-arrival via Spark's built-in
+    stateful ``dropDuplicatesWithinWatermark`` (§2.9 extension): the
+    landing zone delivers every event TWICE (two copies of the file — the
+    at-least-once delivery a dedup stage exists for), the stream keeps one
+    row per ``event_id`` with state expiry bounded by the watermark, and
+    the sink receives the events table exactly once.
+
+    Deterministic because the duplicates are bit-identical rows: whichever
+    copy wins, the surviving row is the same.  State shape at scale:
+    per-key entries live only within the watermark horizon — the operator
+    a 100 TB continuous crawl needs to absorb redelivery without an
+    unbounded key set (contrast ``streaming/dedup_stream.py``, which
+    dedups against a *persistent* cross-batch index by content
+    similarity; this lane is the exact-key, delivery-layer twin).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="medallion_dropdup_")
+    source = os.path.join(work, "source")
+    os.makedirs(source)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(source, "copy_a.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(source, "copy_b.parquet"))
+    physical = spark.read.parquet(source).schema
+    stream = spark.readStream.schema(physical).parquet(source)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .option("path", f"{work}/out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+@query(
     "events_hourly_windows",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -1490,7 +1548,7 @@ CORRECTNESS_PRIORITY = [
     #    replay guard, apply_changes delete support threading) -----------
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
-    "doc_lm_fluency",
+    "doc_lm_fluency", "events_stream_dropdup_ingest",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
