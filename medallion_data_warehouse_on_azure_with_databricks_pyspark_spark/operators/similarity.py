@@ -992,6 +992,7 @@ def semantic_dedup_survivors(
     vec_col: str = "embedding",
     modulus: int = 37,
     pivots: DataFrame | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): cluster-partitioned
     semantic deduplication over an embedding corpus.
@@ -1022,6 +1023,13 @@ def semantic_dedup_survivors(
         .join(assign.select(id_col, "pivot_id"), id_col)
         .withColumn("__norm", _norm(F.col("__vec")))
     )
+    if persist:
+        # the clustered frame feeds both self-join sides AND the final
+        # anti-join — without this the assignment (a corpus × pivots pass)
+        # runs three times.  persist=False is the no-SQL-cache escape
+        # hatch for long-lived loops (same contract as
+        # minhash_pairs_against_index.persist_shard).
+        clustered = clustered.persist()
     lhs = clustered.select(
         "pivot_id",
         F.col(id_col).alias("id_a"),
