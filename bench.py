@@ -116,6 +116,7 @@ HEADLINE = [
     "emb_chunk_mean_pool",
     "doc_quality_classifier",
     "doc_lm_fluency",
+    "part_time_travel_diff",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

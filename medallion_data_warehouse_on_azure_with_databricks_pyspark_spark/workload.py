@@ -1229,6 +1229,42 @@ def events_stream_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "part_time_travel_diff",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part WHERE p_size > 25
+    ORDER BY p_partkey
+    """,
+)
+def part_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 lifecycle on the parquet lane (``sources/versioned.py``):
+    Delta-style time travel without delta-spark.  Commit v0 (small parts
+    only) at t=100, v1 (full table) at t=200, then answer "what rows did
+    the t=200 load add?" by anti-joining the ``TIMESTAMP AS OF`` t=150
+    snapshot against the current table — the audit query a versioned gold
+    table exists for.  Pinned commit timestamps make the whole flow
+    deterministic; the oracle is the set difference computed directly."""
+    import os
+    import tempfile
+
+    from .sources import versioned as V
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="medallion_timetravel_"), "part_dim"
+    )
+    V.overwrite_versioned(part.filter(F.col("p_size") <= 25), path, now=100.0)
+    V.overwrite_versioned(part, path, now=200.0)
+    before = V.read_as_of(spark, path, 150.0)
+    after = spark.read.parquet(path)
+    return (
+        after.join(before.select("p_partkey"), "p_partkey", "left_anti")
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
     "events_stream_dropdup_ingest",
     oracle="""
     SELECT event_id, user_id, event_type, value,
@@ -1548,7 +1584,7 @@ CORRECTNESS_PRIORITY = [
     #    replay guard, apply_changes delete support threading) -----------
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
-    "doc_lm_fluency", "events_stream_dropdup_ingest",
+    "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
