@@ -117,6 +117,7 @@ HEADLINE = [
     "doc_quality_classifier",
     "doc_lm_fluency",
     "part_time_travel_diff",
+    "customer_dim_schema_evolution",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

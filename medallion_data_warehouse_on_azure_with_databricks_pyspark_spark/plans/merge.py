@@ -62,6 +62,7 @@ def merge_dataframes(
     broadcast_source: bool = True,
     extra_on: Column | str | None = None,
     insert_condition: Column | str | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """ANSI-MERGE semantics, returned as the new target state.
 
@@ -94,8 +95,21 @@ def merge_dataframes(
     fan out matched target rows.  Like ANSI MERGE, INSERT expressions may
     reference only the source side (``s(...)``) — there is no target row to
     read on the NOT MATCHED branch.
+
+    ``schema_evolution=True`` is Delta's ``mergeSchema``/autoMerge: source
+    columns absent from the target are APPENDED to the output schema —
+    updated rows take the source value (override per column via
+    ``update_set``), inserted rows take ``insert_values``/source, and
+    pre-existing target rows not updated by this merge carry NULL, exactly
+    the backfill state Delta leaves.  Off by default: an unexpected source
+    column is usually drift, and the rescue lane is the place to catch it.
     """
     out_cols = target.columns
+    evolved = (
+        [c for c in source.columns if c not in set(out_cols)]
+        if schema_evolution
+        else []
+    )
     src = F.broadcast(source) if broadcast_source else source
     tt = target.withColumn(_T_MARK, F.lit(True)).alias("t")
     ss = src.withColumn(_S_MARK, F.lit(True)).alias("s")
@@ -140,8 +154,12 @@ def merge_dataframes(
 
     ins_exprs: dict[str, Column] = {}
     projections: list[Column] = []
-    for c in out_cols:
-        upd_expr = update_set.get(c, t(c))
+    for c in out_cols + evolved:
+        # an evolved column has no target side: untouched/no-op rows carry
+        # NULL (Delta's backfill state) and the update default is the
+        # source value (SET *-style evolution)
+        tgt_expr = t(c) if c not in evolved else F.lit(None)
+        upd_expr = update_set.get(c, tgt_expr if c not in evolved else s(c))
         ins_exprs[c] = (
             insert_values.get(c, s(c) if c in source_cols else F.lit(None))
             if insert_values is not None
@@ -150,8 +168,8 @@ def merge_dataframes(
         projections.append(
             F.when(matched & del_cond, F.lit(None))          # deleted (filtered below)
             .when(matched & upd_cond, upd_expr)              # UPDATE
-            .when(matched, t(c))                             # matched, no-op
-            .when(t_only, t(c))                              # untouched target
+            .when(matched, tgt_expr)                         # matched, no-op
+            .when(t_only, tgt_expr)                          # untouched target
             .otherwise(ins_exprs[c])                         # INSERT (s_only)
             .alias(c)
         )
@@ -174,7 +192,7 @@ def merge_dataframes(
         source.alias("s")
         .join(target.alias("t"), on, "left_anti")
         .filter(ins_cond)
-        .select(*[ins_exprs[c].alias(c) for c in out_cols])
+        .select(*[ins_exprs[c].alias(c) for c in out_cols + evolved])
     )
     return merged.unionByName(inserts)
 

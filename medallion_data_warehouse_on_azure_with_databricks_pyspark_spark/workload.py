@@ -1229,6 +1229,46 @@ def events_stream_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "customer_dim_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_custkey % 3 = 0
+                THEN CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END
+           END AS acct_band
+    FROM customer
+    WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0
+    """,
+)
+def customer_dim_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta autoMerge parity,
+    ``plans/merge.py schema_evolution=True``): the change batch arrives
+    with a NEW ``acct_band`` column — matched rows take the source value,
+    inserts carry it, and target rows this merge never touched backfill
+    NULL (the Delta evolution contract).  Target = even custkeys, source =
+    every third custkey, so all three row classes appear in the result.
+    """
+    cust = load(spark, sf_dir, "customer")
+    target = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    source = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 5000, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("acct_band"),
+    )
+    return merge_plan.merge_dataframes(
+        target,
+        source,
+        keys=["c_custkey"],
+        update_set={"c_mktsegment": merge_plan.s("c_mktsegment")},
+        insert_values={"c_mktsegment": merge_plan.s("c_mktsegment")},
+        schema_evolution=True,
+    )
+
+
+@query(
     "part_time_travel_diff",
     oracle="""
     SELECT p_partkey, p_name, p_size
@@ -1585,6 +1625,7 @@ CORRECTNESS_PRIORITY = [
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
     "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
+    "customer_dim_schema_evolution",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",

@@ -275,3 +275,57 @@ def test_apply_changes_deletes_scd1(spark):
     # deleting an absent key is a no-op (idempotent)
     d3 = scd.apply_changes(d2, feed2, now=T3, **kw)
     assert _rows(d3, "id", "v") == [(2, "b")]
+
+
+def test_merge_schema_evolution_appends_source_columns(spark):
+    """Delta autoMerge parity: with schema_evolution=True a new source
+    column is appended — updated rows take the source value, inserted rows
+    carry it, untouched target rows backfill NULL; with the default
+    (False) the output schema is exactly the target's."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+        merge as M,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", "t2"), (4, "D", "t4")], "id long, v string, tier string"
+    )
+    out = M.merge_dataframes(
+        target, source, keys=["id"],
+        update_set={"v": M.s("v")},
+        insert_values={"v": M.s("v")},
+        schema_evolution=True,
+    )
+    assert out.columns == ["id", "v", "tier"]
+    rows = {r["id"]: (r["v"], r["tier"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", None),    # untouched target: NULL backfill
+        2: ("B", "t2"),    # updated: source value
+        3: ("c", None),
+        4: ("D", "t4"),    # inserted: source value
+    }
+    # default: source-only columns dropped, schema unchanged
+    flat = M.merge_dataframes(
+        target, source, keys=["id"],
+        update_set={"v": M.s("v")}, insert_values={"v": M.s("v")},
+    )
+    assert flat.columns == ["id", "v"]
+
+
+def test_merge_schema_evolution_update_set_overrides_evolved_default(spark):
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+        merge as M,
+    )
+
+    target = spark.createDataFrame([(1, "a")], "id long, v string")
+    source = spark.createDataFrame([(1, "A", 9)], "id long, v string, n int")
+    out = M.merge_dataframes(
+        target, source, keys=["id"],
+        update_set={"v": M.s("v"), "n": F.lit(-1)},
+        schema_evolution=True,
+    )
+    assert {tuple(r) for r in out.collect()} == {(1, "A", -1)}
