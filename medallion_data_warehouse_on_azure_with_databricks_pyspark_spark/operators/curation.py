@@ -451,9 +451,12 @@ def ngram_lm_fluency(
     vocab_size = (
         df.select(F.explode(toks).alias("tok")).select("tok").distinct().count()
     )
+    # enrich the (small) bigram-count table with its context total FIRST —
+    # a counts×counts join — so the corpus bigram stream shuffles exactly
+    # once, against one enriched table, instead of twice
+    counts = c2.join(c1, "prev")
     scored = (
-        pairs.join(c2, ["prev", "w"])
-        .join(c1, "prev")
+        pairs.join(counts, ["prev", "w"])
         .withColumn(
             "__p",
             (F.col("c2") + F.lit(float(alpha)))
