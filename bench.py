@@ -118,6 +118,7 @@ HEADLINE = [
     "doc_lm_fluency",
     "part_time_travel_diff",
     "customer_dim_schema_evolution",
+    "part_cdf_changes",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -1305,6 +1305,49 @@ def part_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_cdf_changes",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM part WHERE p_size > 25
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice * 2, p_size,
+           'update_preimage', CAST(1 AS BIGINT)
+    FROM part WHERE p_size <= 25 AND p_partkey % 5 = 0
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice, p_size,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM part WHERE p_size <= 25 AND p_partkey % 5 = 0
+    """,
+)
+def part_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed on the versioned parquet lane
+    (``sources/versioned.py table_changes``): v0 = small parts with every
+    5th price doubled, v1 = the clean full table; the CDF between them
+    yields inserts (big parts), update pre/post images (the price
+    corrections), and nothing for untouched rows.  One full-outer join +
+    null-safe struct compare; the oracle states each change class
+    directly."""
+    import os
+    import tempfile
+
+    from .sources import versioned as V
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="medallion_cdf_"), "part_dim")
+    v0 = part.filter(F.col("p_size") <= 25).withColumn(
+        "p_retailprice",
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_retailprice") * 2)
+        .otherwise(F.col("p_retailprice")),
+    )
+    V.overwrite_versioned(v0, path, now=100.0)
+    V.overwrite_versioned(part, path, now=200.0)
+    return V.table_changes(spark, path, ["p_partkey"], 0, 1)
+
+
+@query(
     "events_stream_dropdup_ingest",
     oracle="""
     SELECT event_id, user_id, event_type, value,
@@ -1625,7 +1668,7 @@ CORRECTNESS_PRIORITY = [
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
     "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
-    "customer_dim_schema_evolution",
+    "customer_dim_schema_evolution", "part_cdf_changes",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",

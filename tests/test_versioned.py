@@ -85,3 +85,57 @@ def test_partitioned_versioned_overwrite(spark, tmp_path):
                           partition_by=["part"], now=2.0)
     assert _ids(V.read_version(spark, path, 0)) == [1, 2, 3]
     assert _ids(spark.read.parquet(path)) == [1, 3]
+
+
+def test_table_changes_classifies_all_row_classes(spark, tmp_path):
+    """CDF snapshot diff: inserts, deletes, and update pre/post images, one
+    full-outer join; unchanged rows never appear."""
+    path = str(tmp_path / "cdf")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, val double",
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "C", 30.0), (4, "d", 40.0)],
+        "id long, name string, val double",
+    )
+    V.overwrite_versioned(v0, path, now=1.0)
+    V.overwrite_versioned(v1, path, now=2.0)
+    rows = {
+        (r["id"], r["_change_type"]): (r["name"], r["val"], r["_commit_version"])
+        for r in V.table_changes(spark, path, ["id"], 0, 1).collect()
+    }
+    assert rows == {
+        (1, "delete"): ("a", 10.0, 1),
+        (3, "update_preimage"): ("c", 30.0, 1),
+        (3, "update_postimage"): ("C", 30.0, 1),
+        (4, "insert"): ("d", 40.0, 1),
+    }  # id 2 unchanged -> absent
+
+
+def test_table_changes_null_safe_update_detection(spark, tmp_path):
+    path = str(tmp_path / "cdfnull")
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, None), (2, "x")], "id long, name string"),
+        path, now=1.0,
+    )
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, None), (2, None)], "id long, name string"),
+        path, now=2.0,
+    )
+    got = {
+        (r["id"], r["_change_type"])
+        for r in V.table_changes(spark, path, ["id"], 0, 1).collect()
+    }
+    # NULL == NULL is "unchanged" (null-safe); x -> NULL is an update
+    assert got == {(2, "update_preimage"), (2, "update_postimage")}
+
+
+def test_table_changes_schema_change_refused(spark, tmp_path):
+    path = str(tmp_path / "cdfschema")
+    V.overwrite_versioned(spark.createDataFrame([(1,)], "id long"), path, now=1.0)
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, "x")], "id long, extra string"), path, now=2.0
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        V.table_changes(spark, path, ["id"], 0, 1)
