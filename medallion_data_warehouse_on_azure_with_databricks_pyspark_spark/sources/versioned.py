@@ -248,3 +248,27 @@ def table_changes(
         *side("n"), F.lit("update_postimage").alias("_change_type"), ver
     )
     return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def cdf_to_cdc_events(changes: DataFrame) -> DataFrame:
+    """Adapt a :func:`table_changes` feed into the CDC-event shape
+    ``plans.pipeline.Pipeline.apply_changes`` consumes: keep inserts and
+    update POST-images as upserts, keep deletes, drop pre-images (they
+    carry no target state), and expose ``_change_type``/``_commit_version``
+    as ``operation``/``sequence_num`` — so a versioned table's change feed
+    can drive a downstream SCD dimension with
+    ``apply_as_deletes="operation = 'DELETE'"`` and
+    ``sequence_by="sequence_num"``, the same wiring a Delta CDF → DLT
+    pipeline uses."""
+    from pyspark.sql import functions as F
+
+    return (
+        changes.filter(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "operation",
+            F.when(F.col("_change_type") == "delete", F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT")),
+        )
+        .withColumnRenamed("_commit_version", "sequence_num")
+        .drop("_change_type")
+    )

@@ -139,3 +139,36 @@ def test_table_changes_schema_change_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema change"):
         V.table_changes(spark, path, ["id"], 0, 1)
+
+
+def test_cdf_drives_apply_changes_scd1(spark, tmp_path):
+    """End-to-end: a versioned table's CDF, adapted by cdf_to_cdc_events,
+    drives apply_changes — upserts land, deletes expire the key."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+        scd,
+    )
+
+    path = str(tmp_path / "dim_src")
+    V.overwrite_versioned(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        path, now=1.0,
+    )
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, "a"), (2, "B2")], "id long, v string"),
+        path, now=2.0,
+    )
+    events = V.cdf_to_cdc_events(V.table_changes(spark, path, ["id"], 0, 1))
+    assert set(events.columns) == {"id", "v", "operation", "sequence_num"}
+    state = scd.apply_changes(
+        target=None,
+        source=events,
+        keys=["id"],
+        sequence_by="sequence_num",
+        stored_as_scd_type=1,
+        apply_as_deletes="operation = 'DELETE'",
+        now="2024-01-01 00:00:00",
+    )
+    rows = {r["id"]: r["v"] for r in state.collect()}
+    assert rows == {2: "B2"}  # update applied; delete (id 3) never lands
