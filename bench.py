@@ -119,6 +119,7 @@ HEADLINE = [
     "part_time_travel_diff",
     "customer_dim_schema_evolution",
     "part_cdf_changes",
+    "orders_unpivot_metrics",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -1661,14 +1661,18 @@ CORRECTNESS_PRIORITY = [
     "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
     "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
     "events_stream_ingest",
-    # -- rule 2: NEW in r7 (LSH-index lane, poly SimHash, CDC deletes x2,
-    #    quarantine) or code path touched in r7 (dedup hot-key caps, IVF
+    # -- rule 2: NEW in r7 — first the mid-round additions (text-source
+    #    rescue, hybrid RRF, SemDeDup, watermark finalization, embedding
+    #    pooling, classifier, LM fluency, delivery-layer dedup, time
+    #    travel, merge schema evolution, CDF), then the round-opening
+    #    batch (LSH-index lane, poly SimHash, CDC deletes x2, quarantine)
+    #    and code paths touched at round start (dedup hot-key caps, IVF
     #    probe-collect rewrite, index tombstone read paths + streaming
     #    replay guard, apply_changes delete support threading) -----------
     "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
     "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
-    "customer_dim_schema_evolution", "part_cdf_changes",
+    "customer_dim_schema_evolution", "part_cdf_changes", "orders_unpivot_metrics",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",

@@ -223,3 +223,45 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.k", "long").alias("k_val"),
         (F.try_variant_get("v", "$.k", "long") % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "orders_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+)
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (``DataFrame.unpivot`` → ``Expand`` node): the wide
+    per-priority aggregate melted to ``(priority, metric, value)`` long
+    form — the report/export shape.  Expand multiplies rows map-side
+    (zero extra shuffle beyond the aggregation); value columns unify to
+    DOUBLE, exact for counts and the DECIMAL-summed money columns."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "value",
+    )
