@@ -120,6 +120,7 @@ HEADLINE = [
     "customer_dim_schema_evolution",
     "part_cdf_changes",
     "orders_unpivot_metrics",
+    "doc_sentences_udtf",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -98,3 +98,31 @@ def register_tokenize_udtf(spark) -> None:
                 yield tok, i, len(tok)
 
     spark.udtf.register("tokenize", Tokenize)
+
+
+def register_sentence_udtf(spark: SparkSession, name: str = "split_sentences"):
+    """U-surface widening: a Python user-defined TABLE function (PySpark
+    ≥3.5 ``@udtf``) — one input row fans out to N output rows, callable
+    from SQL via lateral ``..., split_sentences(text)``.
+
+    Same production guidance as the U2 scalar shim: a UDTF runs rows
+    through the Python worker, so anything expressible as
+    ``posexplode(split(...))`` should stay JVM-side — this registration
+    exists for API parity (the table-function surface a reference user
+    migrating custom Databricks table-UDFs needs) and for genuinely
+    imperative fan-out logic.  The splitter is deliberately simple
+    (``'. '`` delimiter, 0-based index) so the SQL-builtin twin and the
+    DuckDB oracle replay it exactly.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: D102 — UDTF contract method
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s
+
+    spark.udtf.register(name, SplitSentences)
+    return SplitSentences

@@ -453,6 +453,42 @@ def part_brand_upper_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver.project(df, "p_partkey", "brand_upper")
 
 
+@query(
+    "doc_sentences_udtf",
+    oracle="""
+    WITH d AS (SELECT doc_id, source || '. ' || lang || '. ' || text AS seg
+               FROM documents)
+    SELECT doc_id,
+           CAST(unnest(range(1, len(string_split(seg, '. ')) + 1)) - 1
+                AS INT) AS sent_idx,
+           unnest(string_split(seg, '. ')) AS sentence
+    FROM d
+    """,
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-surface widening: Python user-defined TABLE function (PySpark
+    ``@udtf``) called through SQL lateral syntax — one row fans out to its
+    ``'. '``-delimited segments with a 0-based index (the synthetic corpus
+    text carries no periods, so the lane feeds a composed
+    ``source. lang. text`` string to make the multi-row fan-out real).
+    Parity lane like the U2 scalar shim: the production path for this
+    particular splitter is ``posexplode(split(...))`` (JVM-side); the UDTF
+    registration is the migration target for genuinely imperative
+    Databricks table-UDFs."""
+    udf.register_sentence_udtf(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(". ", F.col("source"), F.col("lang"), F.col("text")).alias(
+            "seg"
+        ),
+    )
+    docs.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence "
+        "FROM __docs_udtf d, LATERAL split_sentences(d.seg) s"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SCD merges  (SURVEY §2.8 M1/M2/M4/M5) — pinned timestamps + deterministic
 # surrogate keys make the full dimension state oracle-checkable.
@@ -1673,6 +1709,7 @@ CORRECTNESS_PRIORITY = [
     "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
     "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
     "customer_dim_schema_evolution", "part_cdf_changes", "orders_unpivot_metrics",
+    "doc_sentences_udtf",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
