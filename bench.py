@@ -121,6 +121,7 @@ HEADLINE = [
     "part_cdf_changes",
     "orders_unpivot_metrics",
     "doc_sentences_udtf",
+    "doc_leakage_safe_splits",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

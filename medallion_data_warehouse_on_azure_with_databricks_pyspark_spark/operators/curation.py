@@ -480,3 +480,38 @@ def ngram_lm_fluency(
             (F.col("__s") / F.col("n_bigrams")).alias(out),
         )
     )
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "split",
+    train: int = 80,
+    val: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates cannot straddle.
+
+    Plain per-document hashing (:func:`assign_split`) leaks: two near-dup
+    documents can land in train AND test, and the eval set silently
+    contains training data — the split-contamination failure mode dedup
+    pipelines exist to prevent.  Here the split decision hashes the
+    near-dup CLUSTER label (min-id connected component of ``pairs``, via
+    ``dedup.propagate_labels``), so every member of a cluster — and every
+    future member, since the min-id label is stable under growth until a
+    smaller id joins — receives the same split; singleton documents hash
+    their own id, which keeps the 80/10/10 proportions on the (dominant)
+    unpaired mass.
+
+    Output: input columns + ``split_group`` (the cluster label) + ``out``.
+    One label propagation over the pair graph (≪ corpus) + one left join
+    back to the corpus — the full table is scanned once.
+    """
+    from .dedup import propagate_labels
+
+    labels = propagate_labels(pairs).withColumnRenamed("src", id_col)
+    with_label = df.join(labels, id_col, "left").withColumn(
+        "split_group", F.coalesce(F.col("label"), F.col(id_col))
+    ).drop("label")
+    return assign_split(with_label, id_col="split_group", out=out,
+                        train=train, val=val)

@@ -728,14 +728,20 @@ def simhash_dedup_pairs(
 _EDGES_PER_PARTITION = 2_000_000  # ~a few hundred MB of (long, long) rows
 
 
-def dedup_keep_representatives(
-    df: DataFrame,
+def propagate_labels(
     pairs: DataFrame,
-    id_col: str = "doc_id",
     rounds: int = 20,
     graph_partitions: int | None = None,
 ) -> DataFrame:
-    """Resolve near-dup pairs to clusters and keep the min-id representative.
+    """Min-id label propagation over a near-dup pair graph: ``(src, label)``
+    with ``label`` = the component's minimum id, for every node that
+    appears in a pair (singletons are absent — their label is their own
+    id by construction; callers coalesce).
+
+    The shared clustering core: :func:`dedup_keep_representatives` keeps
+    ``src == label`` rows, leakage-safe splitting
+    (``operators/curation.py leakage_safe_splits``) hashes the label so a
+    whole near-dup cluster lands in ONE train/val/test split.
 
     Iterative label propagation (min-id flood) over the pair graph, with
     an exact convergence exit: labels only ever decrease under min-id
@@ -808,6 +814,22 @@ def dedup_keep_representatives(
         if sig == prev_sig:
             break
         prev_sig = sig
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = 20,
+    graph_partitions: int | None = None,
+) -> DataFrame:
+    """Resolve near-dup pairs to clusters and keep the min-id
+    representative (scale notes on :func:`propagate_labels`, the shared
+    propagation core): the corpus is filtered once at the end with an
+    anti-join against the non-representative ids — the 100 TB table is
+    scanned exactly once."""
+    labels = propagate_labels(pairs, rounds, graph_partitions)
     losers = labels.filter(F.col("src") != F.col("label")).select(
         F.col("src").alias(id_col)
     )

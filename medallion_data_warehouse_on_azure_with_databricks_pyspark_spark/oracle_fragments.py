@@ -38,3 +38,15 @@ def fold_norm(a: str) -> str:
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), "
         f"(x, y) -> x + y))"
     )
+
+
+def hex8(expr: str, lo: int) -> str:
+    """uint32 from 8 hex digits of ``expr`` starting at 1-based ``lo`` —
+    the DuckDB twin of ``operators/curation.py _hash_u32`` (md5-window
+    hashing for deterministic sampling/splits)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {lo + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"

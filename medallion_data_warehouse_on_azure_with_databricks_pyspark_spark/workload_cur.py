@@ -17,14 +17,8 @@ from .workload import load, load_events, query
 _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
 
 
-def _hex8_sql(expr: str, lo: int) -> str:
-    """uint32 from 8 hex digits of ``expr`` starting at 1-based ``lo``."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({expr}, {lo + i}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"({terms})"
+# shared with workload_llm via the leaf module (circular-import-safe)
+from .oracle_fragments import hex8 as _hex8_sql  # noqa: E402
 
 
 @query(

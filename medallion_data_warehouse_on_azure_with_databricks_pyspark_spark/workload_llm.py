@@ -1099,3 +1099,49 @@ def doc_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(work, "accepted")).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+def _leakage_splits_oracle() -> str:
+    from .oracle_fragments import hex8
+
+    b = hex8("md5(CAST(split_group AS VARCHAR))", 9)
+    return (
+        "WITH RECURSIVE "
+        + _JACCARD_PAIRS_CTES.format(threshold=0.8)
+        + f""",
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION ALL SELECT id_b, id_a FROM dup_pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+    labels AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+    grouped AS (
+      SELECT d.doc_id, l.label AS split_group
+      FROM documents d JOIN labels l ON d.doc_id = l.node)
+    SELECT doc_id, split_group,
+           CASE WHEN {b} % 100 < 80 THEN 'train'
+                WHEN {b} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM grouped
+    """
+    )
+
+
+@query("doc_leakage_safe_splits", oracle=_leakage_splits_oracle())
+def doc_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (``operators/curation.py
+    leakage_safe_splits``): the split decision hashes the MinHash near-dup
+    CLUSTER label (min-id connected component), so no near-duplicate pair
+    can straddle train and eval — the split-contamination failure mode a
+    dedup pipeline exists to prevent.  Singleton documents hash their own
+    id.  Oracle: recursive-CTE connected components + the same md5-window
+    bucket arithmetic."""
+    from .operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return curation.leakage_safe_splits(docs, pairs).select(
+        "doc_id", "split_group", "split"
+    )

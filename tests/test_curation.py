@@ -163,3 +163,30 @@ def test_ngram_lm_fluency_repeated_phrase_beats_gibberish(spark):
     assert out[11]["n_bigrams"] == 0 and out[11]["lm_score"] is None
     # the five copies score identically (shared statistics)
     assert {out[i]["lm_score"] for i in range(5)} == {out[0]["lm_score"]}
+
+
+def test_leakage_safe_splits_cluster_never_straddles(spark):
+    """The leakage invariant: every member of a near-dup cluster gets the
+    SAME split; singletons keep per-id hashing."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.curation import (
+        assign_split,
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    # two clusters: {1, 7, 13} and {4, 18}
+    pairs = spark.createDataFrame(
+        [(1, 7), (7, 13), (4, 18)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["split_group"], r["split"])
+           for r in leakage_safe_splits(docs, pairs).collect()}
+    assert {out[i] for i in (1, 7, 13)} == {out[1]}      # one split each
+    assert out[1][0] == 1 and out[4][0] == 4             # min-id labels
+    assert {out[i] for i in (4, 18)} == {out[4]}
+    # singletons match plain per-id assignment exactly
+    plain = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    for i in range(20):
+        if i not in (1, 7, 13, 4, 18):
+            assert out[i] == (i, plain[i])
