@@ -272,3 +272,31 @@ def cdf_to_cdc_events(changes: DataFrame) -> DataFrame:
         .withColumnRenamed("_commit_version", "sequence_num")
         .drop("_change_type")
     )
+
+
+def recover(path: str) -> bool:
+    """Crash recovery for the two-rename commit window: if a writer died
+    after renaming the live table aside but before promoting its staged
+    replacement, the table path is missing while the log's newest version
+    sits in the retention area — rename it back.  Orphaned ``.__stage_*``
+    directories (writer died mid-write, table untouched) are swept either
+    way.  Returns True if the live path was restored.  Idempotent; safe to
+    run at every startup, like Delta's log replay."""
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    base = os.path.basename(path.rstrip("/"))
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}.__stage_"):
+                shutil.rmtree(os.path.join(parent, d))
+    log = _read_log(path)
+    if not log or os.path.exists(path):
+        return False
+    current = log[-1]["version"]
+    vdir = os.path.join(_vroot(path), f"v{current}")
+    if os.path.exists(vdir):
+        # interrupted AFTER the aside-rename of the then-live version but
+        # BEFORE log append of the new one: the aside dir carries the
+        # logged current version — restore it
+        os.rename(vdir, path)
+        return True
+    return False

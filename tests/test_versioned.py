@@ -172,3 +172,22 @@ def test_cdf_drives_apply_changes_scd1(spark, tmp_path):
     )
     rows = {r["id"]: r["v"] for r in state.collect()}
     assert rows == {2: "B2"}  # update applied; delete (id 3) never lands
+
+
+def test_recover_restores_interrupted_commit(spark, tmp_path):
+    """Simulated crash between the two commit renames: the live dir was
+    renamed aside, the staged replacement never promoted — recover() puts
+    the logged current version back and sweeps stage orphans."""
+    path = str(tmp_path / "crash")
+    V.overwrite_versioned(spark.range(3), path, now=1.0)
+    V.overwrite_versioned(spark.range(5), path, now=2.0)
+    # crash simulation: live (v1) renamed aside as if a third commit began,
+    # stage left orphaned, log never appended
+    os.rename(path, os.path.join(V._vroot(path), "v1"))
+    os.makedirs(f"{path}.__stage_deadbeef")
+    assert V.recover(path) is True
+    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(f"{path}.__stage_deadbeef")
+    # idempotent on a healthy table
+    assert V.recover(path) is False
+    assert spark.read.parquet(path).count() == 5
