@@ -122,6 +122,7 @@ HEADLINE = [
     "orders_unpivot_metrics",
     "doc_sentences_udtf",
     "doc_leakage_safe_splits",
+    "emb_pq_adc_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -1100,3 +1100,190 @@ def mean_pool_chunks(
         "n_chunks",
         F.transform(summed, lambda x: x / F.col("n_chunks")).alias(out),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., TPAMI 2011): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def pq_codebooks_from_corpus(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    modulus: int = 31,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: for each of ``n_subspaces`` equal slices
+    of the vector, the codebook is the corresponding sub-vector of the
+    first ``n_codes`` corpus vectors with ``id % modulus == 0`` (id order).
+
+    Production PQ trains per-subspace k-means; fixed sample codebooks keep
+    the quantizer reproducible and oracle-checkable while exercising the
+    identical encode/score path (same trade as ``ivf_pivots``).  The
+    result is tiny (subspaces × codes × subdim floats) and ships inline
+    in the plan — PQ's whole point is that the codebook is small enough
+    to live everywhere.
+    """
+    rows = (
+        corpus.filter(F.col(id_col) % modulus == 0)
+        .orderBy(id_col)
+        .limit(n_codes)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"corpus has only {len(rows)} vectors with {id_col} % {modulus} == 0; "
+            f"need {n_codes} codebook seeds"
+        )
+    dim = len(rows[0][0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    d = dim // n_subspaces
+    return [
+        [[float(r[0][m * d + j]) for j in range(d)] for r in rows]
+        for m in range(n_subspaces)
+    ]
+
+
+def _subvec(vec: Column, m: int, d: int) -> Column:
+    return F.slice(vec, m * d + 1, d)
+
+
+def _l2sq_lit(sub: Column, code: list[float]) -> Column:
+    """Ordered-fold squared L2 between a sub-vector column and a literal
+    code, accumulating ``(x-c)·(x-c)`` in element order — explicit
+    multiply, never ``pow`` (libm ``pow(x, 2)`` is not guaranteed to be
+    the exact product cross-engine)."""
+    lit = F.array(*[F.lit(c) for c in code])
+
+    def sq(x, i):
+        diff = x.cast("double") - F.element_at(lit, i + 1)
+        return diff * diff
+
+    return F.aggregate(
+        F.transform(sub, sq), F.lit(0.0), lambda a, v: a + v
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` small codes: per subspace the
+    nearest codebook entry by squared L2 (tie → lowest code id).  One
+    Catalyst projection — at 100 TB this is the compression pass that
+    shrinks the vector column ~``32·dim / (subspaces·log2 K)``× before it
+    ever hits an index."""
+    d = len(codebooks[0][0])
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        sub = _subvec(F.col(vec_col), m, d)
+        best = F.array_min(
+            F.array(*[
+                F.struct(
+                    _l2sq_lit(sub, code).alias("d"),
+                    F.lit(k).cast("int").alias("k"),
+                )
+                for k, code in enumerate(book)
+            ])
+        )
+        code_cols.append(best["k"])
+    return corpus.select(F.col(id_col), F.array(*code_cols).alias(out))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query scores every
+    vector as ``Σ_m l2sq(q_sub[m], codebook[m][code_m])`` — 8 literal-table
+    lookups + adds per candidate instead of a ``dim``-length float scan,
+    the compressed-domain speedup PQ exists for.
+
+    Plan: corpus encodes once (:func:`pq_encode`), the (tiny) query side
+    broadcasts with a precomputed per-query distance LUT (subspaces ×
+    codes doubles), scoring is a map-side projection over the code array
+    folded in subspace order (bit-reproducible), and the only exchange is
+    the two-phase :func:`grouped_topk`.  Output: ``(query_id, vec_id,
+    adc_dist, rank)`` — rank ascending by distance, ties on id.
+    """
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    d = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    # per-query LUT: flat array, slot m*n_codes + code  (built on the query
+    # side — queries × subspaces × codes entries, tiny by construction)
+    lut = F.array(*[
+        _l2sq_lit(_subvec(F.col(vec_col), m, d), code)
+        for m in range(n_sub)
+        for code in codebooks[m]
+    ])
+    q = queries.select(
+        F.col(query_id_col), lut.alias("__lut")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    idx = F.transform(
+        F.col("pq_code"),
+        lambda c, m: F.element_at(F.col("__lut"), m * n_codes + c + 1),
+    )
+    scored = scored.withColumn(
+        "__negd", -F.aggregate(idx, F.lit(0.0), lambda a, v: a + v)
+    ).select(query_id_col, id_col, "__negd")
+    ranked = grouped_topk(scored, query_id_col, id_col, k, score_col="__negd")
+    return ranked.select(
+        query_id_col, id_col, (-F.col("__negd")).alias("adc_dist"), "rank"
+    )
+
+
+def pq_adc_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ two-stage retrieval, the production shape: ADC over compressed
+    codes shortlists ``shortlist`` candidates per query
+    (:func:`pq_adc_topk` — LUT lookups, no float vectors touched), then
+    ONLY the shortlist is re-ranked with exact squared L2 on the full
+    vectors.  At 100 TB the expensive float scan shrinks from N to
+    queries × shortlist rows; the shortlist join shuffles candidate ids,
+    never the corpus.  Output: ``(query_id, vec_id, l2_dist, rank)``."""
+    sl = pq_adc_topk(
+        corpus, queries, codebooks, k=shortlist,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    qv = queries.select(
+        F.col(query_id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    cand = (
+        sl.join(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col)
+        .join(F.broadcast(qv), query_id_col)
+    )
+    diff = F.zip_with(
+        F.col("__qv"), F.col("__cv"),
+        lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
+    )
+    scored = cand.withColumn(
+        "__negd", -F.aggregate(diff, F.lit(0.0), lambda a, v: a + v)
+    ).select(query_id_col, id_col, "__negd")
+    ranked = grouped_topk(scored, query_id_col, id_col, k, score_col="__negd")
+    return ranked.select(
+        query_id_col, id_col, (-F.col("__negd")).alias("l2_dist"), "rank"
+    )
