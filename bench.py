@@ -123,6 +123,7 @@ HEADLINE = [
     "doc_sentences_udtf",
     "doc_leakage_safe_splits",
     "emb_pq_adc_topk",
+    "emb_ivfpq_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

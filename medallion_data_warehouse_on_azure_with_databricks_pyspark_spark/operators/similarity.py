@@ -1268,12 +1268,32 @@ def pq_adc_rerank_topk(
         corpus, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     ).select(query_id_col, id_col)
+    return _exact_l2_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _exact_l2_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a ``(query_id, id)`` shortlist: full
+    vectors are read for queries × shortlist rows only (the join shuffles
+    candidate ids, never the corpus); element-ordered fold keeps distances
+    bit-reproducible.  Shared tail of the PQ and IVF-PQ stacks."""
     qv = queries.select(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     )
     cand = (
-        sl.join(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col)
+        shortlist.join(
+            corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col
+        )
         .join(F.broadcast(qv), query_id_col)
     )
     diff = F.zip_with(
@@ -1286,4 +1306,60 @@ def pq_adc_rerank_topk(
     ranked = grouped_topk(scored, query_id_col, id_col, k, score_col="__negd")
     return ranked.select(
         query_id_col, id_col, (-F.col("__negd")).alias("l2_dist"), "rank"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 100,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The composed billion-vector layout, IVF-PQ: IVF lists prune
+    candidates (each query ADC-scores only its ``nprobe`` probed lists,
+    never the corpus), PQ codes make the scoring LUT-only, and the exact
+    float read is deferred to the ``shortlist`` re-rank.  At 100 TB every
+    stage touches the small thing: pivots and query LUTs broadcast, the
+    candidate join carries ``queries × probed-list`` id rows, codes are
+    ~32× smaller than vectors, and full floats surface for
+    queries × shortlist rows only."""
+    pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    c_assign = ivf_assign(corpus, pivots, nprobe=1, id_col=id_col,
+                          vec_col=vec_col).select(id_col, "pivot_id")
+    q_probes = ivf_assign(
+        queries, pivots, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
+    ).select(query_id_col, "pivot_id")
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    n_codes = len(codebooks[0])
+    d = len(codebooks[0][0])
+    lut = F.array(*[
+        _l2sq_lit(_subvec(F.col(vec_col), m, d), code)
+        for m in range(len(codebooks))
+        for code in codebooks[m]
+    ])
+    q_lut = queries.select(F.col(query_id_col), lut.alias("__lut"))
+    cand = (
+        q_probes.join(c_assign, "pivot_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+    )
+    scored = cand.join(codes, id_col).join(F.broadcast(q_lut), query_id_col)
+    idx = F.transform(
+        F.col("pq_code"),
+        lambda c, m: F.element_at(F.col("__lut"), m * n_codes + c + 1),
+    )
+    scored = scored.withColumn(
+        "__negd", -F.aggregate(idx, F.lit(0.0), lambda a, v: a + v)
+    ).select(query_id_col, id_col, "__negd")
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negd"
+    ).select(query_id_col, id_col)
+    return _exact_l2_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
     )

@@ -1148,7 +1148,15 @@ def doc_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
-               full_d: int = 64) -> str:
+               full_d: int = 64, extra_ctes: str = "",
+               cand_from: str | None = None) -> str:
+    """PQ two-stage oracle; ``extra_ctes``/``cand_from`` let the IVF-PQ
+    lane swap the all-pairs candidate generator for probed-list joins
+    while sharing every other CTE (codebook, encode, ADC, re-rank)."""
+    if cand_from is None:
+        cand_from = ("FROM q CROSS JOIN enc "
+                     "JOIN book b ON b.m = enc.m AND b.k = enc.code_k "
+                     "WHERE enc.vec_id <> q.query_id")
     ms = ", ".join(f"({m})" for m in range(n_sub))
     l2 = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
@@ -1179,11 +1187,9 @@ def _pq_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
     q AS (SELECT vec_id AS query_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
           FROM embeddings WHERE vec_id % 25 = 0),
-    per_m AS (
+    {extra_ctes}per_m AS (
       SELECT q.query_id, enc.vec_id, b.m, {adc_l2} AS dm
-      FROM q CROSS JOIN enc
-      JOIN book b ON b.m = enc.m AND b.k = enc.code_k
-      WHERE enc.vec_id <> q.query_id),
+      {cand_from}),
     dist AS (
       SELECT query_id, vec_id,
              list_reduce(list_prepend(0.0::DOUBLE, list(dm ORDER BY m)),
@@ -1233,4 +1239,45 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_codebooks_from_corpus(emb, n_subspaces=16, n_codes=16)
     return similarity.pq_adc_rerank_topk(
         emb, _emb_queries(emb), books, k=10, shortlist=100
+    )
+
+
+def _ivfpq_oracle() -> str:
+    extra = f"""pivots2 AS (
+      SELECT vec_id AS pivot_id, embedding AS pv
+      FROM embeddings WHERE vec_id % 37 = 0),
+    assign2 AS (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dd, pivot_id) AS rnk
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   {_fold_l2sq('e.embedding', 'p.pv')} AS dd
+            FROM embeddings e CROSS JOIN pivots2 p)),
+    """
+    cand_from = (
+        "FROM (SELECT a.vec_id AS query_id, a.pivot_id FROM assign2 a "
+        "      WHERE a.vec_id % 25 = 0 AND a.rnk <= 12) qp "
+        "JOIN (SELECT vec_id, pivot_id FROM assign2 WHERE rnk = 1) ca "
+        "  USING (pivot_id) "
+        "JOIN enc ON enc.vec_id = ca.vec_id "
+        "JOIN book b ON b.m = enc.m AND b.k = enc.code_k "
+        "JOIN q ON q.query_id = qp.query_id "
+        "WHERE ca.vec_id <> qp.query_id"
+    )
+    return _pq_oracle(extra_ctes=extra, cand_from=cand_from)
+
+
+@query("emb_ivfpq_topk", oracle=_ivfpq_oracle())
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-vector ANN layout, IVF-PQ (``operators/
+    similarity.py ivfpq_topk``): IVF lists prune candidates (nprobe=12 of
+    the deterministic %37 quantizer — the SAME quantizer every other IVF
+    lane shares), PQ codes make the candidate scoring LUT-only, and exact
+    L2 surfaces only for the 100-row shortlist re-rank.  Every stage
+    touches the small thing; the oracle replays pruning, encoding, ADC,
+    and re-rank bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks_from_corpus(emb, n_subspaces=16, n_codes=16)
+    return similarity.ivfpq_topk(
+        emb, _emb_queries(emb), books, k=10, nprobe=12, shortlist=100
     )
