@@ -124,6 +124,7 @@ HEADLINE = [
     "doc_leakage_safe_splits",
     "emb_pq_adc_topk",
     "emb_ivfpq_topk",
+    "emb_pq_indexed_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

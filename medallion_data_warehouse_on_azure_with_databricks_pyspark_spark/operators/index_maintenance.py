@@ -1,5 +1,5 @@
 """Lifecycle maintenance for the on-disk index family (MinHash bands,
-IVF lists, multi-table LSH buckets).
+IVF lists, multi-table LSH buckets, PQ codes).
 
 A 100 TB corpus does not only grow: takedowns, TTL expiry, and re-crawls
 all REMOVE documents, and an index whose rows outlive their documents
@@ -26,9 +26,9 @@ broadcasts the tombstone set — correct while deletes-since-compaction
 are small, which the compaction cadence guarantees; an unbounded
 tombstone backlog is exactly the signal to compact.
 
-Family detection is by manifest shape (the three builders write disjoint
-parameter sets), so one ``compact_index`` entry point serves all three
-artifacts without the caller restating what built them.
+Family detection is by manifest shape (the builders write disjoint
+parameter sets), so one ``compact_index`` entry point serves every
+artifact without the caller restating what built it.
 """
 
 from __future__ import annotations
@@ -55,14 +55,16 @@ def _read_meta(index_path: str) -> dict:
 
 
 def _family(meta: dict) -> str:
-    """Which builder wrote this manifest — the three families pin
-    disjoint parameter keys."""
+    """Which builder wrote this manifest — the families pin disjoint
+    parameter keys."""
     if "num_hashes" in meta:
         return "minhash"
     if "modulus" in meta:
         return "ivf"
     if "tables" in meta:
         return "lsh"
+    if "codebooks" in meta:
+        return "pq"
     raise ValueError(f"unrecognized index manifest: {sorted(meta)}")
 
 
@@ -95,7 +97,7 @@ def exclude_tombstoned(
 def delete_from_index(
     ids: DataFrame, index_path: str, id_col: str | None = None
 ) -> str:
-    """Mark documents/vectors as deleted in any of the three index
+    """Mark documents/vectors as deleted in any of the index
     artifacts — appends their ids to ``{index_path}/tombstones``.
 
     ``ids`` needs one column carrying the ids (named ``id_col``, default:
@@ -133,7 +135,7 @@ def _live(df: DataFrame, tomb: DataFrame | None, id_col: str) -> DataFrame:
 
 
 def compact_index(spark: SparkSession, index_path: str) -> str:
-    """Fold tombstones into any of the three index artifacts and merge
+    """Fold tombstones into any of the index artifacts and merge
     replay-duplicated rows, rewriting each table bin-packed toward the
     standard file-size target.
 
@@ -186,10 +188,23 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             partition_by="pivot_id",
         )
         wr(rd("pivots"), "pivots")
-    else:  # lsh
+    elif fam == "lsh":
         wr(
             _live(rd("buckets"), tomb, id_col).distinct().repartition(n_files),
             "buckets",
+        )
+        wr(
+            _live(rd("vectors"), tomb, id_col)
+            .dropDuplicates([id_col])
+            .repartition(n_files),
+            "vectors",
+        )
+    else:  # pq
+        wr(
+            _live(rd("codes"), tomb, id_col)
+            .dropDuplicates([id_col])
+            .repartition(n_files),
+            "codes",
         )
         wr(
             _live(rd("vectors"), tomb, id_col)

@@ -1363,3 +1363,146 @@ def ivfpq_topk(
     return _exact_l2_rerank(
         sl, corpus, queries, k, id_col, vec_col, query_id_col
     )
+
+
+_PQ_INDEX_VERSION = 1
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the PQ artifact — fourth member of the index family
+    (MinHash bands, IVF lists, LSH buckets, PQ codes).
+
+    Writes ``{path}/codes`` — ``(id, pq_code)``, the ~32×-compressed
+    representation every future query batch ADC-scans —
+    ``{path}/vectors`` — ``(id, vec)`` stored once, read only for the
+    shortlist re-rank — and ``{path}/meta.json`` pinning the codebooks
+    (codes are only meaningful under the exact codebooks that produced
+    them, so the reader takes NO codebook argument: the manifest is the
+    single source of truth).  Staged + one-rename promote, crash-safe
+    like the other builders."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    if not codebooks or not codebooks[0]:
+        raise ValueError("codebooks must be non-empty")
+    if any(len(b) != len(codebooks[0]) for b in codebooks):
+        raise ValueError("all subspace codebooks must have the same code count")
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    pq_encode(corpus, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "codes"))
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _PQ_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "codebooks": codebooks,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def _read_pq_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _PQ_INDEX_VERSION:
+        raise ValueError(f"unsupported pq index version: {meta.get('version')}")
+    return meta
+
+
+def append_to_pq_index(new_vectors: DataFrame, index_path: str) -> str:
+    """Grow the artifact with a frozen quantizer: new vectors encode
+    against the STORED codebooks (drift between builder and appender is
+    impossible — there is no codebook argument) and append into both
+    tables; standing rows are untouched.  At-least-once replay leaves
+    duplicate rows that every read path neutralizes
+    (``dropDuplicates``/``distinct`` on the candidate side) and the next
+    ``compact_index`` folds physically."""
+    import os
+
+    meta = _read_pq_meta(index_path)
+    codes = pq_encode(
+        new_vectors, meta["codebooks"], meta["id_col"], meta["vec_col"]
+    )
+    codes.write.mode("append").parquet(os.path.join(index_path, "codes"))
+    new_vectors.select(meta["id_col"], meta["vec_col"]).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+    return index_path
+
+
+def pq_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    shortlist: int = 100,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage PQ retrieval against a :func:`build_pq_index` artifact:
+    identical shortlists, distances, and ranks as the in-memory
+    :func:`pq_adc_rerank_topk` under the manifest's codebooks — the
+    corpus is touched only through its stored codes (ADC stage) and
+    stored vectors (shortlist re-rank); the encode pass was paid once at
+    build time.  Tombstoned ids stop ranking immediately."""
+    import os
+
+    meta = _read_pq_meta(index_path)
+    codebooks = meta["codebooks"]
+    id_col = meta["id_col"]
+    n_codes = len(codebooks[0])
+    d = len(codebooks[0][0])
+    spark = queries.sparkSession
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).dropDuplicates(
+        [id_col]
+    )
+    vectors = spark.read.parquet(
+        os.path.join(index_path, "vectors")
+    ).dropDuplicates([id_col])
+    lut = F.array(*[
+        _l2sq_lit(_subvec(F.col(vec_col), m, d), code)
+        for m in range(len(codebooks))
+        for code in codebooks[m]
+    ])
+    q_lut = queries.select(F.col(query_id_col), lut.alias("__lut"))
+    scored = codes.join(F.broadcast(q_lut), how="cross")
+    scored = index_maintenance.exclude_tombstoned(
+        scored, index_path, id_col, id_col
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id_col))
+    idx = F.transform(
+        F.col("pq_code"),
+        lambda c, m: F.element_at(F.col("__lut"), m * n_codes + c + 1),
+    )
+    scored = scored.withColumn(
+        "__negd", -F.aggregate(idx, F.lit(0.0), lambda a, v: a + v)
+    ).select(query_id_col, id_col, "__negd")
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negd"
+    ).select(query_id_col, id_col)
+    q_aligned = (
+        queries.withColumnRenamed(vec_col, meta["vec_col"])
+        if vec_col != meta["vec_col"]
+        else queries
+    )
+    return _exact_l2_rerank(
+        sl, vectors, q_aligned, k, id_col, meta["vec_col"], query_id_col
+    )

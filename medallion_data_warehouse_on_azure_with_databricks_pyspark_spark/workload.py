@@ -1710,7 +1710,7 @@ CORRECTNESS_PRIORITY = [
     "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
     "customer_dim_schema_evolution", "part_cdf_changes", "orders_unpivot_metrics",
     "doc_sentences_udtf", "doc_leakage_safe_splits", "emb_pq_adc_topk",
-    "emb_ivfpq_topk",
+    "emb_ivfpq_topk", "emb_pq_indexed_topk",
     "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",

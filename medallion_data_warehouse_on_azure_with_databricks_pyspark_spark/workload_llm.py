@@ -1281,3 +1281,23 @@ def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfpq_topk(
         emb, _emb_queries(emb), books, k=10, nprobe=12, shortlist=100
     )
+
+
+@query("emb_pq_indexed_topk", oracle=_pq_oracle())
+def emb_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-disk PQ artifact's read path (``operators/similarity.py
+    build_pq_index`` / ``pq_topk_against_index``): codes + vectors + a
+    codebook manifest as the single source of truth, queried without the
+    corpus — bit-identical to the in-memory two-stage operator, so it
+    shares ``emb_pq_adc_topk``'s oracle (same evidence pattern as the
+    IVF and LSH index lanes)."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks_from_corpus(emb, n_subspaces=16, n_codes=16)
+    path = os.path.join(tempfile.mkdtemp(prefix="medallion_pqidx_"), "pq_index")
+    similarity.build_pq_index(emb, path, books)
+    return similarity.pq_topk_against_index(
+        _emb_queries(emb), path, k=10, shortlist=100
+    )

@@ -214,3 +214,48 @@ def test_compact_unrecognized_manifest_raises(spark, tmp_path):
     (bad / "meta.json").write_text(json.dumps({"id_col": "x", "version": 1}))
     with pytest.raises(ValueError, match="unrecognized"):
         index_maintenance.compact_index(spark, str(bad))
+
+
+def test_pq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
+    """PQ artifact: index read path is bit-identical to the in-memory
+    two-stage operator; append encodes with the STORED codebooks; delete
+    excludes immediately; compaction folds physically and preserves
+    results for surviving ids."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        index_maintenance,
+        similarity,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    books = similarity.pq_codebooks_from_corpus(emb, 8, 16)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pq_index")
+    similarity.build_pq_index(old, path, books)
+    similarity.append_to_pq_index(new, path)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    inmem = similarity.pq_adc_rerank_topk(emb, q, books, k=10, shortlist=50)
+    via_index = similarity.pq_topk_against_index(q, path, k=10, shortlist=50)
+    assert rows(via_index) == rows(inmem)
+
+    # delete: the tombstoned ids stop ranking immediately
+    victims = {r[1] for r in rows(via_index)[:3]}
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), path
+    )
+    after = rows(similarity.pq_topk_against_index(q, path, k=10, shortlist=50))
+    assert not ({r[1] for r in after} & victims)
+
+    # compaction folds tombstones physically, results unchanged
+    index_maintenance.compact_index(spark, path)
+    assert rows(
+        similarity.pq_topk_against_index(q, path, k=10, shortlist=50)
+    ) == after
+    import os
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
