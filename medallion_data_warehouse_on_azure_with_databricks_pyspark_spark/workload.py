@@ -1700,7 +1700,9 @@ CORRECTNESS_PRIORITY = [
     # -- rule 2: NEW in r7 — first the mid-round additions (text-source
     #    rescue, hybrid RRF, SemDeDup, watermark finalization, embedding
     #    pooling, classifier, LM fluency, delivery-layer dedup, time
-    #    travel, merge schema evolution, CDF), then the round-opening
+    #    travel, merge schema evolution, CDF, UNPIVOT, UDTF, leakage-safe
+    #    splits, the PQ family: two-stage / IVF-PQ / indexed), then the
+    #    round-opening
     #    batch (LSH-index lane, poly SimHash, CDC deletes x2, quarantine)
     #    and code paths touched at round start (dedup hot-key caps, IVF
     #    probe-collect rewrite, index tombstone read paths + streaming
