@@ -124,3 +124,34 @@ def test_zorder_layout_envelopes_prune_documents(spark):
     ]
     avg_frac = (sum(areas) / len(areas)) / max(full_c * full_d, 1)
     assert avg_frac <= 0.5, avg_frac
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_writes(spark, tmp_path):
+    """SURVEY §4 physical-optimization surface: a fact table written with
+    the engine's ``partition_by`` layout gets DYNAMIC partition pruning
+    when joined to a filtered dimension — the fact scan's PartitionFilters
+    carry a runtime ``dynamicpruning`` subquery, so only the partitions
+    the dim filter selects are read.  This is the read-side payoff the
+    partitioned writers exist for; results equal the unpartitioned join."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        writers,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    fact = str(tmp_path / "fact")
+    writers.overwrite_path(orders, fact, partition_by=["o_orderpriority"])
+    dim = (
+        orders.select("o_orderpriority").distinct()
+        .withColumn(
+            "rank_level", F.substring("o_orderpriority", 1, 1).cast("int")
+        )
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("rank_level") <= 2)
+    j = spark.read.parquet(fact).join(d, "o_orderpriority")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = orders.join(d, "o_orderpriority").count()
+    assert j.count() == expected > 0
