@@ -155,3 +155,40 @@ def test_dynamic_partition_pruning_fires_on_partitioned_writes(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     expected = orders.join(d, "o_orderpriority").count()
     assert j.count() == expected > 0
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """SURVEY §4: Spark's runtime bloom-filter injection prunes the big
+    (application) side of a shuffle join with a selective build side.  The
+    default gates are sized for production (application side ≥ 10 GB scan)
+    so the optimization is silent at test scale — lowering the gate shows
+    the rewrite fires on the engine's fact/dim join shape, and results are
+    unchanged.  At 100 TB the defaults trigger on their own; nothing in
+    the engine disables them."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    join = lambda: li.join(orders, li.l_orderkey == orders.o_orderkey)  # noqa: E731
+    expected = join().count()
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    originals = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = join()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+        assert j.count() == expected
+    finally:
+        for k, v in originals.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
