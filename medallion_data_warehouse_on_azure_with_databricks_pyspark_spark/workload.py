@@ -932,9 +932,9 @@ def dlt_part_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT p_partkey, p_name, p_brand,
            CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
            CASE WHEN p_size > 45 AND p_name IS NULL
-                THEN ['size_ok', 'name_set']
-                WHEN p_size > 45 THEN ['size_ok']
-                ELSE ['name_set'] END AS violated_rules
+                THEN 'size_ok,name_set'
+                WHEN p_size > 45 THEN 'size_ok'
+                ELSE 'name_set' END AS violated_rules
     FROM part WHERE p_size > 45 OR p_name IS NULL
     """,
 )
@@ -944,7 +944,12 @@ def dlt_part_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     land in the ``<node>__quarantine`` side output tagged with the NAMES
     of the rules they broke (rule-dict order), so data stewards can
     triage and replay instead of losing the rows.  The main output is
-    bit-identical to the drop-mode pipeline's (same predicate)."""
+    bit-identical to the drop-mode pipeline's (same predicate).
+
+    The ``violated_rules`` tag is emitted here as a comma-joined string
+    (rule-dict order is deterministic) so the driver's scalar
+    canonicalizer can hash it — the r7 array<string> form was unhashable
+    pandas-side (VERDICT r7 item 1)."""
     from .plans.pipeline import Pipeline
 
     p = Pipeline("products_quarantine")
@@ -968,7 +973,8 @@ def dlt_part_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quar = p.run(spark).outputs["silver_parts__quarantine"]
     return quar.select(
         "p_partkey", "p_name", "p_brand",
-        F.col("price").cast("double").alias("price"), "violated_rules",
+        F.col("price").cast("double").alias("price"),
+        F.array_join("violated_rules", ",").alias("violated_rules"),
     )
 
 
