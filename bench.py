@@ -171,13 +171,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        # Noise floor (ADVICE r6): ambient box load makes sub-second
-        # queries swing 3-4x between identical-code runs.  When the two
-        # runs disagree by >2x, one of them hit a load spike — take a
+        # Noise floor (ADVICE r6; tightened r8): ambient box load makes
+        # sub-second queries swing 3-4x between identical-code runs, and
+        # the r8 A/B measured run-scoped microVM drift of 10-30% on
+        # identical code (SCALE.md "Round 8").  When the two runs
+        # disagree by >1.5x, one of them hit a load window — take a
         # third and keep the best, so the recorded number reflects the
         # plan, not the scheduler.  Well-behaved queries still pay
         # exactly two runs.
-        if max(runs) > 2 * min(runs):
+        if max(runs) > 1.5 * min(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)

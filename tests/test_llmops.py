@@ -329,6 +329,36 @@ def test_cosine_dedup_pairs_finds_planted_duplicate(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 9999)}
 
 
+def test_cosine_dedup_hot_bucket_cap_bounds_degenerate_bucket(spark):
+    """A degenerate bucket (many identical vectors → one sign pattern)
+    is droppable by the cap, while a healthy near-dup pair in another
+    bucket survives, and a generous cap is a no-op — the registered
+    lane's 10k cap must never fire on healthy data (the sf0.01 oracle
+    stays bit-green)."""
+    boiler = [(i, [1.0] + [0.0] * 63) for i in range(40)]
+    a = [0.0, 1.0] + [0.0] * 62
+    pair = [(100, a), (101, [x * 1.0001 for x in a])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in boiler + pair],
+        "vec_id long, embedding array<float>",
+    )
+    planes = similarity.random_planes(64, 8, seed=3)
+    capped = similarity.cosine_dedup_pairs(
+        df, planes, threshold=0.999, max_bucket_freq=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    uncapped = similarity.cosine_dedup_pairs(
+        df, planes, threshold=0.999
+    ).collect()
+    noop = similarity.cosine_dedup_pairs(
+        df, planes, threshold=0.999, max_bucket_freq=10_000
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in noop} == {
+        (r["id_a"], r["id_b"]) for r in uncapped
+    }
+    assert len(uncapped) == 40 * 39 // 2 + 1  # boiler clique + the pair
+
+
 def test_minhash_dedup_between_finds_cross_corpus_dups(spark):
     """Cross-corpus variant: a shard doc near-duplicating a corpus doc is
     found; shard-internal duplicates are NOT reported (that is the
@@ -1019,10 +1049,13 @@ def test_semantic_dedup_threshold_one_keeps_everything(spark):
 
 
 def test_pq_rerank_recall_floor(spark):
-    """Two-stage PQ (ADC shortlist + exact re-rank) must hold an 0.8
+    """Two-stage PQ (ADC shortlist + exact re-rank) must hold a 0.9
     recall@10 floor vs exact L2 at the registered settings (M=16, K=16,
-    shortlist=100); raw single-stage ADC on this gaussian corpus sits
-    near 0.3, which is why the re-rank stage is the registered shape."""
+    shortlist=100, one-Lloyd-round trained codebooks — measured 0.945 at
+    sf0.01; the raw fixed-sample seed books sat at 0.84, which is what
+    the k-means refinement buys).  Raw single-stage ADC on this gaussian
+    corpus sits near 0.3, which is why the re-rank stage is the
+    registered shape."""
     import numpy as np
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -1030,7 +1063,7 @@ def test_pq_rerank_recall_floor(spark):
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
         for r in emb.collect()
     }
-    books = similarity.pq_codebooks_from_corpus(emb, 16, 16)
+    books = similarity.pq_codebooks_kmeans(emb, 16, 16, iters=1)
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1048,7 +1081,7 @@ def test_pq_rerank_recall_floor(spark):
             )[:10]
         }
         recalls.append(len(found & exact) / 10)
-    assert sum(recalls) / len(recalls) >= 0.8
+    assert sum(recalls) / len(recalls) >= 0.9
 
 
 def test_pq_encode_codes_in_range(spark):
@@ -1060,10 +1093,11 @@ def test_pq_encode_codes_in_range(spark):
 
 
 def test_ivfpq_recall_floor(spark):
-    """IVF-PQ composition holds a 0.75 recall@10 floor vs exact L2 at the
-    registered settings (nprobe=12, M=16, K=16, shortlist=100): the IVF
-    pruning layer costs a few points vs two-stage PQ alone (0.84), buying
-    candidate-set reduction."""
+    """IVF-PQ composition holds a 0.85 recall@10 floor vs exact L2 at the
+    registered settings (nprobe=12, M=16, K=16, shortlist=100, trained
+    codebooks — measured 0.93 at sf0.01): the IVF pruning layer costs a
+    few points vs two-stage PQ alone (0.945), buying candidate-set
+    reduction."""
     import numpy as np
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -1071,7 +1105,7 @@ def test_ivfpq_recall_floor(spark):
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
         for r in emb.collect()
     }
-    books = similarity.pq_codebooks_from_corpus(emb, 16, 16)
+    books = similarity.pq_codebooks_kmeans(emb, 16, 16, iters=1)
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1089,4 +1123,4 @@ def test_ivfpq_recall_floor(spark):
             )[:10]
         }
         recalls.append(len(found & exact) / 10)
-    assert sum(recalls) / len(recalls) >= 0.75
+    assert sum(recalls) / len(recalls) >= 0.85
