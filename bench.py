@@ -119,6 +119,7 @@ HEADLINE = [
     "part_time_travel_diff",
     "customer_dim_schema_evolution",
     "part_cdf_changes",
+    "part_cdf_changes_percommit",
     "orders_unpivot_metrics",
     "doc_sentences_udtf",
     "doc_leakage_safe_splits",

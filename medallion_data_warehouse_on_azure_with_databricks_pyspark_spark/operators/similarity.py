@@ -1045,10 +1045,15 @@ def semantic_dedup_survivors(
     if persist:
         # the clustered frame feeds both self-join sides AND the final
         # anti-join — without this the assignment (a corpus × pivots pass)
-        # runs three times.  persist=False is the no-SQL-cache escape
-        # hatch for long-lived loops (same contract as
-        # minhash_pairs_against_index.persist_shard).
-        clustered = clustered.persist()
+        # runs three times.  localCheckpoint, not persist() (ADVICE r7):
+        # checkpoint blocks are released by the ContextCleaner when the
+        # returned frame is dropped, where an un-unpersisted persist()
+        # stays registered in the SQL cache manager for the session's
+        # lifetime and accumulates across calls (same pattern as the PQ
+        # lanes' code materialization).  persist=False is the
+        # no-materialization escape hatch for long-lived loops (same
+        # contract as minhash_pairs_against_index.persist_shard).
+        clustered = clustered.localCheckpoint()
     lhs = clustered.select(
         "pivot_id",
         F.col(id_col).alias("id_a"),
@@ -1616,17 +1621,24 @@ def append_to_pq_index(new_vectors: DataFrame, index_path: str) -> str:
     tables; standing rows are untouched.  At-least-once replay leaves
     duplicate rows that every read path neutralizes
     (``dropDuplicates``/``distinct`` on the candidate side) and the next
-    ``compact_index`` folds physically."""
+    ``compact_index`` folds physically.
+
+    Append order is VECTORS FIRST, then codes (ADVICE r7): a crash
+    between the two appends must not leave an id with a code but no
+    vector — such a row would ADC-shortlist and then silently vanish at
+    the re-rank's inner join, displacing a valid candidate from the
+    shortlist.  A vector without a code is merely unscored until the
+    append is replayed (harmless: it never enters the candidate set)."""
     import os
 
     meta = _read_pq_meta(index_path)
+    new_vectors.select(meta["id_col"], meta["vec_col"]).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
     codes = pq_encode(
         new_vectors, meta["codebooks"], meta["id_col"], meta["vec_col"]
     )
     codes.write.mode("append").parquet(os.path.join(index_path, "codes"))
-    new_vectors.select(meta["id_col"], meta["vec_col"]).write.mode(
-        "append"
-    ).parquet(os.path.join(index_path, "vectors"))
     return index_path
 
 

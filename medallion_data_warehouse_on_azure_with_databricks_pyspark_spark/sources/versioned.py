@@ -41,10 +41,32 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_FILE = "log.json"
+INTENT_FILE = ".intent.json"
 
 
 def _vroot(path: str) -> str:
     return path.rstrip("/") + ".__versions"
+
+
+def _intent_path(path: str) -> str:
+    return os.path.join(_vroot(path), INTENT_FILE)
+
+
+def _write_intent(path: str, intent: dict) -> None:
+    vroot = _vroot(path)
+    os.makedirs(vroot, exist_ok=True)
+    tmp = os.path.join(vroot, f"{INTENT_FILE}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(intent, fh)
+    os.replace(tmp, _intent_path(path))
+
+
+def _read_intent(path: str) -> dict | None:
+    p = _intent_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def _read_log(path: str) -> list[dict]:
@@ -79,7 +101,16 @@ def overwrite_versioned(
     """Atomic overwrite that RETAINS the superseded version (rename-aside,
     no copy).  Returns the committed version number.  ``now`` pins the
     commit timestamp for reproducible tests (same contract as the SCD
-    plans' ``now=``)."""
+    plans' ``now=``).
+
+    Commit protocol (write-ahead intent, ADVICE r7): after the stage
+    write completes, a journal entry naming the stage dir and target
+    version is fsync-replaced into the version root BEFORE the rename
+    pair — so :func:`recover` can roll a crash at ANY later point
+    forward to completion (the stage is known-complete once the intent
+    exists) instead of only repairing the between-renames window.  The
+    intent is removed as the last step; its absence means the previous
+    commit fully finished."""
     stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite").format("parquet")
     if partition_by:
@@ -88,19 +119,19 @@ def overwrite_versioned(
 
     log = _read_log(path)
     version = (log[-1]["version"] + 1) if log else 0
+    entry = {
+        "version": version,
+        "committed_at": float(now if now is not None else time.time()),
+        "operation": "WRITE",
+    }
+    _write_intent(path, {"stage": stage, "entry": entry})
     vroot = _vroot(path)
-    os.makedirs(vroot, exist_ok=True)
     if os.path.exists(path):
         os.rename(path, os.path.join(vroot, f"v{version - 1}"))
     os.rename(stage, path)
-    log.append(
-        {
-            "version": version,
-            "committed_at": float(now if now is not None else time.time()),
-            "operation": "WRITE",
-        }
-    )
+    log.append(entry)
     _write_log(path, log)
+    os.remove(_intent_path(path))
     return version
 
 
@@ -200,14 +231,28 @@ def table_changes(
 
     Plan: ONE full-outer join of the two snapshots on the keys; update
     detection is a single null-safe struct equality over the non-key
-    columns — no per-column expression blowup, full codegen.
+    columns — no per-column expression blowup, full codegen.  Row
+    classification reads existence MARKER columns added to each side
+    before the join (the ``_T_MARK``/``_S_MARK`` pattern
+    ``plans/merge.py`` uses), never key nullability — the join matches
+    NULL keys null-safely, so a row whose first key column is NULL must
+    still classify as present (ADVICE r7: key-nullness classification
+    silently dropped such rows from the feed).
     """
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    old = read_version(spark, path, from_version).alias("o")
-    new = read_version(spark, path, to_version).alias("n")
+    old = (
+        read_version(spark, path, from_version)
+        .withColumn("__o_mark", F.lit(True))
+        .alias("o")
+    )
+    new = (
+        read_version(spark, path, to_version)
+        .withColumn("__n_mark", F.lit(True))
+        .alias("n")
+    )
     cols = read_version(spark, path, to_version).columns
     if set(cols) != set(read_version(spark, path, from_version).columns):
         raise ValueError(
@@ -220,8 +265,8 @@ def table_changes(
         [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols],
     )
     j = old.join(new, on, "full_outer")
-    o_key = F.col(f"o.{key_cols[0]}")
-    n_key = F.col(f"n.{key_cols[0]}")
+    in_old = F.col("o.__o_mark").isNotNull()
+    in_new = F.col("n.__n_mark").isNotNull()
     same = (
         F.struct(*[F.col(f"o.{c}") for c in non_keys]).eqNullSafe(
             F.struct(*[F.col(f"n.{c}") for c in non_keys])
@@ -234,13 +279,13 @@ def table_changes(
         return [F.col(f"{prefix}.{c}").alias(c) for c in cols]
 
     ver = F.lit(to_version).cast("long").alias("_commit_version")
-    inserts = j.filter(o_key.isNull() & n_key.isNotNull()).select(
+    inserts = j.filter(~in_old & in_new).select(
         *side("n"), F.lit("insert").alias("_change_type"), ver
     )
-    deletes = j.filter(o_key.isNotNull() & n_key.isNull()).select(
+    deletes = j.filter(in_old & ~in_new).select(
         *side("o"), F.lit("delete").alias("_change_type"), ver
     )
-    changed = j.filter(o_key.isNotNull() & n_key.isNotNull() & ~same)
+    changed = j.filter(in_old & in_new & ~same)
     pre = changed.select(
         *side("o"), F.lit("update_preimage").alias("_change_type"), ver
     )
@@ -248,6 +293,51 @@ def table_changes(
         *side("n"), F.lit("update_postimage").alias("_change_type"), ver
     )
     return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def table_changes_per_commit(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Change Data Feed at PER-COMMIT granularity (real Delta CDF shape):
+    the snapshot diff of every consecutive version pair in
+    ``(from_version, to_version]``, unioned — a row updated in v2 and
+    again in v4 yields BOTH update pairs (each stamped with its own
+    ``_commit_version``), where :func:`table_changes` coalesces them to
+    the net change.  This closes the r7 "per-commit granularity needs
+    the real transaction log" divergence for ranges whose intermediate
+    versions are still retained: the append-only log already names every
+    commit, so the feed replays ``(v, v+1)`` for each.
+
+    Every intermediate version must not have been vacuumed (same
+    retention contract Delta CDF has — ``VACUUM`` destroys the feed).
+    Cost: ``R`` snapshot joins for a range of ``R`` commits, each
+    key-partitioned and independent (they union, so Spark schedules them
+    in parallel); at 100 TB you bound ``R`` by reading the feed
+    incrementally per commit, which is how CDC consumers tail a log
+    anyway."""
+    from functools import reduce as _reduce
+
+    if to_version <= from_version:
+        raise ValueError(
+            f"to_version {to_version} must be > from_version {from_version}"
+        )
+    log_versions = sorted(e["version"] for e in _read_log(path))
+    pairs = [
+        (v, w)
+        for v, w in zip(log_versions, log_versions[1:])
+        if from_version <= v and w <= to_version
+    ]
+    if not pairs or pairs[0][0] != from_version or pairs[-1][1] != to_version:
+        raise ValueError(
+            f"{path}: log does not cover every commit in "
+            f"({from_version}, {to_version}] — have {log_versions}"
+        )
+    feeds = [table_changes(spark, path, key_cols, v, w) for v, w in pairs]
+    return _reduce(lambda a, b: a.unionByName(b), feeds)
 
 
 def cdf_to_cdc_events(changes: DataFrame) -> DataFrame:
@@ -275,28 +365,58 @@ def cdf_to_cdc_events(changes: DataFrame) -> DataFrame:
 
 
 def recover(path: str) -> bool:
-    """Crash recovery for the two-rename commit window: if a writer died
-    after renaming the live table aside but before promoting its staged
-    replacement, the table path is missing while the log's newest version
-    sits in the retention area — rename it back.  Orphaned ``.__stage_*``
-    directories (writer died mid-write, table untouched) are swept either
-    way.  Returns True if the live path was restored.  Idempotent; safe to
-    run at every startup, like Delta's log replay."""
+    """Crash recovery, driven by the write-ahead commit intent: a commit
+    that journaled its intent (stage dir + target log entry) is rolled
+    FORWARD to completion from whichever step it died at — the stage is
+    known-complete once the intent exists, so forward is always safe:
+
+    * died before the aside-rename → aside, promote, log, clear intent;
+    * died between the renames → promote, log, clear intent;
+    * died promoted-but-unlogged → append the missing log entry (the
+      ADVICE r7 hole: previously the new data sat at the table path
+      silently attributed to the old version, and the NEXT commit's
+      aside-rename collided with the existing retention dir);
+    * died logged-but-intent-left → clear the intent.
+
+    Stage directories NOT named by a live intent are orphans from a
+    writer that died mid-write (table untouched) and are swept.  Returns
+    True if any repair beyond orphan-sweeping was performed.  Idempotent;
+    safe to run at every startup, like Delta's log replay — and unlike
+    the pre-r8 version, that claim now covers every crash point in the
+    commit, not just the between-renames window."""
+    intent = _read_intent(path)
+    repaired = False
+    if intent is not None:
+        entry, stage = intent["entry"], intent["stage"]
+        version = entry["version"]
+        log = _read_log(path)
+        logged = log and log[-1]["version"] >= version
+        if not logged:
+            vroot = _vroot(path)
+            aside = os.path.join(vroot, f"v{version - 1}")
+            if os.path.exists(stage):
+                # promote not reached; finish the rename pair first
+                if os.path.exists(path) and not os.path.exists(aside):
+                    os.rename(path, aside)
+                os.rename(stage, path)
+            log.append(entry)
+            _write_log(path, log)
+            repaired = True
+        os.remove(_intent_path(path))
+    # orphan stages: no live intent names them — writer died mid-write,
+    # the table was never touched
     parent = os.path.dirname(path.rstrip("/")) or "."
     base = os.path.basename(path.rstrip("/"))
     if os.path.isdir(parent):
         for d in os.listdir(parent):
             if d.startswith(f"{base}.__stage_"):
                 shutil.rmtree(os.path.join(parent, d))
+    # legacy safety net (pre-intent writers): table path missing while the
+    # log's newest version sits in retention — rename it back
     log = _read_log(path)
-    if not log or os.path.exists(path):
-        return False
-    current = log[-1]["version"]
-    vdir = os.path.join(_vroot(path), f"v{current}")
-    if os.path.exists(vdir):
-        # interrupted AFTER the aside-rename of the then-live version but
-        # BEFORE log append of the new one: the aside dir carries the
-        # logged current version — restore it
-        os.rename(vdir, path)
-        return True
-    return False
+    if log and not os.path.exists(path):
+        vdir = os.path.join(_vroot(path), f"v{log[-1]['version']}")
+        if os.path.exists(vdir):
+            os.rename(vdir, path)
+            repaired = True
+    return repaired

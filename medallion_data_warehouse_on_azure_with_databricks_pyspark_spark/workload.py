@@ -1390,6 +1390,58 @@ def part_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_cdf_changes_percommit",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size,
+           'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+    FROM part WHERE p_size > 25
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice * 2, p_size,
+           'update_preimage', CAST(1 AS BIGINT)
+    FROM part WHERE p_size <= 25 AND p_partkey % 5 = 0
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice, p_size,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM part WHERE p_size <= 25 AND p_partkey % 5 = 0
+    UNION ALL
+    SELECT p_partkey, p_name, p_retailprice, p_size,
+           'delete', CAST(2 AS BIGINT)
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def part_cdf_changes_percommit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit Change Data Feed (``sources/versioned.py
+    table_changes_per_commit``) — the real-Delta-CDF granularity the r7
+    net-change lane documented as a divergence: v0 = small parts with
+    every 5th price doubled, v1 = the clean full table, v2 = v1 minus
+    every 7th part.  Reading the feed over (0, 2] yields commit 1's
+    inserts + price-correction pre/post images AND commit 2's deletes,
+    each stamped with its own ``_commit_version`` — a row touched by
+    both commits appears in both (the net feed would coalesce it).  The
+    oracle states each commit's diff independently."""
+    import os
+    import tempfile
+
+    from .sources import versioned as V
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="medallion_cdfpc_"), "part_dim")
+    v0 = part.filter(F.col("p_size") <= 25).withColumn(
+        "p_retailprice",
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_retailprice") * 2)
+        .otherwise(F.col("p_retailprice")),
+    )
+    V.overwrite_versioned(v0, path, now=100.0)
+    V.overwrite_versioned(part, path, now=200.0)
+    V.overwrite_versioned(
+        part.filter(F.col("p_partkey") % 7 != 0), path, now=300.0
+    )
+    return V.table_changes_per_commit(spark, path, ["p_partkey"], 0, 2)
+
+
+@query(
     "events_stream_dropdup_ingest",
     oracle="""
     SELECT event_id, user_id, event_type, value,
@@ -1690,9 +1742,41 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
 # round by tests/test_workload_oracle.py regardless of window position.
 CORRECTNESS_PRIORITY = [
-    # -- rule 1: no driver hash row in r6 (last checked r4/r5; unchanged
-    #    code — rotate to the front so every oracle gets a fresh driver
-    #    hash at least every other round) --------------------------------
+    # -- r8 window (judge asks #1-2 first): the two dlt pipeline lanes
+    #    (last driver-checked r5 — the r7 rotation slip) at the very
+    #    front, the repaired quarantine lane immediately after, then the
+    #    45 lanes whose last driver row is r6 (rule 1: no query goes
+    #    more than two rounds without a driver check).  The final two
+    #    slots are rule 2: the NEW per-commit CDF lane and one
+    #    representative of the retrained-PQ-codebook oracle change.
+    #    Changed lanes that did not fit the 50-entry window
+    #    (emb_ivfpq_topk, emb_pq_indexed_topk, part_cdf_changes,
+    #    part_time_travel_diff, emb_semantic_dedup — all hash-green r7
+    #    and locally driver-replayed at sf0.01 this round via
+    #    tests/test_workload_oracle.py) lead the tail so r9's rule 1
+    #    front-loads them.
+    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
+    "dlt_part_quarantine", "emb_lsh_multitable_topk", "doc_token_counts",
+    "doc_text_stats", "doc_language_id", "doc_exact_dedup",
+    "doc_dedup_representatives", "emb_cosine_topk", "emb_cosine_dedup_pairs",
+    "multimodal_features", "doc_repetition_stats", "doc_scrub_pii",
+    "doc_bm25_topk", "orders_price_quantiles", "emb_int8_quantize_error",
+    "events_approx_distinct", "events_approx_quantiles",
+    "doc_winnow_overlap_pairs", "doc_gopher_quality", "doc_duplicated_spans",
+    "doc_source_caps", "doc_duplication_stats", "emb_lsh_topk",
+    "emb_ivf_topk", "emb_ivf_kmeans_topk", "doc_benchmark_decontamination",
+    "docs_zorder_pruned_scan", "orders_year_priority_pivot",
+    "orders_status_priority_cube", "customer_without_orders",
+    "customer_with_high_value_orders", "orders_analytic_windows",
+    "part_string_functions", "events_variant_props", "doc_chunks",
+    "doc_mixture_splits", "doc_token_packing", "events_resample_ffill",
+    "corpus_vocab_topk", "events_daily_rolling", "doc_simhash_pairs",
+    "doc_bpe_token_counts", "events_stateful_sessions", "scd1_customer_dim",
+    "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
+    "emb_pq_adc_topk",
+    # -- r7-checked tail (rotates back in by rule 1 next round) --------
+    "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
+    "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
     "events_hourly_windows", "events_sliding_windows",
     "events_session_windows", "customer_segment_count",
@@ -1702,49 +1786,16 @@ CORRECTNESS_PRIORITY = [
     "events_json_props", "orders_priority_rollup", "customer_set_ops",
     "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
     "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
-    "events_stream_ingest",
-    # -- rule 2: NEW in r7 — first the mid-round additions (text-source
-    #    rescue, hybrid RRF, SemDeDup, watermark finalization, embedding
-    #    pooling, classifier, LM fluency, delivery-layer dedup, time
-    #    travel, merge schema evolution, CDF, UNPIVOT, UDTF, leakage-safe
-    #    splits, the PQ family: two-stage / IVF-PQ / indexed), then the
-    #    round-opening
-    #    batch (LSH-index lane, poly SimHash, CDC deletes x2, quarantine)
-    #    and code paths touched at round start (dedup hot-key caps, IVF
-    #    probe-collect rewrite, index tombstone read paths + streaming
-    #    replay guard, apply_changes delete support threading) -----------
-    "events_json_rescue_ingest", "doc_hybrid_search_rrf", "emb_semantic_dedup",
-    "events_stream_watermark_windows", "emb_chunk_mean_pool", "doc_quality_classifier",
-    "doc_lm_fluency", "events_stream_dropdup_ingest", "part_time_travel_diff",
-    "customer_dim_schema_evolution", "part_cdf_changes", "orders_unpivot_metrics",
-    "doc_sentences_udtf", "doc_leakage_safe_splits", "emb_pq_adc_topk",
-    "emb_ivfpq_topk", "emb_pq_indexed_topk",
-    "emb_lsh_indexed_topk", "doc_simhash_poly_pairs", "scd2_part_dim_deletes",
-    "dlt_part_pipeline_deletes", "dlt_part_quarantine",
+    "events_stream_ingest", "events_json_rescue_ingest",
+    "doc_hybrid_search_rrf", "events_stream_watermark_windows",
+    "emb_chunk_mean_pool", "doc_quality_classifier", "doc_lm_fluency",
+    "events_stream_dropdup_ingest", "customer_dim_schema_evolution",
+    "orders_unpivot_metrics", "doc_sentences_udtf",
+    "doc_leakage_safe_splits", "doc_simhash_poly_pairs",
+    "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
     "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
     "emb_ivf_indexed_topk", "doc_cross_corpus_dedup",
-    "doc_stream_dedup_ingest", "emb_lsh_multitable_topk", "dlt_part_pipeline",
-    "dlt_part_pipeline_incremental",
-    # -- rule 3: r6-checked, unchanged (front part stays in the window;
-    #    the tail past entry 50 is the longest-continuously-green set and
-    #    rotates back in by rule 1 next round) ---------------------------
-    "doc_token_counts", "doc_text_stats", "doc_language_id",
-    "doc_exact_dedup", "doc_dedup_representatives", "emb_cosine_topk",
-    "emb_cosine_dedup_pairs", "multimodal_features", "doc_repetition_stats",
-    "doc_scrub_pii", "doc_bm25_topk", "orders_price_quantiles",
-    "emb_int8_quantize_error", "events_approx_distinct",
-    "events_approx_quantiles", "doc_winnow_overlap_pairs",
-    "doc_gopher_quality", "doc_duplicated_spans", "doc_source_caps",
-    "doc_duplication_stats", "emb_lsh_topk", "emb_ivf_topk",
-    "emb_ivf_kmeans_topk", "doc_benchmark_decontamination",
-    "docs_zorder_pruned_scan", "orders_year_priority_pivot",
-    "orders_status_priority_cube", "customer_without_orders",
-    "customer_with_high_value_orders", "orders_analytic_windows",
-    "part_string_functions", "events_variant_props", "doc_chunks",
-    "doc_mixture_splits", "doc_token_packing", "events_resample_ffill",
-    "corpus_vocab_topk", "events_daily_rolling", "doc_simhash_pairs",
-    "doc_bpe_token_counts", "events_stateful_sessions", "scd1_customer_dim",
-    "scd1_customer_dim_sql", "scd2_part_dim",
+    "doc_stream_dedup_ingest",
 ]
 
 def ordered_queries() -> dict:

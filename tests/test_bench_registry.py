@@ -66,14 +66,18 @@ def test_ordered_queries_serves_priority_window():
     ordered = workload.ordered_queries()
     assert set(ordered) == set(workload.QUERIES)
     window = list(ordered)[:50]
-    # round 7's new queries + the rotated-to-front stale block must get a
-    # fresh driver hash this round
+    # round 8: the r5-stale dlt pipeline lanes lead (judge ask #2), the
+    # repaired quarantine lane follows, every r6-last-checked lane is in
+    # the window, and the new per-commit CDF lane + a retrained-PQ
+    # representative take the rule-2 slots
+    assert window[:3] == [
+        "dlt_part_pipeline", "dlt_part_pipeline_incremental",
+        "dlt_part_quarantine",
+    ]
     for q in (
-        "emb_lsh_indexed_topk", "doc_simhash_poly_pairs",
-        "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
-        "dlt_part_quarantine", "doc_ngram_jaccard_pairs",
-        "doc_minhash_dedup_pairs", "order_fact_upsert",
-        "lineitem_pricing_summary", "events_stream_ingest",
+        "part_cdf_changes_percommit", "emb_pq_adc_topk",
+        "emb_cosine_dedup_pairs", "emb_ivf_kmeans_topk",
+        "emb_lsh_multitable_topk", "scd2_part_dim",
     ):
         assert q in window, q
 

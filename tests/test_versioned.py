@@ -191,3 +191,132 @@ def test_recover_restores_interrupted_commit(spark, tmp_path):
     # idempotent on a healthy table
     assert V.recover(path) is False
     assert spark.read.parquet(path).count() == 5
+
+
+def test_table_changes_null_first_key_classified_by_markers(spark, tmp_path):
+    """A row whose FIRST key column is NULL must still classify (ADVICE
+    r7: key-nullness classification silently dropped it): NULL-keyed
+    insert, delete, and update all appear in the feed."""
+    path = str(tmp_path / "cdfnullkey")
+    V.overwrite_versioned(
+        spark.createDataFrame(
+            [(None, 1, "gone"), (None, 2, "old"), (7, 3, "keep")],
+            "k long, sub long, v string",
+        ),
+        path, now=1.0,
+    )
+    V.overwrite_versioned(
+        spark.createDataFrame(
+            [(None, 2, "new"), (None, 9, "born"), (7, 3, "keep")],
+            "k long, sub long, v string",
+        ),
+        path, now=2.0,
+    )
+    got = {
+        (r["k"], r["sub"], r["_change_type"], r["v"])
+        for r in V.table_changes(spark, path, ["k", "sub"], 0, 1).collect()
+    }
+    assert got == {
+        (None, 1, "delete", "gone"),
+        (None, 2, "update_preimage", "old"),
+        (None, 2, "update_postimage", "new"),
+        (None, 9, "insert", "born"),
+    }
+
+
+def test_table_changes_per_commit_yields_every_commit(spark, tmp_path):
+    """A row updated in two commits appears as two pre/post pairs (the
+    net feed coalesces them); each event carries its own commit version;
+    a gap outside the log raises."""
+    path = str(tmp_path / "cdfpc")
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, "a0"), (2, "b")], "id long, v string"),
+        path, now=1.0,
+    )
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, "a1"), (2, "b")], "id long, v string"),
+        path, now=2.0,
+    )
+    V.overwrite_versioned(
+        spark.createDataFrame([(1, "a2")], "id long, v string"),
+        path, now=3.0,
+    )
+    got = {
+        (r["id"], r["_change_type"], r["_commit_version"], r["v"])
+        for r in V.table_changes_per_commit(
+            spark, path, ["id"], 0, 2
+        ).collect()
+    }
+    assert got == {
+        (1, "update_preimage", 1, "a0"),
+        (1, "update_postimage", 1, "a1"),
+        (1, "update_preimage", 2, "a1"),
+        (1, "update_postimage", 2, "a2"),
+        (2, "delete", 2, "b"),
+    }
+    # the net feed coalesces id 1 into ONE pair
+    net = {
+        (r["id"], r["_change_type"])
+        for r in V.table_changes(spark, path, ["id"], 0, 2).collect()
+    }
+    assert net == {
+        (1, "update_preimage"), (1, "update_postimage"), (2, "delete"),
+    }
+    with pytest.raises(ValueError, match="must be >"):
+        V.table_changes_per_commit(spark, path, ["id"], 2, 2)
+    with pytest.raises(ValueError, match="does not cover"):
+        V.table_changes_per_commit(spark, path, ["id"], 0, 9)
+
+
+def test_recover_rolls_promoted_but_unlogged_commit_forward(spark, tmp_path):
+    """The ADVICE r7 hole: a crash AFTER promoting the stage but BEFORE
+    the log append previously left new data attributed to the old
+    version and wedged the next overwrite.  With the write-ahead intent,
+    recover() appends the missing log entry, and the table keeps
+    accepting commits."""
+    path = str(tmp_path / "crash2")
+    V.overwrite_versioned(spark.range(3), path, now=1.0)
+    # hand-run commit v1 up to (not including) the log append, exactly as
+    # overwrite_versioned orders the steps
+    stage = f"{path}.__stage_crashsim"
+    spark.range(5).write.parquet(stage)
+    entry = {"version": 1, "committed_at": 2.0, "operation": "WRITE"}
+    V._write_intent(path, {"stage": stage, "entry": entry})
+    os.rename(path, os.path.join(V._vroot(path), "v0"))
+    os.rename(stage, path)
+    # ...crash here: promoted but unlogged
+    assert V.current_version(path) == 0          # the silent-wrong window
+    assert V.recover(path) is True
+    assert V.current_version(path) == 1          # rolled forward
+    assert spark.read.parquet(path).count() == 5
+    assert V.read_version(spark, path, 0).count() == 3
+    assert V.overwrite_versioned(spark.range(7), path, now=3.0) == 2  # unwedged
+    assert V.recover(path) is False              # idempotent when healthy
+
+
+def test_recover_rolls_staged_intent_forward_from_any_step(spark, tmp_path):
+    """Crashes before the aside-rename and between the renames also roll
+    forward off the intent (the stage is known-complete once the intent
+    exists)."""
+    # crash BEFORE the aside-rename: table untouched, stage + intent live
+    path = str(tmp_path / "crash3")
+    V.overwrite_versioned(spark.range(3), path, now=1.0)
+    stage = f"{path}.__stage_crashsim3"
+    spark.range(5).write.parquet(stage)
+    entry = {"version": 1, "committed_at": 2.0, "operation": "WRITE"}
+    V._write_intent(path, {"stage": stage, "entry": entry})
+    assert V.recover(path) is True
+    assert V.current_version(path) == 1
+    assert spark.read.parquet(path).count() == 5
+    assert V.read_version(spark, path, 0).count() == 3
+
+    # crash BETWEEN the renames: aside done, stage not yet promoted
+    path2 = str(tmp_path / "crash4")
+    V.overwrite_versioned(spark.range(3), path2, now=1.0)
+    stage2 = f"{path2}.__stage_crashsim4"
+    spark.range(5).write.parquet(stage2)
+    V._write_intent(path2, {"stage": stage2, "entry": dict(entry)})
+    os.rename(path2, os.path.join(V._vroot(path2), "v0"))
+    assert V.recover(path2) is True
+    assert V.current_version(path2) == 1
+    assert spark.read.parquet(path2).count() == 5
