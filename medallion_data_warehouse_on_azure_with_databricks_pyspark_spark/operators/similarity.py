@@ -370,13 +370,22 @@ def ivf_assign(
     )
 
 
+#: 2³⁰ — the fixed-point scale the trained quantizers (kmeans_pivots,
+#: pq_codebooks_kmeans) accumulate means in.  Int64 sums of
+#: floor(val · 2³⁰) stay exact past 2³³ unit-norm members per cluster
+#: dimension, and the workload oracles replay the arithmetic bit-for-bit.
+_PQ_FIXED_POINT = 1 << 30
+
+
 def kmeans_pivots(
+
     corpus: DataFrame,
     iters: int = 3,
     modulus: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    sample_modulus: int | None = None,
 ) -> DataFrame:
     """Train IVF centroids with distributed Lloyd iterations (the real
     counterpart of :func:`ivf_pivots`' fixed seeds).
@@ -385,16 +394,27 @@ def kmeans_pivots(
 
     * init = the every-``modulus``-th seed set (no RNG);
     * assignment tie-breaks on ``pivot_id`` (:func:`ivf_assign`);
-    * per-dimension means accumulate as ``DECIMAL(38,12)`` sums — exact,
-      therefore **partition-order independent**, where a double sum would
-      drift with Spark's nondeterministic partial-agg merge order;
-    * ``sample_fraction`` gates rows by ``xxhash64(id)`` — a pure function
-      of the id, so the same rows train regardless of partitioning or
-      cluster size (``df.sample`` would not be reproducible across plans).
+    * per-dimension means accumulate in 2⁻³⁰ fixed point —
+      ``floor(val · 2³⁰)`` summed as BIGINT, exact and therefore
+      **partition-order independent** (a double sum would drift with
+      Spark's nondeterministic partial-agg merge order), then
+      ``(sum→double / n) / 2³⁰``.  Every step is bit-identical across
+      engines, so a one-round training is fully replayable in ANSI SQL
+      (see :func:`pq_codebooks_kmeans` for why decimal sums are NOT —
+      Spark's double→decimal cast goes through the shortest string
+      repr).  The 2⁻³⁰ quantization (~1e-9) is far below centroid
+      resolution on unit-norm data;
+    * sampling gates are pure functions of the id, so the same rows
+      train regardless of partitioning or cluster size (``df.sample``
+      would not be reproducible across plans): ``sample_fraction`` gates
+      by ``xxhash64(id)`` (use when ids cluster — crawl shards, hot key
+      ranges), ``sample_modulus`` keeps ``id % sample_modulus == 0``
+      (equally uniform on sequential ids AND replayable by any SQL
+      engine — the registered trained-IVF lane's oracle depends on it).
 
-    ``sample_fraction`` is the production-scale knob: centroid quality
-    converges long before the full corpus is seen (IVF trains on ~1–10%
-    in practice), so training cost should NOT grow linearly with corpus
+    Sampling is the production-scale knob: centroid quality converges
+    long before the full corpus is seen (IVF trains on ~1–10% in
+    practice), so training cost should NOT grow linearly with corpus
     size.  Each Lloyd round then shuffles only sample·N·D skinny rows
     instead of N·D; the probe path still covers the full corpus.
 
@@ -406,6 +426,8 @@ def kmeans_pivots(
     pattern as ``dedup.dedup_keep_representatives``).  Empty clusters drop
     out naturally (no assigned rows → no centroid row).
     """
+    if sample_fraction is not None and sample_modulus is not None:
+        raise ValueError("pass sample_fraction OR sample_modulus, not both")
     cents = ivf_pivots(corpus, id_col, vec_col, modulus).localCheckpoint()
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
     if sample_fraction is not None:
@@ -417,6 +439,10 @@ def kmeans_pivots(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
             < F.lit(int(sample_fraction * 1_000_000))
         )
+    elif sample_modulus is not None:
+        if sample_modulus < 1:
+            raise ValueError("sample_modulus must be >= 1")
+        vecs = vecs.filter(F.col(id_col) % sample_modulus == 0)
     for _ in range(iters):
         assign = ivf_assign(vecs, cents, 1, id_col, "__v").select(
             id_col, "pivot_id"
@@ -426,11 +452,17 @@ def kmeans_pivots(
             .select("pivot_id", F.posexplode(F.col("__v")).alias("dim", "val"))
         )
         sums = dims.groupBy("pivot_id", "dim").agg(
-            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(_PQ_FIXED_POINT))
+            ).alias("s"),
             F.count("*").alias("n"),
         )
         cents = (
-            sums.withColumn("mean", (F.col("s") / F.col("n")).cast("double"))
+            sums.withColumn(
+                "mean",
+                F.col("s").cast("double") / F.col("n")
+                / F.lit(float(_PQ_FIXED_POINT)),
+            )
             .groupBy("pivot_id")
             .agg(
                 F.transform(
@@ -1169,12 +1201,6 @@ def pq_codebooks_from_corpus(
         [[float(r[0][m * d + j]) for j in range(d)] for r in rows]
         for m in range(n_subspaces)
     ]
-
-
-#: 2³⁰ — the fixed-point scale pq_codebooks_kmeans trains in.  Int64 sums
-#: of floor(val · 2³⁰) stay exact past 2³³ unit-norm members per cluster
-#: dimension, and the oracle replays the arithmetic bit-for-bit.
-_PQ_FIXED_POINT = 1 << 30
 
 
 def pq_codebooks_kmeans(

@@ -30,6 +30,17 @@ def fold_dot(a: str, b: str) -> str:
     )
 
 
+def fold_l2sq(a: str, b: str) -> str:
+    """Ordered-fold squared L2 distance (DOUBLE, bit-exact vs Spark's
+    ``similarity._l2sq`` zip-with fold)."""
+    d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), i -> {d} * {d})), "
+        f"(x, y) -> x + y)"
+    )
+
+
 def fold_norm(a: str) -> str:
     """Ordered-fold L2 norm of a list expression (see :func:`fold_dot`)."""
     return (

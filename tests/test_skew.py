@@ -65,3 +65,68 @@ def test_salted_join_equals_plain_join(spark):
     s = skew.salted_join(lineitem, some, "l_partkey", "l_orderkey", 3, how="left")
     p = lineitem.join(some, "l_partkey", "left")
     assert s.count() == p.count()
+
+
+def test_scd2_merge_hot_key_bounded_by_latest_pick(spark):
+    """SCD2 at skewed scale (§2.8): a CDC batch carrying 10⁵ updates for
+    ONE product key must (a) collapse to one row per key BEFORE any
+    merge join — the W5 latest-pick is the mitigation, so no join task
+    ever sees the hot key's full update volume, only the per-key window
+    sort does (its inherent cost, bounded by per-key batch volume) —
+    and (b) produce the correct dimension: exactly one expired row and
+    one new current row for the hot key, untouched rows for cold keys.
+    See SCALE.md "SCD2 under hot-key CDC"."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        windows,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+        scd,
+    )
+
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.lit(1).alias("product_id"),
+        F.col("id").alias("seq"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+    )
+    cold = spark.range(2, 52).select(
+        F.col("id").alias("product_id"),
+        F.lit(0).cast("long").alias("seq"),
+        F.concat(F.lit("cold"), F.col("id")).alias("name"),
+    )
+    source = hot.unionByName(cold)
+
+    # (a) the pick bounds the merge input to one row per key — the joins
+    # downstream of it can never concentrate more than one hot-key row
+    # in a task
+    latest = windows.latest_per_key(source, ["product_id"], "seq")
+    assert latest.count() == 51
+    got = latest.filter(F.col("product_id") == 1).collect()
+    assert len(got) == 1 and got[0]["name"] == f"v{n_hot - 1}"
+
+    # (b) end-to-end through apply_changes against a standing dimension
+    target = scd.scd2_initial(
+        spark.createDataFrame(
+            [(1, "orig"), (2, "cold2")], "product_id long, name string"
+        ),
+        keys=["product_id"],
+        attrs=["name"],
+        now="2024-01-01 00:00:00",
+    )
+    state = scd.apply_changes(
+        target=target,
+        source=source,
+        keys=["product_id"],
+        sequence_by="seq",
+        stored_as_scd_type=2,
+        now="2024-06-01 00:00:00",
+    )
+    rows = state.filter(F.col("product_id") == 1).collect()
+    by_current = {r["is_current"]: r for r in rows}
+    assert len(rows) == 2
+    assert by_current[True]["name"] == f"v{n_hot - 1}"
+    assert by_current[False]["name"] == "orig"
+    # key 2's batch value equals its standing value -> untouched; keys
+    # 3..51 are brand-new inserts; only the hot key expired a row
+    assert state.filter(~F.col("is_current")).count() == 1
+    assert state.filter(F.col("is_current")).count() == 51
