@@ -137,6 +137,7 @@ EXCLUDED = {
     "scd1_customer_dim_sql": "same merge plan as scd1_customer_dim via SQL parser",
     "dlt_part_pipeline_incremental": "superset re-run of dlt_part_pipeline",
     "dlt_part_pipeline_deletes": "three-run checkpointed streaming harness; the delete-merge math is timed via scd2_part_dim_deletes (same oracle)",
+    "part_scd2_from_cdf_replay": "three-versioned-writes-per-call harness (7.4s at sf0.01, ~all setup); the fold's merge math is timed via scd2_part_dim_deletes and the CDF diff via part_cdf_changes_percommit",
     # checkpoint-directory streaming harnesses: wall-clock is dominated by
     # per-run temp-dir setup, already covered by events_stateful_sessions
     "events_stream_ingest": "file-stream harness setup noise; covered by stateful query",

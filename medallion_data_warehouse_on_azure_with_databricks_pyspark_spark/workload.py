@@ -1442,6 +1442,115 @@ def part_cdf_changes_percommit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_scd2_from_cdf_replay",
+    oracle=f"""
+    WITH small AS (SELECT * FROM part WHERE p_size <= 25),
+    hist AS (
+      -- %5 price corrections: the doubled baseline row, expired at T2
+      SELECT p_partkey, p_name,
+             CAST(CAST(p_retailprice * 2 AS DECIMAL(12,2)) AS DOUBLE) AS price,
+             TIMESTAMP '{_T1}' AS effective_start_date,
+             TIMESTAMP '{_T2}' AS effective_end_date,
+             FALSE AS is_current
+      FROM small WHERE p_partkey % 5 = 0
+      UNION ALL
+      -- their corrected successors (deleted keys expire at T3)
+      SELECT p_partkey, p_name,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE),
+             TIMESTAMP '{_T2}',
+             CASE WHEN p_partkey % 7 = 0 THEN TIMESTAMP '{_T3}' END,
+             p_partkey % 7 <> 0
+      FROM small WHERE p_partkey % 5 = 0
+      UNION ALL
+      -- untouched small parts: baseline rows, expired only if deleted
+      SELECT p_partkey, p_name,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE),
+             TIMESTAMP '{_T1}',
+             CASE WHEN p_partkey % 7 = 0 THEN TIMESTAMP '{_T3}' END,
+             p_partkey % 7 <> 0
+      FROM small WHERE p_partkey % 5 <> 0
+      UNION ALL
+      -- big parts: inserted by commit 1, expired only if deleted
+      SELECT p_partkey, p_name,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE),
+             TIMESTAMP '{_T2}',
+             CASE WHEN p_partkey % 7 = 0 THEN TIMESTAMP '{_T3}' END,
+             p_partkey % 7 <> 0
+      FROM part WHERE p_size > 25)
+    SELECT * FROM hist
+    """,
+)
+def part_scd2_from_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay end to end: a versioned table's PER-COMMIT change feed
+    drives a downstream SCD2 dimension — the wiring a Delta-CDF → DLT
+    pipeline uses, on this engine's own primitives.  Bootstrap the
+    dimension from the v0 snapshot (CDF consumers always pair the feed
+    with its base snapshot), then fold each commit's events
+    (``table_changes`` → ``cdf_to_cdc_events`` → ``apply_changes`` with
+    ``apply_as_deletes``): commit 1's price corrections expire-and-
+    reinsert, its inserts create keys, commit 2's deletes expire with no
+    successor.  The oracle states the final dimension — baseline rows,
+    correction history, and delete expirations — directly.
+
+    100 TB shape: each fold touches one commit's delta (keyed joins
+    against the current slice), never the table history; identical to
+    the incremental DLT pipeline's foreachBatch fold but sourced from
+    storage-level change capture instead of a live stream."""
+    import os
+    import tempfile
+
+    from .plans import scd as scd_plan
+    from .sources import versioned as V
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        "p_size",
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="medallion_cdfreplay_"), "part_src"
+    )
+    v0 = part.filter(F.col("p_size") <= 25).withColumn(
+        "price",
+        F.when(F.col("p_partkey") % 5 == 0,
+               (F.col("price") * 2).cast("decimal(12,2)"))
+        .otherwise(F.col("price")),
+    )
+    V.overwrite_versioned(v0, path, now=100.0)
+    V.overwrite_versioned(part, path, now=200.0)
+    V.overwrite_versioned(
+        part.filter(F.col("p_partkey") % 7 != 0), path, now=300.0
+    )
+
+    attrs = ["p_name", "price", "p_size"]
+    state = scd_plan.scd2_initial(
+        V.read_version(spark, path, 0), keys=["p_partkey"], attrs=attrs,
+        now=_T1,
+    )
+    for commit, ts in ((1, _T2), (2, _T3)):
+        events = V.cdf_to_cdc_events(
+            V.table_changes(spark, path, ["p_partkey"], commit - 1, commit)
+        )
+        state = scd_plan.apply_changes(
+            target=state,
+            source=events,
+            keys=["p_partkey"],
+            sequence_by="sequence_num",
+            stored_as_scd_type=2,
+            track_history_column_list=attrs,
+            apply_as_deletes="operation = 'DELETE'",
+            now=ts,
+        )
+        # flatten the per-commit lineage (three chained merges otherwise
+        # re-plan the whole history each fold — the foreachBatch pattern)
+        state = state.localCheckpoint()
+    return state.select(
+        "p_partkey", "p_name", F.col("price").cast("double").alias("price"),
+        "effective_start_date", "effective_end_date", "is_current",
+    )
+
+
+@query(
     "events_stream_dropdup_ingest",
     oracle="""
     SELECT event_id, user_id, event_type, value,
@@ -1774,7 +1883,10 @@ CORRECTNESS_PRIORITY = [
     "doc_bpe_token_counts", "events_stateful_sessions", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
     "emb_pq_adc_topk",
-    # -- r7-checked tail (rotates back in by rule 1 next round) --------
+    # -- r7-checked tail (rotates back in by rule 1 next round); the
+    #    NEW r8 lane part_scd2_from_cdf_replay leads it (locally
+    #    driver-replayed at sf0.001+sf0.01; front-loads in r9) ---------
+    "part_scd2_from_cdf_replay",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
