@@ -116,6 +116,7 @@ HEADLINE = [
     "emb_chunk_mean_pool",
     "doc_quality_classifier",
     "doc_lm_fluency",
+    "doc_adaptive_quality_filter",
     "part_time_travel_diff",
     "customer_dim_schema_evolution",
     "part_cdf_changes",

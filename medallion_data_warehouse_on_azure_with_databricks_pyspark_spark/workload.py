@@ -1886,7 +1886,7 @@ CORRECTNESS_PRIORITY = [
     # -- r7-checked tail (rotates back in by rule 1 next round); the
     #    NEW r8 lane part_scd2_from_cdf_replay leads it (locally
     #    driver-replayed at sf0.001+sf0.01; front-loads in r9) ---------
-    "part_scd2_from_cdf_replay",
+    "part_scd2_from_cdf_replay", "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",

@@ -173,6 +173,66 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_adaptive_quality_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_toks,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(list_filter({_TOKS},
+                  x -> list_contains({_EN_STOPS}, x))) AS DOUBLE) AS stop_hits
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             0.25 * least(1.0, n_toks / 100.0) + 0.25 * (alpha / n_chars_d)
+               + 0.25 * (1.0 - punct / n_chars_d)
+               + 0.25 * least(1.0, stop_hits / n_toks * 5.0) AS quality_score
+      FROM base),
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank,
+             count(*) OVER (PARTITION BY source) AS src_n
+      FROM scored)
+    SELECT doc_id, source, quality_score, src_rank
+    FROM ranked
+    WHERE src_rank <= CAST(ceil(0.75 * src_n) AS BIGINT)
+    """,
+)
+def doc_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality filtering: keep each source's top 75%
+    of documents by composite quality score (rank within source, ties →
+    lowest doc_id).  A fixed global threshold over-prunes clean sources
+    and under-prunes noisy ones; ranking within source normalizes for
+    per-source score distributions — the standard curation move when
+    mixing crawl strata of very different quality (cf. per-source caps in
+    ``operators/curation.py``, which bound VOLUME; this bounds QUALITY).
+
+    Rank-based, not percentile-interpolated, so the cut is exactly
+    SQL-replayable (no float interpolation to disagree on) AND the
+    production shape — "keep top k%" is one window over a (source)-
+    partitioned shuffle, map-side countable, no second pass to apply a
+    learned threshold.  At 100 TB: one shuffle on source (salt a
+    degenerate single-source corpus), score is a Catalyst projection."""
+    from pyspark.sql import Window
+
+    docs = text.text_stats(load(spark, sf_dir, "documents"), "text")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", "quality_score",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.count("*").over(Window.partitionBy("source")).alias("src_n"),
+    )
+    return ranked.filter(
+        F.col("src_rank") <= F.ceil(0.75 * F.col("src_n")).cast("long")
+    ).select("doc_id", "source", "quality_score", "src_rank")
+
+
 def _lang_scores_sql() -> str:
     per_lang = []
     for lang, words in text.LANG_STOPWORDS.items():
