@@ -1,0 +1,134 @@
+"""File-level data skipping: per-file min/max stats + manifest-pruned scans.
+
+Delta data skipping (which the reference's gold tables get for free from
+the Delta log it writes at ``/root/reference/Gold_Customers.py:65-68``)
+records per-file column min/max at write time and prunes files whose
+range cannot satisfy a query predicate — the difference between scanning
+100 TB and scanning the 2 GB that can match.  delta-spark is env-blocked
+here (COVERAGE.md r3), so this module supplies the same mechanism on the
+plain-parquet lane:
+
+* ``write_stats_manifest`` computes one stats row per data file — min,
+  max, null count for the requested columns plus a row count — in a
+  single distributed pass (group by ``_metadata.file_path``), and stores
+  it as parquet under ``<table>/_file_stats/``.  The ``_`` prefix makes
+  the manifest invisible to every normal reader (Spark/Hadoop hide
+  ``_``/``.`` paths), exactly like ``_delta_log``.
+* ``pruned_files`` evaluates a ``col BETWEEN lo AND hi`` (or one-sided)
+  predicate against the manifest and returns only the files whose
+  [min, max] interval intersects it — a file with no stats row is kept
+  (never wrong, merely unpruned), mirroring Delta's missing-stats rule.
+* ``read_skipping`` reads just those files and re-applies the predicate
+  as a residual filter, so the result is bit-identical to the full scan
+  (skipping is an I/O optimization, never a semantics change).
+
+Scale notes:
+- The stats pass costs one scan at write time and is map-side combinable
+  (min/max/count partials), the same cost profile as Delta's stats
+  collection.
+- The manifest is one row per file: at 100 TB / 128 MB files that is
+  ~800k rows — the pruning evaluation stays a DataFrame job and only the
+  *matching file list* is collected to the driver (bounded by the
+  selectivity of the predicate, same contract as Delta's log replay).
+  For point/range lookups on a sorted/clustered layout that list is tiny.
+- Skipping only bites when the writer clusters the column (sorted,
+  range-partitioned, or Z-ordered — ``operators/layout.py``); on a
+  random layout every file intersects every range.  That is inherent to
+  min/max pruning, not a flaw.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATS_DIR = "_file_stats"
+
+
+def write_stats_manifest(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """One distributed pass over ``path`` computing per-file stats for
+    ``columns``; overwrites ``<path>/_file_stats``.  Returns the manifest.
+    """
+    df = spark.read.parquet(path)
+    rows = df.select(F.col("_metadata.file_path").alias("file_path"), *columns)
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"),
+        ]
+    manifest = rows.groupBy("file_path").agg(*aggs)
+    out = os.path.join(path.rstrip("/"), STATS_DIR)
+    manifest.coalesce(1).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def read_stats_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    out = os.path.join(path.rstrip("/"), STATS_DIR)
+    if not os.path.isdir(out):
+        return None
+    return spark.read.parquet(out)
+
+
+def pruned_files(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lower=None,
+    upper=None,
+) -> tuple[list[str], int]:
+    """Files under ``path`` whose [min, max] for ``column`` intersects
+    [lower, upper] (one side may be None).  Returns (kept_files,
+    total_files).  Files without a stats row are always kept.
+
+    The collect here is the bounded driver-side step every log-based
+    format has (Delta/Iceberg replay their manifests on the driver); the
+    collected payload is file PATHS only, never data.
+    """
+    manifest = read_stats_manifest(spark, path)
+    if manifest is None:
+        raise FileNotFoundError(f"no stats manifest under {path}")
+    total = manifest.count()
+    keep = F.lit(True)
+    if lower is not None:
+        # file can match unless its max is known and below the bound
+        keep = keep & (F.col(f"max__{column}").isNull()
+                       | (F.col(f"max__{column}") >= F.lit(lower)))
+    if upper is not None:
+        keep = keep & (F.col(f"min__{column}").isNull()
+                       | (F.col(f"min__{column}") <= F.lit(upper)))
+    kept = [r.file_path for r in manifest.where(keep).select("file_path").collect()]
+    return kept, total
+
+
+def read_skipping(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lower=None,
+    upper=None,
+) -> DataFrame:
+    """Manifest-pruned range scan: read only the files that can contain
+    ``column`` in [lower, upper], then re-apply the predicate as the
+    residual filter.  Bit-identical to the full scan with the same
+    filter; reads a subset of the files when the layout clusters the
+    column.
+    """
+    files, _total = pruned_files(spark, path, column, lower, upper)
+    if not files:
+        # No file can match: an empty frame with the table's schema.
+        return (
+            spark.read.parquet(path)
+            .where(F.lit(False))
+        )
+    df = spark.read.parquet(*files)
+    if lower is not None:
+        df = df.where(F.col(column) >= F.lit(lower))
+    if upper is not None:
+        df = df.where(F.col(column) <= F.lit(upper))
+    return df

@@ -1271,6 +1271,125 @@ def events_stream_watermark_windows(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "events_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+           v.user_id AS user_id,
+           CAST(epoch_ms(p.ts) - epoch_ms(v.ts) AS BIGINT) AS lag_ms
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (§2.9 extension;
+    ``streaming/join_stream.py``): two REAL file streams over the events
+    source — ``view`` events joined to each ``purchase`` by the same user
+    within the following hour — run checkpointed with
+    ``trigger(availableNow)`` into a parquet sink and read back.  Inner
+    interval joins emit exactly the batch join's matches (the watermark
+    bounds state, it never filters inner-join output for in-order
+    arrival), so the oracle is the plain SQL interval join.  The 2-hour
+    watermark + 1-hour range bound the state store to ~3 hours of
+    per-side rows at any scale.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import join_stream as sj
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="medallion_ss_join_")
+    source = os.path.join(work, "source")
+    os.makedirs(source)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(source, "events.parquet"))
+    physical = spark.read.parquet(source).schema
+
+    def stream() -> DataFrame:
+        s = spark.readStream.schema(physical).parquet(source)
+        if dict(s.dtypes)["ts"] == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    views = (
+        stream()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = sj.interval_join(
+        views, purchases, key="user_id",
+        left_ts="view_ts", right_ts="purchase_ts",
+        lower="0 seconds", upper="1 hour", watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .option("path", f"{work}/out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{work}/out")
+    return out.select(
+        "view_event_id", "purchase_event_id", "user_id",
+        F.expr(
+            "unix_micros(purchase_ts) div 1000 - unix_micros(view_ts) div 1000"
+        ).cast("bigint").alias("lag_ms"),
+    )
+
+
+@query(
+    "part_stats_skipping_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice >= 905.0 AND p_retailprice <= 912.0
+    """,
+)
+def part_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (``sources/skipping.py``, Delta
+    data-skipping parity on the parquet lane): write ``part``
+    range-clustered on ``p_retailprice`` (8 files, disjoint ranges),
+    collect a per-file min/max manifest in one distributed pass, then
+    serve a range predicate through the manifest — only the files whose
+    [min, max] intersects [905, 912] are opened, with the predicate
+    re-applied as the residual filter.  Result is bit-identical to the
+    full-scan filter (the oracle); the I/O win is pinned by
+    ``tests/test_skipping.py`` (kept_files < total_files).
+    """
+    import tempfile
+
+    from .sources import skipping
+
+    work = tempfile.mkdtemp(prefix="medallion_skip_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part.repartitionByRange(8, "p_retailprice").write.mode("overwrite").parquet(table)
+    skipping.write_stats_manifest(spark, table, ["p_retailprice"])
+    return skipping.read_skipping(
+        spark, table, "p_retailprice", lower=905.0, upper=912.0
+    ).select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
     "customer_dim_schema_evolution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
@@ -1884,9 +2003,11 @@ CORRECTNESS_PRIORITY = [
     "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
     "emb_pq_adc_topk",
     # -- r7-checked tail (rotates back in by rule 1 next round); the
-    #    NEW r8 lane part_scd2_from_cdf_replay leads it (locally
-    #    driver-replayed at sf0.001+sf0.01; front-loads in r9) ---------
-    "part_scd2_from_cdf_replay", "doc_adaptive_quality_filter",
+    #    NEW r8 lanes (part_scd2_from_cdf_replay, events_stream_stream_join,
+    #    part_stats_skipping_scan) lead it (locally driver-replayed at
+    #    sf0.001+sf0.01; front-load in r9) ---------
+    "part_scd2_from_cdf_replay", "events_stream_stream_join",
+    "part_stats_skipping_scan", "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",

@@ -1,0 +1,96 @@
+"""File-level data skipping: pruning actually skips files, results exact."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import skipping
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def clustered_part(spark):
+    work = tempfile.mkdtemp(prefix="skiptest_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part.repartitionByRange(8, "p_retailprice").write.mode("overwrite").parquet(table)
+    skipping.write_stats_manifest(spark, table, ["p_retailprice", "p_size"])
+    return table
+
+
+def test_manifest_covers_every_file(spark, clustered_part):
+    manifest = skipping.read_stats_manifest(spark, clustered_part)
+    data_files = {
+        r.file_path
+        for r in spark.read.parquet(clustered_part)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    }
+    assert {r.file_path for r in manifest.collect()} == data_files
+    total_rows = sum(r.row_count for r in manifest.collect())
+    assert total_rows == spark.read.parquet(clustered_part).count()
+
+
+def test_range_scan_prunes_files(spark, clustered_part):
+    kept, total = skipping.pruned_files(
+        spark, clustered_part, "p_retailprice", lower=905.0, upper=912.0
+    )
+    assert total == 8
+    # Range-clustered layout: a ~7-wide slice of the >=20-wide domain
+    # must not touch every file.
+    assert 0 < len(kept) < total
+
+
+def test_pruned_scan_is_bit_identical_to_full_scan(spark, clustered_part):
+    pruned = skipping.read_skipping(
+        spark, clustered_part, "p_retailprice", lower=905.0, upper=912.0
+    )
+    full = spark.read.parquet(clustered_part).where(
+        (F.col("p_retailprice") >= 905.0) & (F.col("p_retailprice") <= 912.0)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_one_sided_bounds(spark, clustered_part):
+    lo_only = skipping.read_skipping(spark, clustered_part, "p_retailprice", lower=918.0)
+    assert lo_only.count() == (
+        spark.read.parquet(clustered_part).where(F.col("p_retailprice") >= 918.0).count()
+    )
+    hi_only = skipping.read_skipping(spark, clustered_part, "p_retailprice", upper=902.0)
+    assert hi_only.count() == (
+        spark.read.parquet(clustered_part).where(F.col("p_retailprice") <= 902.0).count()
+    )
+
+
+def test_empty_intersection_returns_empty_with_schema(spark, clustered_part):
+    out = skipping.read_skipping(
+        spark, clustered_part, "p_retailprice", lower=1e9, upper=2e9
+    )
+    assert out.count() == 0
+    assert out.columns == spark.read.parquet(clustered_part).columns
+
+
+def test_unclustered_column_keeps_all_files(spark, clustered_part):
+    # p_size is uncorrelated with the p_retailprice clustering: every file
+    # spans (nearly) the whole p_size domain, so a mid-range slice prunes
+    # nothing — and read_skipping must still be exact.
+    kept, total = skipping.pruned_files(spark, clustered_part, "p_size", lower=20, upper=30)
+    assert len(kept) == total
+    pruned = skipping.read_skipping(spark, clustered_part, "p_size", lower=20, upper=30)
+    full = spark.read.parquet(clustered_part).where(
+        (F.col("p_size") >= 20) & (F.col("p_size") <= 30)
+    )
+    assert pruned.count() == full.count()
+
+
+def test_manifest_hidden_from_normal_readers(spark, clustered_part):
+    # _file_stats must not pollute table reads (the _delta_log contract).
+    assert os.path.isdir(os.path.join(clustered_part, skipping.STATS_DIR))
+    cols = spark.read.parquet(clustered_part).columns
+    assert "file_path" not in cols and "row_count" not in cols
