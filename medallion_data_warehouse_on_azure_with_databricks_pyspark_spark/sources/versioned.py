@@ -97,6 +97,8 @@ def overwrite_versioned(
     path: str,
     partition_by: list[str] | None = None,
     now: float | None = None,
+    operation: str = "WRITE",
+    stats_columns: list[str] | None = None,
 ) -> int:
     """Atomic overwrite that RETAINS the superseded version (rename-aside,
     no copy).  Returns the committed version number.  ``now`` pins the
@@ -110,7 +112,15 @@ def overwrite_versioned(
     forward to completion (the stage is known-complete once the intent
     exists) instead of only repairing the between-renames window.  The
     intent is removed as the last step; its absence means the previous
-    commit fully finished."""
+    commit fully finished.
+
+    ``stats_columns`` opts into Delta-style commit-time stats collection:
+    after the commit lands, a per-file min/max manifest for those columns
+    is written under ``<path>/_file_stats`` (``sources/skipping.py``) so
+    range scans through ``read_skipping`` prune files immediately.  The
+    manifest is written AFTER the commit's last step — a crash in between
+    leaves a committed table with no manifest, which skipping readers
+    refuse loudly (FileNotFoundError), never answer wrongly."""
     stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite").format("parquet")
     if partition_by:
@@ -122,7 +132,7 @@ def overwrite_versioned(
     entry = {
         "version": version,
         "committed_at": float(now if now is not None else time.time()),
-        "operation": "WRITE",
+        "operation": operation,
     }
     _write_intent(path, {"stage": stage, "entry": entry})
     vroot = _vroot(path)
@@ -132,7 +142,59 @@ def overwrite_versioned(
     log.append(entry)
     _write_log(path, log)
     os.remove(_intent_path(path))
+    if stats_columns:
+        from . import skipping
+
+        skipping.write_stats_manifest(df.sparkSession, path, stats_columns)
     return version
+
+
+def _data_files(path: str) -> list[str]:
+    """Parquet data files of the CURRENT version (hidden paths excluded)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out += [
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    return out
+
+
+def optimize_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Delta ``OPTIMIZE`` (bin-packing compaction) on the versioned lane:
+    rewrite the current version's small files into ~``target_file_bytes``
+    files as a NEW commit.  Data is bit-identical (compaction is pure
+    layout); history appends an ``OPTIMIZE`` entry, and time travel to the
+    pre-compaction version keeps working — exactly Delta's contract.
+
+    The rewrite uses ``coalesce`` (file-merge without a shuffle): at 100 TB
+    the cost is one read+write of the compacted partitions, never a
+    cluster-wide exchange.  ``stats_columns`` re-collects the skipping
+    manifest for the new layout (the old layout's manifest travels with
+    the renamed-aside version and stays consistent with IT).
+    """
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    files = _data_files(path)
+    if not files:
+        raise ValueError(f"{path}: nothing to compact")
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, -(-total // target_file_bytes))  # ceil division
+    if n_target >= len(files):
+        # Already at/under target — a no-op commit would only churn history.
+        return current_version(path)
+    compacted = spark.read.parquet(path).coalesce(int(n_target))
+    return overwrite_versioned(
+        compacted, path, now=now, operation="OPTIMIZE", stats_columns=stats_columns
+    )
 
 
 def _resolve_dir(path: str, version: int) -> str:

@@ -1390,6 +1390,46 @@ def part_stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_optimize_compacted_scan",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice, 'OPTIMIZE' AS last_op
+    FROM part
+    WHERE p_retailprice >= 905.0 AND p_retailprice <= 912.0
+    """,
+)
+def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing compaction on the versioned lifecycle
+    (``sources/versioned.py::optimize_compact``, Delta OPTIMIZE parity):
+    commit ``part`` range-clustered across 16 deliberately-small files,
+    compact to ~2 via shuffle-free ``coalesce`` as a new OPTIMIZE commit
+    with commit-time stats collection, then serve a range predicate
+    through the post-compaction skipping manifest.  Compaction is pure
+    layout, so the oracle is the plain filter; the history/file-count
+    contracts are pinned by ``tests/test_versioned.py``.
+    """
+    import tempfile
+
+    from .sources import skipping, versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_opt_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    versioned.overwrite_versioned(
+        part.repartitionByRange(16, "p_retailprice"), table, now=1.0
+    )
+    versioned.optimize_compact(
+        spark, table, target_file_bytes=16 * 1024 * 1024, now=2.0,
+        stats_columns=["p_retailprice"],
+    )
+    last_op = versioned.history(table)[0]["operation"]
+    return skipping.read_skipping(
+        spark, table, "p_retailprice", lower=905.0, upper=912.0
+    ).select(
+        "p_partkey", "p_brand", "p_retailprice", F.lit(last_op).alias("last_op")
+    )
+
+
+@query(
     "customer_dim_schema_evolution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
@@ -2007,7 +2047,8 @@ CORRECTNESS_PRIORITY = [
     #    part_stats_skipping_scan) lead it (locally driver-replayed at
     #    sf0.001+sf0.01; front-load in r9) ---------
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
-    "part_stats_skipping_scan", "doc_adaptive_quality_filter",
+    "part_stats_skipping_scan", "part_optimize_compacted_scan",
+    "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",

@@ -320,3 +320,50 @@ def test_recover_rolls_staged_intent_forward_from_any_step(spark, tmp_path):
     assert V.recover(path2) is True
     assert V.current_version(path2) == 1
     assert spark.read.parquet(path2).count() == 5
+
+
+def test_optimize_compact_merges_files_keeps_data_and_history(spark, tmp_path):
+    path = str(tmp_path / "opt")
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df.repartition(16), path, now=1.0)
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import versioned as VV
+    n_before = len(VV._data_files(path))
+    assert n_before == 16
+    v = V.optimize_compact(spark, path, target_file_bytes=64 * 1024 * 1024, now=2.0)
+    assert v == 1
+    assert len(VV._data_files(path)) < n_before
+    # pure layout: same rows, and time travel to the pre-compaction version works
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == list(range(2000))
+    assert V.read_version(spark, path, 0).count() == 2000
+    assert V.history(path)[0]["operation"] == "OPTIMIZE"
+
+
+def test_optimize_compact_noop_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "opt_noop")
+    V.overwrite_versioned(spark.range(10).coalesce(1), path, now=1.0)
+    assert V.optimize_compact(spark, path, target_file_bytes=1) == 0
+    assert len(V.history(path)) == 1  # no churned history entry
+
+
+def test_optimize_compact_requires_versioned_table(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    spark.range(5).write.parquet(path)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no version log"):
+        V.optimize_compact(spark, path)
+
+
+def test_commit_time_stats_enable_skipping_after_optimize(spark, tmp_path):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import skipping
+    path = str(tmp_path / "opt_stats")
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df.repartitionByRange(16, "k"), path, now=1.0)
+    # compact to ~4 files so range pruning still has something to skip
+    V.optimize_compact(spark, path, target_file_bytes=12 * 1024, now=2.0,
+                       stats_columns=["k"])
+    manifest = skipping.read_stats_manifest(spark, path)
+    assert manifest is not None
+    kept, total = skipping.pruned_files(spark, path, "k", lower=100, upper=200)
+    assert total > 1 and 0 < len(kept) < total
+    out = skipping.read_skipping(spark, path, "k", lower=100, upper=200)
+    assert out.count() == 101
