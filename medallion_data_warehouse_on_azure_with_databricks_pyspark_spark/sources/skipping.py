@@ -106,6 +106,112 @@ def pruned_files(
     return kept, total
 
 
+BLOOM_DIR = "_file_bloom"
+
+
+def _bloom_positions(col, num_bits: int, num_hashes: int):
+    """The k seeded-xxhash64 bit positions of a value (array<int>).
+
+    ``xxhash64(value, seed)`` with k distinct literal seeds gives k
+    independent 64-bit hashes; ``pmod(..., num_bits)`` maps each into the
+    fixed bit domain.  Everything stays a Catalyst projection — no UDF.
+    """
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits)).cast("int")
+            for seed in range(1, num_hashes + 1)
+        ]
+    )
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Per-file Bloom filter over ``column`` for EQUALITY skipping —
+    the complement of min/max: a high-cardinality column with no
+    clustering never prunes by range, but its per-file membership still
+    prunes point lookups (Delta bloom filter indexes / Parquet bloom
+    pages are this mechanism).
+
+    Each file's filter is the distinct set of set-bit positions
+    (``array<int>``, ≤ ``num_bits`` entries — the manifest is bounded by
+    bits-per-file regardless of row count, the Bloom property that makes
+    this scale).  One distributed pass; overwrites
+    ``<table>/_file_bloom``.
+    """
+    df = spark.read.parquet(path)
+    pos = (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"), F.col(column).alias("v")
+        )
+        .where(F.col("v").isNotNull())
+        .select(
+            "file_path",
+            F.explode(_bloom_positions(F.col("v"), num_bits, num_hashes)).alias("bit"),
+        )
+        .groupBy("file_path")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+    # Right-join the full file list so all-NULL files get an EMPTY filter
+    # (they can never satisfy an equality predicate) rather than a missing
+    # row (which the keep-if-unknown rule would never prune).
+    all_files = (
+        df.select(F.col("_metadata.file_path").alias("file_path")).distinct()
+    )
+    manifest = (
+        all_files.join(pos, "file_path", "left")
+        .select(
+            "file_path",
+            F.coalesce("bits", F.array().cast("array<int>")).alias("bits"),
+            F.lit(column).alias("column"),
+            F.lit(num_bits).alias("num_bits"),
+            F.lit(num_hashes).alias("num_hashes"),
+        )
+    )
+    out = os.path.join(path.rstrip("/"), BLOOM_DIR)
+    manifest.coalesce(1).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def bloom_pruned_files(
+    spark: SparkSession, path: str, column: str, value
+) -> tuple[list[str], int]:
+    """Files that MIGHT contain ``column == value`` per the Bloom
+    manifest (no false negatives; false-positive rate set by
+    bits/hashes).  Files whose manifest targets a different column are
+    kept (unknown ⇒ unprunable)."""
+    out = os.path.join(path.rstrip("/"), BLOOM_DIR)
+    if not os.path.isdir(out):
+        raise FileNotFoundError(f"no bloom manifest under {path}")
+    manifest = spark.read.parquet(out)
+    head = manifest.select("column", "num_bits", "num_hashes").first()
+    total = manifest.count()
+    if head is None or head.column != column:
+        return [r.file_path for r in manifest.select("file_path").collect()], total
+    probe = _bloom_positions(F.lit(value), head.num_bits, head.num_hashes)
+    kept_df = manifest.where(
+        F.size(F.array_except(probe, F.col("bits"))) == 0
+    )
+    kept = [r.file_path for r in kept_df.select("file_path").collect()]
+    return kept, total
+
+
+def read_bloom_skipping(
+    spark: SparkSession, path: str, column: str, value
+) -> DataFrame:
+    """Bloom-pruned equality scan: open only files that might contain the
+    value, re-apply the predicate as the residual filter (false positives
+    are filtered, never surfaced) — bit-identical to the full scan."""
+    files, _total = bloom_pruned_files(spark, path, column, value)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(column) == F.lit(value))
+
+
 def read_skipping(
     spark: SparkSession,
     path: str,

@@ -236,6 +236,73 @@ def history(path: str) -> list[dict]:
     return list(reversed(_read_log(path)))
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Delta ``DELETE FROM ... WHERE``: commits a NEW version without the
+    matching rows (copy-on-write, the same mechanism Delta uses absent
+    deletion vectors).  ``condition`` is a Column or SQL string.  The CDF
+    (:func:`table_changes`) then reports exactly the removed rows as
+    ``delete`` events — no separate tombstone plumbing needed.
+
+    Scale: copy-on-write rewrites the whole table here because the
+    versioned lane snapshots at table granularity; with ``partition_by``
+    layouts the predicate should align with partitions so the rewrite
+    prunes (Catalyst pushes the NOT-filter to the scan either way).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if not isinstance(cond, Column):
+        raise TypeError("condition must be a Column or SQL string")
+    kept = spark.read.parquet(path).where(~cond | cond.isNull())
+    return overwrite_versioned(
+        kept, path, now=now, operation="DELETE", stats_columns=stats_columns
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    assignments: dict,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Delta ``UPDATE ... SET ... WHERE``: commits a NEW version where the
+    matching rows take the assigned expressions and every other row is
+    byte-identical (NULL-conditioned rows are untouched, the SQL
+    three-valued rule).  ``assignments`` maps column name -> Column or
+    SQL string; assigned expressions see the PRE-update row (standard
+    UPDATE semantics — simultaneous assignment, not sequential)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    df = spark.read.parquet(path)
+    missing = set(assignments) - set(df.columns)
+    if missing:
+        raise ValueError(f"UPDATE of unknown column(s): {sorted(missing)}")
+    exprs = {
+        c: (F.expr(v) if isinstance(v, str) else v) for c, v in assignments.items()
+    }
+    for c, v in exprs.items():
+        if not isinstance(v, Column):
+            raise TypeError(f"assignment for {c!r} must be a Column or SQL string")
+    # withColumns applies all assignments against the pre-update row at once.
+    updated = df.withColumns(
+        {c: F.when(cond, v).otherwise(F.col(c)) for c, v in exprs.items()}
+    )
+    return overwrite_versioned(
+        updated, path, now=now, operation="UPDATE", stats_columns=stats_columns
+    )
+
+
 def restore(
     spark: SparkSession,
     path: str,

@@ -1430,6 +1430,92 @@ def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_dml_update_delete_cdf",
+    oracle="""
+    SELECT p_partkey, p_brand, p_type, p_size,
+           'delete' AS _change_type, 2 AS _commit_version
+    FROM part WHERE p_type = 'PROMO'
+    UNION ALL
+    SELECT p_partkey, p_brand, p_type, p_size,
+           'update_preimage', 2
+    FROM part WHERE p_brand = 'Brand#13' AND p_type <> 'PROMO'
+    UNION ALL
+    SELECT p_partkey, p_brand, p_type, p_size + 100,
+           'update_postimage', 2
+    FROM part WHERE p_brand = 'Brand#13' AND p_type <> 'PROMO'
+    """,
+)
+def part_dml_update_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML as versioned commits (Delta UPDATE/DELETE parity,
+    ``sources/versioned.py::update_where/delete_where``): UPDATE bumps
+    ``p_size`` for one brand (v1), DELETE removes one type class
+    (v2), and the CDF over v0→v2 reports the NET outcome — rows both
+    updated and deleted surface once as ``delete`` with their ORIGINAL
+    image (the update never escaped the range), everything else as the
+    update pre/post pair.  The oracle states each class directly from the
+    raw table; per-commit granularity is the sibling
+    ``part_cdf_changes_percommit`` lane.
+    """
+    import tempfile
+
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_dml_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    versioned.overwrite_versioned(part, table, now=1.0)
+    versioned.update_where(
+        spark, table,
+        condition=F.col("p_brand") == "Brand#13",
+        assignments={"p_size": F.col("p_size") + F.lit(100)},
+        now=2.0,
+    )
+    versioned.delete_where(
+        spark, table, condition=F.col("p_type") == "PROMO", now=3.0
+    )
+    return versioned.table_changes(
+        spark, table, key_cols=["p_partkey"], from_version=0, to_version=2
+    ).select(
+        "p_partkey", "p_brand", "p_type", "p_size",
+        "_change_type", "_commit_version",
+    )
+
+
+@query(
+    "part_bloom_skipping_scan",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part WHERE p_brand = 'Brand#17'
+    """,
+)
+def part_bloom_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping for EQUALITY predicates
+    (``sources/skipping.py::write_bloom_manifest``) — the complement of
+    the min/max lane: ``part`` is hash-clustered on ``p_brand`` across 16
+    files, so every brand lives in ~1 file but min/max ranges overlap
+    completely and range stats prune nothing; the per-file Bloom (fixed
+    8192 bits/file regardless of row count) prunes every file the probe
+    brand cannot be in, and the residual filter absorbs false positives.
+    Result is bit-identical to the full-scan filter (the oracle); the
+    file-pruning proof is pinned by ``tests/test_skipping.py``.
+    """
+    import tempfile
+
+    from .sources import skipping
+
+    work = tempfile.mkdtemp(prefix="medallion_bloom_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part.repartition(16, "p_brand").write.mode("overwrite").parquet(table)
+    skipping.write_bloom_manifest(spark, table, "p_brand")
+    return skipping.read_bloom_skipping(spark, table, "p_brand", "Brand#17").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+@query(
     "customer_dim_schema_evolution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
@@ -2048,6 +2134,7 @@ CORRECTNESS_PRIORITY = [
     #    sf0.001+sf0.01; front-load in r9) ---------
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
     "part_stats_skipping_scan", "part_optimize_compacted_scan",
+    "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
     "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",

@@ -94,3 +94,39 @@ def test_manifest_hidden_from_normal_readers(spark, clustered_part):
     assert os.path.isdir(os.path.join(clustered_part, skipping.STATS_DIR))
     cols = spark.read.parquet(clustered_part).columns
     assert "file_path" not in cols and "row_count" not in cols
+
+
+@pytest.fixture(scope="module")
+def bloom_part(spark):
+    work = tempfile.mkdtemp(prefix="bloomtest_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part.repartition(16, "p_brand").write.mode("overwrite").parquet(table)
+    skipping.write_bloom_manifest(spark, table, "p_brand")
+    return table
+
+
+def test_bloom_prunes_files_for_present_value(spark, bloom_part):
+    kept, total = skipping.bloom_pruned_files(spark, bloom_part, "p_brand", "Brand#17")
+    # 25 brands hashed into 16 buckets: empty buckets write no file, so
+    # the file count lands a bit under 16.
+    assert total >= 10
+    # hash-clustered: one brand lives in ~1 file; bloom FP rate at 8192
+    # bits / handful of brands per file is ~0, so pruning must bite hard
+    assert 0 < len(kept) <= 3
+
+
+def test_bloom_absent_value_prunes_everything_or_fp_filtered(spark, bloom_part):
+    out = skipping.read_bloom_skipping(spark, bloom_part, "p_brand", "Brand#99")
+    assert out.count() == 0  # no false positives can escape the residual filter
+
+
+def test_bloom_scan_bit_identical_to_full_scan(spark, bloom_part):
+    pruned = skipping.read_bloom_skipping(spark, bloom_part, "p_brand", "Brand#17")
+    full = spark.read.parquet(bloom_part).where(F.col("p_brand") == "Brand#17")
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_bloom_unknown_column_keeps_all_files(spark, bloom_part):
+    kept, total = skipping.bloom_pruned_files(spark, bloom_part, "p_type", "PROMO")
+    assert len(kept) == total  # manifest is for p_brand: unknown => unprunable

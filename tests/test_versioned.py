@@ -367,3 +367,49 @@ def test_commit_time_stats_enable_skipping_after_optimize(spark, tmp_path):
     assert total > 1 and 0 < len(kept) < total
     out = skipping.read_skipping(spark, path, "k", lower=100, upper=200)
     assert out.count() == 101
+
+
+def test_delete_where_commits_new_version_and_cdf_reports_deletes(spark, tmp_path):
+    path = str(tmp_path / "del")
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df, path, now=1.0)
+    from pyspark.sql import functions as F
+    v = V.delete_where(spark, path, F.col("k") % 10 == 0, now=2.0)
+    assert v == 1
+    assert spark.read.parquet(path).count() == 90
+    assert V.history(path)[0]["operation"] == "DELETE"
+    ch = V.table_changes(spark, path, ["k"], 0, 1)
+    rows = {(r.k, r._change_type) for r in ch.collect()}
+    assert rows == {(k, "delete") for k in range(0, 100, 10)}
+
+
+def test_delete_where_null_condition_keeps_row(spark, tmp_path):
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "del_null")
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "k int, s string")
+    V.overwrite_versioned(df, path, now=1.0)
+    V.delete_where(spark, path, F.col("s") == "a", now=2.0)
+    # NULL-conditioned rows survive (three-valued logic: NULL is not TRUE)
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == [2, 3]
+
+
+def test_update_where_simultaneous_assignment_pre_update_row(spark, tmp_path):
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "upd")
+    df = spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "k int, a int, b int")
+    V.overwrite_versioned(df, path, now=1.0)
+    # swap a and b where k=1: both assignments must see the PRE-update row
+    V.update_where(spark, path, F.col("k") == 1,
+                   {"a": F.col("b"), "b": F.col("a")}, now=2.0)
+    got = {(r.k, r.a, r.b) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 20, 10), (2, 30, 40)}
+    assert V.history(path)[0]["operation"] == "UPDATE"
+
+
+def test_update_where_unknown_column_refused(spark, tmp_path):
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+    path = str(tmp_path / "upd_bad")
+    V.overwrite_versioned(spark.range(5), path, now=1.0)
+    with _pytest.raises(ValueError, match="unknown column"):
+        V.update_where(spark, path, F.col("id") == 1, {"nope": F.lit(0)})
