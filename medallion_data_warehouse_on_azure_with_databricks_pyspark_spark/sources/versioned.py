@@ -99,6 +99,7 @@ def overwrite_versioned(
     now: float | None = None,
     operation: str = "WRITE",
     stats_columns: list[str] | None = None,
+    schema_mode: str = "overwrite",
 ) -> int:
     """Atomic overwrite that RETAINS the superseded version (rename-aside,
     no copy).  Returns the committed version number.  ``now`` pins the
@@ -120,7 +121,44 @@ def overwrite_versioned(
     range scans through ``read_skipping`` prune files immediately.  The
     manifest is written AFTER the commit's last step — a crash in between
     leaves a committed table with no manifest, which skipping readers
-    refuse loudly (FileNotFoundError), never answer wrongly."""
+    refuse loudly (FileNotFoundError), never answer wrongly.
+
+    ``schema_mode`` is the Delta schema-enforcement contract against the
+    current version (first commits are unconstrained):
+
+    - ``"overwrite"`` (default): replace the schema silently — Delta's
+      ``overwriteSchema=true``, and this module's historical behavior.
+    - ``"enforce"``: refuse ANY schema difference (names or types) —
+      Delta's default write-time enforcement.
+    - ``"merge"``: additive evolution — new columns append, columns the
+      incoming frame dropped are retained and backfilled NULL, and a
+      TYPE change on a shared column is refused (Delta ``mergeSchema``).
+    """
+    if schema_mode not in ("overwrite", "enforce", "merge"):
+        raise ValueError(f"unknown schema_mode {schema_mode!r}")
+    if schema_mode != "overwrite" and _read_log(path):
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        cur = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        mismatched = sorted(
+            c for c in cur.keys() & new.keys() if cur[c] != new[c]
+        )
+        if mismatched:
+            raise ValueError(
+                f"{path}: schema_mode={schema_mode!r} refuses type changes "
+                f"on {mismatched}"
+            )
+        if schema_mode == "enforce" and set(cur) != set(new):
+            raise ValueError(
+                f"{path}: schema_mode='enforce' refuses column changes "
+                f"(added: {sorted(set(new) - set(cur))}, "
+                f"removed: {sorted(set(cur) - set(new))})"
+            )
+        if schema_mode == "merge":
+            for c in sorted(set(cur) - set(new)):
+                df = df.withColumn(c, F.lit(None).cast(cur[c]))
     stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite").format("parquet")
     if partition_by:

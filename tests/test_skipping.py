@@ -130,3 +130,19 @@ def test_bloom_scan_bit_identical_to_full_scan(spark, bloom_part):
 def test_bloom_unknown_column_keeps_all_files(spark, bloom_part):
     kept, total = skipping.bloom_pruned_files(spark, bloom_part, "p_type", "PROMO")
     assert len(kept) == total  # manifest is for p_brand: unknown => unprunable
+
+
+def test_residual_filter_reaches_parquet_scan(spark, clustered_part):
+    # The pruned scan must still push the residual predicate into the
+    # parquet reader — skipping narrows the FILE LIST, pushdown narrows
+    # the row groups inside the surviving files; both layers stack.
+    plan = skipping.read_skipping(
+        spark, clustered_part, "p_retailprice", lower=905.0, upper=912.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(p_retailprice,905.0)" in plan
+    assert "LessThanOrEqual(p_retailprice" in plan  # tail elided in toString
+    # and the scan's file index must hold the PRUNED list, not all 8 files
+    import re
+    n_paths = int(re.search(r"InMemoryFileIndex\((\d+) paths", plan).group(1))
+    assert n_paths < 8

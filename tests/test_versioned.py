@@ -413,3 +413,39 @@ def test_update_where_unknown_column_refused(spark, tmp_path):
     V.overwrite_versioned(spark.range(5), path, now=1.0)
     with _pytest.raises(ValueError, match="unknown column"):
         V.update_where(spark, path, F.col("id") == 1, {"nope": F.lit(0)})
+
+
+def test_schema_mode_enforce_refuses_changes(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "enf")
+    V.overwrite_versioned(spark.range(3).withColumn("a", F.lit(1)), path, now=1.0)
+    # identical schema: fine
+    V.overwrite_versioned(spark.range(4).withColumn("a", F.lit(2)), path, now=2.0,
+                          schema_mode="enforce")
+    with _pytest.raises(ValueError, match="refuses column changes"):
+        V.overwrite_versioned(
+            spark.range(2).withColumn("b", F.lit(9)), path, schema_mode="enforce"
+        )
+    with _pytest.raises(ValueError, match="refuses type changes"):
+        V.overwrite_versioned(
+            spark.range(2).withColumn("a", F.lit("s")), path, schema_mode="enforce"
+        )
+    assert V.current_version(path) == 1  # refused writes committed nothing
+
+
+def test_schema_mode_merge_is_additive_and_backfills(spark, tmp_path):
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "mrg")
+    V.overwrite_versioned(spark.range(3).withColumn("a", F.lit(1)), path, now=1.0)
+    # incoming frame drops `a`, adds `b`: a retained+NULL, b appended
+    V.overwrite_versioned(spark.range(2).withColumn("b", F.lit(7)), path, now=2.0,
+                          schema_mode="merge")
+    out = spark.read.parquet(path)
+    assert set(out.columns) == {"id", "b", "a"}
+    assert all(r.a is None and r.b == 7 for r in out.collect())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="refuses type changes"):
+        V.overwrite_versioned(
+            spark.range(2).withColumn("b", F.lit("s")), path, schema_mode="merge"
+        )
