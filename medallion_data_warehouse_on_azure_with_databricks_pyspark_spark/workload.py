@@ -1516,6 +1516,40 @@ def part_bloom_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_dv_delete_scan",
+    oracle="""
+    SELECT p_partkey, p_brand, p_type, p_size
+    FROM part
+    WHERE NOT (p_type = 'PROMO' OR p_size > 40)
+    """,
+)
+def part_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector (merge-on-read) deletes
+    (``sources/deletion_vectors.py``, Delta DV / Iceberg position-delete
+    parity): two successive DV deletes mark positions in the hidden
+    sidecar — the data files are NEVER rewritten (pinned by
+    ``tests/test_deletion_vectors.py``) — and the read path subtracts the
+    marks with a broadcast anti-join on the physical row id
+    ``(file_path, row_index)``.  The second delete's predicate scan sees
+    the logical table, so the deletes compose exactly like SQL DELETEs;
+    at 100 TB each delete costs the match count, not a table rewrite,
+    with ``purge_dv`` as the deferred rewrite.
+    """
+    import tempfile
+
+    from .sources import deletion_vectors as dv
+
+    work = tempfile.mkdtemp(prefix="medallion_dv_")
+    table = f"{work}/part"
+    spark.read.parquet(f"{sf_dir}/part.parquet").repartition(4).write.parquet(table)
+    dv.delete_where_dv(spark, table, F.col("p_type") == "PROMO")
+    dv.delete_where_dv(spark, table, F.col("p_size") > 40)
+    return dv.read_dv(spark, table).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+
+
+@query(
     "customer_dim_schema_evolution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
@@ -2135,7 +2169,7 @@ CORRECTNESS_PRIORITY = [
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
     "part_stats_skipping_scan", "part_optimize_compacted_scan",
     "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
-    "doc_adaptive_quality_filter",
+    "part_dv_delete_scan", "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
