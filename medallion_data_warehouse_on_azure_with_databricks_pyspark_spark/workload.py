@@ -1550,6 +1550,42 @@ def part_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_generated_partition_scan",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      AND ts <= TIMESTAMP '2024-01-12 18:00:00'
+    """,
+)
+def events_generated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated partition columns (``sources/generated.py``, Delta
+    generated-column pruning parity): events land hive-partitioned by the
+    DERIVED ``ts_date = date(ts)``, and a reader filtering only the BASE
+    ``ts`` range gets the partition predicate re-derived automatically
+    (monotone generator ⇒ ``ts ∈ [a,b]`` implies ``ts_date ∈
+    [date(a), date(b)]``) — static partition pruning at plan time, the
+    3-day window touching 3 of 30 daily partitions (pinned by
+    ``tests/test_generated.py``), with the row-level predicate as the
+    residual so the result equals the full-scan filter (the oracle).
+    """
+    import tempfile
+
+    from .sources import generated as G
+
+    work = tempfile.mkdtemp(prefix="medallion_gen_")
+    table = f"{work}/events"
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    G.write_generated(ev, table, "ts", generator="date")
+    return G.read_generated(
+        spark, table, "ts",
+        lower="2024-01-10 06:00:00", upper="2024-01-12 18:00:00",
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@query(
     "customer_dim_schema_evolution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
@@ -2169,7 +2205,8 @@ CORRECTNESS_PRIORITY = [
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
     "part_stats_skipping_scan", "part_optimize_compacted_scan",
     "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
-    "part_dv_delete_scan", "doc_adaptive_quality_filter",
+    "part_dv_delete_scan", "events_generated_partition_scan",
+    "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
