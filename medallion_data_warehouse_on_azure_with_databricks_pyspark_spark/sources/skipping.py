@@ -75,16 +75,34 @@ def read_stats_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(out)
 
 
-def pruned_files(
+def _keep_condition(manifest_cols: list[str], predicates: dict):
+    """Conjunctive intersection test over [min,max] intervals; a column
+    the manifest never collected keeps the file (unknown ⇒ unprunable)."""
+    keep = F.lit(True)
+    for column, (lower, upper) in predicates.items():
+        if f"min__{column}" not in manifest_cols:
+            continue
+        if lower is not None:
+            # file can match unless its max is known and below the bound
+            keep = keep & (F.col(f"max__{column}").isNull()
+                           | (F.col(f"max__{column}") >= F.lit(lower)))
+        if upper is not None:
+            keep = keep & (F.col(f"min__{column}").isNull()
+                           | (F.col(f"min__{column}") <= F.lit(upper)))
+    return keep
+
+
+def pruned_files_multi(
     spark: SparkSession,
     path: str,
-    column: str,
-    lower=None,
-    upper=None,
+    predicates: dict,
 ) -> tuple[list[str], int]:
-    """Files under ``path`` whose [min, max] for ``column`` intersects
-    [lower, upper] (one side may be None).  Returns (kept_files,
-    total_files).  Files without a stats row are always kept.
+    """Files whose stats intersect EVERY ``column -> (lower, upper)``
+    range (either bound may be None) — conjunctive box pruning, the shape
+    Z-ordered layouts exist to serve: each file covers a compact region
+    of the clustered plane, so a box predicate discards files on every
+    dimension at once.  Returns (kept_files, total_files); files without
+    a stats row, or predicates on uncollected columns, keep files.
 
     The collect here is the bounded driver-side step every log-based
     format has (Delta/Iceberg replay their manifests on the driver); the
@@ -94,16 +112,40 @@ def pruned_files(
     if manifest is None:
         raise FileNotFoundError(f"no stats manifest under {path}")
     total = manifest.count()
-    keep = F.lit(True)
-    if lower is not None:
-        # file can match unless its max is known and below the bound
-        keep = keep & (F.col(f"max__{column}").isNull()
-                       | (F.col(f"max__{column}") >= F.lit(lower)))
-    if upper is not None:
-        keep = keep & (F.col(f"min__{column}").isNull()
-                       | (F.col(f"min__{column}") <= F.lit(upper)))
+    keep = _keep_condition(manifest.columns, predicates)
     kept = [r.file_path for r in manifest.where(keep).select("file_path").collect()]
     return kept, total
+
+
+def pruned_files(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lower=None,
+    upper=None,
+) -> tuple[list[str], int]:
+    """Single-column :func:`pruned_files_multi`."""
+    return pruned_files_multi(spark, path, {column: (lower, upper)})
+
+
+def read_skipping_multi(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+) -> DataFrame:
+    """Manifest-pruned conjunctive box scan: open only files whose stats
+    intersect every range, then re-apply ALL predicates as residual
+    filters — bit-identical to the full scan."""
+    files, _total = pruned_files_multi(spark, path, predicates)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    df = spark.read.parquet(*files)
+    for column, (lower, upper) in predicates.items():
+        if lower is not None:
+            df = df.where(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.where(F.col(column) <= F.lit(upper))
+    return df
 
 
 BLOOM_DIR = "_file_bloom"

@@ -146,3 +146,38 @@ def test_residual_filter_reaches_parquet_scan(spark, clustered_part):
     import re
     n_paths = int(re.search(r"InMemoryFileIndex\((\d+) paths", plan).group(1))
     assert n_paths < 8
+
+
+def test_zorder_box_pruning_beats_single_dimension(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions.layout import zorder_layout
+    work = tempfile.mkdtemp(prefix="skipz_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    zorder_layout(part, "p_size", "p_partkey", n_files=16).write.parquet(table)
+    skipping.write_stats_manifest(spark, table, ["p_size", "p_partkey"])
+    box = {"p_size": (10, 20), "p_partkey": (1, 50)}
+    kept_box, total = skipping.pruned_files_multi(spark, table, box)
+    kept_a, _ = skipping.pruned_files(spark, table, "p_size", 10, 20)
+    kept_b, _ = skipping.pruned_files(spark, table, "p_partkey", 1, 50)
+    # conjunctive pruning can only tighten each single-dimension prune,
+    # and on a Z-ordered layout the box must actually skip files
+    assert set(kept_box) <= set(kept_a) and set(kept_box) <= set(kept_b)
+    assert 0 < len(kept_box) < total
+    got = skipping.read_skipping_multi(spark, table, box)
+    want = spark.read.parquet(table).where(
+        (F.col("p_size").between(10, 20)) & (F.col("p_partkey").between(1, 50))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multi_predicate_on_uncollected_column_still_exact(spark, clustered_part):
+    # p_brand has no stats in this manifest: it cannot prune, but the
+    # residual filter must still apply.
+    got = skipping.read_skipping_multi(
+        spark, clustered_part,
+        {"p_retailprice": (905.0, 912.0), "p_brand": ("Brand#13", "Brand#13")},
+    )
+    want = spark.read.parquet(clustered_part).where(
+        (F.col("p_retailprice").between(905.0, 912.0)) & (F.col("p_brand") == "Brand#13")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
