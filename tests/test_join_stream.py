@@ -70,3 +70,21 @@ def test_interval_join_extra_condition(spark):
         extra_condition=F.col("r.pval") > F.col("l.vval"),
     )
     assert gated.count() == base.where(F.col("pval") > F.col("vval")).count()
+
+
+def test_interval_join_left_outer_batch(spark):
+    ev = _events(spark)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    inner = sj.interval_join(views, buys, key="user_id", left_ts="vts",
+                             right_ts="pts", how="inner")
+    outer = sj.interval_join(views, buys, key="user_id", left_ts="vts",
+                             right_ts="pts", how="left_outer")
+    # every view appears; unmatched ones carry NULL purchase columns
+    matched_vids = {r.vid for r in inner.select("vid").distinct().collect()}
+    assert outer.where(F.col("pid").isNull()).count() == views.count() - len(matched_vids)
+    assert outer.count() == inner.count() + views.count() - len(matched_vids)
