@@ -229,7 +229,23 @@ def optimize_compact(
     if n_target >= len(files):
         # Already at/under target — a no-op commit would only churn history.
         return current_version(path)
-    compacted = spark.read.parquet(path).coalesce(int(n_target))
+    # Hive-partitioned tables keep their layout: compaction bin-packs
+    # WITHIN partitions (repartition by the partition keys bounds each
+    # partition's files) — flattening the layout would silently destroy
+    # every reader's partition pruning.
+    from pyspark.sql import functions as F
+
+    from .writers import _discover_partition_columns
+
+    part_cols = _discover_partition_columns(path)
+    df = spark.read.parquet(path)
+    if part_cols:
+        compacted = df.repartition(*[F.col(c) for c in part_cols])
+        return overwrite_versioned(
+            compacted, path, partition_by=part_cols, now=now,
+            operation="OPTIMIZE", stats_columns=stats_columns,
+        )
+    compacted = df.coalesce(int(n_target))
     return overwrite_versioned(
         compacted, path, now=now, operation="OPTIMIZE", stats_columns=stats_columns
     )

@@ -449,3 +449,26 @@ def test_schema_mode_merge_is_additive_and_backfills(spark, tmp_path):
         V.overwrite_versioned(
             spark.range(2).withColumn("b", F.lit("s")), path, schema_mode="merge"
         )
+
+
+def test_optimize_compact_preserves_hive_partition_layout(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "opt_part")
+    df = (spark.range(0, 300)
+          .withColumn("bucket", (F.col("id") % 3).cast("string"))
+          .withColumnRenamed("id", "k"))
+    # 4 files per partition dir
+    V.overwrite_versioned(df.repartition(4), path, partition_by=["bucket"], now=1.0)
+    pre_dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket="))
+    assert pre_dirs == ["bucket=0", "bucket=1", "bucket=2"]
+    V.optimize_compact(spark, path, target_file_bytes=64 * 1024 * 1024, now=2.0)
+    post_dirs = sorted(d for d in os.listdir(path) if d.startswith("bucket="))
+    assert post_dirs == pre_dirs  # layout (and thus pruning) survives
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import versioned as VV
+    per_dir = {}
+    for d in post_dirs:
+        per_dir[d] = len(VV._data_files(os.path.join(path, d)))
+    assert all(n == 1 for n in per_dir.values()), per_dir  # packed within partitions
+    assert spark.read.parquet(path).count() == 300
+    assert V.history(path)[0]["operation"] == "OPTIMIZE"
