@@ -135,6 +135,7 @@ HEADLINE = [
     "part_bloom_skipping_scan",
     "part_dv_delete_scan",
     "events_generated_partition_scan",
+    "part_matview_incremental",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -1610,6 +1610,56 @@ def events_generated_partition_scan(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "part_matview_incremental",
+    oracle="""
+    WITH final AS (
+      SELECT p_brand,
+             CASE WHEN p_brand = 'Brand#13' THEN p_size + 100 ELSE p_size END
+               AS p_size
+      FROM part WHERE p_type <> 'PROMO'
+    )
+    SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+    FROM final GROUP BY p_brand
+    """,
+)
+def part_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (``plans/matview.py``,
+    the DLT-materialized-view / IVM story): a count+sum-by-brand view is
+    created at base v0, the base then takes an UPDATE commit (size bump
+    for one brand) and a DELETE commit (one type class), and ``refresh``
+    folds the net CDF — signed contributions per change row, shuffled by
+    group — into the standing aggregates WITHOUT re-reading unchanged
+    base rows.  The oracle recomputes the final state directly; equality
+    proves the incremental fold.  Per-refresh cost is O(delta + affected
+    groups), pinned by ``tests/test_matview.py``.
+    """
+    import tempfile
+
+    from .plans import matview as mv
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_mv_")
+    base, view = f"{work}/base", f"{work}/view"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    versioned.overwrite_versioned(part, base, now=1.0)
+    mv.create(
+        spark, base, view, key_cols=["p_partkey"], group_cols=["p_brand"],
+        agg_specs={"n": ("count", None), "sum_size": ("sum", "p_size")}, now=1.0,
+    )
+    versioned.update_where(
+        spark, base, F.col("p_brand") == "Brand#13",
+        {"p_size": F.col("p_size") + F.lit(100)}, now=2.0,
+    )
+    versioned.delete_where(spark, base, F.col("p_type") == "PROMO", now=3.0)
+    mv.refresh(spark, view, now=4.0)
+    return spark.read.parquet(view).select(
+        "p_brand", "n", F.col("sum_size").cast("bigint").alias("sum_size")
+    )
+
+
+@query(
     "customer_dim_schema_evolution",
     oracle="""
     SELECT c_custkey, c_mktsegment,
@@ -2234,7 +2284,7 @@ CORRECTNESS_PRIORITY = [
     "part_stats_skipping_scan", "part_optimize_compacted_scan",
     "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
     "part_dv_delete_scan", "events_generated_partition_scan",
-    "doc_adaptive_quality_filter",
+    "part_matview_incremental", "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",

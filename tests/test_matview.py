@@ -1,0 +1,91 @@
+"""Incremental materialized views: CDF-folded aggregates match recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import matview as MV
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import versioned as V
+
+from .conftest import SF_DIR
+
+SPECS = {"n": ("count", None), "sum_size": ("sum", "p_size")}
+
+
+def _mk(spark, tmp_path):
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    V.overwrite_versioned(part, base, now=1.0)
+    MV.create(spark, base, view, key_cols=["p_partkey"],
+              group_cols=["p_brand"], agg_specs=SPECS, now=1.0)
+    return base, view
+
+
+def _recompute(spark, base):
+    return (spark.read.parquet(base).groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("p_size").alias("sum_size")))
+
+
+def _same(a, b):
+    return sorted(map(tuple, a.select("p_brand", "n", "sum_size").collect())) == \
+        sorted(map(tuple, b.select("p_brand", "n", "sum_size").collect()))
+
+
+def test_create_matches_direct_aggregate(spark, tmp_path):
+    base, view = _mk(spark, tmp_path)
+    assert _same(spark.read.parquet(view), _recompute(spark, base))
+    assert MV.read_meta(view)["base_version"] == 0
+
+
+def test_refresh_noop_when_current(spark, tmp_path):
+    base, view = _mk(spark, tmp_path)
+    out = MV.refresh(spark, view)
+    assert out == {"refreshed": False, "base_version": 0, "affected_groups": 0}
+
+
+def test_incremental_refresh_equals_recompute_after_update_and_delete(spark, tmp_path):
+    base, view = _mk(spark, tmp_path)
+    V.update_where(spark, base, F.col("p_brand") == "Brand#13",
+                   {"p_size": F.col("p_size") + F.lit(100)}, now=2.0)
+    V.delete_where(spark, base, F.col("p_type") == "PROMO", now=3.0)
+    out = MV.refresh(spark, view, now=4.0)
+    assert out["refreshed"] and out["base_version"] == 2
+    assert 0 < out["affected_groups"] <= 25  # only touched brands shuffle
+    assert _same(spark.read.parquet(view), _recompute(spark, base))
+    assert V.history(view)[0]["operation"] == "MV_REFRESH"
+    # idempotent: second refresh is a no-op
+    assert MV.refresh(spark, view)["refreshed"] is False
+
+
+def test_group_deleted_to_zero_disappears(spark, tmp_path):
+    base, view = _mk(spark, tmp_path)
+    V.delete_where(spark, base, F.col("p_brand") == "Brand#13", now=2.0)
+    MV.refresh(spark, view, now=3.0)
+    assert spark.read.parquet(view).where("p_brand = 'Brand#13'").count() == 0
+    assert _same(spark.read.parquet(view), _recompute(spark, base))
+
+
+def test_insert_only_delta_adds_new_groups(spark, tmp_path):
+    base, view = _mk(spark, tmp_path)
+    extra = spark.createDataFrame(
+        [(99001, "Brand#NEW", "PROMO", 10), (99002, "Brand#NEW", "LARGE", 30)],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    )
+    merged = spark.read.parquet(base).unionByName(extra)
+    V.overwrite_versioned(merged, base, now=2.0)
+    MV.refresh(spark, view, now=3.0)
+    got = spark.read.parquet(view).where("p_brand = 'Brand#NEW'").collect()
+    assert len(got) == 1 and got[0].n == 2 and got[0].sum_size == 40
+    assert _same(spark.read.parquet(view), _recompute(spark, base))
+
+
+def test_non_maintainable_aggregate_refused(spark, tmp_path):
+    base = str(tmp_path / "b2")
+    V.overwrite_versioned(spark.range(5).withColumn("g", F.lit("x")), base, now=1.0)
+    with pytest.raises(ValueError, match="self-maintainable"):
+        MV.create(spark, base, str(tmp_path / "v2"), key_cols=["id"],
+                  group_cols=["g"], agg_specs={"m": ("max", "id")})
