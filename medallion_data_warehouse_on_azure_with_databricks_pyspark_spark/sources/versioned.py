@@ -100,6 +100,7 @@ def overwrite_versioned(
     operation: str = "WRITE",
     stats_columns: list[str] | None = None,
     schema_mode: str = "overwrite",
+    constraints: dict | None = None,
 ) -> int:
     """Atomic overwrite that RETAINS the superseded version (rename-aside,
     no copy).  Returns the committed version number.  ``now`` pins the
@@ -136,6 +137,14 @@ def overwrite_versioned(
     """
     if schema_mode not in ("overwrite", "enforce", "merge"):
         raise ValueError(f"unknown schema_mode {schema_mode!r}")
+    if constraints:
+        # Delta CHECK-constraint parity: every row must satisfy every
+        # named predicate or NOTHING commits (one aggregate job over the
+        # incoming frame, evaluated BEFORE any staging I/O).  Reuses the
+        # pipeline expectation engine so rule semantics match Q1/Q2.
+        from ..plans.expectations import expect_all_or_fail
+
+        expect_all_or_fail(df, constraints)
     if schema_mode != "overwrite" and _read_log(path):
         from pyspark.sql import functions as F
 

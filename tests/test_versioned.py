@@ -472,3 +472,24 @@ def test_optimize_compact_preserves_hive_partition_layout(spark, tmp_path):
     assert all(n == 1 for n in per_dir.values()), per_dir  # packed within partitions
     assert spark.read.parquet(path).count() == 300
     assert V.history(path)[0]["operation"] == "OPTIMIZE"
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    import pytest as _pytest
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans.expectations import ExpectationError
+    path = str(tmp_path / "chk")
+    rules = {"positive_k": "k >= 0", "k_bounded": "k < 1000"}
+    df_ok = spark.range(10).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df_ok, path, now=1.0, constraints=rules)
+    assert V.current_version(path) == 0
+    from pyspark.sql import functions as F
+    df_bad = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "k", F.col("k") - 5
+    )
+    with _pytest.raises(ExpectationError, match="positive_k"):
+        V.overwrite_versioned(df_bad, path, now=2.0, constraints=rules)
+    # nothing committed, table unwedged, prior data intact
+    assert V.current_version(path) == 0
+    assert spark.read.parquet(path).count() == 10
+    V.overwrite_versioned(df_ok, path, now=3.0, constraints=rules)
+    assert V.current_version(path) == 1
