@@ -86,6 +86,30 @@ def _write_log(path: str, log: list[dict]) -> None:
     os.replace(tmp, os.path.join(vroot, LOG_FILE))
 
 
+CONSTRAINTS_FILE = "_constraints.json"
+
+
+def set_constraints(path: str, rules: dict) -> None:
+    """Persist table-level CHECK constraints (Delta ``ALTER TABLE ... ADD
+    CONSTRAINT``): every subsequent commit through ANY path — overwrite,
+    UPDATE, DELETE, OPTIMIZE, restore — validates against them.  Pass an
+    empty dict to drop all constraints."""
+    vroot = _vroot(path)
+    os.makedirs(vroot, exist_ok=True)
+    tmp = os.path.join(vroot, f".{CONSTRAINTS_FILE}.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(rules, fh)
+    os.replace(tmp, os.path.join(vroot, CONSTRAINTS_FILE))
+
+
+def get_constraints(path: str) -> dict:
+    p = os.path.join(_vroot(path), CONSTRAINTS_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def current_version(path: str) -> int | None:
     """Version number of the data at ``path`` (None: never written)."""
     log = _read_log(path)
@@ -137,14 +161,18 @@ def overwrite_versioned(
     """
     if schema_mode not in ("overwrite", "enforce", "merge"):
         raise ValueError(f"unknown schema_mode {schema_mode!r}")
-    if constraints:
+    effective = {**get_constraints(path), **(constraints or {})}
+    if effective:
         # Delta CHECK-constraint parity: every row must satisfy every
         # named predicate or NOTHING commits (one aggregate job over the
-        # incoming frame, evaluated BEFORE any staging I/O).  Reuses the
-        # pipeline expectation engine so rule semantics match Q1/Q2.
+        # incoming frame, evaluated BEFORE any staging I/O).  Persisted
+        # table constraints (:func:`set_constraints`) apply to EVERY
+        # commit — including delete_where/update_where/optimize_compact,
+        # which all land through this path.  Reuses the pipeline
+        # expectation engine so rule semantics match Q1/Q2.
         from ..plans.expectations import expect_all_or_fail
 
-        expect_all_or_fail(df, constraints)
+        expect_all_or_fail(df, effective)
     if schema_mode != "overwrite" and _read_log(path):
         from pyspark.sql import functions as F
 

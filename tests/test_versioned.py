@@ -493,3 +493,23 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10
     V.overwrite_versioned(df_ok, path, now=3.0, constraints=rules)
     assert V.current_version(path) == 1
+
+
+def test_persisted_constraints_gate_dml_paths(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans.expectations import ExpectationError
+    path = str(tmp_path / "chk2")
+    V.overwrite_versioned(spark.range(1, 11).withColumnRenamed("id", "k"), path, now=1.0)
+    V.set_constraints(path, {"positive_k": "k > 0"})
+    # UPDATE that would violate the table constraint is refused wholesale
+    with _pytest.raises(ExpectationError, match="positive_k"):
+        V.update_where(spark, path, F.col("k") == 1, {"k": F.lit(-1)}, now=2.0)
+    assert V.current_version(path) == 0
+    # a clean DELETE passes through the same gate
+    V.delete_where(spark, path, F.col("k") == 10, now=3.0)
+    assert V.current_version(path) == 1
+    assert V.get_constraints(path) == {"positive_k": "k > 0"}
+    V.set_constraints(path, {})  # drop
+    V.update_where(spark, path, F.col("k") == 1, {"k": F.lit(-1)}, now=4.0)
+    assert V.current_version(path) == 2
