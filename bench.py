@@ -136,6 +136,7 @@ HEADLINE = [
     "part_dv_delete_scan",
     "events_generated_partition_scan",
     "part_matview_incremental",
+    "emb_ivfpq_residual_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

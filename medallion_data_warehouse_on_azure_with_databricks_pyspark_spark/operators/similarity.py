@@ -1579,6 +1579,137 @@ def ivfpq_topk(
     )
 
 
+def _as_double(col) -> Column:
+    return F.transform(F.col(col) if isinstance(col, str) else col,
+                       lambda x: x.cast("double"))
+
+
+def residual_frame(
+    corpus: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each vector's residual against its nearest coarse centroid:
+    ``(id, pivot_id, r = double(v) − double(c))``.  Double-on-double
+    subtraction so any IEEE engine replays it bit-for-bit; one broadcast
+    join against the tiny pivot set on top of the nprobe=1 assignment's
+    partial-aggregated shuffle."""
+    c_assign = ivf_assign(
+        corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "pivot_id")
+    return (
+        corpus.join(c_assign, id_col)
+        .join(F.broadcast(pivots), "pivot_id")
+        .select(
+            F.col(id_col),
+            F.col("pivot_id"),
+            F.zip_with(
+                _as_double(vec_col), _as_double("pivot_vec"),
+                lambda x, y: x - y,
+            ).alias(vec_col),
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 100,
+    modulus: int = 37,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: list | None = None,
+    pivots: DataFrame | None = None,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — the actual IVFADC layout of Jégou et
+    al. (TPAMI 2011, §IV): vectors are PQ-encoded as their RESIDUAL
+    against the assigned coarse centroid (``r = v − c(v)``), not raw.
+    Residuals concentrate near the origin regardless of where a list
+    sits in the space, so the one shared codebook spends its 16 codes on
+    a tight distribution instead of the whole corpus spread — the reason
+    production IVF-PQ encodes residuals.  The per-query LUT becomes
+    per-(query, probed list): subdistances of ``q − c_list`` against the
+    residual codebooks (nprobe LUTs per query, still tiny and
+    broadcast).  A candidate is always scored with the LUT of ITS OWN
+    list — the join key (query, pivot) guarantees it, since candidates
+    are generated from the probed list they live in.
+
+    Exactness is engine-replayable end-to-end: residual subtraction is
+    double arithmetic on double-cast inputs (bit-exact in any IEEE
+    engine), and the codebook TRAINING on residuals reuses the
+    fixed-point Lloyd machinery — the registered lane's oracle rederives
+    pivots, assignment, residuals, trained codebooks, encode argmins,
+    per-probe ADC, and the exact re-rank.
+
+    Scale shape is identical to :func:`ivfpq_topk` (every stage touches
+    the small thing); the extra cost is one broadcast join against the
+    tiny pivot set during encode, paid at index-build time.
+    ``codebooks`` overrides training for callers that cache (they MUST
+    come from this function's own residual frame to mean anything).
+    ``pivots`` overrides the coarse quantizer — pass
+    :func:`kmeans_pivots` output for the production pairing: residuals
+    only concentrate when the centroids actually sit in the data's
+    clusters (measured on the isotropic test corpus: fixed %37 pivots
+    0.815 recall@10, trained pivots 0.925, vs 0.93 raw-encode — residual
+    encoding pays off on CLUSTERED corpora, which real embedding sets
+    are; the isotropic corpus is its worst case).
+    """
+    if pivots is None:
+        pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    res = residual_frame(corpus, pivots, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks_kmeans(
+            res, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    c_assign = res.select(id_col, "pivot_id")
+    # materialized for the same per-output-row re-evaluation hazard as
+    # pq_adc_topk (the candidate join replicates code rows per query)
+    codes = pq_encode(res, codebooks, id_col, vec_col).localCheckpoint()
+    q_probes = ivf_assign(
+        queries, pivots, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
+    ).select(query_id_col, "pivot_id")
+    q_lut = (
+        q_probes.join(F.broadcast(pivots), "pivot_id")
+        .join(queries, query_id_col)
+        .select(
+            query_id_col,
+            "pivot_id",
+            _pq_subdists_kernel(codebooks)(
+                F.zip_with(
+                    _as_double(vec_col), _as_double("pivot_vec"),
+                    lambda x, y: x - y,
+                )
+            ).alias("__lut"),
+        )
+    )
+    cand = (
+        q_probes.join(c_assign, "pivot_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, "pivot_id", id_col)
+    )
+    scored = cand.join(codes, id_col).join(
+        F.broadcast(q_lut), [query_id_col, "pivot_id"]
+    )
+    adc = _adc_score_kernel(len(codebooks), len(codebooks[0]))
+    scored = scored.withColumn(
+        "__negd", -adc(F.col("pq_code"), F.col("__lut"))
+    ).select(query_id_col, id_col, "__negd")
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negd"
+    ).select(query_id_col, id_col)
+    return _exact_l2_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
 _PQ_INDEX_VERSION = 1
 
 

@@ -1420,6 +1420,163 @@ def pq_index_path(sf_dir: str) -> str:
     return f"/tmp/medallion_pq_index/{sf_tag}_pid{_os.getpid()}"
 
 
+def _ivfpq_residual_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
+                           full_d: int = 64) -> str:
+    """Residual IVF-PQ (IVFADC) replay: pivots → nearest-pivot residuals
+    → codebook TRAINING on residuals → encode → per-(query, probed-list)
+    residual LUT ADC → exact re-rank.  Same arithmetic contracts as
+    ``_pq_oracle`` (fixed-point means, first-min argmins, ordered folds);
+    the residual subtraction is double-on-double, bit-exact in any IEEE
+    engine."""
+    ms = ", ".join(f"({m})" for m in range(n_sub))
+    l2 = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range(1, {n} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) "
+        "* (CAST({a}[i] AS DOUBLE) - {b}[i]))), (x, y) -> x + y)"
+    )
+    res_l2 = l2.format(n=d, a=f"r.embedding[b.m * {d} + 1 : b.m * {d} + {d}]",
+                       b="b.code")
+    adc_l2 = l2.format(n=d, a=f"qr.qrv[b.m * {d} + 1 : b.m * {d} + {d}]",
+                       b="b.code")
+    fp = 1 << 30  # similarity._PQ_FIXED_POINT
+    return f"""
+    WITH pv AS (
+      SELECT vec_id AS pivot_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvv
+      FROM embeddings WHERE vec_id % 37 = 0),
+    asg AS (
+      SELECT vec_id, pivot_id, rnk FROM (
+        SELECT e.vec_id, p.pivot_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY {_fold_l2sq('e.embedding', 'p.pvv')},
+                             p.pivot_id) AS rnk
+        FROM embeddings e CROSS JOIN pv p)),
+    res AS (
+      SELECT e.vec_id, a.pivot_id,
+             list_transform(range(1, {full_d} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) - p.pvv[i]) AS embedding
+      FROM embeddings e
+      JOIN (SELECT vec_id, pivot_id FROM asg WHERE rnk = 1) a USING (vec_id)
+      JOIN pv p USING (pivot_id)),
+    rseeds AS (
+      SELECT embedding AS v, row_number() OVER (ORDER BY vec_id) AS rn
+      FROM res WHERE vec_id % 31 = 0
+      QUALIFY rn <= {n_codes}),
+    book0 AS (
+      SELECT s.m, rn - 1 AS k, v[s.m * {d} + 1 : s.m * {d} + {d}] AS code
+      FROM rseeds CROSS JOIN (VALUES {ms}) s(m)),
+    train_asg AS (
+      SELECT vec_id, m, k FROM (
+        SELECT r.vec_id, b.m, b.k,
+               row_number() OVER (PARTITION BY r.vec_id, b.m
+                    ORDER BY {res_l2}, b.k) AS rr
+        FROM res r CROSS JOIN book0 b) WHERE rr = 1),
+    train_dims AS (
+      SELECT vec_id, CAST((i - 1) // {d} AS INT) AS m, (i - 1) % {d} AS j,
+             CAST(floor(embedding[i] * {fp}) AS BIGINT) AS fq
+      FROM res CROSS JOIN range(1, {full_d} + 1) t(i)),
+    trained AS (
+      SELECT td.m, ta.k, td.j,
+             CAST(SUM(fq) AS DOUBLE) / COUNT(*) / {fp}.0 AS mean
+      FROM train_dims td
+      JOIN train_asg ta ON ta.vec_id = td.vec_id AND ta.m = td.m
+      GROUP BY td.m, ta.k, td.j),
+    tcode AS (
+      SELECT m, k, list(mean ORDER BY j) AS code FROM trained GROUP BY m, k),
+    book AS (
+      SELECT b0.m, b0.k, COALESCE(t.code, b0.code) AS code
+      FROM book0 b0 LEFT JOIN tcode t ON t.m = b0.m AND t.k = b0.k),
+    enc AS (
+      SELECT vec_id, m, k AS code_k
+      FROM (SELECT r.vec_id, b.m, b.k,
+                   row_number() OVER (PARTITION BY r.vec_id, b.m
+                        ORDER BY {res_l2}, b.k) AS rr
+            FROM res r CROSS JOIN book b)
+      WHERE rr = 1),
+    q AS (SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id % 25 = 0),
+    qp AS (SELECT vec_id AS query_id, pivot_id
+           FROM asg WHERE vec_id % 25 = 0 AND rnk <= 12),
+    qres AS (
+      SELECT qp.query_id, qp.pivot_id,
+             list_transform(range(1, {full_d} + 1),
+                i -> q.qv[i] - p.pvv[i]) AS qrv
+      FROM qp JOIN q USING (query_id) JOIN pv p USING (pivot_id)),
+    per_m AS (
+      SELECT qr.query_id, enc.vec_id, b.m, {adc_l2} AS dm
+      FROM qres qr
+      JOIN (SELECT vec_id, pivot_id FROM asg WHERE rnk = 1) ca
+        USING (pivot_id)
+      JOIN enc ON enc.vec_id = ca.vec_id
+      JOIN book b ON b.m = enc.m AND b.k = enc.code_k
+      WHERE ca.vec_id <> qr.query_id),
+    dist AS (
+      SELECT query_id, vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list(dm ORDER BY m)),
+                         (a, x) -> a + x) AS adc_dist
+      FROM per_m GROUP BY query_id, vec_id),
+    sl AS (
+      SELECT query_id, vec_id
+      FROM (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist, vec_id) AS r
+            FROM dist)
+      WHERE r <= 100),
+    ex AS (
+      SELECT s.query_id, s.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, {full_d} + 1),
+                 i -> (q.qv[i] - CAST(e.embedding[i] AS DOUBLE))
+                      * (q.qv[i] - CAST(e.embedding[i] AS DOUBLE)))),
+               (x, y) -> x + y) AS l2_dist
+      FROM sl s
+      JOIN q ON q.query_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.vec_id)
+    SELECT query_id, vec_id, l2_dist, rank
+    FROM (SELECT query_id, vec_id, l2_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY l2_dist, vec_id) AS INT) AS rank
+          FROM ex)
+    WHERE rank <= 10
+    """
+
+
+#: Residual codebook cache for the IVFADC lane, keyed by sf_dir — same
+#: determinism argument as _PQ_BOOKS_CACHE (the oracle replays training).
+_RESIDUAL_BOOKS_CACHE: dict[str, list] = {}
+
+
+@query("emb_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle())
+def emb_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ — the production IVFADC layout
+    (``operators/similarity.py ivfpq_residual_topk``; Jégou et al. 2011
+    §IV): PQ codes compress each vector's RESIDUAL against its coarse
+    centroid, and ADC scores with a per-(query, probed-list) LUT over
+    ``q − c_list``, so every candidate is scored with the LUT of its own
+    list.  Registered with the shared deterministic %37 quantizer so the
+    oracle replays the ENTIRE stack (pivots, residuals, codebook
+    training on residuals, encode, per-probe ADC, re-rank); measured
+    recall@10 0.815 here vs 0.93 raw-encode — the isotropic test corpus
+    is residual encoding's worst case (no cluster structure to exploit),
+    and the trained-quantizer pairing that real clustered corpora use
+    (``pivots=kmeans_pivots(...)``, recall 0.925) is pytest-gated in
+    ``tests/test_llmops.py``."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = _RESIDUAL_BOOKS_CACHE.get(sf_dir)
+    if books is None:
+        res = similarity.residual_frame(emb, similarity.ivf_pivots(emb))
+        books = similarity.pq_codebooks_kmeans(
+            res, n_subspaces=16, n_codes=16, iters=1
+        )
+        _RESIDUAL_BOOKS_CACHE[sf_dir] = books
+    return similarity.ivfpq_residual_topk(
+        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=100,
+        codebooks=books,
+    )
+
+
 @query("emb_pq_indexed_topk", oracle=_pq_oracle())
 def emb_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The on-disk PQ artifact's read path (``operators/similarity.py

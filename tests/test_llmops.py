@@ -1124,3 +1124,50 @@ def test_ivfpq_recall_floor(spark):
         }
         recalls.append(len(found & exact) / 10)
     assert sum(recalls) / len(recalls) >= 0.85
+
+
+def test_ivfpq_residual_recall_floor_and_trained_pivot_pairing(spark):
+    # Residual encoding (IVFADC): with the fixed %37 quantizer on this
+    # isotropic corpus residuals have no cluster structure to exploit
+    # (the lane docstring documents the 0.815-vs-0.93 sf0.01 gap); the
+    # floor guards the machinery, not the geometry.  The trained-pivot
+    # pairing is the production shape and must not trail the fixed one.
+    r_fixed = _recall_at_10(
+        spark,
+        lambda emb, q: similarity.ivfpq_residual_topk(
+            emb, q, k=10, nprobe=12, shortlist=100
+        ),
+    )
+    assert r_fixed >= 0.60, r_fixed
+    emb = spark.read.parquet(EMB)
+    trained = similarity.kmeans_pivots(emb, iters=1, modulus=37, sample_modulus=4)
+    r_trained = _recall_at_10(
+        spark,
+        lambda emb, q: similarity.ivfpq_residual_topk(
+            emb, q, k=10, nprobe=12, shortlist=100, pivots=trained
+        ),
+    )
+    assert r_trained >= r_fixed - 0.05, (r_trained, r_fixed)
+
+
+def test_ivfpq_residual_full_probe_includes_all_candidates(spark):
+    # Structural gate: probing every list makes candidate generation
+    # exhaustive, and the exact re-rank then reproduces the exact top-k
+    # whenever the ADC shortlist kept the true neighbors; with
+    # shortlist >= corpus the shortlist IS the candidate set, so the
+    # result must equal exact L2 top-k regardless of code quality.
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import _emb_queries
+    emb = spark.read.parquet(EMB)
+    q = _emb_queries(emb)
+    n_pivots = emb.where("vec_id % 37 = 0").count()
+    n = emb.count()
+    got = similarity.ivfpq_residual_topk(
+        emb, q, k=10, nprobe=n_pivots, shortlist=n
+    )
+    allpairs = q.select("query_id").crossJoin(emb.select("vec_id")).where(
+        "vec_id <> query_id"
+    )
+    want = similarity._exact_l2_rerank(
+        allpairs, emb, q, 10, "vec_id", "embedding", "query_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
