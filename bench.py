@@ -137,6 +137,8 @@ HEADLINE = [
     "events_generated_partition_scan",
     "part_matview_incremental",
     "emb_ivfpq_residual_topk",
+    "events_cohort_retention",
+    "events_funnel_stages",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -485,3 +485,127 @@ def doc_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.ngram_lm_fluency(docs).select(
         "doc_id", "n_bigrams", "lm_score"
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM first GROUP BY cohort_week)
+    SELECT f.cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS INT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_active,
+           min(s.cohort_size) AS cohort_size
+    FROM first f
+    JOIN act a USING (user_id)
+    JOIN sizes s ON s.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (classic growth analytics): users cohorted
+    by first-activity week, activity counted per (cohort, week-offset).
+    Two partial-aggregated passes — first-touch per user, distinct
+    (user, week) activity — then a skinny join on user_id; both sides
+    shuffle once on the same key.  Week arithmetic stays integral
+    (week-truncated timestamps differ by exact multiples of 7 days), so
+    the offset is bit-stable in any engine.
+    """
+    ev = load_events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        first.join(act, "user_id")
+        .join(sizes, "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.min("cohort_size").alias("cohort_size"),
+        )
+    )
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS vts
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT v.user_id, min(e.ts) AS cts
+          FROM v JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'click'
+           AND e.ts > v.vts
+          GROUP BY v.user_id),
+    p AS (SELECT c.user_id, min(e.ts) AS pts
+          FROM c JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND e.ts > c.cts
+          GROUP BY c.user_id)
+    SELECT v.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → later click → later purchase) per user —
+    the event-sequence analytics shape sessionization doesn't cover:
+    each stage anchors on the PREVIOUS stage's first-occurrence time, so
+    out-of-order events (a purchase before any view) do not convert.
+    Three first-touch aggregations, each shuffling on user_id only; the
+    stage joins are skinny (one row per user).
+    """
+    ev = load_events(spark, sf_dir)
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("vts")
+    )
+    c = (
+        v.join(
+            ev.where(F.col("event_type") == "click").select(
+                "user_id", F.col("ts").alias("__cts")
+            ),
+            "user_id",
+        )
+        .where(F.col("__cts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("__cts").alias("cts"))
+    )
+    p = (
+        c.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("__pts")
+            ),
+            "user_id",
+        )
+        .where(F.col("__pts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("__pts").alias("pts"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(2).alias("__c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(3).alias("__p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("__p", "__c", F.lit(1)).cast("int").alias("funnel_stage"),
+        )
+    )
