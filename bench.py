@@ -139,6 +139,7 @@ HEADLINE = [
     "emb_ivfpq_residual_topk",
     "events_cohort_retention",
     "events_funnel_stages",
+    "emb_ivfpq_indexed_topk",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -1710,6 +1710,139 @@ def ivfpq_residual_topk(
     )
 
 
+_IVFPQ_INDEX_VERSION = 1
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    modulus: int = 37,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the full IVFADC artifact — the billion-vector index
+    you actually ship: residual PQ codes **hive-partitioned by inverted
+    list** so a probe reads ~nprobe/P of the CODE bytes (already ~32×
+    smaller than vectors) through static partition pruning, plus the raw
+    vectors stored once for the shortlist re-rank only.
+
+    Writes ``{path}/codes`` (``(id, pq_code)`` under ``pivot_id=``
+    dirs), ``{path}/pivots``, ``{path}/vectors``, and ``meta.json``
+    pinning the residual codebooks (codes are only meaningful under the
+    exact quantizer AND codebooks that produced them — the manifest is
+    the single source of truth, the reader takes neither as arguments).
+    Staged + one-rename promote like every other index builder."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    res = residual_frame(corpus, pivots, id_col, vec_col)
+    codebooks = pq_codebooks_kmeans(
+        res, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = (
+        pq_encode(res, codebooks, id_col, vec_col)
+        .join(res.select(id_col, "pivot_id"), id_col)
+        .repartition("pivot_id")
+    )
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    codes.write.mode("overwrite").partitionBy("pivot_id").parquet(
+        os.path.join(stage, "codes")
+    )
+    pivots.write.mode("overwrite").parquet(os.path.join(stage, "pivots"))
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _IVFPQ_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "modulus": modulus,
+        "codebooks": codebooks,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def ivfpq_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 100,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`build_ivfpq_index` artifact, reading ONLY the
+    probed lists' code partitions: queries assign against the stored
+    pivots, per-(query, probed-list) residual LUTs broadcast, ADC scores
+    the pruned code rows, and the exact re-rank touches the vectors file
+    for queries × shortlist rows only.  Bit-identical to the in-memory
+    :func:`ivfpq_residual_topk` under the same quantizer/codebooks."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _IVFPQ_INDEX_VERSION:
+        raise ValueError(
+            f"unsupported ivfpq index version: {meta.get('version')}"
+        )
+    id_col = meta["id_col"]
+    codebooks = meta["codebooks"]
+    spark = queries.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    assign_proj = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).select(query_id_col, "pivot_id")
+    # bounded: |queries| × nprobe rows (same contract as the IVF reader)
+    assign_rows = assign_proj.collect()
+    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
+    probed = sorted({r["pivot_id"] for r in assign_rows})
+    codes = (
+        spark.read.parquet(os.path.join(index_path, "codes"))
+        .filter(F.col("pivot_id").isin(probed))
+        .dropDuplicates([id_col, "pivot_id"])
+    )
+    q_lut = (
+        q_probes.join(F.broadcast(pivots), "pivot_id")
+        .join(queries, query_id_col)
+        .select(
+            query_id_col,
+            "pivot_id",
+            _pq_subdists_kernel(codebooks)(
+                F.zip_with(
+                    _as_double(vec_col), _as_double("pivot_vec"),
+                    lambda x, y: x - y,
+                )
+            ).alias("__lut"),
+        )
+    )
+    scored = codes.join(F.broadcast(q_lut), "pivot_id").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = _adc_score_kernel(len(codebooks), len(codebooks[0]))
+    scored = scored.withColumn(
+        "__negd", -adc(F.col("pq_code"), F.col("__lut"))
+    ).select(query_id_col, id_col, "__negd")
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negd"
+    ).select(query_id_col, id_col)
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
+    return _exact_l2_rerank(
+        sl, vectors, queries, k, id_col, meta["vec_col"], query_id_col
+    )
+
+
 _PQ_INDEX_VERSION = 1
 
 

@@ -2286,7 +2286,7 @@ CORRECTNESS_PRIORITY = [
     "part_dv_delete_scan", "events_generated_partition_scan",
     "part_matview_incremental", "emb_ivfpq_residual_topk",
     "events_cohort_retention", "events_funnel_stages",
-    "doc_adaptive_quality_filter",
+    "emb_ivfpq_indexed_topk", "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
