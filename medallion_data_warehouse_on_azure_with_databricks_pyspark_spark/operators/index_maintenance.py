@@ -59,6 +59,8 @@ def _family(meta: dict) -> str:
     parameter keys."""
     if "num_hashes" in meta:
         return "minhash"
+    if "modulus" in meta and "codebooks" in meta:
+        return "ivfpq"  # carries BOTH keys — must dispatch before either
     if "modulus" in meta:
         return "ivf"
     if "tables" in meta:
@@ -193,6 +195,23 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             _live(rd("buckets"), tomb, id_col).distinct().repartition(n_files),
             "buckets",
         )
+        wr(
+            _live(rd("vectors"), tomb, id_col)
+            .dropDuplicates([id_col])
+            .repartition(n_files),
+            "vectors",
+        )
+    elif fam == "ivfpq":
+        # codes keep the hive layout (partition-pruned probes); vectors
+        # are the re-rank table, flat like the pq family's.
+        wr(
+            _live(rd("codes"), tomb, id_col)
+            .dropDuplicates([id_col, "pivot_id"])
+            .repartition("pivot_id"),
+            "codes",
+            partition_by="pivot_id",
+        )
+        wr(rd("pivots"), "pivots")
         wr(
             _live(rd("vectors"), tomb, id_col)
             .dropDuplicates([id_col])

@@ -1773,6 +1773,44 @@ def build_ivfpq_index(
     return path
 
 
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    index_path: str,
+) -> str:
+    """Extend an IVFADC artifact with new vectors: assign against the
+    STORED pivots, encode residuals under the STORED codebooks (neither
+    retrains — drift means an explicit rebuild, same contract as the
+    other families), append vectors FIRST and codes second — the safe
+    order (ADVICE r7 on the PQ index): a vector without a code is merely
+    unscored; a code without a vector would shortlist and then vanish at
+    the re-rank join, displacing a valid candidate."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _IVFPQ_INDEX_VERSION:
+        raise ValueError(
+            f"unsupported ivfpq index version: {meta.get('version')}"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark = new_vectors.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    res = residual_frame(new_vectors, pivots, id_col, vec_col)
+    codes = (
+        pq_encode(res, meta["codebooks"], id_col, vec_col)
+        .join(res.select(id_col, "pivot_id"), id_col)
+        .repartition("pivot_id")
+    )
+    new_vectors.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+    codes.write.mode("append").partitionBy("pivot_id").parquet(
+        os.path.join(index_path, "codes")
+    )
+    return index_path
+
+
 def ivfpq_topk_against_index(
     queries: DataFrame,
     index_path: str,
@@ -1813,6 +1851,9 @@ def ivfpq_topk_against_index(
         .filter(F.col("pivot_id").isin(probed))
         .dropDuplicates([id_col, "pivot_id"])
     )
+    codes = index_maintenance.exclude_tombstoned(
+        codes, index_path, id_col, id_col
+    )
     q_lut = (
         q_probes.join(F.broadcast(pivots), "pivot_id")
         .join(queries, query_id_col)
@@ -1837,7 +1878,11 @@ def ivfpq_topk_against_index(
     sl = grouped_topk(
         scored, query_id_col, id_col, shortlist, score_col="__negd"
     ).select(query_id_col, id_col)
-    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
+    # replay guard: an at-least-once append can duplicate vector rows,
+    # which would duplicate re-rank output rows for a shortlisted id
+    vectors = spark.read.parquet(
+        os.path.join(index_path, "vectors")
+    ).dropDuplicates([id_col])
     return _exact_l2_rerank(
         sl, vectors, queries, k, id_col, meta["vec_col"], query_id_col
     )

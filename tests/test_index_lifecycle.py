@@ -259,3 +259,57 @@ def test_pq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
     ) == after
     import os
     assert not os.path.isdir(os.path.join(path, "tombstones"))
+
+
+def test_ivfpq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
+    """IVFADC artifact (residual codes hive-partitioned by list): read
+    path is bit-identical to the in-memory residual operator under the
+    same quantizer/codebooks; append encodes with the STORED pivots and
+    codebooks; delete excludes immediately; compaction folds physically,
+    keeps the hive layout, and preserves results for surviving ids."""
+    emb = spark.read.parquet(EMB)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq_index")
+    similarity.build_ivfpq_index(old, path, n_subspaces=8, n_codes=8)
+    similarity.append_to_ivfpq_index(new, path)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # in-memory twin under the SAME artifacts (old-corpus pivots +
+    # old-corpus-trained codebooks — what the manifest pins)
+    import json, os
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    pivots = spark.read.parquet(os.path.join(path, "pivots"))
+    inmem = similarity.ivfpq_residual_topk(
+        emb, q, k=10, nprobe=4, shortlist=50,
+        codebooks=meta["codebooks"], pivots=pivots,
+    )
+    via_index = similarity.ivfpq_topk_against_index(
+        q, path, k=10, nprobe=4, shortlist=50
+    )
+    assert rows(via_index) == rows(inmem)
+
+    victims = {r[1] for r in rows(via_index)[:3]}
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), path
+    )
+    after = rows(similarity.ivfpq_topk_against_index(
+        q, path, k=10, nprobe=4, shortlist=50
+    ))
+    assert not ({r[1] for r in after} & victims)
+
+    index_maintenance.compact_index(spark, path)
+    assert rows(similarity.ivfpq_topk_against_index(
+        q, path, k=10, nprobe=4, shortlist=50
+    )) == after
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    # hive layout survives compaction (the partition-pruning contract)
+    assert any(
+        d.startswith("pivot_id=")
+        for d in os.listdir(os.path.join(path, "codes"))
+    )
