@@ -2273,13 +2273,15 @@ CORRECTNESS_PRIORITY = [
     "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
     "emb_pq_adc_topk",
     # -- r7-checked tail (rotates back in by rule 1 next round); the
-    #    NEW r8 lanes lead it — part_scd2_from_cdf_replay,
+    #    13 NEW r8 lanes lead it — part_scd2_from_cdf_replay,
     #    events_stream_stream_join, part_stats_skipping_scan,
     #    part_optimize_compacted_scan, part_dml_update_delete_cdf,
     #    part_bloom_skipping_scan, part_dv_delete_scan,
-    #    events_generated_partition_scan — all locally driver-replayed at
-    #    sf0.001+sf0.01 (build AND reuse paths for the guarded three);
-    #    rule 1 front-loads them in r9 ---------
+    #    events_generated_partition_scan, part_matview_incremental,
+    #    emb_ivfpq_residual_topk, events_cohort_retention,
+    #    events_funnel_stages, emb_ivfpq_indexed_topk — all locally
+    #    driver-replayed at sf0.001+sf0.01 (build AND reuse paths for
+    #    every guarded/cached lane); rule 1 front-loads them in r9 ------
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
     "part_stats_skipping_scan", "part_optimize_compacted_scan",
     "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
