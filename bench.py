@@ -140,6 +140,7 @@ HEADLINE = [
     "events_cohort_retention",
     "events_funnel_stages",
     "emb_ivfpq_indexed_topk",
+    "orders_grouping_sets",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with
@@ -160,6 +161,7 @@ EXCLUDED = {
     "events_stream_watermark_windows": "checkpointed streaming harness; the window aggregation it runs is timed via events_hourly_windows (same groupBy plan)",
     "events_stream_dropdup_ingest": "checkpointed streaming harness over a doubled copy of events; the stateful dedup operator is a built-in whose per-key state math has no batch twin to time",
     "events_stream_stream_join": "checkpointed stream-stream harness; the interval-join plan it runs is timed batch-side via events_range_join_agg (same join shape)",
+    "events_stream_static_enrich": "checkpointed streaming harness; the broadcast dim join it runs is timed batch-side via fact_enrichment_join (same join shape)",
 }
 
 

@@ -308,6 +308,83 @@ def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(grouping(year(o_orderdate)) AS INT) AS g_year
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+    """,
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to)
+    with ``grouping()`` markers disambiguating real NULLs from
+    grouped-out columns — one Expand node multiplies rows map-side, one
+    aggregation shuffles; no per-set re-scan.  Completes the grouping
+    surface next to the ROLLUP and CUBE lanes."""
+    df = load(spark, sf_dir, "orders")
+    df.createOrReplaceTempView("orders_gsets")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               count(*) AS n_orders,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(year(o_orderdate)) AS INT) AS g_year
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+    """)
+
+
+@query(
+    "events_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (the DLT ingest-enrichment
+    pattern): a REAL checkpointed file stream of events inner-joins the
+    STATIC customer dim per microbatch — stateless (no watermark needed;
+    the static side is re-read per batch, so dim updates are picked up
+    between batches), planned as a broadcast hash join under AQE.  Sink
+    to parquet, read back; the oracle is the batch join.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="medallion_ss_enrich_")
+    source = os.path.join(work, "source")
+    os.makedirs(source)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(source, "events.parquet"))
+    physical = spark.read.parquet(source).schema
+    stream = spark.readStream.schema(physical).parquet(source).select(
+        "event_id", "user_id", "value"
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    q = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .option("path", f"{work}/out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out").select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+
+
+@query(
     "customer_set_ops",
     oracle="""
     (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -2273,13 +2350,14 @@ CORRECTNESS_PRIORITY = [
     "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
     "emb_pq_adc_topk",
     # -- r7-checked tail (rotates back in by rule 1 next round); the
-    #    13 NEW r8 lanes lead it — part_scd2_from_cdf_replay,
+    #    15 NEW r8 lanes lead it — part_scd2_from_cdf_replay,
     #    events_stream_stream_join, part_stats_skipping_scan,
     #    part_optimize_compacted_scan, part_dml_update_delete_cdf,
     #    part_bloom_skipping_scan, part_dv_delete_scan,
     #    events_generated_partition_scan, part_matview_incremental,
     #    emb_ivfpq_residual_topk, events_cohort_retention,
-    #    events_funnel_stages, emb_ivfpq_indexed_topk — all locally
+    #    events_funnel_stages, emb_ivfpq_indexed_topk,
+    #    orders_grouping_sets, events_stream_static_enrich — all locally
     #    driver-replayed at sf0.001+sf0.01 (build AND reuse paths for
     #    every guarded/cached lane); rule 1 front-loads them in r9 ------
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
@@ -2288,7 +2366,8 @@ CORRECTNESS_PRIORITY = [
     "part_dv_delete_scan", "events_generated_partition_scan",
     "part_matview_incremental", "emb_ivfpq_residual_topk",
     "events_cohort_retention", "events_funnel_stages",
-    "emb_ivfpq_indexed_topk", "doc_adaptive_quality_filter",
+    "emb_ivfpq_indexed_topk", "orders_grouping_sets",
+    "events_stream_static_enrich", "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
