@@ -394,6 +394,44 @@ def update_where(
     )
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY (a, b)``: re-cluster the current
+    version along the (a, b) Morton curve as a NEW ``OPTIMIZE ZORDER``
+    commit — each output file covers a compact region of the (a, b)
+    plane, so min/max skipping prunes BOX predicates on both columns at
+    once (``sources/skipping.py::read_skipping_multi`` is the read
+    side).  Data is bit-identical; history appends; pre-optimize time
+    travel keeps working.  ``stats_columns`` defaults to the two
+    clustering columns — a Z-order without a stats manifest prunes
+    nothing, so the stats ARE the point.
+
+    Unlike plain compaction this is a full shuffle (range partitioning
+    by the Morton key) — the cost Delta's OPTIMIZE ZORDER pays too;
+    schedule it like Delta does, on cold data, amortized over every
+    subsequent box scan."""
+    from ..functions.layout import zorder_layout
+
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    clustered = zorder_layout(
+        spark.read.parquet(path), col_a, col_b, n_files=n_files
+    )
+    v = overwrite_versioned(
+        clustered, path, now=now, operation=f"OPTIMIZE ZORDER({col_a},{col_b})",
+        stats_columns=(stats_columns if stats_columns is not None
+                       else [col_a, col_b]),
+    )
+    return v
+
+
 def restore(
     spark: SparkSession,
     path: str,

@@ -513,3 +513,27 @@ def test_persisted_constraints_gate_dml_paths(spark, tmp_path):
     V.set_constraints(path, {})  # drop
     V.update_where(spark, path, F.col("k") == 1, {"k": F.lit(-1)}, now=4.0)
     assert V.current_version(path) == 2
+
+
+def test_optimize_zorder_enables_box_pruning_and_keeps_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import skipping
+    path = str(tmp_path / "zorder")
+    df = (spark.range(0, 4096)
+          .select(F.col("id").alias("a"), (F.col("id") * 2654435761 % 4096).alias("b")))
+    V.overwrite_versioned(df.repartition(16), path, now=1.0)
+    v = V.optimize_zorder(spark, path, "a", "b", n_files=16, now=2.0)
+    assert v == 1
+    assert V.history(path)[0]["operation"] == "OPTIMIZE ZORDER(a,b)"
+    # data identical, pre-optimize version intact
+    assert spark.read.parquet(path).count() == 4096
+    assert V.read_version(spark, path, 0).count() == 4096
+    # box predicate prunes on BOTH dimensions through the auto-collected stats
+    box = {"a": (0, 511), "b": (0, 511)}
+    kept, total = skipping.pruned_files_multi(spark, path, box)
+    assert total == 16 and 0 < len(kept) < total
+    got = skipping.read_skipping_multi(spark, path, box)
+    want = spark.read.parquet(path).where(
+        F.col("a").between(0, 511) & F.col("b").between(0, 511)
+    )
+    assert got.count() == want.count()
