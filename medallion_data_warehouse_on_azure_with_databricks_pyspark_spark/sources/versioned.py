@@ -449,6 +449,49 @@ def restore(
     return new_version
 
 
+def table_detail(path: str) -> dict:
+    """``DESCRIBE DETAIL`` for a versioned table: one dict a dashboard
+    or maintenance scheduler can poll without touching Spark — current
+    version, live file count/bytes, retained/vacuumed history, commit
+    operations histogram, persisted constraints, and which read-side
+    sidecars (stats / bloom manifests) the table carries."""
+    log = _read_log(path)
+    if not log:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    files = _data_files(path)
+    vroot = _vroot(path)
+    retained = sorted(
+        int(d[1:]) for d in os.listdir(vroot)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    ops: dict = {}
+    for e in log:
+        ops[e["operation"]] = ops.get(e["operation"], 0) + 1
+    from . import skipping
+
+    return {
+        "path": path,
+        "current_version": log[-1]["version"],
+        "created_at": log[0]["committed_at"],
+        "last_modified": log[-1]["committed_at"],
+        "num_files": len(files),
+        "size_bytes": sum(os.path.getsize(f) for f in files),
+        "num_commits": len(log),
+        "retained_versions": retained,
+        "vacuumed_versions": sorted(
+            {e["version"] for e in log[:-1]} - set(retained)
+        ),
+        "operations": ops,
+        "constraints": get_constraints(path),
+        "has_stats_manifest": os.path.isdir(
+            os.path.join(path.rstrip("/"), skipping.STATS_DIR)
+        ),
+        "has_bloom_manifest": os.path.isdir(
+            os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
+        ),
+    }
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
     """Drop retained version DIRECTORIES beyond the newest ``keep_last``
     non-current ones; log entries survive (Delta: history outlives data).

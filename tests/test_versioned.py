@@ -537,3 +537,25 @@ def test_optimize_zorder_enables_box_pruning_and_keeps_data(spark, tmp_path):
         F.col("a").between(0, 511) & F.col("b").between(0, 511)
     )
     assert got.count() == want.count()
+
+
+def test_table_detail_reflects_lifecycle(spark, tmp_path):
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "detail")
+    V.overwrite_versioned(spark.range(100).withColumnRenamed("id", "k"), path, now=1.0)
+    V.set_constraints(path, {"pos": "k >= 0"})
+    V.update_where(spark, path, F.col("k") == 1, {"k": F.lit(101)}, now=2.0)
+    V.delete_where(spark, path, F.col("k") > 100, now=3.0)
+    V.optimize_compact(spark, path, target_file_bytes=64 * 1024 * 1024, now=4.0)
+    V.vacuum(path, keep_last=1)
+    d = V.table_detail(path)
+    assert d["current_version"] == 3
+    assert d["num_commits"] == 4
+    assert d["operations"] == {"WRITE": 1, "UPDATE": 1, "DELETE": 1, "OPTIMIZE": 1}
+    assert d["constraints"] == {"pos": "k >= 0"}
+    assert d["created_at"] == 1.0 and d["last_modified"] == 4.0
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    # keep_last=1 retains the newest non-current dir; older ones vacuumed
+    assert len(d["vacuumed_versions"]) >= 1
+    assert set(d["retained_versions"]) & {2}
+    assert d["has_stats_manifest"] is False and d["has_bloom_manifest"] is False
