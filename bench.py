@@ -141,6 +141,7 @@ HEADLINE = [
     "events_funnel_stages",
     "emb_ivfpq_indexed_topk",
     "orders_grouping_sets",
+    "events_hourly_ohlc",
 ]
 
 #: Registered queries deliberately NOT timed in the headline metric, with

@@ -449,6 +449,57 @@ def restore(
     return new_version
 
 
+def clone_table(
+    src: str,
+    dst: str,
+    now: float | None = None,
+) -> int:
+    """Delta ``SHALLOW CLONE``: create ``dst`` as a NEW versioned table
+    whose v0 references the source's CURRENT data files without copying
+    them — hardlinks on the same filesystem (byte-copy fallback across
+    filesystems).  The clone is immediately independent: its commits
+    rename ITS directory aside and write new files, never touching the
+    source's links; vacuuming either table merely drops its own link
+    (the inode survives while any table still references it) — the same
+    isolation contract Delta's shallow clones get from immutable files.
+    Use for zero-copy dev/test branches off production tables.
+
+    The clone starts with its own empty history (v0 = the clone commit,
+    operation recording the source and source version); constraints and
+    sidecar manifests are NOT cloned — they describe the source's
+    governance and layout lifecycle, not the data."""
+    if current_version(src) is None:
+        raise ValueError(f"{src}: no version log — not a versioned table")
+    if os.path.exists(dst) or _read_log(dst):
+        raise ValueError(f"{dst}: already exists")
+    src_v = current_version(src)
+    stage = f"{dst}.__stage_{uuid.uuid4().hex[:8]}"
+    for root, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = os.path.relpath(root, src)
+        os.makedirs(os.path.join(stage, rel) if rel != "." else stage,
+                    exist_ok=True)
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            s = os.path.join(root, f)
+            d = os.path.join(stage, rel, f) if rel != "." else os.path.join(stage, f)
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover — cross-filesystem fallback
+                shutil.copy2(s, d)
+    entry = {
+        "version": 0,
+        "committed_at": float(now if now is not None else time.time()),
+        "operation": f"CLONE({src}@v{src_v})",
+    }
+    _write_intent(dst, {"stage": stage, "entry": entry})
+    os.rename(stage, dst)
+    _write_log(dst, [entry])
+    os.remove(_intent_path(dst))
+    return 0
+
+
 def table_detail(path: str) -> dict:
     """``DESCRIBE DETAIL`` for a versioned table: one dict a dashboard
     or maintenance scheduler can poll without touching Spark — current

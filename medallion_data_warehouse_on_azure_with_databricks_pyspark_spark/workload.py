@@ -2350,14 +2350,15 @@ CORRECTNESS_PRIORITY = [
     "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
     "emb_pq_adc_topk",
     # -- r7-checked tail (rotates back in by rule 1 next round); the
-    #    15 NEW r8 lanes lead it — part_scd2_from_cdf_replay,
+    #    16 NEW r8 lanes lead it — part_scd2_from_cdf_replay,
     #    events_stream_stream_join, part_stats_skipping_scan,
     #    part_optimize_compacted_scan, part_dml_update_delete_cdf,
     #    part_bloom_skipping_scan, part_dv_delete_scan,
     #    events_generated_partition_scan, part_matview_incremental,
     #    emb_ivfpq_residual_topk, events_cohort_retention,
     #    events_funnel_stages, emb_ivfpq_indexed_topk,
-    #    orders_grouping_sets, events_stream_static_enrich — all locally
+    #    orders_grouping_sets, events_stream_static_enrich,
+    #    events_hourly_ohlc — all locally
     #    driver-replayed at sf0.001+sf0.01 (build AND reuse paths for
     #    every guarded/cached lane); rule 1 front-loads them in r9 ------
     "part_scd2_from_cdf_replay", "events_stream_stream_join",
@@ -2367,7 +2368,8 @@ CORRECTNESS_PRIORITY = [
     "part_matview_incremental", "emb_ivfpq_residual_topk",
     "events_cohort_retention", "events_funnel_stages",
     "emb_ivfpq_indexed_topk", "orders_grouping_sets",
-    "events_stream_static_enrich", "doc_adaptive_quality_filter",
+    "events_stream_static_enrich", "events_hourly_ohlc",
+    "doc_adaptive_quality_filter",
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",

@@ -609,3 +609,48 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__p", "__c", F.lit(1)).cast("int").alias("funnel_stage"),
         )
     )
+
+
+@query(
+    "events_hourly_ohlc",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                  ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                  ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM events)
+    SELECT hour,
+           max(CASE WHEN rna = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rnd = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM h GROUP BY hour
+    """,
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) hourly resampling — the time-series
+    candlestick shape: first/last anchored on (ts, event_id) so
+    same-microsecond ties break deterministically in any engine.  Two
+    window passes + one aggregation, all partitioned by the hour bucket;
+    values pass through untouched (no float arithmetic to diverge).
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    wa = Window.partitionBy("hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    h = ev.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return h.groupBy("hour").agg(
+        F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

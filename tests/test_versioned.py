@@ -559,3 +559,37 @@ def test_table_detail_reflects_lifecycle(spark, tmp_path):
     assert len(d["vacuumed_versions"]) >= 1
     assert set(d["retained_versions"]) & {2}
     assert d["has_stats_manifest"] is False and d["has_bloom_manifest"] is False
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    V.overwrite_versioned(spark.range(100).withColumnRenamed("id", "k"), src, now=1.0)
+    assert V.clone_table(src, dst, now=2.0) == 0
+    # zero-copy: every data file shares its inode with a source file
+    def inodes(p):
+        out = {}
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out[f] = os.stat(os.path.join(root, f)).st_ino
+        return out
+    si, di = inodes(src), inodes(dst)
+    assert di and all(di[f] == si[f] for f in di)
+    assert spark.read.parquet(dst).count() == 100
+    assert V.history(dst)[0]["operation"] == f"CLONE({src}@v0)"
+    # diverge the clone: source unaffected, and vice versa
+    V.delete_where(spark, dst, F.col("k") >= 50, now=3.0)
+    assert spark.read.parquet(dst).count() == 50
+    assert spark.read.parquet(src).count() == 100
+    V.update_where(spark, src, F.col("k") == 0, {"k": F.lit(999)}, now=4.0)
+    assert spark.read.parquet(dst).where("k = 999").count() == 0
+    # vacuum on the clone cannot hurt the source (hardlink semantics)
+    V.vacuum(dst, keep_last=0)
+    assert spark.read.parquet(src).count() == 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="already exists"):
+        V.clone_table(src, dst)
