@@ -60,12 +60,16 @@ def read_meta(view_path: str) -> dict:
         return json.load(fh)
 
 
-def _validate(agg_specs: dict) -> None:
+def _validate(agg_specs: dict, refresh_mode: str) -> None:
+    allowed = ("count", "sum") if refresh_mode == "incremental" else (
+        "count", "sum", "min", "max"
+    )
     for out, (kind, _col) in agg_specs.items():
-        if kind not in ("count", "sum"):
+        if kind not in allowed:
             raise ValueError(
                 f"{out!r}: only self-maintainable aggregates (count/sum) "
-                f"refresh incrementally; got {kind!r} — use a full recompute"
+                f"refresh incrementally; got {kind!r} — use "
+                f"refresh_mode='full'"
             )
 
 
@@ -75,7 +79,7 @@ def _aggregate(df: DataFrame, group_cols: list[str], agg_specs: dict) -> DataFra
         if kind == "count":
             aggs.append(F.count(F.lit(1)).alias(out))
         else:
-            aggs.append(F.sum(col).alias(out))
+            aggs.append(getattr(F, kind)(col).alias(out))
     return df.groupBy(*group_cols).agg(*aggs)
 
 
@@ -87,12 +91,20 @@ def create(
     group_cols: list[str],
     agg_specs: dict,
     now: float | None = None,
+    refresh_mode: str = "incremental",
 ) -> int:
     """Full compute of the view from the base's CURRENT version; records
     the reflected base version in the meta sidecar.  ``agg_specs`` maps
-    output column -> ("count", None) | ("sum", <col>).  ``key_cols`` are
-    the base table's row identity — needed by the CDF diff at refresh."""
-    _validate(agg_specs)
+    output column -> ("count", None) | ("sum"|"min"|"max", <col>).
+    ``key_cols`` are the base table's row identity — needed by the CDF
+    diff at refresh.  ``refresh_mode="incremental"`` (default) restricts
+    specs to the self-maintainable count/sum class; ``"full"`` admits
+    min/max and makes every :func:`refresh` a recompute of the current
+    base — the honest cost for non-maintainable aggregates, chosen
+    EXPLICITLY rather than silently degrading the incremental path."""
+    if refresh_mode not in ("incremental", "full"):
+        raise ValueError(f"unknown refresh_mode {refresh_mode!r}")
+    _validate(agg_specs, refresh_mode)
     base_v = versioned.current_version(base_path)
     if base_v is None:
         raise ValueError(f"{base_path}: not a versioned table")
@@ -102,6 +114,7 @@ def create(
         "base_path": base_path, "base_version": base_v,
         "key_cols": key_cols, "group_cols": group_cols,
         "agg_specs": {k: list(v) for k, v in agg_specs.items()},
+        "refresh_mode": refresh_mode,
     })
     return view_v
 
@@ -122,6 +135,14 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
         return {"refreshed": False, "base_version": cur_v, "affected_groups": 0}
     group_cols = meta["group_cols"]
     agg_specs = {k: tuple(v) for k, v in meta["agg_specs"].items()}
+    if meta.get("refresh_mode", "incremental") == "full":
+        # non-maintainable specs: the refresh IS a recompute, by contract
+        mv = _aggregate(spark.read.parquet(base_path), group_cols, agg_specs)
+        versioned.overwrite_versioned(mv, view_path, now=now,
+                                      operation="MV_REFRESH_FULL")
+        _write_meta(view_path, {**meta, "base_version": cur_v})
+        return {"refreshed": True, "base_version": cur_v,
+                "affected_groups": mv.count()}
     count_cols = [k for k, (kind, _c) in agg_specs.items() if kind == "count"]
     if not count_cols:
         # A count is required to know when a group disappears.

@@ -89,3 +89,36 @@ def test_non_maintainable_aggregate_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="self-maintainable"):
         MV.create(spark, base, str(tmp_path / "v2"), key_cols=["id"],
                   group_cols=["g"], agg_specs={"m": ("max", "id")})
+
+
+def test_full_refresh_mode_admits_min_max(spark, tmp_path):
+    base = str(tmp_path / "fb")
+    view = str(tmp_path / "fv")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    V.overwrite_versioned(part, base, now=1.0)
+    specs = {"n": ("count", None), "max_size": ("max", "p_size")}
+    MV.create(spark, base, view, key_cols=["p_partkey"],
+              group_cols=["p_brand"], agg_specs=specs, now=1.0,
+              refresh_mode="full")
+    # delete the current max of one brand: incremental could not repair
+    # this; full mode recomputes and must land on the new max
+    top = (spark.read.parquet(base).where("p_brand = 'Brand#13'")
+           .orderBy(F.desc("p_size"), "p_partkey").first())
+    V.delete_where(spark, base, F.col("p_partkey") == top.p_partkey, now=2.0)
+    out = MV.refresh(spark, view, now=3.0)
+    assert out["refreshed"]
+    want = (spark.read.parquet(base).groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("p_size").alias("max_size")))
+    assert sorted(map(tuple, spark.read.parquet(view).select("p_brand", "n", "max_size").collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert V.history(view)[0]["operation"] == "MV_REFRESH_FULL"
+
+
+def test_incremental_mode_still_refuses_min_max(spark, tmp_path):
+    base = str(tmp_path / "rb")
+    V.overwrite_versioned(spark.range(5).withColumn("g", F.lit("x")), base, now=1.0)
+    with pytest.raises(ValueError, match="refresh_mode='full'"):
+        MV.create(spark, base, str(tmp_path / "rv"), key_cols=["id"],
+                  group_cols=["g"], agg_specs={"m": ("max", "id")})
