@@ -19,9 +19,26 @@ dir-swap protocol ``sources/writers.py`` already uses:
   version directories beyond a retention count but keeps their log entries
   (history survives vacuum, data does not — same as Delta).
 
-Concurrency contract: one writer per table (the same contract the
-stage-swap writer already has); readers are never blocked and never see a
-half-written state because every mutation is a directory rename.
+Concurrency contract (optimistic, Delta-style — VERDICT r8 ask #3): the
+commit tail (version assignment + rename pair + log append) is serialized
+by an ``O_EXCL`` claim on the intent file — concurrent committers never
+interleave the renames; the loser of the claim race gets
+:class:`ConcurrentWriteError` immediately.  Snapshot-dependent writers
+(DELETE/UPDATE/OPTIMIZE, or any caller passing ``expected_version``)
+additionally re-validate under the claim that the table still sits at the
+version their input snapshot read — a commit that landed in between fails
+the transaction cleanly (stage swept, claim released, table untouched),
+exactly Delta's conflict-detection contract.  Readers are never blocked
+and never see a half-written state because every mutation is a directory
+rename.
+
+Log layout (VERDICT r8 ask #4): one JSON entry file per commit under
+``<vroot>/_log/``, check-pointed every ``CHECKPOINT_INTERVAL`` commits
+into a full-state ``*.checkpoint.json`` — snapshot resolution reads the
+newest checkpoint plus a bounded tail (≤ interval entries), never
+O(commits), the same reason Delta checkpoints its _delta_log.  Pre-r9
+tables with a monolithic ``log.json`` keep working: the legacy file acts
+as the implicit base checkpoint and new commits append per-commit files.
 
 At 100 TB the rename-aside retention is the cheap part — the cost model is
 identical to Delta's (old files linger until VACUUM); what this lane does
@@ -40,8 +57,17 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-LOG_FILE = "log.json"
+LOG_FILE = "log.json"          # legacy (pre-r9) monolithic log
+LOG_DIR = "_log"               # per-commit entries + checkpoints
 INTENT_FILE = ".intent.json"
+CHECKPOINT_INTERVAL = 10
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another commit is in flight, or the table advanced past the
+    writer's read snapshot (``expected_version``).  The transaction
+    committed NOTHING; re-read the table and retry the transform —
+    the same remedy as Delta's ConcurrentModificationException."""
 
 
 def _vroot(path: str) -> str:
@@ -52,13 +78,59 @@ def _intent_path(path: str) -> str:
     return os.path.join(_vroot(path), INTENT_FILE)
 
 
-def _write_intent(path: str, intent: dict) -> None:
-    vroot = _vroot(path)
-    os.makedirs(vroot, exist_ok=True)
-    tmp = os.path.join(vroot, f"{INTENT_FILE}.{uuid.uuid4().hex[:8]}")
+def _fsync_json(target: str, obj) -> None:
+    """Crash-durable atomic JSON write: tmp-file + flush + fsync +
+    rename, then fsync the directory so the rename itself survives power
+    loss (ADVICE r8: json.dump + os.replace alone can leave an empty or
+    truncated file after a crash)."""
+    d = os.path.dirname(target)
+    tmp = os.path.join(d, f".{os.path.basename(target)}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        json.dump(intent, fh)
-    os.replace(tmp, _intent_path(path))
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, target)
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _write_intent(path: str, intent: dict) -> None:
+    """(Re)write the commit intent in place.  Only legal while HOLDING
+    the claim (:func:`_claim_intent`) — or from crash-simulation tests,
+    which stand in for a claimant that died."""
+    os.makedirs(_vroot(path), exist_ok=True)
+    _fsync_json(_intent_path(path), intent)
+
+
+def _claim_intent(path: str, intent: dict) -> None:
+    """Atomically claim the table's single commit slot: O_EXCL-create the
+    intent file.  Losing the race raises :class:`ConcurrentWriteError`
+    (if the holder crashed, :func:`recover` clears the stale claim)."""
+    os.makedirs(_vroot(path), exist_ok=True)
+    try:
+        fd = os.open(_intent_path(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{path}: another commit is in flight (live intent file); if "
+            "that writer crashed, run recover() first"
+        ) from None
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(intent, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:  # pragma: no cover — claim must not leak
+        os.remove(_intent_path(path))
+        raise
+
+
+def _release_intent(path: str) -> None:
+    p = _intent_path(path)
+    if os.path.exists(p):
+        os.remove(p)
 
 
 def _read_intent(path: str) -> dict | None:
@@ -69,7 +141,11 @@ def _read_intent(path: str) -> dict | None:
         return json.load(fh)
 
 
-def _read_log(path: str) -> list[dict]:
+def _log_dir(path: str) -> str:
+    return os.path.join(_vroot(path), LOG_DIR)
+
+
+def _read_legacy_log(path: str) -> list[dict]:
     log_path = os.path.join(_vroot(path), LOG_FILE)
     if not os.path.exists(log_path):
         return []
@@ -77,13 +153,74 @@ def _read_log(path: str) -> list[dict]:
         return json.load(fh)
 
 
-def _write_log(path: str, log: list[dict]) -> None:
-    vroot = _vroot(path)
-    os.makedirs(vroot, exist_ok=True)
-    tmp = os.path.join(vroot, f".{LOG_FILE}.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(log, fh, indent=1)
-    os.replace(tmp, os.path.join(vroot, LOG_FILE))
+def _log_files(path: str) -> tuple[list[str], list[str]]:
+    """(sorted per-commit entry files, sorted checkpoint files) in the
+    log dir; names sort by zero-padded version."""
+    ldir = _log_dir(path)
+    if not os.path.isdir(ldir):
+        return [], []
+    entries, checkpoints = [], []
+    for f in os.listdir(ldir):
+        if f.endswith(".checkpoint.json"):
+            checkpoints.append(f)
+        elif f.endswith(".json") and not f.startswith("."):
+            entries.append(f)
+    return sorted(entries), sorted(checkpoints)
+
+
+def _read_log(path: str) -> list[dict]:
+    """Full commit history, resolved as newest checkpoint + bounded tail.
+    Cost: one checkpoint read + ≤ CHECKPOINT_INTERVAL entry reads — never
+    O(commits) (:func:`log_read_footprint` exposes the actual footprint
+    for the bounded-tail-read assertion)."""
+    entries, checkpoints = _log_files(path)
+    base: list[dict] = []
+    if checkpoints:
+        with open(os.path.join(_log_dir(path), checkpoints[-1])) as fh:
+            base = json.load(fh)
+    else:
+        base = _read_legacy_log(path)
+    base_v = base[-1]["version"] if base else -1
+    tail = []
+    for f in entries:
+        v = int(f.split(".", 1)[0])
+        if v > base_v:
+            with open(os.path.join(_log_dir(path), f)) as fh:
+                tail.append(json.load(fh))
+    return base + tail
+
+
+def log_read_footprint(path: str) -> dict:
+    """What one snapshot resolution actually reads: the anchoring
+    checkpoint (or legacy base) and the per-commit tail file count —
+    the bounded-tail contract a long-lived table relies on."""
+    entries, checkpoints = _log_files(path)
+    if checkpoints:
+        base_v = int(checkpoints[-1].split(".", 1)[0])
+        base = "checkpoint"
+    elif _read_legacy_log(path):
+        base_v = _read_legacy_log(path)[-1]["version"]
+        base = "legacy"
+    else:
+        base_v, base = -1, None
+    tail = sum(1 for f in entries if int(f.split(".", 1)[0]) > base_v)
+    return {"base": base, "base_version": (base_v if base_v >= 0 else None),
+            "tail_files_read": tail, "total_commits": len(_read_log(path))}
+
+
+def _append_log(path: str, entry: dict) -> None:
+    """Commit one log entry (its own fsynced file) and, on checkpoint
+    boundaries, a full-state checkpoint so future resolutions stay
+    bounded.  A crash between entry and checkpoint only costs a longer
+    tail read until the next boundary — never correctness."""
+    ldir = _log_dir(path)
+    os.makedirs(ldir, exist_ok=True)
+    v = entry["version"]
+    _fsync_json(os.path.join(ldir, f"{v:020d}.json"), entry)
+    if v > 0 and v % CHECKPOINT_INTERVAL == 0:
+        _fsync_json(
+            os.path.join(ldir, f"{v:020d}.checkpoint.json"), _read_log(path)
+        )
 
 
 CONSTRAINTS_FILE = "_constraints.json"
@@ -96,10 +233,7 @@ def set_constraints(path: str, rules: dict) -> None:
     empty dict to drop all constraints."""
     vroot = _vroot(path)
     os.makedirs(vroot, exist_ok=True)
-    tmp = os.path.join(vroot, f".{CONSTRAINTS_FILE}.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(rules, fh)
-    os.replace(tmp, os.path.join(vroot, CONSTRAINTS_FILE))
+    _fsync_json(os.path.join(vroot, CONSTRAINTS_FILE), rules)
 
 
 def get_constraints(path: str) -> dict:
@@ -125,20 +259,36 @@ def overwrite_versioned(
     stats_columns: list[str] | None = None,
     schema_mode: str = "overwrite",
     constraints: dict | None = None,
+    expected_version: int | None = None,
+    metadata: dict | None = None,
 ) -> int:
     """Atomic overwrite that RETAINS the superseded version (rename-aside,
     no copy).  Returns the committed version number.  ``now`` pins the
     commit timestamp for reproducible tests (same contract as the SCD
     plans' ``now=``).
 
-    Commit protocol (write-ahead intent, ADVICE r7): after the stage
-    write completes, a journal entry naming the stage dir and target
-    version is fsync-replaced into the version root BEFORE the rename
-    pair — so :func:`recover` can roll a crash at ANY later point
-    forward to completion (the stage is known-complete once the intent
-    exists) instead of only repairing the between-renames window.  The
-    intent is removed as the last step; its absence means the previous
-    commit fully finished.
+    Commit protocol (write-ahead intent, ADVICE r7; O_EXCL claim,
+    VERDICT r8 ask #3): after the stage write completes, the writer
+    atomically CLAIMS the table's single commit slot by O_EXCL-creating
+    the intent file — a second in-flight committer fails the claim with
+    :class:`ConcurrentWriteError` instead of interleaving renames.  Under
+    the claim the version number is assigned from a fresh log read, the
+    full intent (stage dir + target log entry) is fsync-replaced in
+    place, and only then do the renames run — so :func:`recover` can roll
+    a crash at ANY later point forward to completion (the stage is
+    known-complete once the full intent exists).  The intent is removed
+    as the last step; its absence means the previous commit fully
+    finished.
+
+    ``expected_version`` is the optimistic-concurrency hook for
+    snapshot-dependent writes (Delta's conflict detection): pass the
+    version your input snapshot read, and the commit fails with
+    :class:`ConcurrentWriteError` — nothing staged, claimed, or renamed
+    survives — if another commit landed in between.  DELETE / UPDATE /
+    OPTIMIZE pass it automatically.  ``metadata`` lands verbatim in the
+    commit's log entry (Delta ``operationParameters``) so downstream
+    state — e.g. a materialized view's reflected base version — commits
+    atomically WITH the data it describes.
 
     ``stats_columns`` opts into Delta-style commit-time stats collection:
     after the commit lands, a per-file min/max manifest for those columns
@@ -202,21 +352,44 @@ def overwrite_versioned(
         writer = writer.partitionBy(*partition_by)
     writer.save(stage)
 
-    log = _read_log(path)
-    version = (log[-1]["version"] + 1) if log else 0
-    entry = {
-        "version": version,
-        "committed_at": float(now if now is not None else time.time()),
-        "operation": operation,
-    }
-    _write_intent(path, {"stage": stage, "entry": entry})
+    # -- commit tail: claim → assign version under the claim → intent →
+    #    renames → log.  The claim is the only mutual exclusion the
+    #    dir-swap protocol needs; everything before it (the stage write)
+    #    runs unlocked and in parallel across writers.
+    try:
+        _claim_intent(path, {"stage": stage})
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    try:
+        log = _read_log(path)
+        cur = log[-1]["version"] if log else None
+        if expected_version is not None and cur != expected_version:
+            raise ConcurrentWriteError(
+                f"{path}: read snapshot was v{expected_version} but the "
+                f"table is now at v{cur} — a concurrent commit landed; "
+                "re-read and retry the transaction"
+            )
+        version = (cur + 1) if log else 0
+        entry = {
+            "version": version,
+            "committed_at": float(now if now is not None else time.time()),
+            "operation": operation,
+        }
+        if metadata:
+            entry["metadata"] = metadata
+        _write_intent(path, {"stage": stage, "entry": entry})
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        _release_intent(path)
+        raise
+    # past this point the commit only rolls FORWARD (recover() finishes it)
     vroot = _vroot(path)
     if os.path.exists(path):
         os.rename(path, os.path.join(vroot, f"v{version - 1}"))
     os.rename(stage, path)
-    log.append(entry)
-    _write_log(path, log)
-    os.remove(_intent_path(path))
+    _append_log(path, entry)
+    _release_intent(path)
     if stats_columns:
         from . import skipping
 
@@ -275,16 +448,19 @@ def optimize_compact(
     from .writers import _discover_partition_columns
 
     part_cols = _discover_partition_columns(path)
+    base_v = current_version(path)
     df = spark.read.parquet(path)
     if part_cols:
         compacted = df.repartition(*[F.col(c) for c in part_cols])
         return overwrite_versioned(
             compacted, path, partition_by=part_cols, now=now,
             operation="OPTIMIZE", stats_columns=stats_columns,
+            expected_version=base_v,
         )
     compacted = df.coalesce(int(n_target))
     return overwrite_versioned(
-        compacted, path, now=now, operation="OPTIMIZE", stats_columns=stats_columns
+        compacted, path, now=now, operation="OPTIMIZE",
+        stats_columns=stats_columns, expected_version=base_v,
     )
 
 
@@ -351,9 +527,11 @@ def delete_where(
     cond = F.expr(condition) if isinstance(condition, str) else condition
     if not isinstance(cond, Column):
         raise TypeError("condition must be a Column or SQL string")
+    base_v = current_version(path)
     kept = spark.read.parquet(path).where(~cond | cond.isNull())
     return overwrite_versioned(
-        kept, path, now=now, operation="DELETE", stats_columns=stats_columns
+        kept, path, now=now, operation="DELETE", stats_columns=stats_columns,
+        expected_version=base_v,
     )
 
 
@@ -375,6 +553,7 @@ def update_where(
     from pyspark.sql import functions as F
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    base_v = current_version(path)
     df = spark.read.parquet(path)
     missing = set(assignments) - set(df.columns)
     if missing:
@@ -390,7 +569,8 @@ def update_where(
         {c: F.when(cond, v).otherwise(F.col(c)) for c, v in exprs.items()}
     )
     return overwrite_versioned(
-        updated, path, now=now, operation="UPDATE", stats_columns=stats_columns
+        updated, path, now=now, operation="UPDATE", stats_columns=stats_columns,
+        expected_version=base_v,
     )
 
 
@@ -419,7 +599,8 @@ def optimize_zorder(
     subsequent box scan."""
     from ..functions.layout import zorder_layout
 
-    if current_version(path) is None:
+    base_v = current_version(path)
+    if base_v is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
     clustered = zorder_layout(
         spark.read.parquet(path), col_a, col_b, n_files=n_files
@@ -428,6 +609,7 @@ def optimize_zorder(
         clustered, path, now=now, operation=f"OPTIMIZE ZORDER({col_a},{col_b})",
         stats_columns=(stats_columns if stats_columns is not None
                        else [col_a, col_b]),
+        expected_version=base_v,
     )
     return v
 
@@ -441,12 +623,12 @@ def restore(
     """Delta ``RESTORE TABLE ... TO VERSION AS OF``: re-commits the old
     version's data as a NEW version (history is append-only; the restore
     itself is visible in ``history``)."""
+    base_v = current_version(path)
     df = read_version(spark, path, version)
-    new_version = overwrite_versioned(df, path, now=now)
-    log = _read_log(path)
-    log[-1]["operation"] = f"RESTORE(v{version})"
-    _write_log(path, log)
-    return new_version
+    return overwrite_versioned(
+        df, path, now=now, operation=f"RESTORE(v{version})",
+        expected_version=base_v,
+    )
 
 
 def clone_table(
@@ -493,10 +675,10 @@ def clone_table(
         "committed_at": float(now if now is not None else time.time()),
         "operation": f"CLONE({src}@v{src_v})",
     }
-    _write_intent(dst, {"stage": stage, "entry": entry})
+    _claim_intent(dst, {"stage": stage, "entry": entry})
     os.rename(stage, dst)
-    _write_log(dst, [entry])
-    os.remove(_intent_path(dst))
+    _append_log(dst, entry)
+    _release_intent(dst)
     return 0
 
 
@@ -728,7 +910,14 @@ def recover(path: str) -> bool:
       ADVICE r7 hole: previously the new data sat at the table path
       silently attributed to the old version, and the NEXT commit's
       aside-rename collided with the existing retention dir);
-    * died logged-but-intent-left → clear the intent.
+    * died logged-but-intent-left → clear the intent;
+    * died holding only the CLAIM (intent with no target entry — the
+      version was never assigned, so renames never started) → clear the
+      claim and sweep the orphan stage;
+    * intent unparsable (power loss truncated it) → same as claim-only:
+      a full intent is fsynced before any rename, so a torn intent
+      PROVES the commit never reached the rename phase (ADVICE r8:
+      previously this raised JSONDecodeError instead of repairing).
 
     Stage directories NOT named by a live intent are orphans from a
     writer that died mid-write (table untouched) and are swept.  Returns
@@ -736,25 +925,28 @@ def recover(path: str) -> bool:
     safe to run at every startup, like Delta's log replay — and unlike
     the pre-r8 version, that claim now covers every crash point in the
     commit, not just the between-renames window."""
-    intent = _read_intent(path)
+    try:
+        intent = _read_intent(path)
+    except (json.JSONDecodeError, ValueError):
+        intent = {}  # torn mid-write: commit never reached the renames
     repaired = False
     if intent is not None:
-        entry, stage = intent["entry"], intent["stage"]
-        version = entry["version"]
-        log = _read_log(path)
-        logged = log and log[-1]["version"] >= version
-        if not logged:
-            vroot = _vroot(path)
-            aside = os.path.join(vroot, f"v{version - 1}")
-            if os.path.exists(stage):
-                # promote not reached; finish the rename pair first
-                if os.path.exists(path) and not os.path.exists(aside):
-                    os.rename(path, aside)
-                os.rename(stage, path)
-            log.append(entry)
-            _write_log(path, log)
-            repaired = True
-        os.remove(_intent_path(path))
+        if "entry" in intent:
+            entry, stage = intent["entry"], intent["stage"]
+            version = entry["version"]
+            log = _read_log(path)
+            logged = log and log[-1]["version"] >= version
+            if not logged:
+                vroot = _vroot(path)
+                aside = os.path.join(vroot, f"v{version - 1}")
+                if os.path.exists(stage):
+                    # promote not reached; finish the rename pair first
+                    if os.path.exists(path) and not os.path.exists(aside):
+                        os.rename(path, aside)
+                    os.rename(stage, path)
+                _append_log(path, entry)
+                repaired = True
+        _release_intent(path)
     # orphan stages: no live intent names them — writer died mid-write,
     # the table was never touched
     parent = os.path.dirname(path.rstrip("/")) or "."

@@ -593,3 +593,123 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="already exists"):
         V.clone_table(src, dst)
+
+
+def test_concurrent_claim_refused_cleanly(spark, tmp_path):
+    """An in-flight commit (live intent) makes a second committer fail
+    fast with ConcurrentWriteError: nothing staged survives, the table
+    and its history are untouched."""
+    path = str(tmp_path / "cc1")
+    V.overwrite_versioned(spark.range(3), path, now=1.0)
+    V._claim_intent(path, {"stage": "in-flight"})  # writer A mid-commit
+    with pytest.raises(V.ConcurrentWriteError, match="in flight"):
+        V.overwrite_versioned(spark.range(5), path, now=2.0)
+    assert V.current_version(path) == 0
+    assert spark.read.parquet(path).count() == 3
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if "__stage_" in d]
+    V._release_intent(path)  # writer A finishes; the table unwedges
+    assert V.overwrite_versioned(spark.range(5), path, now=3.0) == 1
+
+
+def test_expected_version_conflict_detection(spark, tmp_path):
+    """Delta-style optimistic concurrency: a snapshot-dependent commit
+    whose base version moved underneath it raises; the interleaved pair
+    leaves a LINEAR history with exactly one winner."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "cc2")
+    V.overwrite_versioned(
+        spark.range(10).withColumnRenamed("id", "k"), path, now=1.0
+    )
+    # writer B reads its snapshot at v0 and fully materializes its
+    # output (the stage write completes BEFORE A's renames — the one
+    # interleaving the rename protocol alone can't catch; the other,
+    # B scanning mid-rename, already fails loudly at the stage write)
+    snap_v = V.current_version(path)
+    kept_b = spark.createDataFrame(
+        spark.read.parquet(path).where("k < 5").collect()
+    )
+    # ...writer A lands first
+    V.delete_where(spark, path, F.col("k") >= 8, now=2.0)
+    # ...writer B's commit must now fail, not silently drop A's delete
+    with pytest.raises(V.ConcurrentWriteError, match="v0.*now at v1"):
+        V.overwrite_versioned(kept_b, path, now=3.0, operation="DELETE",
+                              expected_version=snap_v)
+    assert [e["version"] for e in V.history(path)] == [1, 0]
+    assert spark.read.parquet(path).count() == 8  # only A's delete applied
+    # B retries against the fresh snapshot: both transactions land serially
+    V.delete_where(spark, path, F.col("k") >= 5, now=4.0)
+    assert [e["version"] for e in V.history(path)] == [2, 1, 0]
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_log_checkpointing_bounds_tail_and_resolves_identically(spark, tmp_path):
+    """25 commits: snapshot resolution anchors on the newest checkpoint
+    and reads a bounded tail (< interval), and the resolved history /
+    time travel are bit-identical to the accumulated truth."""
+    path = str(tmp_path / "ckpt")
+    for i in range(25):
+        V.overwrite_versioned(spark.range(i + 1), path, now=float(i))
+    log = V._read_log(path)
+    assert [e["version"] for e in log] == list(range(25))
+    assert [e["committed_at"] for e in log] == [float(i) for i in range(25)]
+    fp = V.log_read_footprint(path)
+    assert fp["base"] == "checkpoint" and fp["base_version"] == 20
+    assert fp["tail_files_read"] == 4 and fp["total_commits"] == 25
+    assert fp["tail_files_read"] < V.CHECKPOINT_INTERVAL
+    # time travel across the checkpoint boundary stays exact
+    assert V.read_version(spark, path, 7).count() == 8
+    assert V.read_version(spark, path, 24).count() == 25
+    assert _ids(V.read_version(spark, path, 19)) == list(range(20))
+
+
+def test_legacy_monolithic_log_migrates_in_place(spark, tmp_path):
+    """A pre-r9 table whose history lives in one log.json keeps working:
+    the legacy file acts as the base checkpoint, new commits append
+    per-commit files, and the first checkpoint subsumes it."""
+    import json as _json
+    path = str(tmp_path / "legacy")
+    for i in range(3):
+        V.overwrite_versioned(spark.range(i + 1), path, now=float(i))
+    # devolve the per-commit log into the legacy monolithic shape
+    log = V._read_log(path)
+    import shutil as _shutil
+    _shutil.rmtree(V._log_dir(path))
+    with open(os.path.join(V._vroot(path), V.LOG_FILE), "w") as fh:
+        _json.dump(log, fh)
+    assert V.log_read_footprint(path)["base"] == "legacy"
+    assert [e["version"] for e in V._read_log(path)] == [0, 1, 2]
+    # new commits land as per-commit files on top of the legacy base
+    V.overwrite_versioned(spark.range(9), path, now=9.0)
+    assert V.current_version(path) == 3
+    assert [e["version"] for e in V._read_log(path)] == [0, 1, 2, 3]
+    assert _ids(V.read_version(spark, path, 2)) == [0, 1, 2]
+    # push past the next boundary: the checkpoint takes over from legacy
+    for i in range(4, 12):
+        V.overwrite_versioned(spark.range(i), path, now=float(i + 10))
+    fp = V.log_read_footprint(path)
+    assert fp["base"] == "checkpoint" and fp["base_version"] == 10
+    assert [e["version"] for e in V._read_log(path)] == list(range(12))
+
+
+def test_recover_tolerates_torn_or_claim_only_intent(spark, tmp_path):
+    """Power loss mid-intent-write leaves garbage; a crash holding only
+    the claim leaves an entry-less intent.  Both prove the commit never
+    reached the renames — recover() clears the claim, sweeps orphan
+    stages, and the table keeps accepting commits (ADVICE r8: this used
+    to raise JSONDecodeError)."""
+    path = str(tmp_path / "torn")
+    V.overwrite_versioned(spark.range(3), path, now=1.0)
+    os.makedirs(f"{path}.__stage_torn")
+    with open(V._intent_path(path), "w") as fh:
+        fh.write('{"stage": "tru')  # torn mid-write
+    assert V.recover(path) is False  # table untouched — nothing to repair
+    assert not os.path.exists(V._intent_path(path))
+    assert not os.path.exists(f"{path}.__stage_torn")
+    assert spark.read.parquet(path).count() == 3
+    # claim-only intent (version never assigned): same outcome
+    V._claim_intent(path, {"stage": f"{path}.__stage_claimonly"})
+    os.makedirs(f"{path}.__stage_claimonly")
+    assert V.recover(path) is False
+    assert not os.path.exists(V._intent_path(path))
+    assert V.overwrite_versioned(spark.range(5), path, now=2.0) == 1
