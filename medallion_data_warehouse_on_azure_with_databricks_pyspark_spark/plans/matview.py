@@ -19,9 +19,13 @@ primitives:
   current extremum needs a base rescan — the classic IVM distinction);
   use a full refresh for those;
 * the view itself is a versioned table, so refreshes are atomic commits
-  with history, and its meta sidecar records which base version the
-  state reflects — ``refresh`` is idempotent (no-op when current) and
-  crash-safe (meta is committed only after the view data).
+  with history, and the base version the state reflects rides IN each
+  commit's log-entry metadata — view data and reflected version are ONE
+  atomic commit, so ``refresh`` is idempotent (no-op when current) even
+  across a crash between the view commit and the meta-sidecar write
+  (ADVICE r8: the sidecar alone made refresh re-fold and double-count
+  the same delta after exactly that crash).  The sidecar keeps only
+  static config plus a non-authoritative copy for introspection.
 
 Scale: a refresh costs O(|delta| + |affected groups|): one CDF diff
 (bounded by the changed rows), one shuffle of the delta by group key,
@@ -71,6 +75,17 @@ def _validate(agg_specs: dict, refresh_mode: str) -> None:
                 f"refresh incrementally; got {kind!r} — use "
                 f"refresh_mode='full'"
             )
+    if refresh_mode == "incremental" and not any(
+        kind == "count" for kind, _c in agg_specs.values()
+    ):
+        # Fail at create(), not at the first refresh of an already-built
+        # view (ADVICE r8): a count is required to know when a group's
+        # last row disappears.
+        raise ValueError(
+            "incremental refresh needs at least one count aggregate "
+            "(it detects group disappearance); add one or use "
+            "refresh_mode='full'"
+        )
 
 
 def _aggregate(df: DataFrame, group_cols: list[str], agg_specs: dict) -> DataFrame:
@@ -109,7 +124,15 @@ def create(
     if base_v is None:
         raise ValueError(f"{base_path}: not a versioned table")
     mv = _aggregate(spark.read.parquet(base_path), group_cols, agg_specs)
-    view_v = versioned.overwrite_versioned(mv, view_path, now=now, operation="MV_CREATE")
+    # the reflected base version rides IN the view's commit entry
+    # (Delta operationParameters), so view data and the version it
+    # reflects are one atomic commit — the meta sidecar carries only
+    # static config plus a non-authoritative copy (ADVICE r8: a crash
+    # between view commit and sidecar write must not double-fold)
+    view_v = versioned.overwrite_versioned(
+        mv, view_path, now=now, operation="MV_CREATE",
+        metadata={"base_version": base_v},
+    )
     _write_meta(view_path, {
         "base_path": base_path, "base_version": base_v,
         "key_cols": key_cols, "group_cols": group_cols,
@@ -117,6 +140,18 @@ def create(
         "refresh_mode": refresh_mode,
     })
     return view_v
+
+
+def reflected_base_version(view_path: str) -> int:
+    """The base version the view's CURRENT data reflects — read from the
+    newest commit entry carrying ``base_version`` metadata (authoritative:
+    it committed atomically with the data).  Views created before the
+    metadata rode in the log fall back to the sidecar."""
+    for e in versioned.history(view_path):
+        md = e.get("metadata") or {}
+        if "base_version" in md:
+            return md["base_version"]
+    return read_meta(view_path)["base_version"]
 
 
 def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> dict:
@@ -128,9 +163,12 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
     ``delete``/``update_preimage``; counts fold the sign, sums fold
     sign·value.  Groups whose count reaches zero are dropped (they no
     longer exist in the base)."""
+    from functools import reduce
+
     meta = read_meta(view_path)
     base_path = meta["base_path"]
-    last_v, cur_v = meta["base_version"], versioned.current_version(base_path)
+    last_v = reflected_base_version(view_path)
+    cur_v = versioned.current_version(base_path)
     if cur_v == last_v:
         return {"refreshed": False, "base_version": cur_v, "affected_groups": 0}
     group_cols = meta["group_cols"]
@@ -138,14 +176,16 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
     if meta.get("refresh_mode", "incremental") == "full":
         # non-maintainable specs: the refresh IS a recompute, by contract
         mv = _aggregate(spark.read.parquet(base_path), group_cols, agg_specs)
-        versioned.overwrite_versioned(mv, view_path, now=now,
-                                      operation="MV_REFRESH_FULL")
+        versioned.overwrite_versioned(
+            mv, view_path, now=now, operation="MV_REFRESH_FULL",
+            metadata={"base_version": cur_v},
+        )
         _write_meta(view_path, {**meta, "base_version": cur_v})
         return {"refreshed": True, "base_version": cur_v,
                 "affected_groups": mv.count()}
     count_cols = [k for k, (kind, _c) in agg_specs.items() if kind == "count"]
     if not count_cols:
-        # A count is required to know when a group disappears.
+        # legacy views created before _validate enforced this at create()
         raise ValueError("incremental refresh needs at least one count aggregate")
 
     changes = versioned.table_changes(
@@ -161,16 +201,32 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
     deltas = changes.groupBy(*group_cols).agg(*delta_aggs)
     n_groups = deltas.count()  # bounded by affected groups; drives the summary
 
-    old = spark.read.parquet(view_path)
-    merged = old.join(deltas, group_cols, "full_outer")
-    out_cols = [F.col(c) for c in group_cols]
+    # null-safe fold (ADVICE r8): plain list-join equality never matches a
+    # NULL group key against its own delta, leaving the standing NULL
+    # group stale AND emitting a spurious second NULL row.  eqNullSafe on
+    # every key, keys coalesced across sides in the output.
+    old = spark.read.parquet(view_path).alias("o")
+    d = deltas.alias("d")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{c}").eqNullSafe(F.col(f"d.{c}")) for c in group_cols],
+    )
+    merged = old.join(d, on, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
+        for c in group_cols
+    ]
+    old_schema = spark.read.parquet(view_path).schema
     for out, (kind, _col) in agg_specs.items():
-        folded = F.coalesce(F.col(out), F.lit(0)) + F.coalesce(
-            F.col(f"__d_{out}"), F.lit(0)
+        folded = F.coalesce(F.col(f"o.{out}"), F.lit(0)) + F.coalesce(
+            F.col(f"d.__d_{out}"), F.lit(0)
         )
-        out_cols.append(folded.cast(old.schema[out].dataType).alias(out))
+        out_cols.append(folded.cast(old_schema[out].dataType).alias(out))
     new_mv = merged.select(*out_cols).where(F.col(count_cols[0]) > 0)
 
-    versioned.overwrite_versioned(new_mv, view_path, now=now, operation="MV_REFRESH")
+    versioned.overwrite_versioned(
+        new_mv, view_path, now=now, operation="MV_REFRESH",
+        metadata={"base_version": cur_v},
+    )
     _write_meta(view_path, {**meta, "base_version": cur_v})
     return {"refreshed": True, "base_version": cur_v, "affected_groups": n_groups}

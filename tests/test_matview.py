@@ -122,3 +122,75 @@ def test_incremental_mode_still_refuses_min_max(spark, tmp_path):
     with pytest.raises(ValueError, match="refresh_mode='full'"):
         MV.create(spark, base, str(tmp_path / "rv"), key_cols=["id"],
                   group_cols=["g"], agg_specs={"m": ("max", "id")})
+
+
+def test_sum_only_incremental_view_refused_at_create(spark, tmp_path):
+    """ADVICE r8: the count-aggregate requirement must fail fast at
+    create(), not after the view is built and the first refresh runs."""
+    base = str(tmp_path / "sb")
+    V.overwrite_versioned(spark.range(5).withColumn("g", F.lit("x")), base, now=1.0)
+    with pytest.raises(ValueError, match="count aggregate"):
+        MV.create(spark, base, str(tmp_path / "sv"), key_cols=["id"],
+                  group_cols=["g"], agg_specs={"s": ("sum", "id")})
+
+
+def test_null_group_key_folds_into_its_own_group(spark, tmp_path):
+    """ADVICE r8: non-null-safe join keys left the standing NULL group
+    stale and emitted a second spurious NULL row.  A NULL-keyed group
+    must fold exactly like any other."""
+    base = str(tmp_path / "nb")
+    view = str(tmp_path / "nv")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 5), (4, "a", 7)],
+        "id long, g string, v long",
+    )
+    V.overwrite_versioned(df, base, now=1.0)
+    specs = {"n": ("count", None), "sv": ("sum", "v")}
+    MV.create(spark, base, view, key_cols=["id"], group_cols=["g"],
+              agg_specs=specs, now=1.0)
+    # touch the NULL group: delete one row, update another, insert one
+    V.overwrite_versioned(
+        spark.createDataFrame(
+            [(2, None, 25), (5, None, 30), (3, "a", 5), (4, "a", 7)],
+            "id long, g string, v long",
+        ),
+        base, now=2.0,
+    )
+    out = MV.refresh(spark, view, now=3.0)
+    assert out["refreshed"]
+    rows = {r["g"]: (r["n"], r["sv"])
+            for r in spark.read.parquet(view).collect()}
+    # exactly ONE NULL-group row, fully folded: -10 (del id1) -20+25
+    # (update id2) +30 (insert id5) = 55, n = 2
+    assert len(rows) == 2
+    assert rows[None] == (2, 55)
+    assert rows["a"] == (2, 12)
+    # and a NULL group deleted to zero disappears (count gate works on it)
+    V.overwrite_versioned(
+        spark.createDataFrame([(3, "a", 5), (4, "a", 7)],
+                              "id long, g string, v long"),
+        base, now=4.0,
+    )
+    MV.refresh(spark, view, now=5.0)
+    assert {r["g"] for r in spark.read.parquet(view).collect()} == {"a"}
+
+
+def test_refresh_idempotent_across_crash_before_meta_write(spark, tmp_path):
+    """ADVICE r8: a crash between the view commit and the meta-sidecar
+    write must NOT double-fold the same delta — the reflected base
+    version rides in the view's commit entry, which is authoritative."""
+    base, view = _mk(spark, tmp_path)
+    V.delete_where(spark, base, F.col("p_brand") == "Brand#13", now=2.0)
+    # run the refresh, then simulate the crash by restoring the STALE
+    # meta sidecar (as if the process died right before writing it)
+    stale_meta = MV.read_meta(view)
+    assert stale_meta["base_version"] == 0
+    out = MV.refresh(spark, view, now=3.0)
+    assert out["refreshed"] and out["base_version"] == 1
+    MV._write_meta(view, stale_meta)  # crash: sidecar never updated
+    # authoritative version comes from the commit log, not the sidecar
+    assert MV.reflected_base_version(view) == 1
+    again = MV.refresh(spark, view, now=4.0)
+    assert again == {"refreshed": False, "base_version": 1,
+                     "affected_groups": 0}
+    assert _same(spark.read.parquet(view), _recompute(spark, base))
