@@ -1,0 +1,102 @@
+"""Streaming maintenance of the IVFADC ANN index: continuous-crawl
+embeddings keep the artifact fresh.
+
+The 100 TB operating mode for the vector index is not build-once: a
+crawler emits new embeddings continuously, takedowns remove them, and
+every retrieval query must see the CURRENT corpus.  This module wires
+Structured Streaming's ``foreachBatch`` to the IVFADC artifact's
+incremental surface (``operators/similarity.append_to_ivfpq_index`` +
+``operators/index_maintenance.delete_from_index``) the same way
+``dedup_stream.py`` feeds the MinHash index:
+
+* each micro-batch's UPSERT rows assign against the STORED pivots and
+  encode under the STORED codebooks (frozen quantizer — drift means an
+  explicit rebuild), appending only the batch's rows: cost is
+  O(|batch|), independent of standing index size;
+* DELETE rows tombstone their ids — O(|deleted|), no index rows
+  touched; every read path anti-joins candidates against the tombstone
+  set, so a deleted vector stops matching immediately and the next
+  ``compact_index`` makes the removal physical.
+
+Ordering inside a batch: appends land first, deletes second — a batch
+that both upserts and deletes the same id nets to deleted (the
+tombstone wins), matching CDC latest-wins intuition.  Tombstones
+suppress an id until compaction folds them, so RE-inserting a
+previously deleted id requires a ``compact_index`` first — the standard
+log-structured tombstone trade-off, stated rather than hidden.
+
+Restart semantics: the index append is at-least-once (it runs before
+the checkpoint commits the batch) — a crash-and-replay may duplicate a
+batch's code/vector rows.  Every read path already neutralizes
+duplicates (``dropDuplicates`` on the candidate and re-rank sides, a
+``distinct`` tombstone set), and compaction reclaims the storage; the
+replayed tombstone append is idempotent by the same argument.  This is
+the exact contract the MinHash streaming appender documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ivfpq_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>, op string",
+    op_col: str = "op",
+    delete_op: str = "DELETE",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Run-once streaming maintenance of a ``build_ivfpq_index``
+    artifact from a parquet directory of vector CDC events.
+
+    Rows whose ``op_col`` equals ``delete_op`` tombstone their id; every
+    other row is an upsert appended to the index (assign + residual-PQ
+    encode under the stored quantizer).  If ``schema`` carries no
+    ``op_col`` at all, the whole stream is upserts.  The id/vector
+    column names come from the index's own manifest — the artifact, not
+    the caller, is the source of truth (same contract as the readers).
+
+    ``max_files_per_trigger=1`` keeps batch boundaries deterministic for
+    tests and replay; production streams would raise it and let the
+    checkpoint define batches.
+    """
+    from ..operators import index_maintenance
+    from ..operators.similarity import append_to_ivfpq_index
+
+    meta = index_maintenance._read_meta(index_path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        has_op = op_col in batch.columns
+        batch = batch.persist()
+        upserts = (
+            batch.filter(
+                (F.col(op_col) != delete_op) | F.col(op_col).isNull()
+            )
+            if has_op
+            else batch
+        ).select(id_col, vec_col)
+        if not upserts.isEmpty():
+            append_to_ivfpq_index(upserts, index_path)
+        if has_op:
+            deletes = batch.filter(F.col(op_col) == delete_op).select(id_col)
+            if not deletes.isEmpty():
+                index_maintenance.delete_from_index(deletes, index_path)
+        batch.unpersist()
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

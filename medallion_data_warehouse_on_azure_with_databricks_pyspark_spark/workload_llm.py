@@ -1421,13 +1421,22 @@ def pq_index_path(sf_dir: str) -> str:
 
 
 def _ivfpq_residual_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
-                           full_d: int = 64) -> str:
+                           full_d: int = 64, train_filter: str = "TRUE",
+                           exclude_filter: str = "FALSE") -> str:
     """Residual IVF-PQ (IVFADC) replay: pivots → nearest-pivot residuals
     → codebook TRAINING on residuals → encode → per-(query, probed-list)
     residual LUT ADC → exact re-rank.  Same arithmetic contracts as
     ``_pq_oracle`` (fixed-point means, first-min argmins, ordered folds);
     the residual subtraction is double-on-double, bit-exact in any IEEE
-    engine."""
+    engine.
+
+    ``train_filter`` restricts the QUANTIZER (pivot eligibility, codebook
+    seeds, training statistics) to a corpus subset — the frozen-quantizer
+    contract of the streaming/append lanes, where later arrivals encode
+    under pivots and codebooks trained on the standing corpus only.
+    ``exclude_filter`` drops ids from the CANDIDATE side (tombstoned
+    vectors) while leaving queries and the quantizer untouched — the
+    read-path contract of ``index_maintenance.exclude_tombstoned``."""
     ms = ", ".join(f"({m})" for m in range(n_sub))
     l2 = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
@@ -1444,7 +1453,7 @@ def _ivfpq_residual_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
     WITH pv AS (
       SELECT vec_id AS pivot_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pvv
-      FROM embeddings WHERE vec_id % 37 = 0),
+      FROM embeddings WHERE vec_id % 37 = 0 AND ({train_filter})),
     asg AS (
       SELECT vec_id, pivot_id, rnk FROM (
         SELECT e.vec_id, p.pivot_id,
@@ -1461,7 +1470,7 @@ def _ivfpq_residual_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
       JOIN pv p USING (pivot_id)),
     rseeds AS (
       SELECT embedding AS v, row_number() OVER (ORDER BY vec_id) AS rn
-      FROM res WHERE vec_id % 31 = 0
+      FROM res WHERE vec_id % 31 = 0 AND ({train_filter})
       QUALIFY rn <= {n_codes}),
     book0 AS (
       SELECT s.m, rn - 1 AS k, v[s.m * {d} + 1 : s.m * {d} + {d}] AS code
@@ -1471,11 +1480,12 @@ def _ivfpq_residual_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
         SELECT r.vec_id, b.m, b.k,
                row_number() OVER (PARTITION BY r.vec_id, b.m
                     ORDER BY {res_l2}, b.k) AS rr
-        FROM res r CROSS JOIN book0 b) WHERE rr = 1),
+        FROM res r CROSS JOIN book0 b WHERE ({train_filter})) WHERE rr = 1),
     train_dims AS (
       SELECT vec_id, CAST((i - 1) // {d} AS INT) AS m, (i - 1) % {d} AS j,
              CAST(floor(embedding[i] * {fp}) AS BIGINT) AS fq
-      FROM res CROSS JOIN range(1, {full_d} + 1) t(i)),
+      FROM res CROSS JOIN range(1, {full_d} + 1) t(i)
+      WHERE ({train_filter})),
     trained AS (
       SELECT td.m, ta.k, td.j,
              CAST(SUM(fq) AS DOUBLE) / COUNT(*) / {fp}.0 AS mean
@@ -1507,7 +1517,8 @@ def _ivfpq_residual_oracle(n_sub: int = 16, n_codes: int = 16, d: int = 4,
     per_m AS (
       SELECT qr.query_id, enc.vec_id, b.m, {adc_l2} AS dm
       FROM qres qr
-      JOIN (SELECT vec_id, pivot_id FROM asg WHERE rnk = 1) ca
+      JOIN (SELECT vec_id, pivot_id FROM asg
+            WHERE rnk = 1 AND NOT ({exclude_filter})) ca
         USING (pivot_id)
       JOIN enc ON enc.vec_id = ca.vec_id
       JOIN book b ON b.m = enc.m AND b.k = enc.code_k
@@ -1609,6 +1620,81 @@ def emb_ivfpq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path not in _IVFPQ_INDEX_BUILT:
         similarity.build_ivfpq_index(emb, path)
         _IVFPQ_INDEX_BUILT.add(path)
+    return similarity.ivfpq_topk_against_index(
+        _emb_queries(emb), path, k=10, nprobe=12, shortlist=100
+    )
+
+
+#: Streaming-maintained IVFADC indexes already materialized by THIS
+#: process (build + two-batch CDC ingest once; every call probes).
+_IVFPQ_STREAM_READY: set[str] = set()
+
+
+def ivfpq_stream_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk path for the streaming-maintained IVFADC lane."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_ivfpq_stream/{sf_tag}_pid{_os.getpid()}"
+
+
+@query(
+    "emb_ivfpq_stream_topk",
+    oracle=_ivfpq_residual_oracle(
+        n_codes=8,  # the standing 3/4-corpus at sf0.001 has 13 seed rows
+        train_filter="vec_id % 4 <> 3",
+        exclude_filter="(vec_id % 16 = 3) OR (vec_id % 40 = 5)",
+    ),
+)
+def emb_ivfpq_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC index under CONTINUOUS maintenance — the 100 TB
+    operating mode (``streaming/index_stream.py::ivfpq_index_ingest``,
+    VERDICT r8 ask #7): the artifact is built on the standing 3/4 of the
+    corpus (vec_id % 4 <> 3), then a checkpointed run-once stream feeds
+    two CDC micro-batches through ``foreachBatch`` — batch 1 upserts
+    vec_id % 8 = 3, batch 2 upserts vec_id % 8 = 7 AND tombstones
+    vec_id % 16 = 3 (batch-1 arrivals!) plus vec_id % 40 = 5 (standing
+    rows) via ``delete_from_index`` — and queries probe the maintained
+    index.  Arrivals encode under the STANDING corpus's frozen quantizer
+    (stored pivots + codebooks, never retrained), deletes anti-join as
+    tombstones, so the oracle replays the whole stack with the quantizer
+    trained on the standing subset and tombstoned ids excluded from
+    candidates.  Per batch the cost is O(|batch|) encode + O(|deletes|)
+    tombstone append — independent of standing index size."""
+    import os as _os
+
+    from .streaming.index_stream import ivfpq_index_ingest
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = ivfpq_stream_index_path(sf_dir)
+    if path not in _IVFPQ_STREAM_READY:
+        vec_t = emb.schema["embedding"].dataType.simpleString()
+        similarity.build_ivfpq_index(
+            emb.filter("vec_id % 4 <> 3"), path, n_codes=8
+        )
+        src, ckpt = f"{path}__src", f"{path}__ckpt"
+        _os.makedirs(src, exist_ok=True)
+        up = F.lit("UPSERT").alias("op")
+        b1 = emb.filter("vec_id % 8 = 3").select("vec_id", "embedding", up)
+        dels = emb.filter("(vec_id % 16 = 3) OR (vec_id % 40 = 5)").select(
+            "vec_id",
+            F.lit(None).cast(vec_t).alias("embedding"),
+            F.lit("DELETE").alias("op"),
+        )
+        b2 = emb.filter("vec_id % 8 = 7").select(
+            "vec_id", "embedding", up
+        ).unionByName(dels)
+        # one part-file per batch: maxFilesPerTrigger=1 makes each its
+        # own micro-batch; the final state is batch-order independent
+        # (upserts commute, tombstones are a set)
+        b1.coalesce(1).write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        ivfpq_index_ingest(
+            spark, src, path, ckpt,
+            schema=f"vec_id long, embedding {vec_t}, op string",
+        )
+        _IVFPQ_STREAM_READY.add(path)
     return similarity.ivfpq_topk_against_index(
         _emb_queries(emb), path, k=10, nprobe=12, shortlist=100
     )

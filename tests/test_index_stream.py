@@ -1,0 +1,150 @@
+"""Streaming IVFADC maintenance: continuous vector arrivals append into
+the index through foreachBatch, deletes tombstone, checkpoint makes
+re-runs incremental, and the result is bit-identical to the batch
+append/delete path under the same frozen quantizer."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    index_maintenance,
+    similarity,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming.index_stream import (
+    ivfpq_index_ingest,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+SCHEMA = "vec_id long, embedding array<float>, op string"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _topk(q, path):
+    return _rows(
+        similarity.ivfpq_topk_against_index(q, path, k=10, nprobe=4, shortlist=50)
+    )
+
+
+def test_streaming_ingest_matches_batch_append_and_excludes_tombstones(
+    spark, tmp_path
+):
+    emb = spark.read.parquet(EMB)
+    standing = emb.filter(F.col("vec_id") < 300)
+    batch1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    batch2 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    q = emb.filter(F.col("vec_id") % 100 == 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    similarity.build_ivfpq_index(standing, path, n_subspaces=8, n_codes=8)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    up = F.lit("UPSERT").alias("op")
+    batch1.select("vec_id", "embedding", up).coalesce(1).write.parquet(
+        f"{src}/f1", mode="overwrite"
+    )
+    for f in os.listdir(f"{src}/f1"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/f1/{f}", f"{src}/b1.parquet")
+    shutil.rmtree(f"{src}/f1")
+
+    # ---- run 1: only batch 1 exists -------------------------------------
+    ivfpq_index_ingest(spark, src, path, ckpt, schema=SCHEMA)
+    after_b1 = _topk(q, path)
+    # batch-1 vectors are now visible to queries (the whole point)
+    assert after_b1 == _rows(
+        similarity.ivfpq_topk_against_index(q, path, k=10, nprobe=4, shortlist=50)
+    )
+    ids_after_b1 = {r[1] for r in after_b1}
+    assert ids_after_b1 & set(
+        r.vec_id for r in batch1.select("vec_id").collect()
+    ), "no batch-1 vector ever surfaced in any top-10 — test corpus too easy"
+
+    # ---- run 2: batch 2 arrives, upserting new vectors and DELETING two
+    #      batch-1 ids that currently appear in results ------------------
+    victims = sorted(
+        v for v in ids_after_b1
+        if 300 <= v < 400
+    )[:2]
+    assert victims, "need batch-1 ids in the results to exercise deletes"
+    b2 = batch2.select("vec_id", "embedding", up).unionByName(
+        spark.createDataFrame(
+            [(int(v),) for v in victims], "vec_id long"
+        ).select(
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit("DELETE").alias("op"),
+        )
+    )
+    b2.coalesce(1).write.parquet(f"{src}/f2", mode="overwrite")
+    for f in os.listdir(f"{src}/f2"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/f2/{f}", f"{src}/b2.parquet")
+    shutil.rmtree(f"{src}/f2")
+
+    ivfpq_index_ingest(spark, src, path, ckpt, schema=SCHEMA)
+    after_b2 = _topk(q, path)
+    assert not ({r[1] for r in after_b2} & set(victims))
+
+    # ---- bit-identical to the batch append/delete path under the same
+    #      frozen quantizer (pivots + codebooks trained on `standing`) ---
+    twin = str(tmp_path / "twin")
+    similarity.build_ivfpq_index(standing, twin, n_subspaces=8, n_codes=8)
+    similarity.append_to_ivfpq_index(
+        batch1.select("vec_id", "embedding"), twin
+    )
+    similarity.append_to_ivfpq_index(
+        batch2.select("vec_id", "embedding"), twin
+    )
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(int(v),) for v in victims], "vec_id long"),
+        twin,
+    )
+    assert after_b2 == _topk(q, twin)
+
+    # ---- run 3: nothing new — the checkpoint makes it a no-op ----------
+    before = _topk(q, path)
+    ivfpq_index_ingest(spark, src, path, ckpt, schema=SCHEMA)
+    assert _topk(q, path) == before
+    # no duplicate code rows from the no-op run
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert (
+        codes.groupBy("vec_id", "pivot_id").count().filter("count > 1").count()
+        == 0
+    )
+
+
+def test_streaming_ingest_without_op_column_is_all_upserts(spark, tmp_path):
+    emb = spark.read.parquet(EMB)
+    standing = emb.filter(F.col("vec_id") < 300)
+    arrivals = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    path = str(tmp_path / "idx2")
+    similarity.build_ivfpq_index(standing, path, n_subspaces=8, n_codes=8)
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    arrivals.select("vec_id", "embedding").coalesce(1).write.parquet(
+        f"{src}/f", mode="overwrite"
+    )
+    for f in os.listdir(f"{src}/f"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{src}/f/{f}", f"{src}/a.parquet")
+    shutil.rmtree(f"{src}/f")
+    ivfpq_index_ingest(
+        spark, src, path, str(tmp_path / "ckpt2"),
+        schema="vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(os.path.join(path, "codes"))
+        .select("vec_id").distinct().collect()
+    }
+    assert {r.vec_id for r in arrivals.select("vec_id").collect()} <= got
