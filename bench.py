@@ -142,7 +142,53 @@ HEADLINE = [
     "emb_ivfpq_indexed_topk",
     "orders_grouping_sets",
     "events_hourly_ohlc",
+    # r9: probe path against the stream-maintained IVFADC artifact (the
+    # build + two-batch CDC ingest runs once per process; best-of-N keeps
+    # the timed number on the probe, same as the other *_indexed lanes)
+    "emb_ivfpq_stream_topk",
 ]
+
+#: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round
+#: comparison survives lane accretion (VERDICT r8 ask #5 — the headline total
+#: drifts upward every round new lanes land; this subtotal never gains
+#: members, so its trajectory is pure performance signal).  Frozen from the
+#: r7 bench snapshot (commit c4d5fd7, BENCH_QUERIES.json); do NOT append.
+COMMON_SET_R7 = frozenset({
+    "corpus_vocab_topk", "customer_change_hash",
+    "customer_dim_schema_evolution", "customer_filter_segment",
+    "customer_segment_count", "customer_set_ops",
+    "customer_with_high_value_orders", "customer_without_orders",
+    "dlt_part_pipeline", "dlt_part_quarantine",
+    "doc_benchmark_decontamination", "doc_bm25_topk", "doc_bpe_token_counts",
+    "doc_chunks", "doc_cross_corpus_dedup", "doc_dedup_representatives",
+    "doc_duplicated_spans", "doc_duplication_stats", "doc_exact_dedup",
+    "doc_gopher_quality", "doc_hybrid_search_rrf", "doc_language_id",
+    "doc_leakage_safe_splits", "doc_lm_fluency", "doc_minhash_dedup_pairs",
+    "doc_mixture_splits", "doc_ngram_jaccard_pairs", "doc_quality_classifier",
+    "doc_repetition_stats", "doc_scrub_pii", "doc_sentences_udtf",
+    "doc_simhash_pairs", "doc_simhash_poly_pairs", "doc_source_caps",
+    "doc_text_stats", "doc_token_counts", "doc_token_packing",
+    "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
+    "emb_chunk_mean_pool", "emb_cosine_dedup_pairs", "emb_cosine_topk",
+    "emb_int8_quantize_error", "emb_ivf_indexed_topk", "emb_ivf_kmeans_topk",
+    "emb_ivf_topk", "emb_ivfpq_topk", "emb_lsh_indexed_topk",
+    "emb_lsh_multitable_topk", "emb_lsh_topk", "emb_pq_adc_topk",
+    "emb_pq_indexed_topk", "emb_semantic_dedup", "events_approx_distinct",
+    "events_approx_quantiles", "events_asof_join", "events_daily_rolling",
+    "events_hourly_windows", "events_json_props", "events_range_join_agg",
+    "events_resample_ffill", "events_session_windows",
+    "events_sliding_windows", "events_stateful_sessions",
+    "events_variant_props", "fact_enrichment_join",
+    "lineitem_pricing_summary", "lineitem_skew_salted_agg",
+    "multimodal_features", "order_fact_upsert", "orders_analytic_windows",
+    "orders_duplicate_custkeys", "orders_price_quantiles",
+    "orders_priority_rollup", "orders_status_priority_cube", "orders_top20",
+    "orders_unpivot_metrics", "orders_year_priority_pivot",
+    "orders_year_windows", "part_brand_upper_udf", "part_cdf_changes",
+    "part_discount_udf", "part_distinct_aggs", "part_string_functions",
+    "part_time_travel_diff", "part_type_token_count", "scd1_customer_dim",
+    "scd2_part_dim", "scd2_part_dim_deletes",
+})
 
 #: Registered queries deliberately NOT timed in the headline metric, with
 #: the reason.  tests/test_bench_registry.py pins HEADLINE ∪ EXCLUDED ==
@@ -230,6 +276,7 @@ def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
     at any query count (tests/test_bench_registry.py pins this).
     """
     total = round(sum(timings.values()), 4)
+    common = {k: v for k, v in timings.items() if k in COMMON_SET_R7}
     detail = json.dumps(
         {"detail": "per_query_sec", "queries": timings, "sf": sf},
         sort_keys=True,
@@ -240,6 +287,10 @@ def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        # stable-basis subtotal: the frozen r7 89-lane set, so
+        # round-over-round comparison needs no git archaeology
+        "common_r7_value": round(sum(common.values()), 4),
+        "common_r7_n": len(common),
     })
     return detail, summary
 

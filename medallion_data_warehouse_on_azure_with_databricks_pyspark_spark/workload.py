@@ -1521,17 +1521,28 @@ def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .sources import skipping, versioned
 
+    import os as _os
+
     work = tempfile.mkdtemp(prefix="medallion_opt_")
     table = f"{work}/part"
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     versioned.overwrite_versioned(
         part.repartitionByRange(16, "p_retailprice"), table, now=1.0
     )
+    # target = half the OBSERVED table size, so the compaction always
+    # bin-packs to ~2 files at ANY scale factor — a fixed byte target
+    # no-ops once the 16 clustered files outgrow it, flipping the lane's
+    # last_op oracle red on data size rather than a code bug (ADVICE r8)
+    total = sum(_os.path.getsize(f) for f in versioned._data_files(table))
     versioned.optimize_compact(
-        spark, table, target_file_bytes=16 * 1024 * 1024, now=2.0,
+        spark, table, target_file_bytes=max(1, -(-total // 2)), now=2.0,
         stats_columns=["p_retailprice"],
     )
     last_op = versioned.history(table)[0]["operation"]
+    if last_op != "OPTIMIZE":  # the lane's contract IS the commit
+        raise AssertionError(
+            f"optimize_compact did not commit (last_op={last_op!r})"
+        )
     return skipping.read_skipping(
         spark, table, "p_retailprice", lower=905.0, upper=912.0
     ).select(
@@ -2317,23 +2328,56 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
 # round by tests/test_workload_oracle.py regardless of window position.
 CORRECTNESS_PRIORITY = [
-    # -- r8 window (judge asks #1-2 first): the two dlt pipeline lanes
-    #    (last driver-checked r5 — the r7 rotation slip) at the very
-    #    front, the repaired quarantine lane immediately after, then the
-    #    45 lanes whose last driver row is r6 (rule 1: no query goes
-    #    more than two rounds without a driver check).  The final two
-    #    slots are rule 2: the NEW per-commit CDF lane and one
-    #    representative of the retrained-PQ-codebook oracle change.
-    #    Changed lanes that did not fit the 50-entry window
-    #    (emb_ivfpq_topk, emb_pq_indexed_topk, part_cdf_changes,
-    #    part_time_travel_diff, emb_semantic_dedup — all hash-green r7
-    #    and locally driver-replayed at sf0.01 this round via
-    #    tests/test_workload_oracle.py) lead the tail so r9's rule 1
-    #    front-loads them.
+    # -- r9 window (judge ask #1 is the whole front): the 17 r8 lanes
+    #    that have NEVER had a driver hash row lead (rule 1,
+    #    least-recently-checked first), followed by the five
+    #    changed-in-r8-but-unwindowed lanes (rule 2 carryover:
+    #    emb_ivfpq_topk, emb_pq_indexed_topk, part_cdf_changes,
+    #    part_time_travel_diff, emb_semantic_dedup).  The remaining 28
+    #    slots are the r7-checked lanes whose last driver row is now two
+    #    rounds old (rule 1 again).  Lanes touched THIS round (rule 2)
+    #    are flagged inline.
+    "part_scd2_from_cdf_replay", "events_stream_stream_join",
+    "part_stats_skipping_scan", "part_optimize_compacted_scan",
+    "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
+    "part_dv_delete_scan", "events_generated_partition_scan",
+    "part_matview_incremental",  # rule 2: null-safe delta fold (r9)
+    "emb_ivfpq_residual_topk",
+    "events_cohort_retention", "events_funnel_stages",
+    "emb_ivfpq_indexed_topk", "orders_grouping_sets",
+    "events_stream_static_enrich", "events_hourly_ohlc",
+    "doc_adaptive_quality_filter",
+    "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
+    "part_time_travel_diff",
+    "emb_semantic_dedup",  # rule 2: process-cached quantizer reuse (r9)
+    "emb_cosine_dedup_pairs",  # rule 2: plan-free hot-bucket cap (r9)
+    "emb_ivfpq_stream_topk",  # rule 2: NEW r9 streaming-append IVFADC lane
+    "emb_lsh_indexed_topk",
+    "order_fact_upsert", "events_asof_join", "events_range_join_agg",
+    "events_hourly_windows", "events_sliding_windows",
+    "events_session_windows", "customer_segment_count",
+    "customer_filter_segment", "part_type_token_count",
+    "customer_change_hash", "orders_year_windows",
+    "orders_duplicate_custkeys", "lineitem_pricing_summary",
+    "events_json_props", "orders_priority_rollup", "customer_set_ops",
+    "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
+    "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
+    "events_stream_ingest", "events_json_rescue_ingest",
+    "doc_hybrid_search_rrf",
+    # -- tail (all hash-green r7/r8; rotates back in by rule 1) --------
+    "events_stream_watermark_windows",
+    "emb_chunk_mean_pool", "doc_quality_classifier", "doc_lm_fluency",
+    "events_stream_dropdup_ingest", "customer_dim_schema_evolution",
+    "orders_unpivot_metrics", "doc_sentences_udtf",
+    "doc_leakage_safe_splits", "doc_simhash_poly_pairs",
+    "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
+    "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
+    "emb_ivf_indexed_topk", "doc_cross_corpus_dedup",
+    "doc_stream_dedup_ingest",
     "dlt_part_pipeline", "dlt_part_pipeline_incremental",
     "dlt_part_quarantine", "emb_lsh_multitable_topk", "doc_token_counts",
     "doc_text_stats", "doc_language_id", "doc_exact_dedup",
-    "doc_dedup_representatives", "emb_cosine_topk", "emb_cosine_dedup_pairs",
+    "doc_dedup_representatives", "emb_cosine_topk",
     "multimodal_features", "doc_repetition_stats", "doc_scrub_pii",
     "doc_bm25_topk", "orders_price_quantiles", "emb_int8_quantize_error",
     "events_approx_distinct", "events_approx_quantiles",
@@ -2349,48 +2393,6 @@ CORRECTNESS_PRIORITY = [
     "doc_bpe_token_counts", "events_stateful_sessions", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim", "part_cdf_changes_percommit",
     "emb_pq_adc_topk",
-    # -- r7-checked tail (rotates back in by rule 1 next round); the
-    #    16 NEW r8 lanes lead it — part_scd2_from_cdf_replay,
-    #    events_stream_stream_join, part_stats_skipping_scan,
-    #    part_optimize_compacted_scan, part_dml_update_delete_cdf,
-    #    part_bloom_skipping_scan, part_dv_delete_scan,
-    #    events_generated_partition_scan, part_matview_incremental,
-    #    emb_ivfpq_residual_topk, events_cohort_retention,
-    #    events_funnel_stages, emb_ivfpq_indexed_topk,
-    #    orders_grouping_sets, events_stream_static_enrich,
-    #    events_hourly_ohlc — all locally
-    #    driver-replayed at sf0.001+sf0.01 (build AND reuse paths for
-    #    every guarded/cached lane); rule 1 front-loads them in r9 ------
-    "part_scd2_from_cdf_replay", "events_stream_stream_join",
-    "part_stats_skipping_scan", "part_optimize_compacted_scan",
-    "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
-    "part_dv_delete_scan", "events_generated_partition_scan",
-    "part_matview_incremental", "emb_ivfpq_residual_topk",
-    "events_cohort_retention", "events_funnel_stages",
-    "emb_ivfpq_indexed_topk", "orders_grouping_sets",
-    "events_stream_static_enrich", "events_hourly_ohlc",
-    "doc_adaptive_quality_filter",
-    "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
-    "part_time_travel_diff", "emb_semantic_dedup", "emb_lsh_indexed_topk",
-    "order_fact_upsert", "events_asof_join", "events_range_join_agg",
-    "events_hourly_windows", "events_sliding_windows",
-    "events_session_windows", "customer_segment_count",
-    "customer_filter_segment", "part_type_token_count",
-    "customer_change_hash", "orders_year_windows",
-    "orders_duplicate_custkeys", "lineitem_pricing_summary",
-    "events_json_props", "orders_priority_rollup", "customer_set_ops",
-    "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
-    "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
-    "events_stream_ingest", "events_json_rescue_ingest",
-    "doc_hybrid_search_rrf", "events_stream_watermark_windows",
-    "emb_chunk_mean_pool", "doc_quality_classifier", "doc_lm_fluency",
-    "events_stream_dropdup_ingest", "customer_dim_schema_evolution",
-    "orders_unpivot_metrics", "doc_sentences_udtf",
-    "doc_leakage_safe_splits", "doc_simhash_poly_pairs",
-    "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
-    "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
-    "emb_ivf_indexed_topk", "doc_cross_corpus_dedup",
-    "doc_stream_dedup_ingest",
 ]
 
 def ordered_queries() -> dict:
