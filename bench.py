@@ -146,6 +146,9 @@ HEADLINE = [
     # build + two-batch CDC ingest runs once per process; best-of-N keeps
     # the timed number on the probe, same as the other *_indexed lanes)
     "emb_ivfpq_stream_topk",
+    # r9: transactional MERGE INTO a versioned table (merge plan inside
+    # the optimistic-concurrency transact loop)
+    "part_merge_versioned_txn",
 ]
 
 #: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round

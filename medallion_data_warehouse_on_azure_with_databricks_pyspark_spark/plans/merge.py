@@ -197,6 +197,49 @@ def merge_dataframes(
     return merged.unionByName(inserts)
 
 
+def merge_versioned(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    max_retries: int = 3,
+    now: float | None = None,
+    operation: str = "MERGE",
+    partition_by: list[str] | None = None,
+    stats_columns: list[str] | None = None,
+    **merge_kwargs,
+) -> int:
+    """Transactional ``MERGE INTO`` a versioned table: the
+    :func:`merge_dataframes` plan runs inside
+    ``sources.versioned.transact``, so the merge reads a consistent
+    snapshot, commits pinned to it, and — if a concurrent commit lands
+    in between — re-reads and re-merges instead of silently clobbering
+    the interleaved write.  This is Delta's ``MERGE`` contract
+    (``/root/reference/Gold_Orders.py:60-81`` merges into a Delta table
+    under exactly this optimistic protocol); the commit appears in
+    ``history`` as ``operation='MERGE'`` and flows through CDF like any
+    DML.  Returns the committed version.
+
+    The merge source is captured once and reused across retries — only
+    the TARGET snapshot is re-read, matching SQL MERGE's semantics where
+    the source is a fixed relation for the statement's lifetime.
+    ``merge_kwargs`` pass through to :func:`merge_dataframes`
+    (update/insert/delete clauses, ``extra_on``, ``schema_evolution``,
+    ``broadcast_source``)."""
+    from ..sources import versioned
+
+    return versioned.transact(
+        spark,
+        path,
+        lambda snap: merge_dataframes(snap, source, keys, **merge_kwargs),
+        max_retries=max_retries,
+        now=now,
+        operation=operation,
+        partition_by=partition_by,
+        stats_columns=stats_columns,
+    )
+
+
 def assert_unique_source(source: DataFrame, keys: list[str]) -> None:
     """Optional SQL-MERGE cardinality check (one action; skip in hot paths)."""
     dup = (

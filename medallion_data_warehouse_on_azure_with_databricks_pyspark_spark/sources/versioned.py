@@ -350,7 +350,14 @@ def overwrite_versioned(
     writer = df.write.mode("overwrite").format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(stage)
+    try:
+        writer.save(stage)
+    except BaseException:
+        # a failed stage write (e.g. its snapshot's files were renamed
+        # aside by a rival commit mid-read) must not leave an orphan dir
+        # for recover() to sweep later
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
 
     # -- commit tail: claim → assign version under the claim → intent →
     #    renames → log.  The claim is the only mutual exclusion the
@@ -723,6 +730,66 @@ def table_detail(path: str) -> dict:
             os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
         ),
     }
+
+
+def transact(
+    spark: SparkSession,
+    path: str,
+    fn,
+    max_retries: int = 3,
+    now: float | None = None,
+    operation: str = "WRITE",
+    backoff_s: float = 0.05,
+    **commit_kwargs,
+) -> int:
+    """Delta-style optimistic transaction loop: read the current
+    snapshot, derive the new table state with ``fn(snapshot)``, and
+    commit it pinned to the snapshot's version — on
+    :class:`ConcurrentWriteError` (a commit landed in between, or
+    another writer holds the claim right now), re-read and re-derive,
+    up to ``max_retries`` retries.
+
+    This is the remedy the conflict-detection contract prescribes
+    ("re-read and retry the transaction"), packaged so callers don't
+    hand-roll it: because every commit here rewrites the full snapshot,
+    any interleaved commit conflicts — there is no disjoint-partition
+    commute fast path like real Delta's — so the retry must re-run the
+    TRANSFORM, not just re-attempt the commit.  ``fn`` therefore must be
+    a pure function of the snapshot it is given.
+
+    ``now`` pins the commit timestamp of whichever attempt wins (same
+    reproducibility contract as ``overwrite_versioned``); the linear
+    backoff between attempts un-synchronizes racing writers.  Returns
+    the committed version.
+    """
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt and backoff_s:
+            time.sleep(backoff_s * attempt)
+        base_v = current_version(path)
+        try:
+            out = fn(spark.read.parquet(path))
+            return overwrite_versioned(
+                out, path, now=now, operation=operation,
+                expected_version=base_v, **commit_kwargs,
+            )
+        except ConcurrentWriteError as e:
+            last = e
+        except Exception as e:
+            # A rival commit renames the snapshot's files aside mid-read;
+            # Spark's pinned file listing then fails LOUDLY
+            # (FAILED_READ_FILE) rather than silently reading the new
+            # data — so any failure while the version moved is a race
+            # casualty and retries; with the version unmoved it is a
+            # genuine error and propagates (a real bug re-raises on the
+            # stable re-run even if a rival coincidentally landed).
+            if current_version(path) == base_v:
+                raise
+            last = e
+    raise ConcurrentWriteError(
+        f"{path}: transaction lost the commit race {max_retries + 1} "
+        f"times; last conflict: {last}"
+    ) from last
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:

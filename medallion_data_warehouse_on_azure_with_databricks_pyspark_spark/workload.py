@@ -1605,6 +1605,92 @@ def part_dml_update_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_merge_versioned_txn",
+    oracle="""
+    WITH upd AS (
+      SELECT p_partkey, p_retailprice + 100 AS new_price
+      FROM part WHERE p_partkey % 10 = 0),
+    del AS (SELECT p_partkey FROM part WHERE p_partkey % 10 = 5),
+    ins AS (
+      SELECT p_partkey + 10000000 AS p_partkey, p_retailprice AS price
+      FROM part WHERE p_partkey % 10 = 3)
+    SELECT p.p_partkey,
+           COALESCE(u.new_price, p.p_retailprice) AS price,
+           'MERGE' AS last_op
+    FROM part p
+    LEFT JOIN upd u USING (p_partkey)
+    ANTI JOIN del d ON p.p_partkey = d.p_partkey
+    UNION ALL
+    SELECT p_partkey, price, 'MERGE' FROM ins
+    """,
+)
+def part_merge_versioned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE INTO a versioned table
+    (``plans/merge.py::merge_versioned`` running the J3/J5 merge plan
+    inside ``sources/versioned.py::transact``): one optimistic commit
+    carries UPDATE (+100 on every 10th key), DELETE (keys ≡5 mod 10) and
+    INSERT (keys ≡3 mod 10 re-keyed +10M) clauses — the Delta ``MERGE``
+    contract the reference's gold layer relies on
+    (``/root/reference/Gold_Orders.py:60-81``), with conflict detection
+    pinning the commit to the snapshot the merge read.  The lane asserts
+    the commit landed as ``operation='MERGE'`` and returns the final
+    table state; the oracle restates the three clauses over the raw
+    table.  Scale: the merge itself is the broadcast-left-join +
+    anti-join plan of ``merge_dataframes`` (no full-outer when the
+    source broadcasts), and the transaction adds only the O(1) claim +
+    log append around it."""
+    import tempfile
+
+    from .plans import merge as M
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_mrgtxn_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    versioned.overwrite_versioned(
+        part.select("p_partkey", "p_retailprice"), table, now=1.0
+    )
+    fls = F.lit(False).alias("is_delete")
+    src = (
+        part.filter("p_partkey % 10 = 0")
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") + 100).alias("p_retailprice"),
+            fls,
+        )
+        .unionByName(
+            part.filter("p_partkey % 10 = 5").select(
+                "p_partkey", "p_retailprice", F.lit(True).alias("is_delete")
+            )
+        )
+        .unionByName(
+            part.filter("p_partkey % 10 = 3").select(
+                (F.col("p_partkey") + 10_000_000).alias("p_partkey"),
+                "p_retailprice",
+                fls,
+            )
+        )
+    )
+    M.merge_versioned(
+        spark, table, src, keys=["p_partkey"], now=2.0,
+        update_set={"p_retailprice": M.s("p_retailprice")},
+        insert_values={
+            "p_partkey": M.s("p_partkey"),
+            "p_retailprice": M.s("p_retailprice"),
+        },
+        delete_condition=M.s("is_delete"),
+    )
+    last_op = versioned.history(table)[0]["operation"]
+    if last_op != "MERGE":  # the lane's contract IS the transactional commit
+        raise AssertionError(f"merge did not commit (last_op={last_op!r})")
+    return spark.read.parquet(table).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.lit(last_op).alias("last_op"),
+    )
+
+
+@query(
     "part_bloom_skipping_scan",
     oracle="""
     SELECT p_partkey, p_brand, p_retailprice
@@ -2352,6 +2438,7 @@ CORRECTNESS_PRIORITY = [
     "emb_semantic_dedup",  # rule 2: process-cached quantizer reuse (r9)
     "emb_cosine_dedup_pairs",  # rule 2: plan-free hot-bucket cap (r9)
     "emb_ivfpq_stream_topk",  # rule 2: NEW r9 streaming-append IVFADC lane
+    "part_merge_versioned_txn",  # rule 2: NEW r9 transactional MERGE lane
     "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
     "events_hourly_windows", "events_sliding_windows",

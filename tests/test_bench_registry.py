@@ -89,7 +89,7 @@ def test_ordered_queries_serves_priority_window():
         "part_time_travel_diff",
         # r9-changed + new lanes
         "emb_semantic_dedup", "emb_cosine_dedup_pairs",
-        "emb_ivfpq_stream_topk",
+        "emb_ivfpq_stream_topk", "part_merge_versioned_txn",
     ):
         assert q in window, q
 

@@ -713,3 +713,96 @@ def test_recover_tolerates_torn_or_claim_only_intent(spark, tmp_path):
     assert V.recover(path) is False
     assert not os.path.exists(V._intent_path(path))
     assert V.overwrite_versioned(spark.range(5), path, now=2.0) == 1
+
+
+def test_transact_retries_past_interleaved_commit(spark, tmp_path):
+    """The optimistic loop re-reads and re-derives after losing the race:
+    a commit that lands between snapshot read and commit triggers exactly
+    one retry, the final state reflects BOTH transactions, and history is
+    linear."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "txn")
+    V.overwrite_versioned(
+        spark.range(10).withColumnRenamed("id", "k"), path, now=1.0
+    )
+    calls = {"n": 0}
+
+    def double_k(snap):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a concurrent writer lands AFTER our snapshot read
+            V.delete_where(spark, path, F.col("k") >= 8, now=2.0)
+        return snap.withColumn("k", F.col("k") * 2)
+
+    v = V.transact(spark, path, double_k, now=3.0, operation="DOUBLE",
+                   backoff_s=0.0)
+    assert v == 2 and calls["n"] == 2  # lost once, re-derived once
+    # both transactions applied serially: delete first, then the doubling
+    assert _ids(spark.read.parquet(path).withColumnRenamed("k", "id")) == [
+        0, 2, 4, 6, 8, 10, 12, 14
+    ]
+    hist = V.history(path)
+    assert [e["operation"] for e in hist] == ["DOUBLE", "DELETE", "WRITE"]
+
+
+def test_transact_exhausts_retries_and_raises(spark, tmp_path):
+    """Every attempt loses (a rival commit lands inside each fn call):
+    transact surfaces ConcurrentWriteError after max_retries+1 attempts,
+    and none of the losing attempts committed anything."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "txn_lose")
+    V.overwrite_versioned(spark.range(4), path, now=1.0)
+    calls = {"n": 0}
+
+    def always_raced(snap):
+        calls["n"] += 1
+        V.overwrite_versioned(
+            spark.range(4 + calls["n"]), path, now=1.0 + calls["n"]
+        )
+        return snap.withColumn("id", F.col("id") + 100)
+
+    with pytest.raises(V.ConcurrentWriteError, match="lost the commit race"):
+        V.transact(spark, path, always_raced, max_retries=2, backoff_s=0.0)
+    assert calls["n"] == 3
+    # only the rival commits are in history; no half-applied transaction
+    assert [e["operation"] for e in V.history(path)] == ["WRITE"] * 4
+    assert spark.read.parquet(path).count() == 7
+
+
+def test_merge_versioned_transactional_upsert_delete(spark, tmp_path):
+    """MERGE INTO a versioned table: update+insert+delete in one commit,
+    visible in history as MERGE and in CDF as row-level changes."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import merge as M
+
+    path = str(tmp_path / "mrg")
+    V.overwrite_versioned(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, name string, val double",
+        ),
+        path, now=1.0,
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0, False), (3, "c", 0.0, True), (4, "d", 40.0, False)],
+        "k int, name string, val double, is_delete boolean",
+    )
+    v = M.merge_versioned(
+        spark, path, source, keys=["k"], now=2.0,
+        update_set={"name": M.s("name"), "val": M.s("val")},
+        insert_values={"k": M.s("k"), "name": M.s("name"), "val": M.s("val")},
+        delete_condition=M.s("is_delete"),
+    )
+    assert v == 1
+    assert V.history(path)[0]["operation"] == "MERGE"
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 25.0), (4, "d", 40.0)]
+    chg = {
+        (r["k"], r["_change_type"])
+        for r in V.table_changes(spark, path, ["k"], 0, 1).collect()
+    }
+    assert chg == {
+        (2, "update_preimage"), (2, "update_postimage"),
+        (3, "delete"), (4, "insert"),
+    }
