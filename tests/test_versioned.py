@@ -806,3 +806,47 @@ def test_merge_versioned_transactional_upsert_delete(spark, tmp_path):
         (2, "update_preimage"), (2, "update_postimage"),
         (3, "delete"), (4, "insert"),
     }
+
+
+def test_transact_concurrent_threads_all_land_serially(spark, tmp_path):
+    """Stress the optimistic protocol: 4 writer threads each run 3
+    increment transactions against one table.  Every transaction must
+    eventually land (transact absorbs the races), the final value must
+    equal the total increment count, and the history must be linear."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ctr")
+    V.overwrite_versioned(
+        spark.createDataFrame([(0,)], "n long"), path, now=0.0
+    )
+    n_threads, n_txn = 4, 3
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(n_txn):
+                V.transact(
+                    spark, path,
+                    lambda snap: snap.withColumn("n", F.col("n") + 1),
+                    max_retries=50, backoff_s=0.02,
+                    now=float(tid * 100 + i), operation=f"INC_t{tid}",
+                )
+        except Exception as e:  # surfaces in the main thread's assert
+            errors.append((tid, repr(e)))
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    total = n_threads * n_txn
+    assert spark.read.parquet(path).collect()[0]["n"] == total
+    hist = V.history(path)
+    assert [e["version"] for e in hist] == list(range(total, -1, -1))
+    ops = [e["operation"] for e in hist if e["operation"].startswith("INC")]
+    assert len(ops) == total  # every transaction committed exactly once
