@@ -149,6 +149,9 @@ HEADLINE = [
     # r9: transactional MERGE INTO a versioned table (merge plan inside
     # the optimistic-concurrency transact loop)
     "part_merge_versioned_txn",
+    # r9: distributed PCA — fixed-point Gram moments + deterministic
+    # power iteration + Catalyst-fold projection
+    "emb_top_pc_projection",
 ]
 
 #: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round

@@ -2439,6 +2439,7 @@ CORRECTNESS_PRIORITY = [
     "emb_cosine_dedup_pairs",  # rule 2: plan-free hot-bucket cap (r9)
     "emb_ivfpq_stream_topk",  # rule 2: NEW r9 streaming-append IVFADC lane
     "part_merge_versioned_txn",  # rule 2: NEW r9 transactional MERGE lane
+    "emb_top_pc_projection",  # rule 2: NEW r9 distributed-PCA lane
     "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
     "events_hourly_windows", "events_sliding_windows",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, fingerprint, multimodal, similarity, text
+from .operators import decomposition, dedup, fingerprint, multimodal, similarity, text
 from .workload import load, query
 
 # ---------------------------------------------------------------------------
@@ -939,6 +939,87 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cl = similarity.semantic_clusters(emb, modulus=37).persist()
         _SEM_CLUSTERS_CACHE[sf_dir] = cl
     return similarity.semantic_dedup_survivors(clustered=cl, threshold=0.35)
+
+
+def _pca_oracle(dim: int = 64, fp: int = 1 << 20, iters: int = 80) -> str:
+    """Full PCA replay: quantized Gram/moments (exact integer sums) →
+    centered covariance → ``iters`` power-method steps over ordered
+    folds → per-vector projection.  Every float op mirrors
+    ``operators/decomposition.py`` bit-for-bit: divisions in the same
+    order (``/fp/fp/n``), folds seeded 0.0 ascending, the constant
+    ``1/sqrt(dim)`` start vector, the norm recomputed from the same
+    fold."""
+    d1 = dim + 1
+    fold = "(a, b) -> a + b"
+    return f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {fp}) AS BIGINT)) AS qv
+      FROM embeddings),
+    nrow AS (SELECT COUNT(*) AS n FROM q),
+    mu AS (
+      SELECT i,
+             CAST(SUM(CAST(qv[i] AS DECIMAL(38,0))) AS DOUBLE) / {fp}
+               / (SELECT n FROM nrow) AS m
+      FROM q CROSS JOIN range(1, {d1}) t(i) GROUP BY i),
+    cov AS (
+      SELECT g.i, g.j,
+             g.s / {fp} / {fp} / (SELECT n FROM nrow) - mi.m * mj.m AS c
+      FROM (
+        SELECT i, j,
+               CAST(SUM(CAST(qv[i] * qv[j] AS DECIMAL(38,0))) AS DOUBLE) AS s
+        FROM q CROSS JOIN range(1, {d1}) t1(i) CROSS JOIN range(1, {d1}) t2(j)
+        GROUP BY i, j) g
+      JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+    gm AS (
+      SELECT list(rl ORDER BY i) AS g FROM (
+        SELECT i, list(c ORDER BY j) AS rl FROM cov GROUP BY i)),
+    pi(k, v) AS (
+      SELECT 0, list_transform(range(1, {d1}), i -> {1.0 / dim ** 0.5}::DOUBLE)
+      UNION ALL
+      SELECT k + 1,
+             list_transform(w, x -> x / sqrt(list_reduce(
+                 list_prepend(0.0::DOUBLE, list_transform(w, y -> y * y)),
+                 {fold})))
+      FROM (
+        SELECT p.k,
+               list_transform(g.g, row -> list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(range(1, {d1}), j -> row[j] * p.v[j])),
+                   {fold})) AS w
+        FROM pi p, gm g WHERE p.k < {iters}) t),
+    pc AS (SELECT v FROM pi WHERE k = {iters}),
+    mul AS (SELECT list(m ORDER BY i) AS mu FROM mu)
+    SELECT e.vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, {d1}),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - mul.mu[i]) * pc.v[i])),
+               {fold}) AS pc_coord
+    FROM embeddings e, pc, mul
+    """
+
+
+@query("emb_top_pc_projection", oracle=_pca_oracle())
+def emb_top_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (``operators/decomposition.py``): one Arrow-batched
+    corpus pass aggregates the fixed-point Gram/mean moments (integer
+    sums — exact and order-independent across any partitioning), the
+    driver runs 80 deterministic power-method steps on the 64×64 centered
+    covariance, and a second pass projects every vector onto the top
+    principal direction as a Catalyst fold (no UDF).  The oracle replays
+    the ENTIRE pipeline — quantization, exact moment sums, the same 80
+    ordered-fold iterations as a recursive CTE, the projection — with
+    zero tolerance, so the lane pins the distributed-aggregation + solve
+    arithmetic bit-for-bit.  Convergence itself is a property of the
+    data's eigengap, not the lane's contract: this synthetic corpus is
+    near-isotropic (λ₂/λ₁ ≈ 0.99 at sf0.01), the adversarial case for
+    the power method; real embedding corpora have dominant components
+    (that is why PCA-whitening them pays)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return decomposition.principal_projection(emb, iters=80).select(
+        "vec_id", "pc_coord"
+    )
 
 
 @query(

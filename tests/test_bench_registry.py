@@ -90,6 +90,7 @@ def test_ordered_queries_serves_priority_window():
         # r9-changed + new lanes
         "emb_semantic_dedup", "emb_cosine_dedup_pairs",
         "emb_ivfpq_stream_topk", "part_merge_versioned_txn",
+        "emb_top_pc_projection",
     ):
         assert q in window, q
 
