@@ -152,6 +152,9 @@ HEADLINE = [
     # r9: distributed PCA — fixed-point Gram moments + deterministic
     # power iteration + Catalyst-fold projection
     "emb_top_pc_projection",
+    # r9: tokenizer training on the corpus itself (distributed word count
+    # + driver merge loop + per-doc counts under the trained table)
+    "doc_bpe_trained_tokens",
 ]
 
 #: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round

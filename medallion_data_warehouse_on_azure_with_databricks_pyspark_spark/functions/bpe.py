@@ -84,7 +84,19 @@ def train_bpe(corpus: list[str], num_merges: int) -> list[tuple[bytes, bytes]]:
     for text in corpus:
         for tok in pretokenize(text):
             words[tuple(bytes([b]) for b in tok.encode("utf-8"))] += 1
+    return train_bpe_from_words(words, num_merges)
 
+
+def train_bpe_from_words(
+    words: Counter, num_merges: int
+) -> list[tuple[bytes, bytes]]:
+    """The merge-learning loop over an already-aggregated word-frequency
+    table (``{byte-tuple word: count}``) — the sequential stage of BPE
+    training, split out so distributed callers
+    (``operators/tokenizer.py``) can aggregate the corpus-sized word
+    counts in Spark and learn merges from the bounded table.  Identical
+    determinism contract as :func:`train_bpe`."""
+    words = Counter(words)
     merges: list[tuple[bytes, bytes]] = []
     for _ in range(num_merges):
         pairs: Counter[tuple[bytes, bytes]] = Counter()

@@ -2440,6 +2440,7 @@ CORRECTNESS_PRIORITY = [
     "emb_ivfpq_stream_topk",  # rule 2: NEW r9 streaming-append IVFADC lane
     "part_merge_versioned_txn",  # rule 2: NEW r9 transactional MERGE lane
     "emb_top_pc_projection",  # rule 2: NEW r9 distributed-PCA lane
+    "doc_bpe_trained_tokens",  # rule 2: NEW r9 trained-tokenizer lane
     "emb_lsh_indexed_topk",
     "order_fact_upsert", "events_asof_join", "events_range_join_agg",
     "events_hourly_windows", "events_sliding_windows",

@@ -33,7 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import decomposition, dedup, fingerprint, multimodal, similarity, text
+from .operators import (  # noqa: E501
+    decomposition, dedup, fingerprint, multimodal, similarity, text, tokenizer,
+)
 from .workload import load, query
 
 # ---------------------------------------------------------------------------
@@ -135,6 +137,27 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "documents")
     return text.bpe_token_count_exact(df, "text").select(
         "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+@query("doc_bpe_trained_tokens")  # iterative training: no ANSI-SQL oracle
+def doc_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING as a pipeline stage
+    (``operators/tokenizer.py``): learn 64 BPE merges from THIS corpus —
+    distributed word counting (the only corpus-sized stage: one
+    Arrow-batched pretokenize scan + one capped count aggregate), the
+    sequential merge loop on the driver's bounded word table — then
+    budget every document under its own trained tokenizer.  Iterative
+    training is not ANSI-SQL-expressible; ``tests/test_tokenizer.py``
+    pins the distributed trainer EXACTLY equal to the pure-Python
+    single-node trainer on the same corpus (the strongest available
+    oracle: same merges, same counts, any partitioning)."""
+    docs = load(spark, sf_dir, "documents")
+    merges = tokenizer.train_bpe_distributed(
+        docs, num_merges=64, max_words=50_000
+    )
+    return tokenizer.token_counts_with_merges(docs, merges).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
 
 

@@ -53,6 +53,10 @@ def test_every_query_has_oracle_or_documented_weak_check():
         # real byte-level BPE: not SQL-expressible; exact counts pinned by
         # tests/test_llmops.py against an independent reference encoder
         "doc_bpe_token_counts",
+        # r9: iterative BPE TRAINING (merge k+1 depends on merge k) is
+        # not SQL-expressible; tests/test_tokenizer.py pins the
+        # distributed trainer EXACTLY equal to the single-node trainer
+        "doc_bpe_trained_tokens",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
@@ -90,7 +94,7 @@ def test_ordered_queries_serves_priority_window():
         # r9-changed + new lanes
         "emb_semantic_dedup", "emb_cosine_dedup_pairs",
         "emb_ivfpq_stream_topk", "part_merge_versioned_txn",
-        "emb_top_pc_projection",
+        "emb_top_pc_projection", "doc_bpe_trained_tokens",
     ):
         assert q in window, q
 
