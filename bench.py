@@ -109,6 +109,7 @@ HEADLINE = [
     "doc_gopher_quality",
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",
+    "doc_boilerplate_removal",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

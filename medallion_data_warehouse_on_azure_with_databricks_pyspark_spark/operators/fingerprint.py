@@ -224,6 +224,73 @@ def duplication_stats(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans REMOVED — the
+    acting half of Lee et al. 2021's ExactSubstr dedup (the paper cuts
+    the duplicated substring out of all but one occurrence; like most
+    production pipelines — e.g. C4's three-sentence rule — we cut every
+    occurrence, which is the stricter, order-free variant a distributed
+    pass can apply without electing a canonical survivor).
+
+    Output ``(id, clean_text, n_tokens, removed_tokens)``:
+    ``clean_text`` is the document's kept tokens (lowercased, whitespace-
+    normalized — the tokenizer's canonical form, same normalization the
+    whole shingle family applies) joined by single spaces; every doc in
+    the corpus appears, untouched docs with ``removed_tokens = 0``.
+
+    Spark-first shape: :func:`duplicated_spans` already merges marks into
+    disjoint per-doc intervals; those are collected into ONE array per
+    doc (bounded by n_tokens/k spans — thousands at most for real docs,
+    never corpus-sized) and the rewrite is a single Catalyst projection:
+    ``filter(sequence(0, n-1), p -> !exists(spans, s -> s.s <= p <= s.e))``
+    → ``array_join(transform(kept, p -> toks[p]))``.  No UDF, no second
+    shuffle beyond the span aggregation itself; the span side of the join
+    is skinny (id + interval array) and broadcastable when the flagged
+    set is small.
+
+    The per-token ``exists`` scan over the doc's span array is O(spans)
+    — quadratic only in the pathological all-boilerplate doc, where the
+    spans have merged into one interval anyway.
+    """
+    spans = duplicated_spans(df, id_col, text_col, k, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = F.col("__toks")
+    covered = lambda p: F.exists(  # noqa: E731 — name aids the plan below
+        F.col("__spans"), lambda sp: (sp["s"] <= p) & (p <= sp["e"])
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda p: ~F.coalesce(covered(p), F.lit(False)),
+    )
+    from .text import tokens
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(per_doc, id_col, "left")
+        .withColumn("__toks", tokens(text_col))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(kept, lambda p: F.element_at(toks, p + 1)), " "
+            ).alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("removed_tokens"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

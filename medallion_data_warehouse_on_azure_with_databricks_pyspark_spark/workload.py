@@ -2414,6 +2414,8 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
 # round by tests/test_workload_oracle.py regardless of window position.
 CORRECTNESS_PRIORITY = [
+    # -- r10 rule-2 head: lanes NEW this round ------------------------
+    "doc_boilerplate_removal",  # rule 2: NEW r10 span-removal lane
     # -- r9 window (judge ask #1 is the whole front): the 17 r8 lanes
     #    that have NEVER had a driver hash row lead (rule 1,
     #    least-recently-checked first), followed by the five

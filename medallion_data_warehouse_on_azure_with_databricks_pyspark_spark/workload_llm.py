@@ -436,10 +436,13 @@ def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_duplicated_spans",
-    oracle=r"""
-    WITH ct AS (
+#: Shared CTE chain replaying ``fingerprint.duplicated_spans(k=5,
+#: min_occurrences=2)`` end to end (tokens → 5-gram poly hashes →
+#: inverted-index count → marks → running-max interval merge); ends at
+#: ``grouped`` (one row per mark with its merge-group id).  Used by the
+#: span-report lane and the span-REMOVAL lane so the two oracles can
+#: never drift apart.
+_SPAN_CTES = r"""ct AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents),
     grams AS (
@@ -474,7 +477,12 @@ def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped AS (
       SELECT doc_id, s, e,
              sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-      FROM flagged)
+      FROM flagged)"""
+
+
+@query(
+    "doc_duplicated_spans",
+    oracle="WITH " + _SPAN_CTES + """
     SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
            max(e) - min(s) + 1 AS span_tokens
     FROM grouped GROUP BY doc_id, grp
@@ -495,6 +503,50 @@ def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_start").cast("long").alias("span_start"),
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+@query(
+    "doc_boilerplate_removal",
+    oracle="WITH " + _SPAN_CTES + """,
+    spans AS (
+      SELECT doc_id, min(s) AS ss, max(e) AS se
+      FROM grouped GROUP BY doc_id, grp),
+    cov AS (SELECT doc_id, unnest(range(ss, se + 1)) AS pos FROM spans),
+    tokpos AS (
+      SELECT doc_id, u.pos, u.tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1),
+                          i -> {'pos': i - 1, 'tok': t[i]})) AS u
+            FROM ct)),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+      WHERE c.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id)
+    SELECT ct.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(ct.t) AS BIGINT) AS n_tokens,
+           CAST(len(ct.t) - coalesce(a.kept_n, 0) AS BIGINT)
+             AS removed_tokens
+    FROM ct LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring boilerplate REMOVAL — the acting half of Lee et
+    al. 2021 (``fingerprint.remove_duplicated_spans``): the spans the
+    report lane flags are cut from every document and the cleaned text
+    re-emitted.  The rewrite is one Catalyst array projection over the
+    merged-span arrays (no UDF, no explode of token positions on the
+    Spark side); the oracle replays the identical span chain, then
+    rebuilds the kept-token text positionally in SQL.  Every doc
+    appears; the hash covers each cleaned text byte-for-byte."""
+    return fingerprint.remove_duplicated_spans(
+        load(spark, sf_dir, "documents"), k=5, min_occurrences=2
     )
 
 

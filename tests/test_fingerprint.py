@@ -197,3 +197,46 @@ def test_duplication_stats_rollup(spark):
         0, 0, 0.0,
     )
     assert got[1]["dup_ratio"] == 9 / got[1]["n_tokens"]
+
+
+def test_remove_duplicated_spans_cuts_every_occurrence(spark):
+    """Two docs share a 6-token boilerplate run (k=5 ⇒ flagged); both
+    lose exactly that run, a third untouched doc passes through with the
+    tokenizer's canonical (lowercased, space-joined) form."""
+    boiler = "please subscribe to our newsletter for more updates"
+    a = "alpha beta " + boiler + " gamma delta"
+    b = boiler + " epsilon zeta eta theta iota"
+    c = "Totally Unique   Content here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in fingerprint.remove_duplicated_spans(df, k=5).collect()
+    }
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[1]["removed_tokens"] == len(boiler.split())
+    assert got[2]["clean_text"] == "epsilon zeta eta theta iota"
+    assert got[3]["clean_text"] == "totally unique content here"
+    assert got[3]["removed_tokens"] == 0
+    for r in got.values():  # removed + kept == original token count
+        assert r["n_tokens"] == r["removed_tokens"] + len(
+            r["clean_text"].split() if r["clean_text"] else []
+        )
+
+
+def test_remove_duplicated_spans_fully_covered_doc_empties(spark):
+    """A doc that IS the boilerplate (duplicated in full) cleans to the
+    empty string but still appears in the output."""
+    t = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in fingerprint.remove_duplicated_spans(df, k=5).collect()
+    }
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["clean_text"] == ""
+        assert r["removed_tokens"] == 5 and r["n_tokens"] == 5
