@@ -2414,8 +2414,6 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
 # round by tests/test_workload_oracle.py regardless of window position.
 CORRECTNESS_PRIORITY = [
-    # -- r10 rule-2 head: lanes NEW this round ------------------------
-    "doc_boilerplate_removal",  # rule 2: NEW r10 span-removal lane
     # -- r9 window (judge ask #1 is the whole front): the 17 r8 lanes
     #    that have NEVER had a driver hash row lead (rule 1,
     #    least-recently-checked first), followed by the five
@@ -2435,6 +2433,11 @@ CORRECTNESS_PRIORITY = [
     "emb_ivfpq_indexed_topk", "orders_grouping_sets",
     "events_stream_static_enrich", "events_hourly_ohlc",
     "doc_adaptive_quality_filter",
+    # -- r10 rule-2 block: lanes NEW this round (never driver-checked,
+    #    same standing as the block above; no r9 correctness run landed,
+    #    so the r9 front itself is still awaiting its first hash rows) --
+    "doc_boilerplate_removal",  # NEW r10: span-removal lane
+    # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",
     "emb_semantic_dedup",  # rule 2: process-cached quantizer reuse (r9)

@@ -95,6 +95,9 @@ def test_ordered_queries_serves_priority_window():
         "emb_semantic_dedup", "emb_cosine_dedup_pairs",
         "emb_ivfpq_stream_topk", "part_merge_versioned_txn",
         "emb_top_pc_projection", "doc_bpe_trained_tokens",
+        # r10 new lanes (rule 2; inserted directly after the
+        # never-checked block, whose members they share standing with)
+        "doc_boilerplate_removal",
     ):
         assert q in window, q
 
