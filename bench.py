@@ -110,6 +110,7 @@ HEADLINE = [
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",
     "doc_boilerplate_removal",
+    "emb_sq8_topk",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

@@ -2065,3 +2065,140 @@ def pq_topk_against_index(
     return _exact_l2_rerank(
         sl, vectors, q_aligned, k, id_col, meta["vec_col"], query_id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar (per-dimension affine) quantization — the storage tier between
+# raw floats and PQ codes
+# ---------------------------------------------------------------------------
+
+def sq8_stats(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension ``(mins, steps)`` for affine uint8 quantization:
+    ``step = (max - min) / 255`` (0.0 for a constant dimension).
+
+    One distributed pass (posexplode → per-dimension min/max); the
+    collect is bounded by the embedding dimensionality — two doubles per
+    dimension, the same bounded-driver-state argument as the PQ
+    codebooks (``pq_codebooks_from_corpus``) — never by corpus rows.
+    min/max are exact selections and the step division is a single IEEE
+    op, so an SQL oracle reproduces both bit-for-bit.
+    """
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    dim = max(r["i"] for r in rows) + 1
+    mins, steps = [0.0] * dim, [0.0] * dim
+    for r in rows:
+        mins[r["i"]] = r["mn"]
+        steps[r["i"]] = (r["mx"] - r["mn"]) / 255.0 if r["mx"] > r["mn"] else 0.0
+    return mins, steps
+
+
+def sq8_encode(
+    df: DataFrame,
+    mins: list[float],
+    steps: list[float],
+    vec_col: str = "embedding",
+    out: str = "sq8_code",
+) -> DataFrame:
+    """uint8 codes per dimension: ``round((x - min) / step)`` clamped to
+    [0, 255] (constant dimensions encode 0).  Rounding is spelled
+    ``floor(t + 0.5)`` — the same expression on both engines, unlike
+    banker's ``round``.  One whole-stage-codegen projection; 4× smaller
+    than float32 at rest, which is the point at 100 TB: the scan that
+    feeds ANN shortlisting reads a quarter of the bytes."""
+    mn = F.array(*[F.lit(v) for v in mins])
+    st = F.array(*[F.lit(v) for v in steps])
+    code = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at(st, i + 1) > 0.0,
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor(
+                        (x.cast("double") - F.element_at(mn, i + 1))
+                        / F.element_at(st, i + 1)
+                        + F.lit(0.5)
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return df.withColumn(out, code)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    stats: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k over SQ8-quantized vectors with exact re-rank — the
+    scalar-quantization rung of the family ladder (exact → SQ8 → PQ →
+    IVF-PQ → IVFADC): vectors stay per-dimension (no subspace training),
+    compression is 4×, and the approximate scan scores the RECONSTRUCTED
+    vector ``min + code·step`` against the raw query, so accuracy loss is
+    bounded by step/2 per dimension — far gentler than PQ's codebook
+    error, at 8× less compression.
+
+    Two stages, both deterministic: (1) approximate dot-product scan over
+    the codes (broadcast queries, corpus streams map-side, per-query
+    shortlist via :func:`grouped_topk` — the exchange carries only
+    partitions × queries × shortlist rows); (2) exact cosine re-rank of
+    the shortlist only.  Ties break on ``vec_id`` in both stages, so an
+    SQL oracle replays stats → codes → approx ranks → exact ranks
+    bit-for-bit.
+
+    Output: ``(query_id, vec_id, cosine, rank)`` — same contract as
+    :func:`cosine_topk`.
+    """
+    mins, steps = stats if stats is not None else sq8_stats(corpus, vec_col)
+    mn = F.array(*[F.lit(v) for v in mins])
+    st = F.array(*[F.lit(v) for v in steps])
+    coded = sq8_encode(corpus, mins, steps, vec_col, out="__code").select(
+        id_col, F.col(vec_col).alias("__cvec"), "__code"
+    )
+    recon = F.transform(
+        F.col("__code"),
+        lambda c, i: F.element_at(mn, i + 1)
+        + c.cast("double") * F.element_at(st, i + 1),
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        coded.join(F.broadcast(q), how="cross")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__approx", _dot(F.col("__qvec"), recon))
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__approx"
+    ).select(query_id_col, id_col)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
+        "__cnorm", _norm(F.col("__cvec"))
+    )
+    qn = q.withColumn("__qnorm", _norm(F.col("__qvec")))
+    rescored = (
+        sl.join(c, id_col)
+        .join(F.broadcast(qn), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    return grouped_topk(rescored, query_id_col, id_col, k)

@@ -2437,6 +2437,7 @@ CORRECTNESS_PRIORITY = [
     #    same standing as the block above; no r9 correctness run landed,
     #    so the r9 front itself is still awaiting its first hash rows) --
     "doc_boilerplate_removal",  # NEW r10: span-removal lane
+    "emb_sq8_topk",  # NEW r10: scalar-quantization ANN lane
     # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",

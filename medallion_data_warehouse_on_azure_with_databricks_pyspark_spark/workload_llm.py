@@ -687,6 +687,70 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_sq8_topk",
+    oracle=f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    dims AS (
+      SELECT u.i AS i, min(u.x) AS mn, max(u.x) AS mx
+      FROM (SELECT unnest(list_transform(range(1, len(v) + 1),
+                   i -> {{'i': i, 'x': v[i]}})) AS u
+            FROM d)
+      GROUP BY u.i),
+    stats AS (
+      SELECT list(mn ORDER BY i) AS mn,
+             list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                       ELSE 0.0 END ORDER BY i) AS st
+      FROM dims),
+    recon AS (
+      SELECT d.vec_id,
+             list_transform(range(1, len(d.v) + 1),
+               i -> CASE WHEN s.st[i] > 0.0
+                    THEN s.mn[i] + CAST(CAST(least(255.0, greatest(0.0,
+                           floor((d.v[i] - s.mn[i]) / s.st[i] + 0.5)))
+                           AS INT) AS DOUBLE) * s.st[i]
+                    ELSE s.mn[i] END) AS r
+      FROM d CROSS JOIN stats s),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id % 25 = 0),
+    approx AS (
+      SELECT q.query_id, r.vec_id,
+             {_fold_dot('q.qv', 'r.r')} AS ap
+      FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY ap DESC, vec_id) AS rn
+        FROM approx) WHERE rn <= 40),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             {_fold_dot('q.qv', 'c.v')}
+               / ({_fold_norm('q.qv')} * {_fold_norm('c.v')}) AS cosine
+      FROM sl s
+      JOIN q ON q.query_id = s.query_id
+      JOIN d c ON c.vec_id = s.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN top-10 with exact re-rank — the rung
+    between brute-force floats and PQ codes (``similarity.sq8_topk``):
+    per-dimension affine uint8 codes (4× smaller at rest), approximate
+    dot-product scan over RECONSTRUCTED vectors, exact cosine re-rank of
+    the 40-row shortlist.  The oracle replays stats (exact per-dim
+    min/max), quantization (floor(t+0.5), one IEEE division per element),
+    both rank stages, and the final cosine bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(emb, _emb_queries(emb), k=10, shortlist=40)
+
+
+@query(
     "emb_lsh_topk",
     oracle=f"""
     WITH buckets AS (

@@ -97,7 +97,7 @@ def test_ordered_queries_serves_priority_window():
         "emb_top_pc_projection", "doc_bpe_trained_tokens",
         # r10 new lanes (rule 2; inserted directly after the
         # never-checked block, whose members they share standing with)
-        "doc_boilerplate_removal",
+        "doc_boilerplate_removal", "emb_sq8_topk",
     ):
         assert q in window, q
 

@@ -1200,3 +1200,34 @@ def test_ivfpq_residual_full_probe_includes_all_candidates(spark):
         allpairs, emb, q, 10, "vec_id", "embedding", "query_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sq8_topk_recall_floor_and_code_range(spark):
+    """SQ8's per-dimension error is bounded by step/2, so on the isotropic
+    corpus recall@10 should be near-exact — far above the coarse-quantizer
+    lanes (measured 1.00 at sf0.001 with a 40-row shortlist).  Codes must
+    live in [0, 255] and constant dimensions encode 0."""
+    recall = _recall_at_10(
+        spark, lambda emb, q: similarity.sq8_topk(emb, q, k=10, shortlist=40)
+    )
+    assert recall >= 0.9, recall
+    emb = spark.read.parquet(EMB)
+    mins, steps = similarity.sq8_stats(emb)
+    coded = similarity.sq8_encode(emb, mins, steps)
+    rng = coded.select(
+        F.min(F.array_min("sq8_code")).alias("lo"),
+        F.max(F.array_max("sq8_code")).alias("hi"),
+    ).collect()[0]
+    assert rng["lo"] >= 0 and rng["hi"] <= 255
+    # a deliberately constant dimension encodes 0 everywhere
+    one = spark.createDataFrame(
+        [(1, [1.5, 2.0]), (2, [1.5, 3.0])], "vec_id long, embedding array<float>"
+    )
+    m, s = similarity.sq8_stats(one)
+    assert s[0] == 0.0
+    codes = {
+        r["vec_id"]: r["sq8_code"]
+        for r in similarity.sq8_encode(one, m, s).collect()
+    }
+    assert codes[1][0] == 0 and codes[2][0] == 0
+    assert codes[1][1] == 0 and codes[2][1] == 255
