@@ -111,6 +111,8 @@ HEADLINE = [
     "doc_duplicated_spans",
     "doc_boilerplate_removal",
     "emb_sq8_topk",
+    "orders_shipping_priority",
+    "regional_nation_revenue",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

@@ -2438,6 +2438,8 @@ CORRECTNESS_PRIORITY = [
     #    so the r9 front itself is still awaiting its first hash rows) --
     "doc_boilerplate_removal",  # NEW r10: span-removal lane
     "emb_sq8_topk",  # NEW r10: scalar-quantization ANN lane
+    "orders_shipping_priority",  # NEW r10: TPC-H Q3-shape multi-join
+    "regional_nation_revenue",  # NEW r10: TPC-H Q5-shape star join
     # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",

@@ -98,6 +98,7 @@ def test_ordered_queries_serves_priority_window():
         # r10 new lanes (rule 2; inserted directly after the
         # never-checked block, whose members they share standing with)
         "doc_boilerplate_removal", "emb_sq8_topk",
+        "orders_shipping_priority", "regional_nation_revenue",
     ):
         assert q in window, q
 

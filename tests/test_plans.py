@@ -139,3 +139,23 @@ def test_ivf_indexed_probe_prunes_partitions(spark):
     # filter — un-probed inverted lists contribute zero scan tasks.
     plan = _plan(spark, "emb_ivf_indexed_topk")
     assert "PartitionFilters: [pivot_id" in plan
+
+
+def test_shipping_priority_plan_shape(spark):
+    """Q3 shape: segment filter reaches the customer scan, the filtered
+    customer set broadcasts into orders, and the top-10 is
+    TakeOrderedAndProject — never a global Sort of the aggregate."""
+    plan = _plan(spark, "orders_shipping_priority")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_revenue_dim_chain_broadcasts(spark):
+    """Q5 shape: the region→nation→supplier chain rides broadcasts (the
+    region filter is pushed to its scan); lineitem is never broadcast and
+    never cartesian-joined."""
+    plan = _plan(spark, "regional_nation_revenue")
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
