@@ -113,6 +113,7 @@ HEADLINE = [
     "emb_sq8_topk",
     "orders_shipping_priority",
     "regional_nation_revenue",
+    "orders_bucketed_colocated_join",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

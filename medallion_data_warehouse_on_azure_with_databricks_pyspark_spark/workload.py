@@ -2440,6 +2440,7 @@ CORRECTNESS_PRIORITY = [
     "emb_sq8_topk",  # NEW r10: scalar-quantization ANN lane
     "orders_shipping_priority",  # NEW r10: TPC-H Q3-shape multi-join
     "regional_nation_revenue",  # NEW r10: TPC-H Q5-shape star join
+    "orders_bucketed_colocated_join",  # NEW r10: zero-exchange bucket join
     # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",

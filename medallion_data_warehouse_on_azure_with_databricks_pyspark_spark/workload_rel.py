@@ -384,3 +384,73 @@ def regional_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-location (round 10): the write-time-shuffle join
+# ---------------------------------------------------------------------------
+
+#: sf_dirs whose bucketed twins already exist in this process's warehouse
+#: (build-once guard, same bounded-cache argument as the ANN index lanes:
+#: one entry per sf_dir, never per query run).
+_BUCKETED_SF: set[str] = set()
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once bucketed catalog twins of orders/customer, hash-clustered
+    into 8 buckets on the customer key (sorted within buckets).  The
+    bucket shuffle is paid HERE, at write time — every later join or
+    aggregation on the key runs exchange-free, which is the point of
+    bucketing a 100 TB fact table that is joined on the same key daily."""
+    import hashlib
+
+    from .sources import writers
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    if sf_dir not in _BUCKETED_SF:
+        writers.save_bucketed_table(
+            load(spark, sf_dir, "orders"),
+            t_orders, ["o_custkey"], 8, sort_cols=["o_custkey"],
+        )
+        writers.save_bucketed_table(
+            load(spark, sf_dir, "customer"),
+            t_cust, ["c_custkey"], 8, sort_cols=["c_custkey"],
+        )
+        _BUCKETED_SF.add(sf_dir)
+    return t_orders, t_cust
+
+
+@query(
+    "orders_bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def orders_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucket join: orders ⋈ customer on the bucket key with
+    ZERO join-side Exchange — both tables were hash-clustered into the
+    same bucket layout at write time (``sources/writers.py
+    save_bucketed_table``), so the sort-merge join reads matching buckets
+    pairwise.  The ``merge`` hint models the 100 TB case where both
+    sides are fact-scale and no broadcast exists; the only exchange in
+    the plan is the final skinny per-segment aggregate.
+    ``tests/test_plans.py`` pins the no-join-exchange shape."""
+    t_orders, t_cust = _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders).hint("merge")
+    c = spark.table(t_cust)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

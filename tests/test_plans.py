@@ -159,3 +159,13 @@ def test_regional_revenue_dim_chain_broadcasts(spark):
     assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_colocated_join_lane_no_join_exchange(spark):
+    """The registered bucket-join lane must run its SortMergeJoin with no
+    Exchange on either side (the bucket layout satisfies the join's
+    distribution); the only exchange is the final per-segment aggregate."""
+    plan = _plan(spark, "orders_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
