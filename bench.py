@@ -114,6 +114,7 @@ HEADLINE = [
     "orders_shipping_priority",
     "regional_nation_revenue",
     "orders_bucketed_colocated_join",
+    "part_merge_dv_scan",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

@@ -30,6 +30,7 @@ everywhere: correctness never depends on purge timing.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -124,3 +125,130 @@ def purge_dv(spark: SparkSession, path: str) -> int:
     if os.path.isdir(dv_dir):  # pragma: no cover — swap normally removed it
         shutil.rmtree(dv_dir)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read MERGE (round 10): upsert without rewriting a single data file
+# ---------------------------------------------------------------------------
+
+_MERGE_INTENT = "_dv_merge_intent.json"
+_MERGE_STAGE = "_dv_merge_stage"
+
+
+def _intent_file(path: str) -> str:
+    return os.path.join(path.rstrip("/"), _MERGE_INTENT)
+
+
+def _stage_dir(path: str) -> str:
+    return os.path.join(path.rstrip("/"), _MERGE_STAGE)
+
+
+def merge_dv(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+) -> dict:
+    """Merge-on-read MERGE (Delta's DV-backed MERGE shape): matched target
+    rows are tombstoned via deletion-vector marks and EVERY source row is
+    appended as new files — updates and inserts alike — so the merge
+    writes bytes proportional to the SOURCE, never to the table.  At
+    100 TB this is the difference between a daily upsert costing the
+    delta (GBs) and costing a table rewrite (the copy-on-write
+    ``plans/merge.py merge_versioned`` path, kept for when reader
+    isolation across versions matters).
+
+    Two physical phases — stage (marks parquet + new data files under a
+    hidden stage dir), then publish (promote data files into the table,
+    promote marks into ``_deletion_vectors/``) — fronted by a crash
+    intent (same write-ahead pattern as ``sources/versioned.py``):
+    :func:`recover_dv_merge` rolls ANY crash point forward, so a merge
+    is exactly-once durable.  What this lane does NOT give is reader
+    snapshot isolation during publish (a concurrent reader can glimpse
+    the appended rows before the marks land — marks are promoted first
+    to keep that window duplicate-free, see below); isolation belongs to
+    the versioned lane's commit log.
+
+    Publish order is MARKS FIRST: between the two promotes a reader sees
+    matched keys' OLD rows hidden and NEW rows not yet visible (a
+    transient under-read, repaired by roll-forward), never both versions
+    at once — an under-read re-converges, a duplicate-read can poison a
+    downstream aggregate.
+
+    Source keys must be unique (asserted) — the same contract every
+    MERGE engine imposes.  Returns ``{"updated": n, "inserted": n}``.
+    """
+    from ..plans.merge import assert_unique_source
+    from .versioned import _fsync_json  # shared crash-durable JSON write
+
+    recover_dv_merge(spark, path)
+    assert_unique_source(source, keys)
+
+    cur = read_dv(spark, path, _keep_ids=True)
+    src = source.select(*spark.read.parquet(path).columns)  # align schema/order
+    marks = (
+        cur.join(F.broadcast(source.select(*keys).distinct()), keys, "left_semi")
+        .select(F.col(_FP).alias("file_path"), F.col(_RI).alias("row_index"))
+    )
+    n_updated = marks.count()  # tombstoned target POSITIONS (≥ matched
+    # source rows when the target carries duplicate keys — Delta's MERGE
+    # updates every matching target row too)
+    n_inserted = source.join(
+        cur.select(*keys).distinct(), keys, "left_anti"
+    ).count()
+
+    stage = _stage_dir(path)
+    if os.path.isdir(stage):  # pragma: no cover — recover() swept it
+        shutil.rmtree(stage)
+    marks.write.parquet(os.path.join(stage, "marks"))
+    src.write.parquet(os.path.join(stage, "data"))
+    _fsync_json(_intent_file(path), {"stage": _MERGE_STAGE})
+    _publish_dv_merge(path)
+    return {"updated": n_updated, "inserted": n_inserted}
+
+
+def _publish_dv_merge(path: str) -> None:
+    """Promote a staged merge: marks first (duplicate-free window), then
+    data files, then drop stage + intent.  Every step is idempotent —
+    re-running after a crash at any point completes the same merge."""
+    stage = _stage_dir(path)
+    dv_dir = _dv_path(path)
+    os.makedirs(dv_dir, exist_ok=True)
+    for sub, dest in (("marks", dv_dir), ("data", path.rstrip("/"))):
+        sdir = os.path.join(stage, sub)
+        if not os.path.isdir(sdir):  # pragma: no cover — already promoted
+            continue
+        for f in sorted(os.listdir(sdir)):
+            if not f.endswith(".parquet"):
+                continue  # _SUCCESS / .crc sidecars stay behind
+            tgt = os.path.join(dest, f)
+            if not os.path.exists(tgt):  # idempotent re-publish
+                os.replace(os.path.join(sdir, f), tgt)
+        shutil.rmtree(sdir)
+    shutil.rmtree(stage, ignore_errors=True)
+    intent = _intent_file(path)
+    if os.path.exists(intent):
+        os.remove(intent)
+
+
+def recover_dv_merge(spark: SparkSession, path: str) -> bool:
+    """Roll a crashed :func:`merge_dv` forward (or sweep an orphan stage
+    that never reached its intent — that merge never happened and its
+    rows must not leak in).  Returns True if repair work was done."""
+    intent, stage = _intent_file(path), _stage_dir(path)
+    if os.path.exists(intent):
+        try:
+            with open(intent) as fh:
+                json.load(fh)
+        except (ValueError, OSError):
+            # unreadable intent: the stage was never fully declared —
+            # treat as pre-intent crash, sweep
+            shutil.rmtree(stage, ignore_errors=True)
+            os.remove(intent)
+            return True
+        _publish_dv_merge(path)
+        return True
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+        return True
+    return False

@@ -1753,6 +1753,55 @@ def part_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_merge_dv_scan",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM (
+      SELECT p_partkey, p_brand,
+             CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 1.0
+                  ELSE p_retailprice END AS p_retailprice
+      FROM part
+      UNION ALL
+      SELECT * FROM (VALUES (999999901, 'Brand#ZZ', 111.11),
+                            (999999902, 'Brand#ZZ', 222.22))
+             AS t(p_partkey, p_brand, p_retailprice))
+    """,
+)
+def part_merge_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE (``sources/deletion_vectors.py::merge_dv``,
+    Delta DV-backed MERGE parity): a price-bump upsert of every 10th part
+    plus two brand-new rows tombstones the matched positions in the DV
+    sidecar and APPENDS the source — the seeded data files are never
+    rewritten (pinned by ``tests/test_deletion_vectors.py``), so the
+    merge writes bytes proportional to the source.  Crash safety is a
+    write-ahead intent with roll-forward (marks promote first: the crash
+    window under-reads, never duplicates).  The read path is the same
+    broadcast anti-join as the delete lane; the oracle states the final
+    logical table directly.
+    """
+    import tempfile
+
+    from .sources import deletion_vectors as dv
+
+    work = tempfile.mkdtemp(prefix="medallion_dvm_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part.repartition(4).write.parquet(table)
+    updates = part.filter(F.col("p_partkey") % 10 == 0).withColumn(
+        "p_retailprice", F.col("p_retailprice") + F.lit(1.0)
+    )
+    inserts = spark.createDataFrame(
+        [(999999901, "new-part-a", "Brand#ZZ", "PROMO", 1, 111.11),
+         (999999902, "new-part-b", "Brand#ZZ", "PROMO", 2, 222.22)],
+        part.schema,
+    )
+    dv.merge_dv(spark, table, updates.unionByName(inserts), ["p_partkey"])
+    return dv.read_dv(spark, table).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+@query(
     "events_generated_partition_scan",
     oracle="""
     SELECT event_id, user_id, event_type, value
@@ -2441,6 +2490,7 @@ CORRECTNESS_PRIORITY = [
     "orders_shipping_priority",  # NEW r10: TPC-H Q3-shape multi-join
     "regional_nation_revenue",  # NEW r10: TPC-H Q5-shape star join
     "orders_bucketed_colocated_join",  # NEW r10: zero-exchange bucket join
+    "part_merge_dv_scan",  # NEW r10: merge-on-read MERGE via DVs
     # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",

@@ -99,7 +99,7 @@ def test_ordered_queries_serves_priority_window():
         # never-checked block, whose members they share standing with)
         "doc_boilerplate_removal", "emb_sq8_topk",
         "orders_shipping_priority", "regional_nation_revenue",
-        "orders_bucketed_colocated_join",
+        "orders_bucketed_colocated_join", "part_merge_dv_scan",
     ):
         assert q in window, q
 

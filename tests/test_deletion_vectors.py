@@ -76,3 +76,92 @@ def test_purge_materializes_and_clears_marks(spark, table):
 def test_read_dv_without_marks_is_plain_scan(spark, table):
     assert DV.read_dv(spark, table).count() == spark.read.parquet(table).count()
     assert DV.read_dv(spark, table).columns == spark.read.parquet(table).columns
+
+
+def test_merge_dv_upserts_without_touching_data_files(spark, table):
+    before = [(f, os.path.getsize(f), os.path.getmtime(f)) for f in _data_files(table)]
+    src = spark.createDataFrame(
+        [r.asDict() for r in spark.read.parquet(table).limit(3).collect()]
+    ).withColumn("p_retailprice", F.lit(1.23))
+    new_rows = spark.createDataFrame(
+        [(10**9 + 1, "new-part-a", "BRAND#99", "PROMO", 1, 9.99),
+         (10**9 + 2, "new-part-b", "BRAND#99", "PROMO", 2, 8.88)],
+        spark.read.parquet(table).schema,
+    )
+    src = src.unionByName(new_rows.select(*src.columns))
+    stats = DV.merge_dv(spark, table, src, ["p_partkey"])
+    assert stats == {"updated": 3, "inserted": 2}
+    # the ORIGINAL data files are byte-identical (new files appended)
+    after = {f: (os.path.getsize(f), os.path.getmtime(f)) for f in _data_files(table)}
+    for f, size, mtime in before:
+        assert after[f] == (size, mtime)
+    assert len(after) > len(before)
+    got = DV.read_dv(spark, table)
+    raw_n = spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    assert got.count() == raw_n + 2  # upserts replaced, inserts added
+    assert got.where(F.col("p_partkey") >= 10**9).count() == 2
+    updated = {
+        r["p_retailprice"]
+        for r in got.join(src.select("p_partkey"), "p_partkey", "left_semi")
+        .where(F.col("p_partkey") < 10**9).collect()
+    }
+    assert updated == {1.23}
+
+
+def test_merge_dv_idempotent_rerun_and_composes_with_delete(spark, table):
+    src = (
+        spark.read.parquet(table).limit(2)
+        .withColumn("p_retailprice", F.lit(7.77))
+    )
+    DV.merge_dv(spark, table, src, ["p_partkey"])
+    stats2 = DV.merge_dv(spark, table, src, ["p_partkey"])
+    # rerun matches the APPENDED rows now: marks them, re-appends — state
+    # converges to the same logical table
+    assert stats2 == {"updated": 2, "inserted": 0}
+    got = DV.read_dv(spark, table)
+    assert got.count() == spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    # a DV delete over the merged table sees the post-merge state
+    keys = [r["p_partkey"] for r in src.select("p_partkey").collect()]
+    n = DV.delete_where_dv(spark, table, F.col("p_partkey").isin(keys))
+    assert n == 2
+    assert DV.read_dv(spark, table).where(F.col("p_partkey").isin(keys)).count() == 0
+
+
+def test_merge_dv_crash_rolls_forward(spark, table):
+    """A merge that crashed after writing its intent (stage present,
+    nothing published) must complete — not duplicate — on recovery."""
+    src = (
+        spark.read.parquet(table).limit(2)
+        .withColumn("p_retailprice", F.lit(5.55))
+    )
+    # stage manually = crash immediately after intent fsync
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import _fsync_json
+
+    cur = DV.read_dv(spark, table, _keep_ids=True)
+    marks = cur.join(src.select("p_partkey"), "p_partkey", "left_semi").select(
+        F.col(DV._FP).alias("file_path"), F.col(DV._RI).alias("row_index")
+    )
+    stage = DV._stage_dir(table)
+    marks.write.parquet(os.path.join(stage, "marks"))
+    src.write.parquet(os.path.join(stage, "data"))
+    _fsync_json(DV._intent_file(table), {"stage": DV._MERGE_STAGE})
+
+    assert DV.recover_dv_merge(spark, table) is True
+    got = DV.read_dv(spark, table)
+    assert got.count() == spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    assert got.where("p_retailprice = 5.55").count() == 2
+    assert not os.path.exists(DV._intent_file(table))
+    assert not os.path.isdir(stage)
+    # and a second recover is a no-op
+    assert DV.recover_dv_merge(spark, table) is False
+
+
+def test_merge_dv_orphan_stage_without_intent_is_swept(spark, table):
+    """A stage dir with NO intent is a pre-intent crash: that merge never
+    happened; its rows must be discarded, not published."""
+    src = spark.read.parquet(table).limit(1)
+    stage = DV._stage_dir(table)
+    src.write.parquet(os.path.join(stage, "data"))
+    assert DV.recover_dv_merge(spark, table) is True
+    assert not os.path.isdir(stage)
+    assert DV.read_dv(spark, table).count() == spark.read.parquet(table).count()
