@@ -224,6 +224,7 @@ EXCLUDED = {
     "events_stream_dropdup_ingest": "checkpointed streaming harness over a doubled copy of events; the stateful dedup operator is a built-in whose per-key state math has no batch twin to time",
     "events_stream_stream_join": "checkpointed stream-stream harness; the interval-join plan it runs is timed batch-side via events_range_join_agg (same join shape)",
     "events_stream_static_enrich": "checkpointed streaming harness; the broadcast dim join it runs is timed batch-side via fact_enrichment_join (same join shape)",
+    "events_stream_counter_ingest": "checkpointed streaming harness; the per-batch groupBy it folds is timed batch-side via events_json_props (same aggregate shape)",
 }
 
 

@@ -510,6 +510,31 @@ def history(path: str) -> list[dict]:
     return list(reversed(_read_log(path)))
 
 
+def last_txn_version(path: str, app_id: str) -> int | None:
+    """Idempotent-writer ledger read (Delta ``txn`` action /
+    ``txnAppId``+``txnVersion`` parity): the highest writer-supplied
+    transaction version this ``app_id`` has ever committed to the table,
+    or None.  Writers that fold NON-idempotent updates (counters,
+    running aggregates) record ``metadata={"txn": {"app_id": ...,
+    "version": N}}`` on each commit and skip any incoming N ≤ this —
+    the mechanism that makes foreachBatch's at-least-once replay
+    exactly-once for folds where re-applying is NOT a value no-op
+    (contrast ``streaming/matview_stream.py``, whose merge+CDF fold is
+    idempotent by construction and needs no ledger).
+
+    O(commits) over the checkpointed log tail — same cost class as any
+    snapshot resolution; the scan takes the MAX rather than the newest
+    entry so an interleaved rival writer's commits cannot shadow this
+    app's latest version."""
+    best = None
+    for e in history(path):
+        t = (e.get("metadata") or {}).get("txn")
+        if t and t.get("app_id") == app_id:
+            v = int(t["version"])
+            best = v if best is None or v > best else best
+    return best
+
+
 def delete_where(
     spark: SparkSession,
     path: str,

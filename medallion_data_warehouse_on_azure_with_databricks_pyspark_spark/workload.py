@@ -1204,6 +1204,53 @@ def events_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_counter_ingest",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_stream_counter_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-writer ledger (Delta txnAppId/txnVersion parity —
+    ``streaming/upsert_stream.py``): a checkpointed availableNow stream
+    folds per-type counters into a versioned state table, one
+    ledger-stamped commit per micro-batch; the fold is genuinely
+    NON-idempotent (re-adding double-counts), so after the run the lane
+    REPLAYS batch 0 by hand — the ledger must skip it or the oracle
+    mismatches.  Decimal-exact sums keep the cross-batch fold
+    order-independent.
+    """
+    import os
+    import tempfile
+
+    from .streaming import upsert_stream as us
+
+    work = tempfile.mkdtemp(prefix="medallion_ctr_")
+    landing = os.path.join(work, "landing")
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    table = os.path.join(work, "state")
+    us.counter_fold_ingest(
+        spark, landing, table, os.path.join(work, "ckpt"),
+        app_id="events-counter", schema=ev.schema, now=1_000.0,
+    )
+    # at-least-once replay: MUST be ledger-skipped (else double-count)
+    assert us.apply_counter_batch(
+        spark, table, ev, batch_id=0, app_id="events-counter"
+    ) is False
+    return spark.read.parquet(table).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@query(
     "events_json_rescue_ingest",
     oracle="""
     SELECT event_id, user_id, event_type,
@@ -2491,6 +2538,7 @@ CORRECTNESS_PRIORITY = [
     "regional_nation_revenue",  # NEW r10: TPC-H Q5-shape star join
     "orders_bucketed_colocated_join",  # NEW r10: zero-exchange bucket join
     "part_merge_dv_scan",  # NEW r10: merge-on-read MERGE via DVs
+    "events_stream_counter_ingest",  # NEW r10: txn-ledger streaming fold
     # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",
