@@ -115,6 +115,7 @@ HEADLINE = [
     "regional_nation_revenue",
     "orders_bucketed_colocated_join",
     "part_merge_dv_scan",
+    "emb_sq8_indexed_topk",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

@@ -1,5 +1,6 @@
 """Lifecycle maintenance for the on-disk index family (MinHash bands,
-IVF lists, multi-table LSH buckets, PQ codes).
+IVF lists, multi-table LSH buckets, PQ codes, IVFADC residual codes,
+SQ8 scalar codes).
 
 A 100 TB corpus does not only grow: takedowns, TTL expiry, and re-crawls
 all REMOVE documents, and an index whose rows outlive their documents
@@ -67,6 +68,8 @@ def _family(meta: dict) -> str:
         return "lsh"
     if "codebooks" in meta:
         return "pq"
+    if "mins" in meta:
+        return "sq8"
     raise ValueError(f"unrecognized index manifest: {sorted(meta)}")
 
 
@@ -218,7 +221,7 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             .repartition(n_files),
             "vectors",
         )
-    else:  # pq
+    else:  # pq / sq8 — flat codes + flat re-rank vectors
         wr(
             _live(rd("codes"), tomb, id_col)
             .dropDuplicates([id_col])

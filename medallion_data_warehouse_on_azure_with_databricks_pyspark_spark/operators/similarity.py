@@ -2202,3 +2202,149 @@ def sq8_topk(
         )
     )
     return grouped_topk(rescored, query_id_col, id_col, k)
+
+
+_SQ8_INDEX_VERSION = 1
+
+
+def build_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: tuple[list[float], list[float]] | None = None,
+) -> str:
+    """Materialize the SQ8 artifact — sixth member of the index family
+    (MinHash bands, IVF lists, LSH buckets, PQ codes, IVFADC residual
+    codes).  ``{path}/codes`` holds the 4×-compressed per-dimension
+    uint8 codes every future query batch scans; ``{path}/vectors`` the
+    raw vectors read only for the shortlist re-rank; ``meta.json`` pins
+    the per-dimension mins/steps — codes are only meaningful under the
+    exact stats that produced them, so the reader takes NO stats
+    argument (the manifest is the single source of truth, same frozen-
+    quantizer discipline as the PQ codebooks).  Staged + one-rename
+    promote, crash-safe like the other builders."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    mins, steps = stats if stats is not None else sq8_stats(corpus, vec_col)
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    sq8_encode(corpus, mins, steps, vec_col, out="sq8_code").select(
+        F.col(id_col), "sq8_code"
+    ).write.mode("overwrite").parquet(os.path.join(stage, "codes"))
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _SQ8_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "mins": mins,
+        "steps": steps,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def _read_sq8_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _SQ8_INDEX_VERSION or "mins" not in meta:
+        raise ValueError(f"unsupported sq8 index manifest: {sorted(meta)}")
+    return meta
+
+
+def append_to_sq8_index(new_vectors: DataFrame, index_path: str) -> str:
+    """Grow the artifact with FROZEN stats: new vectors encode against
+    the stored mins/steps (values outside the original [min,max] clamp
+    to 0/255 — the appender's accuracy degrades gracefully instead of
+    silently re-deriving stats that would invalidate every standing
+    code).  Append order is VECTORS FIRST, then codes (the PQ lesson,
+    ADVICE r7): a code without its vector would shortlist and then
+    vanish at the re-rank join, displacing a valid candidate; a vector
+    without a code is merely unscored until the replay completes."""
+    import os
+
+    meta = _read_sq8_meta(index_path)
+    new_vectors.select(meta["id_col"], meta["vec_col"]).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+    sq8_encode(
+        new_vectors, meta["mins"], meta["steps"], meta["vec_col"],
+        out="sq8_code",
+    ).select(F.col(meta["id_col"]), "sq8_code").write.mode("append").parquet(
+        os.path.join(index_path, "codes")
+    )
+    return index_path
+
+
+def sq8_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    shortlist: int = 40,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage SQ8 retrieval against a :func:`build_sq8_index`
+    artifact — bit-identical shortlists, cosines, and ranks as the
+    in-memory :func:`sq8_topk` under the manifest's stats (both rank
+    stages are total orders on (score, id), so layout and partitioning
+    cannot change the result).  The corpus is touched only through its
+    stored codes (approximate scan: a quarter of the raw bytes) and
+    stored vectors (shortlist re-rank); tombstoned ids stop ranking
+    immediately."""
+    import os
+
+    from . import index_maintenance
+
+    meta = _read_sq8_meta(index_path)
+    id_col = meta["id_col"]
+    mn = F.array(*[F.lit(v) for v in meta["mins"]])
+    st = F.array(*[F.lit(v) for v in meta["steps"]])
+    spark = queries.sparkSession
+    codes = spark.read.parquet(os.path.join(index_path, "codes")).dropDuplicates(
+        [id_col]
+    )
+    vectors = spark.read.parquet(
+        os.path.join(index_path, "vectors")
+    ).dropDuplicates([id_col])
+    recon = F.transform(
+        F.col("sq8_code"),
+        lambda c, i: F.element_at(mn, i + 1)
+        + c.cast("double") * F.element_at(st, i + 1),
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = codes.join(F.broadcast(q), how="cross")
+    scored = index_maintenance.exclude_tombstoned(
+        scored, index_path, id_col, id_col
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn("__approx", _dot(F.col("__qvec"), recon))
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__approx"
+    ).select(query_id_col, id_col)
+    c = vectors.select(
+        F.col(id_col), F.col(meta["vec_col"]).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    qn = q.withColumn("__qnorm", _norm(F.col("__qvec")))
+    rescored = (
+        sl.join(c, id_col)
+        .join(F.broadcast(qn), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    return grouped_topk(rescored, query_id_col, id_col, k)

@@ -686,9 +686,11 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, _emb_queries(emb), k=10)
 
 
-@query(
-    "emb_sq8_topk",
-    oracle=f"""
+#: Shared by the in-memory SQ8 lane and its materialized-index twin —
+#: the probe is bit-identical under the manifest's frozen stats
+#: (tests/test_index_lifecycle.py pins the equality), so both lanes
+#: verify against the same full training-replay SQL.
+_SQ8_ORACLE = f"""
     WITH d AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -736,8 +738,10 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("emb_sq8_topk", oracle=_SQ8_ORACLE)
 def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized (SQ8) ANN top-10 with exact re-rank — the rung
     between brute-force floats and PQ codes (``similarity.sq8_topk``):
@@ -748,6 +752,40 @@ def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rank stages, and the final cosine bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.sq8_topk(emb, _emb_queries(emb), k=10, shortlist=40)
+
+
+#: sf_dirs whose SQ8 artifact is already on disk this process.
+_SQ8_INDEX_BUILT: set[str] = set()
+
+
+def sq8_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk SQ8 index path for ``sf_dir`` (same isolation
+    contract as ``pq_index_path``)."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_sq8_index/{sf_tag}_pid{_os.getpid()}"
+
+
+@query("emb_sq8_indexed_topk", oracle=_SQ8_ORACLE)
+def emb_sq8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The on-disk SQ8 artifact's read path (``operators/similarity.py
+    build_sq8_index`` / ``sq8_topk_against_index``): uint8 codes (4×
+    fewer bytes scanned than raw floats) + re-rank vectors + a
+    mins/steps manifest as the single source of truth — bit-identical
+    to the in-memory two-stage operator, so it shares ``emb_sq8_topk``'s
+    full training-replay oracle (the same evidence pattern as the IVF /
+    LSH / PQ / IVFADC index lanes).  Built once per process; bench
+    samples time the probe, the production shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = sq8_index_path(sf_dir)
+    if path not in _SQ8_INDEX_BUILT:
+        similarity.build_sq8_index(emb, path)
+        _SQ8_INDEX_BUILT.add(path)
+    return similarity.sq8_topk_against_index(
+        _emb_queries(emb), path, k=10, shortlist=40
+    )
 
 
 @query(

@@ -313,3 +313,65 @@ def test_ivfpq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
         d.startswith("pivot_id=")
         for d in os.listdir(os.path.join(path, "codes"))
     )
+
+
+def test_sq8_index_matches_inmemory_and_lifecycle(spark, tmp_path):
+    """SQ8 artifact: index probe bit-identical to the in-memory two-stage
+    operator under the manifest's frozen stats; append encodes with the
+    STORED mins/steps; delete excludes immediately; compaction folds
+    tombstones physically and preserves surviving results."""
+    emb = spark.read.parquet(EMB)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    stats = similarity.sq8_stats(emb)
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "sq8_index")
+    similarity.build_sq8_index(old, path, stats=stats)
+    similarity.append_to_sq8_index(new, path)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    inmem = similarity.sq8_topk(emb, q, k=10, shortlist=40, stats=stats)
+    via_index = similarity.sq8_topk_against_index(q, path, k=10, shortlist=40)
+    assert rows(via_index) == rows(inmem)
+
+    victims = {r[1] for r in rows(via_index)[:3]}
+    _delete(spark, path, victims, "vec_id")
+    after = rows(similarity.sq8_topk_against_index(q, path, k=10, shortlist=40))
+    assert not ({r[1] for r in after} & victims)
+
+    index_maintenance.compact_index(spark, path)
+    assert rows(
+        similarity.sq8_topk_against_index(q, path, k=10, shortlist=40)
+    ) == after
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+
+
+def test_sq8_append_uses_frozen_stats(spark, tmp_path):
+    """Stats trained on the BUILD corpus only: an appended vector outside
+    the original per-dim range clamps (codes stay in [0,255]) and the
+    manifest's stats are byte-identical before/after append."""
+    import json
+
+    emb = spark.read.parquet(EMB)
+    path = str(tmp_path / "sq8f")
+    similarity.build_sq8_index(emb.filter(F.col("vec_id") < 100), path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta_before = json.load(f)
+    dim = len(meta_before["mins"])
+    wild = spark.createDataFrame(
+        [(10**9, [1e6] * dim)], "vec_id long, embedding array<float>"
+    )
+    similarity.append_to_sq8_index(wild, path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta_after = json.load(f)
+    assert meta_after == meta_before
+    code = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("vec_id") == 10**9)
+        .collect()[0]["sq8_code"]
+    )
+    assert all(c == 255 for c in code)  # clamped, never out of range
