@@ -116,6 +116,7 @@ HEADLINE = [
     "orders_bucketed_colocated_join",
     "part_merge_dv_scan",
     "emb_sq8_indexed_topk",
+    "emb_matryoshka_topk",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

@@ -2348,3 +2348,63 @@ def sq8_topk_against_index(
         )
     )
     return grouped_topk(rescored, query_id_col, id_col, k)
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Adaptive retrieval over Matryoshka-style embeddings (Kusupati et
+    al. 2022): shortlist on the cosine of the first ``prefix_dims``
+    coordinates — MRL-trained encoders pack the coarse semantics into
+    the prefix, so the cheap pass reads ``prefix_dims/dim`` of the
+    vector bytes — then re-rank the shortlist with the full-dimension
+    exact cosine.
+
+    The quantization family (SQ8/PQ) shrinks every coordinate; this
+    shrinks the NUMBER of coordinates — the two compose (a production
+    funnel is prefix-scan → SQ8 re-rank → full re-rank), but each rung
+    stands alone.  On non-MRL embeddings (like the isotropic test
+    corpus) the prefix carries ~prefix/dim of the signal and recall is
+    data-bounded, exactly like the coarse-quantizer lanes — the
+    structural gate is that ``prefix_dims == dim`` reproduces the exact
+    top-k bit-for-bit.
+
+    Both stages are deterministic total orders on (score, id); Catalyst
+    ``slice`` keeps the prefix fold JVM-side.  Output matches
+    :func:`cosine_topk`: ``(query_id, vec_id, cosine, rank)``."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    qp = q.withColumn("__qpre", F.slice(F.col("__qvec"), 1, prefix_dims))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    cp = c.withColumn("__cpre", F.slice(F.col("__cvec"), 1, prefix_dims))
+    scored = (
+        cp.select(id_col, "__cpre")
+        .join(F.broadcast(qp.select(query_id_col, "__qpre")), how="cross")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "__pcos",
+            _dot(F.col("__qpre"), F.col("__cpre"))
+            / (_norm(F.col("__qpre")) * _norm(F.col("__cpre"))),
+        )
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__pcos"
+    ).select(query_id_col, id_col)
+    cn = c.withColumn("__cnorm", _norm(F.col("__cvec")))
+    qn = q.withColumn("__qnorm", _norm(F.col("__qvec")))
+    rescored = (
+        sl.join(cn, id_col)
+        .join(F.broadcast(qn), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    return grouped_topk(rescored, query_id_col, id_col, k)

@@ -2540,6 +2540,7 @@ CORRECTNESS_PRIORITY = [
     "part_merge_dv_scan",  # NEW r10: merge-on-read MERGE via DVs
     "events_stream_counter_ingest",  # NEW r10: txn-ledger streaming fold
     "emb_sq8_indexed_topk",  # NEW r10: materialized SQ8 artifact probe
+    "emb_matryoshka_topk",  # NEW r10: truncated-prefix adaptive retrieval
     # -- r9 rule-2 carryovers --------------------------------------------
     "emb_ivfpq_topk", "emb_pq_indexed_topk", "part_cdf_changes",
     "part_time_travel_diff",

@@ -754,6 +754,54 @@ def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_topk(emb, _emb_queries(emb), k=10, shortlist=40)
 
 
+@query(
+    "emb_matryoshka_topk",
+    oracle=f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id % 25 = 0),
+    pre AS (
+      SELECT q.query_id, c.vec_id,
+             {_fold_dot('q.qv[1:16]', 'c.v[1:16]')}
+               / ({_fold_norm('q.qv[1:16]')} * {_fold_norm('c.v[1:16]')})
+               AS pcos
+      FROM q CROSS JOIN d c WHERE c.vec_id <> q.query_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY pcos DESC, vec_id) AS rn
+        FROM pre) WHERE rn <= 40),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             {_fold_dot('q.qv', 'c.v')}
+               / ({_fold_norm('q.qv')} * {_fold_norm('c.v')}) AS cosine
+      FROM sl s
+      JOIN q ON q.query_id = s.query_id
+      JOIN d c ON c.vec_id = s.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka adaptive retrieval (Kusupati et al. 2022 —
+    ``similarity.matryoshka_topk``): shortlist on the cosine of the
+    first 16 of 64 coordinates (a quarter of the vector bytes), exact
+    full-dimension re-rank of the 40-row shortlist.  Dimension
+    truncation is the rung the quantization family doesn't cover — it
+    composes with SQ8/PQ rather than competing.  The oracle replays
+    prefix slice, both fold stages, and both rank stages bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_topk(
+        emb, _emb_queries(emb), k=10, prefix_dims=16, shortlist=40
+    )
+
+
 #: sf_dirs whose SQ8 artifact is already on disk this process.
 _SQ8_INDEX_BUILT: set[str] = set()
 

@@ -101,6 +101,7 @@ def test_ordered_queries_serves_priority_window():
         "orders_shipping_priority", "regional_nation_revenue",
         "orders_bucketed_colocated_join", "part_merge_dv_scan",
         "events_stream_counter_ingest", "emb_sq8_indexed_topk",
+        "emb_matryoshka_topk",
     ):
         assert q in window, q
 
