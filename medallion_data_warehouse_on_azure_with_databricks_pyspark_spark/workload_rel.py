@@ -10,6 +10,8 @@ every window order carries a unique tie-breaker.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -401,14 +403,30 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     into 8 buckets on the customer key (sorted within buckets).  The
     bucket shuffle is paid HERE, at write time — every later join or
     aggregation on the key runs exchange-free, which is the point of
-    bucketing a 100 TB fact table that is joined on the same key daily."""
+    bucketing a 100 TB fact table that is joined on the same key daily.
+
+    Re-run safe across processes: a MANAGED table's location
+    (``<warehouse>/bkt_*``) survives the JVM, while the in-memory catalog
+    of a fresh session does not — a bare ``saveAsTable`` then raises
+    ``LOCATION_ALREADY_EXISTS``.  Before the build we DROP any cataloged
+    twin *and* delete a stale orphaned location, so every process
+    converges on its own freshly-written buckets."""
     import hashlib
+    import shutil
 
     from .sources import writers
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
     if sf_dir not in _BUCKETED_SF:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for name in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            stale = os.path.join(warehouse, name)
+            if os.path.exists(stale):
+                shutil.rmtree(stale, ignore_errors=True)
         writers.save_bucketed_table(
             load(spark, sf_dir, "orders"),
             t_orders, ["o_custkey"], 8, sort_cols=["o_custkey"],
