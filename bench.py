@@ -207,6 +207,63 @@ COMMON_SET_R7 = frozenset({
     "scd2_part_dim", "scd2_part_dim_deletes",
 })
 
+#: The previous round's full lane set (r10, 116 lanes), refrozen each round
+#: from the prior BENCH_QUERIES.json so "this round vs last round" reads a
+#: stable basis directly out of the summary line (VERDICT r10 ask #8) —
+#: lanes that land THIS round are excluded automatically.
+COMMON_SET_PREV = frozenset({
+    "corpus_vocab_topk", "customer_change_hash",
+    "customer_dim_schema_evolution", "customer_filter_segment",
+    "customer_segment_count", "customer_set_ops",
+    "customer_with_high_value_orders", "customer_without_orders",
+    "dlt_part_pipeline", "dlt_part_quarantine",
+    "doc_adaptive_quality_filter", "doc_benchmark_decontamination",
+    "doc_bm25_topk", "doc_boilerplate_removal", "doc_bpe_token_counts",
+    "doc_bpe_trained_tokens", "doc_chunks", "doc_cross_corpus_dedup",
+    "doc_dedup_representatives", "doc_duplicated_spans",
+    "doc_duplication_stats", "doc_exact_dedup", "doc_gopher_quality",
+    "doc_hybrid_search_rrf", "doc_language_id", "doc_leakage_safe_splits",
+    "doc_lm_fluency", "doc_minhash_dedup_pairs", "doc_mixture_splits",
+    "doc_ngram_jaccard_pairs", "doc_quality_classifier",
+    "doc_repetition_stats", "doc_scrub_pii", "doc_sentences_udtf",
+    "doc_simhash_pairs", "doc_simhash_poly_pairs", "doc_source_caps",
+    "doc_text_stats", "doc_token_counts", "doc_token_packing",
+    "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
+    "emb_chunk_mean_pool", "emb_cosine_dedup_pairs", "emb_cosine_topk",
+    "emb_int8_quantize_error", "emb_ivf_indexed_topk",
+    "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_residual_topk", "emb_ivfpq_stream_topk", "emb_ivfpq_topk",
+    "emb_lsh_indexed_topk", "emb_lsh_multitable_topk", "emb_lsh_topk",
+    "emb_matryoshka_topk", "emb_pq_adc_topk", "emb_pq_indexed_topk",
+    "emb_semantic_dedup", "emb_sq8_indexed_topk", "emb_sq8_topk",
+    "emb_top_pc_projection", "events_approx_distinct",
+    "events_approx_quantiles", "events_asof_join",
+    "events_cohort_retention", "events_daily_rolling",
+    "events_funnel_stages", "events_generated_partition_scan",
+    "events_hourly_ohlc", "events_hourly_windows", "events_json_props",
+    "events_range_join_agg", "events_resample_ffill",
+    "events_session_windows", "events_sliding_windows",
+    "events_stateful_sessions", "events_variant_props",
+    "fact_enrichment_join", "lineitem_pricing_summary",
+    "lineitem_skew_salted_agg", "multimodal_features",
+    "order_fact_upsert", "orders_analytic_windows",
+    "orders_bucketed_colocated_join", "orders_duplicate_custkeys",
+    "orders_grouping_sets", "orders_price_quantiles",
+    "orders_priority_rollup", "orders_shipping_priority",
+    "orders_status_priority_cube", "orders_top20",
+    "orders_unpivot_metrics", "orders_year_priority_pivot",
+    "orders_year_windows", "part_bloom_skipping_scan",
+    "part_brand_upper_udf", "part_cdf_changes",
+    "part_cdf_changes_percommit", "part_discount_udf",
+    "part_distinct_aggs", "part_dml_update_delete_cdf",
+    "part_dv_delete_scan", "part_matview_incremental",
+    "part_merge_dv_scan", "part_merge_versioned_txn",
+    "part_optimize_compacted_scan", "part_stats_skipping_scan",
+    "part_string_functions", "part_time_travel_diff",
+    "part_type_token_count", "regional_nation_revenue",
+    "scd1_customer_dim", "scd2_part_dim", "scd2_part_dim_deletes",
+})
+
 #: Registered queries deliberately NOT timed in the headline metric, with
 #: the reason.  tests/test_bench_registry.py pins HEADLINE ∪ EXCLUDED ==
 #: workload.QUERIES so new queries can't silently miss the driver gates.
@@ -295,6 +352,7 @@ def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
     """
     total = round(sum(timings.values()), 4)
     common = {k: v for k, v in timings.items() if k in COMMON_SET_R7}
+    prev = {k: v for k, v in timings.items() if k in COMMON_SET_PREV}
     detail = json.dumps(
         {"detail": "per_query_sec", "queries": timings, "sf": sf},
         sort_keys=True,
@@ -309,6 +367,10 @@ def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
         # round-over-round comparison needs no git archaeology
         "common_r7_value": round(sum(common.values()), 4),
         "common_r7_n": len(common),
+        # rolling prev-round subtotal: last round's full lane set, so
+        # "vs last round" is one field, not per-lane diffing
+        "common_prev_value": round(sum(prev.values()), 4),
+        "common_prev_n": len(prev),
     })
     return detail, summary
 
