@@ -117,6 +117,9 @@ HEADLINE = [
     "part_merge_dv_scan",
     "emb_sq8_indexed_topk",
     "emb_matryoshka_topk",
+    "emb_ivfsq8_topk",
+    "emb_ivfsq8_indexed_topk",
+    "emb_matryoshka_ivf_topk",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",
@@ -284,6 +287,7 @@ EXCLUDED = {
     "events_stream_stream_join": "checkpointed stream-stream harness; the interval-join plan it runs is timed batch-side via events_range_join_agg (same join shape)",
     "events_stream_static_enrich": "checkpointed streaming harness; the broadcast dim join it runs is timed batch-side via fact_enrichment_join (same join shape)",
     "events_stream_counter_ingest": "checkpointed streaming harness; the per-batch groupBy it folds is timed batch-side via events_json_props (same aggregate shape)",
+    "events_stream_matview_ingest": "three-checkpointed-runs streaming harness (per-run temp-dir + base-table setup dominates); the incremental CDF fold it exercises is timed batch-side via part_matview_incremental (same delta-fold plan)",
 }
 
 

@@ -62,6 +62,8 @@ def _family(meta: dict) -> str:
         return "minhash"
     if "modulus" in meta and "codebooks" in meta:
         return "ivfpq"  # carries BOTH keys — must dispatch before either
+    if "modulus" in meta and "mins" in meta:
+        return "ivfsq8"  # coarse lists + scalar codes — before ivf/sq8
     if "modulus" in meta:
         return "ivf"
     if "tables" in meta:
@@ -204,7 +206,7 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             .repartition(n_files),
             "vectors",
         )
-    elif fam == "ivfpq":
+    elif fam in ("ivfpq", "ivfsq8"):
         # codes keep the hive layout (partition-pruned probes); vectors
         # are the re-rank table, flat like the pq family's.
         wr(

@@ -2408,3 +2408,358 @@ def matryoshka_topk(
         )
     )
     return grouped_topk(rescored, query_id_col, id_col, k)
+
+
+def _exact_cosine_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact cosine re-rank of a ``(query_id, id)`` shortlist — the shared
+    tail of the SQ8 / matryoshka funnels (the cosine-contract sibling of
+    :func:`_exact_l2_rerank`): raw vectors are read for
+    queries × shortlist rows only, queries broadcast, ordered-fold dot
+    products bit-reproducible.  Output: ``(query_id, id, cosine, rank)``."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
+        "__cnorm", _norm(F.col("__cvec"))
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    rescored = (
+        shortlist.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+        )
+    )
+    return grouped_topk(rescored, query_id_col, id_col, k)
+
+
+def _sq8_recon(code_col: str, mins: list[float], steps: list[float]) -> Column:
+    """Reconstructed vector ``min + code·step`` from an SQ8 code column —
+    the decode half of :func:`sq8_encode`, shared by every SQ8 scorer."""
+    mn = F.array(*[F.lit(v) for v in mins])
+    st = F.array(*[F.lit(v) for v in steps])
+    return F.transform(
+        F.col(code_col),
+        lambda c, i: F.element_at(mn, i + 1)
+        + c.cast("double") * F.element_at(st, i + 1),
+    )
+
+
+def ivfsq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 40,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    stats: tuple[list[float], list[float]] | None = None,
+    pivots: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ8: the composed production shape of the scalar-quantization
+    rung (VERDICT r10 ask #3) — coarse inverted lists prune candidates,
+    SQ8 codes shrink the scanned bytes 4×, and the exact cosine read is
+    deferred to the shortlist re-rank.
+
+    :func:`sq8_topk` alone is a FLAT scan: every query batch streams the
+    whole code table (4× fewer bytes, same asymptotics — at 100 TB that
+    is still ~25 TB per batch).  Composing with the IVF coarse quantizer
+    changes the asymptotics, not just the constant: each corpus vector
+    lives in its nearest pivot's list (``nprobe=1`` assignment, partial-
+    aggregated shuffle), each query scores only its ``nprobe`` probed
+    lists — ~nprobe/P of the code bytes — through an equi-join on
+    ``pivot_id`` with the query side broadcast.  Codes score as the
+    RECONSTRUCTED vector ``min + code·step`` against the raw query, so
+    accuracy loss stays bounded by step/2 per dimension, exactly as in
+    the flat lane.
+
+    Every stage is a deterministic total order on (score, id), so an SQL
+    oracle replays quantizer stats → codes → coarse assignment → probes
+    → approx ranks → exact ranks bit-for-bit.  With ``nprobe`` ≥ the
+    list count the probe covers every list and the result equals
+    :func:`sq8_topk` exactly (pinned in ``tests/test_llmops.py``).
+
+    Output: ``(query_id, vec_id, cosine, rank)`` — the family contract.
+    """
+    if pivots is None:
+        pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    mins, steps = stats if stats is not None else sq8_stats(corpus, vec_col)
+    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
+        id_col, "pivot_id"
+    )
+    codes = (
+        sq8_encode(corpus, mins, steps, vec_col, out="__code")
+        .select(id_col, "__code")
+        .join(c_assign, id_col)
+    )
+    q_probes = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).select(query_id_col, "pivot_id")
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).join(q_probes, query_id_col)
+    scored = (
+        codes.join(F.broadcast(q), "pivot_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "__approx", _dot(F.col("__qvec"), _sq8_recon("__code", mins, steps))
+        )
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__approx"
+    ).select(query_id_col, id_col)
+    return _exact_cosine_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+_IVFSQ8_INDEX_VERSION = 1
+
+
+def build_ivfsq8_index(
+    corpus: DataFrame,
+    path: str,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: tuple[list[float], list[float]] | None = None,
+) -> str:
+    """Materialize the IVF-SQ8 artifact — the pruned, partition-skipping
+    layout of the scalar-quantization rung: SQ8 codes **hive-partitioned
+    by inverted list** (``{path}/codes`` under ``pivot_id=`` dirs), the
+    coarse pivots (``{path}/pivots``), raw vectors for the shortlist
+    re-rank only (``{path}/vectors``), and ``meta.json`` pinning the
+    per-dimension mins/steps — codes are only meaningful under the exact
+    quantizer stats AND pivot set that produced them, so the reader takes
+    neither as arguments (the frozen-manifest discipline of the IVFADC
+    builder, ``build_ivfpq_index``).  A probe reads ~nprobe/P of code
+    bytes that are already 4× smaller than floats, via static partition
+    pruning (plan-pinned in ``tests/test_llmops.py``).  Staged + one-
+    rename promote, crash-safe like every other index builder."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    mins, steps = stats if stats is not None else sq8_stats(corpus, vec_col)
+    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
+        id_col, "pivot_id"
+    )
+    codes = (
+        sq8_encode(corpus, mins, steps, vec_col, out="sq8_code")
+        .select(id_col, "sq8_code")
+        .join(c_assign, id_col)
+        .repartition("pivot_id")
+    )
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    codes.write.mode("overwrite").partitionBy("pivot_id").parquet(
+        os.path.join(stage, "codes")
+    )
+    pivots.write.mode("overwrite").parquet(os.path.join(stage, "pivots"))
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _IVFSQ8_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "modulus": modulus,
+        "mins": mins,
+        "steps": steps,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def _read_ivfsq8_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _IVFSQ8_INDEX_VERSION or "mins" not in meta:
+        raise ValueError(f"unsupported ivfsq8 index manifest: {sorted(meta)}")
+    return meta
+
+
+def append_to_ivfsq8_index(new_vectors: DataFrame, index_path: str) -> str:
+    """Grow the IVF-SQ8 artifact under the FROZEN manifest: new vectors
+    assign against the STORED pivots and encode against the STORED
+    mins/steps (out-of-range values clamp to 0/255 — graceful accuracy
+    decay instead of silently re-deriving stats that would invalidate
+    every standing code; drift means an explicit rebuild).  Vectors
+    append FIRST, codes second (the PQ lesson, ADVICE r7): a vector
+    without a code is merely unscored, a code without its vector would
+    shortlist and then vanish at the re-rank join."""
+    import os
+
+    meta = _read_ivfsq8_meta(index_path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark = new_vectors.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    c_assign = ivf_assign(new_vectors, pivots, 1, id_col, vec_col).select(
+        id_col, "pivot_id"
+    )
+    codes = (
+        sq8_encode(new_vectors, meta["mins"], meta["steps"], vec_col,
+                   out="sq8_code")
+        .select(id_col, "sq8_code")
+        .join(c_assign, id_col)
+        .repartition("pivot_id")
+    )
+    new_vectors.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+    codes.write.mode("append").partitionBy("pivot_id").parquet(
+        os.path.join(index_path, "codes")
+    )
+    return index_path
+
+
+def ivfsq8_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 40,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a :func:`build_ivfsq8_index` artifact reading ONLY the
+    probed lists' code partitions: queries assign against the stored
+    pivots (bounded |queries| × nprobe collect, the IVF-reader
+    contract), the code scan is restricted by static partition pruning
+    (``PartitionFilters: [pivot_id IN (...)]``), reconstructed-vector
+    dot products shortlist, and the exact cosine re-rank touches the
+    vectors file for queries × shortlist rows only.  Bit-identical to
+    the in-memory :func:`ivfsq8_topk` under the manifest's frozen
+    stats + pivots; tombstoned ids stop ranking immediately and
+    replayed appends dedup at both the code and vector reads."""
+    import os
+
+    meta = _read_ivfsq8_meta(index_path)
+    id_col = meta["id_col"]
+    spark = queries.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    assign_proj = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).select(query_id_col, "pivot_id")
+    assign_rows = assign_proj.collect()
+    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
+    probed = sorted({r["pivot_id"] for r in assign_rows})
+    codes = (
+        spark.read.parquet(os.path.join(index_path, "codes"))
+        .filter(F.col("pivot_id").isin(probed))
+        .dropDuplicates([id_col, "pivot_id"])
+    )
+    codes = index_maintenance.exclude_tombstoned(
+        codes, index_path, id_col, id_col
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).join(q_probes, query_id_col)
+    scored = codes.join(F.broadcast(q), "pivot_id")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "__approx",
+        _dot(F.col("__qvec"),
+             _sq8_recon("sq8_code", meta["mins"], meta["steps"])),
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__approx"
+    ).select(query_id_col, id_col)
+    vectors = spark.read.parquet(
+        os.path.join(index_path, "vectors")
+    ).dropDuplicates([id_col])
+    # queries re-enter under the INDEX's vec_col name so the re-rank reads
+    # both sides through one column contract
+    q_rerank = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias(meta["vec_col"])
+    )
+    return _exact_cosine_rerank(
+        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
+    )
+
+
+def matryoshka_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    nprobe: int = 12,
+    shortlist: int = 40,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN-prefix matryoshka retrieval (VERDICT r10 ask #4): the prefix
+    shortlist runs against an IVF coarse quantizer built ON THE
+    ``prefix_dims``-dim PREFIX vectors instead of scanning all
+    queries × corpus, then the exact full-dimension cosine re-ranks the
+    shortlist — :func:`matryoshka_topk` with its flat stage replaced by
+    the pruned production path.
+
+    Composition of the two orthogonal cheapenings: MRL dimension
+    truncation shrinks the VECTOR the coarse stage looks at
+    (prefix_dims/dim of the bytes), IVF pruning shrinks the SET of
+    vectors it scores (~nprobe/P of the rows) — together the prefix
+    stage touches ~(prefix_dims/dim)·(nprobe/P) of the corpus bytes per
+    query batch, vs prefix_dims/dim for the flat lane.  Pivots are
+    prefix vectors (every ``modulus``-th), assignment and probing use
+    prefix L2, in-list scoring is prefix cosine, and the re-rank is the
+    exact full-dim cosine — so with ``nprobe`` ≥ the list count the
+    result equals :func:`matryoshka_topk` exactly (pinned in
+    ``tests/test_llmops.py``).  All stages are deterministic total
+    orders on (score, id); the oracle replays prefix slice, coarse
+    assignment, probes, and both rank stages bit-for-bit.
+
+    Output: ``(query_id, vec_id, cosine, rank)`` — the family contract."""
+    cpre = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias("__pre")
+    )
+    qpre = queries.select(
+        F.col(query_id_col),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("__pre"),
+    )
+    pivots = ivf_pivots(cpre, id_col, "__pre", modulus)
+    c_assign = ivf_assign(cpre, pivots, 1, id_col, "__pre")
+    c = cpre.join(c_assign.select(id_col, "pivot_id"), id_col)
+    q_probes = ivf_assign(qpre, pivots, nprobe, query_id_col, "__pre").select(
+        query_id_col, "pivot_id"
+    )
+    q = qpre.select(
+        F.col(query_id_col), F.col("__pre").alias("__qpre")
+    ).join(q_probes, query_id_col)
+    scored = (
+        c.join(F.broadcast(q), "pivot_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "__pcos",
+            _dot(F.col("__qpre"), F.col("__pre"))
+            / (_norm(F.col("__qpre")) * _norm(F.col("__pre"))),
+        )
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__pcos"
+    ).select(query_id_col, id_col)
+    return _exact_cosine_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
+    )

@@ -2050,3 +2050,206 @@ def emb_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_against_index(
         _emb_queries(emb), path, k=10, shortlist=100
     )
+
+
+#: Shared by the in-memory IVF-SQ8 lane and its materialized-index twin —
+#: the probe is bit-identical under the manifest's frozen stats + pivots
+#: (tests/test_index_lifecycle.py pins the equality), so both lanes verify
+#: against one full training-replay SQL: quantizer stats → codes → coarse
+#: assignment → probes → approx ranks → exact ranks.
+_IVFSQ8_ORACLE = f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    dims AS (
+      SELECT u.i AS i, min(u.x) AS mn, max(u.x) AS mx
+      FROM (SELECT unnest(list_transform(range(1, len(v) + 1),
+                   i -> {{'i': i, 'x': v[i]}})) AS u
+            FROM d)
+      GROUP BY u.i),
+    stats AS (
+      SELECT list(mn ORDER BY i) AS mn,
+             list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                       ELSE 0.0 END ORDER BY i) AS st
+      FROM dims),
+    recon AS (
+      SELECT d.vec_id,
+             list_transform(range(1, len(d.v) + 1),
+               i -> CASE WHEN s.st[i] > 0.0
+                    THEN s.mn[i] + CAST(CAST(least(255.0, greatest(0.0,
+                           floor((d.v[i] - s.mn[i]) / s.st[i] + 0.5)))
+                           AS INT) AS DOUBLE) * s.st[i]
+                    ELSE s.mn[i] END) AS r
+      FROM d CROSS JOIN stats s),
+    pivots AS (SELECT vec_id AS pivot_id, v AS pv
+               FROM d WHERE vec_id % 37 = 0),
+    assign AS (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, pivot_id) AS rnk
+      FROM (SELECT d.vec_id, p.pivot_id,
+                   {_fold_l2sq('d.v', 'p.pv')} AS dist
+            FROM d CROSS JOIN pivots p)),
+    c AS (
+      SELECT r.vec_id, r.r, a.pivot_id
+      FROM recon r JOIN assign a ON r.vec_id = a.vec_id AND a.rnk = 1),
+    q AS (
+      SELECT a.vec_id AS query_id, a.pivot_id, d.v AS qv
+      FROM assign a JOIN d ON d.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= 12),
+    approx AS (
+      SELECT q.query_id, c.vec_id, {_fold_dot('q.qv', 'c.r')} AS ap
+      FROM q JOIN c USING (pivot_id)
+      WHERE c.vec_id <> q.query_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY ap DESC, vec_id) AS rn
+        FROM approx) WHERE rn <= 40),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             {_fold_dot('q2.qv', 'c2.v')}
+               / ({_fold_norm('q2.qv')} * {_fold_norm('c2.v')}) AS cosine
+      FROM sl s
+      JOIN qv q2 ON q2.query_id = s.query_id
+      JOIN d c2 ON c2.vec_id = s.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("emb_ivfsq8_topk", oracle=_IVFSQ8_ORACLE)
+def emb_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed ANN top-10 (``similarity.ivfsq8_topk``) — the
+    pruned production shape of the scalar-quantization rung (VERDICT r10
+    ask #3): the coarse quantizer (every 37th vector, the IVF-lane
+    setting) prunes candidates to 12 probed lists per query, SQ8 codes
+    shrink the scanned bytes 4×, and the 40-row shortlist re-ranks with
+    the exact full-float cosine.  Where ``emb_sq8_topk`` streams the
+    whole code table per query batch (a flat scan — the constant drops
+    4×, the asymptotics don't), this lane's approximate stage touches
+    ~nprobe/P of the code bytes: the composition that makes SQ8 a
+    production path at 100 TB.  Measured recall@10 ≥ the IVF-flat lane's
+    floor (pinned in tests/test_llmops.py); probing every list
+    reproduces ``emb_sq8_topk`` exactly (geometry-independent gate).
+    The oracle replays quantizer stats, encode, coarse assignment,
+    probes, and both rank stages bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivfsq8_topk(
+        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=40, modulus=37
+    )
+
+
+#: sf_dirs whose IVF-SQ8 artifact is already on disk this process.
+_IVFSQ8_INDEX_BUILT: set[str] = set()
+
+
+def ivfsq8_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk IVF-SQ8 index path for ``sf_dir`` (same
+    isolation contract as ``sq8_index_path``)."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_ivfsq8_index/{sf_tag}_pid{_os.getpid()}"
+
+
+@query("emb_ivfsq8_indexed_topk", oracle=_IVFSQ8_ORACLE)
+def emb_ivfsq8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IVF-SQ8 artifact's read path
+    (``similarity.build_ivfsq8_index`` / ``ivfsq8_topk_against_index``):
+    SQ8 codes hive-partitioned by inverted list, so the probe reads ONLY
+    the 12 probed lists' partitions through static partition pruning
+    (``PartitionFilters: [pivot_id IN (...)]``, plan-pinned in
+    tests/test_llmops.py) — ~nprobe/P of bytes that are already 4×
+    smaller than floats.  Bit-identical to the in-memory
+    ``emb_ivfsq8_topk`` under the manifest's frozen stats + pivots, so
+    it shares the full training-replay oracle (the evidence pattern of
+    every index-lane twin).  Built once per process; bench samples time
+    the probe — the production shape, where encode is paid at ingest."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = ivfsq8_index_path(sf_dir)
+    if path not in _IVFSQ8_INDEX_BUILT:
+        similarity.build_ivfsq8_index(emb, path, modulus=37)
+        _IVFSQ8_INDEX_BUILT.add(path)
+    return similarity.ivfsq8_topk_against_index(
+        _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
+    )
+
+
+@query(
+    "emb_matryoshka_ivf_topk",
+    oracle=f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cpre AS (SELECT vec_id, v[1:16] AS pre FROM d),
+    pivots AS (SELECT vec_id AS pivot_id, pre AS pv
+               FROM cpre WHERE vec_id % 37 = 0),
+    assign AS (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, pivot_id) AS rnk
+      FROM (SELECT c.vec_id, p.pivot_id,
+                   {_fold_l2sq('c.pre', 'p.pv')} AS dist
+            FROM cpre c CROSS JOIN pivots p)),
+    c AS (
+      SELECT cp.vec_id, cp.pre, a.pivot_id
+      FROM cpre cp JOIN assign a ON cp.vec_id = a.vec_id AND a.rnk = 1),
+    q AS (
+      SELECT a.vec_id AS query_id, a.pivot_id, cp.pre AS qpre
+      FROM assign a JOIN cpre cp ON cp.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= 12),
+    pre AS (
+      SELECT q.query_id, c.vec_id,
+             {_fold_dot('q.qpre', 'c.pre')}
+               / ({_fold_norm('q.qpre')} * {_fold_norm('c.pre')}) AS pcos
+      FROM q JOIN c USING (pivot_id)
+      WHERE c.vec_id <> q.query_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY pcos DESC, vec_id) AS rn
+        FROM pre) WHERE rn <= 40),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             {_fold_dot('q2.qv', 'c2.v')}
+               / ({_fold_norm('q2.qv')} * {_fold_norm('c2.v')}) AS cosine
+      FROM sl s
+      JOIN qv q2 ON q2.query_id = s.query_id
+      JOIN d c2 ON c2.vec_id = s.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-prefix matryoshka retrieval (``similarity.matryoshka_ivf_topk``
+    — VERDICT r10 ask #4): the prefix shortlist runs against an IVF
+    coarse quantizer built ON the 16-dim prefixes instead of scanning
+    all queries × corpus, then the exact full-dimension cosine re-ranks.
+    The two orthogonal cheapenings compose: dimension truncation shrinks
+    the vector (16/64 of the bytes), IVF pruning shrinks the candidate
+    set (~12/P of the rows) — the prefix stage touches
+    ~(16/64)·(nprobe/P) of corpus bytes per batch, vs 16/64 for the
+    flat ``emb_matryoshka_topk``.  Probing every list reproduces the
+    flat lane exactly, and the pruned plan has no nested-loop join
+    (both pinned in tests/test_llmops.py).  The oracle replays prefix
+    slice, coarse assignment, probes, and both rank stages
+    bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_ivf_topk(
+        emb, _emb_queries(emb), k=10, prefix_dims=16, nprobe=12,
+        shortlist=40, modulus=37,
+    )
