@@ -2094,6 +2094,11 @@ def sq8_stats(
         )
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "sq8_stats: empty corpus (or all-null vectors) — per-dimension "
+            "quantization stats need at least one embedding row"
+        )
     dim = max(r["i"] for r in rows) + 1
     mins, steps = [0.0] * dim, [0.0] * dim
     for r in rows:

@@ -67,19 +67,41 @@ def delete_where_dv(spark: SparkSession, path: str, condition) -> int:
 
     The predicate scan sees the LOGICAL table (already-deleted rows can't
     match again), so successive deletes compose like SQL DELETEs.
+
+    Runs under the sidecar's single-writer claim: a delete racing a
+    :func:`purge_dv` (whose swap reassigns every physical row id — marks
+    written against the OLD ids would silently delete nothing) or a
+    :func:`merge_dv` raises ``ConcurrentWriteError`` instead of losing
+    marks.
     """
     cond = F.expr(condition) if isinstance(condition, str) else condition
-    marks = read_dv(spark, path, _keep_ids=True).where(cond).select(_FP, _RI)
-    n = marks.count()
-    if n:
-        marks.withColumnRenamed(_FP, "file_path").withColumnRenamed(
-            _RI, "row_index"
-        ).write.mode("append").parquet(_dv_path(path))
+    _roll_forward_if_staged(path)
+    _claim_dv_writer(path, {"op": "delete", "phase": "staging"})
+    try:
+        marks = read_dv(spark, path, _keep_ids=True).where(cond).select(
+            _FP, _RI
+        )
+        n = marks.count()
+        if n:
+            marks.withColumnRenamed(_FP, "file_path").withColumnRenamed(
+                _RI, "row_index"
+            ).write.mode("append").parquet(_dv_path(path))
+    finally:
+        _release_dv_writer(path)
     return n
 
 
 def read_dv(spark: SparkSession, path: str, _keep_ids: bool = False) -> DataFrame:
-    """The logical table: physical scan minus the marked positions."""
+    """The logical table: physical scan minus the marked positions.
+
+    If a crashed merge left a fully-``staged`` intent, the read ROLLS IT
+    FORWARD first (ADVICE r10: the mid-publish "transient under-read" —
+    matched rows hidden, replacements not yet visible — must not persist
+    until some later writer happens by; one ``os.path.exists`` on the hot
+    path is the cost).  A ``staging``-phase intent is left alone: that
+    writer is either live or owed nothing."""
+    if os.path.exists(_intent_file(path)):
+        _roll_forward_if_staged(path)
     base = spark.read.parquet(path).select(
         "*",
         F.col("_metadata.file_path").alias(_FP),
@@ -113,22 +135,32 @@ def purge_dv(spark: SparkSession, path: str) -> int:
     cleared in the same swap."""
     from . import writers
 
-    n = dv_mark_count(spark, path)
-    if n == 0:
-        return 0
-    survivors = read_dv(spark, path)
-    # Stage the rewrite FIRST (reads the old files), then swap; the DV dir
-    # lives inside the table dir, so the swap drops marks and old data in
-    # the same atomic rename.
-    writers.overwrite_path(survivors, path)
-    dv_dir = _dv_path(path)
-    if os.path.isdir(dv_dir):  # pragma: no cover — swap normally removed it
-        shutil.rmtree(dv_dir)
+    _roll_forward_if_staged(path)
+    _claim_dv_writer(path, {"op": "purge", "phase": "staging"})
+    try:
+        n = dv_mark_count(spark, path)
+        if n == 0:
+            return 0
+        survivors = read_dv(spark, path)
+        # Stage the rewrite FIRST (reads the old files), then swap; the
+        # DV dir, the stage dirs, AND our claim file all live inside the
+        # table dir, so the swap drops marks, old data, and the claim in
+        # the same atomic rename — a delete that lost the claim race can
+        # only re-claim against the NEW row ids, never write marks
+        # against the purged ones.
+        writers.overwrite_path(survivors, path)
+        dv_dir = _dv_path(path)
+        if os.path.isdir(dv_dir):  # pragma: no cover — swap removed it
+            shutil.rmtree(dv_dir)
+    finally:
+        _release_dv_writer(path)
     return n
 
 
 # ---------------------------------------------------------------------------
 # Merge-on-read MERGE (round 10): upsert without rewriting a single data file
+# Round 11: single-writer claim + phased intent (the versioned-lane OCC
+# contract extended to the sidecar — VERDICT r10 ask #7, ADVICE r10)
 # ---------------------------------------------------------------------------
 
 _MERGE_INTENT = "_dv_merge_intent.json"
@@ -139,8 +171,68 @@ def _intent_file(path: str) -> str:
     return os.path.join(path.rstrip("/"), _MERGE_INTENT)
 
 
-def _stage_dir(path: str) -> str:
-    return os.path.join(path.rstrip("/"), _MERGE_STAGE)
+def _stage_dir(path: str, tag: str) -> str:
+    return os.path.join(path.rstrip("/"), f"{_MERGE_STAGE}_{tag}")
+
+
+def _claim_dv_writer(path: str, intent: dict) -> None:
+    """Atomically claim the sidecar's single WRITER slot (O_EXCL-create
+    the intent file — the same primitive as ``versioned._claim_intent``).
+    Every DV mutator (:func:`merge_dv`, :func:`delete_where_dv`,
+    :func:`purge_dv`) serializes through this slot, so two concurrent
+    mutators never interleave marks, stage files, or the purge swap: the
+    loser raises :class:`versioned.ConcurrentWriteError` immediately and
+    commits nothing.  Readers are never blocked and never claim."""
+    from .versioned import ConcurrentWriteError
+
+    try:
+        fd = os.open(
+            _intent_file(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{path}: another deletion-vector writer is in flight (live "
+            "_dv_merge_intent.json); if that writer crashed, run "
+            "recover_dv_merge() first"
+        ) from None
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(intent, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except BaseException:  # pragma: no cover — release the half-claim
+        os.remove(_intent_file(path))
+        raise
+
+
+def _release_dv_writer(path: str) -> None:
+    try:
+        os.remove(_intent_file(path))
+    except FileNotFoundError:  # purge's swap removed it with the table dir
+        pass
+
+
+def _read_intent(path: str) -> dict | None:
+    try:
+        with open(_intent_file(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+    except (ValueError, OSError):
+        return {}  # unreadable — the claim write itself crashed
+
+
+def _roll_forward_if_staged(path: str) -> bool:
+    """Publish a fully-staged merge left by a crashed writer.  Safe to
+    call ANY time — including while another writer is live — because it
+    only acts on phase ``staged`` intents (whose writer, if alive, is
+    doing the exact same idempotent publish), never on ``staging`` ones
+    (where sweeping would destroy a LIVE writer's work)."""
+    intent = _read_intent(path)
+    if intent and intent.get("phase") == "staged":
+        _publish_dv_merge(path, intent["stage"])
+        return True
+    return False
 
 
 def merge_dv(
@@ -177,41 +269,89 @@ def merge_dv(
 
     Source keys must be unique (asserted) — the same contract every
     MERGE engine imposes.  Returns ``{"updated": n, "inserted": n}``.
+
+    Concurrency (round 11): the whole merge runs under the sidecar's
+    O_EXCL single-writer claim (:func:`_claim_dv_writer`) with a
+    uuid-suffixed stage dir recorded in the intent, so two concurrent
+    ``merge_dv`` calls — or a merge racing a ``delete_where_dv`` /
+    ``purge_dv`` — never interleave: the loser raises
+    ``ConcurrentWriteError`` having committed nothing.  The intent is
+    two-phase: claimed as ``staging`` (a crash here sweeps the stage —
+    the caller never saw success, so nothing is owed), flipped to
+    ``staged`` once both stage tables are durable (a crash after that
+    rolls FORWARD — on the next writer, an explicit
+    :func:`recover_dv_merge`, or any :func:`read_dv`).  Reported stats
+    are derived from the STAGED parquet, not by re-executing the lazy
+    plans, so they match the written bytes even for nondeterministic
+    sources (ADVICE r10).
     """
+    import uuid
+
     from ..plans.merge import assert_unique_source
     from .versioned import _fsync_json  # shared crash-durable JSON write
 
-    recover_dv_merge(spark, path)
+    _roll_forward_if_staged(path)
     assert_unique_source(source, keys)
 
-    cur = read_dv(spark, path, _keep_ids=True)
-    src = source.select(*spark.read.parquet(path).columns)  # align schema/order
-    marks = (
-        cur.join(F.broadcast(source.select(*keys).distinct()), keys, "left_semi")
-        .select(F.col(_FP).alias("file_path"), F.col(_RI).alias("row_index"))
+    tag = uuid.uuid4().hex[:8]
+    stage = _stage_dir(path, tag)
+    _claim_dv_writer(
+        path, {"op": "merge", "stage": tag, "phase": "staging"}
     )
-    n_updated = marks.count()  # tombstoned target POSITIONS (≥ matched
-    # source rows when the target carries duplicate keys — Delta's MERGE
-    # updates every matching target row too)
-    n_inserted = source.join(
-        cur.select(*keys).distinct(), keys, "left_anti"
-    ).count()
-
-    stage = _stage_dir(path)
-    if os.path.isdir(stage):  # pragma: no cover — recover() swept it
-        shutil.rmtree(stage)
-    marks.write.parquet(os.path.join(stage, "marks"))
-    src.write.parquet(os.path.join(stage, "data"))
-    _fsync_json(_intent_file(path), {"stage": _MERGE_STAGE})
-    _publish_dv_merge(path)
+    try:
+        cur = read_dv(spark, path, _keep_ids=True)
+        # align column order AND types to the target (MERGE semantics:
+        # the target schema wins) — appending a wider-typed source file
+        # would leave a mixed-type dir whose inferred schema depends on
+        # file listing order
+        src = source.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in spark.read.parquet(path).schema.fields
+            ]
+        )
+        marks = (
+            cur.join(
+                F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+            )
+            .select(F.col(_FP).alias("file_path"), F.col(_RI).alias("row_index"))
+        )
+        marks.write.parquet(os.path.join(stage, "marks"))
+        src.write.parquet(os.path.join(stage, "data"))
+        # one materialization: counts come from the staged bytes.
+        # n_updated = tombstoned target POSITIONS (≥ matched source rows
+        # when the target carries duplicate keys — Delta's MERGE updates
+        # every matching target row too); n_inserted = staged source rows
+        # whose key is absent from the pre-merge logical table.
+        n_updated = spark.read.parquet(os.path.join(stage, "marks")).count()
+        n_inserted = (
+            spark.read.parquet(os.path.join(stage, "data"))
+            .join(cur.select(*keys).distinct(), keys, "left_anti")
+            .count()
+        )
+        _fsync_json(
+            _intent_file(path),
+            {"op": "merge", "stage": tag, "phase": "staged"},
+        )
+    except BaseException:
+        # staging crash/abort in-process: sweep and release — the merge
+        # never happened (out-of-process crashes leave the claim for
+        # recover_dv_merge, which applies the same phase rule)
+        shutil.rmtree(stage, ignore_errors=True)
+        _release_dv_writer(path)
+        raise
+    _publish_dv_merge(path, tag)
     return {"updated": n_updated, "inserted": n_inserted}
 
 
-def _publish_dv_merge(path: str) -> None:
-    """Promote a staged merge: marks first (duplicate-free window), then
-    data files, then drop stage + intent.  Every step is idempotent —
-    re-running after a crash at any point completes the same merge."""
-    stage = _stage_dir(path)
+def _publish_dv_merge(path: str, tag: str) -> None:
+    """Promote the staged merge ``tag``: marks first (duplicate-free
+    window), then data files, then drop stage + intent.  Every step is
+    idempotent AND tolerant of a concurrent roll-forward of the SAME
+    stage (two repairers racing move disjoint files; the loser of any
+    per-file race skips) — re-running after a crash at any point
+    completes the same merge exactly once."""
+    stage = _stage_dir(path, tag)
     dv_dir = _dv_path(path)
     os.makedirs(dv_dir, exist_ok=True)
     for sub, dest in (("marks", dv_dir), ("data", path.rstrip("/"))):
@@ -223,32 +363,54 @@ def _publish_dv_merge(path: str) -> None:
                 continue  # _SUCCESS / .crc sidecars stay behind
             tgt = os.path.join(dest, f)
             if not os.path.exists(tgt):  # idempotent re-publish
-                os.replace(os.path.join(sdir, f), tgt)
-        shutil.rmtree(sdir)
+                try:
+                    os.replace(os.path.join(sdir, f), tgt)
+                except FileNotFoundError:  # concurrent repairer moved it
+                    pass
+        shutil.rmtree(sdir, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
-    intent = _intent_file(path)
-    if os.path.exists(intent):
-        os.remove(intent)
+    _release_dv_writer(path)
+
+
+def _sweep_orphan_stages(path: str, keep: str | None = None) -> bool:
+    """Remove stage dirs not referenced by a live intent (their merge
+    never reached durability; the rows must not leak in)."""
+    swept = False
+    root = path.rstrip("/")
+    if not os.path.isdir(root):
+        return False
+    for d in os.listdir(root):
+        if d.startswith(f"{_MERGE_STAGE}_") and d != keep:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            swept = True
+    return swept
 
 
 def recover_dv_merge(spark: SparkSession, path: str) -> bool:
-    """Roll a crashed :func:`merge_dv` forward (or sweep an orphan stage
-    that never reached its intent — that merge never happened and its
-    rows must not leak in).  Returns True if repair work was done."""
-    intent, stage = _intent_file(path), _stage_dir(path)
-    if os.path.exists(intent):
-        try:
-            with open(intent) as fh:
-                json.load(fh)
-        except (ValueError, OSError):
-            # unreadable intent: the stage was never fully declared —
-            # treat as pre-intent crash, sweep
-            shutil.rmtree(stage, ignore_errors=True)
-            os.remove(intent)
-            return True
-        _publish_dv_merge(path)
+    """Repair the sidecar after a WRITER CRASH — only call when no writer
+    is live (the same contract as ``versioned.recover``; a live writer's
+    ``staging`` intent is indistinguishable from a crashed one's, and
+    sweeping it would destroy in-flight work).  Phase rule:
+
+    * ``staged`` intent → the merge is durable: roll it FORWARD
+      (idempotent publish);
+    * ``staging`` / unreadable intent → the merge never returned success:
+      sweep its stage and release the claim (roll BACK);
+    * non-merge intents (``delete`` / ``purge`` claims) → the operation
+      either fully committed its one atomic step or did nothing: release
+      the stale claim;
+    * orphan stage dirs with no intent → sweep.
+
+    Returns True if repair work was done."""
+    intent = _read_intent(path)
+    if intent is None:
+        return _sweep_orphan_stages(path)
+    if intent.get("phase") == "staged":
+        _publish_dv_merge(path, intent["stage"])
+        _sweep_orphan_stages(path)
         return True
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
-        return True
-    return False
+    if intent.get("op") == "merge" and "stage" in intent:
+        shutil.rmtree(_stage_dir(path, intent["stage"]), ignore_errors=True)
+    _sweep_orphan_stages(path)
+    _release_dv_writer(path)
+    return True

@@ -77,8 +77,12 @@ def apply_counter_batch(
             F.col("n_events").alias("__n"),
             F.col("total_value").alias("__t"),
         )
+        # eqNullSafe: a NULL group key must fold into the SAME standing
+        # row, not spawn an unmatched pair per batch (ADVICE r10 — plain
+        # equality never matches NULLs, so NULL-group rows would
+        # accumulate and diverge from the SQL oracle's single NULL group)
         state = (
-            old.join(d, old[group_col] == d["__g"], "full_outer")
+            old.join(d, old[group_col].eqNullSafe(d["__g"]), "full_outer")
             .select(
                 F.coalesce(old[group_col], F.col("__g")).alias(group_col),
                 (

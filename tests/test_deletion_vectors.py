@@ -127,24 +127,33 @@ def test_merge_dv_idempotent_rerun_and_composes_with_delete(spark, table):
     assert DV.read_dv(spark, table).where(F.col("p_partkey").isin(keys)).count() == 0
 
 
-def test_merge_dv_crash_rolls_forward(spark, table):
-    """A merge that crashed after writing its intent (stage present,
-    nothing published) must complete — not duplicate — on recovery."""
-    src = (
-        spark.read.parquet(table).limit(2)
-        .withColumn("p_retailprice", F.lit(5.55))
-    )
-    # stage manually = crash immediately after intent fsync
+def _stage_crashed_merge(spark, table, src, tag, phase):
+    """Reproduce a merge that crashed with its stage written and its
+    intent at ``phase`` — the writer process is gone."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import _fsync_json
 
     cur = DV.read_dv(spark, table, _keep_ids=True)
     marks = cur.join(src.select("p_partkey"), "p_partkey", "left_semi").select(
         F.col(DV._FP).alias("file_path"), F.col(DV._RI).alias("row_index")
     )
-    stage = DV._stage_dir(table)
+    stage = DV._stage_dir(table, tag)
     marks.write.parquet(os.path.join(stage, "marks"))
     src.write.parquet(os.path.join(stage, "data"))
-    _fsync_json(DV._intent_file(table), {"stage": DV._MERGE_STAGE})
+    _fsync_json(
+        DV._intent_file(table), {"op": "merge", "stage": tag, "phase": phase}
+    )
+    return stage
+
+
+def test_merge_dv_crash_rolls_forward(spark, table):
+    """A merge that crashed after its intent flipped to ``staged`` (stage
+    durable, nothing published) must complete — not duplicate — on
+    recovery."""
+    src = (
+        spark.read.parquet(table).limit(2)
+        .withColumn("p_retailprice", F.lit(5.55))
+    )
+    stage = _stage_crashed_merge(spark, table, src, "deadbeef", "staged")
 
     assert DV.recover_dv_merge(spark, table) is True
     got = DV.read_dv(spark, table)
@@ -156,12 +165,126 @@ def test_merge_dv_crash_rolls_forward(spark, table):
     assert DV.recover_dv_merge(spark, table) is False
 
 
+def test_merge_dv_staging_crash_rolls_back(spark, table):
+    """A merge that crashed while still ``staging`` never returned
+    success — recovery must SWEEP it (roll back), not publish it."""
+    n0 = DV.read_dv(spark, table).count()
+    src = (
+        spark.read.parquet(table).limit(2)
+        .withColumn("p_retailprice", F.lit(4.44))
+    )
+    stage = _stage_crashed_merge(spark, table, src, "cafebabe", "staging")
+
+    assert DV.recover_dv_merge(spark, table) is True
+    assert not os.path.exists(DV._intent_file(table))
+    assert not os.path.isdir(stage)
+    got = DV.read_dv(spark, table)
+    assert got.count() == n0
+    assert got.where("p_retailprice = 4.44").count() == 0
+
+
+def test_read_dv_rolls_staged_merge_forward(spark, table):
+    """ADVICE r10 (medium): a crash mid-publish leaves matched rows
+    hidden and replacements unpublished; the NEXT read — not some later
+    writer — must repair it.  A ``staging`` intent, by contrast, is left
+    untouched (it may belong to a live writer)."""
+    src = (
+        spark.read.parquet(table).limit(2)
+        .withColumn("p_retailprice", F.lit(3.33))
+    )
+    _stage_crashed_merge(spark, table, src, "feedf00d", "staged")
+    got = DV.read_dv(spark, table)  # plain read, no explicit recover
+    assert got.where("p_retailprice = 3.33").count() == 2
+    assert got.count() == spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    assert not os.path.exists(DV._intent_file(table))
+
+    # staging-phase intent: read leaves it alone and sees the old table
+    n0 = DV.read_dv(spark, table).count()
+    src2 = (
+        spark.read.parquet(table).limit(1)
+        .withColumn("p_retailprice", F.lit(2.22))
+    )
+    _stage_crashed_merge(spark, table, src2, "0ddba11", "staging")
+    got2 = DV.read_dv(spark, table)
+    assert got2.count() == n0
+    assert got2.where("p_retailprice = 2.22").count() == 0
+    assert os.path.exists(DV._intent_file(table))  # untouched
+    DV.recover_dv_merge(spark, table)  # clean up for the fixture
+
+
 def test_merge_dv_orphan_stage_without_intent_is_swept(spark, table):
     """A stage dir with NO intent is a pre-intent crash: that merge never
     happened; its rows must be discarded, not published."""
     src = spark.read.parquet(table).limit(1)
-    stage = DV._stage_dir(table)
+    stage = DV._stage_dir(table, "0badc0de")
     src.write.parquet(os.path.join(stage, "data"))
     assert DV.recover_dv_merge(spark, table) is True
     assert not os.path.isdir(stage)
     assert DV.read_dv(spark, table).count() == spark.read.parquet(table).count()
+
+
+def test_dv_writers_serialize_through_the_claim(spark, table):
+    """VERDICT r10 ask #7: the sidecar has ONE writer slot.  While any
+    mutator holds it (here: a claim left by a writer mid-operation),
+    every other mutator — merge, delete, purge — raises
+    ConcurrentWriteError having committed nothing; marks are never
+    interleaved or lost."""
+    import pytest as _pytest
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import (
+        ConcurrentWriteError,
+    )
+
+    n0 = DV.read_dv(spark, table).count()
+    marks0 = DV.dv_mark_count(spark, table)
+    DV._claim_dv_writer(table, {"op": "delete", "phase": "staging"})
+    try:
+        src = spark.read.parquet(table).limit(1)
+        with _pytest.raises(ConcurrentWriteError):
+            DV.merge_dv(spark, table, src, ["p_partkey"])
+        with _pytest.raises(ConcurrentWriteError):
+            DV.delete_where_dv(spark, table, F.col("p_type") == "PROMO")
+        with _pytest.raises(ConcurrentWriteError):
+            DV.purge_dv(spark, table)
+    finally:
+        DV._release_dv_writer(table)
+    # nothing committed: no marks, no rows, no stage litter
+    assert DV.read_dv(spark, table).count() == n0
+    assert DV.dv_mark_count(spark, table) == marks0
+    assert not any(
+        d.startswith("_dv_merge_stage") for d in os.listdir(table)
+    )
+    # slot released → a writer succeeds again
+    assert DV.delete_where_dv(spark, table, F.col("p_type") == "PROMO") > 0
+
+
+def test_purge_cannot_race_a_delete_into_lost_marks(spark, table):
+    """The lost-marks hazard: a delete computing positions against
+    pre-purge file ids while purge swaps the table would append marks
+    referencing dead files (the delete silently no-ops).  The claim
+    makes the interleaving impossible — whichever side claims second
+    raises — and after the winner finishes, the loser's retry operates
+    on the new row ids."""
+    import pytest as _pytest
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import (
+        ConcurrentWriteError,
+    )
+
+    n = DV.delete_where_dv(spark, table, F.col("p_type") == "PROMO")
+    assert n > 0
+    # purge holds the slot (simulating its predicate/rewrite window) —
+    # the concurrent delete loses cleanly
+    DV._claim_dv_writer(table, {"op": "purge", "phase": "staging"})
+    try:
+        with _pytest.raises(ConcurrentWriteError):
+            DV.delete_where_dv(spark, table, F.col("p_size") > 25)
+    finally:
+        DV._release_dv_writer(table)
+    purged = DV.purge_dv(spark, table)
+    assert purged == n
+    assert DV.dv_mark_count(spark, table) == 0
+    # the delete's retry after the purge sees the NEW row ids and works
+    n2 = DV.delete_where_dv(spark, table, F.col("p_size") > 25)
+    assert DV.read_dv(spark, table).where(F.col("p_size") > 25).count() == 0
+    assert n2 == DV.dv_mark_count(spark, table)

@@ -1475,3 +1475,11 @@ def test_matryoshka_ivf_plan_prunes_the_corpus_cross(spark):
     # the contrast: the flat lane crosses the corpus with NO pivot filter
     assert "BroadcastNestedLoopJoin" in flat_plan
     assert "% 37)" not in flat_plan
+
+
+def test_sq8_stats_empty_corpus_raises_clearly(spark):
+    """ADVICE r10: an empty corpus must fail with a message naming the
+    problem, not an opaque max()-of-empty-sequence ValueError."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.sq8_stats(empty)

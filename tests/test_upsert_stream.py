@@ -110,3 +110,24 @@ def test_checkpoint_restart_does_not_refold(spark, tmp_path):
         app_id="counter-stream", schema=ev.schema, now=4_000.0,
     )
     assert versioned.current_version(table) == v1
+
+
+def test_null_group_folds_into_one_standing_row(spark, tmp_path):
+    """ADVICE r10: the cross-batch fold joins old state to the batch
+    delta with eqNullSafe — a NULL group key must accumulate into ONE
+    standing row across batches, exactly like SQL GROUP BY treats NULL
+    as a single group, never spawn a fresh unmatched pair per batch."""
+    table = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [(1, None, 10.0), (2, "x", 1.0)],
+        "event_id long, event_type string, value double",
+    )
+    assert US.apply_counter_batch(spark, table, b, 0, app_id="nulls", now=1.0)
+    assert US.apply_counter_batch(spark, table, b, 1, app_id="nulls", now=2.0)
+    rows = {
+        r["event_type"]: (r["n_events"], float(r["total_value"]))
+        for r in spark.read.parquet(table).collect()
+    }
+    assert len(rows) == 2  # one NULL group, one 'x' group — no dup NULLs
+    assert rows[None] == (2, 20.0)
+    assert rows["x"] == (2, 2.0)
