@@ -119,6 +119,7 @@ HEADLINE = [
     "emb_matryoshka_topk",
     "emb_ivfsq8_topk",
     "emb_ivfsq8_indexed_topk",
+    "emb_ivfsq8_stream_topk",
     "emb_matryoshka_ivf_topk",
     "doc_source_caps",
     "doc_duplication_stats",

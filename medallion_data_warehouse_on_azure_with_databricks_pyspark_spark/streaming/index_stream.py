@@ -40,7 +40,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def ivfpq_index_ingest(
+def _append_fn(family: str):
+    """The family's incremental-append surface — every vector-index
+    builder ships one with the same ``(new_vectors, index_path)``
+    signature and the same frozen-quantizer contract."""
+    from ..operators import similarity
+
+    try:
+        return {
+            "ivf": similarity.append_to_ivf_index,
+            "pq": similarity.append_to_pq_index,
+            "sq8": similarity.append_to_sq8_index,
+            "ivfpq": similarity.append_to_ivfpq_index,
+            "ivfsq8": similarity.append_to_ivfsq8_index,
+        }[family]
+    except KeyError:
+        raise ValueError(
+            f"no streaming append surface for index family {family!r}"
+        ) from None
+
+
+def index_ingest(
     spark: SparkSession,
     source_dir: str,
     index_path: str,
@@ -50,25 +70,28 @@ def ivfpq_index_ingest(
     delete_op: str = "DELETE",
     max_files_per_trigger: int = 1,
 ) -> None:
-    """Run-once streaming maintenance of a ``build_ivfpq_index``
-    artifact from a parquet directory of vector CDC events.
+    """Run-once streaming maintenance of ANY vector-index artifact from a
+    parquet directory of vector CDC events — the family (IVF / PQ / SQ8 /
+    IVFADC / IVF-SQ8) is read from the artifact's own manifest and
+    dispatched to its ``append_to_*`` surface, so one streaming wire
+    serves the whole ladder.
 
     Rows whose ``op_col`` equals ``delete_op`` tombstone their id; every
-    other row is an upsert appended to the index (assign + residual-PQ
-    encode under the stored quantizer).  If ``schema`` carries no
-    ``op_col`` at all, the whole stream is upserts.  The id/vector
-    column names come from the index's own manifest — the artifact, not
-    the caller, is the source of truth (same contract as the readers).
+    other row is an upsert appended to the index (assigned/encoded under
+    the stored frozen quantizer).  If ``schema`` carries no ``op_col``
+    at all, the whole stream is upserts.  The id/vector column names
+    come from the index's own manifest — the artifact, not the caller,
+    is the source of truth (same contract as the readers).
 
     ``max_files_per_trigger=1`` keeps batch boundaries deterministic for
     tests and replay; production streams would raise it and let the
     checkpoint define batches.
     """
     from ..operators import index_maintenance
-    from ..operators.similarity import append_to_ivfpq_index
 
     meta = index_maintenance._read_meta(index_path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    append = _append_fn(index_maintenance._family(meta))
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -83,7 +106,7 @@ def ivfpq_index_ingest(
             else batch
         ).select(id_col, vec_col)
         if not upserts.isEmpty():
-            append_to_ivfpq_index(upserts, index_path)
+            append(upserts, index_path)
         if has_op:
             deletes = batch.filter(F.col(op_col) == delete_op).select(id_col)
             if not deletes.isEmpty():
@@ -99,4 +122,23 @@ def ivfpq_index_ingest(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def ivfpq_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id long, embedding array<float>, op string",
+    op_col: str = "op",
+    delete_op: str = "DELETE",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Back-compat name for :func:`index_ingest` pointed at an IVFADC
+    artifact (the family dispatch reads the manifest either way)."""
+    index_ingest(
+        spark, source_dir, index_path, checkpoint_dir,
+        schema=schema, op_col=op_col, delete_op=delete_op,
+        max_files_per_trigger=max_files_per_trigger,
     )

@@ -2052,12 +2052,19 @@ def emb_pq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Shared by the in-memory IVF-SQ8 lane and its materialized-index twin —
-#: the probe is bit-identical under the manifest's frozen stats + pivots
-#: (tests/test_index_lifecycle.py pins the equality), so both lanes verify
-#: against one full training-replay SQL: quantizer stats → codes → coarse
-#: assignment → probes → approx ranks → exact ranks.
-_IVFSQ8_ORACLE = f"""
+def _ivfsq8_oracle(
+    train_filter: str = "TRUE", exclude_filter: str = "FALSE"
+) -> str:
+    """Full training-replay SQL for the IVF-SQ8 family: quantizer stats →
+    codes → coarse assignment → probes → approx ranks → exact ranks.
+    Shared by the in-memory lane, its materialized-index twin, and the
+    streaming-maintained twin — the probe is bit-identical under the
+    manifest's frozen stats + pivots (tests/test_index_lifecycle.py pins
+    the equality).  ``train_filter`` restricts the rows the stats AND
+    pivots derive from (the standing corpus of a streaming lane);
+    ``exclude_filter`` names tombstoned ids (excluded from candidates,
+    exactly like ``index_maintenance.exclude_tombstoned``)."""
+    return f"""
     WITH d AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -2065,7 +2072,7 @@ _IVFSQ8_ORACLE = f"""
       SELECT u.i AS i, min(u.x) AS mn, max(u.x) AS mx
       FROM (SELECT unnest(list_transform(range(1, len(v) + 1),
                    i -> {{'i': i, 'x': v[i]}})) AS u
-            FROM d)
+            FROM d WHERE {train_filter})
       GROUP BY u.i),
     stats AS (
       SELECT list(mn ORDER BY i) AS mn,
@@ -2082,7 +2089,7 @@ _IVFSQ8_ORACLE = f"""
                     ELSE s.mn[i] END) AS r
       FROM d CROSS JOIN stats s),
     pivots AS (SELECT vec_id AS pivot_id, v AS pv
-               FROM d WHERE vec_id % 37 = 0),
+               FROM d WHERE vec_id % 37 = 0 AND ({train_filter})),
     assign AS (
       SELECT vec_id, pivot_id,
              row_number() OVER (PARTITION BY vec_id
@@ -2091,8 +2098,10 @@ _IVFSQ8_ORACLE = f"""
                    {_fold_l2sq('d.v', 'p.pv')} AS dist
             FROM d CROSS JOIN pivots p)),
     c AS (
-      SELECT r.vec_id, r.r, a.pivot_id
-      FROM recon r JOIN assign a ON r.vec_id = a.vec_id AND a.rnk = 1),
+      SELECT vec_id, r, pivot_id FROM (
+        SELECT r.vec_id AS vec_id, r.r AS r, a.pivot_id AS pivot_id
+        FROM recon r JOIN assign a ON r.vec_id = a.vec_id AND a.rnk = 1)
+      WHERE NOT ({exclude_filter})),
     q AS (
       SELECT a.vec_id AS query_id, a.pivot_id, d.v AS qv
       FROM assign a JOIN d ON d.vec_id = a.vec_id
@@ -2124,7 +2133,7 @@ _IVFSQ8_ORACLE = f"""
     """
 
 
-@query("emb_ivfsq8_topk", oracle=_IVFSQ8_ORACLE)
+@query("emb_ivfsq8_topk", oracle=_ivfsq8_oracle())
 def emb_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ8 composed ANN top-10 (``similarity.ivfsq8_topk``) — the
     pruned production shape of the scalar-quantization rung (VERDICT r10
@@ -2160,7 +2169,7 @@ def ivfsq8_index_path(sf_dir: str) -> str:
     return f"/tmp/medallion_ivfsq8_index/{sf_tag}_pid{_os.getpid()}"
 
 
-@query("emb_ivfsq8_indexed_topk", oracle=_IVFSQ8_ORACLE)
+@query("emb_ivfsq8_indexed_topk", oracle=_ivfsq8_oracle())
 def emb_ivfsq8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized IVF-SQ8 artifact's read path
     (``similarity.build_ivfsq8_index`` / ``ivfsq8_topk_against_index``):
@@ -2252,4 +2261,79 @@ def emb_matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_ivf_topk(
         emb, _emb_queries(emb), k=10, prefix_dims=16, nprobe=12,
         shortlist=40, modulus=37,
+    )
+
+
+#: IVF-SQ8 stream-maintained index dirs already built by THIS process.
+_IVFSQ8_STREAM_READY: set[str] = set()
+
+
+def ivfsq8_stream_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk path for the stream-maintained IVF-SQ8 index."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_ivfsq8_stream/{sf_tag}_pid{_os.getpid()}"
+
+
+@query(
+    "emb_ivfsq8_stream_topk",
+    oracle=_ivfsq8_oracle(
+        train_filter="vec_id % 4 <> 3",
+        exclude_filter="(vec_id % 16 = 3) OR (vec_id % 40 = 5)",
+    ),
+)
+def emb_ivfsq8_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-SQ8 index under CONTINUOUS maintenance — the same
+    operating mode as ``emb_ivfpq_stream_topk``, served by the
+    family-dispatching streaming wire (``streaming/index_stream.py::
+    index_ingest`` reads the artifact's manifest and routes to
+    ``append_to_ivfsq8_index``): the artifact is built on the standing
+    3/4 of the corpus (``vec_id % 4 <> 3`` — stats AND pivots freeze
+    there), then a checkpointed run-once stream feeds two CDC
+    micro-batches — batch 1 upserts ``vec_id % 8 = 3``, batch 2 upserts
+    ``vec_id % 8 = 7`` and tombstones ``vec_id % 16 = 3`` (batch-1
+    arrivals!) plus ``vec_id % 40 = 5`` (standing rows) — and queries
+    probe the maintained index.  Arrivals encode under the FROZEN
+    standing stats (out-of-range values clamp to 0/255, replayed by the
+    oracle's least/greatest), assign against the stored pivots, and
+    tombstoned ids stop ranking immediately.  Per batch the cost is
+    O(|batch|) encode + O(|deletes|) tombstone append — independent of
+    standing index size."""
+    import os as _os
+
+    from .streaming.index_stream import index_ingest
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = ivfsq8_stream_index_path(sf_dir)
+    if path not in _IVFSQ8_STREAM_READY:
+        vec_t = emb.schema["embedding"].dataType.simpleString()
+        similarity.build_ivfsq8_index(
+            emb.filter("vec_id % 4 <> 3"), path, modulus=37
+        )
+        src, ckpt = f"{path}__src", f"{path}__ckpt"
+        _os.makedirs(src, exist_ok=True)
+        up = F.lit("UPSERT").alias("op")
+        b1 = emb.filter("vec_id % 8 = 3").select("vec_id", "embedding", up)
+        dels = emb.filter("(vec_id % 16 = 3) OR (vec_id % 40 = 5)").select(
+            "vec_id",
+            F.lit(None).cast(vec_t).alias("embedding"),
+            F.lit("DELETE").alias("op"),
+        )
+        b2 = emb.filter("vec_id % 8 = 7").select(
+            "vec_id", "embedding", up
+        ).unionByName(dels)
+        # one part-file per batch: maxFilesPerTrigger=1 makes each its
+        # own micro-batch; the final state is batch-order independent
+        # (upserts commute, tombstones are a set)
+        b1.coalesce(1).write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        index_ingest(
+            spark, src, path, ckpt,
+            schema=f"vec_id long, embedding {vec_t}, op string",
+        )
+        _IVFSQ8_STREAM_READY.add(path)
+    return similarity.ivfsq8_topk_against_index(
+        _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
     )

@@ -148,3 +148,51 @@ def test_streaming_ingest_without_op_column_is_all_upserts(spark, tmp_path):
         .select("vec_id").distinct().collect()
     }
     assert {r.vec_id for r in arrivals.select("vec_id").collect()} <= got
+
+
+def test_index_ingest_dispatches_by_family_and_rejects_unknown(
+    spark, tmp_path
+):
+    """Round 11: one streaming wire serves the whole index ladder — the
+    family comes from the artifact's manifest.  An IVF-SQ8 artifact
+    maintained through the generic `index_ingest` must equal the same
+    maintenance done with direct batch appends + tombstones; a family
+    with no append surface fails loudly."""
+    import pytest
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming.index_stream import (
+        _append_fn,
+        index_ingest,
+    )
+
+    emb = spark.read.parquet(EMB)
+    standing = emb.filter("vec_id % 4 <> 3")
+    arrivals = emb.filter("vec_id % 4 = 3")
+
+    streamed = str(tmp_path / "streamed")
+    similarity.build_ivfsq8_index(standing, streamed)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    arrivals.select(
+        "vec_id", "embedding", F.lit("UPSERT").alias("op")
+    ).coalesce(1).write.mode("append").parquet(src)
+    vec_t = emb.schema["embedding"].dataType.simpleString()
+    index_ingest(
+        spark, src, streamed, str(tmp_path / "ckpt"),
+        schema=f"vec_id long, embedding {vec_t}, op string",
+    )
+
+    direct = str(tmp_path / "direct")
+    similarity.build_ivfsq8_index(standing, direct)
+    similarity.append_to_ivfsq8_index(arrivals, direct)
+
+    q = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    a = similarity.ivfsq8_topk_against_index(q, streamed, k=10, nprobe=12)
+    b = similarity.ivfsq8_topk_against_index(q, direct, k=10, nprobe=12)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+    with pytest.raises(ValueError, match="no streaming append surface"):
+        _append_fn("minhash")
