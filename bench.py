@@ -121,6 +121,7 @@ HEADLINE = [
     "emb_ivfsq8_indexed_topk",
     "emb_ivfsq8_stream_topk",
     "emb_matryoshka_ivf_topk",
+    "emb_matryoshka_indexed_topk",
     "doc_source_caps",
     "doc_duplication_stats",
     "doc_hybrid_search_rrf",

@@ -64,6 +64,8 @@ def _family(meta: dict) -> str:
         return "ivfpq"  # carries BOTH keys — must dispatch before either
     if "modulus" in meta and "mins" in meta:
         return "ivfsq8"  # coarse lists + scalar codes — before ivf/sq8
+    if "modulus" in meta and "prefix_dims" in meta:
+        return "matryoshka"  # prefix-IVF lists — before plain ivf
     if "modulus" in meta:
         return "ivf"
     if "tables" in meta:
@@ -184,9 +186,10 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             .repartition(n_files),
             "shingles",
         )
-    elif fam == "ivf":
+    elif fam in ("ivf", "matryoshka"):
         # keep the hive layout: one directory per inverted list is the
-        # partition-pruning contract ivf_topk_against_index relies on.
+        # partition-pruning contract the *_topk_against_index readers
+        # rely on (matryoshka adds a flat re-rank vectors table below).
         wr(
             _live(rd("lists"), tomb, id_col)
             .dropDuplicates([id_col, "pivot_id"])
@@ -195,6 +198,13 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             partition_by="pivot_id",
         )
         wr(rd("pivots"), "pivots")
+        if fam == "matryoshka":
+            wr(
+                _live(rd("vectors"), tomb, id_col)
+                .dropDuplicates([id_col])
+                .repartition(n_files),
+                "vectors",
+            )
     elif fam == "lsh":
         wr(
             _live(rd("buckets"), tomb, id_col).distinct().repartition(n_files),

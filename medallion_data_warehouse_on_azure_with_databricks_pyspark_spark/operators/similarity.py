@@ -2768,3 +2768,190 @@ def matryoshka_ivf_topk(
     return _exact_cosine_rerank(
         sl, corpus, queries, k, id_col, vec_col, query_id_col
     )
+
+
+_MATRYOSHKA_INDEX_VERSION = 1
+
+
+def build_matryoshka_index(
+    corpus: DataFrame,
+    path: str,
+    prefix_dims: int = 16,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the ANN-prefix matryoshka artifact — the layout that
+    makes :func:`matryoshka_ivf_topk`'s per-call assignment a build-time
+    cost: ``{path}/lists`` holds ``(id, prefix)`` rows **hive-partitioned
+    by prefix-IVF list** (a probe reads ~nprobe/P of rows that already
+    carry only prefix_dims/dim of the coordinates), ``{path}/pivots`` the
+    prefix centroids, ``{path}/vectors`` the FULL vectors read only for
+    the shortlist re-rank, and ``meta.json`` pinning ``prefix_dims`` —
+    prefixes are only comparable under the exact truncation and pivot set
+    that bucketed them, so the reader takes neither as arguments (the
+    frozen-manifest discipline of every sibling artifact).  Staged +
+    one-rename promote, crash-safe like the other builders."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    cpre = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias("__pre")
+    )
+    pivots = ivf_pivots(cpre, id_col, "__pre", modulus)
+    lists = (
+        cpre.join(
+            ivf_assign(cpre, pivots, 1, id_col, "__pre").select(
+                id_col, "pivot_id"
+            ),
+            id_col,
+        )
+        .select(F.col(id_col), F.col("__pre").alias("prefix"), "pivot_id")
+        .repartition("pivot_id")
+    )
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    lists.write.mode("overwrite").partitionBy("pivot_id").parquet(
+        os.path.join(stage, "lists")
+    )
+    pivots.withColumnRenamed("pivot_vec", "prefix_vec").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "pivots"))
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _MATRYOSHKA_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "modulus": modulus,
+        "prefix_dims": prefix_dims,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def _read_matryoshka_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if (
+        meta.get("version") != _MATRYOSHKA_INDEX_VERSION
+        or "prefix_dims" not in meta
+    ):
+        raise ValueError(
+            f"unsupported matryoshka index manifest: {sorted(meta)}"
+        )
+    return meta
+
+
+def append_to_matryoshka_index(new_vectors: DataFrame, index_path: str) -> str:
+    """Grow the artifact under the FROZEN manifest: new vectors truncate
+    to the stored ``prefix_dims`` and assign against the STORED prefix
+    pivots (no re-bucketing — drift means an explicit rebuild).  Vectors
+    append FIRST, list rows second (the PQ lesson, ADVICE r7): a vector
+    without a list row is merely unscored, a list row without its vector
+    would shortlist and then vanish at the re-rank join."""
+    import os
+
+    meta = _read_matryoshka_meta(index_path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark = new_vectors.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots")).select(
+        "pivot_id", F.col("prefix_vec").alias("pivot_vec")
+    )
+    cpre = new_vectors.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, meta["prefix_dims"]).alias("__pre"),
+    )
+    lists = (
+        cpre.join(
+            ivf_assign(cpre, pivots, 1, id_col, "__pre").select(
+                id_col, "pivot_id"
+            ),
+            id_col,
+        )
+        .select(F.col(id_col), F.col("__pre").alias("prefix"), "pivot_id")
+        .repartition("pivot_id")
+    )
+    new_vectors.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+    lists.write.mode("append").partitionBy("pivot_id").parquet(
+        os.path.join(index_path, "lists")
+    )
+    return index_path
+
+
+def matryoshka_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 40,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a :func:`build_matryoshka_index` artifact reading ONLY the
+    probed prefix lists (static partition pruning on ``pivot_id``):
+    query prefixes assign against the stored pivots (bounded
+    |queries| × nprobe collect), prefix cosine scores the pruned list
+    rows, and the exact full-dimension re-rank touches the vectors file
+    for queries × shortlist rows only.  Bit-identical to the in-memory
+    :func:`matryoshka_ivf_topk` under the manifest's frozen
+    prefix_dims + pivots; tombstoned ids stop ranking immediately and
+    replayed appends dedup at both reads."""
+    import os
+
+    meta = _read_matryoshka_meta(index_path)
+    id_col = meta["id_col"]
+    spark = queries.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots")).select(
+        "pivot_id", F.col("prefix_vec").alias("pivot_vec")
+    )
+    qpre = queries.select(
+        F.col(query_id_col),
+        F.slice(F.col(vec_col), 1, meta["prefix_dims"]).alias("__qpre"),
+    )
+    assign_proj = ivf_assign(qpre, pivots, nprobe, query_id_col, "__qpre").select(
+        query_id_col, "pivot_id"
+    )
+    assign_rows = assign_proj.collect()
+    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
+    probed = sorted({r["pivot_id"] for r in assign_rows})
+    lists = (
+        spark.read.parquet(os.path.join(index_path, "lists"))
+        .filter(F.col("pivot_id").isin(probed))
+        .dropDuplicates([id_col, "pivot_id"])
+    )
+    lists = index_maintenance.exclude_tombstoned(
+        lists, index_path, id_col, id_col
+    )
+    q = qpre.join(q_probes, query_id_col)
+    scored = lists.join(F.broadcast(q), "pivot_id")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "__pcos",
+        _dot(F.col("__qpre"), F.col("prefix"))
+        / (_norm(F.col("__qpre")) * _norm(F.col("prefix"))),
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__pcos"
+    ).select(query_id_col, id_col)
+    vectors = spark.read.parquet(
+        os.path.join(index_path, "vectors")
+    ).dropDuplicates([id_col])
+    q_rerank = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias(meta["vec_col"])
+    )
+    return _exact_cosine_rerank(
+        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
+    )

@@ -2593,7 +2593,7 @@ CORRECTNESS_PRIORITY = [
     # -- NEW r11 (rule 2) --
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",
-    "emb_ivfsq8_stream_topk",
+    "emb_ivfsq8_stream_topk", "emb_matryoshka_indexed_topk",
     # -- last hash row r7 (rule 1, stalest first) --
     "events_json_props", "orders_priority_rollup", "customer_set_ops",
     "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",

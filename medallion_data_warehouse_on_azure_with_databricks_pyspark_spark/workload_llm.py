@@ -2192,9 +2192,11 @@ def emb_ivfsq8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_matryoshka_ivf_topk",
-    oracle=f"""
+#: Shared by the in-memory ANN-prefix matryoshka lane and its
+#: materialized-index twin — the probe is bit-identical under the
+#: manifest's frozen prefix_dims + pivots (tests/test_llmops.py pins the
+#: equality), so both verify against one full replay SQL.
+_MATRYOSHKA_IVF_ORACLE = f"""
     WITH d AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
@@ -2241,8 +2243,10 @@ def emb_ivfsq8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("emb_matryoshka_ivf_topk", oracle=_MATRYOSHKA_IVF_ORACLE)
 def emb_matryoshka_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN-prefix matryoshka retrieval (``similarity.matryoshka_ivf_topk``
     — VERDICT r10 ask #4): the prefix shortlist runs against an IVF
@@ -2335,5 +2339,43 @@ def emb_ivfsq8_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _IVFSQ8_STREAM_READY.add(path)
     return similarity.ivfsq8_topk_against_index(
+        _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
+    )
+
+
+#: sf_dirs whose matryoshka artifact is already on disk this process.
+_MATRYOSHKA_INDEX_BUILT: set[str] = set()
+
+
+def matryoshka_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk matryoshka index path for ``sf_dir``."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_matryoshka_index/{sf_tag}_pid{_os.getpid()}"
+
+
+@query("emb_matryoshka_indexed_topk", oracle=_MATRYOSHKA_IVF_ORACLE)
+def emb_matryoshka_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized ANN-prefix matryoshka artifact's read path
+    (``similarity.build_matryoshka_index`` /
+    ``matryoshka_topk_against_index``): prefix rows hive-partitioned by
+    prefix-IVF list, so the probe reads ONLY the 12 probed partitions of
+    rows that already carry only 16/64 of the coordinates — the
+    corpus-side assignment is paid once at build instead of per call,
+    which is the artifact's whole point at 100 TB.  Bit-identical to the
+    in-memory ``emb_matryoshka_ivf_topk`` under the manifest's frozen
+    prefix_dims + pivots, so it shares the full replay oracle (the
+    evidence pattern of every index-lane twin).  Built once per process;
+    bench samples time the probe — the production shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = matryoshka_index_path(sf_dir)
+    if path not in _MATRYOSHKA_INDEX_BUILT:
+        similarity.build_matryoshka_index(
+            emb, path, prefix_dims=16, modulus=37
+        )
+        _MATRYOSHKA_INDEX_BUILT.add(path)
+    return similarity.matryoshka_topk_against_index(
         _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
     )

@@ -1483,3 +1483,69 @@ def test_sq8_stats_empty_corpus_raises_clearly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.sq8_stats(empty)
+
+
+def test_matryoshka_index_roundtrip_pruning_and_lifecycle(spark, tmp_path):
+    """The materialized prefix-IVF artifact must (a) reproduce the
+    in-memory ANN-prefix lane bit-for-bit under the manifest's frozen
+    prefix_dims + pivots, (b) plan probes restricted to the probed list
+    partitions, and (c) survive frozen-manifest append, tombstone, and
+    hive-layout-preserving compaction."""
+    import re
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        index_maintenance,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_matryoshka_index(emb, str(tmp_path / "mat"))
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    via_index = similarity.matryoshka_topk_against_index(
+        queries, idx, k=10, nprobe=12, shortlist=40
+    ).collect()
+    direct = similarity.matryoshka_ivf_topk(
+        emb, queries, k=10, prefix_dims=16, nprobe=12, shortlist=40
+    ).collect()
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+    assert via_index
+
+    out = similarity.matryoshka_topk_against_index(
+        queries.limit(1), idx, k=10, nprobe=2
+    )
+    fm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(fm)
+    m = re.search(r"PartitionFilters: \[pivot_id#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2, m.group(1)
+
+    # lifecycle: split-build + frozen append == whole-build results
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx2 = similarity.build_matryoshka_index(old, str(tmp_path / "mat2"))
+    meta_before = similarity._read_matryoshka_meta(idx2)
+    similarity.append_to_matryoshka_index(new, idx2)
+    assert similarity._read_matryoshka_meta(idx2) == meta_before  # frozen
+    got = similarity.matryoshka_topk_against_index(
+        queries, idx2, k=10, nprobe=12, shortlist=40
+    ).collect()
+    returned = {r["vec_id"] for r in got}
+    assert any(v % 2 == 1 for v in returned)  # appended rows rank
+    victim = sorted(returned)[0]
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(victim,)], "vec_id long"), idx2
+    )
+    after = similarity.matryoshka_topk_against_index(
+        queries, idx2, k=10, nprobe=12, shortlist=40
+    ).collect()
+    assert victim not in {r["vec_id"] for r in after}
+    index_maintenance.compact_index(spark, idx2)  # matryoshka family branch
+    compacted = similarity.matryoshka_topk_against_index(
+        queries, idx2, k=10, nprobe=12, shortlist=40
+    ).collect()
+    assert sorted(map(key, compacted)) == sorted(map(key, after))
