@@ -66,6 +66,8 @@ def _family(meta: dict) -> str:
         return "ivfsq8"  # coarse lists + scalar codes — before ivf/sq8
     if "modulus" in meta and "prefix_dims" in meta:
         return "matryoshka"  # prefix-IVF lists — before plain ivf
+    if "modulus" in meta and "thresholds" in meta:
+        return "ivfbq"  # coarse lists + packed 1-bit codes — before ivf
     if "modulus" in meta:
         return "ivf"
     if "tables" in meta:
@@ -216,7 +218,7 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
             .repartition(n_files),
             "vectors",
         )
-    elif fam in ("ivfpq", "ivfsq8"):
+    elif fam in ("ivfpq", "ivfsq8", "ivfbq"):
         # codes keep the hive layout (partition-pruned probes); vectors
         # are the re-rank table, flat like the pq family's.
         wr(

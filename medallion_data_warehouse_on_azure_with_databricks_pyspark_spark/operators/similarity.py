@@ -2955,3 +2955,367 @@ def matryoshka_topk_against_index(
     return _exact_cosine_rerank(
         sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit codes, Hamming shortlist) — the last rung of
+# the compression ladder: PQ (≈16×) → SQ8 (4×) → BQ (32×).  One bit per
+# dimension against a per-dimension midpoint threshold; candidates rank by
+# Hamming distance over packed 32-bit words (XOR + popcount — integer ops
+# the whole way, so the approximate stage is exactly reproducible in any
+# engine), then the exact full-float cosine re-ranks the shortlist.  This
+# is the "binary embedding" serving shape (Indyk–Motwani sign-random-
+# projection lineage; modern RaBitQ-style rerankers) — at 100 TB the code
+# table is ~3% of the float bytes, and composing with the IVF coarse
+# quantizer (ivfbq_topk) prunes that to ~nprobe/P per query batch.
+# ---------------------------------------------------------------------------
+
+
+def bq_thresholds(corpus: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension binarization thresholds: the midpoint
+    ``(min + max) / 2``.  Same bounded one-pass derivation as
+    :func:`sq8_stats` (posexplode → per-dimension min/max; the collect is
+    one double per dimension, never corpus-sized), and the same oracle
+    argument: min/max are exact selections and the midpoint is a single
+    IEEE add + halving, so SQL replays the threshold bit-for-bit.
+    Midpoint (not mean) keeps the stat order-independent — a float mean
+    over a shuffled corpus is not bit-reproducible; min/max are."""
+    rows = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "bq_thresholds: empty corpus (or all-null vectors) — "
+            "binarization thresholds need at least one embedding row"
+        )
+    dim = max(r["i"] for r in rows) + 1
+    thr = [0.0] * dim
+    for r in rows:
+        thr[r["i"]] = (r["mn"] + r["mx"]) / 2.0
+    return thr
+
+
+def bq_encode(
+    df: DataFrame,
+    thresholds: list[float],
+    vec_col: str = "embedding",
+    out: str = "bq_code",
+) -> DataFrame:
+    """Pack ``vec[d] > threshold[d]`` sign bits into ``array<bigint>`` of
+    32-bit words: word ``w`` holds dimensions ``32w … 32w+31`` as
+    ``Σ 2^i`` (bit ``i`` set when the strict comparison holds).  Words
+    stay below 2³² so plain integer sums are exact in every engine — no
+    sign-bit or int128 hazards, and the layout generalizes past 64 dims.
+    The comparison unrolls to literal per-dimension terms at plan time
+    (thresholds are driver-known, dimension-bounded), one whole-stage-
+    codegen projection — 32× smaller than float32 at rest, which is the
+    entire point: the ANN shortlist scan reads 1 bit where the raw scan
+    reads 32."""
+    dim = len(thresholds)
+    n_words = (dim + 31) // 32
+
+    def _word(w: int) -> Column:
+        expr = F.lit(0).cast("long")
+        for i in range(32):
+            d = 32 * w + i
+            if d >= dim:
+                break
+            expr = expr + F.when(
+                F.element_at(F.col(vec_col), d + 1).cast("double")
+                > F.lit(thresholds[d]),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return expr
+
+    return df.withColumn(out, F.array(*[_word(w) for w in range(n_words)]))
+
+
+def bq_hamming(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed bit-code arrays:
+    ``Σ popcount(a[w] XOR b[w])`` — an ordered integer fold, associative
+    and exact, so Spark and the SQL oracle agree bit-for-bit."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """FLAT binary-quantization top-k: Hamming shortlist over every
+    corpus code, exact cosine re-rank.  This is the toy/baseline shape —
+    the scan is linear in the corpus per query batch (a 32× byte
+    constant, unchanged asymptotics); the production path is
+    :func:`ivfbq_topk`, which composes the same codes with the IVF
+    coarse quantizer so a query touches ~nprobe/P of them.  Kept because
+    probing every list reproduces this lane exactly — the geometry-
+    independent equivalence gate the whole ladder uses.
+
+    Output: ``(query_id, vec_id, cosine, rank)`` — the family contract.
+    """
+    if thresholds is None:
+        thresholds = bq_thresholds(corpus, vec_col)
+    codes = bq_encode(corpus, thresholds, vec_col, out="__code").select(
+        id_col, "__code"
+    )
+    q = bq_encode(queries, thresholds, vec_col, out="__qcode").select(
+        query_id_col, "__qcode"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__negham", -bq_hamming("__qcode", "__code"))
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negham"
+    ).select(query_id_col, id_col)
+    return _exact_cosine_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def ivfbq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 40,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    thresholds: list[float] | None = None,
+    pivots: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-BQ: the composed production shape of the binary-quantization
+    rung — coarse inverted lists prune candidates, 1-bit codes shrink the
+    scanned bytes 32×, Hamming (XOR+popcount) ranks the survivors, and
+    the exact cosine read is deferred to the shortlist re-rank.  The
+    same composition argument as :func:`ivfsq8_topk`: the coarse
+    quantizer changes the asymptotics (each query scores ~nprobe/P of
+    the code bytes through an equi-join on ``pivot_id`` with the query
+    side broadcast), the code width changes the constant — together the
+    approximate stage reads ~nprobe/P · 1/32 of the raw float bytes.
+
+    Every stage is integer-exact or a deterministic total order on
+    (score, id), so an SQL oracle replays thresholds → words → coarse
+    assignment → probes → Hamming ranks → exact ranks bit-for-bit.
+    With ``nprobe`` ≥ the list count the result equals :func:`bq_topk`
+    exactly (pinned in ``tests/test_llmops.py``).
+
+    Output: ``(query_id, vec_id, cosine, rank)`` — the family contract.
+    """
+    if pivots is None:
+        pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    if thresholds is None:
+        thresholds = bq_thresholds(corpus, vec_col)
+    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
+        id_col, "pivot_id"
+    )
+    codes = (
+        bq_encode(corpus, thresholds, vec_col, out="__code")
+        .select(id_col, "__code")
+        .join(c_assign, id_col)
+    )
+    q_probes = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).select(query_id_col, "pivot_id")
+    q = bq_encode(queries, thresholds, vec_col, out="__qcode").select(
+        query_id_col, "__qcode"
+    ).join(q_probes, query_id_col)
+    scored = (
+        codes.join(F.broadcast(q), "pivot_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__negham", -bq_hamming("__qcode", "__code"))
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negham"
+    ).select(query_id_col, id_col)
+    return _exact_cosine_rerank(
+        sl, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+_IVFBQ_INDEX_VERSION = 1
+
+
+def build_ivfbq_index(
+    corpus: DataFrame,
+    path: str,
+    modulus: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    thresholds: list[float] | None = None,
+) -> str:
+    """Materialize the IVF-BQ artifact: packed 1-bit codes
+    **hive-partitioned by inverted list** (``{path}/codes`` under
+    ``pivot_id=`` dirs), the coarse pivots (``{path}/pivots``), raw
+    vectors for the shortlist re-rank only (``{path}/vectors``), and
+    ``meta.json`` pinning the per-dimension thresholds — codes are only
+    meaningful under the exact thresholds AND pivot set that produced
+    them (the frozen-manifest discipline of every builder in the
+    family).  A probe reads ~nprobe/P of code bytes that are 32×
+    smaller than floats, via static partition pruning.  Staged +
+    one-rename promote, crash-safe like every other index builder."""
+    import json
+    import os
+    import uuid
+
+    from ..sources.writers import atomic_dir_swap
+
+    pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
+    if thresholds is None:
+        thresholds = bq_thresholds(corpus, vec_col)
+    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
+        id_col, "pivot_id"
+    )
+    codes = (
+        bq_encode(corpus, thresholds, vec_col, out="bq_code")
+        .select(id_col, "bq_code")
+        .join(c_assign, id_col)
+        .repartition("pivot_id")
+    )
+    stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    codes.write.mode("overwrite").partitionBy("pivot_id").parquet(
+        os.path.join(stage, "codes")
+    )
+    pivots.write.mode("overwrite").parquet(os.path.join(stage, "pivots"))
+    corpus.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "vectors"))
+    meta = {
+        "version": _IVFBQ_INDEX_VERSION,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "modulus": modulus,
+        "thresholds": thresholds,
+    }
+    with open(os.path.join(stage, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    atomic_dir_swap(stage, path.rstrip("/"))
+    return path
+
+
+def _read_ivfbq_meta(index_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _IVFBQ_INDEX_VERSION or "thresholds" not in meta:
+        raise ValueError(f"unsupported ivfbq index manifest: {sorted(meta)}")
+    return meta
+
+
+def append_to_ivfbq_index(new_vectors: DataFrame, index_path: str) -> str:
+    """Grow the IVF-BQ artifact under the FROZEN manifest: new vectors
+    assign against the STORED pivots and binarize against the STORED
+    thresholds (out-of-distribution values still land on one side of the
+    midpoint — graceful accuracy decay instead of re-deriving stats that
+    would invalidate every standing code; drift means an explicit
+    rebuild).  Vectors append FIRST, codes second (the PQ lesson,
+    ADVICE r7): a vector without a code is merely unscored, a code
+    without its vector would shortlist and then vanish at the
+    re-rank join."""
+    import os
+
+    meta = _read_ivfbq_meta(index_path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark = new_vectors.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    c_assign = ivf_assign(new_vectors, pivots, 1, id_col, vec_col).select(
+        id_col, "pivot_id"
+    )
+    codes = (
+        bq_encode(new_vectors, meta["thresholds"], vec_col, out="bq_code")
+        .select(id_col, "bq_code")
+        .join(c_assign, id_col)
+        .repartition("pivot_id")
+    )
+    new_vectors.select(F.col(id_col), F.col(vec_col)).write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "vectors"))
+    codes.write.mode("append").partitionBy("pivot_id").parquet(
+        os.path.join(index_path, "codes")
+    )
+    return index_path
+
+
+def ivfbq_topk_against_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 12,
+    shortlist: int = 40,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a :func:`build_ivfbq_index` artifact reading ONLY the probed
+    lists' code partitions: queries assign against the stored pivots
+    (bounded |queries| × nprobe collect, the IVF-reader contract), the
+    code scan is restricted by static partition pruning
+    (``PartitionFilters: [pivot_id IN (...)]``), Hamming over packed
+    words shortlists, and the exact cosine re-rank touches the vectors
+    file for queries × shortlist rows only.  Bit-identical to the
+    in-memory :func:`ivfbq_topk` under the manifest's frozen
+    thresholds + pivots; tombstoned ids stop ranking immediately and
+    replayed appends dedup at both the code and vector reads."""
+    import os
+
+    meta = _read_ivfbq_meta(index_path)
+    id_col = meta["id_col"]
+    spark = queries.sparkSession
+    pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
+    assign_proj = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col
+    ).select(query_id_col, "pivot_id")
+    assign_rows = assign_proj.collect()
+    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
+    probed = sorted({r["pivot_id"] for r in assign_rows})
+    codes = (
+        spark.read.parquet(os.path.join(index_path, "codes"))
+        .filter(F.col("pivot_id").isin(probed))
+        .dropDuplicates([id_col, "pivot_id"])
+    )
+    codes = index_maintenance.exclude_tombstoned(
+        codes, index_path, id_col, id_col
+    )
+    q = bq_encode(queries, meta["thresholds"], vec_col, out="__qcode").select(
+        F.col(query_id_col), "__qcode"
+    ).join(q_probes, query_id_col)
+    scored = codes.join(F.broadcast(q), "pivot_id")
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn(
+        "__negham", -bq_hamming("__qcode", "bq_code")
+    )
+    sl = grouped_topk(
+        scored, query_id_col, id_col, shortlist, score_col="__negham"
+    ).select(query_id_col, id_col)
+    vectors = spark.read.parquet(
+        os.path.join(index_path, "vectors")
+    ).dropDuplicates([id_col])
+    q_rerank = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias(meta["vec_col"])
+    )
+    return _exact_cosine_rerank(
+        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
+    )

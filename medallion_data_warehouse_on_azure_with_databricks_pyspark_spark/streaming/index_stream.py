@@ -53,6 +53,7 @@ def _append_fn(family: str):
             "sq8": similarity.append_to_sq8_index,
             "ivfpq": similarity.append_to_ivfpq_index,
             "ivfsq8": similarity.append_to_ivfsq8_index,
+            "ivfbq": similarity.append_to_ivfbq_index,
             "matryoshka": similarity.append_to_matryoshka_index,
         }[family]
     except KeyError:

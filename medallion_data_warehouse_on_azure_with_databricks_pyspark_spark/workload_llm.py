@@ -2379,3 +2379,133 @@ def emb_matryoshka_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_topk_against_index(
         _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
     )
+
+
+#: Shared by the in-memory IVF-BQ lane and its materialized-index twin —
+#: the probe is bit-identical under the manifest's frozen thresholds +
+#: pivots (tests/test_llmops.py pins the equality), so both verify
+#: against one full replay SQL: thresholds → packed words → coarse
+#: assignment → probes → Hamming ranks → exact ranks.  The approximate
+#: stage is INTEGER end-to-end (bit packing, XOR, popcount, sums), so
+#: engine agreement there is exact by construction, not by IEEE luck.
+_IVFBQ_ORACLE = f"""
+    WITH d AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    dims AS (
+      SELECT u.i AS i, (min(u.x) + max(u.x)) / 2.0 AS thr
+      FROM (SELECT unnest(list_transform(range(1, len(v) + 1),
+                   i -> {{'i': i, 'x': v[i]}})) AS u
+            FROM d)
+      GROUP BY u.i),
+    words AS (
+      SELECT d.vec_id, CAST((dm.i - 1) // 32 AS INT) AS w,
+             CAST(SUM(CASE WHEN d.v[dm.i] > dm.thr
+                  THEN (1::BIGINT << CAST((dm.i - 1) % 32 AS INT))
+                  ELSE 0 END) AS BIGINT) AS word
+      FROM d CROSS JOIN dims dm
+      GROUP BY d.vec_id, CAST((dm.i - 1) // 32 AS INT)),
+    pivots AS (SELECT vec_id AS pivot_id, v AS pv
+               FROM d WHERE vec_id % 37 = 0),
+    assign AS (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, pivot_id) AS rnk
+      FROM (SELECT d.vec_id, p.pivot_id,
+                   {_fold_l2sq('d.v', 'p.pv')} AS dist
+            FROM d CROSS JOIN pivots p)),
+    cassign AS (SELECT vec_id, pivot_id FROM assign WHERE rnk = 1),
+    qprobe AS (SELECT vec_id AS query_id, pivot_id
+               FROM assign WHERE vec_id % 25 = 0 AND rnk <= 12),
+    pairs AS (
+      SELECT q.query_id, ca.vec_id
+      FROM qprobe q JOIN cassign ca USING (pivot_id)
+      WHERE ca.vec_id <> q.query_id),
+    ham AS (
+      SELECT p.query_id, p.vec_id,
+             CAST(SUM(bit_count(xor(cw.word, qw.word))) AS BIGINT) AS hd
+      FROM pairs p
+      JOIN words cw ON cw.vec_id = p.vec_id
+      JOIN words qw ON qw.vec_id = p.query_id AND qw.w = cw.w
+      GROUP BY p.query_id, p.vec_id),
+    sl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY hd, vec_id) AS rn
+        FROM ham) WHERE rn <= 40),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT s.query_id, s.vec_id,
+             {_fold_dot('q2.qv', 'c2.v')}
+               / ({_fold_norm('q2.qv')} * {_fold_norm('c2.v')}) AS cosine
+      FROM sl s
+      JOIN qv q2 ON q2.query_id = s.query_id
+      JOIN d c2 ON c2.vec_id = s.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query("emb_ivfbq_topk", oracle=_IVFBQ_ORACLE)
+def emb_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-BQ composed ANN top-10 (``similarity.ivfbq_topk``) — the last
+    rung of the compression ladder (PQ ≈16× → SQ8 4× → BQ 32×), in its
+    pruned production shape from day one: per-dimension midpoint
+    thresholds binarize each vector into packed 32-bit words, the coarse
+    quantizer (every 37th vector, the IVF-lane setting) prunes
+    candidates to 12 probed lists per query, Hamming distance
+    (XOR + popcount — integer-exact) ranks them, and the 40-row
+    shortlist re-ranks with the exact full-float cosine.  The
+    approximate stage reads ~(nprobe/P)·(1/32) of the raw float bytes —
+    the compounding that makes binary codes the cheapest serving tier
+    at 100 TB.  Probing every list reproduces the flat ``bq_topk``
+    exactly and recall floors are pinned in tests/test_llmops.py; the
+    oracle replays thresholds, packing, coarse assignment, probes, and
+    both rank stages bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivfbq_topk(
+        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=40, modulus=37
+    )
+
+
+#: sf_dirs whose IVF-BQ artifact is already on disk this process.
+_IVFBQ_INDEX_BUILT: set[str] = set()
+
+
+def ivfbq_index_path(sf_dir: str) -> str:
+    """Pid-scoped on-disk IVF-BQ index path for ``sf_dir`` (same
+    isolation contract as ``ivfsq8_index_path``)."""
+    import os as _os
+    import re as _re
+
+    sf_tag = _re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"/tmp/medallion_ivfbq_index/{sf_tag}_pid{_os.getpid()}"
+
+
+@query("emb_ivfbq_indexed_topk", oracle=_IVFBQ_ORACLE)
+def emb_ivfbq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized IVF-BQ artifact's read path
+    (``similarity.build_ivfbq_index`` / ``ivfbq_topk_against_index``):
+    packed 1-bit codes hive-partitioned by inverted list, so the probe
+    reads ONLY the 12 probed lists' partitions through static partition
+    pruning (``PartitionFilters: [pivot_id IN (...)]``, plan-pinned in
+    tests/test_llmops.py) — ~nprobe/P of bytes that are already 32×
+    smaller than floats.  Bit-identical to the in-memory
+    ``emb_ivfbq_topk`` under the manifest's frozen thresholds + pivots,
+    so it shares the full training-replay oracle (the evidence pattern
+    of every index-lane twin).  Built once per process; bench samples
+    time the probe — the production shape, where binarization is paid
+    at ingest."""
+    emb = load(spark, sf_dir, "embeddings")
+    path = ivfbq_index_path(sf_dir)
+    if path not in _IVFBQ_INDEX_BUILT:
+        similarity.build_ivfbq_index(emb, path, modulus=37)
+        _IVFBQ_INDEX_BUILT.add(path)
+    return similarity.ivfbq_topk_against_index(
+        _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
+    )

@@ -1549,3 +1549,173 @@ def test_matryoshka_index_roundtrip_pruning_and_lifecycle(spark, tmp_path):
         queries, idx2, k=10, nprobe=12, shortlist=40
     ).collect()
     assert sorted(map(key, compacted)) == sorted(map(key, after))
+
+
+# ---------------------------------------------------------------------------
+# IVF-BQ: binary quantization, the last rung of the compression ladder
+# ---------------------------------------------------------------------------
+
+def test_bq_encode_bits_match_threshold_comparisons(spark):
+    """Every packed bit must equal its per-dimension strict comparison —
+    a numpy replay of the word layout (bit i of word w ⇔ dimension
+    32w+i), the ground-truth gate under the integer-exactness claim."""
+    emb = spark.read.parquet(EMB).limit(50)
+    thr = similarity.bq_thresholds(emb)
+    rows = similarity.bq_encode(emb, thr, out="code").select(
+        "vec_id", "embedding", "code"
+    ).collect()
+    assert rows
+    for r in rows:
+        vec, code = r["embedding"], r["code"]
+        assert len(code) == (len(thr) + 31) // 32
+        for d in range(len(thr)):
+            want = 1 if float(vec[d]) > thr[d] else 0
+            got = (code[d // 32] >> (d % 32)) & 1
+            assert got == want, (r["vec_id"], d)
+        for w in code:
+            assert 0 <= w < (1 << 32)  # 32-bit words: no sign hazards
+
+
+def test_bq_hamming_matches_numpy_popcount(spark):
+    """The packed-word Hamming fold must equal the unpacked bit-vector
+    distance (numpy XOR + popcount over the same thresholds)."""
+    emb = spark.read.parquet(EMB).limit(30)
+    thr = np.array(similarity.bq_thresholds(emb))
+    coded = similarity.bq_encode(emb, list(thr), out="code")
+    a = coded.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("code").alias("code_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = coded.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("code").alias("code_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hd", similarity.bq_hamming("code_a", "code_b"))
+        .collect()
+    )
+    assert pairs
+    for r in pairs:
+        bits_a = np.asarray(r["vec_a"], dtype=np.float64) > thr
+        bits_b = np.asarray(r["vec_b"], dtype=np.float64) > thr
+        assert r["hd"] == int(np.sum(bits_a != bits_b)), (r["id_a"], r["id_b"])
+
+
+def test_ivfbq_full_probe_equals_flat_bq(spark):
+    """Probing EVERY inverted list must reproduce the flat BQ lane
+    bit-for-bit (shortlists, cosines, ranks): a geometry-independent
+    gate on coarse assignment, candidate generation, and the shared
+    Hamming scoring — the composition may only ever PRUNE."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    npivots = similarity.ivf_pivots(emb).count()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    full = similarity.ivfbq_topk(
+        emb, queries, k=10, nprobe=npivots, shortlist=40
+    ).collect()
+    flat = similarity.bq_topk(emb, queries, k=10, shortlist=40).collect()
+    assert sorted(map(key, full)) == sorted(map(key, flat))
+    assert full
+
+
+def test_ivfbq_recall_floor(spark):
+    """nprobe=12 is the REGISTERED emb_ivfbq_topk setting — measured
+    recall@10 is 0.54 at sf0.001 (64 Hamming bits on isotropic
+    synthetic vectors is the worst case for sign quantization; real
+    embedding geometry with anisotropic mass does far better), and the
+    IVF pruning adds NO loss on top of the flat lane (0.54 both).  The
+    margined floor fails on any real regression in thresholds, packing,
+    or probe pruning."""
+    recall = _recall_at_10(
+        spark,
+        lambda emb, q: similarity.ivfbq_topk(
+            emb, q, k=10, nprobe=12, shortlist=40
+        ),
+    )
+    assert recall >= 0.40, recall
+
+
+def test_ivfbq_index_roundtrip_and_pruning(spark, tmp_path):
+    """The materialized artifact must (a) reproduce the in-memory
+    operator bit-for-bit under the manifest's frozen thresholds + pivots
+    and (b) plan a probe restricted to exactly the probed list
+    partitions (``PartitionFilters: [pivot_id IN (...)]``)."""
+    import re
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    queries = _emb_queries(emb)
+    idx = similarity.build_ivfbq_index(emb, str(tmp_path / "ivfbq"))
+    via_index = similarity.ivfbq_topk_against_index(
+        queries, idx, k=10, nprobe=12, shortlist=40
+    ).collect()
+    direct = similarity.ivfbq_topk(
+        emb, queries, k=10, nprobe=12, shortlist=40
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    assert sorted(map(key, via_index)) == sorted(map(key, direct))
+    assert via_index
+
+    one_query = queries.limit(1)
+    out = similarity.ivfbq_topk_against_index(one_query, idx, k=10, nprobe=2)
+    fm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(fm)
+    m = re.search(r"PartitionFilters: \[pivot_id#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 2, m.group(1)
+    assert similarity.ivf_pivots(emb).count() > 2  # pruning skipped lists
+
+
+def test_ivfbq_index_append_frozen_thresholds_and_tombstone(spark, tmp_path):
+    """Append assigns against the STORED pivots and binarizes under the
+    STORED thresholds (no retrain — standing codes stay valid), a
+    tombstoned id stops ranking immediately, and compaction folds the
+    tombstone physically without changing live results (the ivfbq
+    family branch of ``index_maintenance``)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        index_maintenance,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
+        _emb_queries,
+    )
+
+    emb = spark.read.parquet(EMB)
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.build_ivfbq_index(old, str(tmp_path / "ivfbq"))
+    meta_before = similarity._read_ivfbq_meta(idx)
+    similarity.append_to_ivfbq_index(new, idx)
+    assert similarity._read_ivfbq_meta(idx) == meta_before  # frozen
+    queries = _emb_queries(emb)
+    got = similarity.ivfbq_topk_against_index(
+        queries, idx, k=10, nprobe=12, shortlist=40
+    ).collect()
+    returned = {r["vec_id"] for r in got}
+    assert any(v % 2 == 1 for v in returned)  # appended rows rank
+    victim = sorted(returned)[0]
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(victim,)], "vec_id long"), idx
+    )
+    after = similarity.ivfbq_topk_against_index(
+        queries, idx, k=10, nprobe=12, shortlist=40
+    ).collect()
+    assert victim not in {r["vec_id"] for r in after}
+    index_maintenance.compact_index(spark, idx)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    compacted = similarity.ivfbq_topk_against_index(
+        queries, idx, k=10, nprobe=12, shortlist=40
+    ).collect()
+    assert sorted(map(key, compacted)) == sorted(map(key, after))
