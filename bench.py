@@ -122,6 +122,7 @@ HEADLINE = [
     "emb_ivfsq8_stream_topk",
     "emb_ivfbq_topk",
     "emb_ivfbq_indexed_topk",
+    "emb_mmr_diversified_topk",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

@@ -3319,3 +3319,189 @@ def ivfbq_topk_against_index(
     return _exact_cosine_rerank(
         sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (round 11)
+# ---------------------------------------------------------------------------
+
+def mmr_greedy(
+    cands: list,
+    sims: list | None,
+    k: int,
+    lam: float,
+) -> list[tuple[int, float, int]]:
+    """Pure greedy Maximal Marginal Relevance over ONE query's candidate
+    pool (Carbonell & Goldstein, SIGIR'98): repeatedly pick the candidate
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected``.
+
+    Deterministic twin of the unrolled SQL oracle's per-stage
+    ``row_number() OVER (ORDER BY score DESC, vec_id)``: NaN scores rank
+    GREATEST (both engines' ``DESC`` semantics), ties break on the
+    smaller id, and a NaN pairwise similarity pins ``max_sim`` to NaN
+    (DuckDB ``max()`` ordering treats NaN as greatest).  All arithmetic
+    is IEEE double with the same literal ``lam`` / ``1 - lam`` factors
+    the SQL uses, so scores are bit-identical — no epsilon anywhere.
+
+    ``cands``: mapping-like rows with ``vid``/``rel``; ``sims``:
+    mapping-like rows with ``__a``/``__b``/``__sim`` (either orientation
+    looked up; missing pairs score 0.0 — only possible for a
+    single-candidate pool, where no pair exists).  Returns
+    ``[(vid, rel, rank)]`` with rank 1..min(k, |pool|).
+    """
+    import math
+
+    rel = {int(c["vid"]): float(c["rel"]) for c in cands}
+    sim: dict[tuple[int, int], float] = {}
+    if sims is not None:
+        for s in sims:
+            a, b = int(s["__a"]), int(s["__b"])
+            sim[(a, b) if a < b else (b, a)] = float(s["__sim"])
+    mu = 1.0 - lam
+    # msim[v] = max pairwise sim to the selected set — seeded from the
+    # FIRST pick's sims (NOT 0.0: cosine sims can be negative, and the
+    # oracle's max(sim) is a true max over the selected set)
+    msim: dict[int, float] = {}
+    remaining = set(rel)
+    out: list[tuple[int, float, int]] = []
+    for r in range(1, min(k, len(rel)) + 1):
+        best, bs = None, 0.0
+        for v in sorted(remaining):
+            # stage 1 has no selected set: pure relevance (= sel1's
+            # ORDER BY rel DESC — exact even at lam=0)
+            score = rel[v] if r == 1 else lam * rel[v] - mu * msim[v]
+            if best is None:
+                best, bs = v, score
+                continue
+            bn, sn = math.isnan(bs), math.isnan(score)
+            if (sn and not bn) or (not sn and not bn and score > bs):
+                best, bs = v, score
+        out.append((best, rel[best], r))
+        remaining.discard(best)
+        for v in remaining:
+            s = sim.get((v, best) if v < best else (best, v), 0.0)
+            if r == 1 or math.isnan(s):
+                msim[v] = s
+            elif not math.isnan(msim[v]) and s > msim[v]:
+                msim[v] = s
+    return out
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    shortlist: DataFrame | None = None,
+) -> DataFrame:
+    """MMR-diversified top-k: relevance pool, then greedy re-selection
+    trading relevance against redundancy — the standard diversity pass
+    for retrieval serving AND for curation (picking k exemplars per
+    centroid without near-duplicates).
+
+    Scale shape: the greedy is never run against the corpus — it runs on
+    a bounded per-query POOL (default 30) produced by any top-k scorer.
+    By default the pool comes from the exact :func:`cosine_topk` (one
+    corpus scan, broadcast queries, grouped partial top-k); pass
+    ``shortlist`` (``query_id, vec_id, cosine``) to feed it from any ANN
+    rung instead — the IVF/PQ/BQ lanes all emit this exact contract, so
+    at 100 TB the corpus-sized work stays in the pruned index path and
+    this operator adds only pool-sized joins.  Pairwise pool sims
+    (≤ queries × pool² rows) and the greedy itself are bounded by
+    contract; the greedy runs as one Arrow-batched pandas UDF over a
+    per-query collapsed row (pool rels + pool²/2 sims — a few KB), never
+    a driver loop.  Python is the right tool HERE because greedy
+    selection is inherently sequential in k; everything corpus-sized
+    stays JVM-side.
+
+    Output: ``(query_id, vec_id, cosine, rank)`` where rank is the
+    SELECTION order (1 = most relevant, later ranks trade relevance for
+    novelty).  ``lam=1.0`` degenerates to pure relevance (= cosine_topk
+    restricted to the pool); ``lam=0.0`` is pure novelty after the first
+    pick.  Scores/sims are ordered-fold doubles, bit-exact vs the
+    unrolled-greedy SQL oracle (workload_llm._mmr_oracle).
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_topk: lam must be in [0, 1], got {lam}")
+    if k < 1 or pool < k:
+        raise ValueError(f"mmr_topk: need 1 <= k <= pool, got k={k} pool={pool}")
+    if shortlist is None:
+        shortlist = cosine_topk(
+            corpus, queries, k=pool,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, exclude_self=exclude_self,
+        )
+    sl = shortlist.select(query_id_col, id_col, "cosine")
+    # vectors for pairwise sims: broadcast the bounded shortlist against
+    # the corpus scan (queries × pool rows — never the other way around)
+    pe = (
+        F.broadcast(sl)
+        .join(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")), id_col)
+        .withColumn("__n", _norm(F.col("__v")))
+    )
+    a = pe.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = pe.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    ps = (
+        a.join(F.broadcast(b), [query_id_col])
+        .filter(F.col("__a") < F.col("__b"))
+        .select(
+            query_id_col,
+            "__a",
+            "__b",
+            (
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("__sim"),
+        )
+    )
+    cands = pe.groupBy(query_id_col).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("vid"), F.col("cosine").alias("rel"))
+        ).alias("__cands")
+    )
+    sims = ps.groupBy(query_id_col).agg(
+        F.collect_list(F.struct("__a", "__b", "__sim")).alias("__sims")
+    )
+
+    import pandas as pd
+
+    out_type = "array<struct<vec_id: bigint, cosine: double, rank: int>>"
+
+    @F.pandas_udf(out_type)
+    def _select(cands_s, sims_s):
+        # type: (pd.Series, pd.Series) -> pd.Series
+        return pd.Series(
+            [
+                [
+                    {"vec_id": vid, "cosine": rel, "rank": r}
+                    for vid, rel, r in mmr_greedy(c, s, k, lam)
+                ]
+                for c, s in zip(cands_s, sims_s)
+            ]
+        )
+
+    return (
+        cands.join(sims, query_id_col, "left")
+        .select(F.col(query_id_col), F.explode(_select("__cands", "__sims")).alias("__s"))
+        .select(
+            query_id_col,
+            F.col("__s.vec_id").alias(id_col),
+            F.col("__s.cosine").alias("cosine"),
+            F.col("__s.rank").alias("rank"),
+        )
+    )

@@ -2509,3 +2509,91 @@ def emb_ivfbq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivfbq_topk_against_index(
         _emb_queries(emb), path, k=10, nprobe=12, shortlist=40
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (round 11)
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle(k: int, pool: int, lam: float) -> str:
+    """Unrolled-greedy MMR oracle: stage i computes every remaining pool
+    candidate's max pairwise sim to the i-1 already-selected rows and
+    picks the ``lam*rel - (1-lam)*msim`` argmax (score DESC, vec_id tie).
+    Generated programmatically — greedy selection is sequential in k, so
+    the SQL twin is k-1 mechanical CTE stages rather than a recursive
+    query; every dot/norm is the shared ordered fold and the score uses
+    the same ``repr(lam)`` literals the Spark side multiplies with, so
+    values are bit-identical."""
+    lam_s, mu_s = repr(float(lam)), repr(1.0 - float(lam))
+    stages = []
+    for i in range(2, k + 1):
+        prev = f"selall{i - 1}"
+        stages.append(f""",
+    ms{i} AS MATERIALIZED (
+      SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS msim
+      FROM pool c
+      JOIN {prev} s ON s.query_id = c.query_id
+      JOIN ps p ON p.query_id = c.query_id
+       AND ((p.a = c.vec_id AND p.b = s.vec_id)
+         OR (p.a = s.vec_id AND p.b = c.vec_id))
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY 1, 2, 3),
+    sel{i} AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, CAST({i} AS INT) AS rank FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY {lam_s} * rel - {mu_s} * msim DESC, vec_id) AS rn
+        FROM ms{i}) WHERE rn = 1),
+    selall{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})""")
+    return f"""
+    WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS MATERIALIZED (
+      SELECT q.query_id, c.vec_id,
+             {_fold_dot('q.qe', 'c.embedding')}
+               / ({_fold_norm('q.qe')} * {_fold_norm('c.embedding')}) AS rel
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.query_id),
+    pool AS MATERIALIZED (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {pool}),
+    pe AS MATERIALIZED (SELECT p.query_id, p.vec_id, p.rel, e.embedding AS v
+           FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id),
+    ps AS MATERIALIZED (
+      SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+             {_fold_dot('x.v', 'y.v')}
+               / ({_fold_norm('x.v')} * {_fold_norm('y.v')}) AS sim
+      FROM pe x JOIN pe y
+        ON x.query_id = y.query_id AND x.vec_id < y.vec_id),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, vec_id, rel, CAST(1 AS INT) AS rank FROM (
+        SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id) AS rn
+        FROM pool) WHERE rn = 1),
+    selall1 AS MATERIALIZED (SELECT * FROM sel1){''.join(stages)}
+    SELECT query_id, vec_id, rel AS cosine, rank FROM selall{k}
+    """
+
+
+@query("emb_mmr_diversified_topk", oracle=_mmr_oracle(10, 30, 0.5))
+def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (``similarity.mmr_topk``, λ=0.5, pool=30):
+    the relevance pool comes from the exact cosine scorer (one corpus
+    scan, broadcast queries, grouped partial top-k — same machinery as
+    ``emb_cosine_topk``), then greedy Maximal Marginal Relevance
+    re-selects 10 of 30 trading relevance against redundancy.  The
+    greedy is bounded by contract — per-query pool rels + pool²/2
+    pairwise sims collapse to ONE Arrow row, and selection is inherently
+    sequential in k, so a pandas UDF over that row is the honest
+    production shape; everything corpus-sized stays JVM-side, and the
+    pool is pluggable with any ANN rung's ``(query_id, vec_id, cosine)``
+    output for the 100 TB path.  The oracle unrolls the greedy into k-1
+    SQL stages; folds and score literals match bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(emb, _emb_queries(emb), k=10, pool=30, lam=0.5)

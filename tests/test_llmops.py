@@ -1719,3 +1719,87 @@ def test_ivfbq_index_append_frozen_thresholds_and_tombstone(spark, tmp_path):
         queries, idx, k=10, nprobe=12, shortlist=40
     ).collect()
     assert sorted(map(key, compacted)) == sorted(map(key, after))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (round 11)
+# ---------------------------------------------------------------------------
+
+def test_mmr_greedy_true_max_with_negative_sims():
+    # Two near-equal-relevance candidates; the higher-rel one is MORE
+    # similar (less negative) to the first pick.  A max seeded at 0.0
+    # would clamp both penalties to zero and pick b; the true max must
+    # pick c: 0.5*0.90 - 0.5*(-0.10) = 0.50 < 0.5*0.88 - 0.5*(-0.30) = 0.59.
+    cands = [{"vid": 1, "rel": 1.0}, {"vid": 2, "rel": 0.90}, {"vid": 3, "rel": 0.88}]
+    sims = [
+        {"__a": 1, "__b": 2, "__sim": -0.10},
+        {"__a": 1, "__b": 3, "__sim": -0.30},
+        {"__a": 2, "__b": 3, "__sim": 0.0},
+    ]
+    picks = similarity.mmr_greedy(cands, sims, k=2, lam=0.5)
+    assert [(v, r) for v, _, r in picks] == [(1, 1), (3, 2)]
+
+
+def test_mmr_greedy_lam1_is_pure_relevance():
+    cands = [{"vid": v, "rel": rel} for v, rel in [(5, 0.3), (1, 0.9), (2, 0.7)]]
+    sims = [{"__a": 1, "__b": 2, "__sim": 0.99},
+            {"__a": 1, "__b": 5, "__sim": 0.99},
+            {"__a": 2, "__b": 5, "__sim": 0.99}]
+    picks = similarity.mmr_greedy(cands, sims, k=3, lam=1.0)
+    assert [v for v, _, _ in picks] == [1, 2, 5]
+
+
+def test_mmr_topk_skips_near_duplicate(spark):
+    # vec 2 duplicates vec 1 (most relevant); pure relevance ranks it
+    # second, MMR at lam=0.5 must defer it behind the orthogonal vec 3.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # top hit
+        (2, [0.99, 0.141, 0.0]),       # near-duplicate of 1
+        (3, [0.5, 0.0, 0.86]),         # distinct direction
+        (4, [0.6, 0.1, 0.79]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.mmr_topk(emb, q, k=3, pool=4, lam=0.5)
+    picks = [r["vec_id"] for r in sorted(got.collect(), key=lambda r: r["rank"])]
+    assert picks[0] == 1
+    assert picks[1] != 2, "MMR must not pick the near-duplicate second"
+    rel_only = similarity.cosine_topk(emb, q, k=2)
+    rel_picks = [r["vec_id"] for r in sorted(rel_only.collect(), key=lambda r: r["rank"])]
+    assert rel_picks == [1, 2], "sanity: pure relevance DOES rank the dup second"
+
+
+def test_mmr_topk_matches_standalone_greedy_replay(spark):
+    # End-to-end replay: pool + pairwise sims recomputed independently
+    # (numpy float64), greedy replayed via the pure function — ordering
+    # must agree with the distributed pandas-UDF path.
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.mmr_topk(emb, q, k=5, pool=12, lam=0.5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    for qid, picks in by_q.items():
+        qv = vecs[qid]
+        pool = sorted(
+            ((cos(qv, v), vid) for vid, v in vecs.items() if vid != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:12]
+        cands = [{"vid": vid, "rel": rel} for rel, vid in pool]
+        sims = [
+            {"__a": a, "__b": b, "__sim": cos(vecs[a], vecs[b])}
+            for _, a in pool for _, b in pool if a < b
+        ]
+        ref = similarity.mmr_greedy(cands, sims, k=5, lam=0.5)
+        # numpy sums re-associate, so scores can drift an ulp — compare
+        # the selected ID SEQUENCE, which is stable at this separation
+        assert [vid for vid, _, _ in ref] == [v for _, v in sorted(picks)], qid
