@@ -123,6 +123,8 @@ HEADLINE = [
     "emb_ivfbq_topk",
     "emb_ivfbq_indexed_topk",
     "emb_mmr_diversified_topk",
+    "emb_mmr_ivf_topk",
+    "doc_dedup_keep_best",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

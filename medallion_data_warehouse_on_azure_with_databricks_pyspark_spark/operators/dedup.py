@@ -834,3 +834,49 @@ def dedup_keep_representatives(
         F.col("src").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    rounds: int = 20,
+    graph_partitions: int | None = None,
+) -> DataFrame:
+    """Quality-aware canonicalization: resolve near-dup pairs to clusters
+    (:func:`propagate_labels`) and keep the HIGHEST-``score_col`` member
+    of each cluster (ties → smaller id), instead of the min-id
+    representative — the curation variant where near-duplicates differ in
+    quality (truncated mirrors, boilerplate-injected copies) and the keep
+    decision should prefer the best copy, not an arbitrary one.
+
+    Scale shape is :func:`dedup_keep_representatives`'s: propagation and
+    the per-cluster argmax run only over nodes that appear in a pair
+    (≪ corpus); the winner pick is one grouped ``max(struct(score, -id))``
+    — no window over the corpus — and the full table is filtered once at
+    the end with an anti-join against the losers.  Singletons never enter
+    the graph and are kept by construction."""
+    labels = propagate_labels(pairs, rounds, graph_partitions)
+    member_scores = labels.join(
+        df.select(F.col(id_col).alias("src"), F.col(score_col).alias("__score")),
+        "src",
+    )
+    # argmax per cluster: max struct = (highest score, then -id greatest
+    # = smallest id) — negation is exact for integral scores/ids and a
+    # sign-bit flip for floats
+    winners = (
+        member_scores.groupBy("label")
+        .agg(
+            F.max(
+                F.struct(F.col("__score").alias("s"), (-F.col("src")).alias("negid"))
+            ).alias("w")
+        )
+        .select("label", (-F.col("w.negid")).alias("__winner"))
+    )
+    losers = (
+        labels.join(winners, "label")
+        .filter(F.col("src") != F.col("__winner"))
+        .select(F.col("src").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -3444,6 +3444,11 @@ def mmr_topk(
         .join(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")), id_col)
         .withColumn("__n", _norm(F.col("__v")))
     )
+    # pe feeds the self-join's BOTH sides plus the candidate collapse —
+    # left lazy, Catalyst re-runs the corpus-sized pool scan 3× (measured
+    # 3× the cosine lane at sf0.1).  It is queries × pool rows (bounded
+    # by contract), so materialize it once and truncate lineage.
+    pe = pe.localCheckpoint(eager=True)
     a = pe.select(
         F.col(query_id_col),
         F.col(id_col).alias("__a"),

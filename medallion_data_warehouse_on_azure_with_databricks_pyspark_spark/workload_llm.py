@@ -2515,7 +2515,7 @@ def emb_ivfbq_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MMR diversified retrieval (round 11)
 # ---------------------------------------------------------------------------
 
-def _mmr_oracle(k: int, pool: int, lam: float) -> str:
+def _mmr_oracle(k: int, pool: int, lam: float, scored_ctes: str | None = None) -> str:
     """Unrolled-greedy MMR oracle: stage i computes every remaining pool
     candidate's max pairwise sim to the i-1 already-selected rows and
     picks the ``lam*rel - (1-lam)*msim`` argmax (score DESC, vec_id tie).
@@ -2523,7 +2523,14 @@ def _mmr_oracle(k: int, pool: int, lam: float) -> str:
     the SQL twin is k-1 mechanical CTE stages rather than a recursive
     query; every dot/norm is the shared ordered fold and the score uses
     the same ``repr(lam)`` literals the Spark side multiplies with, so
-    values are bit-identical."""
+    values are bit-identical.
+
+    ``scored_ctes`` overrides the pool's SCORER: a CTE block ending in
+    ``scored(query_id, vec_id, rel)``.  Default is the exact cross scan
+    (= ``cosine_topk``); the IVF twin passes the probe-replay block, the
+    same pool-pluggability the Spark operator exposes.  Every CTE is
+    MATERIALIZED — plain CTEs get re-inlined into each unrolled stage
+    (exponential scans; the first draft exhausted 20k fds this way)."""
     lam_s, mu_s = repr(float(lam)), repr(1.0 - float(lam))
     stages = []
     for i in range(2, k + 1):
@@ -2547,15 +2554,17 @@ def _mmr_oracle(k: int, pool: int, lam: float) -> str:
                     ORDER BY {lam_s} * rel - {mu_s} * msim DESC, vec_id) AS rn
         FROM ms{i}) WHERE rn = 1),
     selall{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})""")
-    return f"""
-    WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+    if scored_ctes is None:
+        scored_ctes = f"""q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
                FROM embeddings WHERE vec_id % 25 = 0),
     scored AS MATERIALIZED (
       SELECT q.query_id, c.vec_id,
              {_fold_dot('q.qe', 'c.embedding')}
                / ({_fold_norm('q.qe')} * {_fold_norm('c.embedding')}) AS rel
       FROM q CROSS JOIN embeddings c
-      WHERE c.vec_id <> q.query_id),
+      WHERE c.vec_id <> q.query_id)"""
+    return f"""
+    WITH {scored_ctes},
     pool AS MATERIALIZED (
       SELECT query_id, vec_id, rel FROM (
         SELECT query_id, vec_id, rel,
@@ -2597,3 +2606,93 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL stages; folds and score literals match bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.mmr_topk(emb, _emb_queries(emb), k=10, pool=30, lam=0.5)
+
+
+#: IVF probe-replay scorer for the MMR pool — identical quantizer /
+#: probe / fold math as _IVF_TOPK_ORACLE, emitting ``rel`` for the
+#: shared pool + greedy stages (CTEs MATERIALIZED for the unroll).
+_MMR_IVF_SCORED = f"""pivots AS MATERIALIZED (
+      SELECT vec_id AS pivot_id, embedding AS pv
+      FROM embeddings WHERE vec_id % 37 = 0),
+    assign AS MATERIALIZED (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, pivot_id) AS rnk
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   {_fold_l2sq('e.embedding', 'p.pv')} AS d
+            FROM embeddings e CROSS JOIN pivots p)),
+    cv AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding AS ce, a.pivot_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id AND a.rnk = 1),
+    qv AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, a.pivot_id, e.embedding AS qe
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= 12),
+    scored AS MATERIALIZED (
+      SELECT qv.query_id, cv.vec_id,
+             {_fold_dot('qv.qe', 'cv.ce')}
+               / ({_fold_norm('qv.qe')} * {_fold_norm('cv.ce')}) AS rel
+      FROM qv JOIN cv USING (pivot_id)
+      WHERE cv.vec_id <> qv.query_id)"""
+
+
+@query("emb_mmr_ivf_topk", oracle=_mmr_oracle(10, 30, 0.5, scored_ctes=_MMR_IVF_SCORED))
+def emb_mmr_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR over an ANN shortlist — the production composition: the
+    30-candidate relevance pool comes from the partition-pruned IVF probe
+    (``similarity.ivf_topk``, nprobe=12 — ~nprobe/P of the corpus
+    scanned) instead of the exact cross scan, then the same bounded
+    greedy re-selects 10 diversified hits.  This is the lane that proves
+    ``mmr_topk``'s ``shortlist`` contract: ANY rung of the ANN ladder
+    emitting ``(query_id, vec_id, cosine)`` can feed the diversity pass,
+    so at 100 TB the corpus-sized work stays in the index path and MMR
+    adds only pool-sized joins + one Arrow batch per query.  The oracle
+    replays quantizer, probes, pool, and all k-1 greedy stages
+    bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _emb_queries(emb)
+    pool = similarity.ivf_topk(
+        emb, q, k=30, nprobe=12, modulus=37
+    ).drop("rank")
+    return similarity.mmr_topk(emb, q, k=10, pool=30, lam=0.5, shortlist=pool)
+
+
+@query(
+    "doc_dedup_keep_best",
+    oracle="WITH RECURSIVE " + _JACCARD_PAIRS_CTES.format(threshold="0.8") + """,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION ALL SELECT id_b, id_a FROM dup_pairs),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src),
+    labels AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+    memb AS (
+      SELECT l.node, l.label, d.n_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.node),
+    winners AS (
+      SELECT label, node AS winner FROM (
+        SELECT label, node,
+               row_number() OVER (PARTITION BY label
+                    ORDER BY n_chars DESC, node) AS rn
+        FROM memb) WHERE rn = 1)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN memb m ON m.node = d.doc_id
+    JOIN winners w ON w.label = m.label
+    WHERE d.doc_id = w.winner
+    """,
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization: MinHash-LSH pairs →
+    min-id label propagation → keep the LONGEST member of each cluster
+    (``n_chars``, ties → smaller doc_id) instead of the arbitrary min-id
+    pick of ``doc_dedup_representatives`` — prefer the untruncated copy
+    when mirrors differ.  Same scale shape (graph work ≪ corpus, one
+    final anti-join scan); the winner is a grouped
+    ``max(struct(score, -id))``, never a corpus-wide window.  Oracle:
+    true connected components by recursive CTE + per-cluster argmax."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.dedup_keep_best(docs, pairs, score_col="n_chars")

@@ -174,6 +174,23 @@ def test_dedup_keep_representatives(spark):
     assert kept == [0, 3, 4]        # chain 0-1-2 → 0; singleton 3; pair 4-5 → 4
 
 
+def test_dedup_keep_best_prefers_score_then_min_id(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 20), (3, 5), (4, 7), (5, 7)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.9), (4, 5, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_best(df, pairs, score_col="quality").collect()
+    )
+    # chain 0-1-2 → 1 (best quality, NOT min id); singleton 3 kept;
+    # pair 4-5 tied → 4 (smaller id)
+    assert kept == [1, 3, 4]
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
@@ -1803,3 +1820,19 @@ def test_mmr_topk_matches_standalone_greedy_replay(spark):
         # numpy sums re-associate, so scores can drift an ulp — compare
         # the selected ID SEQUENCE, which is stable at this separation
         assert [vid for vid, _, _ in ref] == [v for _, v in sorted(picks)], qid
+
+
+def test_mmr_topk_shortlist_contract_equals_internal_pool(spark):
+    # Feeding cosine_topk's own output through the shortlist parameter
+    # must reproduce the internal-pool path exactly — the contract the
+    # IVF-pooled lane relies on.
+    emb = spark.read.parquet(EMB)
+    q = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sl = similarity.cosine_topk(emb, q, k=12).drop("rank")
+    a = similarity.mmr_topk(emb, q, k=5, pool=12, lam=0.5)
+    b = similarity.mmr_topk(emb, q, k=5, pool=12, lam=0.5, shortlist=sl)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
