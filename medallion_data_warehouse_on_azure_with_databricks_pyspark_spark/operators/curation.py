@@ -515,3 +515,71 @@ def leakage_safe_splits(
     ).drop("label")
     return assign_split(with_label, id_col="split_group", out=out,
                         train=train, val=val)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """τ=0.5 temperature sampling (the multilingual-mixing rule of
+    XLM-R/mT5: sample sources ∝ n_s^τ, flattening the head and
+    upweighting rare sources): derive per-source keep rates
+    ``min(1, target·√n_s / (Σ√n · n_s))`` from the corpus itself, then
+    apply the same deterministic md5-window keep rule as
+    :func:`mixture_sample` — the whole decision is a pure function of
+    the row, stable under retries and repartitioning.
+
+    Bit-exactness across engines is engineered, not hoped for: τ is
+    fixed at 0.5 because IEEE ``sqrt`` is correctly rounded everywhere
+    (general ``pow`` is not); per-source weights are FIXED-POINT
+    (``floor(√n · 2²⁰)`` as int) so their SUM is integer — exact and
+    order-free — and the final rate is a single mul/div tree over exact
+    integers, one correctly-rounded step each.  Rates cap at 1.0:
+    sampling without replacement cannot upweight past a full pass —
+    repeating rare sources beyond 1 epoch is a repetition-factor
+    decision, not a sampling one.
+
+    One count aggregation + one broadcast join + a stateless filter;
+    the 100 TB table is scanned twice (count, filter), shuffled never.
+    Output adds ``n_source`` and ``rate`` for audit."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    counts = counts.withColumn(
+        "__w",
+        F.floor(F.sqrt(F.col("__n").cast("double")) * F.lit(float(1 << 20))).cast(
+            "long"
+        ),
+    )
+    # break the shared-lineage ambiguity (tot derives from counts):
+    # materialize the two exact integer totals — a bounded 1-row collect,
+    # same contract as the pivot/codebook collects.  Totals get names
+    # that are NOT case-variants of the per-source columns: Spark's
+    # case-insensitive resolver makes withColumn("__N") REPLACE "__n".
+    tot_row = counts.agg(
+        F.sum("__n").alias("tn"), F.sum("__w").alias("tw")
+    ).first()
+    tot_n, tot_w = int(tot_row["tn"]), int(tot_row["tw"])
+    target = F.floor(
+        F.lit(float(target_frac)) * F.lit(tot_n).cast("double")
+    ).cast("long")
+    rates = (
+        counts.withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (target.cast("double") * F.col("__w").cast("double"))
+                / (F.lit(tot_w).cast("double") * F.col("__n").cast("double")),
+            ),
+        )
+        .withColumn(
+            "__thr", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")
+        )
+        .select(source_col, F.col("__n").alias("n_source"), "rate", "__thr")
+    )
+    u = _hash_u32(F.col(id_col))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(u < F.col("__thr"))
+        .drop("__thr")
+    )

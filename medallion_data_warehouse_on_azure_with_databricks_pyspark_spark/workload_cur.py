@@ -654,3 +654,46 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "doc_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0)
+                  AS BIGINT) AS w
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS N, CAST(SUM(w) AS BIGINT) AS W,
+             CAST(floor(0.5::DOUBLE * CAST(SUM(n) AS DOUBLE)) AS BIGINT)
+               AS target
+      FROM counts),
+    rates AS (
+      SELECT c.source, c.n,
+             least(1.0::DOUBLE,
+                   (CAST(t.target AS DOUBLE) * CAST(c.w AS DOUBLE))
+                     / (CAST(t.W AS DOUBLE) * CAST(c.n AS DOUBLE))) AS rate
+      FROM counts c CROSS JOIN tot t),
+    thr AS (SELECT source, n, rate,
+                   CAST(floor(rate * 4294967296.0) AS BIGINT) AS thrv
+            FROM rates)
+    SELECT d.doc_id, d.source, r.n AS n_source, r.rate
+    FROM documents d JOIN thr r USING (source)
+    WHERE {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} < r.thrv
+    """,
+)
+def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature-sampled corpus mixture
+    (``operators/curation.py temperature_mixture``): per-source keep
+    rates derived FROM the corpus counts (∝ √n_s, normalized to a 50%
+    global budget, capped at 1.0) — the XLM-R/mT5 mixing rule that
+    flattens dominant sources and upweights rare ones — then the same
+    deterministic md5-window keep rule as ``doc_mixture_splits``.
+    τ is pinned to 0.5 so every float step is correctly rounded
+    (sqrt/mul/div over exact fixed-point integers); the oracle replays
+    counts, weights, rates, thresholds, and the hash gate bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    return curation.temperature_mixture(docs, target_frac=0.5).select(
+        "doc_id", "source", "n_source", "rate"
+    )

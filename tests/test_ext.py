@@ -410,3 +410,37 @@ def test_tokenize_udtf_lateral(spark):
     assert [(r["token"], r["pos"], r["length"]) for r in rows] == [
         ("ab", 0, 2), ("cde", 1, 3), ("f", 2, 1),
     ]
+
+
+def test_temperature_mixture_upweights_rare_sources(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        curation,
+    )
+
+    rows = (
+        [(i, "a") for i in range(400)]
+        + [(1000 + i, "b") for i in range(100)]
+        + [(2000 + i, "c") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.temperature_mixture(df, target_frac=0.5)
+    rates = {
+        r["source"]: r["rate"]
+        for r in out.select("source", "rate").distinct().collect()
+    }
+    # τ=0.5 closed form: w_s = floor(sqrt(n_s)·2^20), target = 252,
+    # rate_s = min(1, target·w_s / (W·n_s)) — rare sources upweighted,
+    # the rarest capped at a full pass
+    assert rates["c"] == 1.0
+    assert rates["a"] < rates["b"] < rates["c"]
+    assert rates["a"] == pytest.approx(252 * 20 / (32 * 400), rel=1e-9)
+    assert rates["b"] == pytest.approx(252 * 10 / (32 * 100), rel=1e-9)
+    # determinism: the keep decision is a pure function of the row
+    again = curation.temperature_mixture(df, target_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # global budget roughly honored (hash thresholds are Bernoulli-exact
+    # in expectation; 504 docs → allow slack)
+    n_kept = out.count()
+    assert 0.35 * 504 < n_kept < 0.7 * 504
