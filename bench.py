@@ -126,6 +126,7 @@ HEADLINE = [
     "emb_mmr_ivf_topk",
     "doc_dedup_keep_best",
     "doc_temperature_mixture",
+    "emb_semantic_decontamination",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

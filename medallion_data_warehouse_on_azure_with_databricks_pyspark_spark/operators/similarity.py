@@ -3510,3 +3510,49 @@ def mmr_topk(
             F.col("__s.rank").alias("rank"),
         )
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus row,
+    the nearest benchmark item by cosine and a ``contaminated`` flag at
+    ``threshold`` — the semantic complement of the 13-gram
+    ``decontaminate_flags`` (paraphrased eval leakage shares no exact
+    n-gram but sits next to the benchmark in embedding space).
+
+    Scale shape mirrors the n-gram lane's: eval sets are MB-scale, so
+    the benchmark is **broadcast** and the 100 TB corpus streams through
+    ONCE; the per-row nearest benchmark item is :func:`grouped_topk`
+    with k=1 (map-side partial top-1 — the exchange carries one
+    candidate per corpus row per partition, never the cross product).
+    For a benchmark too big to broadcast, feed the corpus through any
+    ANN index rung instead and keep the same output contract.
+
+    Output: ``(id, bench_id, max_bench_cosine, contaminated)`` — every
+    corpus row appears once (auditing wants the margin distribution,
+    not just the flagged set); the drop/keep policy is the caller's.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("__bid"), F.col(bench_vec_col).alias("__bv")
+    ).withColumn("__bn", _norm(F.col("__bv")))
+    scored = c.join(F.broadcast(b), how="cross").withColumn(
+        "cosine",
+        _dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn")),
+    )
+    top1 = grouped_topk(scored, id_col, "__bid", 1)
+    return top1.select(
+        F.col(id_col),
+        F.col("__bid").alias("bench_id"),
+        F.col("cosine").alias("max_bench_cosine"),
+        (F.col("cosine") >= F.lit(float(threshold))).alias("contaminated"),
+    )

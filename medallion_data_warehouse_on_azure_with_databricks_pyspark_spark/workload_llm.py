@@ -2696,3 +2696,42 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
     return dedup.dedup_keep_best(docs, pairs, score_col="n_chars")
+
+
+@query(
+    "emb_semantic_decontamination",
+    oracle=f"""
+    WITH b AS (SELECT vec_id AS bid, embedding AS bv
+               FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id, embedding AS cv
+          FROM embeddings WHERE vec_id % 25 <> 0),
+    scored AS (
+      SELECT c.vec_id, b.bid,
+             {_fold_dot('c.cv', 'b.bv')}
+               / ({_fold_norm('c.cv')} * {_fold_norm('b.bv')}) AS cosine
+      FROM c CROSS JOIN b),
+    top1 AS (
+      SELECT vec_id, bid, cosine FROM (
+        SELECT vec_id, bid, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, bid) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT vec_id, bid AS bench_id, cosine AS max_bench_cosine,
+           cosine >= 0.3 AS contaminated
+    FROM top1
+    """,
+)
+def emb_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (``similarity.semantic_decontamination``): every non-benchmark
+    vector scored against the broadcast benchmark set (every 25th
+    vector standing in for the MB-scale eval set), keeping its nearest
+    benchmark item, margin, and a 0.3-cosine contamination flag — the
+    semantic complement of ``doc_benchmark_decontamination`` (paraphrase
+    leakage shares no 13-gram).  One corpus scan, map-side top-1, no
+    corpus-sized shuffle; the oracle replays scoring and the argmax
+    bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return similarity.semantic_decontamination(corpus, bench, threshold=0.3)

@@ -1836,3 +1836,29 @@ def test_mmr_topk_shortlist_contract_equals_internal_pool(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_semantic_decontamination_flags_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # exact leak of bench 100
+            (2, [0.0, 0.97, 0.2]),    # near-dup of bench 101
+            (3, [0.0, 0.0, 1.0]),     # orthogonal to both
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontamination(
+            corpus, bench, threshold=0.9
+        ).collect()
+    }
+    assert len(got) == 3, "every corpus row is audited, flagged or not"
+    assert got[1]["contaminated"] and got[1]["bench_id"] == 100
+    assert got[1]["max_bench_cosine"] == pytest.approx(1.0)
+    assert got[2]["contaminated"] and got[2]["bench_id"] == 101
+    assert not got[3]["contaminated"]
