@@ -127,6 +127,7 @@ HEADLINE = [
     "doc_dedup_keep_best",
     "doc_temperature_mixture",
     "emb_semantic_decontamination",
+    "events_rolling_anomaly",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

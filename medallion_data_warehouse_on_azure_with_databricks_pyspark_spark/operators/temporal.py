@@ -260,3 +260,62 @@ def range_join(
     joined = lb.join(rb, reduce(lambda a, b: a & b, cond), "inner")
     # resolve ambiguous key/bucket columns to the left side, drop helpers
     return joined.drop(rb["__bucket"]).drop(lb["__bucket"]).drop(*[rb[k] for k in keys])
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_points: int = 8,
+    z: int = 3,
+    fp_scale: int = 1000,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag a row whose value sits more
+    than ``z`` sample standard deviations from the mean of its key's
+    previous ``lookback`` rows (the current row is EXCLUDED — an outlier
+    must not mask itself by inflating its own baseline).
+
+    Numerics are INTEGER end-to-end so the flag is bit-identical in any
+    engine: values go fixed-point (``floor(v·fp_scale)``), the window
+    keeps exact integer ``(n, Σv, Σv²)``, and the z-test is the cross
+    -multiplied inequality ``(n·v − Σv)²·(n−1) > z²·n·(n·Σv² − (Σv)²)``
+    — no division, no sqrt, no float accumulation anywhere.  A
+    zero-variance window degenerates correctly: any deviation flags,
+    agreement does not.  ``min_points`` gates the warmup.
+
+    Scale shape: one window over ``(key, ts, id)`` — a single shuffle by
+    key, running sums map-side within partitions; at 100 TB bound the
+    per-key partition the usual way (sub-shard wide keys by time range
+    and stitch the seam rows).  Output: flagged rows only, with the
+    window evidence ``(n_window, dev_sq, var_term)`` kept for audit.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    vfp = F.floor(F.col(value_col) * F.lit(float(fp_scale))).cast("long")
+    base = (
+        df.withColumn("__v", vfp)
+        .withColumn("__n", F.count("__v").over(w))
+        .withColumn("__s1", F.sum("__v").over(w))
+        .withColumn("__s2", F.sum(F.col("__v") * F.col("__v")).over(w))
+    )
+    dev = F.col("__n") * F.col("__v") - F.col("__s1")
+    dev_sq = dev * dev
+    var_term = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    flagged = base.filter(
+        (F.col("__n") >= min_points)
+        & (dev_sq * (F.col("__n") - 1) > F.lit(z * z) * F.col("__n") * var_term)
+    )
+    return flagged.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(value_col),
+        F.col("__n").alias("n_window"),
+        dev_sq.alias("dev_sq"),
+        var_term.alias("var_term"),
+    )

@@ -2593,7 +2593,7 @@ CORRECTNESS_PRIORITY = [
     # -- NEW r11 (rule 2) --
     "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
     "doc_dedup_keep_best", "doc_temperature_mixture",
-    "emb_semantic_decontamination",
+    "emb_semantic_decontamination", "events_rolling_anomaly",
     "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",

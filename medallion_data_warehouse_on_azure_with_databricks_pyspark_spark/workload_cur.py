@@ -697,3 +697,37 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mixture(docs, target_frac=0.5).select(
         "doc_id", "source", "n_source", "rate"
     )
+
+
+@query(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(value * 1000.0) AS BIGINT) AS v,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(floor(value * 1000.0) AS BIGINT)) OVER w AS s1,
+             SUM(CAST(floor(value * 1000.0) AS BIGINT)
+                 * CAST(floor(value * 1000.0) AS BIGINT)) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, value,
+           CAST(n AS BIGINT) AS n_window,
+           CAST((n * v - s1) * (n * v - s1) AS BIGINT) AS dev_sq,
+           CAST(n * s2 - s1 * s1 AS BIGINT) AS var_term
+    FROM base
+    WHERE n >= 8
+      AND (n * v - s1) * (n * v - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection
+    (``operators/temporal.py rolling_anomaly``): flag events >3 sample
+    standard deviations from their type's previous-20-row baseline
+    (current row excluded so an outlier cannot mask itself).  The
+    z-test is a cross-multiplied INTEGER inequality over fixed-point
+    window sums — no division/sqrt/float accumulation, so the flag is
+    bit-identical in any engine.  One shuffle by event_type."""
+    events = load_events(spark, sf_dir)
+    return temporal.rolling_anomaly(events)

@@ -444,3 +444,32 @@ def test_temperature_mixture_upweights_rare_sources(spark):
     # in expectation; 504 docs → allow slack)
     n_kept = out.count()
     assert 0.35 * 504 < n_kept < 0.7 * 504
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        temporal,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # steady 10.0..10.9 baseline, one 100.0 spike at i=15, steady after
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), "m",
+         100.0 if i == 15 else 10.0 + (i % 10) / 10.0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = temporal.rolling_anomaly(
+        df, lookback=10, min_points=8, z=3
+    ).collect()
+    flagged = {r["event_id"] for r in got}
+    assert 15 in flagged, "the planted spike must flag"
+    # the row right AFTER the spike is judged against a window that now
+    # contains the spike — steady values must not flag (spike inflates
+    # variance, not just the mean)
+    assert 16 not in flagged
+    # nothing else flags
+    assert flagged == {15}
