@@ -128,6 +128,7 @@ HEADLINE = [
     "doc_temperature_mixture",
     "emb_semantic_decontamination",
     "events_rolling_anomaly",
+    "part_replace_partitions",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

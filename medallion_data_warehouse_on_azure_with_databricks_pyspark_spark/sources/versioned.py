@@ -1056,3 +1056,153 @@ def recover(path: str) -> bool:
             os.rename(vdir, path)
             repaired = True
     return repaired
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-mirror ``src`` into ``dst`` (byte-copy fallback across
+    filesystems), skipping hidden entries — the zero-copy primitive
+    shared with :func:`clone_table`'s layout."""
+    for root, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = os.path.relpath(root, src)
+        target = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(target, exist_ok=True)
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            s = os.path.join(root, f)
+            d = os.path.join(target, f)
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover — cross-filesystem fallback
+                shutil.copy2(s, d)
+
+
+def replace_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: str,
+    expected_version: int,
+    now: float | None = None,
+    operation: str = "REPLACE_PARTITIONS",
+) -> int:
+    """Delta dynamic partition overwrite (``replaceWhere``) with
+    COMMUTING conflict detection — the missing multi-writer rung above
+    :func:`transact`'s serialize-everything loop: a commit pinned to
+    snapshot ``expected_version`` still lands if every commit that
+    arrived in between is itself a ``replace_partitions`` on DISJOINT
+    partitions of the same column (Delta's logical conflict rule: blind
+    partition replacements commute; anything else — full WRITE, DML,
+    OPTIMIZE — conflicts and forces a re-read).
+
+    Physical shape: only the touched partitions are written.  ``df``
+    stages hive-partitioned (touched set = exactly the partition dirs
+    Spark wrote — canonical encoding, no reimplementation); under the
+    commit claim, the new snapshot assembles as HARDLINKS of the live
+    table's untouched partition dirs plus the staged dirs — O(changed
+    bytes + link count), never a full rewrite, same inode-sharing
+    contract as :func:`clone_table` (vacuum on any version only drops
+    its own links).  Assembly runs under the claim ON PURPOSE: linking
+    from the live table is what makes a commuting rival's rows survive
+    into this commit's snapshot.
+
+    Crash-safety is inherited, not re-proven: the full intent (assembled
+    stage + log entry) is journaled only once assembly is complete, and
+    the rename/log tail is byte-identical to :func:`overwrite_versioned`'s,
+    so :func:`recover` rolls any crash forward unchanged; a crash during
+    assembly leaves a claim-only intent (cleared) and orphan stage dirs
+    (swept).  Requires the live table to be hive-partitioned by
+    ``partition_by`` (refused loudly otherwise — linking root data files
+    next to partition dirs would corrupt the scan layout).
+    """
+    if current_version(path) is None:
+        raise ValueError(
+            f"{path}: no version log — create the table with "
+            "overwrite_versioned(partition_by=[...]) first"
+        )
+    prefix = f"{partition_by}="
+    live_entries = [
+        e for e in os.listdir(path) if not e.startswith(("_", "."))
+    ]
+    bad = [e for e in live_entries if not e.startswith(prefix)]
+    if bad:
+        raise ValueError(
+            f"{path}: not hive-partitioned by {partition_by!r} "
+            f"(found {bad[:3]}); replace_partitions needs a partitioned "
+            "layout to link untouched partitions"
+        )
+    stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
+    try:
+        (
+            df.write.mode("overwrite").format("parquet")
+            .partitionBy(partition_by).save(stage)
+        )
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    touched = sorted(
+        e for e in os.listdir(stage)
+        if e.startswith(prefix) and not e.startswith(("_", "."))
+    )
+    if not touched:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise ValueError(f"{path}: incoming frame has no {partition_by} rows")
+    try:
+        _claim_intent(path, {"stage": stage})
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    full = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
+    try:
+        log = _read_log(path)
+        cur = log[-1]["version"]
+        if cur != expected_version:
+            for e in log:
+                if e["version"] <= expected_version:
+                    continue
+                meta = e.get("metadata") or {}
+                rivals = meta.get("touched_partitions")
+                if (
+                    rivals is None
+                    or meta.get("partition_by") != partition_by
+                    or set(rivals) & set(touched)
+                ):
+                    raise ConcurrentWriteError(
+                        f"{path}: snapshot was v{expected_version}, table "
+                        f"is at v{cur}, and intervening commit "
+                        f"v{e['version']} ({e['operation']}) does not "
+                        f"commute with partitions {touched} — re-read "
+                        "and retry"
+                    )
+        version = cur + 1
+        os.makedirs(full)
+        touched_set = set(touched)
+        for name in os.listdir(path):
+            if name.startswith(("_", ".")) or name in touched_set:
+                continue
+            _link_tree(os.path.join(path, name), os.path.join(full, name))
+        for t in touched:
+            os.rename(os.path.join(stage, t), os.path.join(full, t))
+        shutil.rmtree(stage, ignore_errors=True)
+        entry = {
+            "version": version,
+            "committed_at": float(now if now is not None else time.time()),
+            "operation": operation,
+            "metadata": {
+                "touched_partitions": touched,
+                "partition_by": partition_by,
+            },
+        }
+        _write_intent(path, {"stage": full, "entry": entry})
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+        _release_intent(path)
+        raise
+    # identical roll-forward tail to overwrite_versioned (recover() covers it)
+    vroot = _vroot(path)
+    os.rename(path, os.path.join(vroot, f"v{version - 1}"))
+    os.rename(full, path)
+    _append_log(path, entry)
+    _release_intent(path)
+    return version

@@ -2594,6 +2594,7 @@ CORRECTNESS_PRIORITY = [
     "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
     "doc_dedup_keep_best", "doc_temperature_mixture",
     "emb_semantic_decontamination", "events_rolling_anomaly",
+    "part_replace_partitions",
     "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",
@@ -2679,3 +2680,53 @@ def ordered_queries() -> dict:
             f"stale={sorted(prioritized - registered)}"
         )
     return {n: QUERIES[n] for n in CORRECTNESS_PRIORITY}
+
+
+@query(
+    "part_replace_partitions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey % 4 AS INT) AS g,
+           CASE WHEN p_partkey % 4 = 1 THEN p_size + 100
+                WHEN p_partkey % 4 = 2 THEN p_size * 2
+                ELSE p_size END AS p_size
+    FROM part
+    """,
+)
+def part_replace_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commuting partition-scoped commits
+    (``sources/versioned.py::replace_partitions`` — Delta dynamic
+    partition overwrite with logical conflict detection): the table is
+    hive-partitioned into 4 buckets; commit A replaces bucket 1
+    (+100 sizes) pinned to snapshot v0, then commit B replaces bucket 2
+    (×2 sizes) ALSO pinned to v0 — B lands at v2 WITHOUT a retry because
+    the intervening commit touched disjoint partitions (the commute
+    rule; any overlap or full-table rival raises ConcurrentWriteError —
+    pytest pins both).  Physically each commit writes only its touched
+    partitions and HARDLINKS the rest from the live table (zero-copy,
+    clone_table's inode contract), so B's snapshot carries A's rows.
+    The oracle restates the final state over the raw table."""
+    import tempfile
+
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_rp_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        (F.col("p_partkey") % 4).cast("int").alias("g"),
+        "p_size",
+    )
+    versioned.overwrite_versioned(part, table, partition_by=["g"], now=1.0)
+    snap0 = spark.read.parquet(table)
+    a = snap0.filter(F.col("g") == 1).withColumn(
+        "p_size", F.col("p_size") + F.lit(100)
+    )
+    b = snap0.filter(F.col("g") == 2).withColumn(
+        "p_size", F.col("p_size") * F.lit(2)
+    )
+    va = versioned.replace_partitions(a, table, "g", expected_version=0, now=2.0)
+    vb = versioned.replace_partitions(b, table, "g", expected_version=0, now=3.0)
+    if (va, vb) != (1, 2):  # the commute IS the lane's contract
+        raise AssertionError(f"expected v1,v2 commits, got v{va},v{vb}")
+    return spark.read.parquet(table).select("p_partkey", "g", "p_size")
