@@ -129,6 +129,7 @@ HEADLINE = [
     "emb_semantic_decontamination",
     "events_rolling_anomaly",
     "part_replace_partitions",
+    "events_stream_partition_overwrite",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

@@ -2594,7 +2594,7 @@ CORRECTNESS_PRIORITY = [
     "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
     "doc_dedup_keep_best", "doc_temperature_mixture",
     "emb_semantic_decontamination", "events_rolling_anomaly",
-    "part_replace_partitions",
+    "part_replace_partitions", "events_stream_partition_overwrite",
     "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",
@@ -2730,3 +2730,57 @@ def part_replace_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (va, vb) != (1, 2):  # the commute IS the lane's contract
         raise AssertionError(f"expected v1,v2 commits, got v{va},v{vb}")
     return spark.read.parquet(table).select("p_partkey", "g", "p_size")
+
+
+@query(
+    "events_stream_partition_overwrite",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(event_id % 3 AS INT) AS g
+    FROM events
+    WHERE event_id % 3 <> 2 OR event_id % 2 = 0
+    """,
+)
+def events_stream_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-overwrite streaming sink
+    (``streaming/partition_stream.py`` — the foreachBatch
+    ``insert_overwrite`` idiom): landing files each carry ONE complete
+    partition (g = event_id % 3); a checkpointed availableNow run lands
+    them as partition-replacing commits, then a REVISED delivery of
+    partition g=2 (only even event_ids — the late-corrected backfill
+    case) re-lands through the same apply path and must fully replace
+    the earlier content, and a REPLAY of partition g=0's original batch
+    must be a value no-op (idempotent by construction — no ledger; both
+    asserted in-lane via the final state the oracle recomputes).  Each
+    commit writes only its partition and hardlinks the rest."""
+    import os
+    import tempfile
+
+    from .sources import versioned
+    from .streaming import partition_stream as ps
+
+    work = tempfile.mkdtemp(prefix="medallion_pstream_")
+    landing = os.path.join(work, "landing")
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    ev = ev.withColumn("g", (F.col("event_id") % 3).cast("int"))
+    for i in range(3):
+        ev.filter(F.col("g") == i).coalesce(1).write.mode("append").parquet(
+            landing
+        )
+    table = os.path.join(work, "events")
+    ps.partition_overwrite_ingest(
+        spark, landing, table, os.path.join(work, "ckpt"),
+        partition_col="g", schema=ev.schema, now=1_000.0,
+    )
+    # revised re-delivery: partition g=2 re-lands with corrected content
+    revised = ev.filter((F.col("g") == 2) & (F.col("event_id") % 2 == 0))
+    assert ps.apply_partition_batch(table, revised, "g", now=2_000.0)
+    # replay of an original batch: value no-op (content identical)
+    before = versioned.current_version(table)
+    assert ps.apply_partition_batch(
+        table, ev.filter(F.col("g") == 0), "g", now=3_000.0
+    )
+    assert versioned.current_version(table) == before + 1  # commits, same data
+    return spark.read.parquet(table).select(
+        "event_id", "event_type", "value", F.col("g").cast("int").alias("g")
+    )
