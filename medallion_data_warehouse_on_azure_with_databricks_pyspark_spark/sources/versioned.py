@@ -1206,3 +1206,51 @@ def replace_partitions(
     _append_log(path, entry)
     _release_intent(path)
     return version
+
+
+def optimize_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partitions: list,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    now: float | None = None,
+) -> int:
+    """Partition-scoped ``OPTIMIZE`` THROUGH the commute gate: compact
+    only the named partition values, committed via
+    :func:`replace_partitions` — so maintenance no longer serializes
+    against ingestion the way the full-table :func:`optimize_compact`
+    does (its ``expected_version`` pin conflicts with ANY interleaved
+    commit).  A compaction of ``g=0`` and a writer replacing ``g=1``,
+    both pinned to the same snapshot, BOTH land — the property that
+    matters at 100 TB, where maintenance windows and ingestion overlap
+    by construction.  Data is bit-identical (pure layout); the commit
+    logs as ``OPTIMIZE_PARTITIONS`` with its touched set, so IT commutes
+    under rival disjoint maintenance too.
+    """
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    base_v = current_version(path)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(list(partitions))
+    )
+    sub_files = [
+        f
+        for p in partitions
+        for f in _data_files(os.path.join(path, f"{partition_col}={p}"))
+    ]
+    if not sub_files:
+        raise ValueError(
+            f"{path}: no data files under {partition_col} in {partitions}"
+        )
+    total = sum(os.path.getsize(f) for f in sub_files)
+    n_target = max(1, -(-total // target_file_bytes))
+    if n_target >= len(sub_files):
+        return base_v  # already compact — don't churn history
+    compacted = df.repartition(n_target, F.col(partition_col))
+    return replace_partitions(
+        compacted, path, partition_col,
+        expected_version=base_v, now=now, operation="OPTIMIZE_PARTITIONS",
+    )

@@ -991,3 +991,64 @@ def test_replace_partitions_assembly_crash_recovers_clean(spark, tmp_path):
     new = spark.createDataFrame([(1, 0, 1)], "g int, i int, v int")
     V.replace_partitions(new, path, "g", expected_version=0, now=1.0)
     assert V.current_version(path) == 1
+
+
+def test_optimize_partitions_commutes_with_disjoint_writer(spark, tmp_path):
+    """Maintenance must not block ingestion: compact g=0 and replace g=1,
+    BOTH pinned to the same snapshot — both land; data identical where
+    untouched; g=0's file count drops."""
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(g, i, g * 100 + i) for g in range(2) for i in range(6)],
+        "g int, i int, v int",
+    )
+    # many small files inside g=0
+    V.overwrite_versioned(
+        df.repartition(6), path, partition_by=["g"], now=0.0
+    )
+    def nfiles(part):
+        d = os.path.join(path, part)
+        return sum(
+            1 for r, _, fs in os.walk(d) for f in fs
+            if not f.startswith(("_", "."))
+        )
+    before = nfiles("g=0")
+    assert before > 1
+    # writer replaces g=1 first (same snapshot the compactor read)
+    new = spark.createDataFrame([(1, 0, 999)], "g int, i int, v int")
+    V.replace_partitions(new, path, "g", expected_version=0, now=1.0)
+    # compactor pinned to v0 still lands (commute)
+    v = V.optimize_partitions(
+        spark, path, "g", [0], target_file_bytes=1 << 30, now=2.0
+    )
+    assert v == 2
+    assert nfiles("g=0") < before
+    got = spark.read.parquet(path)
+    assert sorted(
+        map(tuple, got.filter("g = 0").select("g", "i", "v").collect())
+    ) == sorted(map(tuple, df.filter("g = 0").select("g", "i", "v").collect()))
+    assert got.filter("g = 1").count() == 1  # the writer's row survived
+    ops = [e["operation"] for e in V.history(path)]
+    assert "OPTIMIZE_PARTITIONS" in ops
+
+
+def test_table_changes_across_partition_replace_commit(spark, tmp_path):
+    """CDF must see a partition replacement as per-row deletes/inserts/
+    updates on that partition only."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(g, g * 10 + i) for g in range(2) for i in range(3)],
+        "g int, v int",
+    )
+    V.overwrite_versioned(df, path, partition_by=["g"], now=0.0)
+    new = spark.createDataFrame([(1, 777)], "g int, v int")
+    V.replace_partitions(new, path, "g", expected_version=0, now=1.0)
+    ch = V.table_changes(
+        spark, path, key_cols=["g", "v"], from_version=0, to_version=1
+    ).collect()
+    kinds = sorted((r["g"], r["v"], r["_change_type"]) for r in ch)
+    assert (1, 777, "insert") in kinds
+    assert all(g == 1 for g, _, _ in kinds), "untouched partition must not churn"
+    assert sum(1 for _, _, k in kinds if k == "delete") == 3
