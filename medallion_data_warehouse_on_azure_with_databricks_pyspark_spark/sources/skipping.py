@@ -40,6 +40,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,7 +140,7 @@ def read_skipping_multi(
     files, _total = pruned_files_multi(spark, path, predicates)
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
-    df = spark.read.parquet(*files)
+    df = spark.read.option("basePath", path).parquet(*files)
     for column, (lower, upper) in predicates.items():
         if lower is not None:
             df = df.where(F.col(column) >= F.lit(lower))
@@ -251,7 +252,8 @@ def read_bloom_skipping(
     files, _total = bloom_pruned_files(spark, path, column, value)
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
-    return spark.read.parquet(*files).where(F.col(column) == F.lit(value))
+    return (spark.read.option("basePath", path).parquet(*files)
+            .where(F.col(column) == F.lit(value)))
 
 
 def read_skipping(
@@ -274,9 +276,64 @@ def read_skipping(
             spark.read.parquet(path)
             .where(F.lit(False))
         )
-    df = spark.read.parquet(*files)
+    df = spark.read.option("basePath", path).parquet(*files)
     if lower is not None:
         df = df.where(F.col(column) >= F.lit(lower))
     if upper is not None:
         df = df.where(F.col(column) <= F.lit(upper))
     return df
+
+
+def _stats_aggs(columns: list[str]) -> list:
+    """The per-file stats aggregate set shared by full and incremental
+    manifest builds."""
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in columns:
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"),
+        ]
+    return aggs
+
+
+def update_stats_manifest_partitions(
+    spark: SparkSession,
+    path: str,
+    touched_partitions: list[str],
+    old_manifest: DataFrame,
+) -> DataFrame:
+    """Incremental manifest maintenance for a partition-scoped commit
+    (``sources/versioned.py::replace_partitions``): keep the old
+    manifest's rows for untouched partitions (their files kept the SAME
+    paths through the hardlink assembly, so the rows stay valid), and
+    recompute stats ONLY for files under the touched partition dirs —
+    one scan proportional to the commit, never the table.  Without this
+    a partition replace would leave new files absent from the manifest,
+    and a manifest-pruned scan would silently drop them — the one
+    failure mode skipping must never have."""
+    stats_cols = [
+        c[len("min__"):] for c in old_manifest.columns if c.startswith("min__")
+    ]
+    cond = F.lit(False)
+    for t in touched_partitions:
+        cond = cond | F.col("file_path").contains(f"/{t}/")
+    keep_old = old_manifest.filter(~cond)
+    new_scan = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, t) for t in touched_partitions]
+    )
+    new_stats = (
+        new_scan.select(
+            F.col("_metadata.file_path").alias("file_path"), *stats_cols
+        )
+        .groupBy("file_path")
+        .agg(*_stats_aggs(stats_cols))
+    )
+    merged = keep_old.unionByName(new_stats).coalesce(1)
+    out = os.path.join(path.rstrip("/"), STATS_DIR)
+    tmp = out + ".__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(out):  # pragma: no cover — new current has no manifest
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    return spark.read.parquet(out)

@@ -1120,6 +1120,14 @@ def replace_partitions(
             f"{path}: no version log — create the table with "
             "overwrite_versioned(partition_by=[...]) first"
         )
+    effective = get_constraints(path)
+    if effective:
+        # persisted CHECK constraints gate EVERY commit path — including
+        # this one; the aggregate runs over the INCOMING frame only
+        # (partition-proportional), same contract as overwrite_versioned
+        from ..plans.expectations import expect_all_or_fail
+
+        expect_all_or_fail(df, effective)
     prefix = f"{partition_by}="
     live_entries = [
         e for e in os.listdir(path) if not e.startswith(("_", "."))
@@ -1205,6 +1213,21 @@ def replace_partitions(
     os.rename(full, path)
     _append_log(path, entry)
     _release_intent(path)
+    # incremental skipping-manifest maintenance: the old manifest traveled
+    # aside with v{n-1}; untouched partitions kept their paths, so its
+    # rows stay valid for them — recompute stats for the touched dirs
+    # only (commit-proportional).  Without this, a manifest-pruned scan
+    # would silently drop the new files; a crash before this point leaves
+    # a committed table with NO manifest, which skipping readers refuse
+    # loudly (the documented stats_columns contract).
+    old_man = os.path.join(vroot, f"v{version - 1}", "_file_stats")
+    if os.path.isdir(old_man):
+        from . import skipping
+
+        skipping.update_stats_manifest_partitions(
+            df.sparkSession, path, touched,
+            df.sparkSession.read.parquet(old_man),
+        )
     return version
 
 

@@ -1052,3 +1052,56 @@ def test_table_changes_across_partition_replace_commit(spark, tmp_path):
     assert (1, 777, "insert") in kinds
     assert all(g == 1 for g, _, _ in kinds), "untouched partition must not churn"
     assert sum(1 for _, _, k in kinds if k == "delete") == 3
+
+
+def test_replace_partitions_enforces_persisted_constraints(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(g, i) for g in range(2) for i in range(3)], "g int, v int"
+    )
+    V.overwrite_versioned(df, path, partition_by=["g"], now=0.0)
+    V.set_constraints(path, {"v_nonneg": "v >= 0"})
+    bad = spark.createDataFrame([(1, -5)], "g int, v int")
+    with pytest.raises(Exception, match="v_nonneg"):
+        V.replace_partitions(bad, path, "g", expected_version=0, now=1.0)
+    assert V.current_version(path) == 0  # nothing committed
+    good = spark.createDataFrame([(1, 5)], "g int, v int")
+    V.replace_partitions(good, path, "g", expected_version=0, now=2.0)
+
+
+def test_replace_partitions_maintains_skipping_manifest(spark, tmp_path):
+    """After a partition replace, a manifest-pruned scan must still see
+    EVERY live file — new files get stats, untouched rows survive, stale
+    rows for the replaced partition are gone."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping as S,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(g, g * 10 + i) for g in range(3) for i in range(4)],
+        "g int, v int",
+    )
+    V.overwrite_versioned(df, path, partition_by=["g"], now=0.0)
+    S.write_stats_manifest(spark, path, ["v"])
+    new = spark.createDataFrame([(1, 500), (1, 501)], "g int, v int")
+    V.replace_partitions(new, path, "g", expected_version=0, now=1.0)
+    # wide-open pruned scan == full scan (no silently dropped files)
+    got = sorted(
+        (r["g"], r["v"]) for r in S.read_skipping(spark, path, "v").collect()
+    )
+    want = sorted(
+        (r["g"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == want
+    assert (1, 500) in got and (1, 10) not in got
+    # range pruning still bites: v >= 500 lives only in the new partition
+    kept, total = S.pruned_files(spark, path, "v", lower=500)
+    assert total > len(kept) >= 1
+    # no stale rows: every manifest path exists on disk
+    import os
+
+    man = S.read_stats_manifest(spark, path)
+    for r in man.select("file_path").collect():
+        p = r["file_path"].removeprefix("file://").removeprefix("file:")
+        assert os.path.exists(p), r["file_path"]
