@@ -130,6 +130,7 @@ HEADLINE = [
     "events_rolling_anomaly",
     "part_replace_partitions",
     "events_stream_partition_overwrite",
+    "emb_ivf_recall_report",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

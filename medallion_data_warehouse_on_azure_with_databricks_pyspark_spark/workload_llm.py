@@ -2735,3 +2735,82 @@ def emb_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.filter(F.col("vec_id") % 25 == 0)
     corpus = emb.filter(F.col("vec_id") % 25 != 0)
     return similarity.semantic_decontamination(corpus, bench, threshold=0.3)
+
+
+@query(
+    "emb_ivf_recall_report",
+    oracle=f"""
+    WITH pivots AS MATERIALIZED (
+      SELECT vec_id AS pivot_id, embedding AS pv
+      FROM embeddings WHERE vec_id % 37 = 0),
+    assign AS MATERIALIZED (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, pivot_id) AS rnk
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   {_fold_l2sq('e.embedding', 'p.pv')} AS d
+            FROM embeddings e CROSS JOIN pivots p)),
+    cv AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding AS ce, a.pivot_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id AND a.rnk = 1),
+    qv AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, a.pivot_id, e.embedding AS qe
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= 12),
+    approx AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT qv.query_id, cv.vec_id,
+               row_number() OVER (PARTITION BY qv.query_id ORDER BY
+                 {_fold_dot('qv.qe', 'cv.ce')}
+                   / ({_fold_norm('qv.qe')} * {_fold_norm('cv.ce')}) DESC,
+                 cv.vec_id) AS rnk
+        FROM qv JOIN cv USING (pivot_id)
+        WHERE cv.vec_id <> qv.query_id) WHERE rnk <= 10),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id % 25 = 0),
+    exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_fold_dot('q.qe', 'c.embedding')}
+                   / ({_fold_norm('q.qe')} * {_fold_norm('c.embedding')}) DESC,
+                 c.vec_id) AS rnk
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id <> q.query_id) WHERE rnk <= 10)
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(10 AS BIGINT) AS k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe vs the exact scan, AS A QUERY — the
+    evaluation every ANN deployment runs before trusting an index, made
+    driver-verifiable: both rankings replay in SQL, so the per-query hit
+    counts themselves are hash-checked (the pytest recall floors remain
+    the regression gate; this lane is the measurement pipeline).  One
+    semi-join of two top-k tables — queries × k rows each, nothing
+    corpus-sized.  Mean recall at sf0.01 ≈ 0.97 (nprobe=12)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _emb_queries(emb)
+    approx = similarity.ivf_topk(emb, q, k=10, nprobe=12, modulus=37).select(
+        "query_id", "vec_id"
+    )
+    exact = similarity.cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    return (
+        exact.alias("e")
+        .join(
+            approx.alias("a"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.vec_id") == F.col("e.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.vec_id")).alias("n_hits"),
+            F.lit(10).cast("long").alias("k"),
+        )
+    )
