@@ -196,3 +196,41 @@ def test_index_ingest_dispatches_by_family_and_rejects_unknown(
 
     with pytest.raises(ValueError, match="no streaming append surface"):
         _append_fn("minhash")
+
+
+def test_index_ingest_serves_ivfbq_family(spark, tmp_path):
+    """The streaming wire's newest family: an IVF-BQ artifact maintained
+    through the generic `index_ingest` equals direct append maintenance
+    (frozen thresholds + pivots; replay-safe by the shared contract)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming.index_stream import (
+        index_ingest,
+    )
+
+    emb = spark.read.parquet(EMB)
+    standing = emb.filter("vec_id % 4 <> 3")
+    arrivals = emb.filter("vec_id % 4 = 3")
+
+    streamed = str(tmp_path / "streamed")
+    similarity.build_ivfbq_index(standing, streamed)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    arrivals.select(
+        "vec_id", "embedding", F.lit("UPSERT").alias("op")
+    ).coalesce(1).write.mode("append").parquet(src)
+    vec_t = emb.schema["embedding"].dataType.simpleString()
+    index_ingest(
+        spark, src, streamed, str(tmp_path / "ckpt"),
+        schema=f"vec_id long, embedding {vec_t}, op string",
+    )
+
+    direct = str(tmp_path / "direct")
+    similarity.build_ivfbq_index(standing, direct)
+    similarity.append_to_ivfbq_index(arrivals, direct)
+
+    q = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+    a = similarity.ivfbq_topk_against_index(q, streamed, k=10, nprobe=12)
+    b = similarity.ivfbq_topk_against_index(q, direct, k=10, nprobe=12)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
