@@ -131,6 +131,7 @@ HEADLINE = [
     "part_replace_partitions",
     "events_stream_partition_overwrite",
     "emb_ivf_recall_report",
+    "doc_curation_pipeline",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

@@ -2595,7 +2595,7 @@ CORRECTNESS_PRIORITY = [
     "doc_dedup_keep_best", "doc_temperature_mixture",
     "emb_semantic_decontamination", "events_rolling_anomaly",
     "part_replace_partitions", "events_stream_partition_overwrite",
-    "emb_ivf_recall_report",
+    "emb_ivf_recall_report", "doc_curation_pipeline",
     "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",

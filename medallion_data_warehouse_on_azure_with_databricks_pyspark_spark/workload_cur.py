@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import curation, temporal, text
+from .operators import dedup as dedup_ops
 from .workload import load, load_events, query
 
 _CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
@@ -656,14 +657,16 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_temperature_mixture",
-    oracle=f"""
-    WITH counts AS (
+def _temperature_ctes(src: str) -> str:
+    """τ=0.5 rate CTEs over any relation ``src(doc_id, source, ...)`` —
+    shared by the standalone mixture lane and the end-to-end curation
+    pipeline (counts → fixed-point √n weights → capped rates →
+    uint32 thresholds, every float step correctly rounded)."""
+    return f"""counts AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0)
                   AS BIGINT) AS w
-      FROM documents GROUP BY source),
+      FROM {src} GROUP BY source),
     tot AS (
       SELECT CAST(SUM(n) AS BIGINT) AS N, CAST(SUM(w) AS BIGINT) AS W,
              CAST(floor(0.5::DOUBLE * CAST(SUM(n) AS DOUBLE)) AS BIGINT)
@@ -677,7 +680,13 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts c CROSS JOIN tot t),
     thr AS (SELECT source, n, rate,
                    CAST(floor(rate * 4294967296.0) AS BIGINT) AS thrv
-            FROM rates)
+            FROM rates)"""
+
+
+@query(
+    "doc_temperature_mixture",
+    oracle=f"""
+    WITH {_temperature_ctes("documents")}
     SELECT d.doc_id, d.source, r.n AS n_source, r.rate
     FROM documents d JOIN thr r USING (source)
     WHERE {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} < r.thrv
@@ -731,3 +740,55 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in any engine.  One shuffle by event_type."""
     events = load_events(spark, sf_dir)
     return temporal.rolling_anomaly(events)
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=f"""
+    WITH tok AS (
+      SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS n_tokens
+      FROM documents),
+    kept AS (SELECT * FROM tok WHERE n_tokens >= 25),
+    fp AS (
+      SELECT *, sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+      FROM kept),
+    dd AS (
+      SELECT fp.* FROM fp
+      JOIN (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f) k
+        USING (f, doc_id)),
+    {_temperature_ctes("dd")}
+    SELECT d.doc_id, d.source, r.n AS n_source, r.rate,
+           CASE WHEN {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 9)} % 100 < 80
+                  THEN 'train'
+                WHEN {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 9)} % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM dd d JOIN thr r USING (source)
+    WHERE {_hex8_sql("md5(CAST(doc_id AS VARCHAR))", 1)} < r.thrv
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation operators COMPOSED end-to-end — the pipeline a
+    training-data team actually runs, as one lane: (1) quality gate
+    (≥25 whitespace tokens — drops the short tail), (2) exact dedup on the normalized-content
+    sha256 (min-id winner), (3) τ=0.5 temperature mixture with rates
+    derived from the SURVIVING corpus (composition matters: dedup
+    changes the per-source counts the rates come from), (4)
+    deterministic train/val/test assignment from a disjoint hash
+    window.  Every stage is a pure function of the row or of exact
+    integer aggregates, so the whole four-stage pipeline hash-matches
+    the chained SQL replay.  Scale: stages 1-2 are one scan + one hash
+    shuffle; stage 3 adds a count agg + broadcast join; stage 4 is
+    stateless — nothing quadratic, nothing driver-side."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    kept = docs.withColumn("__nt", n_tokens).filter(F.col("__nt") >= 25)
+    deduped = dedup_ops.exact_dedup(kept)
+    mixed = curation.temperature_mixture(deduped, target_frac=0.5)
+    return curation.assign_split(mixed).select(
+        "doc_id", "source", "n_source", "rate", "split"
+    )
