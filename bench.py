@@ -132,6 +132,7 @@ HEADLINE = [
     "events_stream_partition_overwrite",
     "emb_ivf_recall_report",
     "doc_curation_pipeline",
+    "part_optimize_partitions_scan",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

@@ -2596,6 +2596,7 @@ CORRECTNESS_PRIORITY = [
     "emb_semantic_decontamination", "events_rolling_anomaly",
     "part_replace_partitions", "events_stream_partition_overwrite",
     "emb_ivf_recall_report", "doc_curation_pipeline",
+    "part_optimize_partitions_scan",
     "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",
@@ -2785,3 +2786,62 @@ def events_stream_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
     return spark.read.parquet(table).select(
         "event_id", "event_type", "value", F.col("g").cast("int").alias("g")
     )
+
+
+@query(
+    "part_optimize_partitions_scan",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey % 4 AS INT) AS g,
+           CASE WHEN p_partkey % 4 = 1 THEN p_size + 100
+                ELSE p_size END AS p_size
+    FROM part
+    """,
+)
+def part_optimize_partitions_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE through the commute gate
+    (``sources/versioned.py::optimize_partitions``): the table lands as
+    many small files per bucket; a writer replaces bucket 1 (+100) at
+    snapshot v0, then the compactor — ALSO pinned to v0 — bin-packs
+    bucket 0 and still lands (disjoint touched sets commute), proving
+    maintenance doesn't serialize against ingestion.  Compaction is pure
+    layout, so the oracle sees only the writer's change; the lane
+    asserts the commit versions, the OPTIMIZE_PARTITIONS history row,
+    and that bucket 0's file count actually dropped."""
+    import os
+    import tempfile
+
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_optp_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        (F.col("p_partkey") % 4).cast("int").alias("g"),
+        "p_size",
+    )
+    versioned.overwrite_versioned(
+        part.repartition(8), table, partition_by=["g"], now=1.0
+    )
+    def nfiles(partdir):
+        d = os.path.join(table, partdir)
+        return sum(
+            1 for _, _, fs in os.walk(d) for f in fs
+            if not f.startswith(("_", "."))
+        )
+    before = nfiles("g=0")
+    writer = (
+        spark.read.parquet(table)
+        .filter(F.col("g") == 1)
+        .withColumn("p_size", F.col("p_size") + F.lit(100))
+    )
+    v1 = versioned.replace_partitions(writer, table, "g", expected_version=0, now=2.0)
+    v2 = versioned.optimize_partitions(
+        spark, table, "g", [0], target_file_bytes=1 << 30, now=3.0
+    )
+    ops = [e["operation"] for e in versioned.history(table)]
+    if (v1, v2) != (1, 2) or "OPTIMIZE_PARTITIONS" not in ops:
+        raise AssertionError(f"commute failed: v{v1},v{v2} ops={ops}")
+    if not (before > 1 and nfiles("g=0") < before):
+        raise AssertionError("compaction did not reduce bucket 0's files")
+    return spark.read.parquet(table).select("p_partkey", "g", "p_size")
