@@ -473,3 +473,23 @@ def test_rolling_anomaly_flags_planted_spike(spark):
     assert 16 not in flagged
     # nothing else flags
     assert flagged == {15}
+
+
+def test_rolling_anomaly_plan_single_key_shuffle(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        temporal,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0, "m", 1.0) for i in range(4)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    plan = (
+        temporal.rolling_anomaly(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange on the key feeds both window frames; no joins
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

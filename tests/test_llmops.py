@@ -1862,3 +1862,17 @@ def test_semantic_decontamination_flags_planted_leak(spark):
     assert got[1]["max_bench_cosine"] == pytest.approx(1.0)
     assert got[2]["contaminated"] and got[2]["bench_id"] == 101
     assert not got[3]["contaminated"]
+
+
+def test_semantic_decontamination_plan_shape(spark):
+    # broadcast benchmark + two-phase partial top-1: no window over the
+    # scored cross product, exactly one broadcast
+    emb = spark.read.parquet(EMB)
+    bench = emb.filter("vec_id % 25 = 0")
+    corpus = emb.filter("vec_id % 25 <> 0")
+    plan = (
+        similarity.semantic_decontamination(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastExchange") == 1
+    assert "Window" not in plan
