@@ -133,6 +133,7 @@ HEADLINE = [
     "emb_ivf_recall_report",
     "doc_curation_pipeline",
     "part_optimize_partitions_scan",
+    "events_stream_anomaly_ingest",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

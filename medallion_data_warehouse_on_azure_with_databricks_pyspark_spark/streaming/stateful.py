@@ -182,3 +182,88 @@ def run_to_memory(
             else:
                 spark.conf.set(provider_key, old_provider)
     return spark.table(name)
+
+
+ANOMALY_SCHEMA = (
+    "event_id long, event_type string, value double, "
+    "n_window long, dev_sq long, var_term long"
+)
+_ANOM_STATE_SCHEMA = "vals array<bigint>"
+
+
+def rolling_anomaly_stream(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_points: int = 8,
+    z: int = 3,
+    fp_scale: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py rolling_anomaly``: the
+    per-key window of the last ``lookback`` fixed-point values rides the
+    STATE STORE across micro-batches, so a spike arriving in batch 7 is
+    judged against a baseline that started in batch 2 — the on-arrival
+    alerting shape, versus the batch lane's retrospective sweep.
+
+    Same integer-exact z-test (cross-multiplied inequality, no float
+    accumulation) and the same (ts, id) ordering WITHIN a batch; across
+    batches the operator assumes per-key arrival order (the time-split
+    landing-file pattern), under which its emitted set is EXACTLY the
+    batch lane's — the equality the driver lane's oracle checks.  State
+    is ≤ ``lookback`` bigints per key — O(active keys), independent of
+    stream length; no timeout, rows emit on arrival.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    zsq = z * z
+
+    def fn(key, pdfs, state: GroupState):
+        (k,) = key
+        pdf = pd.concat(list(pdfs))
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([ts_col, id_col])
+        hist = list(state.get[0]) if state.exists else []
+        out_ids, out_vals, out_n, out_dev, out_var = [], [], [], [], []
+        import math
+
+        for _, row in pdf.iterrows():
+            v = int(math.floor(row[value_col] * fp_scale))
+            n, s1 = len(hist), sum(hist)
+            s2 = sum(x * x for x in hist)
+            if n >= min_points:
+                dev = n * v - s1
+                dev_sq = dev * dev
+                var_term = n * s2 - s1 * s1
+                if dev_sq * (n - 1) > zsq * n * var_term:
+                    out_ids.append(int(row[id_col]))
+                    out_vals.append(float(row[value_col]))
+                    out_n.append(n)
+                    out_dev.append(dev_sq)
+                    out_var.append(var_term)
+            hist.append(v)
+            if len(hist) > lookback:
+                hist = hist[-lookback:]
+        state.update((hist,))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "event_id": out_ids,
+                    "event_type": [k] * len(out_ids),
+                    "value": out_vals,
+                    "n_window": out_n,
+                    "dev_sq": out_dev,
+                    "var_term": out_var,
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

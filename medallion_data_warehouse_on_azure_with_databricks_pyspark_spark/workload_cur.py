@@ -708,9 +708,10 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_rolling_anomaly",
-    oracle="""
+#: Shared by the batch sweep and its stateful-streaming twin — under
+#: per-key arrival order (time-split landing files) the stream's emitted
+#: set is exactly the batch window replay.
+_ROLLING_ANOMALY_ORACLE = """
     WITH base AS (
       SELECT event_id, event_type, value,
              CAST(floor(value * 1000.0) AS BIGINT) AS v,
@@ -728,8 +729,10 @@ def doc_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     WHERE n >= 8
       AND (n * v - s1) * (n * v - s1) * (n - 1) > 9 * n * (n * s2 - s1 * s1)
-    """,
-)
+    """
+
+
+@query("events_rolling_anomaly", oracle=_ROLLING_ANOMALY_ORACLE)
 def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection
     (``operators/temporal.py rolling_anomaly``): flag events >3 sample
@@ -791,4 +794,49 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = curation.temperature_mixture(deduped, target_frac=0.5)
     return curation.assign_split(mixed).select(
         "doc_id", "source", "n_source", "rate", "split"
+    )
+
+
+@query("events_stream_anomaly_ingest", oracle=_ROLLING_ANOMALY_ORACLE)
+def events_stream_anomaly_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-arrival anomaly alerting (``streaming/stateful.py
+    rolling_anomaly_stream``): the per-key last-20 baseline rides the
+    STATE STORE across micro-batches — the landing zone is split into
+    two time-ordered files (ties kept in the first; explicit mtimes pin
+    the ``maxFilesPerTrigger=1`` batch order), so every key's window
+    genuinely spans the batch boundary and a spike in batch 2 is judged
+    against history from batch 1.  Under per-key arrival order the
+    emitted set equals the batch sweep exactly, so the stream shares
+    ``events_rolling_anomaly``'s full window-replay oracle.  State is
+    ≤20 bigints per key; rows emit on arrival, no watermark needed."""
+    import os
+    import tempfile
+
+    from .streaming import stateful
+
+    work = tempfile.mkdtemp(prefix="medallion_anom_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    mid = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.5) AS m"
+    ).first()["m"]
+    early = ev.filter(F.unix_micros("ts") <= mid)
+    late = ev.filter(F.unix_micros("ts") > mid)
+    for i, part in enumerate((early, late)):
+        d = os.path.join(work, f"stage{i}")
+        part.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = os.path.join(landing, f"b{i}_{f}")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    res = stateful.rolling_anomaly_stream(stream)
+    return stateful.run_to_memory(
+        spark, res, os.path.join(work, "ckpt"), state_partitions=8
     )

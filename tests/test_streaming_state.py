@@ -56,3 +56,55 @@ def test_state_store_providers_agree_and_flag_selects(spark):
         spark.conf.get(provider_key, None) is None
         or "rocksdb" not in str(spark.conf.get(provider_key)).lower()
     )
+
+
+def test_rolling_anomaly_stream_state_spans_batches(spark, tmp_path):
+    """A spike arriving in batch 2 must be judged against baseline rows
+    that arrived in batch 1 — the whole point of carrying the window in
+    the state store (a per-batch-windowed impl would see n < min_points
+    and stay silent)."""
+    import datetime as dt
+    import os
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        stateful,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), "m",
+         100.0 if i == 12 else 10.0 + (i % 5) / 10.0)
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # batch 1: the first 10 rows (all baseline); batch 2: rows 10..15
+    # (contains the spike at 12) — explicit mtimes pin the order
+    for i, cond in enumerate(("event_id < 10", "event_id >= 10")):
+        d = str(tmp_path / f"stage{i}")
+        df.filter(cond).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = os.path.join(landing, f"b{i}_{f}")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = stateful.run_to_memory(
+        spark,
+        stateful.rolling_anomaly_stream(stream, lookback=10, min_points=8),
+        str(tmp_path / "ckpt"),
+        state_partitions=4,
+    ).collect()
+    flagged = {r["event_id"] for r in out}
+    assert flagged == {12}, flagged
+    (row,) = out
+    # n_window proves the baseline crossed the batch boundary: the spike
+    # has only 2 same-batch predecessors but a 10-row window
+    assert row["n_window"] == 10
