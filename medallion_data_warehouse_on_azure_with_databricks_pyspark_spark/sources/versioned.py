@@ -1277,3 +1277,48 @@ def optimize_partitions(
         compacted, path, partition_col,
         expected_version=base_v, now=now, operation="OPTIMIZE_PARTITIONS",
     )
+
+
+def transact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: str,
+    fn,
+    max_retries: int = 3,
+    now: float | None = None,
+    operation: str = "REPLACE_PARTITIONS",
+    backoff_s: float = 0.05,
+) -> int:
+    """The optimistic retry loop for partition-scoped writes — the
+    :func:`transact` counterpart built on :func:`replace_partitions`'
+    commute rule, so a retry only happens on a GENUINE conflict
+    (overlapping partitions or a non-partition rival); commuting rivals
+    never cost a retry, which is the whole point of the fast path.
+
+    ``fn(snapshot) -> DataFrame`` derives the replacement rows (all
+    partitions the frame contains are replaced) from the snapshot it is
+    given, and must be pure: a retry re-reads and re-derives.  A lost
+    O_EXCL claim race (another commit's tail in flight RIGHT NOW) also
+    retries — that window is milliseconds, unlike a conflict.
+    """
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt and backoff_s:
+            time.sleep(backoff_s * attempt)
+        base_v = current_version(path)
+        try:
+            out = fn(spark.read.parquet(path))
+            return replace_partitions(
+                out, path, partition_by,
+                expected_version=base_v, now=now, operation=operation,
+            )
+        except ConcurrentWriteError as e:
+            last = e
+        except Exception as e:
+            if current_version(path) == base_v:
+                raise  # stable re-run would fail identically — a real bug
+            last = e  # race casualty: snapshot files moved mid-read
+    raise ConcurrentWriteError(
+        f"{path}: partition transaction lost {max_retries + 1} rounds; "
+        f"last conflict: {last}"
+    ) from last

@@ -1105,3 +1105,39 @@ def test_replace_partitions_maintains_skipping_manifest(spark, tmp_path):
     for r in man.select("file_path").collect():
         p = r["file_path"].removeprefix("file://").removeprefix("file:")
         assert os.path.exists(p), r["file_path"]
+
+
+def test_transact_partitions_retries_only_on_real_conflict(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    _mk_parts(spark, path)
+    # commuting rival lands first: the transaction must succeed on its
+    # FIRST attempt (expected_version stale but disjoint)
+    rival = spark.createDataFrame([(2, 0, 1)], "g int, i int, v int")
+    V.replace_partitions(rival, path, "g", expected_version=0, now=1.0)
+    calls = []
+
+    def bump_g1(snap):
+        calls.append(1)
+        return snap.filter("g = 1").withColumn("v", F.col("v") + 1000)
+
+    v = V.transact_partitions(spark, path, "g", bump_g1, now=2.0)
+    assert v == 2 and len(calls) == 1
+    # overlapping rival mid-flight: simulate by a fn that commits g=1
+    # itself on the first call, forcing the outer txn to retry once
+    state = {"first": True}
+
+    def racy(snap):
+        if state["first"]:
+            state["first"] = False
+            inner = spark.createDataFrame([(1, 9, 9)], "g int, i int, v int")
+            V.replace_partitions(
+                inner, path, "g",
+                expected_version=V.current_version(path), now=3.0,
+            )
+        return snap.filter("g = 1").withColumn("v", F.col("v") + 1)
+
+    v2 = V.transact_partitions(spark, path, "g", racy, now=4.0)
+    assert v2 == 4  # inner commit v3, retry commits v4
+    assert spark.read.parquet(path).filter("g = 1").count() == 1
