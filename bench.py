@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_curation_pipeline",
     "part_optimize_partitions_scan",
     "events_stream_anomaly_ingest",
+    "doc_token_budget_epochs",
     "emb_matryoshka_ivf_topk",
     "emb_matryoshka_indexed_topk",
     "doc_source_caps",

@@ -583,3 +583,63 @@ def temperature_mixture(
         .filter(u < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def token_budget_epochs(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Training-mix planning: given a global token budget ``B`` and τ=0.5
+    source weights derived from the corpus itself (√T_s fixed-point, the
+    same engineered-exact scheme as :func:`temperature_mixture`), how
+    many EPOCHS of each source does the run consume?  ``target_s =
+    B·w_s/W``, ``epochs_s = target_s/T_s`` capped at ``max_epochs``
+    (repetition beyond a few epochs degrades models faster than it adds
+    tokens — the cap is the knob), with the shortfall reported so the
+    caller can re-normalize or widen sources.
+
+    Everything is INTEGER: token sums, fixed-point weights, floor
+    divisions (``DIV``) — so the plan is bit-identical in any engine.
+    Output per source: corpus tokens, target tokens, epochs in
+    milli-epochs (floor(1000·target/T)), effective tokens after the cap,
+    and the repetition-limited flag.  One aggregate + a 1-row collect —
+    a PLAN, not a data pass; 64-bit products bound B·w ≲ 2⁶³ (switch the
+    two products to DECIMAL(38,0) beyond ~10¹³ budget tokens).
+    """
+    if budget_tokens <= 0 or max_epochs < 1:
+        raise ValueError("token_budget_epochs: need budget > 0, epochs >= 1")
+    t = df.groupBy(source_col).agg(F.sum(tokens_col).alias("corpus_tokens"))
+    t = t.withColumn(
+        "__w",
+        F.floor(
+            F.sqrt(F.col("corpus_tokens").cast("double")) * F.lit(float(1 << 20))
+        ).cast("long"),
+    )
+    tot_w = int(t.agg(F.sum("__w").alias("tw")).first()["tw"])
+    target = F.expr(f"({int(budget_tokens)} * __w) DIV {tot_w}")
+    return (
+        t.withColumn("target_tokens", target)
+        .withColumn(
+            "epochs_milli",
+            F.expr("(1000 * target_tokens) DIV corpus_tokens"),
+        )
+        .withColumn(
+            "effective_tokens",
+            F.least(
+                F.col("target_tokens"),
+                F.col("corpus_tokens") * F.lit(int(max_epochs)),
+            ),
+        )
+        .withColumn(
+            "repetition_limited",
+            F.col("target_tokens")
+            > F.col("corpus_tokens") * F.lit(int(max_epochs)),
+        )
+        .select(
+            source_col, "corpus_tokens", "target_tokens",
+            "epochs_milli", "effective_tokens", "repetition_limited",
+        )
+    )

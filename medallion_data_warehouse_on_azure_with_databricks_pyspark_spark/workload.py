@@ -2597,6 +2597,7 @@ CORRECTNESS_PRIORITY = [
     "part_replace_partitions", "events_stream_partition_overwrite",
     "emb_ivf_recall_report", "doc_curation_pipeline",
     "part_optimize_partitions_scan", "events_stream_anomaly_ingest",
+    "doc_token_budget_epochs",
     "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
     "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
     "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",

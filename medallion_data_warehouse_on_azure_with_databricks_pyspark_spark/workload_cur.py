@@ -840,3 +840,52 @@ def events_stream_anomaly_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.run_to_memory(
         spark, res, os.path.join(work, "ckpt"), state_partitions=8
     )
+
+
+#: Plan budget for the epochs lane: 2× the corpus so head sources need
+#: >1 epoch and √-upweighted rare sources hit the repetition cap.
+_EPOCH_BUDGET_MULT = 2
+
+
+@query(
+    "doc_token_budget_epochs",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+      FROM documents),
+    t AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS corpus_tokens,
+                 CAST(floor(sqrt(CAST(SUM(nt) AS DOUBLE)) * 1048576.0)
+                      AS BIGINT) AS w
+          FROM n GROUP BY source),
+    tot AS (SELECT CAST(SUM(corpus_tokens) AS BIGINT) AS B0,
+                   CAST(SUM(w) AS BIGINT) AS W FROM t),
+    plan AS (
+      SELECT t.source, t.corpus_tokens,
+             (2 * tot.B0 * t.w) // tot.W AS target_tokens
+      FROM t CROSS JOIN tot)
+    SELECT source, corpus_tokens, target_tokens,
+           (1000 * target_tokens) // corpus_tokens AS epochs_milli,
+           least(target_tokens, corpus_tokens * 4) AS effective_tokens,
+           target_tokens > corpus_tokens * 4 AS repetition_limited
+    FROM plan
+    """,
+)
+def doc_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix plan (``operators/curation.py token_budget_epochs``):
+    per-source epoch allocation for a budget of 2× the corpus's own
+    tokens under τ=0.5 weights — √-upweighted rare sources overshoot
+    their size and hit the 4-epoch repetition cap (flagged), head
+    sources run just over 1 epoch.  All-integer math (token sums,
+    fixed-point weights, floor divisions) so the PLAN itself is
+    hash-verified; one aggregate + a 1-row collect, no data pass."""
+    docs = load(spark, sf_dir, "documents")
+    nt = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    with_nt = docs.withColumn("n_tokens", nt.cast("long"))
+    total = int(with_nt.agg(F.sum("n_tokens").alias("t")).first()["t"])
+    return curation.token_budget_epochs(
+        with_nt, budget_tokens=_EPOCH_BUDGET_MULT * total, max_epochs=4
+    )

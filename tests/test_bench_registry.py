@@ -74,13 +74,14 @@ def test_ordered_queries_serves_priority_window():
     # round 11 (judge ask #5): every window slot is a lane whose last
     # driver hash row is <= r8 — the r10-checked lanes all rotate out.
     # Front: this round's new lanes (rule 2, never checked).
-    assert window[:18] == [
+    assert window[:19] == [
         "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
         "doc_dedup_keep_best", "doc_temperature_mixture",
         "emb_semantic_decontamination", "events_rolling_anomaly",
         "part_replace_partitions", "events_stream_partition_overwrite",
         "emb_ivf_recall_report", "doc_curation_pipeline",
         "part_optimize_partitions_scan", "events_stream_anomaly_ingest",
+        "doc_token_budget_epochs",
         "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
         "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
         "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",

@@ -493,3 +493,32 @@ def test_rolling_anomaly_plan_single_key_shuffle(spark):
     # one hash exchange on the key feeds both window frames; no joins
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_token_budget_epochs_caps_rare_sources(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        curation,
+    )
+
+    # head: 90k tokens; rare: 100 tokens.  Budget = corpus total.
+    rows = [(i, "head", 900) for i in range(100)] + [(1000, "rare", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r["source"]: r
+        for r in curation.token_budget_epochs(
+            df, budget_tokens=90_100, max_epochs=4
+        ).collect()
+    }
+    # sqrt weights: w_head ∝ 300, w_rare ∝ 10 → rare target ≈ 2907 tokens
+    # over a 100-token source → 29 epochs uncapped → capped at 4
+    assert got["rare"]["repetition_limited"] is True
+    assert got["rare"]["effective_tokens"] == 400
+    assert got["rare"]["epochs_milli"] > 4000
+    assert got["head"]["repetition_limited"] is False
+    assert got["head"]["epochs_milli"] < 1000  # head undershoots 1 epoch
+    # exact integer replay of the head row
+    import math
+    w_h = math.floor(math.sqrt(90_000) * (1 << 20))
+    w_r = math.floor(math.sqrt(100) * (1 << 20))
+    tgt_h = (90_100 * w_h) // (w_h + w_r)
+    assert got["head"]["target_tokens"] == tgt_h
