@@ -790,7 +790,11 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
     kept = docs.withColumn("__nt", n_tokens).filter(F.col("__nt") >= 25)
-    deduped = dedup_ops.exact_dedup(kept)
+    # materialize the dedup stage once (lazy checkpoint): the mixture's
+    # rate aggregate AND the final output both consume it — left lazy,
+    # the gate+dedup subtree re-executes per consumer (each curation
+    # stage materializes its output in a real pipeline too)
+    deduped = dedup_ops.exact_dedup(kept).localCheckpoint(eager=False)
     mixed = curation.temperature_mixture(deduped, target_frac=0.5)
     return curation.assign_split(mixed).select(
         "doc_id", "source", "n_source", "rate", "split"
