@@ -227,26 +227,35 @@ def rolling_anomaly_stream(
             return
         pdf = pdf.sort_values([ts_col, id_col])
         hist = list(state.get[0]) if state.exists else []
+        # running exact integer sums over the deque — O(1) per row
+        # (recomputing per row is O(rows × lookback) in pure Python)
+        s1 = sum(hist)
+        s2 = sum(x * x for x in hist)
         out_ids, out_vals, out_n, out_dev, out_var = [], [], [], [], []
         import math
 
-        for _, row in pdf.iterrows():
-            v = int(math.floor(row[value_col] * fp_scale))
-            n, s1 = len(hist), sum(hist)
-            s2 = sum(x * x for x in hist)
+        for eid, val in zip(
+            pdf[id_col].tolist(), pdf[value_col].tolist()
+        ):
+            v = int(math.floor(val * fp_scale))
+            n = len(hist)
             if n >= min_points:
                 dev = n * v - s1
                 dev_sq = dev * dev
                 var_term = n * s2 - s1 * s1
                 if dev_sq * (n - 1) > zsq * n * var_term:
-                    out_ids.append(int(row[id_col]))
-                    out_vals.append(float(row[value_col]))
+                    out_ids.append(int(eid))
+                    out_vals.append(float(val))
                     out_n.append(n)
                     out_dev.append(dev_sq)
                     out_var.append(var_term)
             hist.append(v)
+            s1 += v
+            s2 += v * v
             if len(hist) > lookback:
-                hist = hist[-lookback:]
+                old = hist.pop(0)
+                s1 -= old
+                s2 -= old * old
         state.update((hist,))
         if out_ids:
             yield pd.DataFrame(
