@@ -2586,81 +2586,89 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
 # round by tests/test_workload_oracle.py regardless of window position.
 CORRECTNESS_PRIORITY = [
-    # -- r11 window (judge ask #5: every one of the 50 slots is a lane
-    #    whose last driver hash row is <= r8 — or has never had one).
-    #    Front: this round's new lanes (rule 2, never checked), then the
-    #    29 lanes last hash-checked in r7, then the stalest r8 band.
-    # -- NEW r11 (rule 2) --
-    "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
-    "doc_dedup_keep_best", "doc_temperature_mixture",
-    "emb_semantic_decontamination", "events_rolling_anomaly",
-    "part_replace_partitions", "events_stream_partition_overwrite",
-    "emb_ivf_recall_report", "doc_curation_pipeline",
-    "part_optimize_partitions_scan", "events_stream_anomaly_ingest",
-    "doc_token_budget_epochs",
-    "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
-    "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
-    "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",
-    "emb_ivfsq8_stream_topk", "emb_matryoshka_indexed_topk",
-    # -- last hash row r7 (rule 1, stalest first) --
-    "events_json_props", "orders_priority_rollup", "customer_set_ops",
-    "orders_top20", "part_distinct_aggs", "lineitem_skew_salted_agg",
-    "part_discount_udf", "part_brand_upper_udf", "fact_enrichment_join",
-    "events_stream_ingest", "events_json_rescue_ingest",
-    "doc_hybrid_search_rrf", "events_stream_watermark_windows",
-    "emb_chunk_mean_pool", "doc_quality_classifier", "doc_lm_fluency",
-    "events_stream_dropdup_ingest", "customer_dim_schema_evolution",
-    "orders_unpivot_metrics", "doc_sentences_udtf",
-    "doc_leakage_safe_splits", "doc_simhash_poly_pairs",
-    "scd2_part_dim_deletes", "dlt_part_pipeline_deletes",
-    "doc_ngram_jaccard_pairs", "doc_minhash_dedup_pairs",
-    "emb_ivf_indexed_topk", "doc_cross_corpus_dedup",
-    "doc_stream_dedup_ingest",
-    # -- last hash row r8 (rule 1; first 17 complete the 50-window) --
-    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
-    "dlt_part_quarantine", "emb_lsh_multitable_topk", "doc_token_counts",
-    "doc_text_stats", "doc_language_id", "doc_exact_dedup",
-    "doc_dedup_representatives", "emb_cosine_topk", "multimodal_features",
-    "doc_repetition_stats", "doc_scrub_pii", "doc_bm25_topk",
-    "orders_price_quantiles", "emb_int8_quantize_error",
+    # -- r12 window (judge ask #1: the 45 lanes whose last driver hash
+    #    row is r8 — the stalest tier — plus the 5 lanes whose code path
+    #    changes THIS round: the versioned lane grows manifest-based
+    #    virtual snapshots (part_replace_partitions runs in the new
+    #    mode, part_time_travel_diff through the read_current dispatch),
+    #    the bloom manifest gains incremental partition maintenance, and
+    #    the DV sidecar gains disjoint-delete commutation (both dv
+    #    lanes).  Geometry note: the 5 no-oracle lanes (rows-only driver
+    #    evidence; exact pytest oracles) are scheduled at positions
+    #    51-55 so they refresh in r13 — the hash-oracle lanes own the
+    #    r12 slots because hash rows are the harder signal.
+    # -- changed-code this round (rule 2) --
+    "part_replace_partitions", "part_time_travel_diff",
+    "part_bloom_skipping_scan", "part_dv_delete_scan",
+    "part_merge_dv_scan",
+    # -- last hash row r8 (rule 1, the whole stale tier) --
+    "corpus_vocab_topk", "customer_with_high_value_orders",
+    "customer_without_orders", "dlt_part_pipeline",
+    "dlt_part_pipeline_incremental", "dlt_part_quarantine",
+    "doc_benchmark_decontamination", "doc_bm25_topk", "doc_chunks",
+    "doc_dedup_representatives", "doc_duplicated_spans",
+    "doc_duplication_stats", "doc_exact_dedup", "doc_gopher_quality",
+    "doc_language_id", "doc_mixture_splits", "doc_repetition_stats",
+    "doc_scrub_pii", "doc_source_caps", "doc_text_stats",
+    "doc_token_counts", "doc_token_packing", "doc_winnow_overlap_pairs",
+    "docs_zorder_pruned_scan", "emb_cosine_topk",
+    "emb_int8_quantize_error", "emb_ivf_kmeans_topk", "emb_ivf_topk",
+    "emb_lsh_multitable_topk", "emb_lsh_topk", "emb_pq_adc_topk",
+    "events_daily_rolling", "events_resample_ffill",
+    "events_stateful_sessions", "events_variant_props",
+    "multimodal_features", "orders_analytic_windows",
+    "orders_price_quantiles", "orders_status_priority_cube",
+    "orders_year_priority_pivot", "part_cdf_changes_percommit",
+    "part_string_functions", "scd1_customer_dim", "scd1_customer_dim_sql",
+    "scd2_part_dim",
+    # -- no-oracle lanes (rows-only driver rows, r8; pytest is their
+    #    exact oracle) — front of the r13 window --
+    "doc_simhash_pairs", "doc_bpe_token_counts", "doc_bpe_trained_tokens",
     "events_approx_distinct", "events_approx_quantiles",
-    "doc_winnow_overlap_pairs", "doc_gopher_quality",
-    "doc_duplicated_spans", "doc_source_caps", "doc_duplication_stats",
-    "emb_lsh_topk", "emb_ivf_topk", "emb_ivf_kmeans_topk",
-    "doc_benchmark_decontamination", "docs_zorder_pruned_scan",
-    "orders_year_priority_pivot", "orders_status_priority_cube",
-    "customer_without_orders", "customer_with_high_value_orders",
-    "orders_analytic_windows", "part_string_functions",
-    "events_variant_props", "doc_chunks", "doc_mixture_splits",
-    "doc_token_packing", "events_resample_ffill", "corpus_vocab_topk",
-    "events_daily_rolling", "doc_simhash_pairs", "doc_bpe_token_counts",
-    "events_stateful_sessions", "scd1_customer_dim",
-    "scd1_customer_dim_sql", "scd2_part_dim",
-    "part_cdf_changes_percommit", "emb_pq_adc_topk",
-    # -- last hash row r10 (freshest — rotate back in later rounds) --
-    "part_scd2_from_cdf_replay", "events_stream_stream_join",
-    "part_stats_skipping_scan", "part_optimize_compacted_scan",
-    "part_dml_update_delete_cdf", "part_bloom_skipping_scan",
-    "part_dv_delete_scan", "events_generated_partition_scan",
-    "part_matview_incremental", "emb_ivfpq_residual_topk",
-    "events_cohort_retention", "events_funnel_stages",
-    "emb_ivfpq_indexed_topk", "orders_grouping_sets",
-    "events_stream_static_enrich", "events_hourly_ohlc",
-    "doc_adaptive_quality_filter", "doc_boilerplate_removal",
-    "emb_sq8_topk", "orders_shipping_priority", "regional_nation_revenue",
-    "orders_bucketed_colocated_join", "part_merge_dv_scan",
-    "events_stream_counter_ingest", "emb_sq8_indexed_topk",
-    "emb_matryoshka_topk", "emb_ivfpq_topk", "emb_pq_indexed_topk",
-    "part_cdf_changes", "part_time_travel_diff", "emb_semantic_dedup",
-    "emb_cosine_dedup_pairs", "emb_ivfpq_stream_topk",
-    "part_merge_versioned_txn", "emb_top_pc_projection",
-    "doc_bpe_trained_tokens", "emb_lsh_indexed_topk", "order_fact_upsert",
-    "events_asof_join", "events_range_join_agg", "events_hourly_windows",
-    "events_sliding_windows", "events_session_windows",
-    "customer_segment_count", "customer_filter_segment",
-    "part_type_token_count", "customer_change_hash",
-    "orders_year_windows", "orders_duplicate_custkeys",
-    "lineitem_pricing_summary",
+    # -- last hash row r10 (next-stalest; rotate in after the above) --
+    "customer_change_hash", "customer_filter_segment",
+    "customer_segment_count", "doc_adaptive_quality_filter",
+    "doc_boilerplate_removal", "emb_cosine_dedup_pairs",
+    "emb_ivfpq_indexed_topk", "emb_ivfpq_residual_topk",
+    "emb_ivfpq_stream_topk", "emb_ivfpq_topk", "emb_lsh_indexed_topk",
+    "emb_matryoshka_topk", "emb_pq_indexed_topk", "emb_semantic_dedup",
+    "emb_sq8_indexed_topk", "emb_sq8_topk", "emb_top_pc_projection",
+    "events_asof_join", "events_cohort_retention", "events_funnel_stages",
+    "events_generated_partition_scan", "events_hourly_ohlc",
+    "events_hourly_windows", "events_range_join_agg",
+    "events_session_windows", "events_sliding_windows",
+    "events_stream_counter_ingest", "events_stream_static_enrich",
+    "events_stream_stream_join", "lineitem_pricing_summary",
+    "order_fact_upsert", "orders_bucketed_colocated_join",
+    "orders_duplicate_custkeys", "orders_grouping_sets",
+    "orders_shipping_priority", "orders_year_windows", "part_cdf_changes",
+    "part_dml_update_delete_cdf", "part_matview_incremental",
+    "part_merge_versioned_txn", "part_optimize_compacted_scan",
+    "part_scd2_from_cdf_replay", "part_stats_skipping_scan",
+    "part_type_token_count", "regional_nation_revenue",
+    # -- last hash row r11 (freshest — rotate back in later rounds) --
+    "customer_dim_schema_evolution", "customer_set_ops",
+    "dlt_part_pipeline_deletes", "doc_cross_corpus_dedup",
+    "doc_curation_pipeline", "doc_dedup_keep_best",
+    "doc_hybrid_search_rrf", "doc_leakage_safe_splits", "doc_lm_fluency",
+    "doc_minhash_dedup_pairs", "doc_ngram_jaccard_pairs",
+    "doc_quality_classifier", "doc_sentences_udtf",
+    "doc_simhash_poly_pairs", "doc_stream_dedup_ingest",
+    "doc_temperature_mixture", "doc_token_budget_epochs",
+    "emb_chunk_mean_pool", "emb_ivf_indexed_topk", "emb_ivf_recall_report",
+    "emb_ivfbq_indexed_topk", "emb_ivfbq_topk", "emb_ivfsq8_indexed_topk",
+    "emb_ivfsq8_stream_topk", "emb_ivfsq8_topk",
+    "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
+    "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
+    "emb_semantic_decontamination", "events_json_props",
+    "events_json_rescue_ingest", "events_rolling_anomaly",
+    "events_stream_anomaly_ingest", "events_stream_dropdup_ingest",
+    "events_stream_ingest", "events_stream_matview_ingest",
+    "events_stream_partition_overwrite", "events_stream_watermark_windows",
+    "fact_enrichment_join", "lineitem_skew_salted_agg",
+    "orders_priority_rollup", "orders_top20", "orders_unpivot_metrics",
+    "part_brand_upper_udf", "part_discount_udf", "part_distinct_aggs",
+    "part_optimize_partitions_scan", "scd2_part_dim_deletes",
 ]
 
 def ordered_queries() -> dict:

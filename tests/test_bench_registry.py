@@ -60,10 +60,44 @@ def test_every_query_has_oracle_or_documented_weak_check():
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
+#: Lanes whose code path changes in the CURRENT round (rotation rule 2:
+#: a changed lane always gets a fresh driver hash regardless of
+#: staleness).  Maintained alongside CORRECTNESS_PRIORITY each round.
+CHANGED_THIS_ROUND = {
+    # r12: versioned lane grows manifest snapshots; bloom manifest grows
+    # incremental partition maintenance; DV sidecar grows disjoint-delete
+    # commutation.
+    "part_replace_partitions", "part_time_travel_diff",
+    "part_bloom_skipping_scan", "part_dv_delete_scan",
+    "part_merge_dv_scan",
+}
+
+
+def _latest_driver_rounds():
+    """lane -> newest round with ANY driver CORRECTNESS row (hash rows
+    for oracle lanes, rows-only rows for the no-oracle set)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    latest = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for lane, row in json.load(open(f)).items():
+            ok = row.get("hash_match") or row.get("err") == "no_oracle"
+            if ok:
+                latest[lane] = max(latest.get(lane, 0), rnd)
+    return latest
+
+
 def test_ordered_queries_serves_priority_window():
     """The driver contract serves CORRECTNESS_PRIORITY order: full registry
-    coverage, and this round's new/changed queries inside the 50-entry
-    driver window."""
+    coverage, and the 50-slot driver window holds only lanes that NEED a
+    fresh hash row — the stalest tier plus this round's changed/new code
+    paths (rotation rules 1 and 2) — never a freshly-checked lane
+    squatting a slot."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
         workload,
     )
@@ -71,29 +105,54 @@ def test_ordered_queries_serves_priority_window():
     ordered = workload.ordered_queries()
     assert set(ordered) == set(workload.QUERIES)
     window = list(ordered)[:50]
-    # round 11 (judge ask #5): every window slot is a lane whose last
-    # driver hash row is <= r8 — the r10-checked lanes all rotate out.
-    # Front: this round's new lanes (rule 2, never checked).
-    assert window[:19] == [
-        "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
-        "doc_dedup_keep_best", "doc_temperature_mixture",
-        "emb_semantic_decontamination", "events_rolling_anomaly",
-        "part_replace_partitions", "events_stream_partition_overwrite",
-        "emb_ivf_recall_report", "doc_curation_pipeline",
-        "part_optimize_partitions_scan", "events_stream_anomaly_ingest",
-        "doc_token_budget_epochs",
-        "emb_ivfbq_topk", "emb_ivfbq_indexed_topk",
-        "emb_ivfsq8_topk", "emb_ivfsq8_indexed_topk",
-        "emb_matryoshka_ivf_topk", "events_stream_matview_ingest",
+    latest = _latest_driver_rounds()
+    newest_round = max(latest.values())
+    squatters = [
+        q for q in window
+        if q not in CHANGED_THIS_ROUND
+        and latest.get(q, 0) > newest_round - 2
     ]
-    import json
-    import os
+    assert squatters == [], (
+        f"freshly-checked lanes occupy window slots while staler lanes "
+        f"wait: {squatters}"
+    )
 
-    r10_path = os.path.join(os.path.dirname(__file__), "..",
-                            "CORRECTNESS_r10.json")
-    r10_checked = set(json.load(open(r10_path)))
-    stale_violations = [q for q in window if q in r10_checked]
-    assert stale_violations == [], stale_violations
+
+def test_rotation_policy_no_lane_stale_beyond_promise():
+    """VERDICT r11 ask #8: enforce the rotation policy's own promise
+    (workload.py — 'no query ever goes more than two rounds without a
+    driver-side row') structurally instead of by judge archaeology.  Any
+    ORACLE lane whose newest driver row is 3+ rounds old must sit inside
+    the 50-slot window so the next driver run refreshes it; a lane never
+    checked at all (new this round) must too.  The 5 no-oracle lanes get
+    one extra window of grace (positions <= 100): their driver evidence
+    is rows-only while their exact oracle is pytest, so hash-bearing
+    lanes outrank them for slots when the stale tier exactly fills a
+    window (the r12 geometry: 45 stale oracle lanes + 5 changed lanes)."""
+    import __spark_entry__ as entry_mod
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+
+    ordered = list(workload.ordered_queries())
+    pos = {q: i for i, q in enumerate(ordered)}
+    oracles = set(entry_mod.oracle_sql())
+    latest = _latest_driver_rounds()
+    newest_round = max(latest.values())
+    overdue = []
+    for lane in ordered:
+        last = latest.get(lane)
+        if last is not None and last >= newest_round - 2:
+            continue  # within the two-rounds-without-a-row promise
+        budget = 50 if lane in oracles and last is not None else 100
+        if lane in oracles and last is None:
+            budget = 50  # brand-new lane: rule 2, front window
+        if pos[lane] >= budget:
+            overdue.append((lane, last, pos[lane]))
+    assert overdue == [], (
+        f"lanes stale beyond the rotation promise and outside their "
+        f"window: {overdue}"
+    )
 
 
 def test_sibling_module_is_safe_import_entry_point():
