@@ -297,6 +297,74 @@ def _stats_aggs(columns: list[str]) -> list:
     return aggs
 
 
+def _swap_manifest_dir(merged: DataFrame, out: str) -> None:
+    """Atomically replace a manifest dir with ``merged`` (stage + rename,
+    so a concurrent reader never sees a half-written manifest)."""
+    tmp = out + ".__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+
+
+def update_bloom_manifest_partitions(
+    spark: SparkSession,
+    path: str,
+    touched_partitions: list[str],
+    old_manifest: DataFrame,
+) -> DataFrame:
+    """Incremental BLOOM manifest maintenance for a partition-scoped
+    commit — the equality-skipping counterpart of
+    :func:`update_stats_manifest_partitions` (VERDICT r11 ask #3: after
+    a ``replace_partitions`` the stats manifest was maintained but
+    ``_file_bloom`` still described the replaced files, so equality
+    probes silently stopped pruning exactly the partitions that churn
+    most).  Rows for untouched partitions survive verbatim (their files
+    kept their paths through the commit); the touched partitions'
+    filters are recomputed in ONE scan bounded by the commit, with the
+    same column / num_bits / num_hashes the standing manifest was built
+    with — mixing parameters would break the probe's bit arithmetic.
+    """
+    head = old_manifest.select("column", "num_bits", "num_hashes").first()
+    cond = F.lit(False)
+    for t in touched_partitions:
+        cond = cond | F.col("file_path").contains(f"/{t}/")
+    keep_old = old_manifest.filter(~cond)
+    new_scan = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, t) for t in touched_partitions]
+    )
+    pos = (
+        new_scan.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col(head.column).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .select(
+            "file_path",
+            F.explode(
+                _bloom_positions(F.col("v"), head.num_bits, head.num_hashes)
+            ).alias("bit"),
+        )
+        .groupBy("file_path")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+    )
+    all_new = (
+        new_scan.select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+    )
+    new_rows = all_new.join(pos, "file_path", "left").select(
+        "file_path",
+        F.coalesce("bits", F.array().cast("array<int>")).alias("bits"),
+        F.lit(head.column).alias("column"),
+        F.lit(head.num_bits).alias("num_bits"),
+        F.lit(head.num_hashes).alias("num_hashes"),
+    )
+    merged = keep_old.unionByName(new_rows).coalesce(1)
+    out = os.path.join(path.rstrip("/"), BLOOM_DIR)
+    _swap_manifest_dir(merged, out)
+    return spark.read.parquet(out)
+
+
 def update_stats_manifest_partitions(
     spark: SparkSession,
     path: str,
@@ -331,9 +399,5 @@ def update_stats_manifest_partitions(
     )
     merged = keep_old.unionByName(new_stats).coalesce(1)
     out = os.path.join(path.rstrip("/"), STATS_DIR)
-    tmp = out + ".__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(out):  # pragma: no cover — new current has no manifest
-        shutil.rmtree(out)
-    os.rename(tmp, out)
+    _swap_manifest_dir(merged, out)
     return spark.read.parquet(out)

@@ -1220,13 +1220,23 @@ def replace_partitions(
     # would silently drop the new files; a crash before this point leaves
     # a committed table with NO manifest, which skipping readers refuse
     # loudly (the documented stats_columns contract).
-    old_man = os.path.join(vroot, f"v{version - 1}", "_file_stats")
-    if os.path.isdir(old_man):
-        from . import skipping
+    from . import skipping
 
+    old_man = os.path.join(vroot, f"v{version - 1}", skipping.STATS_DIR)
+    if os.path.isdir(old_man):
         skipping.update_stats_manifest_partitions(
             df.sparkSession, path, touched,
             df.sparkSession.read.parquet(old_man),
+        )
+    # same rule for the BLOOM manifest (VERDICT r11 ask #3): without it,
+    # equality probes keep the replaced files' stale filters and know
+    # nothing about the new files — correctness-safe under keep-on-
+    # missing, but pruning silently dies on the hottest partitions
+    old_bloom = os.path.join(vroot, f"v{version - 1}", skipping.BLOOM_DIR)
+    if os.path.isdir(old_bloom):
+        skipping.update_bloom_manifest_partitions(
+            df.sparkSession, path, touched,
+            df.sparkSession.read.parquet(old_bloom),
         )
     return version
 
