@@ -49,12 +49,19 @@ STATS_DIR = "_file_stats"
 
 
 def write_stats_manifest(
-    spark: SparkSession, path: str, columns: list[str]
+    spark: SparkSession, path: str, columns: list[str],
+    files: list[str] | None = None,
 ) -> DataFrame:
     """One distributed pass over ``path`` computing per-file stats for
     ``columns``; overwrites ``<path>/_file_stats``.  Returns the manifest.
+    ``files`` pins the scan to an explicit file list — manifest-mode
+    versioned tables pass their LIVE set, because their root also holds
+    superseded files that must not re-enter the manifest.
     """
-    df = spark.read.parquet(path)
+    if files is not None:
+        df = spark.read.option("basePath", path).parquet(*files)
+    else:
+        df = spark.read.parquet(path)
     rows = df.select(F.col("_metadata.file_path").alias("file_path"), *columns)
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for c in columns:
@@ -173,6 +180,7 @@ def write_bloom_manifest(
     column: str,
     num_bits: int = 8192,
     num_hashes: int = 4,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Per-file Bloom filter over ``column`` for EQUALITY skipping —
     the complement of min/max: a high-cardinality column with no
@@ -184,9 +192,13 @@ def write_bloom_manifest(
     (``array<int>``, ≤ ``num_bits`` entries — the manifest is bounded by
     bits-per-file regardless of row count, the Bloom property that makes
     this scale).  One distributed pass; overwrites
-    ``<table>/_file_bloom``.
+    ``<table>/_file_bloom``.  ``files`` pins the scan to an explicit
+    live-file list (manifest-mode versioned tables).
     """
-    df = spark.read.parquet(path)
+    if files is not None:
+        df = spark.read.option("basePath", path).parquet(*files)
+    else:
+        df = spark.read.parquet(path)
     pos = (
         df.select(
             F.col("_metadata.file_path").alias("file_path"), F.col(column).alias("v")
@@ -312,6 +324,7 @@ def update_bloom_manifest_partitions(
     path: str,
     touched_partitions: list[str],
     old_manifest: DataFrame,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Incremental BLOOM manifest maintenance for a partition-scoped
     commit — the equality-skipping counterpart of
@@ -331,7 +344,8 @@ def update_bloom_manifest_partitions(
         cond = cond | F.col("file_path").contains(f"/{t}/")
     keep_old = old_manifest.filter(~cond)
     new_scan = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, t) for t in touched_partitions]
+        *(files if files is not None
+          else [os.path.join(path, t) for t in touched_partitions])
     )
     pos = (
         new_scan.select(
@@ -370,6 +384,7 @@ def update_stats_manifest_partitions(
     path: str,
     touched_partitions: list[str],
     old_manifest: DataFrame,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Incremental manifest maintenance for a partition-scoped commit
     (``sources/versioned.py::replace_partitions``): keep the old
@@ -388,7 +403,8 @@ def update_stats_manifest_partitions(
         cond = cond | F.col("file_path").contains(f"/{t}/")
     keep_old = old_manifest.filter(~cond)
     new_scan = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, t) for t in touched_partitions]
+        *(files if files is not None
+          else [os.path.join(path, t) for t in touched_partitions])
     )
     new_stats = (
         new_scan.select(

@@ -45,6 +45,22 @@ identical to Delta's (old files linger until VACUUM); what this lane does
 NOT give is file-level MERGE history inside a version, which needs the
 real transaction log and is exactly what the delta-available() fast path
 provides on capable deployments.
+
+Round 12 adds the second snapshot layout, ``snapshot_mode="manifest"``
+(VERDICT r11 ask #2) — Delta's actual design: data files accumulate
+under the table root with unique names and never move after their
+commit; each log entry carries ``add``/``remove`` file ACTIONS; a
+snapshot is the bounded replay of those actions anchored on a
+files-checkpoint.  A partition replace then costs O(changed files)
+instead of the physical mode's O(live files) hardlink walk — the rung
+that matters at millions of files.  The trade is Delta's too: the root
+is no longer plain-readable (read through :func:`read_current` /
+:func:`read_version`), and VACUUM becomes live-set reference counting
+instead of dropping retention dirs.  The mode is fixed at table
+creation; every lifecycle operation (time travel, CDF, RESTORE, CLONE,
+OPTIMIZE, DML, constraints, OCC + commute, recover) works identically
+in both modes — ``tests/test_versioned_manifest.py`` mirrors the
+behavioral suite on the manifest lane.
 """
 
 from __future__ import annotations
@@ -155,7 +171,8 @@ def _read_legacy_log(path: str) -> list[dict]:
 
 def _log_files(path: str) -> tuple[list[str], list[str]]:
     """(sorted per-commit entry files, sorted checkpoint files) in the
-    log dir; names sort by zero-padded version."""
+    log dir; names sort by zero-padded version.  ``*.files.json``
+    snapshot-file checkpoints (manifest mode) are neither."""
     ldir = _log_dir(path)
     if not os.path.isdir(ldir):
         return [], []
@@ -163,6 +180,8 @@ def _log_files(path: str) -> tuple[list[str], list[str]]:
     for f in os.listdir(ldir):
         if f.endswith(".checkpoint.json"):
             checkpoints.append(f)
+        elif f.endswith(".files.json"):
+            continue
         elif f.endswith(".json") and not f.startswith("."):
             entries.append(f)
     return sorted(entries), sorted(checkpoints)
@@ -212,7 +231,10 @@ def _append_log(path: str, entry: dict) -> None:
     """Commit one log entry (its own fsynced file) and, on checkpoint
     boundaries, a full-state checkpoint so future resolutions stay
     bounded.  A crash between entry and checkpoint only costs a longer
-    tail read until the next boundary — never correctness."""
+    tail read until the next boundary — never correctness.  Manifest-
+    mode tables additionally checkpoint the LIVE FILE LIST at the same
+    boundaries, so snapshot-file resolution replays a bounded action
+    tail instead of the whole history (Delta's checkpoint.parquet)."""
     ldir = _log_dir(path)
     os.makedirs(ldir, exist_ok=True)
     v = entry["version"]
@@ -221,6 +243,136 @@ def _append_log(path: str, entry: dict) -> None:
         _fsync_json(
             os.path.join(ldir, f"{v:020d}.checkpoint.json"), _read_log(path)
         )
+        if snapshot_mode(path) == "manifest":
+            _fsync_json(
+                os.path.join(ldir, f"{v:020d}.files.json"),
+                _snapshot_files(path, v),
+            )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot modes (round 12 — VERDICT r11 ask #2): "physical" keeps the
+# historical contract (the CURRENT version is plain parquet at the table
+# path; superseded versions rename aside; partition commits assemble the
+# new snapshot by hardlinking untouched files — O(live files) per
+# commit).  "manifest" is Delta's actual design: data files accumulate
+# under the table root with unique names and are NEVER moved after their
+# commit; each log entry lists `add`/`remove` file ACTIONS; a snapshot
+# is the replay of those actions — so a commit costs O(changed files)
+# regardless of table size, the property the hardlink walk loses at
+# 100 TB / millions of files.  The price is Delta's too: the table root
+# is no longer plain-readable (stale files from old versions live beside
+# current ones) — read through read_current / read_version, exactly as
+# Delta readers must go through the log.
+# ---------------------------------------------------------------------------
+
+MODE_FILE = "_table_mode.json"
+
+
+def snapshot_mode(path: str) -> str:
+    """``"physical"`` (default) or ``"manifest"`` — fixed at table
+    creation, persisted beside the log."""
+    p = os.path.join(_vroot(path), MODE_FILE)
+    if not os.path.exists(p):
+        return "physical"
+    with open(p) as fh:
+        return json.load(fh)["snapshot_mode"]
+
+
+def _set_snapshot_mode(path: str, mode: str) -> None:
+    os.makedirs(_vroot(path), exist_ok=True)
+    _fsync_json(os.path.join(_vroot(path), MODE_FILE), {"snapshot_mode": mode})
+
+
+#: alias for call sites where a parameter named ``snapshot_mode`` shadows
+#: the function (the public API keeps both names for clarity)
+_mode_of = snapshot_mode
+
+
+def _snapshot_files(path: str, version: int) -> list[str]:
+    """Manifest mode: the snapshot's data files (table-relative paths),
+    resolved as the newest files-checkpoint at or below ``version`` plus
+    a replay of the add/remove actions after it — bounded by the
+    checkpoint interval, never O(commits)."""
+    ldir = _log_dir(path)
+    base_v, base = -1, []
+    if os.path.isdir(ldir):
+        for f in sorted(os.listdir(ldir)):
+            if f.endswith(".files.json"):
+                v = int(f.split(".", 1)[0])
+                if base_v < v <= version:
+                    base_v = v
+        if base_v >= 0:
+            with open(os.path.join(ldir, f"{base_v:020d}.files.json")) as fh:
+                base = json.load(fh)
+    live = set(base)
+    for e in _read_log(path):
+        if e["version"] <= base_v or e["version"] > version:
+            continue
+        live -= set(e.get("remove", []))
+        live |= set(e.get("add", []))
+    return sorted(live)
+
+
+def _live_data_files(path: str) -> list[str]:
+    """Absolute data-file paths of the CURRENT version, mode-dispatched."""
+    if snapshot_mode(path) == "manifest":
+        v = current_version(path)
+        if v is None:
+            return []
+        return [os.path.join(path, rel) for rel in _snapshot_files(path, v)]
+    return _data_files(path)
+
+
+def _entry_schema_df(spark: SparkSession, entry: dict):
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(entry["schema"]))
+    return spark.createDataFrame([], schema)
+
+
+def read_current(spark: SparkSession, path: str) -> DataFrame:
+    """The CURRENT version, whatever the snapshot mode.  Physical tables
+    keep their plain-parquet contract (``spark.read.parquet(path)`` is
+    equivalent); manifest tables MUST be read through here or
+    :func:`read_version` — the root dir holds stale files by design."""
+    if snapshot_mode(path) == "manifest":
+        v = current_version(path)
+        if v is None:
+            raise ValueError(f"{path}: no version log — not a versioned table")
+        return read_version(spark, path, v)
+    return spark.read.parquet(path)
+
+
+def _plan_moves(stage: str, version: int) -> list[tuple[str, str]]:
+    """(staged relpath, final relpath) for every data file under the
+    stage dir.  Final names get a ``v{N}-`` basename prefix: Spark's
+    part-file uuids already make collisions vanishingly unlikely, the
+    prefix makes them impossible and stamps provenance for debugging."""
+    moves = []
+    for root, dirs, files in os.walk(stage):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = os.path.relpath(root, stage)
+        for f in files:
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            src = os.path.join(rel, f) if rel != "." else f
+            dst_name = f"v{version}-{f}"
+            dst = os.path.join(rel, dst_name) if rel != "." else dst_name
+            moves.append((src, dst))
+    return moves
+
+
+def _apply_moves(path: str, stage: str, moves: list) -> None:
+    """Publish staged files into the table root.  Idempotent: a re-run
+    after a crash skips moves whose source is gone (already published)."""
+    for src, dst in moves:
+        s = os.path.join(stage, src)
+        d = os.path.join(path, dst)
+        if os.path.exists(s):
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            os.replace(s, d)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 CONSTRAINTS_FILE = "_constraints.json"
@@ -261,6 +413,7 @@ def overwrite_versioned(
     constraints: dict | None = None,
     expected_version: int | None = None,
     metadata: dict | None = None,
+    snapshot_mode: str | None = None,
 ) -> int:
     """Atomic overwrite that RETAINS the superseded version (rename-aside,
     no copy).  Returns the committed version number.  ``now`` pins the
@@ -308,9 +461,27 @@ def overwrite_versioned(
     - ``"merge"``: additive evolution — new columns append, columns the
       incoming frame dropped are retained and backfilled NULL, and a
       TYPE change on a shared column is refused (Delta ``mergeSchema``).
+
+    ``snapshot_mode`` (round 12) fixes the table's snapshot layout at
+    CREATION: ``"physical"`` (default — rename-aside retention, current
+    version plain-readable at the path) or ``"manifest"`` (add/remove
+    file actions in the log, O(changed files) commits, reads go through
+    :func:`read_current`/:func:`read_version`).  Passing a mode that
+    contradicts an existing table raises; later commits may omit it.
     """
     if schema_mode not in ("overwrite", "enforce", "merge"):
         raise ValueError(f"unknown schema_mode {schema_mode!r}")
+    if snapshot_mode not in (None, "physical", "manifest"):
+        raise ValueError(f"unknown snapshot_mode {snapshot_mode!r}")
+    if (
+        snapshot_mode is not None
+        and _read_log(path)
+        and snapshot_mode != _mode_of(path)
+    ):
+        raise ValueError(
+            f"{path}: table was created with snapshot_mode="
+            f"{_mode_of(path)!r}; it cannot change after creation"
+        )
     effective = {**get_constraints(path), **(constraints or {})}
     if effective:
         # Delta CHECK-constraint parity: every row must satisfy every
@@ -327,7 +498,7 @@ def overwrite_versioned(
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        cur = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+        cur = {f.name: f.dataType for f in read_current(spark, path).schema.fields}
         new = {f.name: f.dataType for f in df.schema.fields}
         mismatched = sorted(
             c for c in cur.keys() & new.keys() if cur[c] != new[c]
@@ -378,6 +549,11 @@ def overwrite_versioned(
                 "re-read and retry the transaction"
             )
         version = (cur + 1) if log else 0
+        mode = _mode_of(path) if log else (snapshot_mode or "physical")
+        if not log:
+            # pin the mode before the intent exists so recover() and the
+            # log appender agree on the table's layout from commit zero
+            _set_snapshot_mode(path, mode)
         entry = {
             "version": version,
             "committed_at": float(now if now is not None else time.time()),
@@ -385,22 +561,39 @@ def overwrite_versioned(
         }
         if metadata:
             entry["metadata"] = metadata
-        _write_intent(path, {"stage": stage, "entry": entry})
+        if mode == "manifest":
+            moves = _plan_moves(stage, version)
+            entry["add"] = sorted(dst for _, dst in moves)
+            entry["remove"] = _snapshot_files(path, cur) if log else []
+            entry["schema"] = df.schema.json()
+            _write_intent(path, {"stage": stage, "entry": entry,
+                                 "moves": moves})
+        else:
+            _write_intent(path, {"stage": stage, "entry": entry})
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         _release_intent(path)
         raise
     # past this point the commit only rolls FORWARD (recover() finishes it)
-    vroot = _vroot(path)
-    if os.path.exists(path):
-        os.rename(path, os.path.join(vroot, f"v{version - 1}"))
-    os.rename(stage, path)
+    if mode == "manifest":
+        # publish = move ONLY the new files into the root; nothing else
+        # on disk is touched — O(changed files), the whole point
+        os.makedirs(path, exist_ok=True)
+        _apply_moves(path, stage, moves)
+    else:
+        vroot = _vroot(path)
+        if os.path.exists(path):
+            os.rename(path, os.path.join(vroot, f"v{version - 1}"))
+        os.rename(stage, path)
     _append_log(path, entry)
     _release_intent(path)
     if stats_columns:
         from . import skipping
 
-        skipping.write_stats_manifest(df.sparkSession, path, stats_columns)
+        skipping.write_stats_manifest(
+            df.sparkSession, path, stats_columns,
+            files=(_live_data_files(path) if mode == "manifest" else None),
+        )
     return version
 
 
@@ -438,7 +631,7 @@ def optimize_compact(
     """
     if current_version(path) is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
-    files = _data_files(path)
+    files = _live_data_files(path)
     if not files:
         raise ValueError(f"{path}: nothing to compact")
     total = sum(os.path.getsize(f) for f in files)
@@ -456,7 +649,7 @@ def optimize_compact(
 
     part_cols = _discover_partition_columns(path)
     base_v = current_version(path)
-    df = spark.read.parquet(path)
+    df = read_current(spark, path)
     if part_cols:
         compacted = df.repartition(*[F.col(c) for c in part_cols])
         return overwrite_versioned(
@@ -490,7 +683,38 @@ def _resolve_dir(path: str, version: int) -> str:
 
 
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
-    """``VERSION AS OF``: the table exactly as committed at ``version``."""
+    """``VERSION AS OF``: the table exactly as committed at ``version``.
+
+    Manifest mode resolves the version's file LIST from the action log
+    (files-checkpoint + bounded tail) and opens exactly those files with
+    a ``basePath`` so hive partition columns survive; a missing file
+    means the version was vacuumed (history remains, data is gone —
+    same contract as the physical lane's missing retention dir).  The
+    existence sweep is one stat per file — the price of an exact
+    vacuumed-version error instead of a mid-scan FileNotFound."""
+    if _mode_of(path) == "manifest":
+        log = _read_log(path)
+        if not log:
+            raise ValueError(f"{path}: no version log — not a versioned table")
+        by_v = {e["version"]: e for e in log}
+        if version not in by_v:
+            raise ValueError(
+                f"{path}: unknown version {version} (log has {sorted(by_v)})"
+            )
+        files = _snapshot_files(path, version)
+        if not files:
+            return _entry_schema_df(spark, by_v[version])
+        missing = [
+            f for f in files if not os.path.exists(os.path.join(path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"{path}: version {version} was vacuumed — its history "
+                "entry remains but the data is gone"
+            )
+        return spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
     return spark.read.parquet(_resolve_dir(path, version))
 
 
@@ -560,7 +784,7 @@ def delete_where(
     if not isinstance(cond, Column):
         raise TypeError("condition must be a Column or SQL string")
     base_v = current_version(path)
-    kept = spark.read.parquet(path).where(~cond | cond.isNull())
+    kept = read_current(spark, path).where(~cond | cond.isNull())
     return overwrite_versioned(
         kept, path, now=now, operation="DELETE", stats_columns=stats_columns,
         expected_version=base_v,
@@ -586,7 +810,7 @@ def update_where(
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
     base_v = current_version(path)
-    df = spark.read.parquet(path)
+    df = read_current(spark, path)
     missing = set(assignments) - set(df.columns)
     if missing:
         raise ValueError(f"UPDATE of unknown column(s): {sorted(missing)}")
@@ -635,7 +859,7 @@ def optimize_zorder(
     if base_v is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
     clustered = zorder_layout(
-        spark.read.parquet(path), col_a, col_b, n_files=n_files
+        read_current(spark, path), col_a, col_b, n_files=n_files
     )
     v = overwrite_versioned(
         clustered, path, now=now, operation=f"OPTIMIZE ZORDER({col_a},{col_b})",
@@ -687,28 +911,49 @@ def clone_table(
     if os.path.exists(dst) or _read_log(dst):
         raise ValueError(f"{dst}: already exists")
     src_v = current_version(src)
+    mode = _mode_of(src)
     stage = f"{dst}.__stage_{uuid.uuid4().hex[:8]}"
-    for root, dirs, files in os.walk(src):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        rel = os.path.relpath(root, src)
-        os.makedirs(os.path.join(stage, rel) if rel != "." else stage,
-                    exist_ok=True)
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            s = os.path.join(root, f)
-            d = os.path.join(stage, rel, f) if rel != "." else os.path.join(stage, f)
-            try:
-                os.link(s, d)
-            except OSError:  # pragma: no cover — cross-filesystem fallback
-                shutil.copy2(s, d)
+    if mode == "manifest":
+        # only the LIVE file set clones — the root's stale files belong
+        # to the source's history, not the clone's v0
+        rels = _snapshot_files(src, src_v)
+    else:
+        rels = []
+        for root, dirs, files in os.walk(src):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            rel = os.path.relpath(root, src)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                rels.append(os.path.join(rel, f) if rel != "." else f)
+    os.makedirs(stage, exist_ok=True)
+    for rel in rels:
+        s = os.path.join(src, rel)
+        d = os.path.join(stage, rel)
+        os.makedirs(os.path.dirname(d) or stage, exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:  # pragma: no cover — cross-filesystem fallback
+            shutil.copy2(s, d)
     entry = {
         "version": 0,
         "committed_at": float(now if now is not None else time.time()),
         "operation": f"CLONE({src}@v{src_v})",
     }
-    _claim_intent(dst, {"stage": stage, "entry": entry})
-    os.rename(stage, dst)
+    if mode == "manifest":
+        _set_snapshot_mode(dst, "manifest")
+        entry["add"] = sorted(rels)
+        entry["remove"] = []
+        src_entry = {e["version"]: e for e in _read_log(src)}[src_v]
+        if "schema" in src_entry:
+            entry["schema"] = src_entry["schema"]
+        moves = [(r, r) for r in rels]
+        _claim_intent(dst, {"stage": stage, "entry": entry, "moves": moves})
+        os.makedirs(dst, exist_ok=True)
+        _apply_moves(dst, stage, moves)
+    else:
+        _claim_intent(dst, {"stage": stage, "entry": entry})
+        os.rename(stage, dst)
     _append_log(dst, entry)
     _release_intent(dst)
     return 0
@@ -723,12 +968,18 @@ def table_detail(path: str) -> dict:
     log = _read_log(path)
     if not log:
         raise ValueError(f"{path}: no version log — not a versioned table")
-    files = _data_files(path)
+    files = _live_data_files(path)
     vroot = _vroot(path)
-    retained = sorted(
-        int(d[1:]) for d in os.listdir(vroot)
-        if d.startswith("v") and d[1:].isdigit()
-    )
+    if _mode_of(path) == "manifest":
+        retained = sorted(
+            e["version"] for e in log[:-1]
+            if _manifest_version_present(path, e["version"])
+        )
+    else:
+        retained = sorted(
+            int(d[1:]) for d in os.listdir(vroot)
+            if d.startswith("v") and d[1:].isdigit()
+        )
     ops: dict = {}
     for e in log:
         ops[e["operation"]] = ops.get(e["operation"], 0) + 1
@@ -793,7 +1044,7 @@ def transact(
             time.sleep(backoff_s * attempt)
         base_v = current_version(path)
         try:
-            out = fn(spark.read.parquet(path))
+            out = fn(read_current(spark, path))
             return overwrite_versioned(
                 out, path, now=now, operation=operation,
                 expected_version=base_v, **commit_kwargs,
@@ -817,16 +1068,50 @@ def transact(
     ) from last
 
 
+def _manifest_version_present(path: str, version: int) -> bool:
+    files = _snapshot_files(path, version)
+    return all(os.path.exists(os.path.join(path, f)) for f in files)
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
-    """Drop retained version DIRECTORIES beyond the newest ``keep_last``
+    """Drop retained version data beyond the newest ``keep_last``
     non-current ones; log entries survive (Delta: history outlives data).
-    Returns the vacuumed version numbers."""
+    Returns the vacuumed version numbers.
+
+    Physical mode removes whole retention DIRECTORIES.  Manifest mode
+    computes the protected file set — the union of the current version's
+    files and the newest ``keep_last`` still-present non-current
+    versions' — and deletes every data file outside it (files are shared
+    across versions by reference, so a file dies only when its last
+    protected referencer ages out; same inode economics as the hardlink
+    lane, without the links)."""
     if keep_last < 0:
         raise ValueError("keep_last must be >= 0")
     log = _read_log(path)
     if not log:
         return []
     current = log[-1]["version"]
+    if _mode_of(path) == "manifest":
+        non_current = [
+            e["version"] for e in log if e["version"] != current
+        ]
+        present = [
+            v for v in non_current if _manifest_version_present(path, v)
+        ]
+        keep = present[max(0, len(present) - keep_last):]
+        to_drop = present[: max(0, len(present) - keep_last)]
+        protected: set = set(_snapshot_files(path, current))
+        for v in keep:
+            protected |= set(_snapshot_files(path, v))
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, f), path)
+                if rel not in protected:
+                    os.remove(os.path.join(root, f))
+        return to_drop
     vroot = _vroot(path)
     retained = sorted(
         int(d[1:]) for d in os.listdir(vroot)
@@ -1029,13 +1314,20 @@ def recover(path: str) -> bool:
             log = _read_log(path)
             logged = log and log[-1]["version"] >= version
             if not logged:
-                vroot = _vroot(path)
-                aside = os.path.join(vroot, f"v{version - 1}")
-                if os.path.exists(stage):
-                    # promote not reached; finish the rename pair first
-                    if os.path.exists(path) and not os.path.exists(aside):
-                        os.rename(path, aside)
-                    os.rename(stage, path)
+                if "moves" in intent:
+                    # manifest commit: finish the per-file publishes
+                    # (idempotent — moves whose source is gone already
+                    # landed) and append the action entry
+                    os.makedirs(path, exist_ok=True)
+                    _apply_moves(path, stage, intent["moves"])
+                else:
+                    vroot = _vroot(path)
+                    aside = os.path.join(vroot, f"v{version - 1}")
+                    if os.path.exists(stage):
+                        # promote not reached; finish the rename pair first
+                        if os.path.exists(path) and not os.path.exists(aside):
+                            os.rename(path, aside)
+                        os.rename(stage, path)
                 _append_log(path, entry)
                 repaired = True
         _release_intent(path)
@@ -1160,6 +1452,7 @@ def replace_partitions(
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
+    mode = _mode_of(path)
     full = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     try:
         log = _read_log(path)
@@ -1183,15 +1476,7 @@ def replace_partitions(
                         "and retry"
                     )
         version = cur + 1
-        os.makedirs(full)
         touched_set = set(touched)
-        for name in os.listdir(path):
-            if name.startswith(("_", ".")) or name in touched_set:
-                continue
-            _link_tree(os.path.join(path, name), os.path.join(full, name))
-        for t in touched:
-            os.rename(os.path.join(stage, t), os.path.join(full, t))
-        shutil.rmtree(stage, ignore_errors=True)
         entry = {
             "version": version,
             "committed_at": float(now if now is not None else time.time()),
@@ -1201,7 +1486,32 @@ def replace_partitions(
                 "partition_by": partition_by,
             },
         }
-        _write_intent(path, {"stage": full, "entry": entry})
+        if mode == "manifest":
+            # virtual-snapshot commit (VERDICT r11 ask #2): the log entry
+            # LISTS the change — add = the staged files, remove = the
+            # replaced partitions' live files.  Untouched files are not
+            # read, linked, listed, or renamed: the commit costs
+            # O(changed files), never O(live files).
+            moves = _plan_moves(stage, version)
+            live = _snapshot_files(path, cur)
+            entry["add"] = sorted(dst for _, dst in moves)
+            entry["remove"] = [
+                f for f in live
+                if f.split(os.sep, 1)[0] in touched_set
+            ]
+            entry["schema"] = df.schema.json()
+            _write_intent(path, {"stage": stage, "entry": entry,
+                                 "moves": moves})
+        else:
+            os.makedirs(full)
+            for name in os.listdir(path):
+                if name.startswith(("_", ".")) or name in touched_set:
+                    continue
+                _link_tree(os.path.join(path, name), os.path.join(full, name))
+            for t in touched:
+                os.rename(os.path.join(stage, t), os.path.join(full, t))
+            shutil.rmtree(stage, ignore_errors=True)
+            _write_intent(path, {"stage": full, "entry": entry})
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(full, ignore_errors=True)
@@ -1209,24 +1519,52 @@ def replace_partitions(
         raise
     # identical roll-forward tail to overwrite_versioned (recover() covers it)
     vroot = _vroot(path)
-    os.rename(path, os.path.join(vroot, f"v{version - 1}"))
-    os.rename(full, path)
+    if mode == "manifest":
+        _apply_moves(path, stage, moves)
+    else:
+        os.rename(path, os.path.join(vroot, f"v{version - 1}"))
+        os.rename(full, path)
     _append_log(path, entry)
     _release_intent(path)
-    # incremental skipping-manifest maintenance: the old manifest traveled
-    # aside with v{n-1}; untouched partitions kept their paths, so its
-    # rows stay valid for them — recompute stats for the touched dirs
-    # only (commit-proportional).  Without this, a manifest-pruned scan
-    # would silently drop the new files; a crash before this point leaves
-    # a committed table with NO manifest, which skipping readers refuse
-    # loudly (the documented stats_columns contract).
+    # incremental skipping-manifest maintenance: untouched partitions'
+    # rows stay valid (their files kept their paths through the commit);
+    # recompute stats for the touched partitions only — commit-
+    # proportional.  Physical mode reads the superseded manifest from the
+    # renamed-aside version; manifest mode's sidecars never move, so the
+    # standing manifest is the pre-commit one, and the touched rescan is
+    # pinned to the NEW version's live files (the touched dirs also hold
+    # the replaced files until vacuum).  Without this, a manifest-pruned
+    # scan would silently drop the new files; a crash before this point
+    # leaves a committed table with NO manifest for the new files, which
+    # skipping readers refuse loudly (the documented stats_columns
+    # contract).
     from . import skipping
 
+    spark_ = df.sparkSession
+    if mode == "manifest":
+        touched_files = [
+            os.path.join(path, f)
+            for f in _snapshot_files(path, version)
+            if f.split(os.sep, 1)[0] in touched_set
+        ]
+        old_man = os.path.join(path.rstrip("/"), skipping.STATS_DIR)
+        if os.path.isdir(old_man):
+            skipping.update_stats_manifest_partitions(
+                spark_, path, touched, skipping.read_stats_manifest(spark_, path),
+                files=touched_files,
+            )
+        old_bloom = os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
+        if os.path.isdir(old_bloom):
+            skipping.update_bloom_manifest_partitions(
+                spark_, path, touched,
+                spark_.read.parquet(old_bloom), files=touched_files,
+            )
+        return version
     old_man = os.path.join(vroot, f"v{version - 1}", skipping.STATS_DIR)
     if os.path.isdir(old_man):
         skipping.update_stats_manifest_partitions(
-            df.sparkSession, path, touched,
-            df.sparkSession.read.parquet(old_man),
+            spark_, path, touched,
+            spark_.read.parquet(old_man),
         )
     # same rule for the BLOOM manifest (VERDICT r11 ask #3): without it,
     # equality probes keep the replaced files' stale filters and know
@@ -1235,8 +1573,8 @@ def replace_partitions(
     old_bloom = os.path.join(vroot, f"v{version - 1}", skipping.BLOOM_DIR)
     if os.path.isdir(old_bloom):
         skipping.update_bloom_manifest_partitions(
-            df.sparkSession, path, touched,
-            df.sparkSession.read.parquet(old_bloom),
+            spark_, path, touched,
+            spark_.read.parquet(old_bloom),
         )
     return version
 
@@ -1266,14 +1604,21 @@ def optimize_partitions(
     base_v = current_version(path)
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path).filter(
+    df = read_current(spark, path).filter(
         F.col(partition_col).isin(list(partitions))
     )
-    sub_files = [
-        f
-        for p in partitions
-        for f in _data_files(os.path.join(path, f"{partition_col}={p}"))
-    ]
+    if _mode_of(path) == "manifest":
+        prefixes = {f"{partition_col}={p}" for p in partitions}
+        sub_files = [
+            f for f in _live_data_files(path)
+            if os.path.relpath(f, path).split(os.sep, 1)[0] in prefixes
+        ]
+    else:
+        sub_files = [
+            f
+            for p in partitions
+            for f in _data_files(os.path.join(path, f"{partition_col}={p}"))
+        ]
     if not sub_files:
         raise ValueError(
             f"{path}: no data files under {partition_col} in {partitions}"
@@ -1317,7 +1662,7 @@ def transact_partitions(
             time.sleep(backoff_s * attempt)
         base_v = current_version(path)
         try:
-            out = fn(spark.read.parquet(path))
+            out = fn(read_current(spark, path))
             return replace_partitions(
                 out, path, partition_by,
                 expected_version=base_v, now=now, operation=operation,
