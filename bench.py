@@ -131,6 +131,7 @@ HEADLINE = [
     "part_replace_partitions",
     "events_stream_partition_overwrite",
     "emb_ivf_recall_report",
+    "emb_ivf_drift_report",
     "doc_curation_pipeline",
     "part_optimize_partitions_scan",
     "events_stream_anomaly_ingest",

@@ -3556,3 +3556,93 @@ def semantic_decontamination(
         F.col("cosine").alias("max_bench_cosine"),
         (F.col("cosine") >= F.lit(float(threshold))).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantizer-drift report (round 12 — VERDICT r11 ask #6)
+# ---------------------------------------------------------------------------
+
+def ivf_drift_report(
+    corpus: DataFrame,
+    stale_pivots: DataFrame,
+    fresh_pivots: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Drift audit for a frozen-quantizer IVF index: every ``append_to_*``
+    assigns new vectors against STORED pivots, so after heavy appends the
+    inverted lists skew and probe recall decays silently.  This report is
+    the measurement a deployment schedules to decide WHEN to retrain
+    (rebuild the index) — the streaming-maintenance counterpart of
+    ``emb_ivf_recall_report``'s one-shot evaluation.
+
+    Long-format output (``metric, key, value`` — integer-exact, so the
+    whole report is oracle-hashable):
+
+    * ``("list_size", pivot_id, n)`` — the standing quantizer's inverted-
+      list sizes over the CURRENT corpus, including empty lists (a
+      pile-up list is the skew signal; probe cost is proportional to the
+      probed lists' sizes);
+    * ``("recall_hits_stale", query_id, hits)`` — per-query overlap@k of
+      the standing-pivot probe against the exact scan;
+    * ``("recall_hits_fresh", query_id, hits)`` — the same probe with
+      pivots retrained on the current corpus: the recall a rebuild would
+      buy.  ``fresh - stale`` is the decision variable.
+
+    Plan shape: one corpus pass per probe (each the standard IVF
+    broadcast-pivot assignment + list-equi-join), one exact scan (the
+    ground truth every recall evaluation needs — run it on a sampled
+    query set in production), and a broadcast left-join per hit count —
+    nothing corpus×corpus, nothing collected.  ``tests/test_llmops.py``
+    pins the semantics: planted drift (an appended shifted cluster)
+    degrades stale recall and skews list sizes; retraining restores it.
+    """
+    sizes = (
+        stale_pivots.select("pivot_id")
+        .join(
+            ivf_assign(corpus, stale_pivots, 1, id_col, vec_col)
+            .groupBy("pivot_id")
+            .agg(F.count(F.lit(1)).alias("__n")),
+            "pivot_id",
+            "left",
+        )
+        .select(
+            F.lit("list_size").alias("metric"),
+            F.col("pivot_id").cast("long").alias("key"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("value"),
+        )
+    )
+    exact = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+
+    def _hits(label: str, pivots: DataFrame) -> DataFrame:
+        approx = ivf_topk(
+            corpus, queries, k=k, nprobe=nprobe, pivots=pivots,
+            id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        ).select(query_id_col, id_col)
+        return (
+            exact.alias("e")
+            .join(
+                approx.alias("a"),
+                (F.col(f"a.{query_id_col}") == F.col(f"e.{query_id_col}"))
+                & (F.col(f"a.{id_col}") == F.col(f"e.{id_col}")),
+                "left",
+            )
+            .groupBy(F.col(f"e.{query_id_col}"))
+            .agg(F.count(F.col(f"a.{id_col}")).alias("__hits"))
+            .select(
+                F.lit(label).alias("metric"),
+                F.col(query_id_col).cast("long").alias("key"),
+                F.col("__hits").cast("long").alias("value"),
+            )
+        )
+
+    return sizes.unionByName(_hits("recall_hits_stale", stale_pivots)).unionByName(
+        _hits("recall_hits_fresh", fresh_pivots)
+    )

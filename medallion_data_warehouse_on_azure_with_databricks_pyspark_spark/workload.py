@@ -2597,10 +2597,10 @@ CORRECTNESS_PRIORITY = [
     #    evidence; exact pytest oracles) are scheduled at positions
     #    51-55 so they refresh in r13 — the hash-oracle lanes own the
     #    r12 slots because hash rows are the harder signal.
-    # -- changed-code this round (rule 2) --
-    "part_replace_partitions", "part_time_travel_diff",
-    "part_bloom_skipping_scan", "part_dv_delete_scan",
-    "part_merge_dv_scan",
+    # -- new + changed-code this round (rule 2) --
+    "emb_ivf_drift_report", "part_replace_partitions",
+    "part_time_travel_diff", "part_bloom_skipping_scan",
+    "part_dv_delete_scan",
     # -- last hash row r8 (rule 1, the whole stale tier) --
     "corpus_vocab_topk", "customer_with_high_value_orders",
     "customer_without_orders", "dlt_part_pipeline",
@@ -2621,8 +2621,13 @@ CORRECTNESS_PRIORITY = [
     "orders_year_priority_pivot", "part_cdf_changes_percommit",
     "part_string_functions", "scd1_customer_dim", "scd1_customer_dim_sql",
     "scd2_part_dim",
+    # -- changed this round but displaced from the window by the new
+    #    drift lane (its merge-log change is pinned by
+    #    tests/test_deletion_vectors.py; part_dv_delete_scan carries the
+    #    sidecar's driver evidence) — front of the r13 window --
+    "part_merge_dv_scan",
     # -- no-oracle lanes (rows-only driver rows, r8; pytest is their
-    #    exact oracle) — front of the r13 window --
+    #    exact oracle) — r13 window --
     "doc_simhash_pairs", "doc_bpe_token_counts", "doc_bpe_trained_tokens",
     "events_approx_distinct", "events_approx_quantiles",
     # -- last hash row r10 (next-stalest; rotate in after the above) --

@@ -2814,3 +2814,141 @@ def emb_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10).cast("long").alias("k"),
         )
     )
+
+
+_DRIFT_NPROBE = 4
+
+
+@query(
+    "emb_ivf_drift_report",
+    oracle=f"""
+    WITH cur AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN vec_id % 4 = 0
+                  THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 2.0)
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+               AS ce
+      FROM embeddings),
+    stale_p AS MATERIALIZED (
+      SELECT vec_id AS pivot_id, ce AS pv FROM cur
+      WHERE vec_id % 37 = 0 AND vec_id % 4 <> 0),
+    fresh_p AS MATERIALIZED (
+      SELECT vec_id AS pivot_id, ce AS pv FROM cur WHERE vec_id % 37 = 0),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, ce AS qe FROM cur WHERE vec_id % 25 = 0),
+    assign_s AS MATERIALIZED (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, pivot_id) AS rnk
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   {_fold_l2sq('e.ce', 'p.pv')} AS d
+            FROM cur e CROSS JOIN stale_p p)),
+    assign_f AS MATERIALIZED (
+      SELECT vec_id, pivot_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, pivot_id) AS rnk
+      FROM (SELECT e.vec_id, p.pivot_id,
+                   {_fold_l2sq('e.ce', 'p.pv')} AS d
+            FROM cur e CROSS JOIN fresh_p p)),
+    sizes AS MATERIALIZED (
+      SELECT p.pivot_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+      FROM stale_p p
+      LEFT JOIN (SELECT vec_id, pivot_id FROM assign_s WHERE rnk = 1) a
+        USING (pivot_id)
+      GROUP BY p.pivot_id),
+    cv_s AS MATERIALIZED (
+      SELECT e.vec_id, e.ce, a.pivot_id
+      FROM cur e JOIN assign_s a ON e.vec_id = a.vec_id AND a.rnk = 1),
+    cv_f AS MATERIALIZED (
+      SELECT e.vec_id, e.ce, a.pivot_id
+      FROM cur e JOIN assign_f a ON e.vec_id = a.vec_id AND a.rnk = 1),
+    qp_s AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, a.pivot_id, e.ce AS qe
+      FROM assign_s a JOIN cur e ON e.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= {_DRIFT_NPROBE}),
+    qp_f AS MATERIALIZED (
+      SELECT a.vec_id AS query_id, a.pivot_id, e.ce AS qe
+      FROM assign_f a JOIN cur e ON e.vec_id = a.vec_id
+      WHERE a.vec_id % 25 = 0 AND a.rnk <= {_DRIFT_NPROBE}),
+    approx_s AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT qp.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                 {_fold_dot('qp.qe', 'c.ce')}
+                   / ({_fold_norm('qp.qe')} * {_fold_norm('c.ce')}) DESC,
+                 c.vec_id) AS rnk
+        FROM qp_s qp JOIN cv_s c USING (pivot_id)
+        WHERE c.vec_id <> qp.query_id) WHERE rnk <= 10),
+    approx_f AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT qp.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY qp.query_id ORDER BY
+                 {_fold_dot('qp.qe', 'c.ce')}
+                   / ({_fold_norm('qp.qe')} * {_fold_norm('c.ce')}) DESC,
+                 c.vec_id) AS rnk
+        FROM qp_f qp JOIN cv_f c USING (pivot_id)
+        WHERE c.vec_id <> qp.query_id) WHERE rnk <= 10),
+    exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_fold_dot('q.qe', 'c.ce')}
+                   / ({_fold_norm('q.qe')} * {_fold_norm('c.ce')}) DESC,
+                 c.vec_id) AS rnk
+        FROM q CROSS JOIN cur c
+        WHERE c.vec_id <> q.query_id) WHERE rnk <= 10)
+    SELECT 'list_size' AS metric, CAST(pivot_id AS BIGINT) AS key, n AS value
+    FROM sizes
+    UNION ALL
+    SELECT 'recall_hits_stale', CAST(e.query_id AS BIGINT),
+           CAST(COUNT(a.vec_id) AS BIGINT)
+    FROM exact e LEFT JOIN approx_s a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    UNION ALL
+    SELECT 'recall_hits_fresh', CAST(e.query_id AS BIGINT),
+           CAST(COUNT(a.vec_id) AS BIGINT)
+    FROM exact e LEFT JOIN approx_f a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def emb_ivf_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-drift audit (operators/similarity.py ivf_drift_report
+    — VERDICT r11 ask #6): every append_to_* assigns new vectors
+    against FROZEN pivots, so after heavy appends the lists skew and
+    recall decays silently; this lane is the scheduled measurement that
+    decides when to rebuild.  Drift is planted deterministically — the
+    corpus's every-4th vector is an appended cluster shifted by +2.0 per
+    dimension (vectors the stale quantizer never trained on) — and the
+    report hash-checks all three signals end-to-end: the stale
+    quantizer's per-list sizes over the current corpus (the pile-up is
+    the skew signal), per-query recall hits of the stale-pivot probe vs
+    the exact scan, and the same hits under retrained pivots (what a
+    rebuild buys).  Integer-exact long format; the degrade/restore
+    SEMANTICS (planted drift lowers stale recall, rebuild restores it)
+    are pinned by tests/test_llmops.py on a controlled cluster
+    geometry."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    shifted = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") + F.lit(2.0)
+    )
+    cur = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 4 == 0, shifted)
+        .otherwise(as_double)
+        .alias("embedding"),
+    )
+    stale_pivots = cur.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") % 4 != 0)
+    ).select(
+        F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pivot_vec")
+    )
+    fresh_pivots = similarity.ivf_pivots(cur, modulus=37)
+    queries = cur.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_drift_report(
+        cur, stale_pivots, fresh_pivots, queries, k=10, nprobe=_DRIFT_NPROBE
+    )

@@ -1876,3 +1876,67 @@ def test_semantic_decontamination_plan_shape(spark):
     )
     assert plan.count("BroadcastExchange") == 1
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quantizer-drift report (round 12)
+# ---------------------------------------------------------------------------
+
+def _drift_fixture(spark):
+    """Controlled drift geometry: two base clusters (A at x=0, B at x=10,
+    both on the x-axis) whose centers are the STALE pivots, plus an
+    appended cluster at (5, 5) that straddles the A/B Voronoi boundary —
+    its points split between the two stale lists, so a one-list probe
+    from inside the cluster can only ever see half its true neighbors.
+    Retrained pivots add the cluster center, healing the split."""
+    rows = []
+    for i in range(10):  # base A: ids 0..9
+        rows.append((i, [0.5 + 0.01 * i, 0.05]))
+    for i in range(10):  # base B: ids 10..19
+        rows.append((10 + i, [10.0 + 0.01 * i, 0.05]))
+    for i in range(10):  # appended cluster: ids 20..29, x in [4.55, 5.45]
+        rows.append((20 + i, [4.55 + 0.1 * i, 5.0]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stale = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [10.0, 0.0])],
+        "pivot_id long, pivot_vec array<double>",
+    )
+    fresh = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [10.0, 0.0]), (102, [5.0, 5.0])],
+        "pivot_id long, pivot_vec array<double>",
+    )
+    queries = corpus.filter("vec_id in (22, 27)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return corpus, stale, fresh, queries
+
+
+def test_drift_report_planted_drift_degrades_and_rebuild_restores(spark):
+    corpus, stale, fresh, queries = _drift_fixture(spark)
+    rep = similarity.ivf_drift_report(
+        corpus, stale, fresh, queries, k=6, nprobe=1
+    )
+    rows = {(r.metric, r.key): r.value for r in rep.collect()}
+    # skew: the appended cluster's mass split onto the stale lists
+    # (5 straddle-points each on top of the 10 base points per list)
+    assert rows[("list_size", 100)] == 15
+    assert rows[("list_size", 101)] == 15
+    # recall: the stale one-list probe sees at most half the cluster, so
+    # it can never reach k hits; retrained pivots give the cluster its
+    # own list and recall@6 is perfect — the rebuild decision signal
+    for q in (22, 27):
+        assert rows[("recall_hits_fresh", q)] == 6
+        assert rows[("recall_hits_stale", q)] <= 4
+        assert rows[("recall_hits_stale", q)] < rows[("recall_hits_fresh", q)]
+
+
+def test_drift_report_no_drift_reports_parity(spark):
+    """Without drift (fresh == stale pivots) the two recall rows are
+    identical for every query — the report's null case."""
+    corpus, stale, _fresh, queries = _drift_fixture(spark)
+    rep = similarity.ivf_drift_report(
+        corpus, stale, stale, queries, k=6, nprobe=1
+    )
+    rows = {(r.metric, r.key): r.value for r in rep.collect()}
+    for q in (22, 27):
+        assert rows[("recall_hits_stale", q)] == rows[("recall_hits_fresh", q)]
