@@ -97,3 +97,130 @@ def salted_join(
     )
     out = salted_big.join(replicated, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def sub_sharded_bounded_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    lookback: int,
+    exprs: dict,
+    shards: int = 8,
+    strict: bool = True,
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """Hot-key sub-sharding for BOUNDED trailing windows (round 12 —
+    VERDICT r11 ask #4): a plain ``Window.partitionBy(key)`` serializes
+    every row of a hot key onto one task, so one whale key pins the
+    stage.  For windows that only look back a bounded number of rows
+    (``rowsBetween(-lookback, -1)``), the key's timeline can split into
+    time-range sub-shards that compute INDEPENDENTLY — each shard just
+    needs the previous shard's last ``lookback`` rows as read-only seam
+    context:
+
+    1. shard boundaries = distributed ``percentile_approx`` of ``ts``
+       per key (a partial-aggregable pass — no single-task sort anywhere,
+       which is the whole point; boundaries broadcast back);
+    2. every shard's tail ``lookback`` rows are COPIED into the next
+       shard flagged as context (rows with equal ``ts`` always land in
+       one shard, so shard order agrees with the (ts, id) window order);
+    3. one window over ``(key, shard)`` — parallelism × ``shards`` per
+       hot key — computes ``exprs`` (``out_col -> fn(window) -> Column``,
+       e.g. running ``count/sum`` over the trailing frame); context rows
+       contribute to frames but emit nothing.
+
+    Results are bit-identical to the plain per-key window PROVIDED every
+    shard that precedes a non-empty shard holds at least ``lookback``
+    rows — guaranteed in the intended regime (sub-sharding a key with
+    millions of rows into single-digit shards) and CHECKED when
+    ``strict`` (one small count aggregate; violations raise with the
+    offending keys instead of under-reading silently — lower ``shards``
+    or skip sharding for those keys).  ``hot_threshold`` makes the
+    operator safe over MIXED key populations — the real shape of skew:
+    only keys with at least that many rows shard; the rest keep a single
+    shard (the plain per-key window) in the same pass.  The
+    oracle-equality pytest pins the identity on a planted hot key.
+    """
+    from pyspark.sql import Window
+
+    if lookback < 1 or shards < 2:
+        raise ValueError("lookback must be >= 1 and shards >= 2")
+    fracs = [i / shards for i in range(1, shards)]
+    scope = df
+    if hot_threshold is not None:
+        hot_keys = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__kc"))
+            .filter(F.col("__kc") >= hot_threshold)
+            .select(key_col)
+        )
+        scope = df.join(F.broadcast(hot_keys), key_col, "left_semi")
+    bounds = scope.groupBy(key_col).agg(
+        F.percentile_approx(ts_col, fracs, 10_000).alias("__bs")
+    )
+    with_shard = (
+        df.join(F.broadcast(bounds), key_col, "left")
+        .withColumn(
+            "__shard",
+            F.when(
+                F.col("__bs").isNotNull(),
+                F.size(F.filter("__bs", lambda b: b < F.col(ts_col))),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__bs")
+    )
+    tail_w = (
+        Window.partitionBy(key_col, "__shard")
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    )
+    data = with_shard.withColumn("__is_data", F.lit(True))
+    context = (
+        with_shard.withColumn("__rn_desc", F.row_number().over(tail_w))
+        .filter(F.col("__rn_desc") <= lookback)
+        .drop("__rn_desc")
+        .withColumn("__shard", F.col("__shard") + 1)
+        .withColumn("__is_data", F.lit(False))
+    )
+    if strict:
+        # every non-first populated shard needs its IMMEDIATE predecessor
+        # to hold >= lookback rows (an empty or thin predecessor means the
+        # seam context cannot cover the frame; both raise rather than
+        # under-read).  One tiny aggregate — keys x shards rows.
+        cnts = (
+            data.groupBy(key_col, "__shard")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        firsts = cnts.groupBy(key_col).agg(F.min("__shard").alias("__first"))
+        prev = cnts.select(
+            F.col(key_col),
+            (F.col("__shard") + 1).alias("__shard"),
+            F.col("__c").alias("__prev_c"),
+        )
+        thin = (
+            cnts.join(firsts, key_col)
+            .filter(F.col("__shard") > F.col("__first"))
+            .join(prev, [key_col, "__shard"], "left")
+            .filter(F.coalesce(F.col("__prev_c"), F.lit(0)) < lookback)
+            .select(key_col)
+            .distinct()
+            .limit(20)
+            .collect()
+        )
+        if thin:
+            raise ValueError(
+                "sub_sharded_bounded_window: a shard thinner than lookback "
+                f"(or empty) precedes a populated shard for keys "
+                f"{[r[0] for r in thin]} — lower `shards` or widen the "
+                "hot-key selection"
+            )
+    unioned = data.unionByName(context)
+    w = (
+        Window.partitionBy(key_col, "__shard")
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    out = unioned
+    for name, fn in exprs.items():
+        out = out.withColumn(name, fn(w))
+    return out.filter(F.col("__is_data")).drop("__is_data", "__shard")

@@ -272,6 +272,7 @@ def rolling_anomaly(
     min_points: int = 8,
     z: int = 3,
     fp_scale: int = 1000,
+    shards: int | None = None,
 ) -> DataFrame:
     """Rolling z-score anomaly detection: flag a row whose value sits more
     than ``z`` sample standard deviations from the mean of its key's
@@ -287,23 +288,38 @@ def rolling_anomaly(
     agreement does not.  ``min_points`` gates the warmup.
 
     Scale shape: one window over ``(key, ts, id)`` — a single shuffle by
-    key, running sums map-side within partitions; at 100 TB bound the
-    per-key partition the usual way (sub-shard wide keys by time range
-    and stitch the seam rows).  Output: flagged rows only, with the
-    window evidence ``(n_window, dev_sq, var_term)`` kept for audit.
+    key, running sums map-side within partitions.  ``shards`` (round 12)
+    engages ``operators/skew.py sub_sharded_bounded_window`` for hot
+    keys: the key's timeline splits into time-range sub-shards that
+    window independently, each seeded with the previous shard's last
+    ``lookback`` rows — per-key parallelism × ``shards``, bit-identical
+    output (pinned by the oracle-equality pytest; requires numeric
+    ``ts``).  Output: flagged rows only, with the window evidence
+    ``(n_window, dev_sq, var_term)`` kept for audit.
     """
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, id_col)
-        .rowsBetween(-lookback, -1)
-    )
     vfp = F.floor(F.col(value_col) * F.lit(float(fp_scale))).cast("long")
-    base = (
-        df.withColumn("__v", vfp)
-        .withColumn("__n", F.count("__v").over(w))
-        .withColumn("__s1", F.sum("__v").over(w))
-        .withColumn("__s2", F.sum(F.col("__v") * F.col("__v")).over(w))
-    )
+    dfv = df.withColumn("__v", vfp)
+    exprs = {
+        "__n": lambda w: F.count("__v").over(w),
+        "__s1": lambda w: F.sum("__v").over(w),
+        "__s2": lambda w: F.sum(F.col("__v") * F.col("__v")).over(w),
+    }
+    if shards:
+        from .skew import sub_sharded_bounded_window
+
+        base = sub_sharded_bounded_window(
+            dfv, key_col, ts_col, id_col, lookback, exprs, shards=shards,
+            hot_threshold=2 * shards * lookback,
+        )
+    else:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(-lookback, -1)
+        )
+        base = dfv
+        for name, fn in exprs.items():
+            base = base.withColumn(name, fn(w))
     dev = F.col("__n") * F.col("__v") - F.col("__s1")
     dev_sq = dev * dev
     var_term = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")

@@ -130,3 +130,110 @@ def test_scd2_merge_hot_key_bounded_by_latest_pick(spark):
     # 3..51 are brand-new inserts; only the hot key expired a row
     assert state.filter(~F.col("is_current")).count() == 1
     assert state.filter(F.col("is_current")).count() == 51
+
+
+# ---------------------------------------------------------------------------
+# Hot-key sub-sharding for bounded trailing windows (round 12)
+# ---------------------------------------------------------------------------
+
+def _hotkey_df(spark):
+    """One whale key (2000 rows) + two normal keys (40 rows each), values
+    with a few planted spikes so the anomaly flag set is non-trivial."""
+    rows = []
+    for i in range(2000):
+        v = 10.0 + (i % 7) * 0.25 + (200.0 if i % 403 == 0 and i else 0.0)
+        rows.append(("whale", i, i, v))
+    for k in ("a", "b"):
+        for i in range(40):
+            v = 5.0 + (i % 5) * 0.5 + (100.0 if i == 33 else 0.0)
+            rows.append((k, 10_000 + i, 10_000 + i, v))
+    return spark.createDataFrame(
+        rows, "event_type string, ts long, event_id long, value double"
+    )
+
+
+def test_sub_sharded_window_equals_plain_window(spark):
+    from pyspark.sql import Window
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.skew import (
+        sub_sharded_bounded_window,
+    )
+
+    df = _hotkey_df(spark).withColumn(
+        "__v", F.floor(F.col("value") * 1000).cast("long")
+    )
+    exprs = {
+        "n": lambda w: F.count("__v").over(w),
+        "s1": lambda w: F.sum("__v").over(w),
+        "s2": lambda w: F.sum(F.col("__v") * F.col("__v")).over(w),
+    }
+    lookback = 20
+    plain_w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    plain = df
+    for name, fn in exprs.items():
+        plain = plain.withColumn(name, fn(plain_w))
+    # mixed population: only the whale crosses hot_threshold and shards;
+    # the 40-row keys keep their single-shard plain window in-pass
+    sharded = sub_sharded_bounded_window(
+        df, "event_type", "ts", "event_id", lookback, exprs, shards=8,
+        hot_threshold=2 * 8 * lookback,
+    )
+    cols = ["event_type", "event_id", "n", "s1", "s2"]
+    want = sorted(map(tuple, plain.select(*cols).collect()))
+    got = sorted(map(tuple, sharded.select(*cols).collect()))
+    assert got == want  # bit-identical, every row, seams included
+
+
+def test_sub_sharded_window_plan_partitions_by_shard(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.skew import (
+        sub_sharded_bounded_window,
+    )
+
+    df = _hotkey_df(spark).filter("event_type = 'whale'")
+    out = sub_sharded_bounded_window(
+        df, "event_type", "ts", "event_id", 20,
+        {"n": lambda w: F.count("value").over(w)}, shards=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window's partition spec carries (key, __shard): the hot key's
+    # rows spread across `shards` tasks instead of serializing on one
+    win_lines = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert win_lines and all("__shard" in line for line in win_lines)
+
+
+def test_sub_sharded_window_strict_rejects_thin_shards(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.skew import (
+        sub_sharded_bounded_window,
+    )
+
+    import pytest
+
+    # 40 rows / 8 shards = 5 rows per shard << lookback 20: must refuse
+    df = _hotkey_df(spark).filter("event_type = 'a'")
+    with pytest.raises(ValueError, match="thinner than lookback"):
+        sub_sharded_bounded_window(
+            df, "event_type", "ts", "event_id", 20,
+            {"n": lambda w: F.count("value").over(w)}, shards=8,
+        )
+
+
+def test_rolling_anomaly_sharded_equals_plain(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        temporal,
+    )
+
+    df = _hotkey_df(spark).filter("event_type = 'whale'")
+    plain = temporal.rolling_anomaly(df)
+    sharded = temporal.rolling_anomaly(df, shards=8)
+    cols = plain.columns
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, sharded.select(*cols).collect())
+    )
+    assert plain.count() > 0  # the planted spikes actually flag
