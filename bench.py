@@ -110,12 +110,10 @@ HEADLINE = [
     "emb_lsh_multitable_topk",
     "doc_duplicated_spans",
     "doc_boilerplate_removal",
-    "emb_sq8_topk",
     "orders_shipping_priority",
     "regional_nation_revenue",
     "orders_bucketed_colocated_join",
     "part_merge_dv_scan",
-    "emb_sq8_indexed_topk",
     "emb_matryoshka_topk",
     "emb_ivfsq8_topk",
     "emb_ivfsq8_indexed_topk",
@@ -155,7 +153,6 @@ HEADLINE = [
     "doc_leakage_safe_splits",
     "emb_pq_adc_topk",
     "emb_ivfpq_topk",
-    "emb_pq_indexed_topk",
     # r8 lakehouse-maintenance lanes: each is a compact write->maintain->
     # scan cycle; the maintained artifact IS the work being measured
     "part_stats_skipping_scan",
@@ -289,6 +286,15 @@ COMMON_SET_PREV = frozenset({
 #: the reason.  tests/test_bench_registry.py pins HEADLINE ∪ EXCLUDED ==
 #: workload.QUERIES so new queries can't silently miss the driver gates.
 EXCLUDED = {
+    # flat-scan compression rungs (VERDICT r11 "what's wrong" #1): correct
+    # and oracle-gated, but their probe touches EVERY stored code — the
+    # IVF-composed artifacts (emb_ivfsq8_*, emb_ivfpq_*) are the
+    # partition-pruned production paths and carry the headline timing;
+    # these stay registered as exactness gates (full-probe == flat is
+    # pinned by tests/test_index_lifecycle.py)
+    "emb_sq8_topk": "flat SQ8 scan; pruned path timed via emb_ivfsq8_topk",
+    "emb_sq8_indexed_topk": "flat SQ8 code artifact; pruned artifact timed via emb_ivfsq8_indexed_topk",
+    "emb_pq_indexed_topk": "flat PQ code artifact; pruned artifact timed via emb_ivfpq_indexed_topk",
     # duplicates of timed queries through a different entry point — timing
     # both would double-count the same plan
     "scd1_customer_dim_sql": "same merge plan as scd1_customer_dim via SQL parser",

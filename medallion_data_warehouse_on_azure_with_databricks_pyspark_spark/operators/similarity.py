@@ -1933,8 +1933,16 @@ def build_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    """Materialize the PQ artifact — fourth member of the index family
-    (MinHash bands, IVF lists, LSH buckets, PQ codes).
+    """Materialize the FLAT PQ artifact — fourth member of the index
+    family (MinHash bands, IVF lists, LSH buckets, PQ codes).
+
+    **Default recommendation: build the IVF-composed artifact instead**
+    (:func:`build_ivfpq_index`) — its probe reads ~nprobe/P of the code
+    bytes via static partition pruning, where this flat artifact's probe
+    ADC-scans EVERY stored code.  The flat artifact remains the
+    exactness baseline (full-probe == flat is pinned by
+    ``tests/test_index_lifecycle.py``) and the right choice only when
+    the corpus is small enough that list pruning cannot pay.
 
     Writes ``{path}/codes`` — ``(id, pq_code)``, the ~32×-compressed
     representation every future query batch ADC-scans —
@@ -2219,9 +2227,19 @@ def build_sq8_index(
     vec_col: str = "embedding",
     stats: tuple[list[float], list[float]] | None = None,
 ) -> str:
-    """Materialize the SQ8 artifact — sixth member of the index family
-    (MinHash bands, IVF lists, LSH buckets, PQ codes, IVFADC residual
-    codes).  ``{path}/codes`` holds the 4×-compressed per-dimension
+    """Materialize the FLAT SQ8 artifact — sixth member of the index
+    family (MinHash bands, IVF lists, LSH buckets, PQ codes, IVFADC
+    residual codes).
+
+    **Default recommendation: build the IVF-composed artifact instead**
+    (:func:`build_ivfsq8_index`) — its probe reads ~nprobe/P of the
+    4×-compressed bytes via static partition pruning, where this flat
+    artifact's probe scans EVERY stored code.  The flat artifact remains
+    the exactness baseline (full-probe == flat pinned by
+    ``tests/test_index_lifecycle.py``) and the right choice only when
+    the corpus is small enough that list pruning cannot pay.
+
+    ``{path}/codes`` holds the 4×-compressed per-dimension
     uint8 codes every future query batch scans; ``{path}/vectors`` the
     raw vectors read only for the shortlist re-rank; ``meta.json`` pins
     the per-dimension mins/steps — codes are only meaningful under the
