@@ -123,7 +123,7 @@ def create(
     base_v = versioned.current_version(base_path)
     if base_v is None:
         raise ValueError(f"{base_path}: not a versioned table")
-    mv = _aggregate(spark.read.parquet(base_path), group_cols, agg_specs)
+    mv = _aggregate(versioned.read_current(spark, base_path), group_cols, agg_specs)
     # the reflected base version rides IN the view's commit entry
     # (Delta operationParameters), so view data and the version it
     # reflects are one atomic commit — the meta sidecar carries only
@@ -175,7 +175,7 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
     agg_specs = {k: tuple(v) for k, v in meta["agg_specs"].items()}
     if meta.get("refresh_mode", "incremental") == "full":
         # non-maintainable specs: the refresh IS a recompute, by contract
-        mv = _aggregate(spark.read.parquet(base_path), group_cols, agg_specs)
+        mv = _aggregate(versioned.read_current(spark, base_path), group_cols, agg_specs)
         versioned.overwrite_versioned(
             mv, view_path, now=now, operation="MV_REFRESH_FULL",
             metadata={"base_version": cur_v},
@@ -205,7 +205,7 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
     # NULL group key against its own delta, leaving the standing NULL
     # group stale AND emitting a spurious second NULL row.  eqNullSafe on
     # every key, keys coalesced across sides in the output.
-    old = spark.read.parquet(view_path).alias("o")
+    old = versioned.read_current(spark, view_path).alias("o")
     d = deltas.alias("d")
     on = reduce(
         lambda a, b: a & b,
@@ -216,7 +216,7 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
         F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
         for c in group_cols
     ]
-    old_schema = spark.read.parquet(view_path).schema
+    old_schema = versioned.read_current(spark, view_path).schema
     for out, (kind, _col) in agg_specs.items():
         folded = F.coalesce(F.col(f"o.{out}"), F.lit(0)) + F.coalesce(
             F.col(f"d.__d_{out}"), F.lit(0)

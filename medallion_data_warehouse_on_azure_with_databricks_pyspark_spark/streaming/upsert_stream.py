@@ -71,7 +71,7 @@ def apply_counter_batch(
     if base_v is None:
         state = delta
     else:
-        old = spark.read.parquet(table_path)
+        old = versioned.read_current(spark, table_path)
         d = delta.select(
             F.col(group_col).alias("__g"),
             F.col("n_events").alias("__n"),
