@@ -549,7 +549,10 @@ def overwrite_versioned(
                 "re-read and retry the transaction"
             )
         version = (cur + 1) if log else 0
-        mode = _mode_of(path) if log else (snapshot_mode or "physical")
+        # v0 with no explicit mode INHERITS any existing marker (a crashed
+        # first commit may have pinned one before its intent) — otherwise
+        # the retry would silently flip the layout under the marker
+        mode = _mode_of(path) if log else (snapshot_mode or _mode_of(path))
         if not log:
             # pin the mode before the intent exists so recover() and the
             # log appender agree on the table's layout from commit zero

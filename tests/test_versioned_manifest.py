@@ -456,3 +456,16 @@ def test_table_detail_manifest_lifecycle(spark, tmp_path):
     assert d["vacuumed_versions"] == [0]
     assert d["num_files"] == len(V._live_data_files(path))
     assert d["size_bytes"] > 0
+
+
+def test_crashed_first_commit_retry_inherits_pinned_mode(spark, tmp_path):
+    """A v0 writer that pinned the manifest marker and died before its
+    intent leaves marker-without-log; a retry that omits snapshot_mode
+    must INHERIT the pinned mode, not flip the layout under it."""
+    path = str(tmp_path / "v0crash")
+    V._set_snapshot_mode(path, "manifest")  # as the crashed v0 left it
+    V.overwrite_versioned(spark.range(3), path, now=1.0)  # mode omitted
+    assert V.snapshot_mode(path) == "manifest"
+    assert V.read_current(spark, path).count() == 3
+    log = V._read_log(path)
+    assert "add" in log[0]  # committed as a manifest action entry
