@@ -186,17 +186,26 @@ def delete_where_dv(spark: SparkSession, path: str, condition) -> int:
     try:
         marks.write.parquet(os.path.join(stage, "marks"))
         staged = spark.read.parquet(os.path.join(stage, "marks"))
-        n = staged.count()
-        if n == 0:
+        # one bounded job serves both the commute file-set and the exact
+        # mark count: per-file counts, capped at MAX_COMMUTE_FILES+1
+        # groups (collect payload <= cap+1 tiny rows).  Only a mass
+        # delete past the cap pays a second count job — it records
+        # "all" and conflicts with everything anyway.
+        per_file = (
+            staged.groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .limit(MAX_COMMUTE_FILES + 1)
+            .collect()
+        )
+        if not per_file:
             shutil.rmtree(stage, ignore_errors=True)
             return 0
-        touched = sorted(
-            r.file_path
-            for r in staged.select("file_path").distinct().limit(
-                MAX_COMMUTE_FILES + 1
-            ).collect()
-        )
-        files = "all" if len(touched) > MAX_COMMUTE_FILES else touched
+        if len(per_file) > MAX_COMMUTE_FILES:
+            files = "all"
+            n = staged.count()
+        else:
+            files = sorted(r.file_path for r in per_file)
+            n = sum(r.c for r in per_file)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
