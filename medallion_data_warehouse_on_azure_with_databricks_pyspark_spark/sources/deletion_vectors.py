@@ -613,3 +613,35 @@ def recover_dv_merge(spark: SparkSession, path: str) -> bool:
     _sweep_orphan_stages(path)
     _release_dv_writer(path)
     return True
+
+
+def transact_dv_delete(
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+) -> int:
+    """Optimistic retry loop for :func:`delete_where_dv` — the sidecar
+    counterpart of ``versioned.transact_partitions``: a retry happens
+    only on a GENUINE conflict (overlapping delete, merge, purge, or a
+    lost claim race); commuting disjoint-file rivals never cost one,
+    which is the commute rule's whole point.  Each attempt re-scans the
+    LOGICAL table, so the predicate composes correctly with whatever
+    mutation beat it.  Returns the winning attempt's newly-marked count.
+    """
+    import time as _time
+
+    from .versioned import ConcurrentWriteError
+
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt and backoff_s:
+            _time.sleep(backoff_s * attempt)
+        try:
+            return delete_where_dv(spark, path, condition)
+        except ConcurrentWriteError as e:
+            last = e
+    raise ConcurrentWriteError(
+        f"{path}: DV delete lost {max_retries + 1} rounds; last: {last}"
+    ) from last

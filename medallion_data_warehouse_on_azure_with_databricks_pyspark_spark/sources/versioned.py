@@ -1076,24 +1076,39 @@ def _manifest_version_present(path: str, version: int) -> bool:
     return all(os.path.exists(os.path.join(path, f)) for f in files)
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    path: str,
+    keep_last: int = 2,
+    retain_seconds: float | None = None,
+) -> list[int]:
     """Drop retained version data beyond the newest ``keep_last``
     non-current ones; log entries survive (Delta: history outlives data).
     Returns the vacuumed version numbers.
 
+    ``retain_seconds`` adds Delta's time-based retention (``VACUUM ...
+    RETAIN n HOURS``): any version committed within that window of the
+    NEWEST commit's timestamp is kept regardless of count.  Versions
+    named by a live :func:`tag` are always kept — a tag is a promise the
+    data stays readable.
+
     Physical mode removes whole retention DIRECTORIES.  Manifest mode
     computes the protected file set — the union of the current version's
-    files and the newest ``keep_last`` still-present non-current
-    versions' — and deletes every data file outside it (files are shared
-    across versions by reference, so a file dies only when its last
-    protected referencer ages out; same inode economics as the hardlink
-    lane, without the links)."""
+    files and every kept version's — and deletes every data file outside
+    it (files are shared across versions by reference, so a file dies
+    only when its last protected referencer ages out; same inode
+    economics as the hardlink lane, without the links)."""
     if keep_last < 0:
         raise ValueError("keep_last must be >= 0")
     log = _read_log(path)
     if not log:
         return []
     current = log[-1]["version"]
+    pinned: set = set(tags(path).values())
+    if retain_seconds is not None:
+        cutoff = log[-1]["committed_at"] - retain_seconds
+        pinned |= {
+            e["version"] for e in log if e["committed_at"] >= cutoff
+        }
     if _mode_of(path) == "manifest":
         non_current = [
             e["version"] for e in log if e["version"] != current
@@ -1101,11 +1116,12 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         present = [
             v for v in non_current if _manifest_version_present(path, v)
         ]
-        keep = present[max(0, len(present) - keep_last):]
-        to_drop = present[: max(0, len(present) - keep_last)]
+        unpinned = [v for v in present if v not in pinned]
+        to_drop = unpinned[: max(0, len(unpinned) - keep_last)]
         protected: set = set(_snapshot_files(path, current))
-        for v in keep:
-            protected |= set(_snapshot_files(path, v))
+        for v in present:
+            if v not in to_drop:
+                protected |= set(_snapshot_files(path, v))
         for root, dirs, files in os.walk(path):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             for f in files:
@@ -1120,7 +1136,8 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         int(d[1:]) for d in os.listdir(vroot)
         if d.startswith("v") and d[1:].isdigit() and int(d[1:]) != current
     )
-    to_drop = retained[: max(0, len(retained) - keep_last)]
+    unpinned = [v for v in retained if v not in pinned]
+    to_drop = unpinned[: max(0, len(unpinned) - keep_last)]
     for v in to_drop:
         shutil.rmtree(os.path.join(vroot, f"v{v}"))
     return to_drop
@@ -1680,3 +1697,54 @@ def transact_partitions(
         f"{path}: partition transaction lost {max_retries + 1} rounds; "
         f"last conflict: {last}"
     ) from last
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tags (Iceberg's named-ref concept on this lane's commit log)
+# ---------------------------------------------------------------------------
+
+TAGS_FILE = "_tags.json"
+
+
+def tags(path: str) -> dict:
+    """name -> pinned version, for every live tag."""
+    p = os.path.join(_vroot(path), TAGS_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin a named tag to ``version`` (default: the current version) —
+    Iceberg's tag ref: a durable, human-named pointer into history that
+    :func:`vacuum` RETAINS (the data a tag names never ages out while
+    the tag lives).  Re-tagging a name moves it.  Returns the pinned
+    version."""
+    log = _read_log(path)
+    if not log:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    v = log[-1]["version"] if version is None else version
+    if v not in {e["version"] for e in log}:
+        raise ValueError(f"{path}: unknown version {v}")
+    t = tags(path)
+    t[name] = v
+    _fsync_json(os.path.join(_vroot(path), TAGS_FILE), t)
+    return v
+
+
+def delete_tag(path: str, name: str) -> None:
+    """Drop a tag; the version it named becomes vacuum-eligible again."""
+    t = tags(path)
+    if name not in t:
+        raise ValueError(f"{path}: no tag {name!r}")
+    del t[name]
+    _fsync_json(os.path.join(_vroot(path), TAGS_FILE), t)
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """The table exactly as the tagged version committed it."""
+    t = tags(path)
+    if name not in t:
+        raise ValueError(f"{path}: no tag {name!r} (have {sorted(t)})")
+    return read_version(spark, path, t[name])

@@ -1141,3 +1141,60 @@ def test_transact_partitions_retries_only_on_real_conflict(spark, tmp_path):
     v2 = V.transact_partitions(spark, path, "g", racy, now=4.0)
     assert v2 == 4  # inner commit v3, retry commits v4
     assert spark.read.parquet(path).filter("g = 1").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tags + time-based retention (round 12, late additions)
+# ---------------------------------------------------------------------------
+
+def test_tags_pin_versions_and_survive_vacuum(spark, table):
+    # table fixture: v0/v1/v2 at ts 100/200/300
+    assert V.tag(table, "baseline", 0) == 0
+    assert V.tag(table, "latest") == 2  # default: current
+    assert V.tags(table) == {"baseline": 0, "latest": 2}
+    # vacuum keep_last=0 would normally drop v0 and v1; the tag saves v0
+    dropped = V.vacuum(table, keep_last=0)
+    assert dropped == [1]
+    assert _ids(V.read_tag(spark, table, "baseline")) == [0, 1]
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.read_version(spark, table, 1)
+    # dropping the tag makes v0 vacuum-eligible again
+    V.delete_tag(table, "baseline")
+    assert V.vacuum(table, keep_last=0) == [0]
+    with pytest.raises(ValueError, match="no tag"):
+        V.read_tag(spark, table, "baseline")
+    with pytest.raises(ValueError, match="unknown version"):
+        V.tag(table, "bad", 99)
+
+
+def test_vacuum_time_retention_keeps_recent_versions(spark, table):
+    # commits at ts 100/200/300; retain 150s from the newest (300) keeps
+    # everything committed at ts >= 150 — v1 and v2 — despite keep_last=0
+    dropped = V.vacuum(table, keep_last=0, retain_seconds=150.0)
+    assert dropped == [0]
+    assert _ids(V.read_version(spark, table, 1)) == [0, 1, 2, 3]
+    # shrinking the window lets v1 age out
+    assert V.vacuum(table, keep_last=0, retain_seconds=50.0) == [1]
+
+
+def test_transact_dv_delete_retries_past_claim_contention(spark, tmp_path):
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        deletion_vectors as DV,
+    )
+
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(g, i) for g in range(2) for i in range(5)], "g int, i int"
+    ).repartition(2, "g").write.parquet(t)
+    # a rival writer holds the claim; it releases shortly after
+    DV._claim_dv_writer(t, {"op": "delete", "phase": "staging"})
+    threading.Timer(0.4, DV._release_dv_writer, args=(t,)).start()
+    n = DV.transact_dv_delete(
+        spark, t, F.col("g") == 1, max_retries=20, backoff_s=0.2
+    )
+    assert n == 5
+    assert DV.read_dv(spark, t).count() == 5

@@ -469,3 +469,17 @@ def test_crashed_first_commit_retry_inherits_pinned_mode(spark, tmp_path):
     assert V.read_current(spark, path).count() == 3
     log = V._read_log(path)
     assert "add" in log[0]  # committed as a manifest action entry
+
+
+def test_tags_protect_manifest_versions_from_vacuum(spark, table):
+    V.tag(table, "baseline", 0)
+    dropped = V.vacuum(table, keep_last=0)
+    assert dropped == [1]
+    assert _ids(V.read_tag(spark, table, "baseline")) == [0, 1]
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.read_version(spark, table, 1)
+    V.delete_tag(table, "baseline")
+    assert V.vacuum(table, keep_last=0) == [0]
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.read_version(spark, table, 0)
+    assert _ids(V.read_current(spark, table)) == list(range(6))
