@@ -224,3 +224,109 @@ def sub_sharded_bounded_window(
     for name, fn in exprs.items():
         out = out.withColumn(name, fn(w))
     return out.filter(F.col("__is_data")).drop("__is_data", "__shard")
+
+
+def sub_sharded_range_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lookback_range,
+    exprs: dict,
+    shards: int = 8,
+    strict: bool = True,
+    hot_threshold: int | None = None,
+) -> DataFrame:
+    """:func:`sub_sharded_bounded_window` for RANGE frames
+    (``rangeBetween(-lookback_range, -1)`` over a numeric ``ts`` — the
+    trailing-time-window shape, e.g. "previous 24h of this key").  The
+    seam is simpler than the rows-frame case: shard ``s+1``'s frames can
+    only reach back to ``boundary(s) - lookback_range``, so the context
+    copied forward is exactly the previous shard's rows inside that time
+    band — a bound determined by VALUE, not position.
+
+    Exactness precondition (checked when ``strict``, driver-side on the
+    tiny bounds array — no data pass): every inter-boundary span must be
+    at least ``lookback_range``, else a frame could reach across TWO
+    shards and the single-predecessor seam under-reads.  Violations
+    raise with the offending keys; lower ``shards`` for them.
+    """
+    from pyspark.sql import Window
+
+    if shards < 2:
+        raise ValueError("shards must be >= 2")
+    fracs = [i / shards for i in range(1, shards)]
+    scope = df
+    if hot_threshold is not None:
+        hot_keys = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__kc"))
+            .filter(F.col("__kc") >= hot_threshold)
+            .select(key_col)
+        )
+        scope = df.join(F.broadcast(hot_keys), key_col, "left_semi")
+    bounds = scope.groupBy(key_col).agg(
+        F.percentile_approx(ts_col, fracs, 10_000).alias("__bs")
+    )
+    if strict:
+        bad = (
+            bounds.select(
+                key_col,
+                F.exists(
+                    F.zip_with(
+                        F.slice("__bs", 2, shards),
+                        F.slice("__bs", 1, shards - 1),
+                        lambda hi, lo: (hi - lo) < F.lit(lookback_range),
+                    ),
+                    lambda x: x,
+                ).alias("__thin"),
+            )
+            .filter(F.col("__thin"))
+            .select(key_col)
+            .limit(20)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "sub_sharded_range_window: an inter-boundary span is "
+                f"narrower than lookback_range for keys "
+                f"{[r[0] for r in bad]} — lower `shards` or widen the "
+                "hot-key selection"
+            )
+    with_shard = (
+        df.join(F.broadcast(bounds), key_col, "left")
+        .withColumn(
+            "__shard",
+            F.when(
+                F.col("__bs").isNotNull(),
+                F.size(F.filter("__bs", lambda b: b < F.col(ts_col))),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    data = with_shard.drop("__bs").withColumn("__is_data", F.lit(True))
+    # context for shard s+1: shard s rows inside the reachable time band
+    # behind its upper boundary bs[s] (sharded keys only; the last shard
+    # has no boundary and feeds nothing forward)
+    context = (
+        with_shard.filter(
+            F.col("__bs").isNotNull()
+            & (F.col("__shard") < F.size("__bs"))
+            & (
+                F.col(ts_col)
+                > F.element_at("__bs", F.col("__shard") + 1)
+                - F.lit(lookback_range)
+            )
+        )
+        .drop("__bs")
+        .withColumn("__shard", F.col("__shard") + 1)
+        .withColumn("__is_data", F.lit(False))
+    )
+    unioned = data.unionByName(context)
+    w = (
+        Window.partitionBy(key_col, "__shard")
+        .orderBy(F.col(ts_col).asc())
+        .rangeBetween(-lookback_range, -1)
+    )
+    out = unioned
+    for name, fn in exprs.items():
+        out = out.withColumn(name, fn(w))
+    return out.filter(F.col("__is_data")).drop("__is_data", "__shard")

@@ -237,3 +237,52 @@ def test_rolling_anomaly_sharded_equals_plain(spark):
         map(tuple, sharded.select(*cols).collect())
     )
     assert plain.count() > 0  # the planted spikes actually flag
+
+
+def test_sub_sharded_range_window_equals_plain_window(spark):
+    from pyspark.sql import Window
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.skew import (
+        sub_sharded_range_window,
+    )
+
+    df = _hotkey_df(spark).withColumn(
+        "__v", F.floor(F.col("value") * 1000).cast("long")
+    )
+    exprs = {
+        "n": lambda w: F.count("__v").over(w),
+        "s1": lambda w: F.sum("__v").over(w),
+    }
+    rng = 15
+    plain_w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc())
+        .rangeBetween(-rng, -1)
+    )
+    plain = df
+    for name, fn in exprs.items():
+        plain = plain.withColumn(name, fn(plain_w))
+    sharded = sub_sharded_range_window(
+        df, "event_type", "ts", rng, exprs, shards=8,
+        hot_threshold=500,  # only the whale shards; 40-row keys stay plain
+    )
+    cols = ["event_type", "event_id", "n", "s1"]
+    assert sorted(map(tuple, sharded.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+def test_sub_sharded_range_window_strict_rejects_narrow_spans(spark):
+    import pytest
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.skew import (
+        sub_sharded_range_window,
+    )
+
+    # whale spans ts 0..1999; 8 shards ≈ 250 per span << lookback 400
+    df = _hotkey_df(spark).filter("event_type = 'whale'")
+    with pytest.raises(ValueError, match="narrower than lookback_range"):
+        sub_sharded_range_window(
+            df, "event_type", "ts", 400,
+            {"n": lambda w: F.count("value").over(w)}, shards=8,
+        )
