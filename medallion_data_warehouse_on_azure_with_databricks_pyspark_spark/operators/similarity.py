@@ -3664,3 +3664,53 @@ def ivf_drift_report(
     return sizes.unionByName(_hits("recall_hits_stale", stale_pivots)).unionByName(
         _hits("recall_hits_fresh", fresh_pivots)
     )
+
+
+def index_drift_report(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`ivf_drift_report` against a MATERIALIZED
+    :func:`build_ivf_index` artifact — the form a deployment actually
+    schedules: the standing index's stored pivots are the "stale"
+    quantizer, its CURRENT list contents (including everything
+    :func:`append_to_ivf_index` added under the frozen pivots) are the
+    corpus, and the "fresh" side retrains pivots on that corpus with the
+    same recipe the manifest records (fixed-stride or k-means).  The
+    report's ``recall_hits_fresh − recall_hits_stale`` gap is the
+    rebuild decision; ``list_size`` rows expose the append pile-up that
+    inflates probe cost even where recall holds.
+
+    Cost: one read of the index's list rows (deduped per id — appends
+    are at-least-once) plus the :func:`ivf_drift_report` passes; nothing
+    touches the artifact's layout."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("version") != _IVF_INDEX_VERSION:
+        raise ValueError(f"unsupported ivf index version: {meta.get('version')}")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    stored_pivots = spark.read.parquet(_os.path.join(index_path, "pivots"))
+    corpus = (
+        spark.read.parquet(_os.path.join(index_path, "lists"))
+        .select(F.col(id_col), F.col(vec_col))
+        .dropDuplicates([id_col])
+    )
+    if meta.get("kmeans_iters", 0) > 0:
+        fresh_pivots = kmeans_pivots(
+            corpus, iters=meta["kmeans_iters"], modulus=meta["modulus"],
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        fresh_pivots = ivf_pivots(corpus, id_col, vec_col, meta["modulus"])
+    return ivf_drift_report(
+        corpus, stored_pivots, fresh_pivots, queries,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

@@ -1940,3 +1940,50 @@ def test_drift_report_no_drift_reports_parity(spark):
     rows = {(r.metric, r.key): r.value for r in rep.collect()}
     for q in (22, 27):
         assert rows[("recall_hits_stale", q)] == rows[("recall_hits_fresh", q)]
+
+
+def test_index_drift_report_detects_append_drift_and_rebuild_heals(spark, tmp_path):
+    """The artifact-level wrapper: append a shifted cluster under frozen
+    pivots -> the report shows the recall gap; rebuild -> parity."""
+    rows = []
+    for i in range(10):  # cluster A: ids 0..9 (pivot id 0 under modulus 10)
+        rows.append((i, [0.5 + 0.01 * i, 0.05]))
+    for i in range(10):  # cluster B: ids 10..19 (pivot id 10)
+        rows.append((10 + i, [10.0 + 0.01 * i, 0.05]))
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, modulus=10)
+    # cluster centered on the PIVOT VECTORS' midpoint (x = 5.25, between
+    # vec 0 at x=0.5 and vec 10 at x=10.0) so it splits 5/5 across the
+    # frozen lists
+    appended = spark.createDataFrame(
+        [(20 + i, [4.8 + 0.1 * i, 5.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.append_to_ivf_index(appended, idx)
+    queries = appended.filter("vec_id in (22, 27)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rep = {
+        (r.metric, r.key): r.value
+        for r in similarity.index_drift_report(
+            spark, idx, queries, k=6, nprobe=1
+        ).collect()
+    }
+    # skew: the appended cluster split across the two frozen lists
+    assert rep[("list_size", 0)] == 15 and rep[("list_size", 10)] == 15
+    for q in (22, 27):
+        assert rep[("recall_hits_stale", q)] <= 4
+        assert rep[("recall_hits_fresh", q)] == 6  # what a rebuild buys
+    # rebuild on the full corpus (retrained pivots now include id 20)
+    full = base.unionByName(appended)
+    similarity.build_ivf_index(full, idx, modulus=10)
+    rep2 = {
+        (r.metric, r.key): r.value
+        for r in similarity.index_drift_report(
+            spark, idx, queries, k=6, nprobe=1
+        ).collect()
+    }
+    for q in (22, 27):
+        assert rep2[("recall_hits_stale", q)] == rep2[("recall_hits_fresh", q)]
+        assert rep2[("recall_hits_stale", q)] == 6  # healed
