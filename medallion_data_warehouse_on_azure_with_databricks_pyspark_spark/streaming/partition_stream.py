@@ -34,9 +34,12 @@ def apply_partition_batch(
     batch: DataFrame,
     partition_col: str,
     now: float | None = None,
+    snapshot_mode: str | None = None,
 ) -> bool:
     """Land one partition-complete micro-batch: first batch creates the
-    partitioned table, later batches replace exactly the partitions the
+    partitioned table (``snapshot_mode`` fixes its layout — pass
+    ``"manifest"`` for O(changed files) per-batch commits at high
+    partition counts), later batches replace exactly the partitions the
     batch carries.  Empty batches are no-ops (False).  Idempotent by
     construction — replay re-replaces identical content."""
     if batch.isEmpty():
@@ -44,7 +47,7 @@ def apply_partition_batch(
     if versioned.current_version(table_path) is None:
         versioned.overwrite_versioned(
             batch, table_path, partition_by=[partition_col], now=now,
-            operation="STREAM_PARTITION_INIT",
+            operation="STREAM_PARTITION_INIT", snapshot_mode=snapshot_mode,
         )
         return True
     versioned.replace_partitions(
@@ -63,17 +66,19 @@ def partition_overwrite_ingest(
     partition_col: str,
     schema,
     now: float | None = None,
+    snapshot_mode: str | None = None,
 ) -> None:
     """Checkpointed availableNow run: one landing file per micro-batch
     (``maxFilesPerTrigger=1`` — the file IS the partition-complete
     delivery unit), each batch partition-overwritten into the versioned
     table.  Restarts resume from the checkpoint; replays are value
-    no-ops."""
+    no-ops.  ``snapshot_mode`` fixes the table layout on first batch."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_partition_batch(
             table_path, batch_df, partition_col,
             now=(now + batch_id) if now is not None else None,
+            snapshot_mode=snapshot_mode,
         )
 
     q = (

@@ -73,3 +73,38 @@ def test_partition_batch_replay_is_value_noop_and_empty_batch_skipped(
     empty = df.filter("g = 99")
     assert ps.apply_partition_batch(table, empty, "g", now=4.0) is False
     assert V.current_version(table) == v
+
+
+def test_partition_stream_manifest_mode_end_to_end(spark, tmp_path):
+    """The streaming sink composes with manifest snapshots: first batch
+    pins the mode, later batches commit O(changed files) action entries;
+    reads resolve through the log."""
+    df, landing = _mk(spark, tmp_path)
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    ps.partition_overwrite_ingest(
+        spark, landing, table, ckpt, "g", df.schema, now=1.0,
+        snapshot_mode="manifest",
+    )
+    assert V.snapshot_mode(table) == "manifest"
+    got = V.read_current(spark, table)
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == sorted(
+        (r["id"], r["v"]) for r in df.collect()
+    )
+    # every post-init commit is an add/remove action entry
+    log = V._read_log(table)
+    assert all("add" in e for e in log)
+    # revised re-delivery replaces exactly its partition
+    revised = spark.createDataFrame([(100, 1, -1)], "id long, g int, v long")
+    revised.coalesce(1).write.mode("append").parquet(landing)
+    ps.partition_overwrite_ingest(
+        spark, landing, table, ckpt, "g", df.schema, now=2.0,
+        snapshot_mode="manifest",
+    )
+    got = V.read_current(spark, table)
+    assert got.filter("g = 1").count() == 1
+    assert got.filter("g = 0").count() == 10
+    # time travel back to the pre-revision snapshot still serves 10 rows
+    assert V.read_version(spark, table, V.current_version(table) - 1).filter(
+        "g = 1"
+    ).count() == 10

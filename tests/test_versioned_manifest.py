@@ -483,3 +483,41 @@ def test_tags_protect_manifest_versions_from_vacuum(spark, table):
     with pytest.raises(ValueError, match="vacuumed"):
         V.read_version(spark, table, 0)
     assert _ids(V.read_current(spark, table)) == list(range(6))
+
+
+def test_merge_versioned_on_manifest_table(spark, tmp_path):
+    """MERGE routes through transact -> read_current, so the transactional
+    upsert/delete works unchanged on a manifest table, CDF included."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+        merge as M,
+    )
+
+    path = str(tmp_path / "mrg")
+    V.overwrite_versioned(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k int, name string, val double",
+        ),
+        path, now=1.0, snapshot_mode="manifest",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0, False), (3, "c", 0.0, True), (4, "d", 40.0, False)],
+        "k int, name string, val double, is_delete boolean",
+    )
+    v = M.merge_versioned(
+        spark, path, source, keys=["k"], now=2.0,
+        update_set={"name": M.s("name"), "val": M.s("val")},
+        insert_values={"k": M.s("k"), "name": M.s("name"), "val": M.s("val")},
+        delete_condition=M.s("is_delete"),
+    )
+    assert v == 1
+    got = sorted(tuple(r) for r in V.read_current(spark, path).collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 25.0), (4, "d", 40.0)]
+    chg = {
+        (r["k"], r["_change_type"])
+        for r in V.table_changes(spark, path, ["k"], 0, 1).collect()
+    }
+    assert chg == {
+        (2, "update_preimage"), (2, "update_postimage"),
+        (3, "delete"), (4, "insert"),
+    }
