@@ -3685,20 +3685,47 @@ def index_drift_report(
     rebuild decision; ``list_size`` rows expose the append pile-up that
     inflates probe cost even where recall holds.
 
-    Cost: one read of the index's list rows (deduped per id — appends
-    are at-least-once) plus the :func:`ivf_drift_report` passes; nothing
-    touches the artifact's layout."""
+    Works against ANY of the coarse-quantized artifacts that store their
+    pivots in FULL vector space — ``build_ivf_index`` (corpus from
+    ``lists``) and the composed ``build_ivfpq_index`` /
+    ``build_ivfsq8_index`` / ``build_ivfbq_index`` (corpus from their
+    re-rank ``vectors`` store): drift lives in the coarse quantizer, so
+    one report shape serves every rung.  Matryoshka indexes are REFUSED
+    loudly — their pivots live in prefix space, and a silent zip-with
+    against truncated dimensions would measure the wrong thing (the
+    prefix quantizer's drift audit is a prefix-space report on the same
+    operator, pivots and queries both prefixed).
+
+    Cost: one read of the artifact's vector rows (deduped per id —
+    appends are at-least-once) plus the :func:`ivf_drift_report` passes;
+    nothing touches the artifact's layout."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(index_path, "meta.json")) as f:
         meta = _json.load(f)
-    if meta.get("version") != _IVF_INDEX_VERSION:
-        raise ValueError(f"unsupported ivf index version: {meta.get('version')}")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if "modulus" not in meta:
+        raise ValueError(
+            f"{index_path}: manifest has no coarse-quantizer modulus — "
+            "not a coarse-quantized index artifact"
+        )
+    if "prefix_dims" in meta:
+        raise ValueError(
+            f"{index_path}: matryoshka pivots live in prefix-space — a "
+            "full-dim drift report would silently zip-truncate every "
+            "distance; run a prefix-space report (prefix the corpus and "
+            "queries, then ivf_drift_report) instead"
+        )
     stored_pivots = spark.read.parquet(_os.path.join(index_path, "pivots"))
+    # composed artifacts (ivfpq/ivfsq8/ivfbq) store full vectors for the
+    # re-rank; the plain ivf artifact's full vectors ARE its lists
+    vec_dir = _os.path.join(index_path, "vectors")
+    src = vec_dir if _os.path.isdir(vec_dir) else _os.path.join(
+        index_path, "lists"
+    )
     corpus = (
-        spark.read.parquet(_os.path.join(index_path, "lists"))
+        spark.read.parquet(src)
         .select(F.col(id_col), F.col(vec_col))
         .dropDuplicates([id_col])
     )

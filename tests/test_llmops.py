@@ -1987,3 +1987,30 @@ def test_index_drift_report_detects_append_drift_and_rebuild_heals(spark, tmp_pa
     for q in (22, 27):
         assert rep2[("recall_hits_stale", q)] == rep2[("recall_hits_fresh", q)]
         assert rep2[("recall_hits_stale", q)] == 6  # healed
+
+
+def test_index_drift_report_dispatches_across_families(spark, tmp_path):
+    """The same drift audit serves the composed artifacts (coarse pivots
+    are full-dim); matryoshka's prefix-space pivots are refused loudly."""
+    emb = spark.read.parquet(EMB).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivfsq8")
+    similarity.build_ivfsq8_index(emb, idx, modulus=37)
+    rep = similarity.index_drift_report(spark, idx, q, k=5, nprobe=3)
+    rows = {(r.metric, r.key): r.value for r in rep.collect()}
+    sizes = [v for (m, _), v in rows.items() if m == "list_size"]
+    assert sum(sizes) == emb.count()  # every corpus row in exactly one list
+    # freshly-built index: stored pivots == retrained pivots -> parity
+    for (m, key), v in rows.items():
+        if m == "recall_hits_stale":
+            assert rows[("recall_hits_fresh", key)] == v
+    mat = str(tmp_path / "mat")
+    similarity.build_matryoshka_index(emb, mat, prefix_dims=16, modulus=37)
+    with pytest.raises(ValueError, match="prefix-space"):
+        similarity.index_drift_report(spark, mat, q)
