@@ -286,3 +286,52 @@ def test_sub_sharded_range_window_strict_rejects_narrow_spans(spark):
             df, "event_type", "ts", 400,
             {"n": lambda w: F.count("value").over(w)}, shards=8,
         )
+
+
+def test_sub_sharded_window_randomized_parity(spark):
+    """Seeded randomized sweep: sharded == plain across random sizes,
+    lookbacks, shard counts, duplicate timestamps, and negative values —
+    the parity must hold for ANY input the strict pre-check accepts."""
+    import random
+
+    from pyspark.sql import Window
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators.skew import (
+        sub_sharded_bounded_window,
+    )
+
+    rnd = random.Random(7)
+    for _ in range(3):
+        n = rnd.randint(150, 300)
+        lookback = rnd.randint(1, 6)
+        shards = rnd.choice([2, 3, 4])
+        rows = [
+            ("hot", i * 2 + rnd.randint(0, 1), i,
+             float(rnd.randint(-40, 40)))
+            for i in range(n)
+        ] + [
+            ("cold", 10_000 + i, 10_000 + i, float(i)) for i in range(9)
+        ]
+        df = spark.createDataFrame(
+            rows, "k string, ts long, event_id long, v double"
+        )
+        exprs = {
+            "n": lambda w: F.count("v").over(w),
+            "s": lambda w: F.sum("v").over(w),
+            "mx": lambda w: F.max("v").over(w),
+        }
+        plain_w = (
+            Window.partitionBy("k").orderBy("ts", "event_id")
+            .rowsBetween(-lookback, -1)
+        )
+        plain = df
+        for name, fn in exprs.items():
+            plain = plain.withColumn(name, fn(plain_w))
+        sharded = sub_sharded_bounded_window(
+            df, "k", "ts", "event_id", lookback, exprs, shards=shards,
+            hot_threshold=100,
+        )
+        cols = ["k", "event_id", "n", "s", "mx"]
+        assert sorted(map(tuple, sharded.select(*cols).collect())) == sorted(
+            map(tuple, plain.select(*cols).collect())
+        ), (n, lookback, shards)
