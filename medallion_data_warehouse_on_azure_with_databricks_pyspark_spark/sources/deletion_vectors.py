@@ -113,7 +113,47 @@ def _dv_log_entries(path: str) -> list[dict]:
     return out
 
 
-def _append_dv_entry(path: str, op: str, files, tag: str) -> None:
+#: Key-Bloom geometry for merge↔merge commute proofs: a shared source
+#: key forces at least KEY_BLOOM_HASHES common set bits between two
+#: logged Blooms, so fewer common bits PROVES key-disjointness; more is
+#: a conservative conflict (spurious retry, never a wrong commit).
+KEY_BLOOM_BITS = 8192
+KEY_BLOOM_HASHES = 4
+
+
+def _key_bloom(source: DataFrame, keys: list[str]) -> list[int]:
+    """Sorted distinct Bloom bit positions of the source's composite
+    keys — one tiny distributed aggregate (≤ KEY_BLOOM_BITS ints
+    collected), reusing the skipping lane's seeded-xxhash positions."""
+    from .skipping import _bloom_positions
+
+    composite = F.concat_ws(
+        "\x1f", *[F.col(k).cast("string") for k in keys]
+    )
+    row = (
+        source.select(
+            F.explode(
+                _bloom_positions(composite, KEY_BLOOM_BITS, KEY_BLOOM_HASHES)
+            ).alias("bit")
+        )
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        .first()
+    )
+    return list(row.bits) if row and row.bits else []
+
+
+def _blooms_provably_disjoint(a, b) -> bool:
+    """True iff the two key sets CANNOT share a key: a shared key sets
+    the same KEY_BLOOM_HASHES positions in both, so fewer common bits is
+    a proof.  Unknown blooms (pre-r12 entries) prove nothing."""
+    if a is None or b is None:
+        return False
+    return len(set(a) & set(b)) < KEY_BLOOM_HASHES
+
+
+def _append_dv_entry(
+    path: str, op: str, files, tag: str, key_bloom: list[int] | None = None
+) -> None:
     """Append one mutation-log entry, idempotent on ``tag`` (a crashed
     committer's roll-forward re-runs this).  Epoch numbers are assigned
     at write time; writers are serialized by the sidecar claim, and the
@@ -132,8 +172,11 @@ def _append_dv_entry(path: str, op: str, files, tag: str) -> None:
         except FileExistsError:
             epoch += 1  # concurrent roll-forward landed this number
             continue
+        entry = {"epoch": epoch, "op": op, "files": files, "tag": tag}
+        if key_bloom is not None:
+            entry["key_bloom"] = key_bloom
         with os.fdopen(fd, "w") as fh:
-            json.dump({"epoch": epoch, "op": op, "files": files, "tag": tag}, fh)
+            json.dump(entry, fh)
             fh.flush()
             os.fsync(fh.fileno())
         return
@@ -422,7 +465,9 @@ def _roll_forward_if_staged(path: str) -> bool:
         if intent.get("op") == "delete":
             _publish_dv_delete(path, intent["stage"], intent.get("files"))
         else:
-            _publish_dv_merge(path, intent["stage"])
+            _publish_dv_merge(
+                path, intent["stage"], intent.get("key_bloom")
+            )
         return True
     return False
 
@@ -462,34 +507,49 @@ def merge_dv(
     Source keys must be unique (asserted) — the same contract every
     MERGE engine imposes.  Returns ``{"updated": n, "inserted": n}``.
 
-    Concurrency (round 11): the whole merge runs under the sidecar's
-    O_EXCL single-writer claim (:func:`_claim_dv_writer`) with a
-    uuid-suffixed stage dir recorded in the intent, so two concurrent
-    ``merge_dv`` calls — or a merge racing a ``delete_where_dv`` /
-    ``purge_dv`` — never interleave: the loser raises
-    ``ConcurrentWriteError`` having committed nothing.  The intent is
-    two-phase: claimed as ``staging`` (a crash here sweeps the stage —
-    the caller never saw success, so nothing is owed), flipped to
-    ``staged`` once both stage tables are durable (a crash after that
-    rolls FORWARD — on the next writer, an explicit
-    :func:`recover_dv_merge`, or any :func:`read_dv`).  Reported stats
-    are derived from the STAGED parquet, not by re-executing the lazy
-    plans, so they match the written bytes even for nondeterministic
-    sources (ADVICE r10).
+    Concurrency (round 12 — the merge side of the commute algebra):
+    staging runs UNLOCKED (marks + data under a uuid stage dir, plus a
+    Bloom filter of the source keys and the capped marked-file set);
+    only the commit tail takes the sidecar claim.  Under the claim the
+    merge still lands when every intervening mutation commutes with it:
+
+    * a rival MERGE commutes iff the key sets are provably disjoint —
+      two key-disjoint merges mark different target rows and neither can
+      match the other's appended rows, so any order yields the same
+      state.  Disjointness is proven from the logged key Blooms: a
+      shared key forces >= num_hashes common bits, so fewer common bits
+      is a guarantee; more is a conservative conflict (a spurious retry,
+      never a wrong commit).
+    * a rival DELETE commutes iff its files are disjoint from this
+      merge's MARKED files — the delete then touched rows the merge
+      never matched, and the delete's predicate ran before the appends
+      existed, so sequential order is preserved exactly.  (The REVERSE
+      is still a conflict: a staged delete's predicate never saw a
+      rival merge's appended rows — see :func:`delete_where_dv`.)
+    * a rival PURGE always conflicts (generation uuid check — row ids
+      were reassigned under the staged marks).
+
+    The intent is two-phase as before: ``staging`` rolls back,
+    ``staged`` rolls FORWARD (entry first — rivals' commute checks see
+    the merge before its marks/files can race them — then marks, then
+    data; :func:`recover_dv_merge` or any :func:`read_dv` completes it).
+    Reported stats are derived from the STAGED parquet, not by
+    re-executing the lazy plans (ADVICE r10).
     """
     import uuid
 
     from ..plans.merge import assert_unique_source
+    from .versioned import ConcurrentWriteError
     from .versioned import _fsync_json  # shared crash-durable JSON write
 
     _roll_forward_if_staged(path)
     assert_unique_source(source, keys)
 
+    # -- phase 1, unlocked: snapshot sidecar state, stage marks + data
+    gen = _dv_gen(path)
+    base_epoch = _dv_epoch(path)
     tag = uuid.uuid4().hex[:8]
     stage = _stage_dir(path, tag)
-    _claim_dv_writer(
-        path, {"op": "merge", "stage": tag, "phase": "staging"}
-    )
     try:
         cur = read_dv(spark, path, _keep_ids=True)
         # align column order AND types to the target (MERGE semantics:
@@ -515,38 +575,85 @@ def merge_dv(
         # when the target carries duplicate keys — Delta's MERGE updates
         # every matching target row too); n_inserted = staged source rows
         # whose key is absent from the pre-merge logical table.
-        n_updated = spark.read.parquet(os.path.join(stage, "marks")).count()
+        staged_marks = spark.read.parquet(os.path.join(stage, "marks"))
+        per_file = (
+            staged_marks.groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .limit(MAX_COMMUTE_FILES + 1)
+            .collect()
+        )
+        if len(per_file) > MAX_COMMUTE_FILES:
+            files = "all"
+            n_updated = staged_marks.count()
+        else:
+            files = sorted(r.file_path for r in per_file)
+            n_updated = sum(r.c for r in per_file)
         n_inserted = (
             spark.read.parquet(os.path.join(stage, "data"))
             .join(cur.select(*keys).distinct(), keys, "left_anti")
             .count()
         )
-        _fsync_json(
-            _intent_file(path),
-            {"op": "merge", "stage": tag, "phase": "staged"},
+        key_bloom = _key_bloom(source, keys)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    # -- phase 2, the commit tail under the claim
+    try:
+        _claim_dv_writer(
+            path, {"op": "merge", "stage": tag, "phase": "staging"}
         )
     except BaseException:
-        # staging crash/abort in-process: sweep and release — the merge
-        # never happened (out-of-process crashes leave the claim for
-        # recover_dv_merge, which applies the same phase rule)
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    try:
+        if _dv_gen(path) != gen:
+            raise ConcurrentWriteError(
+                f"{path}: a purge landed after this merge's snapshot — "
+                "its marks reference reassigned row ids; re-run the merge"
+            )
+        for e in _dv_log_entries(path):
+            if e["epoch"] <= base_epoch:
+                continue
+            if e["op"] == "merge" and _blooms_provably_disjoint(
+                key_bloom, e.get("key_bloom")
+            ):
+                continue  # key-disjoint merges commute
+            if (
+                e["op"] == "delete"
+                and files != "all"
+                and e["files"] != "all"
+                and not set(e["files"]) & set(files)
+            ):
+                continue  # delete on files this merge never marked
+            raise ConcurrentWriteError(
+                f"{path}: intervening {e['op']} (epoch {e['epoch']}) "
+                "does not commute with this merge — re-run it"
+            )
+        _fsync_json(
+            _intent_file(path),
+            {"op": "merge", "stage": tag, "phase": "staged",
+             "key_bloom": key_bloom},
+        )
+    except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         _release_dv_writer(path)
         raise
-    _publish_dv_merge(path, tag)
+    _publish_dv_merge(path, tag, key_bloom)
     return {"updated": n_updated, "inserted": n_inserted}
 
 
-def _publish_dv_merge(path: str, tag: str) -> None:
+def _publish_dv_merge(path: str, tag: str, key_bloom=None) -> None:
     """Promote the staged merge ``tag``: marks first (duplicate-free
     window), then data files, then drop stage + intent.  Every step is
     idempotent AND tolerant of a concurrent roll-forward of the SAME
     stage (two repairers racing move disjoint files; the loser of any
     per-file race skips) — re-running after a crash at any point
     completes the same merge exactly once."""
-    # the mutation-log entry lands FIRST: a merge appends rows no staged
-    # delete's predicate ever saw, so it commutes with nothing — rivals
-    # must see it before any of its marks/files can race them
-    _append_dv_entry(path, "merge", "all", tag)
+    # the mutation-log entry lands FIRST — rivals' commute checks must
+    # see the merge (its key Bloom for merge rivals; "all" files so a
+    # staged DELETE always conflicts: its predicate never saw the
+    # appended rows) before any of its marks/files can race them
+    _append_dv_entry(path, "merge", "all", tag, key_bloom=key_bloom)
     stage = _stage_dir(path, tag)
     dv_dir = _dv_path(path)
     os.makedirs(dv_dir, exist_ok=True)
@@ -605,7 +712,9 @@ def recover_dv_merge(spark: SparkSession, path: str) -> bool:
         if intent.get("op") == "delete":
             _publish_dv_delete(path, intent["stage"], intent.get("files"))
         else:
-            _publish_dv_merge(path, intent["stage"])
+            _publish_dv_merge(
+                path, intent["stage"], intent.get("key_bloom")
+            )
         _sweep_orphan_stages(path)
         return True
     if intent.get("op") in ("merge", "delete") and "stage" in intent:

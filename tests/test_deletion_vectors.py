@@ -487,3 +487,160 @@ def test_delete_commute_respects_max_files_cap(spark, gtable):
             commit()
     finally:
         DV.MAX_COMMUTE_FILES = old_cap
+
+
+# ---------------------------------------------------------------------------
+# Merge commutation via key Blooms (round 12, late)
+# ---------------------------------------------------------------------------
+
+def _staged_merge(spark, table, source, keys):
+    """merge_dv's phase 1 by hand (stage marks+data, bloom, counts), with
+    the commit tail returned as a closure — so tests can interleave a
+    rival mutation in between, the race the commute rule exists for."""
+    import uuid
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import (
+        ConcurrentWriteError,
+        _fsync_json,
+    )
+
+    gen = DV._dv_gen(table)
+    base_epoch = DV._dv_epoch(table)
+    tag = uuid.uuid4().hex[:8]
+    stage = DV._stage_dir(table, tag)
+    cur = DV.read_dv(spark, table, _keep_ids=True)
+    src = source.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in spark.read.parquet(table).schema.fields
+        ]
+    )
+    marks = cur.join(
+        F.broadcast(source.select(*keys).distinct()), keys, "left_semi"
+    ).select(
+        F.col(DV._FP).alias("file_path"), F.col(DV._RI).alias("row_index")
+    )
+    marks.write.parquet(os.path.join(stage, "marks"))
+    src.write.parquet(os.path.join(stage, "data"))
+    files = sorted(
+        r.file_path
+        for r in spark.read.parquet(os.path.join(stage, "marks"))
+        .select("file_path").distinct().collect()
+    )
+    key_bloom = DV._key_bloom(source, keys)
+
+    def commit():
+        DV._claim_dv_writer(
+            table, {"op": "merge", "stage": tag, "phase": "staging"}
+        )
+        try:
+            if DV._dv_gen(table) != gen:
+                raise ConcurrentWriteError("purge landed")
+            for e in DV._dv_log_entries(table):
+                if e["epoch"] <= base_epoch:
+                    continue
+                if e["op"] == "merge" and DV._blooms_provably_disjoint(
+                    key_bloom, e.get("key_bloom")
+                ):
+                    continue
+                if (
+                    e["op"] == "delete" and e["files"] != "all"
+                    and not set(e["files"]) & set(files)
+                ):
+                    continue
+                raise ConcurrentWriteError(
+                    f"does not commute: epoch {e['epoch']} ({e['op']})"
+                )
+            _fsync_json(
+                DV._intent_file(table),
+                {"op": "merge", "stage": tag, "phase": "staged",
+                 "key_bloom": key_bloom},
+            )
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            DV._release_dv_writer(table)
+            raise
+        DV._publish_dv_merge(table, tag, key_bloom)
+
+    return commit
+
+
+def test_key_disjoint_merges_both_land(spark, gtable):
+    """Two merges staged from the SAME sidecar snapshot with disjoint
+    source keys must BOTH land (key-Bloom commute): order can't matter
+    because neither can match the other's rows."""
+    src_a = spark.createDataFrame([(1, 0, 111), (1, 99, 123)],
+                                  "g int, i int, v int")
+    commit_a = _staged_merge(spark, gtable, src_a, ["g", "i"])
+    # rival merge on different keys lands FIRST through the public API
+    src_b = spark.createDataFrame([(2, 0, 222)], "g int, i int, v int")
+    stats_b = DV.merge_dv(spark, gtable, src_b, ["g", "i"])
+    assert stats_b == {"updated": 1, "inserted": 0}
+    commit_a()  # stale snapshot, disjoint keys -> commutes
+    got = DV.read_dv(spark, gtable)
+    assert got.where("g = 1 and i = 0").first().v == 111
+    assert got.where("g = 2 and i = 0").first().v == 222
+    assert got.where("i = 99").first().v == 123  # a's insert landed
+    assert got.count() == 41
+    ops = [e["op"] for e in DV._dv_log_entries(gtable)]
+    assert ops == ["merge", "merge"]
+
+
+def test_key_overlapping_merges_conflict(spark, gtable):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import (
+        ConcurrentWriteError,
+    )
+
+    src = spark.createDataFrame([(1, 0, 111)], "g int, i int, v int")
+    commit = _staged_merge(spark, gtable, src, ["g", "i"])
+    DV.merge_dv(
+        spark, gtable,
+        spark.createDataFrame([(1, 0, 999)], "g int, i int, v int"),
+        ["g", "i"],
+    )
+    with pytest.raises(ConcurrentWriteError, match="does not commute"):
+        commit()
+    # the winner's value stands; the sidecar is unwedged for a retry
+    assert DV.read_dv(spark, gtable).where("g = 1 and i = 0").first().v == 999
+    DV.merge_dv(spark, gtable, src, ["g", "i"])
+    assert DV.read_dv(spark, gtable).where("g = 1 and i = 0").first().v == 111
+
+
+def test_disjoint_file_delete_commutes_with_staged_merge(spark, gtable):
+    """A delete landing between a merge's snapshot and commit commutes
+    when it touched files the merge never marked (the delete preceded
+    the appends, so sequential order is preserved exactly)."""
+    src = spark.createDataFrame([(1, 0, 111)], "g int, i int, v int")
+    commit = _staged_merge(spark, gtable, src, ["g", "i"])
+    # g=2 hashes to a different file than g=1 (the same disjointness the
+    # delete-commute test relies on)
+    DV.delete_where_dv(spark, gtable, F.col("g") == 2)
+    commit()
+    got = DV.read_dv(spark, gtable)
+    assert got.where("g = 2").count() == 0
+    assert got.where("g = 1 and i = 0").first().v == 111
+    assert got.count() == 30
+
+
+def test_overlapping_file_delete_conflicts_with_staged_merge(spark, gtable):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.versioned import (
+        ConcurrentWriteError,
+    )
+
+    src = spark.createDataFrame([(1, 0, 111)], "g int, i int, v int")
+    commit = _staged_merge(spark, gtable, src, ["g", "i"])
+    DV.delete_where_dv(spark, gtable, (F.col("g") == 1) & (F.col("i") > 5))
+    with pytest.raises(ConcurrentWriteError, match="does not commute"):
+        commit()
+    assert DV.read_dv(spark, gtable).where("g = 1").count() == 6
+
+
+def test_key_bloom_disjointness_proof():
+    """The proof direction must be sound: identical keys always share
+    >= KEY_BLOOM_HASHES bits (never falsely proven disjoint)."""
+    assert not DV._blooms_provably_disjoint(None, [1, 2, 3])
+    assert not DV._blooms_provably_disjoint([1, 2, 3, 4], [1, 2, 3, 4])
+    assert DV._blooms_provably_disjoint([1, 2, 3, 4], [5, 6, 7, 8])
+    assert DV._blooms_provably_disjoint([1, 2, 3, 4], [2, 3, 4, 9])  # 3 < 4
