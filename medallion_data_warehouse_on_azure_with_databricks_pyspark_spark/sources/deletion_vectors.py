@@ -754,3 +754,34 @@ def transact_dv_delete(
     raise ConcurrentWriteError(
         f"{path}: DV delete lost {max_retries + 1} rounds; last: {last}"
     ) from last
+
+
+def transact_dv_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    max_retries: int = 3,
+    backoff_s: float = 0.05,
+) -> dict:
+    """Optimistic retry loop for :func:`merge_dv` — same contract as
+    :func:`transact_dv_delete`: key-disjoint rival merges and
+    disjoint-file rival deletes never cost a retry (they commute); only
+    genuine conflicts re-stage.  Each attempt recomputes marks and stats
+    from the then-current logical table, so the winning attempt's
+    returned stats are exact for the state it committed against."""
+    import time as _time
+
+    from .versioned import ConcurrentWriteError
+
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt and backoff_s:
+            _time.sleep(backoff_s * attempt)
+        try:
+            return merge_dv(spark, path, source, keys)
+        except ConcurrentWriteError as e:
+            last = e
+    raise ConcurrentWriteError(
+        f"{path}: DV merge lost {max_retries + 1} rounds; last: {last}"
+    ) from last

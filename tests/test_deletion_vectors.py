@@ -644,3 +644,17 @@ def test_key_bloom_disjointness_proof():
     assert not DV._blooms_provably_disjoint([1, 2, 3, 4], [1, 2, 3, 4])
     assert DV._blooms_provably_disjoint([1, 2, 3, 4], [5, 6, 7, 8])
     assert DV._blooms_provably_disjoint([1, 2, 3, 4], [2, 3, 4, 9])  # 3 < 4
+
+
+def test_transact_dv_merge_retries_past_claim_contention(spark, gtable):
+    import threading
+
+    DV._claim_dv_writer(gtable, {"op": "merge", "phase": "staging"})
+    threading.Timer(0.4, DV._release_dv_writer, args=(gtable,)).start()
+    stats = DV.transact_dv_merge(
+        spark, gtable,
+        spark.createDataFrame([(1, 0, 111)], "g int, i int, v int"),
+        ["g", "i"], max_retries=20, backoff_s=0.2,
+    )
+    assert stats == {"updated": 1, "inserted": 0}
+    assert DV.read_dv(spark, gtable).where("g = 1 and i = 0").first().v == 111
