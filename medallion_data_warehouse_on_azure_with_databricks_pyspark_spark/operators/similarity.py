@@ -3741,3 +3741,50 @@ def index_drift_report(
         k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col,
     )
+
+
+def matryoshka_drift_report(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The prefix-space drift audit :func:`index_drift_report` points
+    matryoshka users at: the artifact's quantizer lives in prefix space,
+    so the report runs there too — corpus and queries are truncated to
+    the manifest's ``prefix_dims``, the stored prefix pivots are the
+    stale side, and the fresh side retrains prefix pivots on the current
+    prefixed corpus.  Recall is measured within prefix space (the stage
+    this quantizer owns; the full-dim re-rank stage is exact by
+    construction and cannot drift), and the ``list_size`` rows expose
+    append pile-up exactly as in the full-dim report."""
+    import os as _os
+
+    meta = _read_matryoshka_meta(index_path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    pd_ = int(meta["prefix_dims"])
+    stored_pivots = spark.read.parquet(
+        _os.path.join(index_path, "pivots")
+    ).select(
+        "pivot_id", F.col("prefix_vec").alias("pivot_vec")
+    )
+    corpus = (
+        spark.read.parquet(_os.path.join(index_path, "vectors"))
+        .select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, pd_).alias(vec_col),
+        )
+        .dropDuplicates([id_col])
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.slice(F.col(vec_col), 1, pd_).alias(vec_col),
+    )
+    fresh_pivots = ivf_pivots(corpus, id_col, vec_col, meta["modulus"])
+    return ivf_drift_report(
+        corpus, stored_pivots, fresh_pivots, q,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

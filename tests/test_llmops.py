@@ -2014,3 +2014,24 @@ def test_index_drift_report_dispatches_across_families(spark, tmp_path):
     similarity.build_matryoshka_index(emb, mat, prefix_dims=16, modulus=37)
     with pytest.raises(ValueError, match="prefix-space"):
         similarity.index_drift_report(spark, mat, q)
+
+
+def test_matryoshka_drift_report_runs_in_prefix_space(spark, tmp_path):
+    emb = spark.read.parquet(EMB).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    idx = str(tmp_path / "mat")
+    similarity.build_matryoshka_index(emb, idx, prefix_dims=16, modulus=37)
+    q = emb.filter("vec_id % 100 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rep = similarity.matryoshka_drift_report(spark, idx, q, k=5, nprobe=3)
+    rows = {(r.metric, r.key): r.value for r in rep.collect()}
+    sizes = [v for (m, _), v in rows.items() if m == "list_size"]
+    assert sum(sizes) == emb.count()
+    # freshly built: stored prefix pivots == retrained -> parity
+    for (m, key), v in rows.items():
+        if m == "recall_hits_stale":
+            assert rows[("recall_hits_fresh", key)] == v
