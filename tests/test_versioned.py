@@ -1198,3 +1198,16 @@ def test_transact_dv_delete_retries_past_claim_contention(spark, tmp_path):
     )
     assert n == 5
     assert DV.read_dv(spark, t).count() == 5
+
+
+def test_vacuum_refuses_while_commit_in_flight_physical(spark, table):
+    """The physical lane shares vacuum's commit-slot guard (ADVICE r12):
+    its rename-aside retention dirs appear mid-commit and an unguarded
+    vacuum could reap a just-created aside before its log entry lands."""
+    V._claim_intent(table, {"op": "write"})
+    try:
+        with pytest.raises(V.ConcurrentWriteError):
+            V.vacuum(table, keep_last=0)
+    finally:
+        V._release_intent(table)
+    V.vacuum(table, keep_last=0)  # clean vacuum still works after release

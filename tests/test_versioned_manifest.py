@@ -521,3 +521,27 @@ def test_merge_versioned_on_manifest_table(spark, tmp_path):
         (2, "update_preimage"), (2, "update_postimage"),
         (3, "delete"), (4, "insert"),
     }
+
+
+def test_vacuum_refuses_while_commit_in_flight(spark, table):
+    """ADVICE r12: a manifest commit publishes data files (_apply_moves)
+    BEFORE the log entry references them; an unguarded concurrent vacuum
+    would reap the mid-publish files and the committed version would
+    permanently lose data.  Vacuum now takes the commit slot — a live
+    intent (in-flight or crashed writer) makes it refuse loudly."""
+    V._claim_intent(table, {"op": "write"})
+    try:
+        with pytest.raises(V.ConcurrentWriteError):
+            V.vacuum(table, keep_last=0)
+    finally:
+        V._release_intent(table)
+    # files untouched by the refused vacuum; a clean vacuum still works
+    assert _ids(V.read_current(spark, table)) == list(range(6))
+    V.vacuum(table, keep_last=0)
+    assert _ids(V.read_current(spark, table)) == list(range(6))
+
+
+def test_vacuum_releases_claim_so_commits_proceed(spark, table):
+    V.vacuum(table, keep_last=0)
+    V.overwrite_versioned(spark.range(8), table)  # claim was released
+    assert _ids(V.read_current(spark, table)) == list(range(8))
