@@ -107,6 +107,7 @@ def create(
     agg_specs: dict,
     now: float | None = None,
     refresh_mode: str = "incremental",
+    snapshot_mode: str | None = None,
 ) -> int:
     """Full compute of the view from the base's CURRENT version; records
     the reflected base version in the meta sidecar.  ``agg_specs`` maps
@@ -129,9 +130,12 @@ def create(
     # reflects are one atomic commit — the meta sidecar carries only
     # static config plus a non-authoritative copy (ADVICE r8: a crash
     # between view commit and sidecar write must not double-fold)
+    # snapshot_mode pins the VIEW table's mode at creation (r13: manifest
+    # makes each refresh commit O(changed files)); refresh commits inherit
+    # the pinned mode, so only creation needs the knob
     view_v = versioned.overwrite_versioned(
         mv, view_path, now=now, operation="MV_CREATE",
-        metadata={"base_version": base_v},
+        metadata={"base_version": base_v}, snapshot_mode=snapshot_mode,
     )
     _write_meta(view_path, {
         "base_path": base_path, "base_version": base_v,

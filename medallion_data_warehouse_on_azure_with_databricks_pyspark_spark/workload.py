@@ -1649,14 +1649,18 @@ def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="medallion_opt_")
     table = f"{work}/part"
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # manifest mode (r13, VERDICT r12 ask #2): the OPTIMIZE commit logs
+    # add/remove actions for just the rewritten files instead of
+    # assembling a physical snapshot dir — O(changed files) at 100 TB
     versioned.overwrite_versioned(
-        part.repartitionByRange(16, "p_retailprice"), table, now=1.0
+        part.repartitionByRange(16, "p_retailprice"), table, now=1.0,
+        snapshot_mode="manifest",
     )
     # target = half the OBSERVED table size, so the compaction always
     # bin-packs to ~2 files at ANY scale factor — a fixed byte target
     # no-ops once the 16 clustered files outgrow it, flipping the lane's
     # last_op oracle red on data size rather than a code bug (ADVICE r8)
-    total = sum(_os.path.getsize(f) for f in versioned._data_files(table))
+    total = sum(_os.path.getsize(f) for f in versioned._live_data_files(table))
     versioned.optimize_compact(
         spark, table, target_file_bytes=max(1, -(-total // 2)), now=2.0,
         stats_columns=["p_retailprice"],
@@ -1709,7 +1713,9 @@ def part_dml_update_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
-    versioned.overwrite_versioned(part, table, now=1.0)
+    # manifest mode (r13): each DML commit publishes only its rewritten
+    # files as log actions — no O(live files) hardlink walk per commit
+    versioned.overwrite_versioned(part, table, now=1.0, snapshot_mode="manifest")
     versioned.update_where(
         spark, table,
         condition=F.col("p_brand") == "Brand#13",
@@ -1770,8 +1776,11 @@ def part_merge_versioned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="medallion_mrgtxn_")
     table = f"{work}/part"
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # manifest mode (r13): the MERGE commit records add/remove actions,
+    # so the transactional upsert costs O(delta files), not O(table)
     versioned.overwrite_versioned(
-        part.select("p_partkey", "p_retailprice"), table, now=1.0
+        part.select("p_partkey", "p_retailprice"), table, now=1.0,
+        snapshot_mode="manifest",
     )
     fls = F.lit(False).alias("is_delete")
     src = (
@@ -1806,7 +1815,7 @@ def part_merge_versioned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_op = versioned.history(table)[0]["operation"]
     if last_op != "MERGE":  # the lane's contract IS the transactional commit
         raise AssertionError(f"merge did not commit (last_op={last_op!r})")
-    return spark.read.parquet(table).select(
+    return versioned.read_current(spark, table).select(
         "p_partkey",
         F.col("p_retailprice").alias("price"),
         F.lit(last_op).alias("last_op"),
@@ -1989,10 +1998,13 @@ def part_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
-    versioned.overwrite_versioned(part, base, now=1.0)
+    # manifest mode on BOTH tables (r13): base DML commits and view
+    # refresh commits each cost O(changed files), the IVM economics
+    versioned.overwrite_versioned(part, base, now=1.0, snapshot_mode="manifest")
     mv.create(
         spark, base, view, key_cols=["p_partkey"], group_cols=["p_brand"],
         agg_specs={"n": ("count", None), "sum_size": ("sum", "p_size")}, now=1.0,
+        snapshot_mode="manifest",
     )
     versioned.update_where(
         spark, base, F.col("p_brand") == "Brand#13",
@@ -2000,7 +2012,7 @@ def part_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     versioned.delete_where(spark, base, F.col("p_type") == "PROMO", now=3.0)
     mv.refresh(spark, view, now=4.0)
-    return spark.read.parquet(view).select(
+    return versioned.read_current(spark, view).select(
         "p_brand", "n", F.col("sum_size").cast("bigint").alias("sum_size")
     )
 
@@ -2070,10 +2082,13 @@ def part_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.mkdtemp(prefix="medallion_timetravel_"), "part_dim"
     )
-    V.overwrite_versioned(part.filter(F.col("p_size") <= 25), path, now=100.0)
+    # manifest mode (r13): time travel resolves the t=150 snapshot from
+    # the action log's file list — no physical retention dir needed
+    V.overwrite_versioned(part.filter(F.col("p_size") <= 25), path, now=100.0,
+                          snapshot_mode="manifest")
     V.overwrite_versioned(part, path, now=200.0)
     before = V.read_as_of(spark, path, 150.0)
-    after = spark.read.parquet(path)
+    after = V.read_current(spark, path)
     return (
         after.join(before.select("p_partkey"), "p_partkey", "left_anti")
         .select("p_partkey", "p_name", "p_size")
@@ -2119,7 +2134,7 @@ def part_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_partkey") % 5 == 0, F.col("p_retailprice") * 2)
         .otherwise(F.col("p_retailprice")),
     )
-    V.overwrite_versioned(v0, path, now=100.0)
+    V.overwrite_versioned(v0, path, now=100.0, snapshot_mode="manifest")
     V.overwrite_versioned(part, path, now=200.0)
     return V.table_changes(spark, path, ["p_partkey"], 0, 1)
 
@@ -2168,7 +2183,7 @@ def part_cdf_changes_percommit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_partkey") % 5 == 0, F.col("p_retailprice") * 2)
         .otherwise(F.col("p_retailprice")),
     )
-    V.overwrite_versioned(v0, path, now=100.0)
+    V.overwrite_versioned(v0, path, now=100.0, snapshot_mode="manifest")
     V.overwrite_versioned(part, path, now=200.0)
     V.overwrite_versioned(
         part.filter(F.col("p_partkey") % 7 != 0), path, now=300.0
@@ -2251,7 +2266,7 @@ def part_scd2_from_cdf_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                (F.col("price") * 2).cast("decimal(12,2)"))
         .otherwise(F.col("price")),
     )
-    V.overwrite_versioned(v0, path, now=100.0)
+    V.overwrite_versioned(v0, path, now=100.0, snapshot_mode="manifest")
     V.overwrite_versioned(part, path, now=200.0)
     V.overwrite_versioned(
         part.filter(F.col("p_partkey") % 7 != 0), path, now=300.0
@@ -2598,12 +2613,15 @@ CORRECTNESS_PRIORITY = [
     #    key-Bloom commute proof, TOCTOU intent fence, mutation-log
     #    checkpointing → part_dv_delete_scan; manifest snapshots become
     #    the versioned lanes' lived-in mode →
-    #    part_optimize_partitions_scan, part_cdf_changes_percommit) and
-    #    one no-oracle lane (doc_simhash_pairs, rows-only since r8).
-    #    part_merge_dv_scan / part_merge_versioned_txn /
-    #    part_optimize_compacted_scan / part_cdf_changes /
-    #    part_dml_update_delete_cdf / part_matview_incremental also
-    #    change this round but already sit in the stale tier below.
+    #    part_optimize_partitions_scan, part_cdf_changes_percommit,
+    #    part_time_travel_diff).  part_merge_dv_scan /
+    #    part_merge_versioned_txn / part_optimize_compacted_scan /
+    #    part_cdf_changes / part_dml_update_delete_cdf /
+    #    part_matview_incremental / part_scd2_from_cdf_replay /
+    #    orders_year_windows also change this round but already sit in
+    #    the stale tier below.  The no-oracle lanes follow at 51-55
+    #    under the budget-100 grace (doc_simhash_pairs, rows-only since
+    #    r8, leads them).
     # -- last hash row r10 (rule 1, the whole stale tier) --
     "customer_change_hash", "customer_filter_segment",
     "customer_segment_count", "doc_adaptive_quality_filter",
@@ -2628,10 +2646,9 @@ CORRECTNESS_PRIORITY = [
     "regional_nation_revenue",
     # -- changed-code this round, not already stale (rule 2) --
     "part_dv_delete_scan", "part_optimize_partitions_scan",
-    "part_cdf_changes_percommit",
+    "part_cdf_changes_percommit", "part_time_travel_diff",
     # -- no-oracle lanes (rows-only driver rows; pytest is their exact
-    #    oracle).  doc_simhash_pairs (r8) takes the last window slot;
-    #    the rest hold positions 51-54 under the budget-100 grace --
+    #    oracle), positions 51-55 under the budget-100 grace --
     "doc_simhash_pairs",
     "doc_bpe_token_counts", "doc_bpe_trained_tokens",
     "events_approx_distinct", "events_approx_quantiles",
@@ -2677,7 +2694,7 @@ CORRECTNESS_PRIORITY = [
     "orders_analytic_windows", "orders_price_quantiles",
     "orders_status_priority_cube", "orders_year_priority_pivot",
     "part_bloom_skipping_scan", "part_replace_partitions",
-    "part_string_functions", "part_time_travel_diff", "scd1_customer_dim",
+    "part_string_functions", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim",
 ]
 
@@ -2847,18 +2864,24 @@ def part_optimize_partitions_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("p_partkey") % 4).cast("int").alias("g"),
         "p_size",
     )
+    # manifest mode (r13): both the writer's partition replace and the
+    # compactor's commit log only their touched files' actions — the
+    # file-count proof below therefore counts LIVE manifest entries per
+    # partition, not on-disk files (superseded files stay on disk for
+    # time travel until vacuum)
     versioned.overwrite_versioned(
-        part.repartition(8), table, partition_by=["g"], now=1.0
+        part.repartition(8), table, partition_by=["g"], now=1.0,
+        snapshot_mode="manifest",
     )
     def nfiles(partdir):
-        d = os.path.join(table, partdir)
+        v = versioned.current_version(table)
         return sum(
-            1 for _, _, fs in os.walk(d) for f in fs
-            if not f.startswith(("_", "."))
+            1 for rel in versioned._snapshot_files(table, v)
+            if rel.startswith(f"{partdir}{os.sep}")
         )
     before = nfiles("g=0")
     writer = (
-        spark.read.parquet(table)
+        versioned.read_current(spark, table)
         .filter(F.col("g") == 1)
         .withColumn("p_size", F.col("p_size") + F.lit(100))
     )
@@ -2871,4 +2894,4 @@ def part_optimize_partitions_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         raise AssertionError(f"commute failed: v{v1},v{v2} ops={ops}")
     if not (before > 1 and nfiles("g=0") < before):
         raise AssertionError("compaction did not reduce bucket 0's files")
-    return spark.read.parquet(table).select("p_partkey", "g", "p_size")
+    return versioned.read_current(spark, table).select("p_partkey", "g", "p_size")

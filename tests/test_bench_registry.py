@@ -66,13 +66,15 @@ def test_every_query_has_oracle_or_documented_weak_check():
 CHANGED_THIS_ROUND = {
     # r13: DV sidecar hardening (partitioned key-Bloom commute proof,
     # TOCTOU intent fence, dedup'd log entries, mutation-log
-    # checkpointing) touches both DV lanes; manifest snapshots become
-    # the versioned lanes' default mode (ADVICE/VERDICT r12 asks).
+    # checkpointing) touches both DV lanes; the versioned bench lanes
+    # migrate to snapshot_mode="manifest" (ADVICE/VERDICT r12 asks);
+    # orders_year_windows routes through the skew-sharded rank path.
     "part_dv_delete_scan", "part_merge_dv_scan",
     "part_optimize_partitions_scan", "part_cdf_changes_percommit",
     "part_merge_versioned_txn", "part_optimize_compacted_scan",
     "part_cdf_changes", "part_dml_update_delete_cdf",
-    "part_matview_incremental",
+    "part_matview_incremental", "part_time_travel_diff",
+    "part_scd2_from_cdf_replay", "orders_year_windows",
 }
 
 
