@@ -55,6 +55,8 @@ def ranked_all(
     partition_by: list[str],
     order_by: list[tuple[str, bool]],
     prefix: str = "",
+    shards: int | None = None,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """W6: apply all three ranking functions over one shared spec.
 
@@ -62,7 +64,21 @@ def ranked_all(
     (``/root/reference/Silver_Orders.py:89-96``); sharing one WindowSpec lets
     Spark compute all three in a single Window physical operator — one
     shuffle + one sort instead of three.
-    """
+
+    ``shards`` routes through the skew-proof sub-sharded rank path
+    (``operators.skew.sub_sharded_ranked``, round 13): a hot partition
+    key — the reference's ``year`` at 100 TB — no longer serializes on
+    one task; per-shard local ranks stitch with broadcast count offsets
+    to the bit-identical result.  Requires a numeric, non-null first
+    order column.  ``hot_threshold`` shards only keys at least that
+    large (mixed populations)."""
+    if shards is not None:
+        from .skew import sub_sharded_ranked
+
+        return sub_sharded_ranked(
+            df, partition_by, order_by, kinds=tuple(_RANK_FNS),
+            prefix=prefix, shards=shards, hot_threshold=hot_threshold,
+        )
     w = spec(partition_by, order_by)
     return df.withColumns(
         {f"{prefix}{k}": fn().over(w) for k, fn in _RANK_FNS.items()}

@@ -178,14 +178,20 @@ _ORDERS_WINDOW_SQL = """
 
 @query("orders_year_windows", oracle=_ORDERS_WINDOW_SQL)
 def orders_year_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4/F5 + W1-W3/W6: year derivation, then rank/dense_rank/row_number over
-    one shared window spec — one shuffle + one sort for all three
+    """F4/F5 + W1-W3/W6: year derivation, then rank/dense_rank/row_number
     (``/root/reference/Silver_Orders.py:38-96``).  ``o_orderkey`` tie-break
-    keeps row_number deterministic (the reference orders by amount only)."""
+    keeps row_number deterministic (the reference orders by amount only).
+
+    r13: routed through the skew-sharded rank path (``shards=8``) — the
+    partition key is ``year``, a handful of whale partitions at any real
+    scale, so each year's ranks compute across 8 tasks and stitch with
+    broadcast count offsets; bit-equality vs the plain window is pinned
+    by ``tests/test_skew.py`` and this lane's own oracle."""
     df = load(spark, sf_dir, "orders")
     df = silver.derive_year(df, "o_orderdate", out="order_year")
     df = windows.ranked_all(
-        df, ["order_year"], [("o_totalprice", True), ("o_orderkey", False)], prefix="price_"
+        df, ["order_year"], [("o_totalprice", True), ("o_orderkey", False)],
+        prefix="price_", shards=8,
     )
     return silver.project(
         df,

@@ -335,3 +335,99 @@ def test_sub_sharded_window_randomized_parity(spark):
         assert sorted(map(tuple, sharded.select(*cols).collect())) == sorted(
             map(tuple, plain.select(*cols).collect())
         ), (n, lookback, shards)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: sub-sharded rank family (VERDICT r12 ask #4)
+# ---------------------------------------------------------------------------
+
+def _rank_fixture(spark):
+    """A planted whale key (2000 rows, with ties) among normal keys."""
+    rows = [("whale", i % 400 * 1.0, i) for i in range(2000)]
+    rows += [("k1", float(i), 10_000 + i) for i in range(37)]
+    rows += [("k2", 5.0, 20_000 + i) for i in range(9)]  # all-ties key
+    return spark.createDataFrame(rows, "key string, amt double, id long")
+
+
+def _plain_ranks(df, order_by):
+    from pyspark.sql import Window
+
+    order = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_by]
+    w = Window.partitionBy("key").orderBy(*order)
+    return df.withColumns(
+        {"rank": F.rank().over(w), "dense_rank": F.dense_rank().over(w),
+         "row_number": F.row_number().over(w)}
+    )
+
+
+def _assert_rank_parity(spark, order_by, **kw):
+    df = _rank_fixture(spark)
+    got = skew.sub_sharded_ranked(df, ["key"], order_by, **kw)
+    want = _plain_ranks(df, order_by)
+    cols = ["key", "amt", "id", "rank", "dense_rank", "row_number"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_sub_sharded_ranked_equals_plain_desc(spark):
+    """Bit-equality vs the plain window on a planted 2000-row whale key,
+    ties included (desc order — the reference's Silver_Orders shape)."""
+    _assert_rank_parity(spark, [("amt", True), ("id", False)], shards=8)
+
+
+def test_sub_sharded_ranked_equals_plain_asc(spark):
+    _assert_rank_parity(spark, [("amt", False), ("id", False)], shards=5)
+
+
+def test_sub_sharded_ranked_hot_threshold_mixes_populations(spark):
+    """Only the whale key shards; small keys ride shard 0 unchanged."""
+    _assert_rank_parity(
+        spark, [("amt", True), ("id", False)], shards=8, hot_threshold=1000
+    )
+
+
+def test_sub_sharded_ranked_amt_only_order_ties_stitch(spark):
+    """Rank/dense_rank with an ambiguous tie-heavy order (amt only): tie
+    groups never straddle shards, so gaps and dense runs stitch exactly.
+    row_number is excluded — it is nondeterministic under ties on both
+    paths (same contract as the plain window)."""
+    df = _rank_fixture(spark)
+    got = skew.sub_sharded_ranked(
+        df, ["key"], [("amt", True)], kinds=("rank", "dense_rank"), shards=8
+    )
+    want = _plain_ranks(df, [("amt", True)])
+    cols = ["key", "amt", "id", "rank", "dense_rank"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_sub_sharded_ranked_plan_partitions_by_shard(spark):
+    """The local rank window must partition by (key, shard) — the
+    parallelism claim — and the offsets side must broadcast."""
+    df = _rank_fixture(spark)
+    got = skew.sub_sharded_ranked(
+        df, ["key"], [("amt", True), ("id", False)], shards=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_ranked_all_shards_param_routes_and_matches(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        windows,
+    )
+
+    df = _rank_fixture(spark)
+    got = windows.ranked_all(
+        df, ["key"], [("amt", True), ("id", False)], prefix="p_", shards=4
+    )
+    want = windows.ranked_all(
+        df, ["key"], [("amt", True), ("id", False)], prefix="p_"
+    )
+    cols = ["key", "amt", "id", "p_rank", "p_dense_rank", "p_row_number"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
