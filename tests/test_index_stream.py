@@ -234,3 +234,102 @@ def test_index_ingest_serves_ivfbq_family(spark, tmp_path):
     a = similarity.ivfbq_topk_against_index(q, streamed, k=10, nprobe=12)
     b = similarity.ivfbq_topk_against_index(q, direct, k=10, nprobe=12)
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Round 13: drift evaluation in the maintenance loop (VERDICT r12 ask #6)
+# ---------------------------------------------------------------------------
+
+def _write_one_file(df, src, name):
+    tmp = f"{src}/_{name}"
+    df.coalesce(1).write.parquet(tmp, mode="overwrite")
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{src}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+def test_drifted_appends_flip_rebuild_flag_and_rebuild_heals(spark, tmp_path):
+    """The frozen-quantizer loop closes: streaming appends of a shifted
+    cluster degrade stale-pivot recall, the post-batch evaluation raises
+    the persistent rebuild flag, and a rebuild (retrained pivots)
+    restores parity so a re-measurement recommends nothing."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        index_stream,
+    )
+
+    rows = [(i, [0.5 + 0.01 * i, 0.05]) for i in range(10)]
+    rows += [(10 + i, [10.0 + 0.01 * i, 0.05]) for i in range(10)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, modulus=10)
+    # the drifted arrivals: a cluster centered between the two frozen
+    # pivots, splitting 5/5 across their lists (same geometry the batch
+    # drift test pins)
+    appended = spark.createDataFrame(
+        [(20 + i, [4.8 + 0.1 * i, 5.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = appended.filter("vec_id in (22, 27)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_one_file(
+        appended.select("vec_id", "embedding", F.lit("UPSERT").alias("op")),
+        src, "b1",
+    )
+    assert index_stream.drift_flag(idx) is None
+    index_stream.index_ingest(
+        spark, src, idx, ckpt,
+        schema="vec_id long, embedding array<double>, op string",
+        drift_queries=queries, drift_gap_threshold=0,
+        drift_k=6, drift_nprobe=1,
+    )
+    flag = index_stream.drift_flag(idx)
+    assert flag is not None and flag["rebuild_recommended"]
+    assert flag["gap"] > 0  # fresh pivots would beat the stale ones
+    assert flag["recall_hits_fresh"] == 12  # 2 queries x k=6, perfect
+    # rebuild on the current corpus = retrained pivots; flag cleared
+    similarity.build_ivf_index(base.unionByName(appended), idx, modulus=10)
+    index_stream.clear_drift_flag(idx)
+    out = index_stream.evaluate_drift(
+        spark, idx, queries, gap_threshold=0, k=6, nprobe=1
+    )
+    assert not out["rebuild_recommended"] and out["gap"] == 0
+    assert index_stream.drift_flag(idx) is None
+
+
+def test_undrifted_appends_do_not_flag(spark, tmp_path):
+    """In-distribution arrivals (inside the existing clusters) keep the
+    stale pivots optimal — the evaluation runs and raises nothing."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        index_stream,
+    )
+
+    rows = [(i, [0.5 + 0.01 * i, 0.05]) for i in range(10)]
+    rows += [(10 + i, [10.0 + 0.01 * i, 0.05]) for i in range(10)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, modulus=10)
+    appended = spark.createDataFrame(
+        [(20 + i, [0.6 + 0.01 * i, 0.06]) for i in range(5)]
+        + [(30 + i, [10.1 + 0.01 * i, 0.06]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = appended.filter("vec_id in (21, 32)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_one_file(
+        appended.select("vec_id", "embedding", F.lit("UPSERT").alias("op")),
+        src, "b1",
+    )
+    index_stream.index_ingest(
+        spark, src, idx, ckpt,
+        schema="vec_id long, embedding array<double>, op string",
+        drift_queries=queries, drift_gap_threshold=0,
+        drift_k=6, drift_nprobe=1,
+    )
+    assert index_stream.drift_flag(idx) is None
