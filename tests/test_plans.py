@@ -57,10 +57,32 @@ def test_aggregate_is_partial_plus_final(spark):
 
 
 def test_shared_window_spec_single_exchange(spark):
-    plan = _plan(spark, "orders_year_windows")
-    # one shuffle and one sort serve all three rank functions
+    """The plain shared-spec path (no shards): one shuffle and one sort
+    serve all three rank functions."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        silver, windows,
+    )
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    df = silver.derive_year(df, "o_orderdate", out="order_year")
+    out = windows.ranked_all(
+        df, ["order_year"], [("o_totalprice", True), ("o_orderkey", False)],
+        prefix="price_",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_year_windows_lane_shards_hot_partitions(spark):
+    """r13: the lane routes through the skew-sharded rank path — the
+    data-sized window partitions by (year, __shard) so one whale year
+    never serializes on a task, and the stitch offsets arrive broadcast
+    (the only joins of data-sized rows are broadcast)."""
+    plan = _plan(spark, "orders_year_windows")
+    assert "__shard" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing data-sized shuffles to join
 
 
 def test_topk_avoids_global_sort(spark):
