@@ -311,14 +311,19 @@ def sub_sharded_ranked(
     local_fns = {
         "rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number
     }
+    # dense_rank is always computed locally even when not requested: its
+    # per-shard MAX is the distinct-order-tuple count the stitch needs —
+    # free inside the same Window operator, and aggregating the window
+    # OUTPUT (instead of re-scanning the input) lets ReuseExchange serve
+    # both branches from one shuffle
+    need = sorted(set(kinds) | {"dense_rank"})
     ranked = with_shard.withColumns(
-        {f"__l_{k}": local_fns[k]().over(local_w) for k in kinds}
+        {f"__l_{k}": local_fns[k]().over(local_w) for k in need}
     )
     # running offsets over a keys x shards micro-frame, broadcast back
-    tuple_col = F.struct(*[F.col(c) for c, _ in order_by])
-    per_shard = with_shard.groupBy(*partition_by, "__shard").agg(
+    per_shard = ranked.groupBy(*partition_by, "__shard").agg(
         F.count(F.lit(1)).alias("__c"),
-        F.countDistinct(tuple_col).alias("__d"),
+        F.max("__l_dense_rank").alias("__d"),
     )
     off_w = (
         Window.partitionBy(*partition_by)
@@ -342,7 +347,7 @@ def sub_sharded_ranked(
         ).cast("int")
     return stitched.withColumns(out_cols).drop(
         "__shard", "__rows_before", "__dist_before",
-        *[f"__l_{k}" for k in kinds],
+        *[f"__l_{k}" for k in need],
     )
 
 
