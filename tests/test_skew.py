@@ -431,3 +431,31 @@ def test_ranked_all_shards_param_routes_and_matches(spark):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_sub_sharded_ranked_randomized_parity(spark):
+    """Seeded randomized sweep for the rank stitch: sharded == plain
+    across random sizes, shard counts, orders (asc/desc), and heavy
+    duplicate-value populations (tie-group co-location is the load-
+    bearing property — random ties stress it)."""
+    import random
+
+    rnd = random.Random(13)
+    for trial in range(3):
+        n = rnd.randint(150, 300)
+        shards = rnd.choice([2, 3, 5, 8])
+        desc = rnd.choice([True, False])
+        vals = rnd.randint(5, 60)  # small domain => many ties
+        rows = [
+            ("hot", float(rnd.randint(0, vals)), i) for i in range(n)
+        ] + [
+            ("cold", float(rnd.randint(0, 5)), 10_000 + i) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, "key string, amt double, id long")
+        order = [("amt", desc), ("id", False)]
+        got = skew.sub_sharded_ranked(df, ["key"], order, shards=shards)
+        want = _plain_ranks(df, order)
+        cols = ["key", "amt", "id", "rank", "dense_rank", "row_number"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.select(*cols).collect())
+        ), (trial, n, shards, desc, vals)
