@@ -330,12 +330,16 @@ def sub_sharded_ranked(
         .orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # shard-0 offsets are identically (0, 0) — the left join's coalesce
+    # supplies them — so the broadcast frame carries only SHARDED rows:
+    # hot keys x (shards-1), never every key of a high-cardinality
+    # partition column
     offsets = per_shard.select(
         *partition_by,
         "__shard",
         F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__rows_before"),
         F.coalesce(F.sum("__d").over(off_w), F.lit(0)).alias("__dist_before"),
-    )
+    ).where(F.col("__shard") >= 1)
     stitched = ranked.join(
         F.broadcast(offsets), [*partition_by, "__shard"], "left"
     )
