@@ -851,3 +851,24 @@ def test_dv_marks_survive_physical_mode_vacuum(spark, tmp_path):
     assert dropped  # vacuum actually reaped something
     assert DV.dv_mark_count(spark, t) == 10  # marks intact
     assert DV.read_dv(spark, t).count() == 20
+
+
+def test_commute_replay_reads_across_checkpoint_fold(spark, gtable, monkeypatch):
+    """The commit tail's commute replay must see rival entries that were
+    FOLDED into a checkpoint while the writer was staged: lower the fold
+    interval, land enough commuting rivals to trigger a fold mid-flight,
+    and the staged delete still commits with every entry accounted."""
+    monkeypatch.setattr(DV, "DV_LOG_CHECKPOINT_INTERVAL", 3)
+    commit = _staged_delete(spark, gtable, F.col("g") == 1)
+    # six rival deletes on g==2's file — disjoint from g==1's, so each
+    # commutes; they also roll the log past the fold threshold
+    for i in range(6):
+        n = DV.delete_where_dv(spark, gtable, (F.col("g") == 2) & (F.col("i") == i))
+        assert n == 1
+    fp = DV.dv_log_footprint(gtable)
+    assert fp["checkpoint"], "fold never triggered — test geometry broken"
+    commit()  # replay reads ckpt + tail; all rivals commute
+    got = DV.read_dv(spark, gtable)
+    assert got.where("g = 1").count() == 0
+    assert got.where("g = 2").count() == 4
+    assert len(DV._dv_log_entries(gtable)) == 7
