@@ -284,8 +284,39 @@ def sub_sharded_ranked(
             .select(*partition_by)
         )
         scope = df.join(F.broadcast(hot_keys), partition_by, "left_semi")
-    bounds = scope.groupBy(*partition_by).agg(
-        F.percentile_approx(c0, fracs, 10_000).alias("__bs")
+    # one bounds pass, COLLECTED (hot keys x (shards-1) floats — tiny):
+    # the null precondition check rides in the same aggregate (a null
+    # first-order value would silently land in the wrong shard and skew
+    # every stitched rank — refuse loudly instead), and the collected
+    # rows re-enter as a literal frame so the bounds subtree is never
+    # recomputed across the window and offsets branches
+    stats = (
+        scope.groupBy(*partition_by)
+        .agg(
+            F.percentile_approx(c0, fracs, 10_000).alias("__bs"),
+            F.sum(F.col(c0).isNull().cast("long")).alias("__nulls"),
+        )
+        .collect()
+    )
+    null_keys = [
+        tuple(r[c] for c in partition_by) for r in stats if r["__nulls"]
+    ][:20]
+    if null_keys:
+        raise ValueError(
+            "sub_sharded_ranked: the first order column "
+            f"{c0!r} is null for rows of sharded keys {null_keys} — "
+            "rank sharding requires a non-null numeric leading order "
+            "column (exclude those keys via hot_threshold or coalesce "
+            "the column)"
+        )
+    bounds_schema = (
+        scope.groupBy(*partition_by)
+        .agg(F.percentile_approx(c0, fracs, 10_000).alias("__bs"))
+        .schema
+    )
+    bounds = df.sparkSession.createDataFrame(
+        [tuple(r[c] for c in partition_by) + (r["__bs"],) for r in stats],
+        bounds_schema,
     )
     # shard index counts the boundaries the row's value has passed IN
     # WINDOW ORDER; ties at a boundary stay in the earlier shard, so

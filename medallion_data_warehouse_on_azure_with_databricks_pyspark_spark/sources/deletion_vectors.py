@@ -143,8 +143,12 @@ def _dv_gen(path: str) -> str:
 #: Fold per-mutation entry files into one checkpoint once the tail
 #: outgrows this — the listing a long-lived merge-on-read table pays on
 #: EVERY mutation/epoch read stays O(interval), not O(all mutations
-#: since the last purge) (VERDICT r12 ask #3; same shape as the
-#: versioned commit log's files-checkpoint + bounded tail).
+#: since the last purge) (VERDICT r12 ask #3; same SHAPE as the
+#: versioned commit log's files-checkpoint + bounded tail, kept as a
+#: separate implementation on purpose: the durability semantics differ
+#: — versioned entries are permanent history, DV entries fold-AND-
+#: DELETE with reader retry — and folding a shared helper around both
+#: would trade that clarity for flags).
 DV_LOG_CHECKPOINT_INTERVAL = 64
 
 
@@ -326,6 +330,8 @@ def _append_dv_entry(
     the epoch without re-checking wrote a DUPLICATE entry for one
     mutation, inflating the log and manufacturing spurious commute
     conflicts for straddling writers)."""
+    import uuid as _uuid
+
     entries = _dv_log_entries(path)
     if any(e.get("tag") == tag for e in entries):
         return
@@ -334,17 +340,11 @@ def _append_dv_entry(
     epoch = (entries[-1]["epoch"] + 1) if entries else 0
     while True:
         target = os.path.join(d, f"{epoch:012d}.json")
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # a concurrent writer landed this number — if it was the
-            # roll-forward of THIS tag, the entry already exists and a
-            # retry would duplicate it
-            entries = _dv_log_entries(path)
-            if any(e.get("tag") == tag for e in entries):
-                return
-            epoch = (entries[-1]["epoch"] + 1) if entries else epoch + 1
-            continue
+        # entry content is written to a temp file FIRST and installed
+        # with link() — atomic create-if-absent WITH content, so a torn
+        # or empty entry file can never exist (a crash between O_EXCL
+        # create and the JSON write would otherwise wedge EVERY
+        # subsequent log read — the same wedge class _dv_gen repairs)
         entry = {"epoch": epoch, "op": op, "files": files, "tag": tag}
         if key_bloom is not None:
             entry["key_bloom"] = key_bloom
@@ -353,10 +353,24 @@ def _append_dv_entry(
                 # of a legacy flat-bloom intent leaves this absent, so
                 # rivals treat it as proving nothing
                 entry["bloom_v"] = bloom_v
-        with os.fdopen(fd, "w") as fh:
+        tmp = os.path.join(d, f".{epoch:012d}.{_uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as fh:
             json.dump(entry, fh)
             fh.flush()
             os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            # a concurrent writer landed this number — if it was the
+            # roll-forward of THIS tag, the entry already exists and a
+            # retry would duplicate it
+            os.remove(tmp)
+            entries = _dv_log_entries(path)
+            if any(e.get("tag") == tag for e in entries):
+                return
+            epoch = (entries[-1]["epoch"] + 1) if entries else epoch + 1
+            continue
+        os.remove(tmp)
         _maybe_checkpoint_dv_log(path)
         return
 

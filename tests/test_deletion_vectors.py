@@ -872,3 +872,28 @@ def test_commute_replay_reads_across_checkpoint_fold(spark, gtable, monkeypatch)
     assert got.where("g = 1").count() == 0
     assert got.where("g = 2").count() == 4
     assert len(DV._dv_log_entries(gtable)) == 7
+
+
+def test_dv_log_entry_write_is_atomic(tmp_path, monkeypatch):
+    """A publisher crash mid-entry-write must never wedge the log: the
+    entry file is installed with content atomically, so a torn/empty
+    entry can never exist and every log read stays parseable."""
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    # crash the writer between content staging and install: monkeypatch
+    # link to die AFTER the tmp write, BEFORE the target exists
+    real_link = os.link
+    monkeypatch.setattr(
+        os, "link",
+        lambda *a: (_ for _ in ()).throw(OSError("power loss")),
+    )
+    import pytest
+
+    with pytest.raises(OSError):
+        DV._append_dv_entry(t, "delete", ["f0"], "tag0")
+    monkeypatch.setattr(os, "link", real_link)
+    # the failed write left no target entry (clean absence, not a torn
+    # file) — the log reads empty and a retry lands normally
+    assert DV._dv_log_entries(t) == []
+    DV._append_dv_entry(t, "delete", ["f0"], "tag0")
+    assert [e["tag"] for e in DV._dv_log_entries(t)] == ["tag0"]

@@ -459,3 +459,27 @@ def test_sub_sharded_ranked_randomized_parity(spark):
         assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
             map(tuple, want.select(*cols).collect())
         ), (trial, n, shards, desc, vals)
+
+
+def test_sub_sharded_ranked_refuses_null_order_values(spark):
+    """A null leading order value would silently land in the wrong shard
+    and skew every stitched rank — the operator refuses loudly instead
+    (same contract as the bounded operators' strict pre-checks)."""
+    import pytest
+
+    rows = [("hot", float(i % 50), i) for i in range(500)]
+    rows += [("hot", None, 9999)]
+    df = spark.createDataFrame(rows, "key string, amt double, id long")
+    with pytest.raises(ValueError, match="non-null"):
+        skew.sub_sharded_ranked(df, ["key"], [("amt", True), ("id", False)], shards=4)
+    # keys excluded from sharding may carry nulls: plain-window semantics
+    got = skew.sub_sharded_ranked(
+        df, ["key"], [("amt", True), ("id", False)], shards=4,
+        hot_threshold=10_000,  # nothing shards
+    )
+    want = _plain_ranks(df, [("amt", True), ("id", False)])
+    cols = ["key", "id", "rank", "dense_rank", "row_number"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
