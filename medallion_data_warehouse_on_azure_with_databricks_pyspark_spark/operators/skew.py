@@ -284,39 +284,8 @@ def sub_sharded_ranked(
             .select(*partition_by)
         )
         scope = df.join(F.broadcast(hot_keys), partition_by, "left_semi")
-    # one bounds pass, COLLECTED (hot keys x (shards-1) floats — tiny):
-    # the null precondition check rides in the same aggregate (a null
-    # first-order value would silently land in the wrong shard and skew
-    # every stitched rank — refuse loudly instead), and the collected
-    # rows re-enter as a literal frame so the bounds subtree is never
-    # recomputed across the window and offsets branches
-    stats = (
-        scope.groupBy(*partition_by)
-        .agg(
-            F.percentile_approx(c0, fracs, 10_000).alias("__bs"),
-            F.sum(F.col(c0).isNull().cast("long")).alias("__nulls"),
-        )
-        .collect()
-    )
-    null_keys = [
-        tuple(r[c] for c in partition_by) for r in stats if r["__nulls"]
-    ][:20]
-    if null_keys:
-        raise ValueError(
-            "sub_sharded_ranked: the first order column "
-            f"{c0!r} is null for rows of sharded keys {null_keys} — "
-            "rank sharding requires a non-null numeric leading order "
-            "column (exclude those keys via hot_threshold or coalesce "
-            "the column)"
-        )
-    bounds_schema = (
-        scope.groupBy(*partition_by)
-        .agg(F.percentile_approx(c0, fracs, 10_000).alias("__bs"))
-        .schema
-    )
-    bounds = df.sparkSession.createDataFrame(
-        [tuple(r[c] for c in partition_by) + (r["__bs"],) for r in stats],
-        bounds_schema,
+    bounds = scope.groupBy(*partition_by).agg(
+        F.percentile_approx(c0, fracs, 10_000).alias("__bs")
     )
     # shard index counts the boundaries the row's value has passed IN
     # WINDOW ORDER; ties at a boundary stay in the earlier shard, so
@@ -324,12 +293,28 @@ def sub_sharded_ranked(
     past = (
         (lambda b: b > F.col(c0)) if d0 else (lambda b: b < F.col(c0))
     )
+    # executor-side precondition, zero extra jobs: a null leading order
+    # value on a SHARDED key would land in the wrong shard and silently
+    # skew every stitched rank — refuse loudly at action time instead.
+    # assert_true returns NULL when the predicate holds (raising
+    # otherwise), so folding it into the shard expression keeps the
+    # check un-prunable; unsharded keys (no boundaries) keep plain-
+    # window null semantics untouched.
+    guard = F.assert_true(
+        F.col("__bs").isNull() | F.col(c0).isNotNull(),
+        F.lit(
+            f"sub_sharded_ranked: the first order column {c0!r} is null "
+            "on a sharded key — rank sharding requires a non-null "
+            "numeric leading order column (exclude such keys via "
+            "hot_threshold or coalesce the column)"
+        ),
+    )
     with_shard = (
         df.join(F.broadcast(bounds), partition_by, "left")
         .withColumn(
             "__shard",
             F.when(
-                F.col("__bs").isNotNull(),
+                guard.isNull() & F.col("__bs").isNotNull(),
                 F.size(F.filter("__bs", past)),
             ).otherwise(F.lit(0)),
         )

@@ -464,14 +464,17 @@ def test_sub_sharded_ranked_randomized_parity(spark):
 def test_sub_sharded_ranked_refuses_null_order_values(spark):
     """A null leading order value would silently land in the wrong shard
     and skew every stitched rank — the operator refuses loudly instead
-    (same contract as the bounded operators' strict pre-checks)."""
+    (executor-side assert_true, zero extra jobs; raises at action
+    time)."""
     import pytest
 
     rows = [("hot", float(i % 50), i) for i in range(500)]
     rows += [("hot", None, 9999)]
     df = spark.createDataFrame(rows, "key string, amt double, id long")
-    with pytest.raises(ValueError, match="non-null"):
-        skew.sub_sharded_ranked(df, ["key"], [("amt", True), ("id", False)], shards=4)
+    with pytest.raises(Exception, match="non-null"):
+        skew.sub_sharded_ranked(
+            df, ["key"], [("amt", True), ("id", False)], shards=4
+        ).collect()
     # keys excluded from sharding may carry nulls: plain-window semantics
     got = skew.sub_sharded_ranked(
         df, ["key"], [("amt", True), ("id", False)], shards=4,
