@@ -486,3 +486,30 @@ def test_sub_sharded_ranked_refuses_null_order_values(spark):
         map(tuple, want.select(*cols).collect())
     )
 
+
+
+def test_sub_sharded_ranked_multi_column_partition(spark):
+    """Composite partition keys shard and stitch exactly (the operator
+    is list-typed throughout — bounds, offsets, and joins all key on the
+    full tuple)."""
+    from pyspark.sql import Window
+
+    rows = [
+        ("a", g, float(i % 37), 100 * g + i)
+        for g in range(2) for i in range(400)
+    ] + [("b", 0, float(i), 9000 + i) for i in range(11)]
+    df = spark.createDataFrame(rows, "k1 string, k2 int, amt double, id long")
+    got = skew.sub_sharded_ranked(
+        df, ["k1", "k2"], [("amt", True), ("id", False)], shards=4
+    )
+    w = Window.partitionBy("k1", "k2").orderBy(
+        F.col("amt").desc(), F.col("id").asc()
+    )
+    want = df.withColumns(
+        {"rank": F.rank().over(w), "dense_rank": F.dense_rank().over(w),
+         "row_number": F.row_number().over(w)}
+    )
+    cols = ["k1", "k2", "id", "rank", "dense_rank", "row_number"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
