@@ -338,3 +338,67 @@ def rebuild_index(spark: SparkSession, index_path: str) -> str:
 
     atomic_dir_swap(stage, index_path.rstrip("/"))
     return index_path
+
+
+def index_health(spark: SparkSession, index_path: str) -> dict:
+    """One bounded diagnostic pass over an index artifact — the numbers
+    a maintenance scheduler polls to decide between doing nothing,
+    :func:`compact_index` (tombstone/duplicate pile-up), and
+    :func:`rebuild_index` (drift flag raised by the streaming loop):
+
+    * ``rows`` / ``live_ids`` / ``replay_duplicates`` — stored rows vs
+      distinct live ids (at-least-once appends leave duplicates that
+      reads neutralize but storage pays for);
+    * ``tombstones`` / ``tombstone_ratio`` — deleted ids still shading
+      the artifact (compaction folds them);
+    * coarse families add ``lists`` / ``max_list`` / ``mean_list`` /
+      ``list_skew`` (max/mean over the stored assignment — the append
+      pile-up signal that inflates probe cost even where recall holds);
+    * ``drift_flag`` — the streaming maintenance loop's standing rebuild
+      recommendation (None when clear).
+
+    Cost: one aggregate over the primary table plus a tombstone count —
+    metadata-scale, safe to poll on a schedule."""
+    from ..streaming.index_stream import drift_flag
+
+    meta = _read_meta(index_path)
+    fam = _family(meta)
+    id_col = meta["id_col"]
+    primary = {
+        "minhash": "bands", "lsh": "buckets", "ivf": "lists",
+        "matryoshka": "lists", "ivfpq": "codes", "ivfsq8": "codes",
+        "ivfbq": "codes", "pq": "codes", "sq8": "codes",
+    }[fam]
+    tbl = spark.read.parquet(os.path.join(index_path, primary))
+    agg = tbl.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(id_col).alias("live_ids"),
+    ).first()
+    tomb = read_tombstones(spark, index_path)
+    n_tomb = tomb.count() if tomb is not None else 0
+    out = {
+        "family": fam,
+        "rows": agg["rows"],
+        "live_ids": agg["live_ids"],
+        "replay_duplicates": agg["rows"] - agg["live_ids"],
+        "tombstones": n_tomb,
+        "tombstone_ratio": (
+            n_tomb / agg["live_ids"] if agg["live_ids"] else 0.0
+        ),
+        "drift_flag": drift_flag(index_path),
+    }
+    if "pivot_id" in tbl.columns:
+        sizes = tbl.groupBy("pivot_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).agg(
+            F.count(F.lit(1)).alias("lists"),
+            F.max("n").alias("max_list"),
+            F.avg("n").alias("mean_list"),
+        ).first()
+        out.update(
+            lists=sizes["lists"],
+            max_list=sizes["max_list"],
+            mean_list=float(sizes["mean_list"]),
+            list_skew=float(sizes["max_list"] / sizes["mean_list"]),
+        )
+    return out

@@ -388,3 +388,41 @@ def test_rebuild_index_refuses_flat_families(spark, tmp_path):
     similarity.build_sq8_index(emb, idx)
     with pytest.raises(ValueError, match="no quantizer-drift rebuild"):
         index_maintenance.rebuild_index(spark, idx)
+
+
+def test_index_health_reports_the_maintenance_signals(spark, tmp_path):
+    rows = [(i, [0.5 + 0.01 * i, 0.05]) for i in range(10)]
+    rows += [(10 + i, [10.0 + 0.01 * i, 0.05]) for i in range(10)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, modulus=10)
+    h0 = index_maintenance.index_health(spark, idx)
+    assert h0["family"] == "ivf" and h0["rows"] == h0["live_ids"] == 20
+    assert h0["replay_duplicates"] == 0 and h0["tombstones"] == 0
+    assert h0["drift_flag"] is None and h0["lists"] == 2
+    # replay-duplicate an append, tombstone two ids, raise the flag
+    extra = spark.createDataFrame(
+        [(20, [4.8, 5.0])], "vec_id long, embedding array<double>"
+    )
+    similarity.append_to_ivf_index(extra, idx)
+    similarity.append_to_ivf_index(extra, idx)  # at-least-once replay
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(0,), (11,)], "vec_id long"), idx
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+        index_stream,
+    )
+
+    q = extra.select(F.col("vec_id").alias("query_id"), "embedding")
+    index_stream.evaluate_drift(spark, idx, q, gap_threshold=-100, k=3, nprobe=1)
+    h1 = index_maintenance.index_health(spark, idx)
+    assert h1["rows"] == 22 and h1["live_ids"] == 21
+    assert h1["replay_duplicates"] == 1
+    assert h1["tombstones"] == 2
+    assert h1["drift_flag"] is not None
+    assert h1["max_list"] >= h1["mean_list"] and h1["list_skew"] >= 1.0
+    # the two actuators clear their own signals
+    index_maintenance.rebuild_index(spark, idx)
+    h2 = index_maintenance.index_health(spark, idx)
+    assert h2["replay_duplicates"] == 0 and h2["tombstones"] == 0
+    assert h2["drift_flag"] is None and h2["live_ids"] == 19
