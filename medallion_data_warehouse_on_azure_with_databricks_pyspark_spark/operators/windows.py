@@ -85,12 +85,32 @@ def ranked_all(
     )
 
 
-def duplicates(df: DataFrame, key_cols: list[str], out: str = "row_no") -> DataFrame:
+def duplicates(
+    df: DataFrame,
+    key_cols: list[str],
+    out: str = "row_no",
+    shards: int | None = None,
+    hot_threshold: int | None = None,
+) -> DataFrame:
     """W4: duplicate-key detector — rows beyond the first per key.
 
     Parity: ``ROW_NUMBER() OVER (PARTITION BY customer_id ORDER BY
     customer_id) ... WHERE row_no > 1`` (``/root/reference/Gold_Customers.py:2-7``).
+    The reference orders by the partition key itself, so the numbering
+    within a key is ARBITRARY and only the (key, row_no) SET is
+    deterministic — which is why ``shards`` can route through the
+    hash-sharded ``skew.sub_sharded_row_numbers`` path (round 13): a
+    whale key's rows number across ``shards`` tasks instead of
+    serializing on one, and the emitted set is identical.
     """
+    if shards is not None:
+        from .skew import sub_sharded_row_numbers
+
+        numbered = sub_sharded_row_numbers(
+            df, key_cols, out=out, shards=shards,
+            hot_threshold=hot_threshold,
+        )
+        return numbered.filter(F.col(out) > 1)
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in key_cols])
     return df.withColumn(out, F.row_number().over(w)).filter(F.col(out) > 1)
 

@@ -222,9 +222,15 @@ def orders_duplicate_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 + P7: window-based duplicate detector
     (``/root/reference/Gold_Customers.py:2-7``).  Projects only (key, row_no):
     which physical row gets which row_no is nondeterministic under ties, the
-    (key, row_no) *set* is deterministic."""
+    (key, row_no) *set* is deterministic.
+
+    r13: routed through the hash-sharded row-number path (``shards=8``)
+    — the arbitrary-order numbering lets a whale customer's rows number
+    across 8 tasks and stitch with broadcast count offsets; the emitted
+    set is identical (pinned by ``tests/test_skew.py`` and this lane's
+    oracle)."""
     df = load(spark, sf_dir, "orders")
-    dup = windows.duplicates(df, ["o_custkey"], out="row_no")
+    dup = windows.duplicates(df, ["o_custkey"], out="row_no", shards=8)
     return silver.project(dup, "o_custkey", "row_no")
 
 

@@ -75,6 +75,7 @@ CHANGED_THIS_ROUND = {
     "part_cdf_changes", "part_dml_update_delete_cdf",
     "part_matview_incremental", "part_time_travel_diff",
     "part_scd2_from_cdf_replay", "orders_year_windows",
+    "orders_duplicate_custkeys",
 }
 
 

@@ -513,3 +513,49 @@ def test_sub_sharded_ranked_multi_column_partition(spark):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_sub_sharded_row_numbers_set_parity(spark):
+    """Hash-sharded arbitrary-order row numbering: the per-key (key,
+    row_no) SET must equal the plain window's — a permutation of 1..n
+    per key — across a whale key, cold keys, and true duplicate rows
+    (identical full rows hash to one shard; only balance is affected)."""
+    rows = [("whale", i % 5) for i in range(2000)]  # many identical rows
+    rows += [("k1", i) for i in range(7)]
+    rows += [("k2", 0)]
+    df = spark.createDataFrame(rows, "key string, v int")
+    got = skew.sub_sharded_row_numbers(df, ["key"], out="rn", shards=8)
+    sets = {
+        r["key"]: r["ns"]
+        for r in got.groupBy("key").agg(
+            F.sort_array(F.collect_list("rn")).alias("ns")
+        ).collect()
+    }
+    assert sets["whale"] == list(range(1, 2001))
+    assert sets["k1"] == list(range(1, 8))
+    assert sets["k2"] == [1]
+    # hot_threshold: cold keys ride shard 0, whale still full-range
+    got2 = skew.sub_sharded_row_numbers(
+        df, ["key"], out="rn", shards=8, hot_threshold=1000
+    )
+    sets2 = {
+        r["key"]: r["ns"]
+        for r in got2.groupBy("key").agg(
+            F.sort_array(F.collect_list("rn")).alias("ns")
+        ).collect()
+    }
+    assert sets2 == sets
+
+
+def test_duplicates_sharded_set_equals_plain(spark):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        windows,
+    )
+
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plain = windows.duplicates(df, ["o_custkey"], out="row_no")
+    sharded = windows.duplicates(df, ["o_custkey"], out="row_no", shards=8)
+    key = lambda d: sorted(  # noqa: E731
+        map(tuple, d.select("o_custkey", "row_no").collect())
+    )
+    assert key(sharded) == key(plain)
