@@ -116,7 +116,11 @@ def duplicates(
 
 
 def latest_per_key(
-    df: DataFrame, key_cols: list[str], sequence_col: str, keep_col: bool = False
+    df: DataFrame,
+    key_cols: list[str],
+    sequence_col: str,
+    keep_col: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
     """W5 (corrected): latest-version pick for merge sources.
 
@@ -124,7 +128,27 @@ def latest_per_key(
     BY effective_start_date DESC) rn`` but never filters ``rn=1``
     (``/root/reference/Gold_Products_No_Delta_Live.py:74`` — noted in
     SURVEY.md §7.4.1); we implement the intended semantics.
-    """
+
+    ``strategy="agg"`` (round 13) recognizes that an rn=1 pick IS a
+    max-by-key: one ``max_by(struct(all columns), sequence)`` aggregation
+    with map-side partials — no window, no per-key sort, inherently
+    skew-proof (a whale key's rows combine in partial aggregates instead
+    of serializing through one task's sort).  Tie behavior matches the
+    window's contract: arbitrary-but-single winner per key.  The window
+    strategy stays the default this round (plan-stability for the
+    standing SCD driver lanes); flip callers to "agg" where the CDC
+    source can carry whale keys."""
+    if strategy == "agg":
+        others = [c for c in df.columns if c not in key_cols]
+        picked = df.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*others), F.col(sequence_col)).alias("__w")
+        )
+        out = picked.select(
+            *key_cols, *[F.col(f"__w.{c}").alias(c) for c in others]
+        )
+        return out.withColumn("__rn", F.lit(1)) if keep_col else out
+    if strategy != "window":
+        raise ValueError(f"unknown latest_per_key strategy {strategy!r}")
     w = Window.partitionBy(*key_cols).orderBy(F.col(sequence_col).desc())
     out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return out if keep_col else out.drop("__rn")

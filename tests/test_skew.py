@@ -559,3 +559,32 @@ def test_duplicates_sharded_set_equals_plain(spark):
         map(tuple, d.select("o_custkey", "row_no").collect())
     )
     assert key(sharded) == key(plain)
+
+
+def test_latest_per_key_agg_strategy_equals_window(spark):
+    """The max_by aggregation pick must equal the window pick wherever
+    sequences are unique, keep the same schema, and stay a pure
+    partial-aggregable plan (no Window operator, no per-key sort)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        windows,
+    )
+
+    rows = [(1, i, f"v{i}") for i in range(100_000)]  # whale key
+    rows += [(k, 0, f"cold{k}") for k in range(2, 30)]
+    df = spark.createDataFrame(rows, "product_id long, seq long, name string")
+    win = windows.latest_per_key(df, ["product_id"], "seq")
+    agg = windows.latest_per_key(df, ["product_id"], "seq", strategy="agg")
+    assert agg.columns == win.columns
+    key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    assert key(agg) == key(win)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # struct payloads compile to SortAggregate, but the load-bearing
+    # property is the MAP-SIDE PARTIAL: a whale key collapses to one row
+    # per input partition BEFORE the shuffle
+    assert "partial_max_by" in plan
+    # keep_col parity: the agg path stamps the constant rn=1
+    k2 = windows.latest_per_key(
+        df, ["product_id"], "seq", keep_col=True, strategy="agg"
+    )
+    assert k2.where("__rn <> 1").count() == 0
