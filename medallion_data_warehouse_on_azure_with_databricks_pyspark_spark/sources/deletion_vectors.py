@@ -1018,3 +1018,42 @@ def transact_dv_merge(
     raise ConcurrentWriteError(
         f"{path}: DV merge lost {max_retries + 1} rounds; last: {last}"
     ) from last
+
+
+def dv_health(spark: SparkSession, path: str) -> dict:
+    """One bounded diagnostic pass over the sidecar — the numbers a
+    maintenance scheduler polls to decide when :func:`purge_dv` pays
+    (the deferred rewrite is worth it once the mark ratio makes every
+    read's anti-join and the marked bytes' dead weight exceed one
+    rewrite):
+
+    * ``marks`` / ``physical_rows`` / ``mark_ratio`` — distinct marked
+      positions vs the physical table (double marks count once, exactly
+      as reads treat them);
+    * ``dv_bytes`` / ``broadcastable`` — sidecar size vs the broadcast
+      threshold (a non-broadcastable sidecar shuffles every read);
+    * ``log`` — the mutation log's bounded-listing footprint
+      (:func:`dv_log_footprint`);
+    * ``intent`` — a live writer/crashed claim, if any (``recover_dv_
+      merge`` is the remedy for a crashed one).
+
+    Cost: two counts plus metadata stats — safe to poll on a schedule.
+    """
+    dv_dir = _dv_path(path)
+    marks = (
+        spark.read.parquet(dv_dir)
+        .select("file_path", "row_index").distinct().count()
+        if os.path.isdir(dv_dir)
+        else 0
+    )
+    physical = spark.read.parquet(path).count()
+    dv_bytes = _dv_bytes(path) if os.path.isdir(dv_dir) else 0
+    return {
+        "marks": marks,
+        "physical_rows": physical,
+        "mark_ratio": marks / physical if physical else 0.0,
+        "dv_bytes": dv_bytes,
+        "broadcastable": dv_bytes <= BROADCAST_DV_BYTES,
+        "log": dv_log_footprint(path),
+        "intent": _read_intent(path),
+    }

@@ -962,3 +962,20 @@ def test_concurrent_disjoint_mutators_stress(spark, tmp_path):
     # log is consistent and parseable end to end
     ops = sorted(e["op"] for e in DV._dv_log_entries(t))
     assert ops == ["delete", "delete", "merge", "merge"]
+
+
+def test_dv_health_reports_purge_signals(spark, gtable):
+    h0 = DV.dv_health(spark, gtable)
+    assert h0["marks"] == 0 and h0["mark_ratio"] == 0.0
+    assert h0["intent"] is None and h0["broadcastable"]
+    DV.delete_where_dv(spark, gtable, F.col("g") == 1)
+    DV.delete_where_dv(spark, gtable, (F.col("g") == 2) & (F.col("i") < 5))
+    h1 = DV.dv_health(spark, gtable)
+    assert h1["marks"] == 15 and h1["physical_rows"] == 40
+    assert abs(h1["mark_ratio"] - 15 / 40) < 1e-12
+    assert h1["log"]["total_entries"] == 2
+    DV.purge_dv(spark, gtable)
+    h2 = DV.dv_health(spark, gtable)
+    assert h2["marks"] == 0 and h2["physical_rows"] == 25
+    assert h2["log"]["total_entries"] == 0  # swap cleared the log
+    assert h2["intent"] is None  # purge released its claim
