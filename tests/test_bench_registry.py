@@ -64,18 +64,21 @@ def test_every_query_has_oracle_or_documented_weak_check():
 #: a changed lane always gets a fresh driver hash regardless of
 #: staleness).  Maintained alongside CORRECTNESS_PRIORITY each round.
 CHANGED_THIS_ROUND = {
-    # r13: DV sidecar hardening (partitioned key-Bloom commute proof,
-    # TOCTOU intent fence, dedup'd log entries, mutation-log
-    # checkpointing) touches both DV lanes; the versioned bench lanes
-    # migrate to snapshot_mode="manifest" (ADVICE/VERDICT r12 asks);
-    # orders_year_windows routes through the skew-sharded rank path.
-    "part_dv_delete_scan", "part_merge_dv_scan",
-    "part_optimize_partitions_scan", "part_cdf_changes_percommit",
-    "part_merge_versioned_txn", "part_optimize_compacted_scan",
-    "part_cdf_changes", "part_dml_update_delete_cdf",
-    "part_matview_incremental", "part_time_travel_diff",
-    "part_scd2_from_cdf_replay", "orders_year_windows",
-    "orders_duplicate_custkeys",
+    # r14 (VERDICT r13 asks #2/#4/#5): the two streaming sinks flip to
+    # snapshot_mode="manifest"; latest_per_key flips to the skew-proof
+    # max_by agg strategy, riding every apply_changes caller (the dlt
+    # family, the CDC-replay lanes) plus the matview stream's W5 pick;
+    # the two sharded rank lanes gain hot_threshold so cold keys keep
+    # the plain single-shard window.  scd1_customer_dim /
+    # scd1_customer_dim_sql / scd2_part_dim do NOT change: their merge
+    # sources are key-unique by construction and never routed through
+    # latest_per_key (plans/scd.py — ask #5's Done list adjusted with
+    # that structural note in COVERAGE.md).
+    "events_stream_partition_overwrite", "events_stream_matview_ingest",
+    "orders_year_windows", "orders_duplicate_custkeys",
+    "scd2_part_dim_deletes", "dlt_part_pipeline",
+    "dlt_part_pipeline_incremental", "dlt_part_pipeline_deletes",
+    "dlt_part_quarantine", "part_scd2_from_cdf_replay",
 }
 
 
