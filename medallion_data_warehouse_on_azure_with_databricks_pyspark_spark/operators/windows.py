@@ -120,7 +120,7 @@ def latest_per_key(
     key_cols: list[str],
     sequence_col: str,
     keep_col: bool = False,
-    strategy: str = "window",
+    strategy: str = "agg",
 ) -> DataFrame:
     """W5 (corrected): latest-version pick for merge sources.
 
@@ -129,22 +129,28 @@ def latest_per_key(
     (``/root/reference/Gold_Products_No_Delta_Live.py:74`` — noted in
     SURVEY.md §7.4.1); we implement the intended semantics.
 
-    ``strategy="agg"`` (round 13) recognizes that an rn=1 pick IS a
-    max-by-key: one ``max_by(struct(all columns), sequence)`` aggregation
-    with map-side partials — no window, no per-key sort, inherently
-    skew-proof (a whale key's rows combine in partial aggregates instead
-    of serializing through one task's sort).  Tie behavior matches the
-    window's contract: arbitrary-but-single winner per key.  The window
-    strategy stays the default this round (plan-stability for the
-    standing SCD driver lanes); flip callers to "agg" where the CDC
-    source can carry whale keys."""
+    ``strategy="agg"`` — the DEFAULT since round 14 (built + equality-
+    pytested r13, flipped per VERDICT r13 ask #5) — recognizes that an
+    rn=1 pick IS a max-by-key: one ``max_by(struct(all columns),
+    sequence)`` aggregation with map-side partials — no window, no
+    per-key sort, inherently skew-proof (a whale key's rows combine in
+    partial aggregates instead of serializing through one task's sort;
+    the plan pins ``partial_max_by`` and no Window operator —
+    ``tests/test_skew.py``).  Tie behavior matches the window's
+    contract: arbitrary-but-single winner per key.  Column order is
+    preserved, so the strategies are drop-in interchangeable;
+    ``strategy="window"`` keeps the classic rn=1 plan for callers that
+    need the window shape."""
     if strategy == "agg":
         others = [c for c in df.columns if c not in key_cols]
         picked = df.groupBy(*key_cols).agg(
             F.max_by(F.struct(*others), F.col(sequence_col)).alias("__w")
         )
         out = picked.select(
-            *key_cols, *[F.col(f"__w.{c}").alias(c) for c in others]
+            *[
+                F.col(c) if c in key_cols else F.col(f"__w.{c}").alias(c)
+                for c in df.columns
+            ]
         )
         return out.withColumn("__rn", F.lit(1)) if keep_col else out
     if strategy != "window":

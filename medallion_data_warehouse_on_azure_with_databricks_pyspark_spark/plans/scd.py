@@ -206,7 +206,14 @@ def apply_changes(
     Deduplicates the change feed to the latest row per key by ``sequence_by``
     (the W5-corrected pick — the reference computes but never applies this
     filter), then routes to SCD1 or two-phase SCD2.  ``target=None`` means
-    initial load.
+    initial load.  Since r14 the pick runs the ``max_by`` agg strategy
+    (``operators/windows.py::latest_per_key`` default): a whale key in
+    the CDC feed collapses map-side before the shuffle instead of
+    serializing through one task's window sort — the plan carries no
+    Window operator (pinned in ``tests/test_merge_scd.py``).  Note the
+    DIRECT scd1_merge/scd2_merge entry points (the ``scd1_customer_dim``
+    / ``scd2_part_dim`` driver lanes) take a key-unique source by
+    contract and never route through this pick at all.
 
     ``apply_as_deletes`` (DLT parity — the reference's API surface accepts
     it at ``Gold_Products.py:98-105`` but leaves it unused) marks change

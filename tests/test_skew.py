@@ -572,7 +572,7 @@ def test_latest_per_key_agg_strategy_equals_window(spark):
     rows = [(1, i, f"v{i}") for i in range(100_000)]  # whale key
     rows += [(k, 0, f"cold{k}") for k in range(2, 30)]
     df = spark.createDataFrame(rows, "product_id long, seq long, name string")
-    win = windows.latest_per_key(df, ["product_id"], "seq")
+    win = windows.latest_per_key(df, ["product_id"], "seq", strategy="window")
     agg = windows.latest_per_key(df, ["product_id"], "seq", strategy="agg")
     assert agg.columns == win.columns
     key = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
