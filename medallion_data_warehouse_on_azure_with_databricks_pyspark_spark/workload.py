@@ -2636,7 +2636,9 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 #      IMMEDIATELY after the window and must front the next round's.
 #
 # Every oracle additionally stays verified at sf0.001 AND sf0.01 every
-# round by tests/test_workload_oracle.py regardless of window position.
+# round by tests/test_workload_oracle.py regardless of window position —
+# suite-ENFORCED since r14: the oracle fixtures parametrize over both
+# SFs in one pytest run (VERDICT r13 ask #3), no env-var rerun to forget.
 #: The round whose driver run this priority window is tuned for.  The
 #: rotation tests skip (with a rotate-me message) once CORRECTNESS_r{N}
 #: artifacts for this round exist, instead of failing as if the engine

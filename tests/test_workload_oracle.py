@@ -1,5 +1,8 @@
 """Every registered workload query must match its DuckDB oracle — a local
-replica of the driver's t2 correctness gate."""
+replica of the driver's t2 correctness gate, executed at BOTH sf0.001 and
+sf0.01 in one run (VERDICT r13 ask #3: the dual-SF leg is suite-enforced
+via the parametrized ``oracle_sf_dir`` fixture, not an env-var rerun the
+builder must remember).  ``SPARK_GRAFT_TEST_SF_DIR`` pins a single leg."""
 
 from __future__ import annotations
 
@@ -7,7 +10,7 @@ import pytest
 
 from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import workload
 
-from .conftest import SF_DIR, assert_matches_oracle
+from .conftest import assert_matches_oracle
 
 
 def test_all_queries_have_callables():
@@ -17,12 +20,12 @@ def test_all_queries_have_callables():
 
 
 @pytest.mark.parametrize("name", sorted(workload.ORACLE))
-def test_query_matches_oracle(spark, oracle, name):
-    df = workload.QUERIES[name](spark, SF_DIR)
-    assert_matches_oracle(df, oracle, workload.ORACLE[name])
+def test_query_matches_oracle(spark, oracle_at, oracle_sf_dir, name):
+    df = workload.QUERIES[name](spark, oracle_sf_dir)
+    assert_matches_oracle(df, oracle_at, workload.ORACLE[name])
 
 
 @pytest.mark.parametrize("name", sorted(set(workload.QUERIES) - set(workload.ORACLE)))
-def test_oracle_free_query_runs(spark, name):
-    df = workload.QUERIES[name](spark, SF_DIR)
+def test_oracle_free_query_runs(spark, oracle_sf_dir, name):
+    df = workload.QUERIES[name](spark, oracle_sf_dir)
     assert df.count() >= 0
