@@ -347,8 +347,14 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
     :func:`rebuild_index` (drift flag raised by the streaming loop):
 
     * ``rows`` / ``live_ids`` / ``replay_duplicates`` — stored rows vs
-      distinct live ids (at-least-once appends leave duplicates that
-      reads neutralize but storage pays for);
+      the family's natural storage key (at-least-once appends leave
+      duplicates that reads neutralize but storage pays for).  The
+      natural key is per-family: banded/bucketed artifacts store one row
+      per (id, band) / (id, table), so multiplicity by design is NOT
+      counted as duplication (r14 fix — the pre-scheduler metric
+      counted every band row beyond the first as a replay duplicate,
+      which would have made ``decide_index`` compact a freshly-built
+      MinHash index forever);
     * ``tombstones`` / ``tombstone_ratio`` — deleted ids still shading
       the artifact (compaction folds them);
     * coarse families add ``lists`` / ``max_list`` / ``mean_list`` /
@@ -370,9 +376,18 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
         "ivfbq": "codes", "pq": "codes", "sq8": "codes",
     }[fam]
     tbl = spark.read.parquet(os.path.join(index_path, primary))
+    # the family's natural storage key: one row per (id, band) for
+    # MinHash, per (id, table) for multi-table LSH, per id otherwise —
+    # rows beyond one per key are replay duplicates, by-design
+    # multiplicity is not
+    nat_key = {
+        "minhash": [id_col, "band"],
+        "lsh": [id_col, "table_id"] if "table_id" in tbl.columns else [id_col],
+    }.get(fam, [id_col])
     agg = tbl.agg(
         F.count(F.lit(1)).alias("rows"),
         F.countDistinct(id_col).alias("live_ids"),
+        F.countDistinct(*nat_key).alias("nat_rows"),
     ).first()
     tomb = read_tombstones(spark, index_path)
     n_tomb = tomb.count() if tomb is not None else 0
@@ -380,7 +395,7 @@ def index_health(spark: SparkSession, index_path: str) -> dict:
         "family": fam,
         "rows": agg["rows"],
         "live_ids": agg["live_ids"],
-        "replay_duplicates": agg["rows"] - agg["live_ids"],
+        "replay_duplicates": agg["rows"] - agg["nat_rows"],
         "tombstones": n_tomb,
         "tombstone_ratio": (
             n_tomb / agg["live_ids"] if agg["live_ids"] else 0.0

@@ -1,0 +1,151 @@
+"""Maintenance scheduler: the loop that turns the health poll surfaces
+into dispatched actuators (VERDICT r13 ask #7).
+
+Round 13 built every part: ``operators/index_maintenance.py`` exposes
+``index_health`` (poll) with ``compact_index`` / ``rebuild_index``
+(actuators), ``sources/deletion_vectors.py`` exposes ``dv_health``
+(poll) with ``purge_dv`` / ``recover_dv_merge`` (actuators), and the
+streaming ingest loop raises ``drift_flag``.  This module is the one
+function that closes them into a loop a cron/stream trigger can call.
+
+Design — mirrors how Delta/Iceberg deployments run OPTIMIZE/VACUUM:
+
+* **Decisions are pure functions over the health dict** (``decide_index``
+  / ``decide_dv``): threshold logic is unit-testable without Spark, and
+  a deployment can run the decide step against harvested health metrics
+  centrally while dispatching actuators next to the data.
+* **One actuator per table per sweep.**  A rebuild IS a compaction
+  (``rebuild_index`` drops duplicates + tombstones while retraining),
+  so drift subsumes the compaction decision; running both would do the
+  compaction's work twice.
+* **Safety over eagerness on the DV sidecar.**  A standing writer
+  intent may be a LIVE writer (the ``recover_dv_merge`` contract says
+  sweeping a live claim destroys in-flight work), so the scheduler only
+  dispatches recovery when the caller asserts writers are quiesced
+  (``assume_quiesced=True``); otherwise it reports ``blocked:intent``
+  and defers — the next sweep retries after the writer finishes or the
+  operator quiesces.  A purge is likewise deferred while a claim
+  stands: it would only lose the claim race.
+
+At 100 TB the sweep itself is metadata-scale (both health probes are
+bounded aggregates, documented on their functions); the actuators are
+the expensive steps, which is exactly why thresholds gate them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """Dispatch thresholds.  Defaults follow the cost model each health
+    field documents: compaction pays once dead rows shade ~1/5 of the
+    artifact; a purge pays once every read's anti-join covers ~30% of
+    the table or the sidecar outgrows the broadcast threshold (then
+    every read shuffles)."""
+
+    #: compact when tombstones / live_ids reaches this
+    tombstone_ratio: float = 0.2
+    #: compact when replay_duplicates / live_ids reaches this
+    duplicate_ratio: float = 0.2
+    #: rebuild when the streaming loop's drift flag stands
+    rebuild_on_drift: bool = True
+    #: purge when distinct marks / physical_rows reaches this
+    mark_ratio: float = 0.3
+    #: purge when the sidecar can no longer broadcast
+    purge_when_not_broadcastable: bool = True
+
+
+DEFAULT_POLICY = MaintenancePolicy()
+
+
+def decide_index(health: dict, policy: MaintenancePolicy = DEFAULT_POLICY) -> str | None:
+    """Pure decision: index health dict -> ``"rebuild"`` | ``"compact"``
+    | None.  Drift outranks compaction (a rebuild compacts en route);
+    flat families that cannot rebuild still compact on pile-up —
+    ``rebuild_index`` refuses loudly for them, so drift flags are only
+    ever raised by the coarse families' streaming loop."""
+    if policy.rebuild_on_drift and health.get("drift_flag") is not None:
+        return "rebuild"
+    live = health.get("live_ids") or 0
+    if live:
+        if health.get("tombstones", 0) / live >= policy.tombstone_ratio:
+            return "compact"
+        if health.get("replay_duplicates", 0) / live >= policy.duplicate_ratio:
+            return "compact"
+    return None
+
+
+def decide_dv(
+    health: dict,
+    policy: MaintenancePolicy = DEFAULT_POLICY,
+    assume_quiesced: bool = False,
+) -> str | None:
+    """Pure decision: DV health dict -> ``"recover"`` | ``"purge"`` |
+    ``"blocked:intent"`` | None.  A standing intent blocks everything:
+    recovery is only dispatched under ``assume_quiesced`` (the
+    ``recover_dv_merge`` live-writer contract), and a purge under a
+    standing claim would just lose the race."""
+    if health.get("intent") is not None:
+        return "recover" if assume_quiesced else "blocked:intent"
+    wants_purge = health.get("mark_ratio", 0.0) >= policy.mark_ratio or (
+        policy.purge_when_not_broadcastable
+        and not health.get("broadcastable", True)
+        and health.get("marks", 0) > 0
+    )
+    return "purge" if wants_purge else None
+
+
+def run_maintenance(
+    spark: SparkSession,
+    index_paths: list[str] | tuple[str, ...] = (),
+    dv_paths: list[str] | tuple[str, ...] = (),
+    policy: MaintenancePolicy = DEFAULT_POLICY,
+    assume_quiesced: bool = False,
+) -> list[dict]:
+    """One scheduler sweep: poll health, dispatch at most one actuator
+    per table, return the audit trail — one dict per table with the
+    polled ``health``, the decided ``action`` (None = healthy), and the
+    actuator's ``result`` (rows purged, promoted path, recovery bool).
+
+    Actuator failures are captured per table (``error``) instead of
+    aborting the sweep — one wedged artifact must not starve the rest
+    of the fleet's maintenance.  Idempotent by construction: every
+    actuator either completes (health clears, next sweep decides None)
+    or leaves the old state fully live (their atomic-swap contracts).
+    """
+    from ..operators import index_maintenance as im
+    from ..sources import deletion_vectors as dv
+
+    report: list[dict] = []
+
+    def _dispatch(kind: str, path: str, health: dict, action: str | None):
+        row: dict = {"kind": kind, "path": path, "health": health,
+                     "action": action}
+        if action in (None, "blocked:intent"):
+            return row
+        try:
+            if action == "rebuild":
+                row["result"] = im.rebuild_index(spark, path)
+            elif action == "compact":
+                row["result"] = im.compact_index(spark, path)
+            elif action == "purge":
+                row["result"] = dv.purge_dv(spark, path)
+            elif action == "recover":
+                row["result"] = dv.recover_dv_merge(spark, path)
+        except Exception as exc:  # noqa: BLE001 — per-table fault isolation
+            row["error"] = f"{type(exc).__name__}: {exc}"
+        return row
+
+    for p in index_paths:
+        health = im.index_health(spark, p)
+        report.append(_dispatch("index", p, health, decide_index(health, policy)))
+    for p in dv_paths:
+        health = dv.dv_health(spark, p)
+        report.append(
+            _dispatch("dv", p, health, decide_dv(health, policy, assume_quiesced))
+        )
+    return report

@@ -1,0 +1,170 @@
+"""Maintenance scheduler (VERDICT r13 ask #7): planted drift / tombstone /
+mark-ratio / crashed-claim states each trigger exactly their actuator
+through one ``run_maintenance`` sweep, and health clears so the next
+sweep decides nothing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+    dedup,
+    index_maintenance,
+    similarity,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+    maintenance as M,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+    deletion_vectors as DV,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming import (
+    index_stream,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+# ---------------------------------------------------------------------------
+# Pure decision logic (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_decide_index_thresholds():
+    healthy = {"live_ids": 100, "tombstones": 0, "replay_duplicates": 0,
+               "drift_flag": None}
+    assert M.decide_index(healthy) is None
+    # drift outranks everything (a rebuild compacts en route)
+    assert M.decide_index({**healthy, "drift_flag": {"gap": 3},
+                           "tombstones": 90}) == "rebuild"
+    assert M.decide_index({**healthy, "tombstones": 20}) == "compact"
+    assert M.decide_index({**healthy, "tombstones": 19}) is None
+    assert M.decide_index({**healthy, "replay_duplicates": 20}) == "compact"
+    # policy knobs are honored
+    lax = M.MaintenancePolicy(tombstone_ratio=0.5, rebuild_on_drift=False)
+    assert M.decide_index({**healthy, "tombstones": 20,
+                           "drift_flag": {"gap": 3}}, lax) is None
+    # an empty artifact never divides by zero
+    assert M.decide_index({"live_ids": 0, "tombstones": 5,
+                           "replay_duplicates": 0, "drift_flag": None}) is None
+
+
+def test_decide_dv_thresholds_and_intent_gate():
+    healthy = {"marks": 0, "physical_rows": 100, "mark_ratio": 0.0,
+               "broadcastable": True, "intent": None}
+    assert M.decide_dv(healthy) is None
+    assert M.decide_dv({**healthy, "marks": 30, "mark_ratio": 0.3}) == "purge"
+    assert M.decide_dv({**healthy, "marks": 29, "mark_ratio": 0.29}) is None
+    # a sidecar past the broadcast threshold purges even below mark_ratio
+    assert M.decide_dv({**healthy, "marks": 1, "mark_ratio": 0.01,
+                        "broadcastable": False}) == "purge"
+    # ... but an EMPTY oversized sidecar has nothing to purge
+    assert M.decide_dv({**healthy, "broadcastable": False}) is None
+    # a standing intent blocks: recovery only under explicit quiescence
+    held = {**healthy, "marks": 50, "mark_ratio": 0.5,
+            "intent": {"op": "merge", "phase": "staging"}}
+    assert M.decide_dv(held) == "blocked:intent"
+    assert M.decide_dv(held, assume_quiesced=True) == "recover"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end sweeps: planted state -> exactly one actuator -> health clears
+# ---------------------------------------------------------------------------
+
+def test_sweep_compacts_tombstone_heavy_index(spark, tmp_path):
+    docs = spark.read.parquet(DOCS).limit(10)
+    idx = dedup.build_minhash_index(docs, str(tmp_path / "idx"))
+    victims = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+    index_maintenance.delete_from_index(
+        spark.createDataFrame([(i,) for i in victims], "doc_id long"), idx
+    )
+    report = M.run_maintenance(spark, index_paths=[idx])
+    (row,) = report
+    assert row["action"] == "compact" and "error" not in row
+    assert row["health"]["tombstones"] == 3
+    # health cleared: the next sweep decides nothing
+    h2 = index_maintenance.index_health(spark, idx)
+    assert h2["tombstones"] == 0 and M.decide_index(h2) is None
+    (row2,) = M.run_maintenance(spark, index_paths=[idx])
+    assert row2["action"] is None
+
+
+def test_sweep_rebuilds_on_drift_flag_and_clears_it(spark, tmp_path):
+    rows = [(i, [0.5 + 0.01 * i, 0.05]) for i in range(10)]
+    rows += [(10 + i, [10.0 + 0.01 * i, 0.05]) for i in range(10)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(base, idx, modulus=10)
+    # plant the standing flag exactly as the streaming loop writes it
+    with open(os.path.join(idx, index_stream.DRIFT_FLAG_FILE), "w") as fh:
+        json.dump({"rebuild_recommended": True, "gap": 4}, fh)
+    (row,) = M.run_maintenance(spark, index_paths=[idx])
+    assert row["action"] == "rebuild" and "error" not in row
+    # the rebuild's atomic swap dropped its own trigger; index still serves
+    assert index_stream.drift_flag(idx) is None
+    h2 = index_maintenance.index_health(spark, idx)
+    assert M.decide_index(h2) is None
+    probe = base.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert similarity.ivf_topk_against_index(
+        probe, idx, k=3, nprobe=2, exclude_self=False
+    ).count() == 6
+
+
+def test_sweep_purges_mark_heavy_dv_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(g, i) for g in range(4) for i in range(10)], "g int, i int"
+    ).repartition(4, "g").write.parquet(t)
+    DV.delete_where_dv(spark, t, F.col("g").isin(1, 2))  # 20/40 marks
+    (row,) = M.run_maintenance(spark, dv_paths=[t])
+    assert row["action"] == "purge" and row["result"] == 20
+    h2 = DV.dv_health(spark, t)
+    assert h2["marks"] == 0 and h2["physical_rows"] == 20
+    assert M.decide_dv(h2) is None
+    (row2,) = M.run_maintenance(spark, dv_paths=[t])
+    assert row2["action"] is None
+
+
+def test_sweep_defers_on_intent_then_recovers_when_quiesced(spark, tmp_path):
+    t = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "i int"
+    ).coalesce(1).write.parquet(t)
+    DV.delete_where_dv(spark, t, F.col("i") >= 5)
+    # a crashed writer: claim taken, never released
+    DV._claim_dv_writer(t, {"op": "purge", "phase": "staging"})
+    (row,) = M.run_maintenance(spark, dv_paths=[t])
+    assert row["action"] == "blocked:intent" and "result" not in row
+    assert DV._read_intent(t) is not None  # untouched — safety over eagerness
+    (row2,) = M.run_maintenance(spark, dv_paths=[t], assume_quiesced=True)
+    assert row2["action"] == "recover" and row2["result"] is True
+    assert DV._read_intent(t) is None
+    # with the claim gone the NEXT sweep purges the standing marks
+    (row3,) = M.run_maintenance(spark, dv_paths=[t])
+    assert row3["action"] == "purge" and row3["result"] == 5
+
+
+def test_sweep_isolates_actuator_failure_per_table(spark, tmp_path):
+    """One wedged artifact must not starve the rest of the fleet."""
+    docs = spark.read.parquet(DOCS).limit(10)
+    good = dedup.build_minhash_index(docs, str(tmp_path / "good"))
+    bad = dedup.build_minhash_index(docs, str(tmp_path / "bad"))
+    for idx in (good, bad):
+        victims = [r["doc_id"] for r in docs.select("doc_id").limit(3).collect()]
+        index_maintenance.delete_from_index(
+            spark.createDataFrame([(i,) for i in victims], "doc_id long"), idx
+        )
+    # wedge the bad artifact: its bands table vanishes after the health
+    # poll would... simplest deterministic wedge: drop the shingles table
+    # compaction must rewrite
+    import shutil
+
+    shutil.rmtree(os.path.join(bad, "shingles"))
+    report = M.run_maintenance(spark, index_paths=[bad, good])
+    by_path = {r["path"]: r for r in report}
+    assert "error" in by_path[bad]
+    assert by_path[good]["action"] == "compact" and "error" not in by_path[good]
+    assert index_maintenance.index_health(spark, good)["tombstones"] == 0
