@@ -79,6 +79,9 @@ CHANGED_THIS_ROUND = {
     "scd2_part_dim_deletes", "dlt_part_pipeline",
     "dlt_part_pipeline_incremental", "dlt_part_pipeline_deletes",
     "dlt_part_quarantine", "part_scd2_from_cdf_replay",
+    # ask #6 follow-up: result-invariant split point swapped to
+    # percentile_approx (lane already sits in the window's stale tier)
+    "events_stream_anomaly_ingest",
 }
 
 
