@@ -80,12 +80,26 @@ def main() -> int:
         q for q in registered
         if q in oracles and latest.get(q, 0) <= args.round - 3
     )
-    changed_fresh = [c for c in changed if c not in stale_oracle]
     no_oracle = sorted(set(registered) - oracles)
-    window = stale_oracle + [c for c in changed_fresh if c in oracles]
+    # the no-oracle grace is ONE extra round, not indefinite: r13 proved
+    # the driver consumes exactly the first 50 entries, so a rows-only
+    # lane 4+ rounds stale must sit INSIDE the window (r14 policy)
+    overdue_no_oracle = [
+        q for q in no_oracle if latest.get(q, 0) <= args.round - 4
+    ]
+    changed_fresh = [c for c in changed if c not in stale_oracle]
+    window = (
+        overdue_no_oracle
+        + stale_oracle
+        + [c for c in changed_fresh if c in oracles]
+    )
     if len(window) > 50:
+        overflow = len(window) - 50
         print(f"WARNING: {len(window)} must-window lanes for 50 slots — "
-              "defer some --changed lanes or accept promise-test failure")
+              f"hand-pick {overflow} stale-oracle lanes to defer to "
+              "positions 51+ (lowest information loss: lanes whose "
+              "composed rungs hold fresher evidence), note them in the "
+              "priority comment, and front them NEXT round")
     pad = [q for q in no_oracle if q not in window][: max(0, 50 - len(window))]
     window += pad
     rest_no_oracle = [q for q in no_oracle if q not in window]
