@@ -64,3 +64,130 @@ def zorder_layout(
         .sortWithinPartitions(key_col)
         .drop(key_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering health + recluster actuator (round 14): the table-layout leg
+# of the maintenance loop.  Delta's OPTIMIZE ZORDER exists because layout
+# DECAYS — every append/merge writes files spanning the full key range,
+# and once file envelopes overlap heavily, min/max skipping stops pruning.
+# ``cluster_health`` measures that decay; ``recluster_zorder`` repairs it.
+# ---------------------------------------------------------------------------
+
+def file_envelopes(
+    spark, path: str, columns: list[str], files: list[str] | None = None
+):
+    """Per-file [min, max] envelopes for ``columns`` — one distributed
+    aggregate over file metadata + the named columns, returned in memory
+    (no manifest side effect; ``sources.skipping.write_stats_manifest``
+    is the persisted twin).  ``files`` pins the scan to an explicit live
+    set (manifest-mode versioned tables must pass theirs — their root
+    also holds superseded files)."""
+    if files is not None:
+        df = spark.read.option("basePath", path).parquet(*files)
+    else:
+        df = spark.read.parquet(path)
+    aggs = []
+    for c in columns:
+        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+    return (
+        df.select(F.col("_metadata.file_path").alias("file_path"), *columns)
+        .groupBy("file_path")
+        .agg(*aggs)
+    )
+
+
+def _overlap_depths(intervals: list[tuple]) -> tuple[float, int]:
+    """(mean, max) number of intervals covering a point, measured at
+    every interval start — the expected/worst file count a point query
+    on that column must read.  Classic line sweep, O(F log F) over the
+    FILE count (bounded metadata, never rows)."""
+    events = []
+    for lo, hi in intervals:
+        if lo is None or hi is None:  # all-null file: unprunable, skip
+            continue
+        events.append((lo, 0, 1))   # starts sort before ends at the same
+        events.append((hi, 1, -1))  # point -> closed-interval touch counts
+    events.sort(key=lambda e: (e[0], e[1]))
+    depth = 0
+    at_start: list[int] = []
+    for _val, kind, delta in events:
+        depth += delta
+        if kind == 0:
+            at_start.append(depth)
+    if not at_start:
+        return 0.0, 0
+    return sum(at_start) / len(at_start), max(at_start)
+
+
+def cluster_health(
+    spark, path: str, columns: list[str], files: list[str] | None = None
+) -> dict:
+    """One bounded diagnostic pass over the table's file envelopes — the
+    numbers a maintenance scheduler polls to decide when
+    :func:`recluster_zorder` pays:
+
+    * per column: ``mean_depth`` / ``max_depth`` — how many file
+      envelopes a point query on that column intersects (1.0 = perfectly
+      disjoint, F = every file spans the full range, skipping prunes
+      nothing);
+    * ``worst_mean_depth`` — the max over columns, the dispatch signal;
+    * ``files`` — live file count (reclustering a handful is noise).
+
+    Cost: one per-file min/max aggregate (metadata-scale) + an
+    O(F log F) driver-side sweep over FILE envelopes, never row data —
+    the same bounded-collect contract as every other manifest op."""
+    env = file_envelopes(spark, path, columns, files=files).collect()
+    out: dict = {"files": len(env), "columns": {}}
+    worst = 0.0
+    for c in columns:
+        mean_d, max_d = _overlap_depths(
+            [(r[f"min__{c}"], r[f"max__{c}"]) for r in env]
+        )
+        out["columns"][c] = {"mean_depth": mean_d, "max_depth": max_d}
+        worst = max(worst, mean_d)
+    out["worst_mean_depth"] = worst
+    return out
+
+
+def recluster_zorder(
+    spark,
+    path: str,
+    a: str,
+    b: str,
+    n_files: int | None = None,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """OPTIMIZE ZORDER for a versioned table: rewrite the current
+    snapshot through :func:`zorder_layout` as one optimistic transaction
+    (``sources.versioned.transact`` — pure layout, so a concurrent DML
+    conflicts and this retries against the fresh snapshot, exactly
+    Delta's OPTIMIZE contract).  ``n_files=None`` keeps the live file
+    count; ``stats_columns`` defaults to the clustering columns so the
+    skipping manifest is rebuilt against the new envelopes in the same
+    commit.  Returns the committed version.
+
+    Plain (non-versioned) directories don't need this wrapper — write
+    :func:`zorder_layout`'s output directly."""
+    from ..sources import versioned
+
+    if n_files is None:
+        v = versioned.current_version(path)
+        if v is not None and versioned.snapshot_mode(path) == "manifest":
+            n_files = len(versioned._snapshot_files(path, v))
+        else:
+            n_files = (
+                spark.read.parquet(path)
+                .select(F.col("_metadata.file_path"))
+                .distinct()
+                .count()
+            )
+    return versioned.transact(
+        spark,
+        path,
+        lambda snap: zorder_layout(snap, a, b, n_files),
+        now=now,
+        operation="OPTIMIZE_ZORDER",
+        stats_columns=stats_columns if stats_columns is not None else [a, b],
+    )

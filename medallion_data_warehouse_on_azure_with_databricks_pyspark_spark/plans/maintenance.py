@@ -5,8 +5,12 @@ Round 13 built every part: ``operators/index_maintenance.py`` exposes
 ``index_health`` (poll) with ``compact_index`` / ``rebuild_index``
 (actuators), ``sources/deletion_vectors.py`` exposes ``dv_health``
 (poll) with ``purge_dv`` / ``recover_dv_merge`` (actuators), and the
-streaming ingest loop raises ``drift_flag``.  This module is the one
-function that closes them into a loop a cron/stream trigger can call.
+streaming ingest loop raises ``drift_flag``.  Round 14 adds the
+table-LAYOUT leg: ``functions/layout.py`` exposes ``cluster_health``
+(poll — file-envelope overlap depth) with ``recluster_zorder``
+(actuator — OPTIMIZE ZORDER as one optimistic transaction).  This
+module is the one function that closes them into a loop a cron/stream
+trigger can call.
 
 Design — mirrors how Delta/Iceberg deployments run OPTIMIZE/VACUUM:
 
@@ -57,6 +61,11 @@ class MaintenancePolicy:
     mark_ratio: float = 0.3
     #: purge when the sidecar can no longer broadcast
     purge_when_not_broadcastable: bool = True
+    #: recluster when a point query on some clustering column must read
+    #: this many file envelopes on average (1.0 = perfectly disjoint)
+    cluster_depth: float = 4.0
+    #: never recluster below this live-file count (layout noise)
+    cluster_min_files: int = 8
 
 
 DEFAULT_POLICY = MaintenancePolicy()
@@ -99,10 +108,37 @@ def decide_dv(
     return "purge" if wants_purge else None
 
 
+def decide_cluster(health: dict, policy: MaintenancePolicy = DEFAULT_POLICY) -> str | None:
+    """Pure decision: cluster health dict -> ``"recluster"`` | None.
+    Layout decays as appends/merges write full-range files; once the
+    worst column's mean envelope-overlap depth crosses the threshold,
+    min/max skipping has stopped pruning and one Z-order rewrite pays."""
+    if health.get("files", 0) < policy.cluster_min_files:
+        return None
+    if health.get("worst_mean_depth", 0.0) >= policy.cluster_depth:
+        return "recluster"
+    return None
+
+
+def _live_files(spark: SparkSession, path: str) -> list[str] | None:
+    """The explicit live file list for a manifest-mode versioned table
+    (whose root also holds superseded files); None when the root is
+    plain-readable (physical mode / unversioned)."""
+    import os
+
+    from ..sources import versioned
+
+    v = versioned.current_version(path)
+    if v is None or versioned.snapshot_mode(path) != "manifest":
+        return None
+    return [os.path.join(path, rel) for rel in versioned._snapshot_files(path, v)]
+
+
 def run_maintenance(
     spark: SparkSession,
     index_paths: list[str] | tuple[str, ...] = (),
     dv_paths: list[str] | tuple[str, ...] = (),
+    cluster_specs: list[tuple] | tuple[tuple, ...] = (),
     policy: MaintenancePolicy = DEFAULT_POLICY,
     assume_quiesced: bool = False,
 ) -> list[dict]:
@@ -111,24 +147,33 @@ def run_maintenance(
     polled ``health``, the decided ``action`` (None = healthy), and the
     actuator's ``result`` (rows purged, promoted path, recovery bool).
 
+    ``cluster_specs`` entries are ``(table_path, (col_a, col_b))`` —
+    versioned tables whose Z-order layout the sweep should keep healthy
+    (``functions/layout.py``: health = envelope-overlap depth, actuator
+    = OPTIMIZE ZORDER transaction).
+
     Actuator failures are captured per table (``error``) instead of
     aborting the sweep — one wedged artifact must not starve the rest
     of the fleet's maintenance.  Idempotent by construction: every
     actuator either completes (health clears, next sweep decides None)
     or leaves the old state fully live (their atomic-swap contracts).
     """
+    from ..functions import layout
     from ..operators import index_maintenance as im
     from ..sources import deletion_vectors as dv
 
     report: list[dict] = []
 
-    def _dispatch(kind: str, path: str, health: dict, action: str | None):
+    def _dispatch(kind: str, path: str, health: dict, action: str | None,
+                  actuate=None):
         row: dict = {"kind": kind, "path": path, "health": health,
                      "action": action}
         if action in (None, "blocked:intent"):
             return row
         try:
-            if action == "rebuild":
+            if actuate is not None:
+                row["result"] = actuate()
+            elif action == "rebuild":
                 row["result"] = im.rebuild_index(spark, path)
             elif action == "compact":
                 row["result"] = im.compact_index(spark, path)
@@ -148,4 +193,14 @@ def run_maintenance(
         report.append(
             _dispatch("dv", p, health, decide_dv(health, policy, assume_quiesced))
         )
+    for p, (ca, cb) in cluster_specs:
+        health = layout.cluster_health(
+            spark, p, [ca, cb], files=_live_files(spark, p)
+        )
+        report.append(_dispatch(
+            "cluster", p, health, decide_cluster(health, policy),
+            actuate=lambda p=p, ca=ca, cb=cb: layout.recluster_zorder(
+                spark, p, ca, cb
+            ),
+        ))
     return report

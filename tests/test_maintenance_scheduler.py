@@ -168,3 +168,66 @@ def test_sweep_isolates_actuator_failure_per_table(spark, tmp_path):
     assert "error" in by_path[bad]
     assert by_path[good]["action"] == "compact" and "error" not in by_path[good]
     assert index_maintenance.index_health(spark, good)["tombstones"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the table-layout leg (cluster health -> OPTIMIZE ZORDER)
+# ---------------------------------------------------------------------------
+
+def test_decide_cluster_thresholds():
+    assert M.decide_cluster({"files": 20, "worst_mean_depth": 4.0}) == "recluster"
+    assert M.decide_cluster({"files": 20, "worst_mean_depth": 3.9}) is None
+    # a handful of files is layout noise regardless of depth
+    assert M.decide_cluster({"files": 7, "worst_mean_depth": 20.0}) is None
+    strict = M.MaintenancePolicy(cluster_depth=1.5, cluster_min_files=2)
+    assert M.decide_cluster({"files": 2, "worst_mean_depth": 1.6}, strict) == "recluster"
+
+
+def test_sweep_reclusters_decayed_layout(spark, tmp_path):
+    """A table whose every file spans the full key range (the state
+    appends/merges decay into) reports depth ~= file count; the sweep
+    dispatches one OPTIMIZE ZORDER transaction; afterwards the envelopes
+    are disjoint enough that the next sweep decides nothing, the data is
+    bit-identical, and the skipping manifest prunes again."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    # event_id and ts_bucket are correlated (the realistic decayed case:
+    # a time-keyed table appended round-robin), every file full-range
+    df = spark.range(12_000).select(
+        F.col("id").alias("event_id"),
+        F.floor(F.col("id") / 10).alias("ts_bucket"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    versioned.overwrite_versioned(
+        df.repartition(12), t, now=1.0, stats_columns=["event_id", "ts_bucket"]
+    )
+    spec = [(t, ("event_id", "ts_bucket"))]
+    (row,) = M.run_maintenance(spark, cluster_specs=spec)
+    assert row["kind"] == "cluster" and row["action"] == "recluster"
+    assert "error" not in row, row.get("error")
+    assert row["health"]["files"] == 12
+    # round-robin stripes overlap heavily (well past the 4.0 dispatch
+    # threshold), even if not every file spans the literal full range
+    assert row["health"]["worst_mean_depth"] > 4
+    # the commit is a versioned OPTIMIZE ZORDER, data bit-identical
+    hist = versioned.history(t)
+    assert any(h["operation"] == "OPTIMIZE_ZORDER" for h in hist)
+    got = sorted(map(tuple, versioned.read_current(spark, t).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # healed: disjoint envelopes, next sweep decides nothing
+    (row2,) = M.run_maintenance(spark, cluster_specs=spec)
+    assert row2["action"] is None
+    assert row2["health"]["worst_mean_depth"] < 2.0
+    # the same commit refreshed the skipping manifest: a point predicate
+    # now prunes to a sliver of the files
+    kept, total = skipping.pruned_files_multi(
+        spark, t, {"event_id": (100, 150), "ts_bucket": (10, 15)}
+    )
+    assert total == 12 and len(kept) <= 2
