@@ -132,6 +132,7 @@ HEADLINE = [
     "emb_ivf_drift_report",
     "doc_curation_pipeline",
     "part_optimize_partitions_scan",
+    "events_recluster_zorder_scan",
     "events_stream_anomaly_ingest",
     "doc_token_budget_epochs",
     "emb_matryoshka_ivf_topk",

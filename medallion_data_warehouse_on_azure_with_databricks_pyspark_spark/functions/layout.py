@@ -74,6 +74,63 @@ def zorder_layout(
 # ``cluster_health`` measures that decay; ``recluster_zorder`` repairs it.
 # ---------------------------------------------------------------------------
 
+def quantile_buckets(df: DataFrame, column: str, buckets: int) -> Column:
+    """Map ``column`` to its approximate quantile bucket ``0..buckets-1``
+    — the rank-scaling the Z-curve needs for UNBOUNDED or skewed domains
+    (epoch timestamps, ids, prices): :func:`zorder_key` interleaves the
+    LOW bits of its inputs, which are noise for an epoch-nanos column,
+    so raw interleaving degenerates to a random shuffle.  Bucketing by
+    quantile makes every dimension uniform on ``[0, buckets)`` first.
+
+    One ``percentile_approx`` aggregate (partial-aggregable sketch)
+    collects ``buckets-1`` boundaries driver-side — bounded metadata —
+    and the assignment is a pure Catalyst expression (the same
+    boundary-count idiom as ``operators/skew.py``'s shard assignment).
+    NULLs land in bucket 0."""
+    fracs = [i / buckets for i in range(1, buckets)]
+    (bs,) = (
+        df.agg(F.percentile_approx(column, fracs, 10_000).alias("b")).first()
+    )
+    if bs is None:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(b) for b in bs])
+    return F.when(
+        F.col(column).isNull(), F.lit(0)
+    ).otherwise(
+        F.size(F.filter(arr, lambda b: b < F.col(column)))
+    ).cast("long")
+
+
+def zorder_layout_ranked(
+    df: DataFrame,
+    a: str,
+    b: str,
+    n_files: int,
+    buckets: int | None = None,
+) -> DataFrame:
+    """:func:`zorder_layout` with rank-scaled dimensions — the robust
+    form for arbitrary numeric domains.  Each dimension is first mapped
+    to its approximate quantile bucket (uniform by construction), then
+    the Morton key interleaves the bucket indices.  ``buckets`` defaults
+    to enough resolution to separate ``n_files`` square-ish tiles with
+    an 8× margin (min 64): resolution beyond that can't change which
+    file a row lands in."""
+    if buckets is None:
+        buckets = max(64, 1 << (max(1, n_files).bit_length() // 2 + 3))
+    bits = max(1, (buckets - 1).bit_length())
+    key = zorder_key(
+        quantile_buckets(df, a, buckets),
+        quantile_buckets(df, b, buckets),
+        bits=bits,
+    )
+    keyed = df.withColumn("__zorder", key)
+    return (
+        keyed.repartitionByRange(n_files, F.col("__zorder"))
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+    )
+
+
 def file_envelopes(
     spark, path: str, columns: list[str], files: list[str] | None = None
 ):
@@ -163,7 +220,10 @@ def recluster_zorder(
     snapshot through :func:`zorder_layout` as one optimistic transaction
     (``sources.versioned.transact`` — pure layout, so a concurrent DML
     conflicts and this retries against the fresh snapshot, exactly
-    Delta's OPTIMIZE contract).  ``n_files=None`` keeps the live file
+    Delta's OPTIMIZE contract).  Dimensions are rank-scaled
+    (:func:`zorder_layout_ranked`), so unbounded domains — epoch
+    timestamps, surrogate ids — cluster correctly, not just
+    small-integer ones.  ``n_files=None`` keeps the live file
     count; ``stats_columns`` defaults to the clustering columns so the
     skipping manifest is rebuilt against the new envelopes in the same
     commit.  Returns the committed version.
@@ -186,7 +246,7 @@ def recluster_zorder(
     return versioned.transact(
         spark,
         path,
-        lambda snap: zorder_layout(snap, a, b, n_files),
+        lambda snap: zorder_layout_ranked(snap, a, b, n_files),
         now=now,
         operation="OPTIMIZE_ZORDER",
         stats_columns=stats_columns if stats_columns is not None else [a, b],

@@ -2672,7 +2672,7 @@ CORRECTNESS_PRIORITY = [
     "doc_quality_classifier", "doc_sentences_udtf",
     "doc_simhash_poly_pairs", "doc_stream_dedup_ingest",
     "doc_temperature_mixture", "doc_token_budget_epochs",
-    "emb_chunk_mean_pool", "emb_ivf_indexed_topk", "emb_ivf_recall_report",
+    "emb_chunk_mean_pool", "emb_ivf_indexed_topk",
     "emb_semantic_decontamination", "events_json_props",
     "events_json_rescue_ingest", "events_rolling_anomaly",
     "events_stream_anomaly_ingest", "events_stream_dropdup_ingest",
@@ -2695,8 +2695,15 @@ CORRECTNESS_PRIORITY = [
     "dlt_part_pipeline", "dlt_part_pipeline_incremental",
     "dlt_part_quarantine", "orders_duplicate_custkeys",
     "orders_year_windows", "part_scd2_from_cdf_replay",
+    # -- NEW this round (rule 2: a brand-new lane always fronts the
+    #    window).  Its slot displaces emb_ivf_recall_report into the
+    #    deferred tier: a recall DIAGNOSTIC whose underlying paths
+    #    (ivf index build/probe) keep r11-r13 evidence via
+    #    emb_ivf_indexed_topk (this window) and emb_ivf_topk (r12). --
+    "events_recluster_zorder_scan",
     # -- deferred slice of the r11 stale tier (see note above):
-    #    positions 51-59, MUST front the r15 window --
+    #    positions 51-60, MUST front the r15 window --
+    "emb_ivf_recall_report",
     "emb_ivfbq_indexed_topk", "emb_ivfbq_topk", "emb_ivfsq8_indexed_topk",
     "emb_ivfsq8_stream_topk", "emb_ivfsq8_topk",
     "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
@@ -2950,3 +2957,70 @@ def part_optimize_partitions_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     if not (before > 1 and nfiles("g=0") < before):
         raise AssertionError("compaction did not reduce bucket 0's files")
     return versioned.read_current(spark, table).select("p_partkey", "g", "p_size")
+
+
+@query(
+    "events_recluster_zorder_scan",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    """,
+)
+def events_recluster_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER through the maintenance loop (r14,
+    ``functions/layout.py::cluster_health``/``recluster_zorder`` +
+    ``plans/maintenance.py::run_maintenance``): the events table lands
+    as 12 round-robin files — every file's (event_id, ts_ns) envelope
+    overlaps heavily, the state appends decay into, so min/max skipping
+    prunes nothing.  One scheduler sweep polls the envelope-overlap
+    depth, dispatches the Z-order rewrite as a versioned
+    OPTIMIZE_ZORDER transaction (rank-scaled dimensions — epoch NANOS
+    is exactly the unbounded domain raw bit-interleaving degenerates
+    on; stats manifest rebuilt in the same commit), and the lane
+    asserts the loop's whole contract in-line: the sweep's decision,
+    the history row, the healed depth (next sweep decides nothing), and
+    that a conjunctive box predicate now prunes through the refreshed
+    manifest.  Reclustering is pure layout, so the oracle restates the
+    raw table — any lost/duplicated row under the rewrite
+    hash-mismatches."""
+    import tempfile
+
+    from .functions import layout
+    from .plans import maintenance as mnt
+    from .sources import skipping, versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_zorder_")
+    table = f"{work}/events"
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ns", "value")
+    versioned.overwrite_versioned(
+        ev.repartition(12), table, now=1.0, snapshot_mode="manifest",
+        stats_columns=["event_id", "ts_ns"],
+    )
+    spec = [(table, ("event_id", "ts_ns"))]
+    (swept,) = mnt.run_maintenance(spark, cluster_specs=spec)
+    if swept["action"] != "recluster" or "error" in swept:
+        raise AssertionError(f"sweep did not recluster: {swept}")
+    ops = [e["operation"] for e in versioned.history(table)]
+    if "OPTIMIZE_ZORDER" not in ops:
+        raise AssertionError(f"no OPTIMIZE_ZORDER commit: {ops}")
+    (post,) = mnt.run_maintenance(spark, cluster_specs=spec)
+    if post["action"] is not None:
+        raise AssertionError(f"layout not healed: {post['health']}")
+    if post["health"]["worst_mean_depth"] >= swept["health"]["worst_mean_depth"]:
+        raise AssertionError("recluster did not reduce envelope overlap")
+    # the same commit refreshed the skipping manifest: a box predicate
+    # on BOTH clustering columns prunes to a strict subset of the files
+    lo, hi = (
+        versioned.read_current(spark, table)
+        .agg(F.min("ts_ns"), F.max("ts_ns"))
+        .first()
+    )
+    kept, total = skipping.pruned_files_multi(
+        spark, table,
+        {"event_id": (1, 20), "ts_ns": (lo, lo + (hi - lo) // 8)},
+    )
+    if not (total == 12 and len(kept) < total):
+        raise AssertionError(f"box predicate did not prune: {len(kept)}/{total}")
+    return versioned.read_current(spark, table).select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+    )

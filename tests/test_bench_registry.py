@@ -82,6 +82,9 @@ CHANGED_THIS_ROUND = {
     # ask #6 follow-up: result-invariant split point swapped to
     # percentile_approx (lane already sits in the window's stale tier)
     "events_stream_anomaly_ingest",
+    # NEW lane: the maintenance loop's table-layout leg (cluster health
+    # -> OPTIMIZE ZORDER transaction) driven end-to-end
+    "events_recluster_zorder_scan",
 }
 
 
