@@ -74,31 +74,42 @@ def zorder_layout(
 # ``cluster_health`` measures that decay; ``recluster_zorder`` repairs it.
 # ---------------------------------------------------------------------------
 
-def quantile_buckets(df: DataFrame, column: str, buckets: int) -> Column:
-    """Map ``column`` to its approximate quantile bucket ``0..buckets-1``
-    — the rank-scaling the Z-curve needs for UNBOUNDED or skewed domains
-    (epoch timestamps, ids, prices): :func:`zorder_key` interleaves the
-    LOW bits of its inputs, which are noise for an epoch-nanos column,
-    so raw interleaving degenerates to a random shuffle.  Bucketing by
-    quantile makes every dimension uniform on ``[0, buckets)`` first.
+def quantile_buckets(
+    df: DataFrame, columns: list[str] | str, buckets: int
+) -> list[Column]:
+    """Map each of ``columns`` to its approximate quantile bucket
+    ``0..buckets-1`` — the rank-scaling the Z-curve needs for UNBOUNDED
+    or skewed domains (epoch timestamps, ids, prices): :func:`zorder_key`
+    interleaves the LOW bits of its inputs, which are noise for an
+    epoch-nanos column, so raw interleaving degenerates to a random
+    shuffle.  Bucketing by quantile makes every dimension uniform on
+    ``[0, buckets)`` first.
 
-    One ``percentile_approx`` aggregate (partial-aggregable sketch)
-    collects ``buckets-1`` boundaries driver-side — bounded metadata —
-    and the assignment is a pure Catalyst expression (the same
-    boundary-count idiom as ``operators/skew.py``'s shard assignment).
-    NULLs land in bucket 0."""
+    ONE ``percentile_approx`` aggregate (partial-aggregable sketch)
+    covering every column in a single table pass collects ``buckets-1``
+    boundaries per column driver-side — bounded metadata — and each
+    assignment is a pure Catalyst expression (the same boundary-count
+    idiom as ``operators/skew.py``'s shard assignment).  NULLs land in
+    bucket 0."""
+    if isinstance(columns, str):
+        columns = [columns]
     fracs = [i / buckets for i in range(1, buckets)]
-    (bs,) = (
-        df.agg(F.percentile_approx(column, fracs, 10_000).alias("b")).first()
-    )
-    if bs is None:
-        return F.lit(0).cast("long")
-    arr = F.array(*[F.lit(b) for b in bs])
-    return F.when(
-        F.col(column).isNull(), F.lit(0)
-    ).otherwise(
-        F.size(F.filter(arr, lambda b: b < F.col(column)))
-    ).cast("long")
+    row = df.agg(
+        *[F.percentile_approx(c, fracs, 10_000).alias(c) for c in columns]
+    ).first()
+    out: list[Column] = []
+    for c in columns:
+        bs = row[c]
+        if bs is None:
+            out.append(F.lit(0).cast("long"))
+            continue
+        arr = F.array(*[F.lit(b) for b in bs])
+        out.append(
+            F.when(F.col(c).isNull(), F.lit(0))
+            .otherwise(F.size(F.filter(arr, lambda b: b < F.col(c))))
+            .cast("long")
+        )
+    return out
 
 
 def zorder_layout_ranked(
@@ -118,11 +129,8 @@ def zorder_layout_ranked(
     if buckets is None:
         buckets = max(64, 1 << (max(1, n_files).bit_length() // 2 + 3))
     bits = max(1, (buckets - 1).bit_length())
-    key = zorder_key(
-        quantile_buckets(df, a, buckets),
-        quantile_buckets(df, b, buckets),
-        bits=bits,
-    )
+    ba, bb = quantile_buckets(df, [a, b], buckets)  # one table pass
+    key = zorder_key(ba, bb, bits=bits)
     keyed = df.withColumn("__zorder", key)
     return (
         keyed.repartitionByRange(n_files, F.col("__zorder"))
