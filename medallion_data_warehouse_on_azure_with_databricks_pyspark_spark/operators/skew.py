@@ -283,6 +283,25 @@ def sub_sharded_ranked(
             .filter(F.col("__kc") >= hot_threshold)
             .select(*partition_by)
         )
+        # Adaptive short-circuit (r14): probe the hot-key aggregate ONCE
+        # (map-side partial to |keys| rows — bounded metadata, the same
+        # driver-side-stats adaptivity as AQE / `prune_partitions`).
+        # With NO hot key the whole sharding apparatus — percentile
+        # bounds, broadcast joins, composite sort key, offsets fold — is
+        # provably a no-op, so return the PLAIN single-window plan and
+        # pay only the probe; with hot keys present the sharded plan
+        # proceeds unchanged.
+        if hot_keys.isEmpty():
+            w = Window.partitionBy(*partition_by).orderBy(
+                *[F.col(c).desc() if d else F.col(c).asc() for c, d in order_by]
+            )
+            fns = {
+                "rank": F.rank, "dense_rank": F.dense_rank,
+                "row_number": F.row_number,
+            }
+            return df.withColumns(
+                {f"{prefix}{k}": fns[k]().over(w) for k in kinds}
+            )
         scope = df.join(F.broadcast(hot_keys), partition_by, "left_semi")
     bounds = scope.groupBy(*partition_by).agg(
         F.percentile_approx(c0, fracs, 10_000).alias("__bs")
@@ -412,6 +431,16 @@ def sub_sharded_row_numbers(
             .select(*key_cols)
             .withColumn("__hot", F.lit(True))
         )
+        # Adaptive short-circuit (r14): one probe of the bounded hot-key
+        # aggregate; with no hot key the hash salt, broadcast join, and
+        # offsets fold are all provably no-ops, so emit the plain
+        # arbitrary-order numbering and pay only the probe (same
+        # driver-side-stats adaptivity as sub_sharded_ranked).
+        if hot_keys.isEmpty():
+            w = Window.partitionBy(*key_cols).orderBy(
+                *[F.col(c) for c in key_cols]
+            )
+            return df.withColumn(out, F.row_number().over(w))
         df = df.join(F.broadcast(hot_keys), key_cols, "left")
         salt = F.when(F.col("__hot"), salt).otherwise(F.lit(0))
     with_shard = df.withColumn("__shard", salt.cast("int"))
