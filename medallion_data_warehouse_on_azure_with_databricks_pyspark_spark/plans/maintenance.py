@@ -66,6 +66,10 @@ class MaintenancePolicy:
     cluster_depth: float = 4.0
     #: never recluster below this live-file count (layout noise)
     cluster_min_files: int = 8
+    #: vacuum when history holds this fraction of the live bytes
+    superseded_ratio: float = 0.5
+    #: versions the vacuum keeps readable (Delta's retention knob)
+    vacuum_keep_last: int = 2
 
 
 DEFAULT_POLICY = MaintenancePolicy()
@@ -108,6 +112,28 @@ def decide_dv(
     return "purge" if wants_purge else None
 
 
+def decide_table(
+    detail: dict,
+    policy: MaintenancePolicy = DEFAULT_POLICY,
+    assume_quiesced: bool = False,
+) -> str | None:
+    """Pure decision over a ``versioned.table_detail`` dict ->
+    ``"vacuum"`` | ``"recover"`` | ``"blocked:intent"`` | None.  A
+    standing intent blocks (a live writer/vacuum holds the commit slot;
+    ``versioned.recover`` only under explicit quiescence — same
+    live-writer contract as the DV leg).  Vacuum pays once retained
+    history holds ``superseded_ratio`` of the live bytes AND there are
+    more retained versions than the vacuum would keep."""
+    if detail.get("intent") is not None:
+        return "recover" if assume_quiesced else "blocked:intent"
+    live = detail.get("size_bytes") or 0
+    reclaimable = detail.get("superseded_bytes", 0)
+    excess = len(detail.get("retained_versions", ())) > policy.vacuum_keep_last
+    if live and excess and reclaimable / live >= policy.superseded_ratio:
+        return "vacuum"
+    return None
+
+
 def decide_cluster(health: dict, policy: MaintenancePolicy = DEFAULT_POLICY) -> str | None:
     """Pure decision: cluster health dict -> ``"recluster"`` | None.
     Layout decays as appends/merges write full-range files; once the
@@ -139,6 +165,7 @@ def run_maintenance(
     index_paths: list[str] | tuple[str, ...] = (),
     dv_paths: list[str] | tuple[str, ...] = (),
     cluster_specs: list[tuple] | tuple[tuple, ...] = (),
+    table_paths: list[str] | tuple[str, ...] = (),
     policy: MaintenancePolicy = DEFAULT_POLICY,
     assume_quiesced: bool = False,
 ) -> list[dict]:
@@ -150,7 +177,11 @@ def run_maintenance(
     ``cluster_specs`` entries are ``(table_path, (col_a, col_b))`` —
     versioned tables whose Z-order layout the sweep should keep healthy
     (``functions/layout.py``: health = envelope-overlap depth, actuator
-    = OPTIMIZE ZORDER transaction).
+    = OPTIMIZE ZORDER transaction).  ``table_paths`` are versioned
+    tables swept for RETENTION: health = ``versioned.table_detail``
+    (superseded bytes, retained versions, standing intent), actuator =
+    claim-guarded ``vacuum`` — or ``recover`` under ``assume_quiesced``
+    when a crashed writer's intent is wedging the commit slot.
 
     Actuator failures are captured per table (``error``) instead of
     aborting the sweep — one wedged artifact must not starve the rest
@@ -201,6 +232,21 @@ def run_maintenance(
             "cluster", p, health, decide_cluster(health, policy),
             actuate=lambda p=p, ca=ca, cb=cb: layout.recluster_zorder(
                 spark, p, ca, cb
+            ),
+        ))
+    for p in table_paths:
+        from ..sources import versioned
+
+        detail = versioned.table_detail(p)
+        action = decide_table(detail, policy, assume_quiesced)
+        report.append(_dispatch(
+            "table", p, detail, action,
+            actuate=(
+                (lambda p=p: versioned.vacuum(
+                    p, keep_last=policy.vacuum_keep_last
+                ))
+                if action == "vacuum"
+                else (lambda p=p: versioned.recover(p))
             ),
         ))
     return report

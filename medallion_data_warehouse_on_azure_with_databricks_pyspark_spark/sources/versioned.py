@@ -855,13 +855,21 @@ def optimize_zorder(
     Unlike plain compaction this is a full shuffle (range partitioning
     by the Morton key) — the cost Delta's OPTIMIZE ZORDER pays too;
     schedule it like Delta does, on cold data, amortized over every
-    subsequent box scan."""
-    from ..functions.layout import zorder_layout
+    subsequent box scan.
+
+    r14: dimensions are rank-scaled (``layout.zorder_layout_ranked``) —
+    raw bit-interleaving degenerates to a random shuffle on unbounded
+    domains (epoch timestamps, surrogate ids), measured in SCALE.md
+    round 14.  Single-attempt API (a rival commit raises
+    ``ConcurrentWriteError``); the scheduler actuator
+    ``layout.recluster_zorder`` wraps the same layout in a retry
+    transaction."""
+    from ..functions.layout import zorder_layout_ranked
 
     base_v = current_version(path)
     if base_v is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
-    clustered = zorder_layout(
+    clustered = zorder_layout_ranked(
         read_current(spark, path), col_a, col_b, n_files=n_files
     )
     v = overwrite_versioned(
@@ -988,13 +996,35 @@ def table_detail(path: str) -> dict:
         ops[e["operation"]] = ops.get(e["operation"], 0) + 1
     from . import skipping
 
+    live_bytes = sum(os.path.getsize(f) for f in files)
+    # bytes held only by retained history — what a vacuum can reclaim.
+    # Manifest mode: on-disk data files outside the live set (files are
+    # shared across versions by reference, so this is exact).  Physical
+    # mode: the retention directories.  Pure filesystem walk, no Spark —
+    # the same bounded-listing class as the vacuum walk itself.
+    if _mode_of(path) == "manifest":
+        live = {os.path.abspath(f) for f in files}
+        superseded = sum(
+            os.path.getsize(f)
+            for f in _data_files(path)
+            if os.path.abspath(f) not in live
+        )
+    else:
+        superseded = 0
+        for v in retained:
+            vdir = os.path.join(vroot, f"v{v}")
+            for root, _dirs, names in os.walk(vdir):
+                superseded += sum(
+                    os.path.getsize(os.path.join(root, n)) for n in names
+                )
     return {
         "path": path,
         "current_version": log[-1]["version"],
         "created_at": log[0]["committed_at"],
         "last_modified": log[-1]["committed_at"],
         "num_files": len(files),
-        "size_bytes": sum(os.path.getsize(f) for f in files),
+        "size_bytes": live_bytes,
+        "superseded_bytes": superseded,
         "num_commits": len(log),
         "retained_versions": retained,
         "vacuumed_versions": sorted(
@@ -1002,6 +1032,9 @@ def table_detail(path: str) -> dict:
         ),
         "operations": ops,
         "constraints": get_constraints(path),
+        "log": log_read_footprint(path),
+        "intent": _read_intent(path),
+        "tags": sorted(tags(path)),
         "has_stats_manifest": os.path.isdir(
             os.path.join(path.rstrip("/"), skipping.STATS_DIR)
         ),

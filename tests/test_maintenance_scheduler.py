@@ -231,3 +231,64 @@ def test_sweep_reclusters_decayed_layout(spark, tmp_path):
         spark, t, {"event_id": (100, 150), "ts_bucket": (10, 15)}
     )
     assert total == 12 and len(kept) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the retention leg (table_detail -> vacuum)
+# ---------------------------------------------------------------------------
+
+def test_decide_table_thresholds():
+    base = {"size_bytes": 1000, "superseded_bytes": 0,
+            "retained_versions": [], "intent": None}
+    assert M.decide_table(base) is None
+    hot = {**base, "superseded_bytes": 500, "retained_versions": [0, 1, 2]}
+    assert M.decide_table(hot) == "vacuum"
+    assert M.decide_table({**hot, "superseded_bytes": 499}) is None
+    # not enough retained versions to vacuum past keep_last
+    assert M.decide_table({**hot, "retained_versions": [0, 1]}) is None
+    held = {**hot, "intent": {"op": "vacuum"}}
+    assert M.decide_table(held) == "blocked:intent"
+    assert M.decide_table(held, assume_quiesced=True) == "recover"
+
+
+def test_sweep_vacuums_history_heavy_table(spark, tmp_path):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    for i in range(4):  # v0..v3: three retained versions of history
+        versioned.overwrite_versioned(df, t, now=1.0 + i)
+    (row,) = M.run_maintenance(spark, table_paths=[t])
+    assert row["kind"] == "table" and row["action"] == "vacuum"
+    assert "error" not in row, row.get("error")
+    assert row["health"]["superseded_bytes"] > row["health"]["size_bytes"]
+    assert row["result"] == [0]  # keep_last=2 keeps v1/v2, drops v0
+    d2 = versioned.table_detail(t)
+    assert d2["vacuumed_versions"] == [0] and d2["retained_versions"] == [1, 2]
+    # history survives vacuum; current data untouched
+    assert len(versioned.history(t)) == 4
+    assert versioned.read_current(spark, t).count() == 5_000
+    # steady state: 2 retained versions never re-trigger
+    (row2,) = M.run_maintenance(spark, table_paths=[t])
+    assert row2["action"] is None
+
+
+def test_sweep_table_blocked_then_recovered(spark, tmp_path):
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(100).withColumnRenamed("id", "k")
+    for i in range(4):
+        versioned.overwrite_versioned(df, t, now=1.0 + i)
+    versioned._claim_intent(t, {"op": "vacuum"})  # crashed claimant
+    (row,) = M.run_maintenance(spark, table_paths=[t])
+    assert row["action"] == "blocked:intent" and "result" not in row
+    (row2,) = M.run_maintenance(spark, table_paths=[t], assume_quiesced=True)
+    assert row2["action"] == "recover" and "error" not in row2
+    assert versioned._read_intent(t) is None
+    (row3,) = M.run_maintenance(spark, table_paths=[t])
+    assert row3["action"] == "vacuum"
