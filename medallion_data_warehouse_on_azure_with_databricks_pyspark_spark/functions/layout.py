@@ -118,6 +118,7 @@ def zorder_layout_ranked(
     b: str,
     n_files: int,
     buckets: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """:func:`zorder_layout` with rank-scaled dimensions — the robust
     form for arbitrary numeric domains.  Each dimension is first mapped
@@ -125,16 +126,23 @@ def zorder_layout_ranked(
     the Morton key interleaves the bucket indices.  ``buckets`` defaults
     to enough resolution to separate ``n_files`` square-ish tiles with
     an 8× margin (min 64): resolution beyond that can't change which
-    file a row lands in."""
+    file a row lands in.
+
+    ``partition_cols`` clusters WITHIN hive partitions (Delta's
+    ``OPTIMIZE ZORDER`` contract on a partitioned table): the range
+    partitioning leads with the partition columns so each hive
+    partition keeps its own contiguous, z-ordered file run — flattening
+    the layout would silently destroy every reader's partition pruning."""
     if buckets is None:
         buckets = max(64, 1 << (max(1, n_files).bit_length() // 2 + 3))
     bits = max(1, (buckets - 1).bit_length())
     ba, bb = quantile_buckets(df, [a, b], buckets)  # one table pass
     key = zorder_key(ba, bb, bits=bits)
     keyed = df.withColumn("__zorder", key)
+    lead = [F.col(c) for c in (partition_cols or [])]
     return (
-        keyed.repartitionByRange(n_files, F.col("__zorder"))
-        .sortWithinPartitions("__zorder")
+        keyed.repartitionByRange(n_files, *lead, F.col("__zorder"))
+        .sortWithinPartitions(*lead, F.col("__zorder"))
         .drop("__zorder")
     )
 
@@ -234,11 +242,15 @@ def recluster_zorder(
     small-integer ones.  ``n_files=None`` keeps the live file
     count; ``stats_columns`` defaults to the clustering columns so the
     skipping manifest is rebuilt against the new envelopes in the same
-    commit.  Returns the committed version.
+    commit.  A hive-partitioned table keeps its layout: the rewrite
+    z-orders WITHIN partitions and recommits ``partition_by`` (Delta's
+    contract — flattening would destroy partition pruning).  Returns
+    the committed version.
 
     Plain (non-versioned) directories don't need this wrapper — write
     :func:`zorder_layout`'s output directly."""
     from ..sources import versioned
+    from ..sources.writers import _discover_partition_columns
 
     if n_files is None:
         v = versioned.current_version(path)
@@ -251,11 +263,15 @@ def recluster_zorder(
                 .distinct()
                 .count()
             )
+    part_cols = _discover_partition_columns(path) or None
     return versioned.transact(
         spark,
         path,
-        lambda snap: zorder_layout_ranked(snap, a, b, n_files),
+        lambda snap: zorder_layout_ranked(
+            snap, a, b, n_files, partition_cols=part_cols
+        ),
         now=now,
         operation="OPTIMIZE_ZORDER",
+        partition_by=part_cols,
         stats_columns=stats_columns if stats_columns is not None else [a, b],
     )

@@ -865,15 +865,22 @@ def optimize_zorder(
     ``layout.recluster_zorder`` wraps the same layout in a retry
     transaction."""
     from ..functions.layout import zorder_layout_ranked
+    from .writers import _discover_partition_columns
 
     base_v = current_version(path)
     if base_v is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
+    # hive-partitioned tables keep their layout: z-order WITHIN
+    # partitions and recommit partition_by (same contract as
+    # optimize_compact above — flattening destroys partition pruning)
+    part_cols = _discover_partition_columns(path) or None
     clustered = zorder_layout_ranked(
-        read_current(spark, path), col_a, col_b, n_files=n_files
+        read_current(spark, path), col_a, col_b, n_files=n_files,
+        partition_cols=part_cols,
     )
     v = overwrite_versioned(
         clustered, path, now=now, operation=f"OPTIMIZE ZORDER({col_a},{col_b})",
+        partition_by=part_cols,
         stats_columns=(stats_columns if stats_columns is not None
                        else [col_a, col_b]),
         expected_version=base_v,

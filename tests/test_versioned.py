@@ -1211,3 +1211,32 @@ def test_vacuum_refuses_while_commit_in_flight_physical(spark, table):
     finally:
         V._release_intent(table)
     V.vacuum(table, keep_last=0)  # clean vacuum still works after release
+
+
+def test_optimize_zorder_preserves_hive_partitioning(spark, tmp_path):
+    """OPTIMIZE ZORDER on a hive-partitioned table z-orders WITHIN
+    partitions and recommits partition_by — flattening the layout would
+    silently destroy every reader's partition pruning (the
+    optimize_compact contract, extended to the z-order rewrite r14)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zp")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 4).cast("int").alias("g"),
+        F.col("id").alias("a"),
+        (F.col("id") * 2654435761 % 2048).alias("b"),
+    )
+    V.overwrite_versioned(df.repartition(8), path, partition_by=["g"], now=1.0)
+    v = V.optimize_zorder(spark, path, "a", "b", n_files=8, now=2.0)
+    assert v == 1
+    live = V._live_data_files(path) if hasattr(V, "_live_data_files") else []
+    assert live and all(f"{os.sep}g=" in f for f in live), live[:3]
+    got = V.read_current(spark, path)
+    assert got.count() == 2000
+    assert got.filter("g = 1").count() == 500
+    # data identical through the rewrite
+    assert sorted(map(tuple, got.select("g", "a", "b").collect())) == sorted(
+        map(tuple, df.collect())
+    )
