@@ -74,15 +74,36 @@ def test_shared_window_spec_single_exchange(spark):
     assert plan.count("Window") == 1
 
 
-def test_year_windows_lane_shards_hot_partitions(spark):
-    """r13: the lane routes through the skew-sharded rank path — the
-    data-sized window partitions by (year, __shard) so one whale year
-    never serializes on a task, and the stitch offsets arrive broadcast
-    (the only joins of data-sized rows are broadcast)."""
+def test_year_windows_lane_adapts_sharding_to_key_heat(spark):
+    """r13 routed the lane through the skew-sharded rank path; r14 made
+    the routing ADAPTIVE (hot_threshold + a bounded hot-key probe): at
+    test scale no year is hot, so the lane's plan must be the PLAIN
+    single-window one — no __shard machinery, no joins of data-sized
+    rows — while a planted whale year (beyond the threshold) brings the
+    (year, __shard) sharded plan back.  The whale geometry itself is
+    pinned in tests/test_skew.py; here we pin the lane-level plan
+    switch."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        windows,
+    )
+
     plan = _plan(spark, "orders_year_windows")
-    assert "__shard" in plan
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # nothing data-sized shuffles to join
+    assert "__shard" not in plan  # cold keys: plain window, probe only
+    assert "Window" in plan
+    # the sharded plan engages the moment a key crosses the threshold
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .withColumn("order_year", F.year("o_orderdate"))
+    )
+    hot = windows.ranked_all(
+        df, ["order_year"], [("o_totalprice", True), ("o_orderkey", False)],
+        prefix="price_", shards=8, hot_threshold=10,
+    )
+    hot_plan = hot._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in hot_plan
+    assert "SortMergeJoin" not in hot_plan  # stitch offsets broadcast
 
 
 def test_topk_avoids_global_sort(spark):
