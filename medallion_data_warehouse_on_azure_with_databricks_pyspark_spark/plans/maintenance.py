@@ -123,13 +123,21 @@ def decide_table(
     ``versioned.recover`` only under explicit quiescence — same
     live-writer contract as the DV leg).  Vacuum pays once retained
     history holds ``superseded_ratio`` of the live bytes AND there are
-    more retained versions than the vacuum would keep."""
+    more DROPPABLE retained versions than the vacuum would keep —
+    tag-pinned versions are never dropped, so counting them would make
+    an all-pinned table re-dispatch a no-op vacuum every sweep."""
     if detail.get("intent") is not None:
         return "recover" if assume_quiesced else "blocked:intent"
     live = detail.get("size_bytes") or 0
     reclaimable = detail.get("superseded_bytes", 0)
-    excess = len(detail.get("retained_versions", ())) > policy.vacuum_keep_last
-    if live and excess and reclaimable / live >= policy.superseded_ratio:
+    droppable = set(detail.get("retained_versions", ())) - set(
+        detail.get("pinned_versions", ())
+    )
+    if (
+        live
+        and len(droppable) > policy.vacuum_keep_last
+        and reclaimable / live >= policy.superseded_ratio
+    ):
         return "vacuum"
     return None
 

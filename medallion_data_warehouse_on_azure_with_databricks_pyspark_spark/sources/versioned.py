@@ -1042,6 +1042,9 @@ def table_detail(path: str) -> dict:
         "log": log_read_footprint(path),
         "intent": _read_intent(path),
         "tags": sorted(tags(path)),
+        # versions a live tag keeps readable: vacuum never drops them,
+        # so a retention decision must not count them as reclaimable
+        "pinned_versions": sorted(set(tags(path).values())),
         "has_stats_manifest": os.path.isdir(
             os.path.join(path.rstrip("/"), skipping.STATS_DIR)
         ),

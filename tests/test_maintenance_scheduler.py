@@ -292,3 +292,17 @@ def test_sweep_table_blocked_then_recovered(spark, tmp_path):
     assert versioned._read_intent(t) is None
     (row3,) = M.run_maintenance(spark, table_paths=[t])
     assert row3["action"] == "vacuum"
+
+
+def test_decide_table_never_retriggers_on_pinned_history():
+    """Tag-pinned versions are unreclaimable: an all-pinned history must
+    not re-dispatch a no-op vacuum every sweep."""
+    d = {"size_bytes": 1000, "superseded_bytes": 900, "intent": None,
+         "retained_versions": [0, 1, 2], "pinned_versions": [0, 1, 2]}
+    assert M.decide_table(d) is None
+    # one droppable version still isn't past keep_last=2
+    assert M.decide_table({**d, "pinned_versions": [0, 1]}) is None
+    # three droppable -> vacuum pays
+    assert M.decide_table(
+        {**d, "retained_versions": [0, 1, 2, 3, 4], "pinned_versions": [0, 1]}
+    ) == "vacuum"
