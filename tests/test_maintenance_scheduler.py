@@ -306,3 +306,38 @@ def test_decide_table_never_retriggers_on_pinned_history():
     assert M.decide_table(
         {**d, "retained_versions": [0, 1, 2, 3, 4], "pinned_versions": [0, 1]}
     ) == "vacuum"
+
+
+def test_maintain_cli_dry_run_and_sweep(spark, tmp_path):
+    """tools/maintain.py: --dry-run decides without dispatching; the real
+    sweep acts; exit codes reflect actuator errors."""
+    import subprocess
+    import sys
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(2_000).withColumnRenamed("id", "k")
+    for i in range(4):
+        versioned.overwrite_versioned(df, t, now=1.0 + i)
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "tools/maintain.py", "--table", t,
+             "--master", "local[2]", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    dry = run("--dry-run")
+    assert dry.returncode == 0, dry.stderr[-1500:]
+    (row,) = [json.loads(l) for l in dry.stdout.splitlines() if l.startswith("{")]
+    assert row["action"] == "vacuum" and "result" not in row
+    assert versioned.table_detail(t)["retained_versions"] == [0, 1, 2]  # untouched
+
+    real = run()
+    assert real.returncode == 0, real.stderr[-1500:]
+    (row2,) = [json.loads(l) for l in real.stdout.splitlines() if l.startswith("{")]
+    assert row2["action"] == "vacuum" and row2["result"] == [0]
+    assert versioned.table_detail(t)["retained_versions"] == [1, 2]

@@ -1,0 +1,117 @@
+"""Run one maintenance sweep from the command line — the operational
+face of ``plans/maintenance.py`` (a cron job or CI step calls this; the
+module API is for embedding in a driver program).
+
+    python tools/maintain.py \
+        --index /data/idx/minhash --index /data/idx/ivfpq \
+        --dv /data/tables/events \
+        --table /data/tables/part \
+        --cluster /data/tables/events:event_id,ts_ns \
+        [--quiesced] [--dry-run]
+
+Prints one JSON line per swept artifact: kind, path, the polled health,
+the decided action, and the actuator's result or error.  ``--dry-run``
+polls and decides but dispatches nothing (what WOULD the sweep do).
+Exit code 1 if any actuator errored, else 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", action="append", default=[],
+                    help="ANN/dedup index artifact path (repeatable)")
+    ap.add_argument("--dv", action="append", default=[],
+                    help="deletion-vector table path (repeatable)")
+    ap.add_argument("--table", action="append", default=[],
+                    help="versioned table path, swept for retention")
+    ap.add_argument("--cluster", action="append", default=[],
+                    help="versioned table Z-order spec: path:col_a,col_b")
+    ap.add_argument("--quiesced", action="store_true",
+                    help="assert no writers are live: enables recovery "
+                         "of crashed claims (see recover_dv_merge's "
+                         "live-writer contract)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="poll + decide only; dispatch nothing")
+    ap.add_argument("--master", default=None,
+                    help="spark master override (default: session default)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        session,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans import (
+        maintenance as M,
+    )
+
+    cluster_specs = []
+    for spec in args.cluster:
+        path, _, cols = spec.rpartition(":")
+        ca, _, cb = cols.partition(",")
+        if not (path and ca and cb):
+            ap.error(f"--cluster wants path:col_a,col_b, got {spec!r}")
+        cluster_specs.append((path, (ca, cb)))
+
+    spark = session.get_spark(
+        app_name="medallion-maintain",
+        **({"master": args.master} if args.master else {}),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.dry_run:
+        from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+            layout,
+        )
+        from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+            index_maintenance as im,
+        )
+        from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+            deletion_vectors as dv,
+            versioned,
+        )
+
+        report = []
+        for p in args.index:
+            h = im.index_health(spark, p)
+            report.append({"kind": "index", "path": p, "health": h,
+                           "action": M.decide_index(h)})
+        for p in args.dv:
+            h = dv.dv_health(spark, p)
+            report.append({"kind": "dv", "path": p, "health": h,
+                           "action": M.decide_dv(h, assume_quiesced=args.quiesced)})
+        for p, cols in cluster_specs:
+            h = layout.cluster_health(spark, p, list(cols),
+                                      files=M._live_files(spark, p))
+            report.append({"kind": "cluster", "path": p, "health": h,
+                           "action": M.decide_cluster(h)})
+        for p in args.table:
+            d = versioned.table_detail(p)
+            report.append({"kind": "table", "path": p, "health": d,
+                           "action": M.decide_table(d, assume_quiesced=args.quiesced)})
+    else:
+        report = M.run_maintenance(
+            spark,
+            index_paths=args.index,
+            dv_paths=args.dv,
+            cluster_specs=cluster_specs,
+            table_paths=args.table,
+            assume_quiesced=args.quiesced,
+        )
+
+    failed = False
+    for row in report:
+        failed = failed or "error" in row
+        print(json.dumps(row, default=str))
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
