@@ -27,22 +27,40 @@ from pyspark.sql import functions as F
 MORTON_BITS = 31
 
 
+def zorder_key_n(cols: list, bits: int | None = None) -> Column:
+    """Morton (Z-order) key interleaving the low ``bits`` of ``k``
+    non-negative integral columns: bit i of column j lands at position
+    ``i*k + j`` (the 2-D case reduces to the classic 2i/2i+1
+    interleave).  ``bits`` defaults to the most each dimension can carry
+    inside a positive BIGINT (``63 // k``).  Larger-than-``bits`` values
+    are truncated to their low bits — pre-scale/rank dimensions into
+    range (:func:`quantile_buckets`) for skewed/unbounded domains."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs at least 2 dimensions")
+    if bits is None:
+        bits = 63 // k
+    if bits * k > 63:
+        raise ValueError(f"{k} dims x {bits} bits overflows a BIGINT")
+    terms = []
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("long")
+        terms += [
+            F.shiftleft(F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * k + j)
+            for i in range(bits)
+        ]
+    return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
 def zorder_key(a: Column | str, b: Column | str, bits: int = MORTON_BITS) -> Column:
     """Morton (Z-order) key interleaving the low ``bits`` of two
     non-negative integral columns: bit i of ``a`` lands at position 2i,
-    bit i of ``b`` at 2i+1.  Larger-than-``bits`` values are truncated to
+    bit i of ``b`` at 2i+1 — the 2-D case of :func:`zorder_key_n`.
+    Larger-than-``bits`` values are truncated to
     their low bits (callers should pre-scale/rank dimensions into range —
     percent-rank × 2^bits is the standard trick for skewed/unbounded
     domains)."""
-    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
-    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
-    terms = []
-    for i in range(bits):
-        terms.append(F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(
-            F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return reduce(lambda x, y: x.bitwiseOR(y), terms)
+    return zorder_key_n([a, b], bits=bits)
 
 
 def zorder_layout(
@@ -114,30 +132,34 @@ def quantile_buckets(
 
 def zorder_layout_ranked(
     df: DataFrame,
-    a: str,
-    b: str,
+    cols: list[str] | str,
     n_files: int,
     buckets: int | None = None,
     partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """:func:`zorder_layout` with rank-scaled dimensions — the robust
-    form for arbitrary numeric domains.  Each dimension is first mapped
-    to its approximate quantile bucket (uniform by construction), then
-    the Morton key interleaves the bucket indices.  ``buckets`` defaults
-    to enough resolution to separate ``n_files`` square-ish tiles with
-    an 8× margin (min 64): resolution beyond that can't change which
-    file a row lands in.
+    form for arbitrary numeric domains, over ANY number of clustering
+    columns (Delta's ``ZORDER BY (a, b, c, …)``).  Each dimension is
+    first mapped to its approximate quantile bucket (uniform by
+    construction), then the Morton key interleaves the bucket indices.
+    ``buckets`` defaults to enough resolution to separate ``n_files``
+    square-ish tiles with an 8× margin (min 64): resolution beyond that
+    can't change which file a row lands in.
 
     ``partition_cols`` clusters WITHIN hive partitions (Delta's
     ``OPTIMIZE ZORDER`` contract on a partitioned table): the range
     partitioning leads with the partition columns so each hive
     partition keeps its own contiguous, z-ordered file run — flattening
     the layout would silently destroy every reader's partition pruning."""
+    if isinstance(cols, str):
+        cols = [cols]
+    if len(cols) < 2:
+        raise ValueError("zorder_layout_ranked needs at least 2 columns")
     if buckets is None:
         buckets = max(64, 1 << (max(1, n_files).bit_length() // 2 + 3))
-    bits = max(1, (buckets - 1).bit_length())
-    ba, bb = quantile_buckets(df, [a, b], buckets)  # one table pass
-    key = zorder_key(ba, bb, bits=bits)
+    bits = min(max(1, (buckets - 1).bit_length()), 63 // len(cols))
+    bucketed = quantile_buckets(df, cols, buckets)  # one table pass
+    key = zorder_key_n(bucketed, bits=bits)
     keyed = df.withColumn("__zorder", key)
     lead = [F.col(c) for c in (partition_cols or [])]
     return (
@@ -226,8 +248,7 @@ def cluster_health(
 def recluster_zorder(
     spark,
     path: str,
-    a: str,
-    b: str,
+    *cols: str,
     n_files: int | None = None,
     now: float | None = None,
     stats_columns: list[str] | None = None,
@@ -263,15 +284,19 @@ def recluster_zorder(
                 .distinct()
                 .count()
             )
+    if len(cols) < 2:
+        raise ValueError("recluster_zorder needs at least 2 columns")
     part_cols = _discover_partition_columns(path) or None
     return versioned.transact(
         spark,
         path,
         lambda snap: zorder_layout_ranked(
-            snap, a, b, n_files, partition_cols=part_cols
+            snap, list(cols), n_files, partition_cols=part_cols
         ),
         now=now,
         operation="OPTIMIZE_ZORDER",
         partition_by=part_cols,
-        stats_columns=stats_columns if stats_columns is not None else [a, b],
+        stats_columns=(
+            stats_columns if stats_columns is not None else list(cols)
+        ),
     )

@@ -182,7 +182,8 @@ def run_maintenance(
     polled ``health``, the decided ``action`` (None = healthy), and the
     actuator's ``result`` (rows purged, promoted path, recovery bool).
 
-    ``cluster_specs`` entries are ``(table_path, (col_a, col_b))`` —
+    ``cluster_specs`` entries are ``(table_path, clustering_cols)`` with
+    two or more clustering columns —
     versioned tables whose Z-order layout the sweep should keep healthy
     (``functions/layout.py``: health = envelope-overlap depth, actuator
     = OPTIMIZE ZORDER transaction).  ``table_paths`` are versioned
@@ -232,14 +233,15 @@ def run_maintenance(
         report.append(
             _dispatch("dv", p, health, decide_dv(health, policy, assume_quiesced))
         )
-    for p, (ca, cb) in cluster_specs:
+    for p, cols in cluster_specs:
+        cols = tuple(cols)
         health = layout.cluster_health(
-            spark, p, [ca, cb], files=_live_files(spark, p)
+            spark, p, list(cols), files=_live_files(spark, p)
         )
         report.append(_dispatch(
             "cluster", p, health, decide_cluster(health, policy),
-            actuate=lambda p=p, ca=ca, cb=cb: layout.recluster_zorder(
-                spark, p, ca, cb
+            actuate=lambda p=p, cols=cols: layout.recluster_zorder(
+                spark, p, *cols
             ),
         ))
     for p in table_paths:

@@ -838,6 +838,7 @@ def optimize_zorder(
     path: str,
     col_a: str,
     col_b: str,
+    *more_cols: str,
     n_files: int = 16,
     now: float | None = None,
     stats_columns: list[str] | None = None,
@@ -874,15 +875,16 @@ def optimize_zorder(
     # partitions and recommit partition_by (same contract as
     # optimize_compact above — flattening destroys partition pruning)
     part_cols = _discover_partition_columns(path) or None
+    cols = [col_a, col_b, *more_cols]
     clustered = zorder_layout_ranked(
-        read_current(spark, path), col_a, col_b, n_files=n_files,
+        read_current(spark, path), cols, n_files=n_files,
         partition_cols=part_cols,
     )
     v = overwrite_versioned(
-        clustered, path, now=now, operation=f"OPTIMIZE ZORDER({col_a},{col_b})",
+        clustered, path, now=now,
+        operation=f"OPTIMIZE ZORDER({','.join(cols)})",
         partition_by=part_cols,
-        stats_columns=(stats_columns if stats_columns is not None
-                       else [col_a, col_b]),
+        stats_columns=(stats_columns if stats_columns is not None else cols),
         expected_version=base_v,
     )
     return v

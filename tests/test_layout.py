@@ -192,3 +192,68 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_key_n_three_dims_and_2d_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    df = spark.range(64).select(
+        (F.col("id") % 4).alias("a"),
+        (F.floor(F.col("id") / 4) % 4).alias("b"),
+        (F.floor(F.col("id") / 16) % 4).alias("c"),
+    )
+    # 2-D zorder_key delegates to the n-D interleave bit-identically
+    two = df.withColumn("z1", layout.zorder_key("a", "b")).withColumn(
+        "z2", layout.zorder_key_n(["a", "b"])
+    )
+    assert two.filter("z1 <> z2").count() == 0
+    # 3-D: bit i of column j lands at 3i+j — verify a known point
+    got = (
+        df.filter("a = 3 AND b = 1 AND c = 2")
+        .select(layout.zorder_key_n(["a", "b", "c"], bits=2).alias("z"))
+        .first()["z"]
+    )
+    # a=0b11 -> bits 0,3; b=0b01 -> bit 1; c=0b10 -> bit 5
+    assert got == (1 << 0) + (1 << 3) + (1 << 1) + (1 << 5)
+
+
+def test_recluster_zorder_three_columns(spark, tmp_path):
+    """Delta's ZORDER BY takes any column list: a 3-D recluster heals
+    overlap on all three dimensions and the box predicate prunes on a
+    3-column conjunction."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+        versioned,
+    )
+
+    t = str(tmp_path / "t3")
+    df = spark.range(24_000).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2654435761 % 100_000).alias("b"),
+        F.floor(F.col("id") / 7).alias("c"),
+    )
+    versioned.overwrite_versioned(df.repartition(27), t, now=1.0)
+    cols = ["a", "b", "c"]
+    pre = layout.cluster_health(spark, t, cols)
+    assert pre["worst_mean_depth"] > 4
+    layout.recluster_zorder(spark, t, *cols, now=2.0)
+    post = layout.cluster_health(spark, t, cols)
+    # the 1-D depth floor for k-dim tiling is F^((k-1)/k): 27 files in
+    # 3 dims tile ~3 per axis, so a point on one axis intersects ~9
+    # files -- the known Z-order trade of clustering MORE dimensions
+    assert post["worst_mean_depth"] < 27 ** (2 / 3) + 1
+    assert post["worst_mean_depth"] < pre["worst_mean_depth"] * 0.7
+    assert versioned.read_current(spark, t).count() == 24_000
+    kept, total = skipping.pruned_files_multi(
+        spark, t, {"a": (0, 999), "b": (0, 20_000), "c": (0, 200)}
+    )
+    assert total == 27 and len(kept) < total

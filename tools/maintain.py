@@ -54,10 +54,10 @@ def main() -> int:
     cluster_specs = []
     for spec in args.cluster:
         path, _, cols = spec.rpartition(":")
-        ca, _, cb = cols.partition(",")
-        if not (path and ca and cb):
-            ap.error(f"--cluster wants path:col_a,col_b, got {spec!r}")
-        cluster_specs.append((path, (ca, cb)))
+        parts = tuple(c for c in cols.split(",") if c)
+        if not (path and len(parts) >= 2):
+            ap.error(f"--cluster wants path:col_a,col_b[,...], got {spec!r}")
+        cluster_specs.append((path, parts))
 
     spark = session.get_spark(
         app_name="medallion-maintain",
