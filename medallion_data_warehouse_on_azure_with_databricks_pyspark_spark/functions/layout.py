@@ -229,10 +229,47 @@ def cluster_health(
     * ``worst_mean_depth`` — the max over columns, the dispatch signal;
     * ``files`` — live file count (reclustering a handful is noise).
 
-    Cost: one per-file min/max aggregate (metadata-scale) + an
-    O(F log F) driver-side sweep over FILE envelopes, never row data —
-    the same bounded-collect contract as every other manifest op."""
-    env = file_envelopes(spark, path, columns, files=files).collect()
+    Cost: when the table maintains a skipping stats manifest covering
+    ``columns`` (``stats_columns=`` on its commits), the poll reads
+    ONLY that manifest — per-file envelopes without touching row data,
+    so a 100 TB table polls at metadata cost.  Otherwise one per-file
+    min/max aggregate over the named columns (column-pruned scan).
+    Either way the depth computation is an O(F log F) driver-side sweep
+    over FILE envelopes — the same bounded-collect contract as every
+    other manifest op."""
+    env = None
+    from ..sources import skipping
+
+    manifest = skipping.read_stats_manifest(spark, path)
+    if manifest is not None:
+        have = set(manifest.columns)
+        if all(f"min__{c}" in have and f"max__{c}" in have for c in columns):
+            rows = manifest.select(
+                "file_path",
+                *[x for c in columns for x in (f"min__{c}", f"max__{c}")],
+            ).collect()
+            # trust but verify: the manifest must describe exactly the
+            # live file set (the caller's, or — plain-readable roots —
+            # a filesystem listing), else fall back to the scan.  A
+            # stale manifest silently reporting healthy envelopes would
+            # defeat the whole poll.
+            import os as _os
+
+            if files is not None:
+                live = {_os.path.basename(f) for f in files}
+            else:
+                live = set()
+                for root, dirs, names in _os.walk(path):
+                    dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                    live |= {
+                        f for f in names
+                        if f.endswith(".parquet")
+                        and not f.startswith(("_", "."))
+                    }
+            got = {_os.path.basename(r["file_path"]) for r in rows}
+            env = rows if got == live else None
+    if env is None:
+        env = file_envelopes(spark, path, columns, files=files).collect()
     out: dict = {"files": len(env), "columns": {}}
     worst = 0.0
     for c in columns:

@@ -257,3 +257,45 @@ def test_recluster_zorder_three_columns(spark, tmp_path):
         spark, t, {"a": (0, 999), "b": (0, 20_000), "c": (0, 200)}
     )
     assert total == 27 and len(kept) < total
+
+
+def test_cluster_health_serves_from_stats_manifest_and_verifies(spark, tmp_path):
+    """A stats-maintained table polls cluster health from the skipping
+    manifest (metadata-only — no row scan at 100 TB); a manifest that
+    does not describe the exact live file set is DISTRUSTED and the
+    poll falls back to the scan."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(4_000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 997).alias("b")
+    )
+    versioned.overwrite_versioned(
+        df.repartition(6), t, now=1.0, stats_columns=["a", "b"]
+    )
+    fast = layout.cluster_health(spark, t, ["a", "b"])
+    # ground truth from the direct column scan
+    slow_env = layout.file_envelopes(spark, t, ["a", "b"]).collect()
+    slow = {"files": len(slow_env)}
+    assert fast["files"] == slow["files"] == 6
+    # poison the manifest: drop one file's row -> set mismatch -> fallback
+    man = skipping.read_stats_manifest(spark, t)
+    poisoned = man.limit(man.count() - 1)
+    import os
+
+    out = os.path.join(t, skipping.STATS_DIR)
+    poisoned.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "p"))
+    spark.read.parquet(str(tmp_path / "p")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    fallback = layout.cluster_health(spark, t, ["a", "b"])
+    assert fallback["files"] == 6  # scan path: still the true live set
+    assert fallback["worst_mean_depth"] == fast["worst_mean_depth"]
