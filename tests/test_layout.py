@@ -299,3 +299,54 @@ def test_cluster_health_serves_from_stats_manifest_and_verifies(spark, tmp_path)
     fallback = layout.cluster_health(spark, t, ["a", "b"])
     assert fallback["files"] == 6  # scan path: still the true live set
     assert fallback["worst_mean_depth"] == fast["worst_mean_depth"]
+
+
+def test_hilbert_recluster_heals_and_beats_or_matches_morton(spark, tmp_path):
+    """curve='hilbert': the 2-D Hilbert layout (broadcast B²-cell lookup
+    over the same quantile buckets) heals a decayed layout at least as
+    well as Morton on the same data — consecutive Hilbert cells are
+    edge-adjacent, so key ranges cover tighter boxes — and the rewrite
+    is value-preserving."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    df = spark.range(16_000).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 2654435761 % 65_536).alias("b"),
+    )
+    depths = {}
+    for curve in ("morton", "hilbert"):
+        t = str(tmp_path / curve)
+        versioned.overwrite_versioned(df.repartition(16), t, now=1.0)
+        pre = layout.cluster_health(spark, t, ["a", "b"])
+        assert pre["worst_mean_depth"] > 4
+        layout.recluster_zorder(spark, t, "a", "b", now=2.0, curve=curve)
+        post = layout.cluster_health(spark, t, ["a", "b"])
+        depths[curve] = post["worst_mean_depth"]
+        # 16 files in 2 dims tile ~4 per axis: the 1-D depth floor is
+        # ~sqrt(F); assert real healing, not a specific constant
+        assert post["worst_mean_depth"] < pre["worst_mean_depth"] * 0.8
+        got = sorted(map(tuple, versioned.read_current(spark, t).collect()))
+        assert got == sorted(map(tuple, df.collect()))
+    # hilbert locality is never worse than morton's on uniform data
+    # (small slack: range-partition sampling is not deterministic)
+    assert depths["hilbert"] <= depths["morton"] * 1.15, depths
+
+
+def test_hilbert_curve_rejects_bad_arity(spark, tmp_path):
+    import pytest
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    with pytest.raises(ValueError, match="hilbert clustering is 2-D"):
+        layout.recluster_zorder(
+            spark, str(tmp_path / "x"), "a", "b", "c", curve="hilbert"
+        )
