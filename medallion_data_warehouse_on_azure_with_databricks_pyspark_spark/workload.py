@@ -2643,92 +2643,66 @@ from . import workload_cur  # noqa: E402,F401  isort: skip
 #: rotation tests skip (with a rotate-me message) once CORRECTNESS_r{N}
 #: artifacts for this round exist, instead of failing as if the engine
 #: regressed — VERDICT r12 "What's wrong" #1.
-CORRECTNESS_PRIORITY_ROUND = 14
+CORRECTNESS_PRIORITY_ROUND = 15
 
 CORRECTNESS_PRIORITY = [
-    # -- r14 window (judge ask #1).  r13 disproved the "budget-100
-    #    grace": the driver consumes EXACTLY the first 50 entries, so a
-    #    lane at position 51 gets no row of any kind.  The five
-    #    no-oracle lanes therefore lead the window outright this round
-    #    (doc_simhash_pairs rows-only since r8, the other four since
-    #    r10); their exact oracles remain pytest
-    #    (tests/test_llmops.py, test_bpe.py, test_tokenizer.py,
-    #    test_ext.py), the driver row is the harness-side run signal.
-    # -- no-oracle lanes, rows-only driver rows (rule 1: stalest first) --
-    "doc_simhash_pairs", "doc_bpe_token_counts", "doc_bpe_trained_tokens",
-    "events_approx_distinct", "events_approx_quantiles",
-    # -- last hash row r11: 39 of the 48-lane stale tier (rule 1).
-    #    48 stale + 5 no-oracle + 6 changed-fresh = 59 > 50, so nine
-    #    quantization-COMPOSITE emb lanes defer one round: every rung
-    #    they compose (ivf r12/r13, sq8/bq/matryoshka flat rungs r13,
-    #    mmr property suite) holds fresh evidence, making them the
-    #    lowest-information-loss deferral; they sit at positions 51-59
-    #    and lead the r15 window. --
-    "customer_dim_schema_evolution", "customer_set_ops",
-    "dlt_part_pipeline_deletes", "doc_cross_corpus_dedup",
-    "doc_curation_pipeline", "doc_dedup_keep_best",
-    "doc_hybrid_search_rrf", "doc_leakage_safe_splits", "doc_lm_fluency",
-    "doc_minhash_dedup_pairs", "doc_ngram_jaccard_pairs",
-    "doc_quality_classifier", "doc_sentences_udtf",
-    "doc_simhash_poly_pairs", "doc_stream_dedup_ingest",
-    "doc_temperature_mixture", "doc_token_budget_epochs",
-    "emb_chunk_mean_pool", "emb_ivf_indexed_topk",
-    "emb_semantic_decontamination", "events_json_props",
-    "events_json_rescue_ingest", "events_rolling_anomaly",
-    "events_stream_anomaly_ingest", "events_stream_dropdup_ingest",
-    "events_stream_ingest", "events_stream_matview_ingest",
-    "events_stream_partition_overwrite", "events_stream_watermark_windows",
-    "fact_enrichment_join", "lineitem_skew_salted_agg",
-    "orders_priority_rollup", "orders_top20", "orders_unpivot_metrics",
-    "part_brand_upper_udf", "part_discount_udf", "part_distinct_aggs",
-    "scd2_part_dim_deletes",
-    # -- changed-code this round, not already stale (rule 2): the
-    #    latest_per_key agg-strategy flip rides every apply_changes
-    #    lane (the dlt family + part_scd2_from_cdf_replay;
-    #    scd2_part_dim_deletes and events_stream_matview_ingest are in
-    #    the stale tier above), and the two sharded rank lanes gain
-    #    hot_threshold (VERDICT r13 asks #4/#5).  NOTE:
-    #    scd1_customer_dim / scd1_customer_dim_sql / scd2_part_dim are
-    #    NOT changed lanes — their merge sources are key-unique by
-    #    construction and never routed through the W5 pick (see
-    #    plans/scd.py docstring). --
-    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
-    "dlt_part_quarantine", "orders_duplicate_custkeys",
-    "orders_year_windows", "part_scd2_from_cdf_replay",
-    # -- NEW this round (rule 2: a brand-new lane always fronts the
-    #    window).  Its slot displaces emb_ivf_recall_report into the
-    #    deferred tier: a recall DIAGNOSTIC whose underlying paths
-    #    (ivf index build/probe) keep r11-r13 evidence via
-    #    emb_ivf_indexed_topk (this window) and emb_ivf_topk (r12). --
-    "events_recluster_zorder_scan",
-    # -- deferred slice of the r11 stale tier (see note above):
-    #    positions 51-60, MUST front the r15 window --
+    # -- r15 window (VERDICT r14 ask #1): ALL TEN quantization-composite
+    #    emb lanes deferred from the r14 window (last hash row r11 —
+    #    COVERAGE.md's r14 note miscounted nine; emb_ivf_recall_report
+    #    is the tenth) lead outright (rule 1: stalest first). --
     "emb_ivf_recall_report",
     "emb_ivfbq_indexed_topk", "emb_ivfbq_topk", "emb_ivfsq8_indexed_topk",
     "emb_ivfsq8_stream_topk", "emb_ivfsq8_topk",
     "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
     "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
-    # -- last hash row r12 (next-stalest; rotate in at r15) --
+    # -- changed-code this round (rule 2): latest_per_key grows
+    #    all-null-sequence fallback semantics (ADVICE r14 #1), riding
+    #    every apply_changes/W5-pick caller; the recluster lane drops
+    #    its duplicate post-rewrite health poll and picks the curve via
+    #    MaintenancePolicy (VERDICT r14 asks #4/#6 + the three layout
+    #    ADVICE fixes). --
+    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
+    "dlt_part_pipeline_deletes", "dlt_part_quarantine",
+    "part_scd2_from_cdf_replay", "scd2_part_dim_deletes",
+    "events_stream_matview_ingest", "events_recluster_zorder_scan",
+    # -- last hash row r12: 33 of the 44-lane tier rotate in (rule 1).
+    #    Ten defer to the tier below (lowest information loss — each has
+    #    a fresher driver-green twin or composed rung, plus the dual-SF
+    #    pytest oracle), and emb_pq_adc_topk retires from the driver
+    #    registry this round (VERDICT r14 ask #2). --
     "corpus_vocab_topk", "customer_with_high_value_orders",
-    "customer_without_orders",
-    "doc_benchmark_decontamination", "doc_bm25_topk", "doc_chunks",
-    "doc_dedup_representatives", "doc_duplicated_spans",
-    "doc_duplication_stats", "doc_exact_dedup", "doc_gopher_quality",
-    "doc_language_id", "doc_mixture_splits", "doc_repetition_stats",
-    "doc_scrub_pii", "doc_source_caps", "doc_text_stats",
-    "doc_token_counts", "doc_token_packing", "doc_winnow_overlap_pairs",
-    "docs_zorder_pruned_scan", "emb_cosine_topk",
-    "emb_int8_quantize_error", "emb_ivf_drift_report",
+    "customer_without_orders", "doc_benchmark_decontamination",
+    "doc_bm25_topk", "doc_chunks", "doc_dedup_representatives",
+    "doc_duplicated_spans", "doc_duplication_stats", "doc_exact_dedup",
+    "doc_gopher_quality", "doc_language_id", "doc_mixture_splits",
+    "doc_repetition_stats", "doc_scrub_pii", "doc_source_caps",
+    "doc_text_stats", "doc_token_counts", "doc_token_packing",
+    "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
+    "events_daily_rolling", "events_resample_ffill",
+    "events_stateful_sessions", "events_variant_props",
+    "multimodal_features", "orders_analytic_windows",
+    "orders_price_quantiles", "orders_status_priority_cube",
+    "orders_year_priority_pivot", "part_bloom_skipping_scan",
+    "part_replace_partitions", "part_string_functions",
+    # -- deferred slice of the r12 tier (positions 51+; front the r16
+    #    window).  Rationale per lane: the scd trio's merge core
+    #    (plans/scd.py) is re-hashed THIS round by the seven changed
+    #    rider lanes above; emb_ivf_topk / emb_lsh_topk /
+    #    emb_lsh_multitable_topk / emb_cosine_topk / emb_ivf_kmeans_topk
+    #    have driver-green indexed or scorer twins from r13/r14
+    #    (emb_ivf_indexed_topk r14, emb_lsh_indexed_topk r13,
+    #    emb_cosine_dedup_pairs r13); emb_int8_quantize_error /
+    #    emb_ivf_drift_report are diagnostics over rungs green r13/r14.
+    #    emb_pq_adc_topk is retired (see DRIVER_RETIRED). --
+    "emb_cosine_topk", "emb_int8_quantize_error", "emb_ivf_drift_report",
     "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_lsh_multitable_topk",
-    "emb_lsh_topk", "emb_pq_adc_topk", "events_daily_rolling",
-    "events_resample_ffill", "events_stateful_sessions",
-    "events_variant_props", "multimodal_features",
-    "orders_analytic_windows", "orders_price_quantiles",
-    "orders_status_priority_cube", "orders_year_priority_pivot",
-    "part_bloom_skipping_scan", "part_replace_partitions",
-    "part_string_functions", "scd1_customer_dim",
+    "emb_lsh_topk", "emb_pq_adc_topk", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim",
-    # -- last hash row r13 (freshest — rotate back in later rounds) --
+    # -- no-oracle lanes (rows-only driver rows, all refreshed r14;
+    #    exact oracles are dual-SF pytest — budget-100 grace tier) --
+    "doc_simhash_pairs", "doc_bpe_token_counts", "doc_bpe_trained_tokens",
+    "events_approx_distinct", "events_approx_quantiles",
+    # -- last hash row r13 (rotate in at r16/r17) --
     "customer_change_hash", "customer_filter_segment",
     "customer_segment_count", "doc_adaptive_quality_filter",
     "doc_boilerplate_removal", "emb_cosine_dedup_pairs",
@@ -2750,6 +2724,24 @@ CORRECTNESS_PRIORITY = [
     "part_optimize_compacted_scan", "part_optimize_partitions_scan",
     "part_stats_skipping_scan", "part_time_travel_diff",
     "part_type_token_count", "regional_nation_revenue",
+    # -- last hash row r14 (freshest — rotate back in later rounds) --
+    "customer_dim_schema_evolution", "customer_set_ops",
+    "doc_cross_corpus_dedup", "doc_curation_pipeline",
+    "doc_dedup_keep_best", "doc_hybrid_search_rrf",
+    "doc_leakage_safe_splits", "doc_lm_fluency", "doc_minhash_dedup_pairs",
+    "doc_ngram_jaccard_pairs", "doc_quality_classifier",
+    "doc_sentences_udtf", "doc_simhash_poly_pairs",
+    "doc_stream_dedup_ingest", "doc_temperature_mixture",
+    "doc_token_budget_epochs", "emb_chunk_mean_pool",
+    "emb_ivf_indexed_topk", "emb_semantic_decontamination",
+    "events_json_props", "events_json_rescue_ingest",
+    "events_rolling_anomaly", "events_stream_anomaly_ingest",
+    "events_stream_dropdup_ingest", "events_stream_ingest",
+    "events_stream_partition_overwrite", "events_stream_watermark_windows",
+    "fact_enrichment_join", "lineitem_skew_salted_agg",
+    "orders_duplicate_custkeys", "orders_priority_rollup", "orders_top20",
+    "orders_unpivot_metrics", "orders_year_windows",
+    "part_brand_upper_udf", "part_discount_udf", "part_distinct_aggs",
 ]
 
 def ordered_queries() -> dict:

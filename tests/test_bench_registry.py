@@ -64,27 +64,23 @@ def test_every_query_has_oracle_or_documented_weak_check():
 #: a changed lane always gets a fresh driver hash regardless of
 #: staleness).  Maintained alongside CORRECTNESS_PRIORITY each round.
 CHANGED_THIS_ROUND = {
-    # r14 (VERDICT r13 asks #2/#4/#5): the two streaming sinks flip to
-    # snapshot_mode="manifest"; latest_per_key flips to the skew-proof
-    # max_by agg strategy, riding every apply_changes caller (the dlt
-    # family, the CDC-replay lanes) plus the matview stream's W5 pick;
-    # the two sharded rank lanes gain hot_threshold so cold keys keep
-    # the plain single-shard window.  scd1_customer_dim /
-    # scd1_customer_dim_sql / scd2_part_dim do NOT change: their merge
-    # sources are key-unique by construction and never routed through
-    # latest_per_key (plans/scd.py — ask #5's Done list adjusted with
-    # that structural note in COVERAGE.md).
-    "events_stream_partition_overwrite", "events_stream_matview_ingest",
-    "orders_year_windows", "orders_duplicate_custkeys",
-    "scd2_part_dim_deletes", "dlt_part_pipeline",
-    "dlt_part_pipeline_incremental", "dlt_part_pipeline_deletes",
-    "dlt_part_quarantine", "part_scd2_from_cdf_replay",
-    # ask #6 follow-up: result-invariant split point swapped to
-    # percentile_approx (lane already sits in the window's stale tier)
-    "events_stream_anomaly_ingest",
-    # NEW lane: the maintenance loop's table-layout leg (cluster health
-    # -> OPTIMIZE ZORDER transaction) driven end-to-end
+    # r15 (ADVICE r14 #1): latest_per_key's agg strategy gains the
+    # all-null-sequence fallback (coalesce onto any_value) so it is
+    # drop-in equal to the window strategy on every input — rides every
+    # apply_changes/W5-pick caller:
+    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
+    "dlt_part_pipeline_deletes", "dlt_part_quarantine",
+    "part_scd2_from_cdf_replay", "scd2_part_dim_deletes",
+    "events_stream_matview_ingest",
+    # r15 (VERDICT r14 asks #4/#6 + layout ADVICE fixes): the recluster
+    # lane drops its duplicate post-rewrite health poll and selects the
+    # space-filling curve through MaintenancePolicy; cluster_health
+    # gains relpath liveness + manifest-mode live-file resolution;
+    # recluster_zorder refuses non-versioned roots.
     "events_recluster_zorder_scan",
+    # NEW lane (ask #4): Hilbert-curve recluster driven through the
+    # maintenance loop end-to-end.
+    "events_recluster_hilbert_scan",
 }
 
 
