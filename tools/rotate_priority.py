@@ -75,31 +75,46 @@ def main() -> int:
         print(f"ERROR: --changed lanes not registered: {unknown}")
         return 1
 
-    # stale = will be 3+ rounds old relative to THIS round's driver run
-    stale_oracle = sorted(
+    # MUST-window = would breach the 3-round promise (restated r15,
+    # VERDICT r14 ask #2) if skipped this round: last row 4+ rounds old
+    # after THIS round's run.  registered comes from entry.queries(), so
+    # DRIVER_RETIRED lanes never appear here.
+    must_oracle = sorted(
         q for q in registered
-        if q in oracles and latest.get(q, 0) <= args.round - 3
+        if q in oracles and latest.get(q, 0) <= args.round - 4
     )
+    # next-stalest oracle lanes fill remaining slots so the steady-state
+    # cadence stays ahead of the promise, never at its edge
+    fill_oracle = sorted(
+        (q for q in registered
+         if q in oracles and q not in must_oracle
+         and latest.get(q, 0) <= args.round - 3),
+        key=lambda q: latest.get(q, 0),
+    )
+    stale_oracle = must_oracle + fill_oracle
     no_oracle = sorted(set(registered) - oracles)
     # the no-oracle grace is ONE extra round, not indefinite: r13 proved
     # the driver consumes exactly the first 50 entries, so a rows-only
-    # lane 4+ rounds stale must sit INSIDE the window (r14 policy)
+    # lane past promise+1 must sit INSIDE the window
     overdue_no_oracle = [
-        q for q in no_oracle if latest.get(q, 0) <= args.round - 4
+        q for q in no_oracle if latest.get(q, 0) <= args.round - 5
     ]
     changed_fresh = [c for c in changed if c not in stale_oracle]
-    window = (
+    must = (
         overdue_no_oracle
-        + stale_oracle
+        + must_oracle
         + [c for c in changed_fresh if c in oracles]
     )
-    if len(window) > 50:
-        overflow = len(window) - 50
-        print(f"WARNING: {len(window)} must-window lanes for 50 slots — "
-              f"hand-pick {overflow} stale-oracle lanes to defer to "
-              "positions 51+ (lowest information loss: lanes whose "
-              "composed rungs hold fresher evidence), note them in the "
-              "priority comment, and front them NEXT round")
+    if len(must) > 50:
+        overflow = len(must) - 50
+        print(f"WARNING: {len(must)} MUST-window lanes for 50 slots — "
+              f"hand-pick {overflow} lanes to defer to positions 51+ "
+              "(lowest information loss: lanes whose composed rungs hold "
+              "fresher evidence), note them in the priority comment, "
+              "front them NEXT round, and consider DRIVER_RETIRED for "
+              "lanes with an indexed twin + dual-SF pytest oracle")
+    window = must + [q for q in fill_oracle if q not in must]
+    window = window[:50]
     pad = [q for q in no_oracle if q not in window][: max(0, 50 - len(window))]
     window += pad
     rest_no_oracle = [q for q in no_oracle if q not in window]
