@@ -215,6 +215,40 @@ def _overlap_depths(intervals: list[tuple]) -> tuple[float, int]:
     return sum(at_start) / len(at_start), max(at_start)
 
 
+def _rel_to_root(p: str, root: str) -> str:
+    """Normalize a file path/URI to its table-root-relative form — the
+    key ``_snapshot_files``/vacuum use, so liveness comparisons can never
+    be fooled by two files sharing a BASENAME across hive-partition
+    directories or across superseded manifest-mode versions (ADVICE r14
+    #2)."""
+    import os as _os
+
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):  # file:///x and file://x both -> /x
+            p = p[1:]
+    return _os.path.relpath(_os.path.abspath(p), _os.path.abspath(root))
+
+
+def _resolve_live_files(path: str) -> list[str] | None:
+    """Explicit live file list for a manifest-mode versioned table (whose
+    root also holds superseded version files); None when the root is
+    plain-readable.  Mirrors ``plans.maintenance._live_files`` so the
+    PUBLIC ``cluster_health(spark, path, cols)`` call — no ``files=`` —
+    is safe on manifest-mode tables instead of silently scanning
+    superseded files and inflating depth (ADVICE r14 #3)."""
+    import os as _os
+
+    from ..sources import versioned
+
+    v = versioned.current_version(path)
+    if v is None or versioned.snapshot_mode(path) != "manifest":
+        return None
+    return [
+        _os.path.join(path, rel) for rel in versioned._snapshot_files(path, v)
+    ]
+
+
 def cluster_health(
     spark, path: str, columns: list[str], files: list[str] | None = None
 ) -> dict:
@@ -237,6 +271,12 @@ def cluster_health(
     Either way the depth computation is an O(F log F) driver-side sweep
     over FILE envelopes — the same bounded-collect contract as every
     other manifest op."""
+    # A manifest-mode versioned root also holds SUPERSEDED version files:
+    # resolve the live set up front so the no-``files=`` public call can
+    # never scan them (depth inflation -> spurious reclusters, ADVICE r14
+    # #3); explicit callers (the scheduler) keep passing their own list.
+    if files is None:
+        files = _resolve_live_files(path)
     env = None
     from ..sources import skipping
 
@@ -252,21 +292,25 @@ def cluster_health(
             # live file set (the caller's, or — plain-readable roots —
             # a filesystem listing), else fall back to the scan.  A
             # stale manifest silently reporting healthy envelopes would
-            # defeat the whole poll.
+            # defeat the whole poll.  Liveness keys on ROOT-RELATIVE
+            # paths (the _snapshot_files/vacuum key), never basenames —
+            # two files may share a basename across hive-partition dirs
+            # or superseded versions (ADVICE r14 #2).
             import os as _os
 
             if files is not None:
-                live = {_os.path.basename(f) for f in files}
+                live = {_rel_to_root(f, path) for f in files}
             else:
                 live = set()
                 for root, dirs, names in _os.walk(path):
                     dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                     live |= {
-                        f for f in names
+                        _rel_to_root(_os.path.join(root, f), path)
+                        for f in names
                         if f.endswith(".parquet")
                         and not f.startswith(("_", "."))
                     }
-            got = {_os.path.basename(r["file_path"]) for r in rows}
+            got = {_rel_to_root(r["file_path"], path) for r in rows}
             env = rows if got == live else None
     if env is None:
         env = file_envelopes(spark, path, columns, files=files).collect()
@@ -317,9 +361,18 @@ def recluster_zorder(
         raise ValueError("hilbert clustering is 2-D; use curve='morton'")
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
+    v = versioned.current_version(path)
+    if v is None:
+        # same contract as optimize_zorder: transact() would otherwise
+        # CREATE a version log under a plain directory as a side effect
+        # of a mistaken cluster_specs entry (ADVICE r14 #4)
+        raise ValueError(
+            f"no version log under {path}: recluster_zorder targets "
+            "versioned tables — for a plain directory write "
+            "zorder_layout/zorder_layout_ranked output directly"
+        )
     if n_files is None:
-        v = versioned.current_version(path)
-        if v is not None and versioned.snapshot_mode(path) == "manifest":
+        if versioned.snapshot_mode(path) == "manifest":
             n_files = len(versioned._snapshot_files(path, v))
         else:
             n_files = (

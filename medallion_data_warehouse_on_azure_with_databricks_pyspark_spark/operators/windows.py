@@ -137,14 +137,25 @@ def latest_per_key(
     partial aggregates instead of serializing through one task's sort;
     the plan pins ``partial_max_by`` and no Window operator —
     ``tests/test_skew.py``).  Tie behavior matches the window's
-    contract: arbitrary-but-single winner per key.  Column order is
-    preserved, so the strategies are drop-in interchangeable;
-    ``strategy="window"`` keeps the classic rn=1 plan for callers that
-    need the window shape."""
+    contract: arbitrary-but-single winner per key.  NULL sequence
+    values also match the window's ``desc`` (NULLS LAST) contract:
+    ``max_by`` ignores NULL ordering values, so a key whose rows ALL
+    carry a NULL ``sequence_col`` would otherwise surface as a row of
+    NULLs — the agg coalesces onto ``any_value(struct)`` so such keys
+    return an intact arbitrary row, exactly like rn=1 under NULLS LAST
+    (ADVICE r14 #1; null-sequence equality pinned in
+    ``tests/test_skew.py``).  Column order is preserved, so the
+    strategies are drop-in interchangeable; ``strategy="window"`` keeps
+    the classic rn=1 plan for callers that need the window shape."""
     if strategy == "agg":
         others = [c for c in df.columns if c not in key_cols]
         picked = df.groupBy(*key_cols).agg(
-            F.max_by(F.struct(*others), F.col(sequence_col)).alias("__w")
+            F.coalesce(
+                F.max_by(F.struct(*others), F.col(sequence_col)),
+                # all-null sequence key: max_by yields NULL; fall back to
+                # an arbitrary intact row (window semantics, NULLS LAST)
+                F.any_value(F.struct(*others)),
+            ).alias("__w")
         )
         out = picked.select(
             *[

@@ -339,6 +339,101 @@ def test_hilbert_recluster_heals_and_beats_or_matches_morton(spark, tmp_path):
     assert depths["hilbert"] <= depths["morton"] * 1.15, depths
 
 
+def test_cluster_health_liveness_keys_on_relpath_not_basename(spark, tmp_path):
+    """ADVICE r14 #2: two live files in different hive-partition dirs can
+    share a BASENAME; a manifest describing only ONE of them used to pass
+    the basename-set liveness check and serve wrong (healthy-looking)
+    envelopes.  Relpath keying must distrust it and fall back to the
+    scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = tmp_path / "t"
+    for part, lo in (("p=1", 0), ("p=2", 1000)):
+        d = t / part
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"a": list(range(lo, lo + 100))}), str(d / "data.parquet")
+        )
+    # manifest describes ONLY p=1/data.parquet — same basename SET as the
+    # live files ({data.parquet}), different relpath set
+    man = spark.createDataFrame(
+        [(f"file://{t}/p=1/data.parquet", 0, 99)],
+        "file_path string, min__a long, max__a long",
+    )
+    man.coalesce(1).write.mode("overwrite").parquet(
+        str(t / skipping.STATS_DIR)
+    )
+    health = layout.cluster_health(spark, str(t), ["a"])
+    # the stale manifest (1 file) must be distrusted: the scan sees both
+    assert health["files"] == 2
+    assert health["columns"]["a"]["max_depth"] == 1  # disjoint envelopes
+
+
+def test_cluster_health_resolves_live_files_on_manifest_mode(spark, tmp_path):
+    """ADVICE r14 #3: the PUBLIC ``cluster_health(spark, path, cols)``
+    call — no ``files=`` — on a manifest-mode versioned table must score
+    only the LIVE snapshot, not superseded version files still under the
+    root (which would inflate depth and trigger spurious reclusters)."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(4_000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 997).alias("b")
+    )
+    versioned.overwrite_versioned(
+        df.repartition(4), t, now=1.0, snapshot_mode="manifest"
+    )
+    versioned.overwrite_versioned(
+        df.repartition(6), t, now=2.0, snapshot_mode="manifest"
+    )
+    v = versioned.current_version(t)
+    live = versioned._snapshot_files(t, v)
+    assert len(live) == 6
+    health = layout.cluster_health(spark, t, ["a", "b"])
+    assert health["files"] == 6  # not 10: superseded v0 files excluded
+    # and it agrees with an explicit-files call (the scheduler's path)
+    import os
+
+    explicit = layout.cluster_health(
+        spark, t, ["a", "b"],
+        files=[os.path.join(t, rel) for rel in live],
+    )
+    assert explicit == health
+
+
+def test_recluster_zorder_refuses_plain_directories(spark, tmp_path):
+    """ADVICE r14 #4: recluster on a non-versioned directory (a mistaken
+    cluster_specs entry) must raise like optimize_zorder — never convert
+    the directory into a versioned table as a side effect."""
+    import os
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    t = str(tmp_path / "plain")
+    spark.range(100).selectExpr("id AS a", "id * 3 AS b").write.parquet(t)
+    with pytest.raises(ValueError, match="no version log"):
+        layout.recluster_zorder(spark, t, "a", "b")
+    # and no version log was created as a side effect
+    assert not os.path.exists(t + ".__versions")
+
+
 def test_hilbert_curve_rejects_bad_arity(spark, tmp_path):
     import pytest
 

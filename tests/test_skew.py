@@ -588,3 +588,36 @@ def test_latest_per_key_agg_strategy_equals_window(spark):
         df, ["product_id"], "seq", keep_col=True, strategy="agg"
     )
     assert k2.where("__rn <> 1").count() == 0
+
+
+def test_latest_per_key_null_sequences_match_window(spark):
+    """ADVICE r14 #1: NULL sequence values must not break strategy
+    interchangeability.  A key whose rows ALL carry a NULL sequence must
+    return one intact (non-NULL payload) row — the window's desc NULLS
+    LAST picks an arbitrary row; the agg must too, never a row of NULLs.
+    Mixed keys must pick among the non-null sequences only."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        windows,
+    )
+
+    rows = [
+        (1, None, "only-null-a"), (1, None, "only-null-b"),  # all-null key
+        (2, None, "lo"), (2, 5, "mid"), (2, 9, "hi"),        # mixed key
+        (3, 7, "solo"),                                      # plain key
+    ]
+    df = spark.createDataFrame(rows, "product_id long, seq long, name string")
+    win = windows.latest_per_key(df, ["product_id"], "seq", strategy="window")
+    agg = windows.latest_per_key(df, ["product_id"], "seq", strategy="agg")
+    assert agg.columns == win.columns
+    got = {r["product_id"]: r for r in agg.collect()}
+    assert set(got) == {1, 2, 3}
+    # all-null key: intact arbitrary row, not a NULL payload
+    assert got[1]["name"] in {"only-null-a", "only-null-b"}
+    assert got[1]["seq"] is None
+    # mixed key: NULLS-LAST semantics — the max non-null sequence wins
+    assert (got[2]["seq"], got[2]["name"]) == (9, "hi")
+    assert (got[3]["seq"], got[3]["name"]) == (7, "solo")
+    # window strategy agrees on every deterministic cell
+    wgot = {r["product_id"]: r for r in win.collect()}
+    assert (wgot[2]["seq"], wgot[2]["name"]) == (9, "hi")
+    assert wgot[1]["name"] in {"only-null-a", "only-null-b"}
