@@ -66,6 +66,11 @@ class MaintenancePolicy:
     cluster_depth: float = 4.0
     #: never recluster below this live-file count (layout noise)
     cluster_min_files: int = 8
+    #: space-filling curve for dispatched reclusters: "morton" (any
+    #: dimensionality) or "hilbert" (2-D only — tighter boxes per key
+    #: range, the curve Databricks' liquid clustering moved to).  A
+    #: 3-element cluster_specs entry overrides per table.
+    cluster_curve: str = "morton"
     #: vacuum when history holds this fraction of the live bytes
     superseded_ratio: float = 0.5
     #: versions the vacuum keeps readable (Delta's retention knob)
@@ -182,11 +187,13 @@ def run_maintenance(
     polled ``health``, the decided ``action`` (None = healthy), and the
     actuator's ``result`` (rows purged, promoted path, recovery bool).
 
-    ``cluster_specs`` entries are ``(table_path, clustering_cols)`` with
-    two or more clustering columns —
-    versioned tables whose Z-order layout the sweep should keep healthy
-    (``functions/layout.py``: health = envelope-overlap depth, actuator
-    = OPTIMIZE ZORDER transaction).  ``table_paths`` are versioned
+    ``cluster_specs`` entries are ``(table_path, clustering_cols)`` or
+    ``(table_path, clustering_cols, curve)`` with two or more clustering
+    columns — versioned tables whose space-filling-curve layout the
+    sweep should keep healthy (``functions/layout.py``: health =
+    envelope-overlap depth, actuator = OPTIMIZE ZORDER transaction).
+    ``curve`` (``"morton"`` | ``"hilbert"``) overrides
+    ``policy.cluster_curve`` per table; hilbert is 2-D only.  ``table_paths`` are versioned
     tables swept for RETENTION: health = ``versioned.table_detail``
     (superseded bytes, retained versions, standing intent), actuator =
     claim-guarded ``vacuum`` — or ``recover`` under ``assume_quiesced``
@@ -233,15 +240,16 @@ def run_maintenance(
         report.append(
             _dispatch("dv", p, health, decide_dv(health, policy, assume_quiesced))
         )
-    for p, cols in cluster_specs:
-        cols = tuple(cols)
+    for spec in cluster_specs:
+        p, cols = spec[0], tuple(spec[1])
+        curve = spec[2] if len(spec) > 2 else policy.cluster_curve
         health = layout.cluster_health(
             spark, p, list(cols), files=_live_files(spark, p)
         )
         report.append(_dispatch(
             "cluster", p, health, decide_cluster(health, policy),
-            actuate=lambda p=p, cols=cols: layout.recluster_zorder(
-                spark, p, *cols
+            actuate=lambda p=p, cols=cols, curve=curve: layout.recluster_zorder(
+                spark, p, *cols, curve=curve
             ),
         ))
     for p in table_paths:

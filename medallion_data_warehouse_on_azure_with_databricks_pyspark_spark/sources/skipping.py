@@ -83,6 +83,27 @@ def read_stats_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(out)
 
 
+def read_stats_manifest_driver_side(path: str):
+    """The stats manifest as ``(rows, column_name_set)`` read with
+    pyarrow on the DRIVER — no Spark job.  The manifest is bounded
+    metadata by contract (one row per live file), so metadata consumers
+    (health polls, file pruning, envelope bounds) should cost a local
+    parquet read, not a JVM scan round-trip; on a real cluster this lets
+    a scheduler poll hundreds of tables without queueing Spark jobs.
+    Returns ``(None, None)`` when absent or unreadable — callers fall
+    back to the distributed path."""
+    out = os.path.join(path.rstrip("/"), STATS_DIR)
+    if not os.path.isdir(out):
+        return None, None
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(out)  # ignores _/.-prefixed sidecars
+        return tbl.to_pylist(), set(tbl.schema.names)
+    except Exception:  # unreadable/corrupt manifest: distrust
+        return None, None
+
+
 def _keep_condition(manifest_cols: list[str], predicates: dict):
     """Conjunctive intersection test over [min,max] intervals; a column
     the manifest never collected keeps the file (unknown ⇒ unprunable)."""
@@ -114,8 +135,22 @@ def pruned_files_multi(
 
     The collect here is the bounded driver-side step every log-based
     format has (Delta/Iceberg replay their manifests on the driver); the
-    collected payload is file PATHS only, never data.
+    collected payload is file PATHS only, never data.  The interval test
+    itself runs DRIVER-SIDE over the pyarrow-read manifest (exactly how
+    Delta/Iceberg evaluate data skipping — no Spark job for a metadata
+    decision); mixed-type bounds the Python comparison can't order fall
+    back to the Spark path so SQL coercion decides.
     """
+    rows, cols = read_stats_manifest_driver_side(path)
+    if rows is not None:
+        try:
+            kept = [
+                r["file_path"] for r in rows
+                if _keep_py(r, cols, predicates)
+            ]
+            return kept, len(rows)
+        except TypeError:
+            pass  # e.g. str bound vs timestamp stats: let Spark coerce
     manifest = read_stats_manifest(spark, path)
     if manifest is None:
         raise FileNotFoundError(f"no stats manifest under {path}")
@@ -123,6 +158,20 @@ def pruned_files_multi(
     keep = _keep_condition(manifest.columns, predicates)
     kept = [r.file_path for r in manifest.where(keep).select("file_path").collect()]
     return kept, total
+
+
+def _keep_py(row: dict, manifest_cols: set, predicates: dict) -> bool:
+    """Python twin of :func:`_keep_condition` for the driver-side path —
+    same semantics: unknown column or NULL bound keeps the file."""
+    for column, (lower, upper) in predicates.items():
+        if f"min__{column}" not in manifest_cols:
+            continue
+        mx, mn = row.get(f"max__{column}"), row.get(f"min__{column}")
+        if lower is not None and mx is not None and not mx >= lower:
+            return False
+        if upper is not None and mn is not None and not mn <= upper:
+            return False
+    return True
 
 
 def pruned_files(

@@ -2693,6 +2693,8 @@ CORRECTNESS_PRIORITY = [
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "part_scd2_from_cdf_replay", "scd2_part_dim_deletes",
     "events_stream_matview_ingest", "events_recluster_zorder_scan",
+    # -- NEW this round (rule 2): hilbert recluster through the loop --
+    "events_recluster_hilbert_scan",
     # -- last hash row r12: 33 of the 44-lane tier rotate in (rule 1).
     #    Ten defer to the tier below (lowest information loss — each has
     #    a fresher driver-green twin or composed rung, plus the dual-SF
@@ -3039,12 +3041,77 @@ def events_recluster_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if post["health"]["worst_mean_depth"] >= swept["health"]["worst_mean_depth"]:
         raise AssertionError("recluster did not reduce envelope overlap")
     # the same commit refreshed the skipping manifest: a box predicate
-    # on BOTH clustering columns prunes to a strict subset of the files
-    lo, hi = (
-        versioned.read_current(spark, table)
-        .agg(F.min("ts_ns"), F.max("ts_ns"))
-        .first()
+    # on BOTH clustering columns prunes to a strict subset of the files.
+    # The ts_ns bounds come from THAT manifest (driver-side, no Spark
+    # job — min of per-file mins IS the global min), per VERDICT r14
+    # ask #6: the lane re-reads what the rewrite just committed instead
+    # of paying a second aggregate pass.
+    rows, _cols = skipping.read_stats_manifest_driver_side(table)
+    lo = min(r["min__ts_ns"] for r in rows if r["min__ts_ns"] is not None)
+    hi = max(r["max__ts_ns"] for r in rows if r["max__ts_ns"] is not None)
+    kept, total = skipping.pruned_files_multi(
+        spark, table,
+        {"event_id": (1, 20), "ts_ns": (lo, lo + (hi - lo) // 8)},
     )
+    if not (total == 12 and len(kept) < total):
+        raise AssertionError(f"box predicate did not prune: {len(kept)}/{total}")
+    return versioned.read_current(spark, table).select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+    )
+
+
+@query(
+    "events_recluster_hilbert_scan",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    """,
+)
+def events_recluster_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve recluster driven end-to-end through the maintenance
+    loop (r15, VERDICT r14 ask #4): same decayed 12-round-robin-file
+    layout as ``events_recluster_zorder_scan``, but the sweep's
+    3-element ``cluster_specs`` entry selects ``curve="hilbert"`` — the
+    curve Databricks' liquid clustering moved to, mapped through the
+    broadcast B²-cell lookup (``functions/layout.py::
+    hilbert_layout_ranked``) over the same rank-scaled quantile buckets.
+    In-lane asserts: the sweep dispatches the recluster, the
+    OPTIMIZE_ZORDER history row records ``curve=hilbert`` (auditable
+    lineage), the healed depth makes the next sweep decide nothing, and
+    a conjunctive box predicate prunes through the manifest the same
+    commit rebuilt.  Pure layout, so the oracle restates the raw table —
+    any lost/duplicated row under the rewrite hash-mismatches."""
+    import tempfile
+
+    from .plans import maintenance as mnt
+    from .sources import skipping, versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_hilbert_")
+    table = f"{work}/events"
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ns", "value")
+    versioned.overwrite_versioned(
+        ev.repartition(12), table, now=1.0, snapshot_mode="manifest",
+        stats_columns=["event_id", "ts_ns"],
+    )
+    spec = [(table, ("event_id", "ts_ns"), "hilbert")]
+    (swept,) = mnt.run_maintenance(spark, cluster_specs=spec)
+    if swept["action"] != "recluster" or "error" in swept:
+        raise AssertionError(f"sweep did not recluster: {swept}")
+    curves = [
+        (e.get("metadata") or {}).get("curve")
+        for e in versioned.history(table)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    if curves != ["hilbert"]:
+        raise AssertionError(f"hilbert curve not recorded in history: {curves}")
+    (post,) = mnt.run_maintenance(spark, cluster_specs=spec)
+    if post["action"] is not None:
+        raise AssertionError(f"layout not healed: {post['health']}")
+    if post["health"]["worst_mean_depth"] >= swept["health"]["worst_mean_depth"]:
+        raise AssertionError("recluster did not reduce envelope overlap")
+    rows, _cols = skipping.read_stats_manifest_driver_side(table)
+    lo = min(r["min__ts_ns"] for r in rows if r["min__ts_ns"] is not None)
+    hi = max(r["max__ts_ns"] for r in rows if r["max__ts_ns"] is not None)
     kept, total = skipping.pruned_files_multi(
         spark, table,
         {"event_id": (1, 20), "ts_ns": (lo, lo + (hi - lo) // 8)},

@@ -339,6 +339,23 @@ def test_hilbert_recluster_heals_and_beats_or_matches_morton(spark, tmp_path):
     assert depths["hilbert"] <= depths["morton"] * 1.15, depths
 
 
+def test_hilbert_grid_matches_scalar_walk():
+    """The vectorized grid builder must agree with the scalar xy→d walk
+    on every cell (orders 1..6 cover the default bucket resolutions)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    for order in range(1, 7):
+        xs, ys, ds = layout.hilbert_grid(order)
+        side = 1 << order
+        assert len(ds) == side * side
+        # bijective onto [0, side^2)
+        assert sorted(ds.tolist()) == list(range(side * side))
+        for x, y, d in zip(xs.tolist(), ys.tolist(), ds.tolist()):
+            assert d == layout.hilbert_d(order, x, y), (order, x, y)
+
+
 def test_cluster_health_liveness_keys_on_relpath_not_basename(spark, tmp_path):
     """ADVICE r14 #2: two live files in different hive-partition dirs can
     share a BASENAME; a manifest describing only ONE of them used to pass

@@ -233,6 +233,59 @@ def test_sweep_reclusters_decayed_layout(spark, tmp_path):
     assert total == 12 and len(kept) <= 2
 
 
+def test_sweep_cluster_curve_selection(spark, tmp_path):
+    """r15 (VERDICT r14 ask #4): the sweep's recluster actuator selects
+    the space-filling curve — a 3-element cluster_specs entry overrides
+    per table, ``policy.cluster_curve`` sets the fleet default, and the
+    chosen curve is auditable in the commit's history metadata."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    def decayed(name):
+        t = str(tmp_path / name)
+        df = spark.range(12_000).select(
+            F.col("id").alias("a"), (F.col("id") * 2654435761 % 65_536).alias("b")
+        )
+        versioned.overwrite_versioned(
+            df.repartition(12), t, now=1.0, stats_columns=["a", "b"]
+        )
+        return t
+
+    def committed_curve(t):
+        return [
+            (e.get("metadata") or {}).get("curve")
+            for e in versioned.history(t)
+            if e["operation"] == "OPTIMIZE_ZORDER"
+        ]
+
+    # 3-element spec overrides to hilbert
+    t1 = decayed("hil")
+    (row,) = M.run_maintenance(spark, cluster_specs=[(t1, ("a", "b"), "hilbert")])
+    assert row["action"] == "recluster" and "error" not in row
+    assert committed_curve(t1) == ["hilbert"]
+    # policy default applies to 2-element specs
+    t2 = decayed("pol")
+    policy = M.MaintenancePolicy(cluster_curve="hilbert")
+    (row2,) = M.run_maintenance(
+        spark, cluster_specs=[(t2, ("a", "b"))], policy=policy
+    )
+    assert row2["action"] == "recluster" and "error" not in row2
+    assert committed_curve(t2) == ["hilbert"]
+    # and the out-of-the-box default stays morton
+    t3 = decayed("mor")
+    (row3,) = M.run_maintenance(spark, cluster_specs=[(t3, ("a", "b"))])
+    assert row3["action"] == "recluster" and "error" not in row3
+    assert committed_curve(t3) == ["morton"]
+    # a hilbert dispatch on a 3-column spec fails loudly (per-table fault
+    # isolation captures it, the sweep continues)
+    t4 = decayed("bad")
+    (row4,) = M.run_maintenance(
+        spark, cluster_specs=[(t4, ("a", "b", "a"), "hilbert")]
+    )
+    assert "error" in row4 and "hilbert clustering is 2-D" in row4["error"]
+
+
 # ---------------------------------------------------------------------------
 # Round 14: the retention leg (table_detail -> vacuum)
 # ---------------------------------------------------------------------------
@@ -322,22 +375,45 @@ def test_maintain_cli_dry_run_and_sweep(spark, tmp_path):
     df = spark.range(2_000).withColumnRenamed("id", "k")
     for i in range(4):
         versioned.overwrite_versioned(df, t, now=1.0 + i)
+    # a decayed 2-D table swept through the CLI's path:a,b:hilbert spec
+    c = str(tmp_path / "c")
+    cdf = spark.range(12_000).select(
+        F.col("id").alias("a"), (F.col("id") * 2654435761 % 65_536).alias("b")
+    )
+    versioned.overwrite_versioned(
+        cdf.repartition(12), c, now=1.0, stats_columns=["a", "b"]
+    )
 
     def run(*extra):
         return subprocess.run(
             [sys.executable, "tools/maintain.py", "--table", t,
+             "--cluster", f"{c}:a,b:hilbert",
              "--master", "local[2]", *extra],
             capture_output=True, text=True, cwd="/root/repo", timeout=300,
         )
 
+    def rows(proc):
+        out = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+        return {r["kind"]: r for r in out}
+
     dry = run("--dry-run")
     assert dry.returncode == 0, dry.stderr[-1500:]
-    (row,) = [json.loads(l) for l in dry.stdout.splitlines() if l.startswith("{")]
-    assert row["action"] == "vacuum" and "result" not in row
+    drows = rows(dry)
+    assert drows["table"]["action"] == "vacuum" and "result" not in drows["table"]
+    assert drows["cluster"]["action"] == "recluster"
     assert versioned.table_detail(t)["retained_versions"] == [0, 1, 2]  # untouched
+    assert versioned.current_version(c) == 0  # untouched
 
     real = run()
     assert real.returncode == 0, real.stderr[-1500:]
-    (row2,) = [json.loads(l) for l in real.stdout.splitlines() if l.startswith("{")]
-    assert row2["action"] == "vacuum" and row2["result"] == [0]
+    rrows = rows(real)
+    assert rrows["table"]["action"] == "vacuum" and rrows["table"]["result"] == [0]
     assert versioned.table_detail(t)["retained_versions"] == [1, 2]
+    # the CLI spec's trailing :hilbert reached the actuator
+    assert rrows["cluster"]["action"] == "recluster"
+    curves = [
+        (e.get("metadata") or {}).get("curve")
+        for e in versioned.history(c)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert curves == ["hilbert"]

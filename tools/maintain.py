@@ -32,7 +32,9 @@ def main() -> int:
     ap.add_argument("--table", action="append", default=[],
                     help="versioned table path, swept for retention")
     ap.add_argument("--cluster", action="append", default=[],
-                    help="versioned table Z-order spec: path:col_a,col_b")
+                    help="versioned table layout spec: "
+                         "path:col_a,col_b[:curve] with curve morton "
+                         "(default, any dims) or hilbert (2-D)")
     ap.add_argument("--quiesced", action="store_true",
                     help="assert no writers are live: enables recovery "
                          "of crashed claims (see recover_dv_merge's "
@@ -53,11 +55,21 @@ def main() -> int:
 
     cluster_specs = []
     for spec in args.cluster:
-        path, _, cols = spec.rpartition(":")
+        rest, curve = spec, None
+        head, _, tail = spec.rpartition(":")
+        if head and tail in ("morton", "hilbert"):
+            rest, curve = head, tail
+        path, _, cols = rest.rpartition(":")
         parts = tuple(c for c in cols.split(",") if c)
         if not (path and len(parts) >= 2):
-            ap.error(f"--cluster wants path:col_a,col_b[,...], got {spec!r}")
-        cluster_specs.append((path, parts))
+            ap.error(
+                f"--cluster wants path:col_a,col_b[,...][:curve], got {spec!r}"
+            )
+        if curve == "hilbert" and len(parts) != 2:
+            ap.error(f"hilbert clustering is 2-D, got {spec!r}")
+        cluster_specs.append(
+            (path, parts) if curve is None else (path, parts, curve)
+        )
 
     spark = session.get_spark(
         app_name="medallion-maintain",
@@ -86,7 +98,8 @@ def main() -> int:
             h = dv.dv_health(spark, p)
             report.append({"kind": "dv", "path": p, "health": h,
                            "action": M.decide_dv(h, assume_quiesced=args.quiesced)})
-        for p, cols in cluster_specs:
+        for spec in cluster_specs:
+            p, cols = spec[0], spec[1]
             h = layout.cluster_health(spark, p, list(cols),
                                       files=M._live_files(spark, p))
             report.append({"kind": "cluster", "path": p, "health": h,
