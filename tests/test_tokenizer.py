@@ -16,12 +16,15 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators i
 DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 
-def test_distributed_trainer_equals_single_node_exactly(spark):
+def test_distributed_trainer_equals_single_node_exactly(spark, oracle_sf_dir):
     """The strongest available oracle for an iterative algorithm: the
     distributed pipeline (Arrow pretokenize -> count aggregate -> driver
     merge loop) produces the IDENTICAL merge list as the pure-Python
-    single-node trainer on the same texts — under any partitioning."""
-    docs = spark.read.parquet(DOCS)
+    single-node trainer on the same texts — under any partitioning.
+    Dual-SF (VERDICT r14 ask #5): this is the exact value-level anchor
+    for the rows-only ``doc_bpe_trained_tokens`` driver lane, so it runs
+    at sf0.001 AND sf0.01 in one suite run like every DuckDB oracle."""
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
     texts = [r["text"] for r in docs.collect()]
     want = bpe.train_bpe(texts, 64)
     for df in (docs, docs.repartition(13)):
@@ -46,10 +49,11 @@ def test_word_frequencies_counts_and_deterministic_cap(spark):
     assert capped == {" aa", " bb", " cc"}
 
 
-def test_trained_counts_match_per_doc_replay(spark):
+def test_trained_counts_match_per_doc_replay(spark, oracle_sf_dir):
     """token_counts_with_merges under trained merges == per-document
-    pure-Python encoding with the same ranks (bit-exact ints)."""
-    docs = spark.read.parquet(DOCS).limit(40)
+    pure-Python encoding with the same ranks (bit-exact ints) — the
+    read-path half of the ``doc_bpe_trained_tokens`` anchor, dual-SF."""
+    docs = spark.read.parquet(f"{oracle_sf_dir}/documents.parquet").limit(40)
     merges = T.train_bpe_distributed(docs, num_merges=32)
     ranks = {p: i for i, p in enumerate(merges)}
     got = {
