@@ -2695,7 +2695,10 @@ CORRECTNESS_PRIORITY = [
     "events_stream_matview_ingest", "events_recluster_zorder_scan",
     # -- NEW this round (rule 2): hilbert recluster through the loop --
     "events_recluster_hilbert_scan",
-    # -- last hash row r12: 33 of the 44-lane tier rotate in (rule 1).
+    # -- changed this round (rule 2): both ride pruned_files_multi's new
+    #    driver-side manifest evaluation (r13-fresh otherwise) --
+    "part_stats_skipping_scan", "part_optimize_compacted_scan",
+    # -- last hash row r12: 31 of the 44-lane tier rotate in (rule 1).
     #    Ten defer to the tier below (lowest information loss — each has
     #    a fresher driver-green twin or composed rung, plus the dual-SF
     #    pytest oracle), and emb_pq_adc_topk retires from the driver
@@ -2711,8 +2714,7 @@ CORRECTNESS_PRIORITY = [
     "events_daily_rolling", "events_resample_ffill",
     "events_stateful_sessions", "events_variant_props",
     "multimodal_features", "orders_analytic_windows",
-    "orders_price_quantiles", "orders_status_priority_cube",
-    "orders_year_priority_pivot", "part_bloom_skipping_scan",
+    "orders_price_quantiles", "part_bloom_skipping_scan",
     "part_replace_partitions", "part_string_functions",
     # -- deferred slice of the r12 tier (positions 51+; front the r16
     #    window).  Rationale per lane: the scd trio's merge core
@@ -2723,10 +2725,16 @@ CORRECTNESS_PRIORITY = [
     #    (emb_ivf_indexed_topk r14, emb_lsh_indexed_topk r13,
     #    emb_cosine_dedup_pairs r13); emb_int8_quantize_error /
     #    emb_ivf_drift_report are diagnostics over rungs green r13/r14.
-    #    emb_pq_adc_topk is retired (see DRIVER_RETIRED). --
+    #    orders_status_priority_cube / orders_year_priority_pivot joined
+    #    the deferral when the two changed skipping lanes took their
+    #    slots: their grouping/reshape relatives are fresh
+    #    (orders_priority_rollup + orders_unpivot_metrics r14,
+    #    orders_grouping_sets r13).  emb_pq_adc_topk is retired (see
+    #    DRIVER_RETIRED). --
     "emb_cosine_topk", "emb_int8_quantize_error", "emb_ivf_drift_report",
     "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_lsh_multitable_topk",
-    "emb_lsh_topk", "scd1_customer_dim",
+    "emb_lsh_topk", "orders_status_priority_cube",
+    "orders_year_priority_pivot", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim",
     # -- no-oracle lanes (rows-only driver rows, all refreshed r14;
     #    exact oracles are dual-SF pytest — budget-100 grace tier) --
@@ -2751,8 +2759,7 @@ CORRECTNESS_PRIORITY = [
     "part_cdf_changes_percommit", "part_dml_update_delete_cdf",
     "part_dv_delete_scan", "part_matview_incremental",
     "part_merge_dv_scan", "part_merge_versioned_txn",
-    "part_optimize_compacted_scan", "part_optimize_partitions_scan",
-    "part_stats_skipping_scan", "part_time_travel_diff",
+    "part_optimize_partitions_scan", "part_time_travel_diff",
     "part_type_token_count", "regional_nation_revenue",
     # -- last hash row r14 (freshest — rotate back in later rounds) --
     "customer_dim_schema_evolution", "customer_set_ops",
