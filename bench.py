@@ -229,7 +229,7 @@ COMMON_SET_R7 = frozenset({
     "scd2_part_dim", "scd2_part_dim_deletes",
 })
 
-#: The previous round's full lane set (r10, 116 lanes), refrozen each round
+#: The previous round's full lane set (r14, 135 lanes), refrozen each round
 #: from the prior BENCH_QUERIES.json so "this round vs last round" reads a
 #: stable basis directly out of the summary line (VERDICT r10 ask #8) —
 #: lanes that land THIS round are excluded automatically.
@@ -242,30 +242,41 @@ COMMON_SET_PREV = frozenset({
     "doc_adaptive_quality_filter", "doc_benchmark_decontamination",
     "doc_bm25_topk", "doc_boilerplate_removal", "doc_bpe_token_counts",
     "doc_bpe_trained_tokens", "doc_chunks", "doc_cross_corpus_dedup",
+    "doc_curation_pipeline", "doc_dedup_keep_best",
     "doc_dedup_representatives", "doc_duplicated_spans",
     "doc_duplication_stats", "doc_exact_dedup", "doc_gopher_quality",
-    "doc_hybrid_search_rrf", "doc_language_id", "doc_leakage_safe_splits",
-    "doc_lm_fluency", "doc_minhash_dedup_pairs", "doc_mixture_splits",
+    "doc_hybrid_search_rrf", "doc_language_id",
+    "doc_leakage_safe_splits", "doc_lm_fluency",
+    "doc_minhash_dedup_pairs", "doc_mixture_splits",
     "doc_ngram_jaccard_pairs", "doc_quality_classifier",
     "doc_repetition_stats", "doc_scrub_pii", "doc_sentences_udtf",
     "doc_simhash_pairs", "doc_simhash_poly_pairs", "doc_source_caps",
-    "doc_text_stats", "doc_token_counts", "doc_token_packing",
+    "doc_temperature_mixture", "doc_text_stats",
+    "doc_token_budget_epochs", "doc_token_counts", "doc_token_packing",
     "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
     "emb_chunk_mean_pool", "emb_cosine_dedup_pairs", "emb_cosine_topk",
-    "emb_int8_quantize_error", "emb_ivf_indexed_topk",
-    "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_ivfpq_indexed_topk",
-    "emb_ivfpq_residual_topk", "emb_ivfpq_stream_topk", "emb_ivfpq_topk",
-    "emb_lsh_indexed_topk", "emb_lsh_multitable_topk", "emb_lsh_topk",
-    "emb_matryoshka_topk", "emb_pq_adc_topk", "emb_pq_indexed_topk",
-    "emb_semantic_dedup", "emb_sq8_indexed_topk", "emb_sq8_topk",
+    "emb_int8_quantize_error", "emb_ivf_drift_report",
+    "emb_ivf_indexed_topk", "emb_ivf_kmeans_topk",
+    "emb_ivf_recall_report", "emb_ivf_topk", "emb_ivfbq_indexed_topk",
+    "emb_ivfbq_topk", "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_residual_topk", "emb_ivfpq_stream_topk",
+    "emb_ivfpq_topk", "emb_ivfsq8_indexed_topk",
+    "emb_ivfsq8_stream_topk", "emb_ivfsq8_topk", "emb_lsh_indexed_topk",
+    "emb_lsh_multitable_topk", "emb_lsh_topk",
+    "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
+    "emb_matryoshka_topk", "emb_mmr_diversified_topk",
+    "emb_mmr_ivf_topk", "emb_pq_adc_topk",
+    "emb_semantic_decontamination", "emb_semantic_dedup",
     "emb_top_pc_projection", "events_approx_distinct",
     "events_approx_quantiles", "events_asof_join",
     "events_cohort_retention", "events_daily_rolling",
     "events_funnel_stages", "events_generated_partition_scan",
     "events_hourly_ohlc", "events_hourly_windows", "events_json_props",
-    "events_range_join_agg", "events_resample_ffill",
+    "events_range_join_agg", "events_recluster_zorder_scan",
+    "events_resample_ffill", "events_rolling_anomaly",
     "events_session_windows", "events_sliding_windows",
-    "events_stateful_sessions", "events_variant_props",
+    "events_stateful_sessions", "events_stream_anomaly_ingest",
+    "events_stream_partition_overwrite", "events_variant_props",
     "fact_enrichment_join", "lineitem_pricing_summary",
     "lineitem_skew_salted_agg", "multimodal_features",
     "order_fact_upsert", "orders_analytic_windows",
@@ -280,10 +291,11 @@ COMMON_SET_PREV = frozenset({
     "part_distinct_aggs", "part_dml_update_delete_cdf",
     "part_dv_delete_scan", "part_matview_incremental",
     "part_merge_dv_scan", "part_merge_versioned_txn",
-    "part_optimize_compacted_scan", "part_stats_skipping_scan",
+    "part_optimize_compacted_scan", "part_optimize_partitions_scan",
+    "part_replace_partitions", "part_stats_skipping_scan",
     "part_string_functions", "part_time_travel_diff",
     "part_type_token_count", "regional_nation_revenue",
-    "scd1_customer_dim", "scd2_part_dim", "scd2_part_dim_deletes",
+    "scd1_customer_dim", "scd2_part_dim", "scd2_part_dim_deletes"
 })
 
 #: Registered queries deliberately NOT timed in the headline metric, with
