@@ -170,6 +170,50 @@ def test_zorder_box_pruning_beats_single_dimension(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_driver_side_pruning_equals_spark_path(spark, clustered_part):
+    """r15: pruned_files_multi evaluates the manifest DRIVER-SIDE
+    (pyarrow + _keep_py) — differential-test it against the Spark
+    _keep_condition path over a sweep of predicate shapes (two-sided,
+    one-sided, empty-intersection, uncollected column, multi-column
+    boxes) so the twin implementations can never drift."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.skipping import (
+        _keep_condition,
+        read_stats_manifest,
+    )
+
+    manifest = read_stats_manifest(spark, clustered_part)
+    cases = [
+        {"p_retailprice": (905.0, 912.0)},
+        {"p_retailprice": (None, 910.0)},
+        {"p_retailprice": (910.0, None)},
+        {"p_retailprice": (1e9, None)},          # empty intersection
+        {"p_name": ("a", "z")},                   # uncollected column
+        {"p_retailprice": (905.0, 960.0), "p_size": (1, 25)},
+        {"p_retailprice": (905.0, 960.0), "p_size": (None, None)},
+    ]
+    for predicates in cases:
+        fast_kept, fast_total = skipping.pruned_files_multi(
+            spark, clustered_part, predicates
+        )
+        keep = _keep_condition(manifest.columns, predicates)
+        slow_kept = [
+            r.file_path
+            for r in manifest.where(keep).select("file_path").collect()
+        ]
+        assert fast_total == manifest.count()
+        assert sorted(fast_kept) == sorted(slow_kept), predicates
+
+
+def test_driver_side_pruning_falls_back_on_incomparable_bounds(spark, clustered_part):
+    """A bound type Python can't order against the stats (str vs float)
+    raises TypeError driver-side; the call must fall through to Spark's
+    coercion instead of erroring."""
+    kept, total = skipping.pruned_files_multi(
+        spark, clustered_part, {"p_retailprice": ("905.0", "912.0")}
+    )
+    assert total == 8 and len(kept) >= 1  # Spark coerces and prunes
+
+
 def test_multi_predicate_on_uncollected_column_still_exact(spark, clustered_part):
     # p_brand has no stats in this manifest: it cannot prune, but the
     # residual filter must still apply.
