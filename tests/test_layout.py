@@ -451,6 +451,33 @@ def test_recluster_zorder_refuses_plain_directories(spark, tmp_path):
     assert not os.path.exists(t + ".__versions")
 
 
+def test_hilbert_lut_join_is_broadcast_never_smj(spark):
+    """The B²-cell lookup is bounded driver-built metadata: its join must
+    plan as a BroadcastHashJoin (no shuffle of the corpus on the cell
+    key), and the Morton path must stay join-free pure expression —
+    the plan shapes the 100 TB story depends on."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    df = spark.range(50_000).select(
+        F.col("id").alias("a"), (F.col("id") * 2654435761 % 65_536).alias("b")
+    )
+    hplan = (
+        layout.hilbert_layout_ranked(df, "a", "b", 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in hplan, hplan[:2000]
+    assert "SortMergeJoin" not in hplan
+    mplan = (
+        layout.zorder_layout_ranked(df, ["a", "b"], 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in mplan
+
+
 def test_hilbert_curve_rejects_bad_arity(spark, tmp_path):
     import pytest
 
