@@ -162,11 +162,24 @@ def pruned_files_multi(
 
 def _keep_py(row: dict, manifest_cols: set, predicates: dict) -> bool:
     """Python twin of :func:`_keep_condition` for the driver-side path —
-    same semantics: unknown column or NULL bound keeps the file."""
+    same semantics: unknown column or NULL bound keeps the file.  NaN
+    stats keep the file too: Spark's ordering puts NaN above every value
+    (so a NaN max passes ``>= lower``), while a Python NaN comparison is
+    always False — treating NaN as unknown preserves the never-wrongly-
+    prune contract on both sides."""
+    import math
+
+    def _nan(v):
+        return isinstance(v, float) and math.isnan(v)
+
     for column, (lower, upper) in predicates.items():
         if f"min__{column}" not in manifest_cols:
             continue
         mx, mn = row.get(f"max__{column}"), row.get(f"min__{column}")
+        if _nan(mx):
+            mx = None
+        if _nan(mn):
+            mn = None
         if lower is not None and mx is not None and not mx >= lower:
             return False
         if upper is not None and mn is not None and not mn <= upper:

@@ -204,6 +204,25 @@ def test_driver_side_pruning_equals_spark_path(spark, clustered_part):
         assert sorted(fast_kept) == sorted(slow_kept), predicates
 
 
+def test_keep_py_nan_stats_never_wrongly_prune():
+    """Spark orders NaN above every value, Python NaN comparisons are
+    always False — _keep_py must treat NaN stats as unknown (keep) so a
+    file whose max stat is NaN can never be wrongly skipped; the
+    residual filter keeps results exact either way."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources.skipping import (
+        _keep_py,
+    )
+
+    cols = {"min__v", "max__v", "file_path"}
+    nan = float("nan")
+    # NaN max: Spark's NaN >= lower is TRUE (NaN sorts above all) — keep
+    assert _keep_py({"min__v": 1.0, "max__v": nan}, cols, {"v": (5.0, None)})
+    # all-NaN file (min also NaN): keep — the residual drops its rows
+    assert _keep_py({"min__v": nan, "max__v": nan}, cols, {"v": (5.0, 9.0)})
+    # sanity: real bounds still prune
+    assert not _keep_py({"min__v": 1.0, "max__v": 2.0}, cols, {"v": (5.0, None)})
+
+
 def test_driver_side_pruning_falls_back_on_incomparable_bounds(spark, clustered_part):
     """A bound type Python can't order against the stats (str vs float)
     raises TypeError driver-side; the call must fall through to Spark's
