@@ -176,8 +176,12 @@ def file_envelopes(
     aggregate over file metadata + the named columns, returned in memory
     (no manifest side effect; ``sources.skipping.write_stats_manifest``
     is the persisted twin).  ``files`` pins the scan to an explicit live
-    set (manifest-mode versioned tables must pass theirs — their root
-    also holds superseded files)."""
+    set; when omitted on a manifest-mode versioned table the LIVE
+    snapshot is resolved automatically (the root also holds superseded
+    version files — same footgun fix as ``cluster_health``, ADVICE r14
+    #3)."""
+    if files is None:
+        files = _resolve_live_files(path)
     if files is not None:
         df = spark.read.option("basePath", path).parquet(*files)
     else:

@@ -431,6 +431,8 @@ def test_cluster_health_resolves_live_files_on_manifest_mode(spark, tmp_path):
         files=[os.path.join(t, rel) for rel in live],
     )
     assert explicit == health
+    # file_envelopes shares the fix: no files= scores the live set only
+    assert layout.file_envelopes(spark, t, ["a"]).count() == 6
 
 
 def test_recluster_zorder_refuses_plain_directories(spark, tmp_path):
