@@ -8,12 +8,17 @@ range cannot satisfy a query predicate — the difference between scanning
 here (COVERAGE.md r3), so this module supplies the same mechanism on the
 plain-parquet lane:
 
-* ``write_stats_manifest`` computes one stats row per data file — min,
-  max, null count for the requested columns plus a row count — in a
-  single distributed pass (group by ``_metadata.file_path``), and stores
-  it as parquet under ``<table>/_file_stats/``.  The ``_`` prefix makes
-  the manifest invisible to every normal reader (Spark/Hadoop hide
-  ``_``/``.`` paths), exactly like ``_delta_log``.
+* ``write_stats_manifest`` records one stats row per data file — min,
+  max, null count for the requested columns plus a row count — and
+  stores it as parquet under ``<table>/_file_stats/``.  The ``_``
+  prefix makes the manifest invisible to every normal reader
+  (Spark/Hadoop hide ``_``/``.`` paths), exactly like ``_delta_log``.
+  Since r15 the stats are HARVESTED FROM THE PARQUET FOOTERS
+  driver-side whenever they are exact there (numeric columns — the
+  Iceberg manifest pattern: the writer already recorded them, so the
+  rebuild is a metadata read, zero Spark jobs); strings (truncatable
+  bounds), NaN chunks, and hive-partition columns fall back to the
+  original single distributed pass (group by ``_metadata.file_path``).
 * ``pruned_files`` evaluates a ``col BETWEEN lo AND hi`` (or one-sided)
   predicate against the manifest and returns only the files whose
   [min, max] interval intersects it — a file with no stats row is kept
@@ -48,16 +53,120 @@ from pyspark.sql import functions as F
 STATS_DIR = "_file_stats"
 
 
+#: Parquet physical types whose footer min/max are EXACT (never
+#: truncated).  BYTE_ARRAY (strings) can carry truncated bounds,
+#: INT96 is the deprecated timestamp encoding — both fall back to the
+#: scan path; NaN-bearing float chunks simply omit min/max and fall
+#: back the same way.
+_FOOTER_EXACT_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE"}
+
+
+def _local_path(p: str) -> str:
+    """file:-URI or plain path -> local filesystem path."""
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    """Every visible .parquet under ``path`` — the same set
+    ``spark.read.parquet(path)`` scans (``_``/``.`` entries hidden)."""
+    found = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        found += [
+            os.path.join(root, n) for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        ]
+    return sorted(found)
+
+
+def _footer_manifest_rows(columns: list[str], files: list[str]):
+    """Per-file stats harvested from parquet FOOTERS — the
+    Iceberg/Delta-at-write pattern: the writer already recorded exact
+    min/max/null-count per column chunk, so rebuilding the manifest is a
+    driver-side metadata read, not a second pass over the data.  Returns
+    None unless EVERY (file, column) chunk carries exact numeric stats
+    (string bounds can be truncated, NaN suppresses min/max,
+    hive-partition columns are absent from the files) — the caller
+    falls back to the distributed scan, which handles all of those."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in files:
+        local = _local_path(f)
+        md = pq.ParquetFile(local).metadata
+        if md.num_rows == 0:
+            continue  # scan-path parity: a 0-row file gets no stats row
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        # Spark's _metadata.file_path URI form, so liveness/coverage
+        # comparisons are bit-equal across both build paths
+        row = {"file_path": "file:" + os.path.abspath(local),
+               "row_count": md.num_rows}
+        for c in columns:
+            i = idx.get(c)
+            if i is None:
+                return None  # partition column / schema drift
+            mn = mx = None
+            nulls = 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(i).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.physical_type not in _FOOTER_EXACT_PHYSICAL
+                    or st.null_count is None
+                ):
+                    return None
+                nulls += st.null_count
+                mn = st.min if mn is None or st.min < mn else mn
+                mx = st.max if mx is None or st.max > mx else mx
+            if mn is None:
+                return None
+            row[f"min__{c}"] = mn
+            row[f"max__{c}"] = mx
+            row[f"nulls__{c}"] = nulls
+        rows.append(row)
+    return rows or None
+
+
 def write_stats_manifest(
     spark: SparkSession, path: str, columns: list[str],
     files: list[str] | None = None,
+    source: str = "auto",
 ) -> DataFrame:
-    """One distributed pass over ``path`` computing per-file stats for
-    ``columns``; overwrites ``<path>/_file_stats``.  Returns the manifest.
-    ``files`` pins the scan to an explicit file list — manifest-mode
-    versioned tables pass their LIVE set, because their root also holds
-    superseded files that must not re-enter the manifest.
-    """
+    """Per-file stats for ``columns`` written to ``<path>/_file_stats``;
+    returns the manifest.  ``files`` pins an explicit file list —
+    manifest-mode versioned tables pass their LIVE set, because their
+    root also holds superseded files that must not re-enter the manifest.
+
+    ``source="auto"`` (default) harvests the stats from the parquet
+    FOOTERS driver-side when every chunk carries exact numeric min/max —
+    zero Spark jobs, the Iceberg manifest pattern; anything the footers
+    can't answer exactly (strings, NaN chunks, partition columns, empty
+    stats) falls back to the original one-pass distributed scan.
+    ``source="scan"`` forces the scan."""
+    out = os.path.join(path.rstrip("/"), STATS_DIR)
+    if source == "auto":
+        try:
+            flist = files if files is not None else _list_parquet_files(path)
+            rows = _footer_manifest_rows(columns, flist)
+        except Exception:
+            rows = None
+        if rows is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.Table.from_pylist(rows)
+            if os.path.isdir(out):
+                shutil.rmtree(out)
+            os.makedirs(out, exist_ok=True)
+            pq.write_table(tbl, os.path.join(out, "part-00000.parquet"))
+            return spark.read.parquet(out)
+    elif source != "scan":
+        raise ValueError(f"unknown stats source {source!r}")
     if files is not None:
         df = spark.read.option("basePath", path).parquet(*files)
     else:
@@ -71,7 +180,6 @@ def write_stats_manifest(
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls__{c}"),
         ]
     manifest = rows.groupBy("file_path").agg(*aggs)
-    out = os.path.join(path.rstrip("/"), STATS_DIR)
     manifest.coalesce(1).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 

@@ -204,6 +204,56 @@ def test_driver_side_pruning_equals_spark_path(spark, clustered_part):
         assert sorted(fast_kept) == sorted(slow_kept), predicates
 
 
+def test_footer_manifest_equals_scan_manifest(spark, tmp_path):
+    """r15: write_stats_manifest harvests parquet FOOTERS driver-side
+    for exact numeric columns (zero Spark jobs).  The footer-built
+    manifest must be VALUE-EQUAL to the distributed scan's on every
+    file: same coverage, same min/max/null/row counts, same
+    _metadata-style file_path keys."""
+    t = str(tmp_path / "t")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part.repartitionByRange(6, "p_retailprice").write.parquet(t)
+
+    def rows_of(df):
+        return sorted(
+            tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+        )
+
+    cols = ["p_retailprice", "p_size"]
+    fast = skipping.write_stats_manifest(spark, t, cols)  # auto -> footers
+    fast_rows = rows_of(fast)
+    slow = skipping.write_stats_manifest(spark, t, cols, source="scan")
+    assert sorted(fast.columns) == sorted(slow.columns)
+    assert fast_rows == rows_of(slow)
+    # coverage: one row per data file, keyed exactly like _metadata
+    data_files = {
+        r[0] for r in spark.read.parquet(t)
+        .select(F.col("_metadata.file_path")).distinct().collect()
+    }
+    assert {r.file_path for r in slow.collect()} == data_files
+
+
+def test_footer_manifest_falls_back_for_strings_and_partition_columns(
+    spark, tmp_path
+):
+    """Footer bounds for strings can be truncated and hive-partition
+    columns aren't in the files — both must silently take the scan path
+    and still produce a correct manifest."""
+    t = str(tmp_path / "s")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part.write.partitionBy("p_brand").parquet(t)
+    # p_name is a string; p_brand is a partition column: both unanswerable
+    # from footers, both must still yield full-coverage manifests
+    for cols in (["p_name"], ["p_brand", "p_size"]):
+        man = skipping.write_stats_manifest(spark, t, cols)
+        n_files = (
+            spark.read.parquet(t)
+            .select(F.col("_metadata.file_path")).distinct().count()
+        )
+        assert man.count() == n_files
+        assert {f"min__{c}" for c in cols} <= set(man.columns)
+
+
 def test_keep_py_nan_stats_never_wrongly_prune():
     """Spark orders NaN above every value, Python NaN comparisons are
     always False — _keep_py must treat NaN stats as unknown (keep) so a
