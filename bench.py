@@ -134,8 +134,10 @@ HEADLINE = [
     "part_optimize_partitions_scan",
     "events_recluster_zorder_scan",
     # r15: hilbert twin of the recluster lane (curve selected through
-    # the maintenance policy/spec plumbing)
+    # the maintenance policy/spec plumbing), and the incremental
+    # (offenders-only) recluster over file-subset commits
     "events_recluster_hilbert_scan",
+    "events_recluster_incremental_scan",
     "events_stream_anomaly_ingest",
     "doc_token_budget_epochs",
     "emb_matryoshka_ivf_topk",

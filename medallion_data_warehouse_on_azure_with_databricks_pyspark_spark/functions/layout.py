@@ -265,35 +265,17 @@ def _resolve_live_files(path: str) -> list[str] | None:
     ]
 
 
-def cluster_health(
-    spark, path: str, columns: list[str], files: list[str] | None = None
-) -> dict:
-    """One bounded diagnostic pass over the table's file envelopes — the
-    numbers a maintenance scheduler polls to decide when
-    :func:`recluster_zorder` pays:
-
-    * per column: ``mean_depth`` / ``max_depth`` — how many file
-      envelopes a point query on that column intersects (1.0 = perfectly
-      disjoint, F = every file spans the full range, skipping prunes
-      nothing);
-    * ``worst_mean_depth`` — the max over columns, the dispatch signal;
-    * ``files`` — live file count (reclustering a handful is noise).
-
-    Cost: when the table maintains a skipping stats manifest covering
-    ``columns`` (``stats_columns=`` on its commits), the poll reads
-    ONLY that manifest — per-file envelopes without touching row data,
-    so a 100 TB table polls at metadata cost.  Otherwise one per-file
-    min/max aggregate over the named columns (column-pruned scan).
-    Either way the depth computation is an O(F log F) driver-side sweep
-    over FILE envelopes — the same bounded-collect contract as every
-    other manifest op."""
-    # A manifest-mode versioned root also holds SUPERSEDED version files:
-    # resolve the live set up front so the no-``files=`` public call can
-    # never scan them (depth inflation -> spurious reclusters, ADVICE r14
-    # #3); explicit callers (the scheduler) keep passing their own list.
+def _resolved_envelopes(spark, path: str, columns: list[str],
+                        files: list[str] | None):
+    """Per-file envelope rows for ``columns``, manifest-served when the
+    stats manifest verifiably describes the exact live file set, else
+    one distributed scan.  A manifest-mode versioned root also holds
+    SUPERSEDED version files: the live set is resolved up front so a
+    no-``files=`` call can never scan them (depth inflation -> spurious
+    reclusters, ADVICE r14 #3); explicit callers (the scheduler) keep
+    passing their own list."""
     if files is None:
         files = _resolve_live_files(path)
-    env = None
     rows, have = _read_manifest_driver_side(path)
     if rows is not None:
         if all(f"min__{c}" in have and f"max__{c}" in have for c in columns):
@@ -320,9 +302,34 @@ def cluster_health(
                         and not f.startswith(("_", "."))
                     }
             got = {_rel_to_root(r["file_path"], path) for r in rows}
-            env = rows if got == live else None
-    if env is None:
-        env = file_envelopes(spark, path, columns, files=files).collect()
+            if got == live:
+                return rows
+    return file_envelopes(spark, path, columns, files=files).collect()
+
+
+def cluster_health(
+    spark, path: str, columns: list[str], files: list[str] | None = None
+) -> dict:
+    """One bounded diagnostic pass over the table's file envelopes — the
+    numbers a maintenance scheduler polls to decide when
+    :func:`recluster_zorder` pays:
+
+    * per column: ``mean_depth`` / ``max_depth`` — how many file
+      envelopes a point query on that column intersects (1.0 = perfectly
+      disjoint, F = every file spans the full range, skipping prunes
+      nothing);
+    * ``worst_mean_depth`` — the max over columns, the dispatch signal;
+    * ``files`` — live file count (reclustering a handful is noise).
+
+    Cost: when the table maintains a skipping stats manifest covering
+    ``columns`` (``stats_columns=`` on its commits), the poll reads
+    ONLY that manifest — per-file envelopes without touching row data,
+    so a 100 TB table polls at metadata cost.  Otherwise one per-file
+    min/max aggregate over the named columns (column-pruned scan).
+    Either way the depth computation is an O(F log F) driver-side sweep
+    over FILE envelopes — the same bounded-collect contract as every
+    other manifest op."""
+    env = _resolved_envelopes(spark, path, columns, files)
     out: dict = {"files": len(env), "columns": {}}
     worst = 0.0
     for c in columns:
@@ -538,3 +545,138 @@ def hilbert_layout_ranked(
         .sortWithinPartitions(*lead, F.col("__hd"))
         .drop("__hd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental recluster (round 15): Databricks liquid clustering's key move
+# — maintenance cost proportional to DECAY, not table size.  A mostly-
+# clustered table whose appends added a few full-range files doesn't need
+# its tight tiles rewritten: rewriting ONLY the wide files (curve-ordering
+# their rows among themselves) bounds point-query depth at roughly one
+# extra "generation" per maintenance interval, while the commit — through
+# ``sources.versioned.replace_files`` — stays O(rewritten files) in
+# manifest mode.  At 100 TB this is the difference between an OPTIMIZE
+# that reads 100 TB and one that reads the morning's appends.
+# ---------------------------------------------------------------------------
+
+def select_recluster_offenders(
+    env_rows, columns: list[str], root: str, span_frac: float = 0.5
+) -> list[str]:
+    """Table-relative paths of files whose envelope spans more than
+    ``span_frac`` of the global value range on EVERY clustering column —
+    the "unclustered generation" (appends/merges write full-range files;
+    a tile from a previous recluster spans ~F^(-1/k) per axis).  Files
+    with NULL bounds on some column are unprunable anyway and count as
+    offenders.  Pure driver-side arithmetic over bounded envelope rows."""
+    spans: dict[str, tuple] = {}
+    for c in columns:
+        vals = [
+            (r[f"min__{c}"], r[f"max__{c}"])
+            for r in env_rows
+            if r[f"min__{c}"] is not None and r[f"max__{c}"] is not None
+        ]
+        if not vals:
+            continue
+        spans[c] = (min(v[0] for v in vals), max(v[1] for v in vals))
+    offenders = []
+    for r in env_rows:
+        wide = True
+        for c, (lo, hi) in spans.items():
+            full = hi - lo
+            mn, mx = r[f"min__{c}"], r[f"max__{c}"]
+            if mn is None or mx is None:
+                continue  # null bounds: unprunable, stays an offender
+            if full and (mx - mn) / full <= span_frac:
+                wide = False
+                break
+        if wide:
+            offenders.append(_rel_to_root(r["file_path"], root))
+    return sorted(offenders)
+
+
+def recluster_incremental(
+    spark,
+    path: str,
+    *cols: str,
+    curve: str = "morton",
+    span_frac: float = 0.5,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Incremental OPTIMIZE ZORDER: rewrite ONLY the offender files
+    (wide envelopes — the decayed generation) through the chosen curve
+    and retire them in one ``replace_files`` commit; tight tiles from
+    earlier reclusters are never read, rewritten, or renamed.  Falls
+    back to the full :func:`recluster_zorder` when every live file is
+    an offender (global decay — the rewrite would touch everything
+    anyway, and the full path heals to a single generation).  Returns
+    the committed version (the current one when the layout is already
+    tight — a no-op never churns history).
+
+    Optimistic like every transact caller: a rival commit between the
+    envelope read and the commit raises ConcurrentWriteError inside
+    ``replace_files``; the loop re-reads and re-derives."""
+    import os as _os
+
+    from ..sources import versioned
+    from ..sources.writers import _discover_partition_columns
+
+    if len(cols) < 2:
+        raise ValueError("recluster_incremental needs at least 2 columns")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError("hilbert clustering is 2-D; use curve='morton'")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}")
+    last = None
+    for attempt in range(max_retries + 1):
+        base_v = versioned.current_version(path)
+        if base_v is None:
+            raise ValueError(
+                f"no version log under {path}: recluster targets "
+                "versioned tables"
+            )
+        env = _resolved_envelopes(spark, path, list(cols), None)
+        offenders = select_recluster_offenders(env, list(cols), path,
+                                               span_frac=span_frac)
+        if not offenders:
+            return base_v  # layout already tight: no-op, no history churn
+        if len(offenders) >= len(env):
+            # global decay: the incremental path would rewrite everything
+            # file-by-file — the full snapshot rewrite is the same I/O
+            # with a single-generation result
+            return recluster_zorder(
+                spark, path, *cols, now=now,
+                stats_columns=stats_columns, curve=curve,
+            )
+        part_cols = _discover_partition_columns(path) or None
+        rows = spark.read.option("basePath", path).parquet(
+            *[_os.path.join(path, rel) for rel in offenders]
+        )
+        n_out = max(1, len(offenders))
+        if curve == "hilbert":
+            laid = hilbert_layout_ranked(
+                rows, cols[0], cols[1], n_out, partition_cols=part_cols
+            )
+        else:
+            laid = zorder_layout_ranked(
+                rows, list(cols), n_out, partition_cols=part_cols
+            )
+        try:
+            return versioned.replace_files(
+                laid, path, remove=offenders, expected_version=base_v,
+                partition_by=part_cols, now=now,
+                operation="OPTIMIZE_ZORDER",
+                metadata={
+                    "curve": curve, "zorder_by": list(cols),
+                    "incremental": True,
+                    "rewritten_files": len(offenders),
+                    "kept_files": len(env) - len(offenders),
+                },
+                stats_columns=(
+                    stats_columns if stats_columns is not None else list(cols)
+                ),
+            )
+        except versioned.ConcurrentWriteError as exc:
+            last = exc
+    raise last

@@ -71,6 +71,12 @@ class MaintenancePolicy:
     #: range, the curve Databricks' liquid clustering moved to).  A
     #: 3-element cluster_specs entry overrides per table.
     cluster_curve: str = "morton"
+    #: recluster scope: "full" rewrites the snapshot (single-generation
+    #: result); "incremental" rewrites only offender files (wide
+    #: envelopes — the decayed generation) through a replace_files
+    #: commit, leaving tight tiles untouched — maintenance cost
+    #: proportional to decay, not table size (liquid-clustering shape).
+    cluster_strategy: str = "full"
     #: vacuum when history holds this fraction of the live bytes
     superseded_ratio: float = 0.5
     #: versions the vacuum keeps readable (Delta's retention knob)
@@ -246,11 +252,26 @@ def run_maintenance(
         health = layout.cluster_health(
             spark, p, list(cols), files=_live_files(spark, p)
         )
+        def _recluster(p=p, cols=cols, curve=curve):
+            if policy.cluster_strategy == "incremental":
+                from ..sources import versioned
+
+                base = versioned.current_version(p)
+                v = layout.recluster_incremental(spark, p, *cols,
+                                                 curve=curve)
+                if v != base:
+                    return v
+                # depth crossed the threshold but no offender generation
+                # exists to rewrite (uncorrelated dims can hold a
+                # generational floor above cluster_depth): the decay is
+                # STRUCTURAL — escalate to the full rewrite instead of
+                # re-dispatching a no-op every sweep
+                return layout.recluster_zorder(spark, p, *cols, curve=curve)
+            return layout.recluster_zorder(spark, p, *cols, curve=curve)
+
         report.append(_dispatch(
             "cluster", p, health, decide_cluster(health, policy),
-            actuate=lambda p=p, cols=cols, curve=curve: layout.recluster_zorder(
-                spark, p, *cols, curve=curve
-            ),
+            actuate=_recluster,
         ))
     for p in table_paths:
         from ..sources import versioned

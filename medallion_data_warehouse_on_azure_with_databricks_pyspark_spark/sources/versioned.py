@@ -667,6 +667,210 @@ def optimize_compact(
     )
 
 
+def replace_files(
+    df: DataFrame,
+    path: str,
+    remove: list[str],
+    expected_version: int,
+    partition_by: list[str] | None = None,
+    now: float | None = None,
+    operation: str = "REPLACE_FILES",
+    metadata: dict | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """File-subset commit: retire the LIVE files named by ``remove``
+    (table-relative paths, exactly as ``_snapshot_files`` lists them) and
+    publish ``df``'s rows as their replacement — the primitive behind
+    Delta-style incremental OPTIMIZE and append commits.  In manifest
+    mode the commit is O(changed files): the log entry lists
+    add = the staged files, remove = the retired ones, and untouched
+    files are never read, linked, or renamed.  Physical mode builds the
+    successor tree by hard-linking every kept file (O(live) links, no
+    data copy) — the same cost its other commits pay.
+
+    Concurrency is strict snapshot pinning: ``expected_version`` must be
+    the version the caller derived ``remove``/``df`` from; ANY
+    intervening commit raises :class:`ConcurrentWriteError` (re-read and
+    re-derive — the remedy every transact loop already implements).  A
+    ``remove`` entry that is not in the pinned snapshot's live set is a
+    caller bug and raises ValueError before anything is claimed.
+
+    ``stats_columns`` rebuilds the skipping manifest for the new live
+    set; when omitted but a manifest already exists, it is rebuilt for
+    the SAME columns automatically — a stale manifest would serve
+    retired files to pruned readers.  (Footer harvesting makes this a
+    metadata-cost step.)  Table CHECK constraints validate ``df`` like
+    every other commit path.  Returns the committed version."""
+    effective = get_constraints(path)
+    if effective:
+        from ..plans.expectations import expect_all_or_fail
+
+        expect_all_or_fail(df, effective)
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    spark = df.sparkSession
+    stats_cols = stats_columns
+    if stats_cols is None:
+        # auto-maintain an existing manifest (read its column set NOW —
+        # physical mode renames the sidecar aside with the superseded
+        # version): serving retired files to pruned readers would be a
+        # correctness bug, not a staleness one.  Footer harvesting makes
+        # the rebuild a metadata-cost step.
+        from . import skipping
+
+        _rows0, have0 = skipping.read_stats_manifest_driver_side(path)
+        if have0:
+            stats_cols = sorted(
+                c[len("min__"):] for c in have0 if c.startswith("min__")
+            )
+    # kept and new files must agree on schema — a drifted replacement
+    # would poison every mixed-file read (Delta append-mode enforcement)
+    cur_fields = {
+        f.name: f.dataType for f in read_current(spark, path).schema.fields
+    }
+    new_fields = {f.name: f.dataType for f in df.schema.fields}
+    if cur_fields != new_fields:
+        raise ValueError(
+            f"{path}: replace_files/append schema must match the current "
+            f"snapshot (added: {sorted(set(new_fields) - set(cur_fields))}, "
+            f"removed: {sorted(set(cur_fields) - set(new_fields))}, "
+            f"retyped: {sorted(c for c in cur_fields.keys() & new_fields.keys() if cur_fields[c] != new_fields[c])})"
+        )
+    stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.save(stage)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    full = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
+    try:
+        _claim_intent(path, {"stage": stage})
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    try:
+        log = _read_log(path)
+        cur = log[-1]["version"]
+        if cur != expected_version:
+            raise ConcurrentWriteError(
+                f"{path}: snapshot was v{expected_version} but the table "
+                f"is at v{cur} — a concurrent commit landed; re-read and "
+                "retry"
+            )
+        mode = _mode_of(path)
+        live = (
+            _snapshot_files(path, cur)
+            if mode == "manifest"
+            else [
+                os.path.relpath(f, path) for f in _data_files(path)
+            ]
+        )
+        missing = sorted(set(remove) - set(live))
+        if missing:
+            raise ValueError(
+                f"{path}: replace_files remove list names files not in "
+                f"the v{cur} live set: {missing[:5]}"
+            )
+        version = cur + 1
+        entry = {
+            "version": version,
+            "committed_at": float(now if now is not None else time.time()),
+            "operation": operation,
+        }
+        if metadata:
+            entry["metadata"] = metadata
+        moves = _plan_moves(stage, version)
+        if mode == "manifest":
+            entry["add"] = sorted(dst for _, dst in moves)
+            entry["remove"] = sorted(remove)
+            entry["schema"] = df.schema.json()
+            _write_intent(path, {"stage": stage, "entry": entry,
+                                 "moves": moves})
+        else:
+            # successor tree: every kept file hard-linked, staged files
+            # moved in under their v-prefixed names (same recover()
+            # rename-pair protocol as overwrite_versioned)
+            removed = set(remove)
+            os.makedirs(full)
+            for rel in live:
+                if rel in removed:
+                    continue
+                s, d = os.path.join(path, rel), os.path.join(full, rel)
+                os.makedirs(os.path.dirname(d) or full, exist_ok=True)
+                try:
+                    os.link(s, d)
+                except OSError:  # pragma: no cover — cross-fs fallback
+                    shutil.copy2(s, d)
+            for src, dst in moves:
+                s, d = os.path.join(stage, src), os.path.join(full, dst)
+                os.makedirs(os.path.dirname(d) or full, exist_ok=True)
+                os.rename(s, d)
+            shutil.rmtree(stage, ignore_errors=True)
+            _write_intent(path, {"stage": full, "entry": entry})
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+        _release_intent(path)
+        raise
+    # past this point the commit only rolls FORWARD (recover() covers it)
+    if mode == "manifest":
+        _apply_moves(path, stage, moves)
+    else:
+        vroot = _vroot(path)
+        os.rename(path, os.path.join(vroot, f"v{version - 1}"))
+        os.rename(full, path)
+    _append_log(path, entry)
+    _release_intent(path)
+    if stats_cols:
+        from . import skipping
+
+        skipping.write_stats_manifest(
+            spark, path, list(stats_cols),
+            files=(_live_data_files(path) if mode == "manifest" else None),
+        )
+    return version
+
+
+def append_versioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+    metadata: dict | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Delta ``append`` mode: commit ``df``'s rows as NEW files beside
+    the current snapshot — :func:`replace_files` with an empty remove
+    list, retried through version races (appends commute with
+    everything, so a rival commit only costs a re-pin, never a
+    re-derive).  Manifest mode appends at O(new files); this is the
+    write shape whose full-range files decay a clustered layout — the
+    maintenance loop's recluster legs exist to repair exactly this."""
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base_v = current_version(path)
+        if base_v is None:
+            raise ValueError(
+                f"{path}: no version log — create the table with "
+                "overwrite_versioned first"
+            )
+        try:
+            return replace_files(
+                df, path, remove=[], expected_version=base_v,
+                partition_by=partition_by, now=now, operation="APPEND",
+                metadata=metadata, stats_columns=stats_columns,
+            )
+        except ConcurrentWriteError as exc:
+            last = exc
+    raise last  # pragma: no cover — exhausted retries under contention
+
+
 def _resolve_dir(path: str, version: int) -> str:
     log = _read_log(path)
     if not log:

@@ -2693,8 +2693,10 @@ CORRECTNESS_PRIORITY = [
     "dlt_part_pipeline_deletes", "dlt_part_quarantine",
     "part_scd2_from_cdf_replay", "scd2_part_dim_deletes",
     "events_stream_matview_ingest", "events_recluster_zorder_scan",
-    # -- NEW this round (rule 2): hilbert recluster through the loop --
-    "events_recluster_hilbert_scan",
+    # -- NEW this round (rule 2): hilbert recluster through the loop;
+    #    incremental (liquid-clustering-shape) recluster over the new
+    #    replace_files/append_versioned file-subset commits --
+    "events_recluster_hilbert_scan", "events_recluster_incremental_scan",
     # -- changed this round (rule 2): both ride pruned_files_multi's new
     #    driver-side manifest evaluation (r13-fresh otherwise) --
     "part_stats_skipping_scan", "part_optimize_compacted_scan",
@@ -2712,7 +2714,7 @@ CORRECTNESS_PRIORITY = [
     "doc_text_stats", "doc_token_counts", "doc_token_packing",
     "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
     "events_daily_rolling", "events_resample_ffill",
-    "events_stateful_sessions", "events_variant_props",
+    "events_stateful_sessions",
     "multimodal_features", "orders_analytic_windows",
     "orders_price_quantiles", "part_bloom_skipping_scan",
     "part_replace_partitions", "part_string_functions",
@@ -2729,11 +2731,13 @@ CORRECTNESS_PRIORITY = [
     #    the deferral when the two changed skipping lanes took their
     #    slots: their grouping/reshape relatives are fresh
     #    (orders_priority_rollup + orders_unpivot_metrics r14,
-    #    orders_grouping_sets r13).  emb_pq_adc_topk is retired (see
-    #    DRIVER_RETIRED). --
+    #    orders_grouping_sets r13); events_variant_props joined when the
+    #    incremental-recluster lane took its slot (JSON-shredding
+    #    relative events_json_props is r14-green).  emb_pq_adc_topk is
+    #    retired (see DRIVER_RETIRED). --
     "emb_cosine_topk", "emb_int8_quantize_error", "emb_ivf_drift_report",
     "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_lsh_multitable_topk",
-    "emb_lsh_topk", "orders_status_priority_cube",
+    "emb_lsh_topk", "events_variant_props", "orders_status_priority_cube",
     "orders_year_priority_pivot", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim",
     # -- no-oracle lanes (rows-only driver rows, all refreshed r14;
@@ -3124,6 +3128,85 @@ def events_recluster_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         {"event_id": (1, 20), "ts_ns": (lo, lo + (hi - lo) // 8)},
     )
     if not (total == 12 and len(kept) < total):
+        raise AssertionError(f"box predicate did not prune: {len(kept)}/{total}")
+    return versioned.read_current(spark, table).select(
+        "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+    )
+
+
+@query(
+    "events_recluster_incremental_scan",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    """,
+)
+def events_recluster_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE ZORDER through the maintenance loop (r15,
+    ``functions/layout.py::recluster_incremental`` over
+    ``sources/versioned.py::replace_files`` — Databricks liquid
+    clustering's key behavior: maintenance cost proportional to DECAY,
+    not table size).  The events table lands as a tight 4-tile Z-order
+    base, then six full-range APPEND commits' worth of rows decay it
+    (``append_versioned`` — the write shape that erodes any clustered
+    layout).  One sweep under ``cluster_strategy="incremental"``
+    rewrites ONLY the six appended files: the four tight tiles keep
+    their exact paths through the commit (asserted from the snapshot
+    file lists), the history row records the incremental scope, the
+    healed depth makes the next sweep decide nothing, and a box
+    predicate prunes through the manifest the same commit rebuilt
+    (footer-harvested — metadata cost).  Pure layout, so the oracle
+    restates the raw table."""
+    import tempfile
+
+    from .functions import layout
+    from .plans import maintenance as mnt
+    from .sources import skipping, versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_increc_")
+    table = f"{work}/events"
+    ev = load_events(spark, sf_dir).select("event_id", "ts_ns", "value")
+    base = layout.zorder_layout_ranked(
+        ev.filter(F.col("event_id") % 5 != 0), ["event_id", "ts_ns"], 4
+    )
+    versioned.overwrite_versioned(
+        base, table, now=1.0, snapshot_mode="manifest",
+        stats_columns=["event_id", "ts_ns"],
+    )
+    versioned.append_versioned(
+        ev.filter(F.col("event_id") % 5 == 0).repartition(6), table, now=2.0
+    )
+    policy = mnt.MaintenancePolicy(cluster_strategy="incremental")
+    spec = [(table, ("event_id", "ts_ns"))]
+    (swept,) = mnt.run_maintenance(spark, cluster_specs=spec, policy=policy)
+    if swept["action"] != "recluster" or "error" in swept:
+        raise AssertionError(f"sweep did not recluster: {swept}")
+    metas = [
+        e.get("metadata") or {}
+        for e in versioned.history(table)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    if len(metas) != 1 or metas[0].get("incremental") is not True:
+        raise AssertionError(f"incremental scope not recorded: {metas}")
+    if (metas[0]["rewritten_files"], metas[0]["kept_files"]) != (6, 4):
+        raise AssertionError(f"wrong rewrite scope: {metas[0]}")
+    v = versioned.current_version(table)
+    tights = set(versioned._snapshot_files(table, 0))
+    if not tights <= set(versioned._snapshot_files(table, v)):
+        raise AssertionError("tight tiles were rewritten by the incremental pass")
+    (post,) = mnt.run_maintenance(spark, cluster_specs=spec, policy=policy)
+    if post["action"] is not None:
+        raise AssertionError(f"layout not healed: {post['health']}")
+    if post["health"]["worst_mean_depth"] >= swept["health"]["worst_mean_depth"]:
+        raise AssertionError("recluster did not reduce envelope overlap")
+    rows, _cols = skipping.read_stats_manifest_driver_side(table)
+    lo = min(r["min__ts_ns"] for r in rows if r["min__ts_ns"] is not None)
+    hi = max(r["max__ts_ns"] for r in rows if r["max__ts_ns"] is not None)
+    kept, total = skipping.pruned_files_multi(
+        spark, table,
+        {"event_id": (1, 20), "ts_ns": (lo, lo + (hi - lo) // 8)},
+    )
+    if not (total == 10 and len(kept) < total):
         raise AssertionError(f"box predicate did not prune: {len(kept)}/{total}")
     return versioned.read_current(spark, table).select(
         "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"

@@ -121,6 +121,9 @@ CHANGED_THIS_ROUND = {
     # NEW lane (ask #4): Hilbert-curve recluster driven through the
     # maintenance loop end-to-end.
     "events_recluster_hilbert_scan",
+    # NEW lane (r15): incremental recluster (liquid-clustering shape)
+    # over the new replace_files/append_versioned file-subset commits.
+    "events_recluster_incremental_scan",
     # r15: pruned_files_multi evaluates the stats manifest driver-side
     # (pyarrow, no Spark job) — these two lanes ride that read path.
     "part_stats_skipping_scan", "part_optimize_compacted_scan",

@@ -491,3 +491,87 @@ def test_hilbert_curve_rejects_bad_arity(spark, tmp_path):
         layout.recluster_zorder(
             spark, str(tmp_path / "x"), "a", "b", "c", curve="hilbert"
         )
+
+
+def test_incremental_recluster_rewrites_only_offenders(spark, tmp_path):
+    """r15 liquid-clustering shape: a tight 4-tile base decayed by 3
+    full-range appended files heals by rewriting ONLY the appends — the
+    tight tiles keep their exact paths through the commit, the history
+    row records the incremental scope, data is bit-identical, and the
+    manifest-served depth drops back under the dispatch threshold."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3 + F.col("id") % 7).alias("b")
+    )
+    main = df.filter(F.col("a") % 5 != 0)
+    wide = df.filter(F.col("a") % 5 == 0)
+    laid = layout.zorder_layout_ranked(main, ["a", "b"], 4)
+    versioned.overwrite_versioned(
+        laid, t, now=1.0, snapshot_mode="manifest", stats_columns=["a", "b"]
+    )
+    versioned.append_versioned(wide.repartition(3), t, now=2.0)
+    pre = layout.cluster_health(spark, t, ["a", "b"])
+    assert pre["worst_mean_depth"] > 3  # three full-range files on top
+    v = layout.recluster_incremental(spark, t, "a", "b", now=3.0)
+    assert v == 2
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert meta["incremental"] is True
+    assert (meta["rewritten_files"], meta["kept_files"]) == (3, 4)
+    live0 = set(versioned._snapshot_files(t, 0))
+    live1 = set(versioned._snapshot_files(t, 1))
+    live2 = set(versioned._snapshot_files(t, 2))
+    assert live0 <= live2                       # tight tiles untouched
+    assert not (live1 - live0) & live2          # wide appends retired
+    assert len(live2 - live1) == 3              # rewritten generation
+    post = layout.cluster_health(spark, t, ["a", "b"])
+    assert post["worst_mean_depth"] < pre["worst_mean_depth"] * 0.7
+    got = sorted(map(tuple, versioned.read_current(spark, t).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # already tight: a second call is a no-op that never churns history
+    assert layout.recluster_incremental(spark, t, "a", "b", now=4.0) == 2
+    assert versioned.current_version(t) == 2
+
+
+def test_incremental_recluster_full_decay_falls_back_to_full(spark, tmp_path):
+    """Every live file an offender (round-robin decay) == global decay:
+    the incremental path must route through the full snapshot rewrite
+    (same I/O, single-generation result) rather than a file-by-file
+    replace of everything."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(12_000).select(
+        F.col("id").alias("a"), (F.col("id") * 2654435761 % 65_536).alias("b")
+    )
+    versioned.overwrite_versioned(
+        df.repartition(12), t, now=1.0, stats_columns=["a", "b"]
+    )
+    pre = layout.cluster_health(spark, t, ["a", "b"])
+    v = layout.recluster_incremental(spark, t, "a", "b", now=2.0)
+    assert v == 1
+    (meta,) = [
+        e.get("metadata") or {} for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert "incremental" not in meta  # the full-rewrite commit shape
+    post = layout.cluster_health(spark, t, ["a", "b"])
+    assert post["worst_mean_depth"] < pre["worst_mean_depth"] * 0.8

@@ -286,6 +286,62 @@ def test_sweep_cluster_curve_selection(spark, tmp_path):
     assert "error" in row4 and "hilbert clustering is 2-D" in row4["error"]
 
 
+def test_sweep_incremental_strategy_rewrites_offenders_and_escalates(
+    spark, tmp_path
+):
+    """r15: policy.cluster_strategy='incremental' dispatches
+    recluster_incremental — a generationally-decayed table heals by
+    rewriting ONLY the appended wide files (history records the
+    incremental scope); a STRUCTURALLY decayed table (depth above
+    threshold with no offender generation to rewrite) escalates to the
+    full rewrite instead of no-op-dispatching every sweep."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    policy = M.MaintenancePolicy(cluster_strategy="incremental")
+    # generational decay: tight 4-tile base + 6 full-range appends
+    t = str(tmp_path / "gen")
+    df = spark.range(20_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3 + F.col("id") % 7).alias("b")
+    )
+    laid = layout.zorder_layout_ranked(df.filter(F.col("a") % 5 != 0),
+                                       ["a", "b"], 4)
+    versioned.overwrite_versioned(
+        laid, t, now=1.0, snapshot_mode="manifest", stats_columns=["a", "b"]
+    )
+    versioned.append_versioned(
+        df.filter(F.col("a") % 5 == 0).repartition(6), t, now=2.0
+    )
+    (row,) = M.run_maintenance(spark, cluster_specs=[(t, ("a", "b"))],
+                               policy=policy)
+    assert row["action"] == "recluster" and "error" not in row
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert meta["incremental"] is True and meta["rewritten_files"] == 6
+    (row2,) = M.run_maintenance(spark, cluster_specs=[(t, ("a", "b"))],
+                                policy=policy)
+    assert row2["action"] is None  # healed, loop converges
+    # structural decay: every file full-range -> escalate to full rewrite
+    t2 = str(tmp_path / "struct")
+    versioned.overwrite_versioned(
+        df.repartition(12), t2, now=1.0, stats_columns=["a", "b"]
+    )
+    (row3,) = M.run_maintenance(spark, cluster_specs=[(t2, ("a", "b"))],
+                                policy=policy)
+    assert row3["action"] == "recluster" and "error" not in row3
+    (meta2,) = [
+        e.get("metadata") or {} for e in versioned.history(t2)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert "incremental" not in meta2  # routed through the full path
+
+
 # ---------------------------------------------------------------------------
 # Round 14: the retention leg (table_detail -> vacuum)
 # ---------------------------------------------------------------------------

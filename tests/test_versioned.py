@@ -1240,3 +1240,70 @@ def test_optimize_zorder_preserves_hive_partitioning(spark, tmp_path):
     assert sorted(map(tuple, got.select("g", "a", "b").collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_append_and_replace_files_lifecycle(spark, tmp_path, mode):
+    """r15 file-subset commits: append_versioned publishes new files
+    beside the snapshot (O(new files) in manifest mode), replace_files
+    retires an explicit live subset — history/time-travel intact, the
+    skipping manifest auto-maintained in BOTH modes, snapshot pinning
+    strict, bogus removes refused, schema drift refused."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(
+        df.repartition(4), t, now=1.0, snapshot_mode=mode,
+        stats_columns=["a"],
+    )
+    extra = spark.range(1000, 1200).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    v1 = V.append_versioned(extra.repartition(1), t, now=2.0)
+    assert v1 == 1
+    assert V.read_current(spark, t).count() == 1200
+    # manifest auto-maintained without an explicit stats_columns
+    man = skipping.read_stats_manifest(spark, t)
+    assert man is not None
+    assert man.count() == len(V._live_data_files(t)) == 5
+    # retire exactly the appended file, replace with a subset of its rows
+    live = (
+        V._snapshot_files(t, 1) if mode == "manifest"
+        else [os.path.relpath(f, t) for f in V._data_files(t)]
+    )
+    target = [f for f in live if "v1-" in f]
+    assert len(target) == 1
+    repl = extra.filter(F.col("a") < 1100)
+    v2 = V.replace_files(repl, t, remove=target, expected_version=1, now=3.0)
+    assert v2 == 2
+    assert V.read_current(spark, t).count() == 1100
+    # time travel reads both superseded snapshots
+    assert V.read_version(spark, t, 1).count() == 1200
+    assert V.read_version(spark, t, 0).count() == 1000
+    assert [e["operation"] for e in V.history(t)][:3] == [
+        "REPLACE_FILES", "APPEND", "WRITE",
+    ]
+    # manifest tracks the new live set
+    assert skipping.read_stats_manifest(spark, t).count() == len(
+        V._live_data_files(t)
+    )
+    # strict snapshot pinning: any rival (stale expected_version) conflicts
+    with pytest.raises(V.ConcurrentWriteError):
+        V.replace_files(repl, t, remove=[], expected_version=0, now=4.0)
+    # a remove entry outside the live set is a caller bug, not a commit
+    with pytest.raises(ValueError, match="not in"):
+        V.replace_files(
+            repl, t, remove=["nope.parquet"], expected_version=2, now=4.0
+        )
+    # schema drift refused (Delta append-mode enforcement)
+    with pytest.raises(ValueError, match="schema"):
+        V.append_versioned(
+            spark.range(3).select(F.col("id").alias("z")), t, now=5.0
+        )
