@@ -1307,3 +1307,56 @@ def test_append_and_replace_files_lifecycle(spark, tmp_path, mode):
         V.append_versioned(
             spark.range(3).select(F.col("id").alias("z")), t, now=5.0
         )
+
+
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_replace_files_crash_rolls_forward(spark, tmp_path, mode, monkeypatch):
+    """A replace_files commit that dies AFTER its intent is journaled
+    (the roll-forward point) must complete under recover() — same
+    write-ahead protocol as every other commit path, exercised through
+    the new file-subset shape by killing the process at the publish
+    step."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(600).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(3), t, now=1.0, snapshot_mode=mode)
+    live = (
+        V._snapshot_files(t, 0) if mode == "manifest"
+        else [os.path.relpath(f, t) for f in V._data_files(t)]
+    )
+    target = live[:1]
+    repl = spark.range(600).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    ).filter(F.col("a") % 2 == 0)
+
+    # die exactly at the publish step (after the intent is complete)
+    class Boom(RuntimeError):
+        pass
+
+    if mode == "manifest":
+        def explode(*a, **k):
+            raise Boom()
+        monkeypatch.setattr(V, "_apply_moves", explode)
+    else:
+        real_rename = os.rename
+
+        def explode(src, dst):
+            if dst == t or src == t or dst.endswith("v1"):
+                raise Boom()
+            return real_rename(src, dst)
+        monkeypatch.setattr(V.os, "rename", explode)
+    retired_rows = spark.read.parquet(os.path.join(t, target[0])).count()
+    with pytest.raises(Boom):
+        V.replace_files(repl, t, remove=target, expected_version=0, now=2.0)
+    monkeypatch.undo()
+    # the crash left a live intent; recover() rolls the commit FORWARD
+    assert V.recover(t) is True
+    assert V.current_version(t) == 1
+    # replaced file's rows gone, replacement rows present, rest intact
+    assert V.read_current(spark, t).count() == 600 - retired_rows + 300
+    assert V.history(t)[0]["operation"] == "REPLACE_FILES"
+    # idempotent: a second recover is a no-op
+    assert V.recover(t) is False
