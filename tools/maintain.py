@@ -35,6 +35,11 @@ def main() -> int:
                     help="versioned table layout spec: "
                          "path:col_a,col_b[:curve] with curve morton "
                          "(default, any dims) or hilbert (2-D)")
+    ap.add_argument("--incremental", action="store_true",
+                    help="recluster strategy: rewrite only offender "
+                         "files (liquid-clustering shape, cost ~ decay) "
+                         "instead of the full snapshot; structural decay "
+                         "still escalates to the full rewrite")
     ap.add_argument("--quiesced", action="store_true",
                     help="assert no writers are live: enables recovery "
                          "of crashed claims (see recover_dv_merge's "
@@ -109,12 +114,16 @@ def main() -> int:
             report.append({"kind": "table", "path": p, "health": d,
                            "action": M.decide_table(d, assume_quiesced=args.quiesced)})
     else:
+        policy = M.MaintenancePolicy(
+            cluster_strategy="incremental" if args.incremental else "full",
+        )
         report = M.run_maintenance(
             spark,
             index_paths=args.index,
             dv_paths=args.dv,
             cluster_specs=cluster_specs,
             table_paths=args.table,
+            policy=policy,
             assume_quiesced=args.quiesced,
         )
 
