@@ -441,9 +441,12 @@ def test_maintain_cli_dry_run_and_sweep(spark, tmp_path):
     )
 
     def run(*extra):
+        # --incremental rides along: the 12-file round-robin table is
+        # STRUCTURAL decay, so the CLI flag's path must escalate to the
+        # full hilbert rewrite — flag parsing + escalation in one run
         return subprocess.run(
             [sys.executable, "tools/maintain.py", "--table", t,
-             "--cluster", f"{c}:a,b:hilbert",
+             "--cluster", f"{c}:a,b:hilbert", "--incremental",
              "--master", "local[2]", *extra],
             capture_output=True, text=True, cwd="/root/repo", timeout=300,
         )
