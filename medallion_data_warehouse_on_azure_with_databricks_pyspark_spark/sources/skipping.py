@@ -549,6 +549,69 @@ def update_bloom_manifest_partitions(
     return spark.read.parquet(out)
 
 
+def update_bloom_manifest_files(
+    spark: SparkSession,
+    path: str,
+    removed: list[str],
+    added: list[str],
+    old_manifest: DataFrame,
+) -> DataFrame:
+    """File-subset twin of :func:`update_bloom_manifest_partitions` for
+    ``replace_files``/append commits (r15): rows for the retired files
+    drop from the manifest, filters for the added files compute in ONE
+    scan bounded by the commit (same column/bits/hashes the standing
+    manifest was built with), untouched files' rows survive verbatim.
+    ``removed``/``added`` are table-relative paths as the commit log
+    lists them.  A stale bloom manifest after a file-subset commit
+    would serve RETIRED files to equality probes — in manifest mode
+    those files still exist on disk, so this is a correctness hole, not
+    a staleness one."""
+    head = old_manifest.select("column", "num_bits", "num_hashes").first()
+    removed_uris = [
+        "file:" + os.path.abspath(os.path.join(path, r)) for r in removed
+    ]
+    keep_old = (
+        old_manifest.filter(~F.col("file_path").isin(removed_uris))
+        if removed_uris else old_manifest
+    )
+    if added:
+        new_scan = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, a) for a in added]
+        )
+        pos = (
+            new_scan.select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col(head.column).alias("v"),
+            )
+            .where(F.col("v").isNotNull())
+            .select(
+                "file_path",
+                F.explode(
+                    _bloom_positions(F.col("v"), head.num_bits, head.num_hashes)
+                ).alias("bit"),
+            )
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        )
+        all_new = (
+            new_scan.select(F.col("_metadata.file_path").alias("file_path"))
+            .distinct()
+        )
+        new_rows = all_new.join(pos, "file_path", "left").select(
+            "file_path",
+            F.coalesce("bits", F.array().cast("array<int>")).alias("bits"),
+            F.lit(head.column).alias("column"),
+            F.lit(head.num_bits).alias("num_bits"),
+            F.lit(head.num_hashes).alias("num_hashes"),
+        )
+        merged = keep_old.unionByName(new_rows).coalesce(1)
+    else:
+        merged = keep_old.coalesce(1)
+    out = os.path.join(path.rstrip("/"), BLOOM_DIR)
+    _swap_manifest_dir(merged, out)
+    return spark.read.parquet(out)
+
+
 def update_stats_manifest_partitions(
     spark: SparkSession,
     path: str,

@@ -824,12 +824,28 @@ def replace_files(
         os.rename(full, path)
     _append_log(path, entry)
     _release_intent(path)
-    if stats_cols:
-        from . import skipping
+    from . import skipping
 
+    if stats_cols:
         skipping.write_stats_manifest(
             spark, path, list(stats_cols),
             files=(_live_data_files(path) if mode == "manifest" else None),
+        )
+    # bloom sidecar: incrementally maintained like the stats manifest —
+    # manifest mode keeps retired files ON DISK, so a stale bloom row
+    # would serve them to equality probes (correctness, not staleness).
+    # Physical mode reads the superseded manifest from the renamed-aside
+    # version, exactly like replace_partitions' maintenance.
+    bloom_src = (
+        os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
+        if mode == "manifest"
+        else os.path.join(_vroot(path), f"v{version - 1}", skipping.BLOOM_DIR)
+    )
+    if os.path.isdir(bloom_src):
+        skipping.update_bloom_manifest_files(
+            spark, path, removed=list(remove),
+            added=[dst for _, dst in moves],
+            old_manifest=spark.read.parquet(bloom_src),
         )
     return version
 

@@ -1360,3 +1360,65 @@ def test_replace_files_crash_rolls_forward(spark, tmp_path, mode, monkeypatch):
     assert V.history(t)[0]["operation"] == "REPLACE_FILES"
     # idempotent: a second recover is a no-op
     assert V.recover(t) is False
+
+
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_replace_files_maintains_bloom_manifest(spark, tmp_path, mode):
+    """r15: a file-subset commit must keep the bloom sidecar describing
+    exactly the live set — in manifest mode retired files stay ON DISK,
+    so a stale bloom row would serve them to equality probes."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    # 4 range-disjoint files on a: values 0..999 per file.  a is INT so
+    # the python-int probe literal hashes with the same type the filter
+    # was built from (xxhash64 is type-sensitive — the standing bloom
+    # probe contract).
+    df = spark.range(4000).select(
+        F.col("id").cast("int").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(
+        df.repartitionByRange(4, "a"), t, now=1.0, snapshot_mode=mode
+    )
+    skipping.write_bloom_manifest(
+        spark, t, "a", files=(V._live_data_files(t) or None)
+    )
+    live = (
+        V._snapshot_files(t, 0) if mode == "manifest"
+        else [os.path.relpath(f, t) for f in V._data_files(t)]
+    )
+    # the file holding a == 0 is the probe's target
+    kept0, total0 = skipping.bloom_pruned_files(spark, t, "a", 0)
+    assert total0 == 4 and len(kept0) == 1
+    target_rel = [
+        r for r in live
+        if "file:" + os.path.abspath(os.path.join(t, r)) in kept0
+        or os.path.abspath(os.path.join(t, r)) in {k.replace("file:", "") for k in kept0}
+    ]
+    assert len(target_rel) == 1
+    # retire it, replacing with rows that EXCLUDE the probed value
+    target_abs = os.path.join(t, target_rel[0])
+    rows = spark.read.option("basePath", t).parquet(target_abs)
+    repl = rows.filter(F.col("a") != 0)
+    v = V.replace_files(repl, t, remove=target_rel, expected_version=0, now=2.0)
+    assert v == 1
+    # bloom manifest tracks the new live set: one row per live file,
+    # the retired file's row gone, and the a==0 probe prunes EVERYTHING
+    man = spark.read.parquet(os.path.join(t, skipping.BLOOM_DIR))
+    assert man.count() == len(V._live_data_files(t)) == 4
+    kept1, total1 = skipping.bloom_pruned_files(spark, t, "a", 0)
+    assert total1 == 4
+    assert not any(target_rel[0] in k for k in kept1)  # retired file gone
+    # a value the kept files hold still probes to a pruned subset that
+    # CONTAINS its true holder (blooms allow false positives, never
+    # false negatives)
+    kept2, _ = skipping.bloom_pruned_files(spark, t, "a", 2500)
+    assert 1 <= len(kept2) < 4
+    hit = spark.read.option("basePath", t).parquet(*kept2).filter(
+        F.col("a") == 2500
+    ).count()
+    assert hit == 1
