@@ -387,6 +387,9 @@ def recluster_zorder(
             "versioned tables — for a plain directory write "
             "zorder_layout/zorder_layout_ranked output directly"
         )
+    # a live DV sidecar would have its marked rows resurrected by the
+    # raw-file rewrite — Delta's rule too: purge first (REORG APPLY PURGE)
+    versioned._refuse_dv_sidecar(path, "recluster_zorder")
     if n_files is None:
         if versioned.snapshot_mode(path) == "manifest":
             n_files = len(versioned._snapshot_files(path, v))
@@ -636,6 +639,7 @@ def recluster_incremental(
                 f"no version log under {path}: recluster targets "
                 "versioned tables"
             )
+        versioned._refuse_dv_sidecar(path, "recluster_incremental")
         env = _resolved_envelopes(spark, path, list(cols), None)
         offenders = select_recluster_offenders(env, list(cols), path,
                                                span_frac=span_frac)

@@ -634,6 +634,7 @@ def optimize_compact(
     """
     if current_version(path) is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
+    _refuse_dv_sidecar(path, "optimize_compact")
     files = _live_data_files(path)
     if not files:
         raise ValueError(f"{path}: nothing to compact")
@@ -665,6 +666,22 @@ def optimize_compact(
         compacted, path, now=now, operation="OPTIMIZE",
         stats_columns=stats_columns, expected_version=base_v,
     )
+
+
+def _refuse_dv_sidecar(path: str, op: str) -> None:
+    """Layout rewrites read the PHYSICAL files; on a table carrying a
+    deletion-vector sidecar that would RESURRECT every marked-deleted
+    row (and strand the positional marks against retired file paths).
+    Delta's rule is the same: REORG/OPTIMIZE materialize DVs first —
+    run ``deletion_vectors.purge_dv`` before the rewrite."""
+    from .deletion_vectors import DV_DIR
+
+    if os.path.isdir(os.path.join(path.rstrip("/"), DV_DIR)):
+        raise ValueError(
+            f"{path}: {op} refuses a table with a live deletion-vector "
+            "sidecar — marked rows would be resurrected by the rewrite; "
+            "purge_dv first (Delta REORG ... APPLY (PURGE))"
+        )
 
 
 def replace_files(
@@ -708,6 +725,7 @@ def replace_files(
         expect_all_or_fail(df, effective)
     if current_version(path) is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
+    _refuse_dv_sidecar(path, "replace_files")
     spark = df.sparkSession
     stats_cols = stats_columns
     if stats_cols is None:

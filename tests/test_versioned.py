@@ -1422,3 +1422,38 @@ def test_replace_files_maintains_bloom_manifest(spark, tmp_path, mode):
         F.col("a") == 2500
     ).count()
     assert hit == 1
+
+
+def test_layout_rewrites_refuse_live_dv_sidecar(spark, tmp_path):
+    """A table carrying deletion-vector marks must refuse every layout
+    rewrite (replace_files / optimize_compact / recluster_*): the raw
+    file read would RESURRECT marked rows and strand the positional
+    marks — Delta's REORG APPLY (PURGE)-first rule."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        deletion_vectors as dv,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(4), t, now=1.0)
+    # plant a DV sidecar the way delete_where_dv would
+    os.makedirs(os.path.join(t, dv.DV_DIR), exist_ok=True)
+    spark.createDataFrame(
+        [("x.parquet", 0)], "file_path string, row_index long"
+    ).write.mode("overwrite").parquet(os.path.join(t, dv.DV_DIR))
+    with pytest.raises(ValueError, match="deletion-vector"):
+        V.replace_files(df.limit(1), t, remove=[], expected_version=0, now=2.0)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        V.optimize_compact(spark, t, target_file_bytes=1, now=2.0)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        layout.recluster_zorder(spark, t, "a", "b", now=2.0)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        layout.recluster_incremental(spark, t, "a", "b", now=2.0)
+    assert V.current_version(t) == 0  # nothing committed
