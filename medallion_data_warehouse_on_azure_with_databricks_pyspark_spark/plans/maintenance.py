@@ -81,6 +81,11 @@ class MaintenancePolicy:
     superseded_ratio: float = 0.5
     #: versions the vacuum keeps readable (Delta's retention knob)
     vacuum_keep_last: int = 2
+    #: bin-pack a swept table's small files (incremental OPTIMIZE,
+    #: cost ~ small-file debt) once at least table_compact_min_files
+    #: fall below this size; None disables the compaction leg
+    table_compact_target_bytes: int | None = None
+    table_compact_min_files: int = 8
 
 
 DEFAULT_POLICY = MaintenancePolicy()
@@ -274,18 +279,36 @@ def run_maintenance(
             actuate=_recluster,
         ))
     for p in table_paths:
+        import os
+
         from ..sources import versioned
 
         detail = versioned.table_detail(p)
         action = decide_table(detail, policy, assume_quiesced)
-        report.append(_dispatch(
-            "table", p, detail, action,
-            actuate=(
-                (lambda p=p: versioned.vacuum(
-                    p, keep_last=policy.vacuum_keep_last
-                ))
-                if action == "vacuum"
-                else (lambda p=p: versioned.recover(p))
-            ),
-        ))
+        if action is None and policy.table_compact_target_bytes:
+            # small-file debt leg (r15): retention outranks it — one
+            # actuator per table per sweep; a standing intent already
+            # blocked above.  The probe is filesystem-only (one stat per
+            # live file, the table_detail cost class).
+            smalls = [
+                f for f in versioned._live_data_files(p)
+                if os.path.getsize(f) < policy.table_compact_target_bytes
+            ]
+            detail["small_files"] = len(smalls)
+            if len(smalls) >= policy.table_compact_min_files:
+                action = "compact"
+        if action == "compact":
+            actuate = (
+                lambda p=p: versioned.optimize_compact_incremental(
+                    spark, p,
+                    target_file_bytes=policy.table_compact_target_bytes,
+                )
+            )
+        elif action == "vacuum":
+            actuate = (lambda p=p: versioned.vacuum(
+                p, keep_last=policy.vacuum_keep_last
+            ))
+        else:
+            actuate = (lambda p=p: versioned.recover(p))
+        report.append(_dispatch("table", p, detail, action, actuate=actuate))
     return report

@@ -905,6 +905,74 @@ def append_versioned(
     raise last  # pragma: no cover — exhausted retries under contention
 
 
+def optimize_compact_incremental(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Delta ``OPTIMIZE``'s ACTUAL shape: bin-pack only the files BELOW
+    ``target_file_bytes`` into ~target-sized outputs through one
+    :func:`replace_files` commit — files already at/over target are
+    never read, rewritten, or renamed, so compaction cost is
+    proportional to the small-file debt, not the table size (the same
+    scale story as the incremental recluster).  Hive-partitioned tables
+    bin-pack WITHIN partitions (``partition_by`` recommits the layout).
+    A table with fewer than two small files per the whole sweep is
+    already packed: no-op, no history churn.  Returns the committed (or
+    current) version.  :func:`optimize_compact` remains the
+    full-snapshot rewrite."""
+    from pyspark.sql import functions as F
+
+    from .writers import _discover_partition_columns
+
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        if attempt:
+            time.sleep(0.05 * attempt)
+        base_v = current_version(path)
+        if base_v is None:
+            raise ValueError(f"{path}: no version log — not a versioned table")
+        _refuse_dv_sidecar(path, "optimize_compact_incremental")
+        live = (
+            _snapshot_files(path, base_v)
+            if _mode_of(path) == "manifest"
+            else [os.path.relpath(f, path) for f in _data_files(path)]
+        )
+        sizes = {rel: os.path.getsize(os.path.join(path, rel)) for rel in live}
+        smalls = sorted(r for r, s in sizes.items() if s < target_file_bytes)
+        if len(smalls) < 2:
+            return base_v  # nothing to pack — no-op, no history churn
+        total_small = sum(sizes[r] for r in smalls)
+        n_out = max(1, -(-total_small // target_file_bytes))  # ceil
+        if n_out >= len(smalls):
+            return base_v  # packing cannot reduce the file count
+        part_cols = _discover_partition_columns(path) or None
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, r) for r in smalls]
+        )
+        packed = (
+            df.repartition(*[F.col(c) for c in part_cols])
+            if part_cols else df.coalesce(int(n_out))
+        )
+        try:
+            return replace_files(
+                packed, path, remove=smalls, expected_version=base_v,
+                partition_by=part_cols, now=now, operation="OPTIMIZE",
+                metadata={
+                    "incremental": True, "bin_packed": len(smalls),
+                    "kept_files": len(live) - len(smalls),
+                    "target_file_bytes": target_file_bytes,
+                },
+                stats_columns=stats_columns,
+            )
+        except ConcurrentWriteError as exc:
+            last = exc
+    raise last  # pragma: no cover — exhausted retries under contention
+
+
 def _resolve_dir(path: str, version: int) -> str:
     log = _read_log(path)
     if not log:

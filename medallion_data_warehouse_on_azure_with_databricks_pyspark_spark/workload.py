@@ -1667,13 +1667,17 @@ def _skip_artifact(spark: SparkSession, sf_dir: str, kind: str) -> str:
 )
 def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE bin-packing compaction on the versioned lifecycle
-    (``sources/versioned.py::optimize_compact``, Delta OPTIMIZE parity):
-    commit ``part`` range-clustered across 16 deliberately-small files,
-    compact to ~2 via shuffle-free ``coalesce`` as a new OPTIMIZE commit
-    with commit-time stats collection, then serve a range predicate
-    through the post-compaction skipping manifest.  Compaction is pure
-    layout, so the oracle is the plain filter; the history/file-count
-    contracts are pinned by ``tests/test_versioned.py``.
+    (``sources/versioned.py::optimize_compact_incremental`` since r15 —
+    Delta OPTIMIZE's actual shape: only files under the byte target are
+    read and bin-packed through a ``replace_files`` commit, so at 100 TB
+    compaction cost follows the small-file debt, never the table size;
+    here every one of the 16 deliberately-small files is under the
+    half-table target, so they pack to ~2): commit ``part``
+    range-clustered across 16 small files, bin-pack as a new OPTIMIZE
+    commit with commit-time stats collection, then serve a range
+    predicate through the post-compaction skipping manifest.  Compaction
+    is pure layout, so the oracle is the plain filter; the
+    history/file-count contracts are pinned by ``tests/test_versioned.py``.
     """
     import tempfile
 
@@ -1696,7 +1700,7 @@ def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-ops once the 16 clustered files outgrow it, flipping the lane's
     # last_op oracle red on data size rather than a code bug (ADVICE r8)
     total = sum(_os.path.getsize(f) for f in versioned._live_data_files(table))
-    versioned.optimize_compact(
+    versioned.optimize_compact_incremental(
         spark, table, target_file_bytes=max(1, -(-total // 2)), now=2.0,
         stats_columns=["p_retailprice"],
     )

@@ -342,6 +342,48 @@ def test_sweep_incremental_strategy_rewrites_offenders_and_escalates(
     assert "incremental" not in meta2  # routed through the full path
 
 
+def test_sweep_table_small_file_compaction_leg(spark, tmp_path):
+    """r15: with table_compact_target_bytes set, a swept table whose
+    small-file debt crosses the min-files gate dispatches ONE
+    incremental OPTIMIZE (only the smalls rewritten); the healed table
+    decides nothing next sweep; retention still outranks compaction
+    (one actuator per table per sweep)."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(30_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    versioned.overwrite_versioned(df.repartition(2), t, now=1.0)
+    tiny = spark.range(30_000, 30_900).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    versioned.append_versioned(tiny.repartition(9), t, now=2.0)
+    import os
+
+    sizes = sorted(
+        os.path.getsize(f) for f in versioned._live_data_files(t)
+    )
+    target = sizes[8] * 11  # above all nine tiny files, below the bigs
+    assert sizes[-1] >= target > sizes[8]
+    policy = M.MaintenancePolicy(table_compact_target_bytes=target,
+                                 table_compact_min_files=8)
+    (row,) = M.run_maintenance(spark, table_paths=[t], policy=policy)
+    assert row["action"] == "compact" and "error" not in row
+    assert row["health"]["small_files"] == 9
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE"
+    ]
+    assert meta["incremental"] is True and meta["bin_packed"] == 9
+    assert versioned.read_current(spark, t).count() == 30_900
+    # healed: next sweep decides nothing
+    (row2,) = M.run_maintenance(spark, table_paths=[t], policy=policy)
+    assert row2["action"] is None
+
+
 # ---------------------------------------------------------------------------
 # Round 14: the retention leg (table_detail -> vacuum)
 # ---------------------------------------------------------------------------

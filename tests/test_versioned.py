@@ -1457,3 +1457,64 @@ def test_layout_rewrites_refuse_live_dv_sidecar(spark, tmp_path):
     with pytest.raises(ValueError, match="deletion-vector"):
         layout.recluster_incremental(spark, t, "a", "b", now=2.0)
     assert V.current_version(t) == 0  # nothing committed
+
+
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_optimize_compact_incremental_packs_only_smalls(spark, tmp_path, mode):
+    """r15: incremental compaction bin-packs ONLY the small files —
+    files at/over target keep their exact paths through the commit
+    (compaction cost ~ small-file debt, not table size), data is
+    bit-identical, a second pass is a no-op, and the manifest follows
+    the live set."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    big = spark.range(40_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(
+        big.repartition(2), t, now=1.0, snapshot_mode=mode,
+        stats_columns=["a"],
+    )
+    tiny = spark.range(40_000, 40_600).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.append_versioned(tiny.repartition(6), t, now=2.0)  # 6 tiny files
+    live1 = set(
+        V._snapshot_files(t, 1) if mode == "manifest"
+        else [os.path.relpath(f, t) for f in V._data_files(t)]
+    )
+    sizes = {r: os.path.getsize(os.path.join(t, r)) for r in live1}
+    # target sits between the tiny and big file sizes, and holds all six
+    # tiny files in ONE bin (ceil(6*tiny / 7*tiny) == 1)
+    target = max(s for r, s in sizes.items() if "v1-" in r) * 7
+    assert all(s >= target for r, s in sizes.items() if "v1-" not in r)
+    v = V.optimize_compact_incremental(spark, t, target_file_bytes=target,
+                                       now=3.0)
+    assert v == 2
+    (meta,) = [
+        e["metadata"] for e in V.history(t) if e["operation"] == "OPTIMIZE"
+    ]
+    assert meta["incremental"] is True
+    assert (meta["bin_packed"], meta["kept_files"]) == (6, 2)
+    live2 = set(
+        V._snapshot_files(t, 2) if mode == "manifest"
+        else [os.path.relpath(f, t) for f in V._data_files(t)]
+    )
+    bigs = {r for r in live1 if "v1-" not in r}
+    assert bigs <= live2                       # big files untouched
+    assert not (live1 - bigs) & live2          # all tiny files retired
+    assert len(live2) == 3                     # 2 big + 1 packed
+    got = sorted(map(tuple, V.read_current(spark, t).collect()))
+    assert got == sorted(map(tuple, big.unionByName(tiny).collect()))
+    # manifest follows (auto-maintained by the commit)
+    assert skipping.read_stats_manifest(spark, t).count() == 3
+    # already packed: a second pass never churns history
+    assert V.optimize_compact_incremental(
+        spark, t, target_file_bytes=target, now=4.0
+    ) == 2
+    assert V.current_version(t) == 2
