@@ -1707,7 +1707,7 @@ def part_optimize_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_op = versioned.history(table)[0]["operation"]
     if last_op != "OPTIMIZE":  # the lane's contract IS the commit
         raise AssertionError(
-            f"optimize_compact did not commit (last_op={last_op!r})"
+            f"optimize_compact_incremental did not commit (last_op={last_op!r})"
         )
     return skipping.read_skipping(
         spark, table, "p_retailprice", lower=905.0, upper=912.0
