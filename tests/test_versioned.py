@@ -1518,3 +1518,44 @@ def test_optimize_compact_incremental_packs_only_smalls(spark, tmp_path, mode):
         spark, t, target_file_bytes=target, now=4.0
     ) == 2
     assert V.current_version(t) == 2
+
+
+def test_optimize_compact_incremental_respects_hive_partitions(spark, tmp_path):
+    """Partitioned tables bin-pack WITHIN partitions: the replacement
+    files land under their hive dirs (partition pruning survives), big
+    files keep their paths, and the per-partition row sets are intact."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).cast("int").alias("g"),
+        F.col("id").alias("a"),
+    )
+    V.overwrite_versioned(df.repartition(2), t, now=1.0, partition_by=["g"])
+    tiny = spark.range(20_000, 20_400).select(
+        (F.col("id") % 2).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    V.append_versioned(tiny.repartition(8), t, now=2.0, partition_by=["g"])
+    live1 = [os.path.relpath(f, t) for f in V._data_files(t)]
+    sizes = {r: os.path.getsize(os.path.join(t, r)) for r in live1}
+    smalls1 = [r for r in live1 if "v1-" in r]
+    big_sizes = [sizes[r] for r in live1 if "v1-" not in r]
+    tiny_sizes = [sizes[r] for r in smalls1]
+    assert max(tiny_sizes) < min(big_sizes)
+    target = (max(tiny_sizes) + min(big_sizes)) // 2
+    v = V.optimize_compact_incremental(spark, t, target_file_bytes=target,
+                                       now=3.0)
+    assert v == 2
+    live2 = [os.path.relpath(f, t) for f in V._data_files(t)]
+    # every replacement file still lives under a g=<val> hive dir
+    assert all(r.split(os.sep)[0].startswith("g=") for r in live2), live2[:4]
+    # big files untouched, all tinies retired
+    bigs = {r for r in live1 if "v1-" not in r}
+    assert bigs <= set(live2)
+    assert not set(smalls1) & set(live2)
+    got = V.read_current(spark, t)
+    assert got.count() == 20_400
+    assert got.filter("g = 1").count() == 10_200
+    # partition pruning still engages on the read path
+    plan = got.filter("g = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(g" in plan or "g#" in plan
