@@ -1559,3 +1559,30 @@ def test_optimize_compact_incremental_respects_hive_partitions(spark, tmp_path):
     # partition pruning still engages on the read path
     plan = got.filter("g = 1")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(g" in plan or "g#" in plan
+
+
+def test_vacuum_reclaims_files_retired_by_replace_files(spark, tmp_path):
+    """Vacuum understands the REPLACE_FILES/APPEND action entries: a
+    file added at v1 and retired at v2 is physically reclaimed once v1
+    falls out of retention, the current snapshot is untouched, and
+    time travel to the vacuumed version errors loudly."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(4), t, now=1.0,
+                          snapshot_mode="manifest")
+    extra = spark.range(1000, 1200).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.append_versioned(extra.repartition(1), t, now=2.0)
+    target = [f for f in V._snapshot_files(t, 1) if "v1-" in f]
+    V.replace_files(extra.filter(F.col("a") < 1100), t, remove=target,
+                    expected_version=1, now=3.0)
+    assert V.vacuum(t, keep_last=0) == [0, 1]
+    assert not os.path.exists(os.path.join(t, target[0]))  # reclaimed
+    assert V.read_current(spark, t).count() == 1100        # live intact
+    with pytest.raises(ValueError, match="vacuumed"):
+        V.read_version(spark, t, 1)
