@@ -1177,6 +1177,7 @@ def optimize_zorder(
     base_v = current_version(path)
     if base_v is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
+    _refuse_dv_sidecar(path, "optimize_zorder")
     # hive-partitioned tables keep their layout: z-order WITHIN
     # partitions and recommit partition_by (same contract as
     # optimize_compact above — flattening destroys partition pruning)

@@ -1455,6 +1455,8 @@ def test_layout_rewrites_refuse_live_dv_sidecar(spark, tmp_path):
     with pytest.raises(ValueError, match="deletion-vector"):
         layout.recluster_zorder(spark, t, "a", "b", now=2.0)
     with pytest.raises(ValueError, match="deletion-vector"):
+        V.optimize_zorder(spark, t, "a", "b", now=2.0)
+    with pytest.raises(ValueError, match="deletion-vector"):
         layout.recluster_incremental(spark, t, "a", "b", now=2.0)
     assert V.current_version(t) == 0  # nothing committed
 
