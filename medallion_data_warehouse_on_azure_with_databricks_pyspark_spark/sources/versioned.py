@@ -918,13 +918,23 @@ def optimize_compact_incremental(
     :func:`replace_files` commit — files already at/over target are
     never read, rewritten, or renamed, so compaction cost is
     proportional to the small-file debt, not the table size (the same
-    scale story as the incremental recluster).  Hive-partitioned tables
-    bin-pack WITHIN partitions (``partition_by`` recommits the layout).
-    A table with fewer than two small files per the whole sweep is
-    already packed: no-op, no history churn.  Returns the committed (or
-    current) version.  :func:`optimize_compact` remains the
-    full-snapshot rewrite."""
-    from pyspark.sql import functions as F
+    scale story as the incremental recluster).
+
+    Hive-partitioned tables bin-pack WITHIN partitions, and both the
+    no-op guard and the byte target apply PER PARTITION (r16): a
+    partition packs only when it has >=2 small files AND packing would
+    reduce its file count, and a partition with 40 GB of debt emits
+    ~ceil(40 GB / target) files, not one — each eligible partition's
+    files are read as their own branch and ``repartition``-ed to its own
+    bucket count, so output sizes track the target at any debt.  The
+    union's branch count equals the number of partitions with packable
+    debt — bounded per maintenance interval by the incremental write
+    shape, not by the table's partition count.  A sweep in which NO
+    partition (or, unpartitioned, the whole table) can reduce its file
+    count is a no-op: no history churn, no rewrite I/O.  Returns the
+    committed (or current) version.  :func:`optimize_compact` remains
+    the full-snapshot rewrite."""
+    from functools import reduce as _reduce
 
     from .writers import _discover_partition_columns
 
@@ -945,27 +955,65 @@ def optimize_compact_incremental(
         smalls = sorted(r for r, s in sizes.items() if s < target_file_bytes)
         if len(smalls) < 2:
             return base_v  # nothing to pack — no-op, no history churn
-        total_small = sum(sizes[r] for r in smalls)
-        n_out = max(1, -(-total_small // target_file_bytes))  # ceil
-        if n_out >= len(smalls):
-            return base_v  # packing cannot reduce the file count
         part_cols = _discover_partition_columns(path) or None
-        df = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, r) for r in smalls]
-        )
-        packed = (
-            df.repartition(*[F.col(c) for c in part_cols])
-            if part_cols else df.coalesce(int(n_out))
-        )
+        if part_cols:
+            # per-partition eligibility: a partition whose small files
+            # cannot be reduced (one lone small file, or debt already at
+            # ~one file per target) is dropped from the rewrite set —
+            # otherwise every sweep would commit a useless OPTIMIZE
+            # (unbounded history churn on steady-state tables).
+            by_part: dict[str, list[str]] = {}
+            for rel in smalls:
+                by_part.setdefault(os.path.dirname(rel), []).append(rel)
+            plan: list[tuple[list[str], int]] = []
+            for _pdir, files in sorted(by_part.items()):
+                if len(files) < 2:
+                    continue
+                debt = sum(sizes[r] for r in files)
+                n_p = max(1, -(-debt // target_file_bytes))  # ceil
+                if n_p < len(files):
+                    plan.append((files, int(n_p)))
+            if not plan:
+                return base_v  # no partition has packable debt — no-op
+            remove = [r for files, _ in plan for r in files]
+            # one branch per eligible partition, repartitioned to ITS
+            # bucket count: round-robin splits the debt evenly, so each
+            # output lands ~target-sized; writing with partitionBy keeps
+            # one file per task per hive dir (a branch's rows all share
+            # one partition value), so per-partition output counts are
+            # exact.  Shuffle volume = the debt being rewritten anyway.
+            branches = [
+                spark.read.option("basePath", path)
+                .parquet(*[os.path.join(path, r) for r in files])
+                .repartition(n_p)
+                for files, n_p in plan
+            ]
+            packed = _reduce(DataFrame.unionByName, branches)
+            meta = {
+                "incremental": True, "bin_packed": len(remove),
+                "kept_files": len(live) - len(remove),
+                "partitions_packed": len(plan),
+                "target_file_bytes": target_file_bytes,
+            }
+        else:
+            total_small = sum(sizes[r] for r in smalls)
+            n_out = max(1, -(-total_small // target_file_bytes))  # ceil
+            if n_out >= len(smalls):
+                return base_v  # packing cannot reduce the file count
+            remove = smalls
+            packed = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, r) for r in smalls]
+            ).coalesce(int(n_out))
+            meta = {
+                "incremental": True, "bin_packed": len(smalls),
+                "kept_files": len(live) - len(smalls),
+                "target_file_bytes": target_file_bytes,
+            }
         try:
             return replace_files(
-                packed, path, remove=smalls, expected_version=base_v,
+                packed, path, remove=remove, expected_version=base_v,
                 partition_by=part_cols, now=now, operation="OPTIMIZE",
-                metadata={
-                    "incremental": True, "bin_packed": len(smalls),
-                    "kept_files": len(live) - len(smalls),
-                    "target_file_bytes": target_file_bytes,
-                },
+                metadata=meta,
                 stats_columns=stats_columns,
             )
         except ConcurrentWriteError as exc:

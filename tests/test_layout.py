@@ -521,8 +521,12 @@ def test_incremental_recluster_rewrites_only_offenders(spark, tmp_path):
     versioned.append_versioned(wide.repartition(3), t, now=2.0)
     pre = layout.cluster_health(spark, t, ["a", "b"])
     assert pre["worst_mean_depth"] > 3  # three full-range files on top
-    v = layout.recluster_incremental(spark, t, "a", "b", now=3.0)
+    tele: dict = {}
+    v = layout.recluster_incremental(spark, t, "a", "b", now=3.0,
+                                     telemetry=tele)
     assert v == 2
+    # r16 telemetry: the call says what it saw and which path it took
+    assert tele == {"offenders": 3, "live_files": 7, "mode": "incremental"}
     (meta,) = [
         e["metadata"] for e in versioned.history(t)
         if e["operation"] == "OPTIMIZE_ZORDER"
@@ -540,8 +544,11 @@ def test_incremental_recluster_rewrites_only_offenders(spark, tmp_path):
     got = sorted(map(tuple, versioned.read_current(spark, t).collect()))
     assert got == sorted(map(tuple, df.collect()))
     # already tight: a second call is a no-op that never churns history
-    assert layout.recluster_incremental(spark, t, "a", "b", now=4.0) == 2
+    tele2: dict = {}
+    assert layout.recluster_incremental(spark, t, "a", "b", now=4.0,
+                                        telemetry=tele2) == 2
     assert versioned.current_version(t) == 2
+    assert tele2["mode"] == "noop" and tele2["offenders"] == 0
 
 
 def test_incremental_recluster_full_decay_falls_back_to_full(spark, tmp_path):
@@ -566,8 +573,12 @@ def test_incremental_recluster_full_decay_falls_back_to_full(spark, tmp_path):
         df.repartition(12), t, now=1.0, stats_columns=["a", "b"]
     )
     pre = layout.cluster_health(spark, t, ["a", "b"])
-    v = layout.recluster_incremental(spark, t, "a", "b", now=2.0)
+    tele: dict = {}
+    v = layout.recluster_incremental(spark, t, "a", "b", now=2.0,
+                                     telemetry=tele)
     assert v == 1
+    assert tele["mode"] == "full_fallback"
+    assert tele["offenders"] == tele["live_files"] == 12
     (meta,) = [
         e.get("metadata") or {} for e in versioned.history(t)
         if e["operation"] == "OPTIMIZE_ZORDER"
@@ -575,3 +586,36 @@ def test_incremental_recluster_full_decay_falls_back_to_full(spark, tmp_path):
     assert "incremental" not in meta  # the full-rewrite commit shape
     post = layout.cluster_health(spark, t, ["a", "b"])
     assert post["worst_mean_depth"] < pre["worst_mean_depth"] * 0.8
+
+
+def test_incremental_recluster_refuses_string_clustering_column(
+    spark, tmp_path
+):
+    """r16 (VERDICT r15 ask #3): a string clustering column cannot feed
+    the offender selector's envelope-span arithmetic (and the quantile-
+    bucket rewrite is numeric-only too), so the spec is refused LOUDLY
+    and by name — mirroring the 3-D hilbert refusal — instead of a bare
+    TypeError from deep inside the sweep.  Nothing commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(12_000).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("k"), (F.col("id") % 97).cast("string")).alias("s"),
+    )
+    versioned.overwrite_versioned(df.repartition(12), t, now=1.0)
+    with pytest.raises(ValueError, match=r"clustering column 's' has str"):
+        layout.recluster_incremental(spark, t, "a", "s", now=2.0)
+    assert versioned.current_version(t) == 0  # nothing committed
+    # the selector itself carries the refusal (once per sweep, driver-side)
+    env = layout._resolved_envelopes(spark, t, ["a", "s"], None)
+    with pytest.raises(ValueError, match="recluster_zorder"):
+        layout.select_recluster_offenders(env, ["a", "s"], t)

