@@ -493,12 +493,18 @@ def hilbert_grid(order: int):
 
 #: Session-scoped memo for the Hilbert lookup frame: the grid for a given
 #: ``order`` never changes, and rebuilding the DataFrame per call costs a
-#: driver→JVM transfer each recluster.  Keyed by (session id, order).
+#: driver→JVM transfer each recluster.  Keyed by (applicationId, order) —
+#: NOT ``id(spark)``: CPython reuses object ids after GC, so a new session
+#: could collide with a stopped one's key and receive a DataFrame bound to
+#: a dead JVM (ADVICE r15 #4).  applicationId is unique per SparkContext;
+#: stale apps' entries are evicted on insert so the memo never outgrows
+#: one session's handful of orders.
 _HILBERT_LUT_CACHE: dict = {}
 
 
 def _hilbert_lut(spark, order: int) -> DataFrame:
-    key = (id(spark), order)
+    app = spark.sparkContext.applicationId
+    key = (app, order)
     lut = _HILBERT_LUT_CACHE.get(key)
     if lut is None:
         import pandas as pd
@@ -510,6 +516,8 @@ def _hilbert_lut(spark, order: int) -> DataFrame:
                  "__hd": ds}
             )
         )
+        for k in [k for k in _HILBERT_LUT_CACHE if k[0] != app]:
+            del _HILBERT_LUT_CACHE[k]  # dead-session eviction
         _HILBERT_LUT_CACHE[key] = lut
     return lut
 

@@ -507,8 +507,14 @@ def update_bloom_manifest_partitions(
     filters are recomputed in ONE scan bounded by the commit, with the
     same column / num_bits / num_hashes the standing manifest was built
     with — mixing parameters would break the probe's bit arithmetic.
+    A zero-row sidecar carries no config to rebuild with: delete it
+    (no bloom = no pruning = safe) instead of dereferencing None.
     """
     head = old_manifest.select("column", "num_bits", "num_hashes").first()
+    if head is None:
+        shutil.rmtree(os.path.join(path.rstrip("/"), BLOOM_DIR),
+                      ignore_errors=True)
+        return old_manifest
     cond = F.lit(False)
     for t in touched_partitions:
         cond = cond | F.col("file_path").contains(f"/{t}/")
@@ -565,8 +571,19 @@ def update_bloom_manifest_files(
     lists them.  A stale bloom manifest after a file-subset commit
     would serve RETIRED files to equality probes — in manifest mode
     those files still exist on disk, so this is a correctness hole, not
-    a staleness one."""
+    a staleness one.
+
+    A ZERO-ROW sidecar carries no column/bits/hashes config to rebuild
+    with, so it is deleted instead of dereferenced (ADVICE r15 #3: the
+    old ``head.column`` raised AttributeError AFTER the commit had
+    landed, failing the caller for a transaction that actually
+    committed) — no bloom manifest means no pruning, which is always
+    safe."""
     head = old_manifest.select("column", "num_bits", "num_hashes").first()
+    if head is None:
+        shutil.rmtree(os.path.join(path.rstrip("/"), BLOOM_DIR),
+                      ignore_errors=True)
+        return old_manifest
     removed_uris = [
         "file:" + os.path.abspath(os.path.join(path, r)) for r in removed
     ]

@@ -684,6 +684,17 @@ def _refuse_dv_sidecar(path: str, op: str) -> None:
         )
 
 
+def _drop_sidecars(path: str) -> None:
+    """Remove the stats and bloom skipping sidecars.  Always SAFE: no
+    manifest means no pruning — readers fall back to full file lists.
+    Used when a crash or rebuild failure leaves sidecar freshness
+    unknowable (ADVICE r15 #2)."""
+    from . import skipping
+
+    for d in (skipping.STATS_DIR, skipping.BLOOM_DIR):
+        shutil.rmtree(os.path.join(path.rstrip("/"), d), ignore_errors=True)
+
+
 def replace_files(
     df: DataFrame,
     path: str,
@@ -753,6 +764,30 @@ def replace_files(
             f"snapshot (added: {sorted(set(new_fields) - set(cur_fields))}, "
             f"removed: {sorted(set(cur_fields) - set(new_fields))}, "
             f"retyped: {sorted(c for c in cur_fields.keys() & new_fields.keys() if cur_fields[c] != new_fields[c])})"
+        )
+    # partition LAYOUT must match too (ADVICE r15 #5): appending flat
+    # files into a hive-partitioned tree (or hive dirs into a flat one)
+    # stages a live set that mixes directory structures — mixed reads
+    # then fail at QUERY time (conflicting layout / duplicate column)
+    # instead of at commit time.  A partitioned table with no
+    # partition_by defaults to its own layout.
+    from .writers import _discover_partition_columns
+
+    table_parts = _discover_partition_columns(path)
+    if table_parts:
+        if partition_by is None:
+            partition_by = list(table_parts)
+        elif list(partition_by) != table_parts:
+            raise ValueError(
+                f"{path}: table is hive-partitioned by {table_parts} but "
+                f"the commit staged partition_by={list(partition_by)} — "
+                "file-subset commits must keep the table's layout"
+            )
+    elif partition_by:
+        raise ValueError(
+            f"{path}: table is unpartitioned but the commit staged "
+            f"partition_by={list(partition_by)} — hive dirs beside flat "
+            "files would poison every mixed read"
         )
     stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite").format("parquet")
@@ -841,30 +876,48 @@ def replace_files(
         os.rename(path, os.path.join(vroot, f"v{version - 1}"))
         os.rename(full, path)
     _append_log(path, entry)
-    _release_intent(path)
     from . import skipping
 
-    if stats_cols:
-        skipping.write_stats_manifest(
-            spark, path, list(stats_cols),
-            files=(_live_data_files(path) if mode == "manifest" else None),
+    # sidecar maintenance window (ADVICE r15 #2): the commit is LOGGED,
+    # but until the stats/bloom sidecars are rebuilt they still describe
+    # the retired file set — in manifest mode those files remain on
+    # disk, so a crash inside this window would let pruned reads serve
+    # retired files and miss the added ones.  The commit claim is held
+    # as a sidecars-pending marker through the rebuild; recover() drops
+    # the (possibly stale) sidecars when it finds the marker — no
+    # manifest means no pruning, which is always safe, and the next
+    # stats_columns commit or maintenance sweep rebuilds them.
+    _write_intent(path, {"sidecars_pending": version})
+    try:
+        if stats_cols:
+            skipping.write_stats_manifest(
+                spark, path, list(stats_cols),
+                files=(_live_data_files(path) if mode == "manifest" else None),
+            )
+        # bloom sidecar: incrementally maintained like the stats manifest —
+        # manifest mode keeps retired files ON DISK, so a stale bloom row
+        # would serve them to equality probes (correctness, not staleness).
+        # Physical mode reads the superseded manifest from the renamed-aside
+        # version, exactly like replace_partitions' maintenance.
+        bloom_src = (
+            os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
+            if mode == "manifest"
+            else os.path.join(_vroot(path), f"v{version - 1}",
+                              skipping.BLOOM_DIR)
         )
-    # bloom sidecar: incrementally maintained like the stats manifest —
-    # manifest mode keeps retired files ON DISK, so a stale bloom row
-    # would serve them to equality probes (correctness, not staleness).
-    # Physical mode reads the superseded manifest from the renamed-aside
-    # version, exactly like replace_partitions' maintenance.
-    bloom_src = (
-        os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
-        if mode == "manifest"
-        else os.path.join(_vroot(path), f"v{version - 1}", skipping.BLOOM_DIR)
-    )
-    if os.path.isdir(bloom_src):
-        skipping.update_bloom_manifest_files(
-            spark, path, removed=list(remove),
-            added=[dst for _, dst in moves],
-            old_manifest=spark.read.parquet(bloom_src),
-        )
+        if os.path.isdir(bloom_src):
+            skipping.update_bloom_manifest_files(
+                spark, path, removed=list(remove),
+                added=[dst for _, dst in moves],
+                old_manifest=spark.read.parquet(bloom_src),
+            )
+    except BaseException:
+        # the transaction LANDED; a failed rebuild must not leave stale
+        # sidecars behind — drop them before surfacing the error
+        _drop_sidecars(path)
+        raise
+    finally:
+        _release_intent(path)
     return version
 
 
@@ -1750,7 +1803,15 @@ def recover(path: str) -> bool:
         intent = {}  # torn mid-write: commit never reached the renames
     repaired = False
     if intent is not None:
-        if "entry" in intent:
+        if "sidecars_pending" in intent:
+            # a commit died after logging but before its skipping
+            # sidecars were rebuilt (ADVICE r15 #2): the manifests may
+            # still describe the retired live set — drop them (pruning
+            # pauses until the next stats_columns commit or maintenance
+            # rebuild; never-wrongly-prune is preserved)
+            _drop_sidecars(path)
+            repaired = True
+        elif "entry" in intent:
             entry, stage = intent["entry"], intent["stage"]
             version = entry["version"]
             log = _read_log(path)
@@ -1771,6 +1832,14 @@ def recover(path: str) -> bool:
                             os.rename(path, aside)
                         os.rename(stage, path)
                 _append_log(path, entry)
+                repaired = True
+            if "moves" in intent:
+                # a manifest-mode file-subset commit holding its entry
+                # intent died BEFORE its sidecar rebuild could run (the
+                # rebuild happens under the sidecars_pending marker):
+                # whatever sidecars stand still describe the pre-commit
+                # live set — drop them (ADVICE r15 #2)
+                _drop_sidecars(path)
                 repaired = True
         _release_intent(path)
     # orphan stages: no live intent names them — writer died mid-write,

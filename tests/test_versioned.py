@@ -1363,6 +1363,113 @@ def test_replace_files_crash_rolls_forward(spark, tmp_path, mode, monkeypatch):
 
 
 @pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_replace_files_sidecar_crash_window_recovers(spark, tmp_path, mode):
+    """r16 (ADVICE r15 #2): a commit that dies AFTER logging but BEFORE
+    its skipping sidecars rebuilt leaves manifests describing the
+    retired live set — in manifest mode those files are still on disk,
+    so pruned reads would serve them.  The commit holds a
+    sidecars-pending marker through the rebuild; recover() finds the
+    marker and DROPS the unknowable sidecars (no manifest = no pruning
+    = safe)."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(2_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(4), t, now=1.0, snapshot_mode=mode,
+                          stats_columns=["a"])
+    skipping.write_bloom_manifest(
+        spark, t, "a", files=(V._live_data_files(t) or None)
+    )
+    assert os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+    assert os.path.isdir(os.path.join(t, skipping.BLOOM_DIR))
+    # stand in for a claimant that died inside the sidecar window: the
+    # commit is logged, the marker stands, the sidecars are pre-commit
+    V._write_intent(t, {"sidecars_pending": V.current_version(t)})
+    assert V.recover(t) is True
+    assert not os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+    assert not os.path.isdir(os.path.join(t, skipping.BLOOM_DIR))
+    assert V.read_current(spark, t).count() == 2_000  # unpruned reads fine
+    assert V.recover(t) is False  # idempotent
+    # the slot is free again: the next commit (with stats) rebuilds
+    V.append_versioned(df.limit(5), t, now=2.0, stats_columns=["a"])
+    assert os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+
+
+def test_replace_files_rebuild_failure_drops_sidecars(spark, tmp_path,
+                                                      monkeypatch):
+    """r16 (ADVICE r15 #2/#3 family): when the post-commit sidecar
+    rebuild RAISES (not crashes), the transaction has landed — the
+    stale sidecars are dropped before the error surfaces, and the
+    commit slot is released so the table isn't wedged."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(1_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(4), t, now=1.0,
+                          snapshot_mode="manifest", stats_columns=["a"])
+
+    def explode(*a, **k):
+        raise RuntimeError("rebuild died")
+
+    monkeypatch.setattr(skipping, "write_stats_manifest", explode)
+    with pytest.raises(RuntimeError, match="rebuild died"):
+        V.append_versioned(df.limit(10), t, now=2.0)
+    monkeypatch.undo()
+    assert V.current_version(t) == 1              # the commit LANDED
+    assert not os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+    assert V.read_current(spark, t).count() == 1_010
+    # slot released: the next commit proceeds and restores the manifest
+    V.append_versioned(df.limit(5), t, now=3.0, stats_columns=["a"])
+    assert V.current_version(t) == 2
+    assert os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+
+
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_replace_files_refuses_partition_layout_drift(spark, tmp_path, mode):
+    """r16 (ADVICE r15 #5): appending flat files into a hive-partitioned
+    tree (or hive dirs into a flat table) would mix directory layouts
+    and poison every later read — refused at COMMIT time, by name; a
+    partitioned table with no partition_by defaults to its own layout."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(2_000).select(
+        (F.col("id") % 2).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    V.overwrite_versioned(df.repartition(2), t, now=1.0, partition_by=["g"],
+                          snapshot_mode=mode)
+    extra = spark.range(2_000, 2_100).select(
+        (F.col("id") % 2).cast("int").alias("g"), F.col("id").alias("a")
+    )
+    # omitted partition_by defaults to the table's layout
+    V.append_versioned(extra.repartition(1), t, now=2.0)
+    live = [os.path.relpath(f, t) for f in V._data_files(t)]
+    assert all(r.split(os.sep)[0].startswith("g=") for r in live), live[:4]
+    assert V.read_current(spark, t).count() == 2_100
+    # a MISMATCHED layout is refused by name
+    with pytest.raises(ValueError, match="hive-partitioned by \\['g'\\]"):
+        V.append_versioned(extra.limit(5), t, now=3.0, partition_by=["a"])
+    # flat table + partitioned commit: refused too
+    t2 = str(tmp_path / "t2")
+    V.overwrite_versioned(df.repartition(2), t2, now=1.0, snapshot_mode=mode)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        V.append_versioned(extra.limit(5), t2, now=2.0, partition_by=["g"])
+    assert V.current_version(t2) == 0
+
+
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
 def test_replace_files_maintains_bloom_manifest(spark, tmp_path, mode):
     """r15: a file-subset commit must keep the bloom sidecar describing
     exactly the live set — in manifest mode retired files stay ON DISK,
@@ -1422,6 +1529,37 @@ def test_replace_files_maintains_bloom_manifest(spark, tmp_path, mode):
         F.col("a") == 2500
     ).count()
     assert hit == 1
+
+
+def test_replace_files_zero_row_bloom_sidecar_is_dropped(spark, tmp_path):
+    """r16 (ADVICE r15 #3): a zero-row bloom sidecar carries no
+    column/bits/hashes config — the maintenance hook used to
+    dereference None AFTER the commit landed, failing the caller for a
+    committed transaction.  Now the empty sidecar is deleted (no bloom
+    = no pruning = safe) and the commit returns normally."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(1_000).select(
+        F.col("id").cast("int").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(2), t, now=1.0,
+                          snapshot_mode="manifest")
+    skipping.write_bloom_manifest(
+        spark, t, "a", files=(V._live_data_files(t) or None)
+    )
+    bloom_dir = os.path.join(t, skipping.BLOOM_DIR)
+    empty = spark.read.parquet(bloom_dir).limit(0)
+    empty.write.mode("overwrite").parquet(bloom_dir)
+    assert spark.read.parquet(bloom_dir).count() == 0
+    v = V.append_versioned(df.limit(10), t, now=2.0)  # must not raise
+    assert v == 1
+    assert not os.path.isdir(bloom_dir)  # empty sidecar dropped
+    assert V.read_current(spark, t).count() == 1_010
 
 
 def test_layout_rewrites_refuse_live_dv_sidecar(spark, tmp_path):
