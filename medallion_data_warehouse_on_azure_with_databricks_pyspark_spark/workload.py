@@ -2675,92 +2675,53 @@ DRIVER_RETIRED = frozenset({
 #: rotation tests skip (with a rotate-me message) once CORRECTNESS_r{N}
 #: artifacts for this round exist, instead of failing as if the engine
 #: regressed — VERDICT r12 "What's wrong" #1.
-CORRECTNESS_PRIORITY_ROUND = 15
+CORRECTNESS_PRIORITY_ROUND = 16
 
 CORRECTNESS_PRIORITY = [
-    # -- r15 window (VERDICT r14 ask #1): ALL TEN quantization-composite
-    #    emb lanes deferred from the r14 window (last hash row r11 —
-    #    COVERAGE.md's r14 note miscounted nine; emb_ivf_recall_report
-    #    is the tenth) lead outright (rule 1: stalest first). --
-    "emb_ivf_recall_report",
-    "emb_ivfbq_indexed_topk", "emb_ivfsq8_indexed_topk",
-    "emb_ivfsq8_stream_topk",
-    "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
-    "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
-    # -- changed-code this round (rule 2): latest_per_key grows
-    #    all-null-sequence fallback semantics (ADVICE r14 #1), riding
-    #    every apply_changes/W5-pick caller; the recluster lane drops
-    #    its duplicate post-rewrite health poll and picks the curve via
-    #    MaintenancePolicy (VERDICT r14 asks #4/#6 + the three layout
-    #    ADVICE fixes). --
-    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
-    "dlt_part_pipeline_deletes", "dlt_part_quarantine",
-    "part_scd2_from_cdf_replay", "scd2_part_dim_deletes",
-    "events_stream_matview_ingest", "events_recluster_zorder_scan",
-    # -- NEW this round (rule 2): hilbert recluster through the loop;
-    #    incremental (liquid-clustering-shape) recluster over the new
-    #    replace_files/append_versioned file-subset commits --
-    "events_recluster_hilbert_scan", "events_recluster_incremental_scan",
-    # -- changed this round (rule 2): both ride pruned_files_multi's new
-    #    driver-side manifest evaluation (r13-fresh otherwise) --
-    "part_stats_skipping_scan", "part_optimize_compacted_scan",
-    # -- last hash row r12: 31 of the 44-lane tier rotate in (rule 1).
-    #    Ten defer to the tier below (lowest information loss — each has
-    #    a fresher driver-green twin or composed rung, plus the dual-SF
-    #    pytest oracle), and emb_pq_adc_topk retires from the driver
-    #    registry this round (VERDICT r14 ask #2). --
-    "corpus_vocab_topk", "customer_with_high_value_orders",
-    "customer_without_orders", "doc_benchmark_decontamination",
-    "doc_bm25_topk", "doc_chunks", "doc_dedup_representatives",
-    "doc_duplicated_spans", "doc_duplication_stats", "doc_exact_dedup",
-    "doc_gopher_quality", "doc_language_id", "doc_mixture_splits",
-    "doc_repetition_stats", "doc_scrub_pii", "doc_source_caps",
-    "doc_text_stats", "doc_token_counts", "doc_token_packing",
-    "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
-    "events_daily_rolling", "events_resample_ffill",
-    "events_stateful_sessions",
-    "multimodal_features", "orders_analytic_windows",
-    "orders_price_quantiles", "part_bloom_skipping_scan",
-    "part_replace_partitions", "part_string_functions",
-    # -- deferred slice of the r12 tier (positions 51+; front the r16
-    #    window).  Rationale per lane: the scd trio's merge core
-    #    (plans/scd.py) is re-hashed THIS round by the seven changed
-    #    rider lanes above; emb_ivf_topk / emb_lsh_topk /
-    #    emb_lsh_multitable_topk / emb_cosine_topk / emb_ivf_kmeans_topk
-    #    have driver-green indexed or scorer twins from r13/r14
-    #    (emb_ivf_indexed_topk r14, emb_lsh_indexed_topk r13,
-    #    emb_cosine_dedup_pairs r13); emb_int8_quantize_error /
-    #    emb_ivf_drift_report are diagnostics over rungs green r13/r14.
-    #    orders_status_priority_cube / orders_year_priority_pivot joined
-    #    the deferral when the two changed skipping lanes took their
-    #    slots: their grouping/reshape relatives are fresh
-    #    (orders_priority_rollup + orders_unpivot_metrics r14,
-    #    orders_grouping_sets r13); events_variant_props joined when the
-    #    incremental-recluster lane took its slot (JSON-shredding
-    #    relative events_json_props is r14-green).  emb_pq_adc_topk is
-    #    retired (see DRIVER_RETIRED). --
+    # -- r16 window (VERDICT r15 ask #2): the ENTIRE r12 tier fronts —
+    #    the restated 3-round promise makes r16 the deadline for all 13
+    #    lanes whose last hash row is r12 (rule 1: stalest first). --
     "emb_cosine_topk", "emb_int8_quantize_error", "emb_ivf_drift_report",
     "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_lsh_multitable_topk",
     "emb_lsh_topk", "events_variant_props", "orders_status_priority_cube",
     "orders_year_priority_pivot", "scd1_customer_dim",
     "scd1_customer_dim_sql", "scd2_part_dim",
-    # -- no-oracle lanes (rows-only driver rows, all refreshed r14;
-    #    exact oracles are dual-SF pytest — budget-100 grace tier) --
-    "doc_simhash_pairs", "doc_bpe_token_counts", "doc_bpe_trained_tokens",
+    # -- changed-code this round (rule 2, VERDICT r15 asks #3/#4/#6 +
+    #    the five ADVICE fixes): replace_files grows the sidecars-pending
+    #    recovery marker and partition-layout enforcement (rides every
+    #    file-subset commit); optimize_compact_incremental packs per
+    #    partition with per-partition byte targets; the incremental
+    #    recluster selector refuses non-numeric specs and reports
+    #    escalation telemetry; the bloom maintenance hooks guard the
+    #    zero-row sidecar; the Hilbert LUT memo re-keys by applicationId. --
+    "events_recluster_incremental_scan", "events_recluster_zorder_scan",
+    "events_recluster_hilbert_scan", "part_optimize_compacted_scan",
+    "part_bloom_skipping_scan", "part_replace_partitions",
+    # -- no-oracle grace tier fronted (VERDICT r15 ask #5): their
+    #    rows-only driver rows date to r14 and the window has slack after
+    #    the r15 retirements — all five ride now, clearing the r18
+    #    deadline early.  Exact oracles remain the dual-SF pytest suite. --
+    "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
     "events_approx_distinct", "events_approx_quantiles",
-    # -- last hash row r13 (rotate in at r16/r17) --
+    # -- last hash row r13: 26 of the 44-lane tier rotate in (rule 1);
+    #    emb_semantic_dedup is double-qualified (r13-stale AND changed:
+    #    its cluster cache re-keys by applicationId).  The remaining 17
+    #    defer to the tier below and MUST front the r17 window (their
+    #    r13+4 deadline) — deferral choice is the alphabetical tail, no
+    #    information-loss ordering applies within one deadline class. --
     "customer_change_hash", "customer_filter_segment",
     "customer_segment_count", "doc_adaptive_quality_filter",
     "doc_boilerplate_removal", "emb_cosine_dedup_pairs",
     "emb_ivfpq_indexed_topk", "emb_ivfpq_residual_topk",
     "emb_ivfpq_stream_topk", "emb_ivfpq_topk", "emb_lsh_indexed_topk",
-    "emb_pq_indexed_topk", "emb_semantic_dedup",
-    "emb_sq8_indexed_topk", "emb_top_pc_projection",
-    "events_asof_join", "events_cohort_retention", "events_funnel_stages",
-    "events_generated_partition_scan", "events_hourly_ohlc",
-    "events_hourly_windows", "events_range_join_agg",
+    "emb_pq_indexed_topk", "emb_semantic_dedup", "emb_sq8_indexed_topk",
+    "emb_top_pc_projection", "events_asof_join", "events_cohort_retention",
+    "events_funnel_stages", "events_generated_partition_scan",
+    "events_hourly_ohlc", "events_hourly_windows", "events_range_join_agg",
     "events_session_windows", "events_sliding_windows",
     "events_stream_counter_ingest", "events_stream_static_enrich",
+    # -- deferred slice of the r13 tier (17 lanes, positions 51+):
+    #    deadline r17 — front the r17 window. --
     "events_stream_stream_join", "lineitem_pricing_summary",
     "order_fact_upsert", "orders_bucketed_colocated_join",
     "orders_grouping_sets", "orders_shipping_priority", "part_cdf_changes",
@@ -2769,7 +2730,7 @@ CORRECTNESS_PRIORITY = [
     "part_merge_dv_scan", "part_merge_versioned_txn",
     "part_optimize_partitions_scan", "part_time_travel_diff",
     "part_type_token_count", "regional_nation_revenue",
-    # -- last hash row r14 (freshest — rotate back in later rounds) --
+    # -- last hash row r14 (rotate in at r17/r18) --
     "customer_dim_schema_evolution", "customer_set_ops",
     "doc_cross_corpus_dedup", "doc_curation_pipeline",
     "doc_dedup_keep_best", "doc_hybrid_search_rrf",
@@ -2787,6 +2748,26 @@ CORRECTNESS_PRIORITY = [
     "orders_duplicate_custkeys", "orders_priority_rollup", "orders_top20",
     "orders_unpivot_metrics", "orders_year_windows",
     "part_brand_upper_udf", "part_discount_udf", "part_distinct_aggs",
+    # -- last hash row r15 (freshest — rotate back in later rounds) --
+    "corpus_vocab_topk", "customer_with_high_value_orders",
+    "customer_without_orders", "dlt_part_pipeline",
+    "dlt_part_pipeline_deletes", "dlt_part_pipeline_incremental",
+    "dlt_part_quarantine", "doc_benchmark_decontamination",
+    "doc_bm25_topk", "doc_chunks", "doc_dedup_representatives",
+    "doc_duplicated_spans", "doc_duplication_stats", "doc_exact_dedup",
+    "doc_gopher_quality", "doc_language_id", "doc_mixture_splits",
+    "doc_repetition_stats", "doc_scrub_pii", "doc_source_caps",
+    "doc_text_stats", "doc_token_counts", "doc_token_packing",
+    "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
+    "emb_ivf_recall_report", "emb_ivfbq_indexed_topk",
+    "emb_ivfsq8_indexed_topk", "emb_ivfsq8_stream_topk",
+    "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
+    "emb_mmr_diversified_topk", "emb_mmr_ivf_topk", "events_daily_rolling",
+    "events_resample_ffill", "events_stateful_sessions",
+    "events_stream_matview_ingest", "multimodal_features",
+    "orders_analytic_windows", "orders_price_quantiles",
+    "part_scd2_from_cdf_replay", "part_stats_skipping_scan",
+    "part_string_functions", "scd2_part_dim_deletes",
 ]
 
 def ordered_queries() -> dict:

@@ -104,29 +104,21 @@ def test_every_query_has_oracle_or_documented_weak_check():
 #: a changed lane always gets a fresh driver hash regardless of
 #: staleness).  Maintained alongside CORRECTNESS_PRIORITY each round.
 CHANGED_THIS_ROUND = {
-    # r15 (ADVICE r14 #1): latest_per_key's agg strategy gains the
-    # all-null-sequence fallback (coalesce onto any_value) so it is
-    # drop-in equal to the window strategy on every input — rides every
-    # apply_changes/W5-pick caller:
-    "dlt_part_pipeline", "dlt_part_pipeline_incremental",
-    "dlt_part_pipeline_deletes", "dlt_part_quarantine",
-    "part_scd2_from_cdf_replay", "scd2_part_dim_deletes",
-    "events_stream_matview_ingest",
-    # r15 (VERDICT r14 asks #4/#6 + layout ADVICE fixes): the recluster
-    # lane drops its duplicate post-rewrite health poll and selects the
-    # space-filling curve through MaintenancePolicy; cluster_health
-    # gains relpath liveness + manifest-mode live-file resolution;
-    # recluster_zorder refuses non-versioned roots.
-    "events_recluster_zorder_scan",
-    # NEW lane (ask #4): Hilbert-curve recluster driven through the
-    # maintenance loop end-to-end.
-    "events_recluster_hilbert_scan",
-    # NEW lane (r15): incremental recluster (liquid-clustering shape)
-    # over the new replace_files/append_versioned file-subset commits.
-    "events_recluster_incremental_scan",
-    # r15: pruned_files_multi evaluates the stats manifest driver-side
-    # (pyarrow, no Spark job) — these two lanes ride that read path.
-    "part_stats_skipping_scan", "part_optimize_compacted_scan",
+    # r16 (VERDICT r15 asks #3/#4/#6 + all five ADVICE items):
+    # replace_files/append_versioned grow the sidecars-pending recovery
+    # marker and partition-layout enforcement — every lane that commits
+    # file subsets rides them; optimize_compact_incremental packs per
+    # partition (per-partition byte targets + no-op guard); the
+    # incremental recluster selector refuses non-numeric clustering
+    # columns and reports escalation telemetry through the maintenance
+    # sweep; the bloom maintenance hooks guard the zero-row sidecar; the
+    # Hilbert LUT memo re-keys by applicationId.
+    "events_recluster_incremental_scan", "events_recluster_zorder_scan",
+    "events_recluster_hilbert_scan", "part_optimize_compacted_scan",
+    "part_bloom_skipping_scan", "part_replace_partitions",
+    # r16: the semantic-clusters cache re-keys by (applicationId,
+    # sf_dir) so a session restart can never serve a dead-JVM frame.
+    "emb_semantic_dedup",
 }
 
 
@@ -189,9 +181,15 @@ def test_ordered_queries_serves_priority_window():
     latest = _latest_driver_rounds()
     _skip_if_priority_window_consumed(latest)
     newest_round = max(latest.values())
+    import __spark_entry__ as entry_mod
+
+    oracles = set(entry_mod.oracle_sql())
     squatters = [
         q for q in window
         if q not in CHANGED_THIS_ROUND
+        and q in oracles  # no-oracle lanes may front on VERDICT's ask
+        # (r15 ask #5): their rows-only row is the only driver evidence
+        # they can ever get, so "freshly hashed" never applies to them
         and latest.get(q, 0) > newest_round - 2
     ]
     assert squatters == [], (
