@@ -1123,8 +1123,12 @@ def emb_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: One persisted semantic_clusters frame per corpus (input-deterministic;
-#: same bounded-cache determinism argument as _PQ_BOOKS_CACHE).
-_SEM_CLUSTERS_CACHE: dict[str, DataFrame] = {}
+#: same bounded-cache determinism argument as _PQ_BOOKS_CACHE).  Keyed by
+#: (applicationId, sf_dir) because the value is a session-bound DataFrame
+#: — a process that restarts its SparkSession (bench.py's per-~50-lane
+#: hygiene restart, multi-session tests) must never be served a frame
+#: bound to a dead JVM; stale apps' entries are evicted on insert.
+_SEM_CLUSTERS_CACHE: dict[tuple, DataFrame] = {}
 
 
 @query(
@@ -1169,10 +1173,13 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scan + anti-join.  Bounded by corpora held (≤ #sf_dirs), unlike
     the per-call persist ADVICE r7 flagged."""
     emb = load(spark, sf_dir, "embeddings")
-    cl = _SEM_CLUSTERS_CACHE.get(sf_dir)
+    app = spark.sparkContext.applicationId
+    cl = _SEM_CLUSTERS_CACHE.get((app, sf_dir))
     if cl is None:
         cl = similarity.semantic_clusters(emb, modulus=37).persist()
-        _SEM_CLUSTERS_CACHE[sf_dir] = cl
+        for k in [k for k in _SEM_CLUSTERS_CACHE if k[0] != app]:
+            del _SEM_CLUSTERS_CACHE[k]  # dead-session eviction
+        _SEM_CLUSTERS_CACHE[(app, sf_dir)] = cl
     return similarity.semantic_dedup_survivors(clustered=cl, threshold=0.35)
 
 
