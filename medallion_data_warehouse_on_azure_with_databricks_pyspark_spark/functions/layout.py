@@ -606,10 +606,10 @@ def select_recluster_offenders(
         ):
             raise ValueError(
                 f"clustering column {c!r} has {type(lo0).__name__} bounds: "
-                "incremental recluster needs numeric/timestamp/date columns "
-                "for envelope-span arithmetic — drop it from the spec or "
-                "use the full recluster_zorder (rank-scaled: any orderable "
-                "type)"
+                "recluster needs numeric/timestamp/date columns for "
+                "envelope-span and quantile arithmetic — drop it from the "
+                "spec or cluster on a numeric proxy (e.g. a hash prefix or "
+                "dictionary id column)"
             )
         spans[c] = (min(v[0] for v in vals), max(v[1] for v in vals))
     offenders = []

@@ -617,5 +617,5 @@ def test_incremental_recluster_refuses_string_clustering_column(
     assert versioned.current_version(t) == 0  # nothing committed
     # the selector itself carries the refusal (once per sweep, driver-side)
     env = layout._resolved_envelopes(spark, t, ["a", "s"], None)
-    with pytest.raises(ValueError, match="recluster_zorder"):
+    with pytest.raises(ValueError, match="numeric proxy"):
         layout.select_recluster_offenders(env, ["a", "s"], t)

@@ -413,7 +413,7 @@ def test_sweep_reports_string_spec_error_once(spark, tmp_path, monkeypatch):
     assert row["action"] == "recluster"
     assert "ValueError" in row["error"]
     assert "clustering column 's'" in row["error"]
-    assert "recluster_zorder" in row["error"]  # the fix is named
+    assert "numeric proxy" in row["error"]  # the fix is named
     assert calls["n"] == 1  # one refusal, not a retry loop
     assert versioned.current_version(t) == 0  # nothing committed
 
