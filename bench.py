@@ -187,6 +187,7 @@ HEADLINE = [
     # r9: tokenizer training on the corpus itself (distributed word count
     # + driver merge loop + per-doc counts under the trained table)
     "doc_bpe_trained_tokens",
+    "docs_recluster_sorted_scan",
 ]
 
 #: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round

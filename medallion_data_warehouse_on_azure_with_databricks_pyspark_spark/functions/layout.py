@@ -169,6 +169,94 @@ def zorder_layout_ranked(
     )
 
 
+def sorted_layout(
+    df: DataFrame,
+    cols: list[str] | str,
+    n_files: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """LINEAR clustering: range-partition + sort by the key prefix —
+    Delta's ``OPTIMIZE ... ZORDER``-adjacent ``ORDER BY`` layout and the
+    shape liquid clustering takes for a single key.  Works on ANY
+    orderable type — strings included — because Spark's RangePartitioner
+    samples boundaries instead of doing quantile arithmetic (the reason
+    the space-filling curves above are numeric-only).  Pruning is
+    perfect on the LEADING column and prefix-local on the rest, so this
+    is the right layout when one column dominates predicates or when
+    the clustering keys are strings; multi-dimensional point queries
+    over uncorrelated columns still want morton/hilbert on numeric
+    proxies.  One shuffle (the range exchange), no joins, no UDFs —
+    identical cost shape to :func:`zorder_layout_ranked` minus the
+    bucket pass."""
+    if isinstance(cols, str):
+        cols = [cols]
+    if not cols:
+        raise ValueError("sorted_layout needs at least 1 column")
+    lead = [F.col(c) for c in (partition_cols or [])]
+    keys = [F.col(c) for c in cols]
+    return (
+        df.repartitionByRange(n_files, *lead, *keys)
+        .sortWithinPartitions(*lead, *keys)
+    )
+
+
+#: Curves and their dimensional contracts.  ``sorted`` is linear (1+
+#: columns, any orderable type); the space-filling curves need numeric/
+#: timestamp/date dimensions for rank-scaling.
+CURVES = ("morton", "hilbert", "sorted")
+
+
+def _validate_curve_spec(schema, cols: list[str], curve: str) -> None:
+    """Refuse an unworkable clustering spec LOUDLY and by name before
+    any envelope read or rewrite stages (VERDICT r15 ask #3): the
+    quantile/span arithmetic behind morton/hilbert needs numeric,
+    timestamp, or date dimensions — a string column can never work
+    there, and without this check the failure is an opaque
+    AnalysisException from percentile_approx (full path) or a per-sweep
+    TypeError inside the scheduler's fault isolation (incremental
+    path).  ``curve='sorted'`` accepts any orderable type.  With
+    ``schema=None`` only the schema-free arity/name checks run — the
+    cheap precheck callers do before touching the table."""
+    from pyspark.sql import types as T
+
+    if curve not in CURVES:
+        raise ValueError(f"unknown curve {curve!r} (have {CURVES})")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError("hilbert clustering is 2-D; use curve='morton'")
+    if curve == "morton" and len(cols) < 2:
+        raise ValueError(
+            "morton clustering needs at least 2 columns; for a single "
+            "key use curve='sorted'"
+        )
+    if not cols:
+        raise ValueError("clustering needs at least 1 column")
+    if schema is None:
+        return
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"clustering column {c!r} not in table schema")
+        dt = by_name[c]
+        if curve == "sorted":
+            if isinstance(dt, T.MapType):
+                raise ValueError(
+                    f"clustering column {c!r} is {dt.simpleString()}: maps "
+                    "are not orderable"
+                )
+            continue
+        ok = isinstance(
+            dt, (T.NumericType, T.DateType, T.TimestampType,
+                 T.TimestampNTZType)
+        )
+        if not ok:
+            raise ValueError(
+                f"clustering column {c!r} is {dt.simpleString()}: curve "
+                f"{curve!r} needs numeric/timestamp/date dimensions for "
+                "rank-scaling — use curve='sorted' (linear range "
+                "clustering, any orderable type) or a numeric proxy column"
+            )
+
+
 def file_envelopes(
     spark, path: str, columns: list[str], files: list[str] | None = None
 ):
@@ -366,17 +454,16 @@ def recluster_zorder(
     contract — flattening would destroy partition pruning).  Returns
     the committed version.
 
+    ``curve="sorted"`` takes the LINEAR layout (:func:`sorted_layout`)
+    instead of a space-filling curve — 1+ clustering columns of any
+    orderable type, strings included.
+
     Plain (non-versioned) directories don't need this wrapper — write
     :func:`zorder_layout`'s output directly."""
     from ..sources import versioned
     from ..sources.writers import _discover_partition_columns
 
-    if len(cols) < 2:
-        raise ValueError("recluster_zorder needs at least 2 columns")
-    if curve == "hilbert" and len(cols) != 2:
-        raise ValueError("hilbert clustering is 2-D; use curve='morton'")
-    if curve not in ("morton", "hilbert"):
-        raise ValueError(f"unknown curve {curve!r}")
+    _validate_curve_spec(None, list(cols), curve)  # arity/name precheck
     v = versioned.current_version(path)
     if v is None:
         # same contract as optimize_zorder: transact() would otherwise
@@ -390,6 +477,9 @@ def recluster_zorder(
     # a live DV sidecar would have its marked rows resurrected by the
     # raw-file rewrite — Delta's rule too: purge first (REORG APPLY PURGE)
     versioned._refuse_dv_sidecar(path, "recluster_zorder")
+    _validate_curve_spec(
+        versioned.read_current(spark, path).schema, list(cols), curve
+    )
     if n_files is None:
         if versioned.snapshot_mode(path) == "manifest":
             n_files = len(versioned._snapshot_files(path, v))
@@ -407,6 +497,11 @@ def recluster_zorder(
         def relayout(snap):
             return hilbert_layout_ranked(
                 snap, a, b, n_files, partition_cols=part_cols
+            )
+    elif curve == "sorted":
+        def relayout(snap):
+            return sorted_layout(
+                snap, list(cols), n_files, partition_cols=part_cols
             )
     else:
         def relayout(snap):
@@ -580,14 +675,15 @@ def select_recluster_offenders(
     with NULL bounds on some column are unprunable anyway and count as
     offenders.  Pure driver-side arithmetic over bounded envelope rows.
 
-    Clustering columns must carry bounds that support span arithmetic —
-    numeric, decimal, timestamp, or date.  A string/binary/bool column
-    is refused LOUDLY here, once per sweep, naming the column (r16,
-    VERDICT r15 ask #3): the quantile-bucket rewrite side is numeric-
-    only too, so the spec can never work — without this check the
-    maintenance loop's fault isolation would log an opaque TypeError
-    every sweep forever.  The full :func:`recluster_zorder` rank-scaled
-    path handles any orderable type; point string specs there."""
+    Numeric/timestamp/date bounds use exact value-span arithmetic; any
+    other orderable type (strings for ``curve="sorted"`` layouts)
+    measures spans in RANK SPACE over the distinct bound values — a
+    file whose [min, max] straddles most of the bound order is wide,
+    one inside a narrow rank slice is tight.  Bounds are per-file
+    metadata, so the rank table is as bounded as the envelope list
+    itself (r16: replaces the r15-era type refusal now that the sorted
+    curve gives non-numeric columns a rewrite path; the per-curve type
+    contract is enforced up front by ``_validate_curve_spec``)."""
     import datetime as _dt
     import decimal as _dec
 
@@ -601,26 +697,30 @@ def select_recluster_offenders(
         if not vals:
             continue
         lo0 = vals[0][0]
-        if isinstance(lo0, bool) or not isinstance(
+        numeric = not isinstance(lo0, bool) and isinstance(
             lo0, (int, float, _dec.Decimal, _dt.datetime, _dt.date)
-        ):
-            raise ValueError(
-                f"clustering column {c!r} has {type(lo0).__name__} bounds: "
-                "recluster needs numeric/timestamp/date columns for "
-                "envelope-span and quantile arithmetic — drop it from the "
-                "spec or cluster on a numeric proxy (e.g. a hash prefix or "
-                "dictionary id column)"
+        )
+        if numeric:
+            spans[c] = (
+                "value", min(v[0] for v in vals), max(v[1] for v in vals)
             )
-        spans[c] = (min(v[0] for v in vals), max(v[1] for v in vals))
+        else:
+            order = sorted({v for pair in vals for v in pair})
+            spans[c] = ("rank", {v: i for i, v in enumerate(order)}, None)
     offenders = []
     for r in env_rows:
         wide = True
-        for c, (lo, hi) in spans.items():
-            full = hi - lo
+        for c, (kind, a, b) in spans.items():
             mn, mx = r[f"min__{c}"], r[f"max__{c}"]
             if mn is None or mx is None:
                 continue  # null bounds: unprunable, stays an offender
-            if full and (mx - mn) / full <= span_frac:
+            if kind == "value":
+                full = b - a
+                frac_tight = full and (mx - mn) / full <= span_frac
+            else:
+                full = len(a) - 1
+                frac_tight = full and (a[mx] - a[mn]) / full <= span_frac
+            if frac_tight:
                 wide = False
                 break
         if wide:
@@ -665,12 +765,7 @@ def recluster_incremental(
     from ..sources import versioned
     from ..sources.writers import _discover_partition_columns
 
-    if len(cols) < 2:
-        raise ValueError("recluster_incremental needs at least 2 columns")
-    if curve == "hilbert" and len(cols) != 2:
-        raise ValueError("hilbert clustering is 2-D; use curve='morton'")
-    if curve not in ("morton", "hilbert"):
-        raise ValueError(f"unknown curve {curve!r}")
+    _validate_curve_spec(None, list(cols), curve)  # arity/name precheck
     last = None
     for attempt in range(max_retries + 1):
         base_v = versioned.current_version(path)
@@ -680,6 +775,9 @@ def recluster_incremental(
                 "versioned tables"
             )
         versioned._refuse_dv_sidecar(path, "recluster_incremental")
+        _validate_curve_spec(
+            versioned.read_current(spark, path).schema, list(cols), curve
+        )
         env = _resolved_envelopes(spark, path, list(cols), None)
         offenders = select_recluster_offenders(env, list(cols), path,
                                                span_frac=span_frac)
@@ -710,6 +808,10 @@ def recluster_incremental(
         if curve == "hilbert":
             laid = hilbert_layout_ranked(
                 rows, cols[0], cols[1], n_out, partition_cols=part_cols
+            )
+        elif curve == "sorted":
+            laid = sorted_layout(
+                rows, list(cols), n_out, partition_cols=part_cols
             )
         else:
             laid = zorder_layout_ranked(

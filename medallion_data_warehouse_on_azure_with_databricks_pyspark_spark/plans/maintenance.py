@@ -199,12 +199,14 @@ def run_maintenance(
     actuator's ``result`` (rows purged, promoted path, recovery bool).
 
     ``cluster_specs`` entries are ``(table_path, clustering_cols)`` or
-    ``(table_path, clustering_cols, curve)`` with two or more clustering
-    columns — versioned tables whose space-filling-curve layout the
-    sweep should keep healthy (``functions/layout.py``: health =
-    envelope-overlap depth, actuator = OPTIMIZE ZORDER transaction).
-    ``curve`` (``"morton"`` | ``"hilbert"``) overrides
-    ``policy.cluster_curve`` per table; hilbert is 2-D only.  ``table_paths`` are versioned
+    ``(table_path, clustering_cols, curve)`` — versioned tables whose
+    clustered layout the sweep should keep healthy
+    (``functions/layout.py``: health = envelope-overlap depth, actuator
+    = OPTIMIZE ZORDER transaction).  ``curve`` (``"morton"`` |
+    ``"hilbert"`` | ``"sorted"``) overrides ``policy.cluster_curve``
+    per table; hilbert is 2-D only, morton needs 2+ numeric dimensions,
+    ``sorted`` is the linear layout (1+ columns, any orderable type —
+    the string-key path).  ``table_paths`` are versioned
     tables swept for RETENTION: health = ``versioned.table_detail``
     (superseded bytes, retained versions, standing intent), actuator =
     claim-guarded ``vacuum`` — or ``recover`` under ``assume_quiesced``

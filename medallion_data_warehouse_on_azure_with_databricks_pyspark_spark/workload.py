@@ -2697,6 +2697,9 @@ CORRECTNESS_PRIORITY = [
     "events_recluster_incremental_scan", "events_recluster_zorder_scan",
     "events_recluster_hilbert_scan", "part_optimize_compacted_scan",
     "part_bloom_skipping_scan", "part_replace_partitions",
+    # -- NEW this round (rule 2): string-keyed linear clustering
+    #    (curve="sorted") through the incremental maintenance loop --
+    "docs_recluster_sorted_scan",
     # -- no-oracle grace tier fronted (VERDICT r15 ask #5): their
     #    rows-only driver rows date to r14 and the window has slack after
     #    the r15 retirements — all five ride now, clearing the r18
@@ -2719,9 +2722,10 @@ CORRECTNESS_PRIORITY = [
     "events_funnel_stages", "events_generated_partition_scan",
     "events_hourly_ohlc", "events_hourly_windows", "events_range_join_agg",
     "events_session_windows", "events_sliding_windows",
-    "events_stream_counter_ingest", "events_stream_static_enrich",
-    # -- deferred slice of the r13 tier (17 lanes, positions 51+):
+    "events_stream_counter_ingest",
+    # -- deferred slice of the r13 tier (18 lanes, positions 51+):
     #    deadline r17 — front the r17 window. --
+    "events_stream_static_enrich",
     "events_stream_stream_join", "lineitem_pricing_summary",
     "order_fact_upsert", "orders_bucketed_colocated_join",
     "orders_grouping_sets", "orders_shipping_priority", "part_cdf_changes",
@@ -3116,6 +3120,95 @@ def events_recluster_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         raise AssertionError(f"box predicate did not prune: {len(kept)}/{total}")
     return versioned.read_current(spark, table).select(
         "event_id", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+    )
+
+
+@query(
+    "docs_recluster_sorted_scan",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key
+    FROM documents
+    """,
+)
+def docs_recluster_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-keyed liquid-clustering maintenance (r16,
+    ``functions/layout.py::sorted_layout`` + ``curve="sorted"`` through
+    ``recluster_incremental``): documents keyed by an object-store-style
+    path string (``source/00000042``) land as a tight 4-tile LINEAR
+    layout — Spark's RangePartitioner samples string boundaries, no
+    quantile arithmetic, the reason the space-filling curves can't take
+    strings — then six full-range appends decay it.  One incremental
+    sweep rewrites ONLY the appended generation (offender spans measured
+    in RANK space over the string bounds), the tight tiles keep their
+    exact paths, history records ``curve="sorted"``, the healed depth
+    makes the next sweep a no-op, and a string-range predicate prunes
+    through the maintained stats manifest.  Pure layout: the oracle
+    restates the raw table with the same derived key."""
+    import tempfile
+
+    from .functions import layout
+    from .plans import maintenance as mnt
+    from .sources import skipping, versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_sortrec_")
+    table = f"{work}/docs"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.concat_ws(
+            "/", F.col("source"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("key"),
+    )
+    base = layout.sorted_layout(
+        docs.filter(F.col("doc_id") % 5 != 0), ["key"], 4
+    )
+    versioned.overwrite_versioned(
+        base, table, now=1.0, snapshot_mode="manifest", stats_columns=["key"]
+    )
+    versioned.append_versioned(
+        docs.filter(F.col("doc_id") % 5 == 0).repartition(6), table, now=2.0
+    )
+    policy = mnt.MaintenancePolicy(cluster_strategy="incremental")
+    spec = [(table, ("key",), "sorted")]
+    (swept,) = mnt.run_maintenance(spark, cluster_specs=spec, policy=policy)
+    if swept["action"] != "recluster" or "error" in swept:
+        raise AssertionError(f"sweep did not recluster: {swept}")
+    metas = [
+        e.get("metadata") or {}
+        for e in versioned.history(table)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    if len(metas) != 1 or metas[0].get("incremental") is not True:
+        raise AssertionError(f"incremental scope not recorded: {metas}")
+    if metas[0].get("curve") != "sorted":
+        raise AssertionError(f"sorted curve not recorded: {metas[0]}")
+    # the decayed generation dominates the rewrite set; the 4 tight
+    # tiles are NEVER in it (exact append-file membership is sampling-
+    # dependent in rank space at tiny SF, so assert the invariants)
+    if not (4 <= metas[0]["rewritten_files"] <= 6):
+        raise AssertionError(f"wrong rewrite scope: {metas[0]}")
+    if metas[0]["kept_files"] < 4:
+        raise AssertionError(f"tight tiles not kept: {metas[0]}")
+    v = versioned.current_version(table)
+    tights = set(versioned._snapshot_files(table, 0))
+    if not tights <= set(versioned._snapshot_files(table, v)):
+        raise AssertionError("tight tiles were rewritten by the incremental pass")
+    (post,) = mnt.run_maintenance(spark, cluster_specs=spec, policy=policy)
+    if post["action"] is not None:
+        raise AssertionError(f"layout not healed: {post['health']}")
+    if post["health"]["worst_mean_depth"] >= swept["health"]["worst_mean_depth"]:
+        raise AssertionError("recluster did not reduce envelope overlap")
+    # string-range predicate prunes through the maintained manifest
+    rows, _cols = skipping.read_stats_manifest_driver_side(table)
+    lows = sorted(r["min__key"] for r in rows if r["min__key"] is not None)
+    kept, total = skipping.pruned_files_multi(
+        spark, table, {"key": (lows[0], lows[0] + "~")},
+    )
+    if not (total >= 8 and len(kept) < total):
+        raise AssertionError(f"string predicate did not prune: {len(kept)}/{total}")
+    return versioned.read_current(spark, table).select(
+        "doc_id", "lang", "n_chars", "key"
     )
 
 

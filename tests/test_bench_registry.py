@@ -119,6 +119,9 @@ CHANGED_THIS_ROUND = {
     # r16: the semantic-clusters cache re-keys by (applicationId,
     # sf_dir) so a session restart can never serve a dead-JVM frame.
     "emb_semantic_dedup",
+    # NEW lane (r16): string-keyed linear clustering (curve="sorted")
+    # through the incremental maintenance loop.
+    "docs_recluster_sorted_scan",
 }
 
 

@@ -592,10 +592,11 @@ def test_incremental_recluster_refuses_string_clustering_column(
     spark, tmp_path
 ):
     """r16 (VERDICT r15 ask #3): a string clustering column cannot feed
-    the offender selector's envelope-span arithmetic (and the quantile-
-    bucket rewrite is numeric-only too), so the spec is refused LOUDLY
-    and by name — mirroring the 3-D hilbert refusal — instead of a bare
-    TypeError from deep inside the sweep.  Nothing commits."""
+    morton/hilbert's quantile rank-scaling, so the spec is refused
+    LOUDLY and by name — mirroring the 3-D hilbert refusal — instead of
+    a bare TypeError/AnalysisException from deep inside the sweep.
+    Nothing commits.  The refusal names the working alternative:
+    curve='sorted' takes the SAME spec."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -612,10 +613,75 @@ def test_incremental_recluster_refuses_string_clustering_column(
         F.concat(F.lit("k"), (F.col("id") % 97).cast("string")).alias("s"),
     )
     versioned.overwrite_versioned(df.repartition(12), t, now=1.0)
-    with pytest.raises(ValueError, match=r"clustering column 's' has str"):
+    with pytest.raises(ValueError, match=r"clustering column 's' is string"):
         layout.recluster_incremental(spark, t, "a", "s", now=2.0)
+    with pytest.raises(ValueError, match="curve='sorted'"):
+        layout.recluster_zorder(spark, t, "a", "s", now=2.0)
     assert versioned.current_version(t) == 0  # nothing committed
-    # the selector itself carries the refusal (once per sweep, driver-side)
-    env = layout._resolved_envelopes(spark, t, ["a", "s"], None)
-    with pytest.raises(ValueError, match="numeric proxy"):
-        layout.select_recluster_offenders(env, ["a", "s"], t)
+    # ... and the named alternative actually works on the same spec
+    v = layout.recluster_zorder(spark, t, "s", "a", now=3.0, curve="sorted")
+    assert v == 1
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert meta["curve"] == "sorted"
+    got = sorted(map(tuple, versioned.read_current(spark, t).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # linear layout on the string key: file envelopes are rank-disjoint
+    # enough that mean point-query depth on s approaches 1
+    post = layout.cluster_health(spark, t, ["s"])
+    assert post["worst_mean_depth"] < 2.0, post
+
+
+def test_incremental_recluster_sorted_heals_string_keyed_table(
+    spark, tmp_path
+):
+    """r16: the liquid-clustering maintenance story for STRING keys —
+    a sorted-layout base decayed by full-range appends heals through
+    recluster_incremental(curve='sorted'): the offender selector
+    measures string spans in RANK space over the bound values, only the
+    appended generation is rewritten, tight tiles keep their exact
+    paths, and data is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        F.concat(
+            F.lit("k"), F.lpad((F.col("id") % 5_000).cast("string"), 5, "0")
+        ).alias("s"),
+        F.col("id").alias("a"),
+    )
+    main = df.filter(F.col("a") % 5 != 0)
+    wide = df.filter(F.col("a") % 5 == 0)  # full s-range appends
+    laid = layout.sorted_layout(main, ["s"], 4)
+    versioned.overwrite_versioned(
+        laid, t, now=1.0, snapshot_mode="manifest", stats_columns=["s"]
+    )
+    versioned.append_versioned(wide.repartition(3), t, now=2.0)
+    pre = layout.cluster_health(spark, t, ["s"])
+    assert pre["worst_mean_depth"] > 3  # three full-range files on top
+    tele: dict = {}
+    v = layout.recluster_incremental(spark, t, "s", curve="sorted",
+                                     now=3.0, telemetry=tele)
+    assert v == 2
+    assert tele == {"offenders": 3, "live_files": 7, "mode": "incremental"}
+    live0 = set(versioned._snapshot_files(t, 0))
+    live1 = set(versioned._snapshot_files(t, 1))
+    live2 = set(versioned._snapshot_files(t, 2))
+    assert live0 <= live2                       # tight tiles untouched
+    assert not (live1 - live0) & live2          # wide appends retired
+    post = layout.cluster_health(spark, t, ["s"])
+    assert post["worst_mean_depth"] < pre["worst_mean_depth"] * 0.7
+    got = sorted(map(tuple, versioned.read_current(spark, t).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # already tight: no-op
+    assert layout.recluster_incremental(spark, t, "s", curve="sorted",
+                                        now=4.0) == 2

@@ -382,10 +382,12 @@ def test_sweep_reports_structural_escalation_reason(spark, tmp_path):
 
 
 def test_sweep_reports_string_spec_error_once(spark, tmp_path, monkeypatch):
-    """r16 (VERDICT r15 ask #3): a string clustering column in an
-    incremental-strategy spec surfaces as ONE named spec error in the
-    sweep report — fault-isolated, no retry loop, nothing committed —
-    not an opaque TypeError per sweep forever."""
+    """r16 (VERDICT r15 ask #3): a string clustering column in a
+    morton-curve incremental spec surfaces as ONE named spec error in
+    the sweep report — fault-isolated, refused BEFORE any envelope read
+    or offender selection, nothing committed — not an opaque TypeError
+    per sweep forever.  The error names the working spec
+    (curve='sorted')."""
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
         layout,
     )
@@ -412,10 +414,53 @@ def test_sweep_reports_string_spec_error_once(spark, tmp_path, monkeypatch):
                                policy=policy)
     assert row["action"] == "recluster"
     assert "ValueError" in row["error"]
-    assert "clustering column 's'" in row["error"]
-    assert "numeric proxy" in row["error"]  # the fix is named
-    assert calls["n"] == 1  # one refusal, not a retry loop
+    assert "clustering column 's' is string" in row["error"]
+    assert "curve='sorted'" in row["error"]  # the fix is named
+    assert calls["n"] == 0  # refused before any selection work
     assert versioned.current_version(t) == 0  # nothing committed
+
+
+def test_sweep_sorted_curve_heals_string_keyed_table(spark, tmp_path):
+    """r16: the spec the refusal points at WORKS through the loop — a
+    single-string-column cluster_specs entry with curve='sorted'
+    dispatches, heals the layout via the linear range layout, and the
+    next sweep decides nothing."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    policy = M.MaintenancePolicy(cluster_strategy="incremental")
+    t = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        F.concat(
+            F.lit("k"), F.lpad((F.col("id") % 5_000).cast("string"), 5, "0")
+        ).alias("s"),
+        F.col("id").alias("a"),
+    )
+    laid = layout.sorted_layout(df.filter(F.col("a") % 5 != 0), ["s"], 4)
+    versioned.overwrite_versioned(
+        laid, t, now=1.0, snapshot_mode="manifest", stats_columns=["s"]
+    )
+    versioned.append_versioned(
+        df.filter(F.col("a") % 5 == 0).repartition(6), t, now=2.0
+    )
+    (row,) = M.run_maintenance(
+        spark, cluster_specs=[(t, ("s",), "sorted")], policy=policy
+    )
+    assert row["action"] == "recluster" and "error" not in row
+    assert row["recluster"]["mode"] == "incremental"
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert meta["incremental"] is True and meta["curve"] == "sorted"
+    (row2,) = M.run_maintenance(
+        spark, cluster_specs=[(t, ("s",), "sorted")], policy=policy
+    )
+    assert row2["action"] is None  # healed, loop converges
 
 
 def test_sweep_table_small_file_compaction_leg(spark, tmp_path):

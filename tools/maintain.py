@@ -33,8 +33,10 @@ def main() -> int:
                     help="versioned table path, swept for retention")
     ap.add_argument("--cluster", action="append", default=[],
                     help="versioned table layout spec: "
-                         "path:col_a,col_b[:curve] with curve morton "
-                         "(default, any dims) or hilbert (2-D)")
+                         "path:col_a[,col_b...][:curve] with curve morton "
+                         "(default, 2+ numeric dims), hilbert (2-D "
+                         "numeric), or sorted (linear, 1+ cols, any "
+                         "orderable type incl. strings)")
     ap.add_argument("--incremental", action="store_true",
                     help="recluster strategy: rewrite only offender "
                          "files (liquid-clustering shape, cost ~ decay) "
@@ -62,13 +64,14 @@ def main() -> int:
     for spec in args.cluster:
         rest, curve = spec, None
         head, _, tail = spec.rpartition(":")
-        if head and tail in ("morton", "hilbert"):
+        if head and tail in ("morton", "hilbert", "sorted"):
             rest, curve = head, tail
         path, _, cols = rest.rpartition(":")
         parts = tuple(c for c in cols.split(",") if c)
-        if not (path and len(parts) >= 2):
+        min_cols = 1 if curve == "sorted" else 2
+        if not (path and len(parts) >= min_cols):
             ap.error(
-                f"--cluster wants path:col_a,col_b[,...][:curve], got {spec!r}"
+                f"--cluster wants path:col_a[,col_b...][:curve], got {spec!r}"
             )
         if curve == "hilbert" and len(parts) != 2:
             ap.error(f"hilbert clustering is 2-D, got {spec!r}")
