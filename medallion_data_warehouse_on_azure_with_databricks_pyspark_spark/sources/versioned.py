@@ -684,13 +684,38 @@ def _refuse_dv_sidecar(path: str, op: str) -> None:
         )
 
 
+def _stats_hint_path(path: str) -> str:
+    return os.path.join(_vroot(path), "_stats_hint.json")
+
+
 def _drop_sidecars(path: str) -> None:
     """Remove the stats and bloom skipping sidecars.  Always SAFE: no
     manifest means no pruning — readers fall back to full file lists.
     Used when a crash or rebuild failure leaves sidecar freshness
-    unknowable (ADVICE r15 #2)."""
+    unknowable (ADVICE r15 #2).
+
+    Before dropping, the stats manifest's COLUMN SET is remembered in a
+    hint file (driver-side pyarrow read, no Spark) so pruning
+    SELF-HEALS: the next commit's auto-maintenance rebuilds the
+    manifest from the hint even though the manifest itself is gone —
+    without it, a crash would silently disable pruning until an
+    operator re-passed ``stats_columns``.  Bloom sidecars stay
+    operator-recreated (they are an explicit opt-in with their own
+    bits/hash config)."""
     from . import skipping
 
+    stats_dir = os.path.join(path.rstrip("/"), skipping.STATS_DIR)
+    if os.path.isdir(stats_dir):
+        try:
+            _rows, have = skipping.read_stats_manifest_driver_side(path)
+            cols = sorted(
+                c[len("min__"):] for c in have if c.startswith("min__")
+            )
+            if cols:
+                os.makedirs(_vroot(path), exist_ok=True)
+                _fsync_json(_stats_hint_path(path), {"stats_columns": cols})
+        except Exception:  # pragma: no cover — a torn manifest: no hint
+            pass
     for d in (skipping.STATS_DIR, skipping.BLOOM_DIR):
         shutil.rmtree(os.path.join(path.rstrip("/"), d), ignore_errors=True)
 
@@ -752,6 +777,14 @@ def replace_files(
             stats_cols = sorted(
                 c[len("min__"):] for c in have0 if c.startswith("min__")
             )
+        elif os.path.exists(_stats_hint_path(path)):
+            # pruning self-heal: a crash-recovery drop remembered the
+            # manifest's column set — rebuild it on this commit
+            try:
+                with open(_stats_hint_path(path)) as fh:
+                    stats_cols = json.load(fh).get("stats_columns") or None
+            except (json.JSONDecodeError, OSError):  # torn hint: ignore
+                stats_cols = None
     # kept and new files must agree on schema — a drifted replacement
     # would poison every mixed-file read (Delta append-mode enforcement)
     cur_fields = {
@@ -894,6 +927,9 @@ def replace_files(
                 spark, path, list(stats_cols),
                 files=(_live_data_files(path) if mode == "manifest" else None),
             )
+            # the manifest stands again: the self-heal hint is spent
+            if os.path.exists(_stats_hint_path(path)):
+                os.unlink(_stats_hint_path(path))
         # bloom sidecar: incrementally maintained like the stats manifest —
         # manifest mode keeps retired files ON DISK, so a stale bloom row
         # would serve them to equality probes (correctness, not staleness).

@@ -1396,9 +1396,14 @@ def test_replace_files_sidecar_crash_window_recovers(spark, tmp_path, mode):
     assert not os.path.isdir(os.path.join(t, skipping.BLOOM_DIR))
     assert V.read_current(spark, t).count() == 2_000  # unpruned reads fine
     assert V.recover(t) is False  # idempotent
-    # the slot is free again: the next commit (with stats) rebuilds
-    V.append_versioned(df.limit(5), t, now=2.0, stats_columns=["a"])
+    # ...but the drop REMEMBERED the stats columns: the slot is free and
+    # pruning SELF-HEALS on the next commit with no stats_columns at all
+    assert os.path.exists(V._stats_hint_path(t))
+    V.append_versioned(df.limit(5), t, now=2.0)
     assert os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+    _rows, have = skipping.read_stats_manifest_driver_side(t)
+    assert "min__a" in have and "max__a" in have
+    assert not os.path.exists(V._stats_hint_path(t))  # hint spent
 
 
 def test_replace_files_rebuild_failure_drops_sidecars(spark, tmp_path,
