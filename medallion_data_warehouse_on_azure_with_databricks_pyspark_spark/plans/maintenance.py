@@ -221,6 +221,21 @@ def run_maintenance(
     from ..functions import layout
     from ..operators import index_maintenance as im
     from ..sources import deletion_vectors as dv
+    from ..sources import versioned as _v
+
+    # self-describing clustered tables (r16, Delta CLUSTER BY parity):
+    # a table_paths entry that DECLARES clustering (versioned.
+    # set_clustering) gets the cluster leg automatically — the fleet
+    # sweep needs one list of tables, not per-sweep spec bookkeeping.
+    # An explicit cluster_specs entry for the same path wins.
+    cluster_specs = list(cluster_specs)
+    explicit = {s[0] for s in cluster_specs}
+    for p in table_paths:
+        dec = _v.clustering_of(p)
+        if dec and p not in explicit:
+            cluster_specs.append(
+                (p, tuple(dec["cols"]), dec.get("curve", "sorted"))
+            )
 
     report: list[dict] = []
 

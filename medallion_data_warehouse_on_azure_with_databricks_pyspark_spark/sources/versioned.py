@@ -396,6 +396,47 @@ def get_constraints(path: str) -> dict:
         return json.load(fh)
 
 
+CLUSTERING_FILE = "_clustering.json"
+
+
+def set_clustering(
+    spark: SparkSession, path: str, cols: list[str], curve: str = "sorted"
+) -> None:
+    """Declare the table's clustering columns (Delta/Databricks
+    ``CLUSTER BY`` — liquid clustering's table-level contract, r16):
+    the spec is validated against the CURRENT schema and the curve's
+    type/arity rules (``functions/layout._validate_curve_spec``) and
+    persisted beside the version log, making the table SELF-DESCRIBING
+    — ``plans.maintenance.run_maintenance(table_paths=[...])`` picks the
+    spec up automatically, no per-sweep ``cluster_specs`` bookkeeping.
+    Pass an empty ``cols`` to drop the declaration."""
+    vroot = _vroot(path)
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    if cols:
+        from ..functions.layout import _validate_curve_spec
+
+        _validate_curve_spec(
+            read_current(spark, path).schema, list(cols), curve
+        )
+        spec = {"cols": list(cols), "curve": curve}
+    else:
+        spec = {}
+    os.makedirs(vroot, exist_ok=True)
+    _fsync_json(os.path.join(vroot, CLUSTERING_FILE), spec)
+
+
+def clustering_of(path: str) -> dict | None:
+    """The table's declared clustering ``{"cols": [...], "curve": ...}``
+    or None — a driver-side file read, the ``table_detail`` cost class."""
+    p = os.path.join(_vroot(path), CLUSTERING_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        spec = json.load(fh)
+    return spec or None
+
+
 def current_version(path: str) -> int | None:
     """Version number of the data at ``path`` (None: never written)."""
     log = _read_log(path)
@@ -1485,6 +1526,7 @@ def table_detail(path: str) -> dict:
         ),
         "operations": ops,
         "constraints": get_constraints(path),
+        "clustering": clustering_of(path),
         "log": log_read_footprint(path),
         "intent": _read_intent(path),
         "tags": sorted(tags(path)),

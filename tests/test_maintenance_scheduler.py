@@ -463,6 +463,69 @@ def test_sweep_sorted_curve_heals_string_keyed_table(spark, tmp_path):
     assert row2["action"] is None  # healed, loop converges
 
 
+def test_sweep_auto_discovers_declared_clustering(spark, tmp_path):
+    """r16 (Delta CLUSTER BY parity): versioned.set_clustering makes the
+    table SELF-DESCRIBING — run_maintenance(table_paths=[t]) picks the
+    declared spec up with no cluster_specs bookkeeping, heals the
+    layout through the declared curve, and an explicit cluster_specs
+    entry for the same path wins over the declaration.  An invalid
+    declaration (string column under morton) is refused at DECLARE
+    time, not at sweep time."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    policy = M.MaintenancePolicy(cluster_strategy="incremental")
+    t = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        F.concat(
+            F.lit("k"), F.lpad((F.col("id") % 5_000).cast("string"), 5, "0")
+        ).alias("s"),
+        F.col("id").alias("a"),
+    )
+    laid = layout.sorted_layout(df.filter(F.col("a") % 5 != 0), ["s"], 4)
+    versioned.overwrite_versioned(
+        laid, t, now=1.0, snapshot_mode="manifest", stats_columns=["s"]
+    )
+    versioned.append_versioned(
+        df.filter(F.col("a") % 5 == 0).repartition(6), t, now=2.0
+    )
+    # declaring an unworkable spec is refused at declare time, by name
+    with pytest.raises(ValueError, match="clustering column 's' is string"):
+        versioned.set_clustering(spark, t, ["a", "s"], curve="morton")
+    versioned.set_clustering(spark, t, ["s"], curve="sorted")
+    assert versioned.table_detail(t)["clustering"] == {
+        "cols": ["s"], "curve": "sorted",
+    }
+    rows = M.run_maintenance(spark, table_paths=[t], policy=policy)
+    cluster_rows = [r for r in rows if r["kind"] == "cluster"]
+    assert len(cluster_rows) == 1
+    assert cluster_rows[0]["action"] == "recluster"
+    assert "error" not in cluster_rows[0]
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert meta["curve"] == "sorted" and meta["incremental"] is True
+    # healed: the next auto-discovered sweep decides nothing
+    rows2 = M.run_maintenance(spark, table_paths=[t], policy=policy)
+    assert [r["action"] for r in rows2 if r["kind"] == "cluster"] == [None]
+    # an explicit spec for the same path wins: exactly one cluster row
+    rows3 = M.run_maintenance(
+        spark, table_paths=[t], cluster_specs=[(t, ("s",), "sorted")],
+        policy=policy,
+    )
+    assert len([r for r in rows3 if r["kind"] == "cluster"]) == 1
+    # dropping the declaration stops the auto leg
+    versioned.set_clustering(spark, t, [])
+    assert versioned.clustering_of(t) is None
+    rows4 = M.run_maintenance(spark, table_paths=[t], policy=policy)
+    assert [r for r in rows4 if r["kind"] == "cluster"] == []
+
+
 def test_sweep_table_small_file_compaction_leg(spark, tmp_path):
     """r15: with table_compact_target_bytes set, a swept table whose
     small-file debt crosses the min-files gate dispatches ONE
