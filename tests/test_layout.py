@@ -634,6 +634,29 @@ def test_incremental_recluster_refuses_string_clustering_column(
     assert post["worst_mean_depth"] < 2.0, post
 
 
+def test_sorted_layout_plan_is_one_range_exchange_no_joins(spark):
+    """The sorted layout's cost contract: ONE range exchange + in-
+    partition sort — no joins, no UDFs, no extra shuffles (the same
+    shape zorder_layout_ranked pays minus the bucket pass).  At 100 TB
+    the rewrite cost is exactly the shuffle of the rewritten bytes."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 997).cast("string")).alias("s"),
+        F.col("id").alias("a"),
+    )
+    laid = layout.sorted_layout(df, ["s", "a"], 8)
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("exchange") == 1, plan[:1500]
+    assert "rangepartitioning" in plan.lower(), plan[:1500]
+    assert "join" not in plan.lower(), plan[:1500]
+    assert "pythonudf" not in plan.lower().replace(" ", ""), plan[:1500]
+    # the layout never changes results
+    assert laid.count() == 10_000
+
+
 def test_incremental_recluster_sorted_heals_string_keyed_table(
     spark, tmp_path
 ):

@@ -643,6 +643,53 @@ def test_decide_table_never_retriggers_on_pinned_history():
     ) == "vacuum"
 
 
+def test_maintain_cli_declare_then_table_sweep(spark, tmp_path):
+    """r16: one CLI invocation declares CLUSTER BY on a string-keyed
+    table and the SAME sweep's --table leg auto-discovers it — the ops
+    story where a fleet cron lists tables, not specs."""
+    import subprocess
+    import sys
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        versioned,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(20_000).select(
+        F.concat(
+            F.lit("k"), F.lpad((F.col("id") % 5_000).cast("string"), 5, "0")
+        ).alias("s"),
+        F.col("id").alias("a"),
+    )
+    laid = layout.sorted_layout(df.filter(F.col("a") % 5 != 0), ["s"], 4)
+    versioned.overwrite_versioned(
+        laid, t, now=1.0, snapshot_mode="manifest", stats_columns=["s"]
+    )
+    versioned.append_versioned(
+        df.filter(F.col("a") % 5 == 0).repartition(6), t, now=2.0
+    )
+    proc = subprocess.run(
+        [sys.executable, "tools/maintain.py", "--declare", f"{t}:s:sorted",
+         "--table", t, "--incremental", "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    rows = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    by_kind = {r["kind"]: r for r in rows}
+    assert by_kind["declare"]["clustering"] == {"cols": ["s"],
+                                                "curve": "sorted"}
+    assert by_kind["cluster"]["action"] == "recluster"
+    assert "error" not in by_kind["cluster"]
+    (meta,) = [
+        e["metadata"] for e in versioned.history(t)
+        if e["operation"] == "OPTIMIZE_ZORDER"
+    ]
+    assert meta["curve"] == "sorted" and meta["incremental"] is True
+
+
 def test_maintain_cli_dry_run_and_sweep(spark, tmp_path):
     """tools/maintain.py: --dry-run decides without dispatching; the real
     sweep acts; exit codes reflect actuator errors."""

@@ -37,6 +37,13 @@ def main() -> int:
                          "(default, 2+ numeric dims), hilbert (2-D "
                          "numeric), or sorted (linear, 1+ cols, any "
                          "orderable type incl. strings)")
+    ap.add_argument("--declare", action="append", default=[],
+                    help="declare clustering on a versioned table "
+                         "(persisted CLUSTER BY: path:col_a[,col_b...]"
+                         "[:curve], curve default sorted) before the "
+                         "sweep — afterwards --table alone keeps the "
+                         "layout healthy; path: with no columns drops "
+                         "the declaration")
     ap.add_argument("--incremental", action="store_true",
                     help="recluster strategy: rewrite only offender "
                          "files (liquid-clustering shape, cost ~ decay) "
@@ -79,11 +86,33 @@ def main() -> int:
             (path, parts) if curve is None else (path, parts, curve)
         )
 
+    declares = []
+    for spec in args.declare:
+        rest, curve = spec, "sorted"
+        head, _, tail = spec.rpartition(":")
+        if head and tail in ("morton", "hilbert", "sorted"):
+            rest, curve = head, tail
+        path, sep, cols = rest.rpartition(":")
+        if not (path and sep):
+            ap.error(f"--declare wants path:col_a[,col_b...][:curve], "
+                     f"got {spec!r}")
+        declares.append((path, [c for c in cols.split(",") if c], curve))
+
     spark = session.get_spark(
         app_name="medallion-maintain",
         **({"master": args.master} if args.master else {}),
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if declares:
+        from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+            versioned as _v,
+        )
+
+        for path, cols, curve in declares:
+            _v.set_clustering(spark, path, cols, curve=curve)
+            print(json.dumps({"kind": "declare", "path": path,
+                              "clustering": _v.clustering_of(path)}))
 
     if args.dry_run:
         from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
@@ -106,7 +135,17 @@ def main() -> int:
             h = dv.dv_health(spark, p)
             report.append({"kind": "dv", "path": p, "health": h,
                            "action": M.decide_dv(h, assume_quiesced=args.quiesced)})
-        for spec in cluster_specs:
+        # mirror run_maintenance: --table entries with DECLARED
+        # clustering get the cluster poll in the dry-run too
+        eff_specs = list(cluster_specs)
+        explicit = {s[0] for s in eff_specs}
+        for p in args.table:
+            dec = versioned.clustering_of(p)
+            if dec and p not in explicit:
+                eff_specs.append(
+                    (p, tuple(dec["cols"]), dec.get("curve", "sorted"))
+                )
+        for spec in eff_specs:
             p, cols = spec[0], spec[1]
             h = layout.cluster_health(spark, p, list(cols),
                                       files=M._live_files(spark, p))
