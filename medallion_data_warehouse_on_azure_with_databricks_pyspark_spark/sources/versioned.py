@@ -487,10 +487,16 @@ def overwrite_versioned(
     ``stats_columns`` opts into Delta-style commit-time stats collection:
     after the commit lands, a per-file min/max manifest for those columns
     is written under ``<path>/_file_stats`` (``sources/skipping.py``) so
-    range scans through ``read_skipping`` prune files immediately.  The
-    manifest is written AFTER the commit's last step — a crash in between
-    leaves a committed table with no manifest, which skipping readers
-    refuse loudly (FileNotFoundError), never answer wrongly.
+    range scans through ``read_skipping`` prune files immediately.  A
+    table ALREADY carrying stats or bloom sidecars keeps them fresh
+    automatically (r16): the standing configs are captured before the
+    commit and rebuilt for the new live set after the log lands, under
+    the same ``sidecars_pending`` recovery marker ``replace_files``
+    uses — in manifest mode the retired files stay on disk, so a stale
+    sidecar would serve the RETIRED snapshot to pruned reads (this bit
+    ``restore()``, which never re-passed ``stats_columns``).  A crash
+    inside the rebuild window is repaired by ``recover()`` dropping the
+    unknowable sidecars — readers fall back to unpruned, never wrong.
 
     ``schema_mode`` is the Delta schema-enforcement contract against the
     current version (first commits are unconstrained):
@@ -558,6 +564,44 @@ def overwrite_versioned(
         if schema_mode == "merge":
             for c in sorted(set(cur) - set(new)):
                 df = df.withColumn(c, F.lit(None).cast(cur[c]))
+    # standing skipping sidecars must FOLLOW the overwrite (r16 — the
+    # replace_files hazard class on the overwrite/transact/RESTORE
+    # path: in manifest mode retired files stay ON DISK and the old
+    # sidecar keeps describing them, so pruned reads would serve the
+    # retired snapshot).  Capture the standing configs BEFORE the
+    # commit — physical mode renames the sidecars aside with the old
+    # tree — and rebuild for the new live set once the log lands, under
+    # the same sidecars-pending marker recover() understands.
+    from . import skipping as _skipping
+
+    auto_stats = stats_columns
+    if auto_stats is None:
+        if os.path.isdir(os.path.join(path.rstrip("/"), _skipping.STATS_DIR)):
+            _r0, _h0 = _skipping.read_stats_manifest_driver_side(path)
+            auto_stats = sorted(
+                c[len("min__"):] for c in _h0 if c.startswith("min__")
+            ) or None
+        elif os.path.exists(_stats_hint_path(path)):
+            try:  # pruning self-heal after a crash-recovery drop
+                with open(_stats_hint_path(path)) as fh:
+                    auto_stats = json.load(fh).get("stats_columns") or None
+            except (json.JSONDecodeError, OSError):
+                auto_stats = None
+    _new_cols = set(df.columns)
+    if auto_stats and stats_columns is None:
+        # schema overwrite may drop auto-maintained manifest columns:
+        # keep the survivors (an EXPLICIT bogus column still fails loud)
+        auto_stats = [c for c in auto_stats if c in _new_cols] or None
+    _bloom_dir = os.path.join(path.rstrip("/"), _skipping.BLOOM_DIR)
+    bloom_standing = os.path.isdir(_bloom_dir)
+    bloom_head = None
+    if bloom_standing:
+        bloom_head = (
+            df.sparkSession.read.parquet(_bloom_dir)
+            .select("column", "num_bits", "num_hashes").first()
+        )
+        if bloom_head is not None and bloom_head.column not in _new_cols:
+            bloom_head = None  # the probed column left the schema
     stage = f"{path}.__stage_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite").format("parquet")
     if partition_by:
@@ -630,14 +674,44 @@ def overwrite_versioned(
             os.rename(path, os.path.join(vroot, f"v{version - 1}"))
         os.rename(stage, path)
     _append_log(path, entry)
-    _release_intent(path)
-    if stats_columns:
-        from . import skipping
-
-        skipping.write_stats_manifest(
-            df.sparkSession, path, stats_columns,
-            files=(_live_data_files(path) if mode == "manifest" else None),
-        )
+    if auto_stats or bloom_standing:
+        # sidecar maintenance window (same protocol as replace_files):
+        # hold the claim as a sidecars-pending marker through the
+        # rebuild; recover() drops unknowable sidecars if we die here.
+        _write_intent(path, {"sidecars_pending": version})
+        try:
+            if auto_stats:
+                _skipping.write_stats_manifest(
+                    df.sparkSession, path, list(auto_stats),
+                    files=(
+                        _live_data_files(path) if mode == "manifest"
+                        else None
+                    ),
+                )
+                if os.path.exists(_stats_hint_path(path)):
+                    os.unlink(_stats_hint_path(path))  # self-heal spent
+            if bloom_head is not None:
+                _skipping.write_bloom_manifest(
+                    df.sparkSession, path, bloom_head.column,
+                    num_bits=bloom_head.num_bits,
+                    num_hashes=bloom_head.num_hashes,
+                    files=(
+                        _live_data_files(path) if mode == "manifest"
+                        else None
+                    ),
+                )
+            elif bloom_standing and os.path.isdir(_bloom_dir):
+                # zero-row sidecar or the probed column left the schema:
+                # nothing to rebuild with — a standing stale sidecar
+                # would serve the retired snapshot to equality probes
+                shutil.rmtree(_bloom_dir, ignore_errors=True)
+        except BaseException:
+            _drop_sidecars(path)
+            raise
+        finally:
+            _release_intent(path)
+    else:
+        _release_intent(path)
     return version
 
 

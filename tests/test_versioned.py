@@ -1536,6 +1536,88 @@ def test_replace_files_maintains_bloom_manifest(spark, tmp_path, mode):
     assert hit == 1
 
 
+@pytest.mark.parametrize("mode", ["manifest", "physical"])
+def test_overwrite_keeps_skipping_sidecars_fresh(spark, tmp_path, mode):
+    """r16 regression (found by auditing the replace_files hazard class
+    across every commit path): a manifest-mode OVERWRITE — including
+    ``restore()``, which never re-passes ``stats_columns`` — used to
+    leave the standing stats/bloom sidecars describing the RETIRED live
+    set, and since retired files stay on disk in manifest mode, pruned
+    reads served the OLD snapshot's rows.  Overwrites now auto-maintain
+    standing sidecars like replace_files does."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(1_000).select(
+        F.col("id").cast("int").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(4), t, now=1.0, snapshot_mode=mode,
+                          stats_columns=["a"])
+    skipping.write_bloom_manifest(
+        spark, t, "a", files=(V._live_data_files(t) or None)
+    )
+    # overwrite WITHOUT stats_columns — the restore() shape
+    V.overwrite_versioned(df.filter("a < 500").repartition(2), t, now=2.0)
+    rows, have = skipping.read_stats_manifest_driver_side(t)
+    assert "min__a" in have and len(rows) == 2  # follows the new live set
+    live = {
+        "file:" + os.path.abspath(f) for f in (V._live_data_files(t) or [])
+    } or {
+        "file:" + os.path.abspath(os.path.join(t, r))
+        for r in [os.path.relpath(f, t) for f in V._data_files(t)]
+    }
+    assert {r["file_path"] for r in rows} <= live  # no retired references
+    kept, total = skipping.pruned_files_multi(spark, t, {"a": (0, 10)})
+    assert total == 2
+    got = spark.read.option("basePath", t).parquet(
+        *[k.replace("file:", "") for k in kept]
+    ).filter("a BETWEEN 0 AND 10")
+    assert got.count() == 11  # pruned read serves the CURRENT snapshot
+    # bloom followed too: one row per live file, same standing config
+    man = spark.read.parquet(os.path.join(t, skipping.BLOOM_DIR))
+    assert man.count() == 2
+    assert man.select("column").distinct().first()[0] == "a"
+    # restore() — the caller that exposed this — keeps them fresh as well
+    V.restore(spark, t, 0, now=3.0)
+    rows2, _ = skipping.read_stats_manifest_driver_side(t)
+    assert len(rows2) == 4  # v0's 4-file layout, re-described
+    kept2, total2 = skipping.pruned_files_multi(spark, t, {"a": (900, 999)})
+    assert total2 == 4 and len(kept2) >= 1
+    assert V.read_current(spark, t).count() == 1_000
+
+
+def test_overwrite_drops_bloom_when_probed_column_leaves_schema(
+    spark, tmp_path
+):
+    """Schema-overwrite edge: the bloom's probed column disappears —
+    nothing to rebuild with, so the sidecar is dropped (stale would
+    serve the retired snapshot; absent is merely unpruned)."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").cast("int").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    V.overwrite_versioned(df.repartition(2), t, now=1.0,
+                          snapshot_mode="manifest")
+    skipping.write_bloom_manifest(
+        spark, t, "a", files=(V._live_data_files(t) or None)
+    )
+    V.overwrite_versioned(
+        df.select((F.col("b") * 2).alias("c")), t, now=2.0
+    )
+    assert not os.path.isdir(os.path.join(t, skipping.BLOOM_DIR))
+    assert V.read_current(spark, t).count() == 500
+
+
 def test_replace_files_zero_row_bloom_sidecar_is_dropped(spark, tmp_path):
     """r16 (ADVICE r15 #3): a zero-row bloom sidecar carries no
     column/bits/hashes config — the maintenance hook used to
