@@ -878,7 +878,19 @@ def _publish_dv_merge(path: str, tag: str, key_bloom=None, bloom_v=None) -> None
     idempotent AND tolerant of a concurrent roll-forward of the SAME
     stage (two repairers racing move disjoint files; the loser of any
     per-file race skips) — re-running after a crash at any point
-    completes the same merge exactly once."""
+    completes the same merge exactly once.
+
+    Standing skipping sidecars (stats/bloom manifests) are DROPPED with
+    the publish (r16, the replace_files hazard class audited across
+    every commit path): the merge appends base files the manifests do
+    not describe, and a pruned read over an INCOMPLETE manifest would
+    MISS the merged rows — absent sidecars are merely unpruned, never
+    wrong.  Publish can run spark-free from read-time roll-forward, so
+    a rebuild is the operator's explicit post-merge step."""
+    from . import skipping as _skipping
+
+    for _d in (_skipping.STATS_DIR, _skipping.BLOOM_DIR):
+        shutil.rmtree(os.path.join(path.rstrip("/"), _d), ignore_errors=True)
     # the mutation-log entry lands FIRST — rivals' commute checks must
     # see the merge (its key Bloom for merge rivals; "all" files so a
     # staged DELETE always conflicts: its predicate never saw the

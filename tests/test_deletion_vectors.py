@@ -979,3 +979,39 @@ def test_dv_health_reports_purge_signals(spark, gtable):
     assert h2["marks"] == 0 and h2["physical_rows"] == 25
     assert h2["log"]["total_entries"] == 0  # swap cleared the log
     assert h2["intent"] is None  # purge released its claim
+
+
+def test_merge_dv_drops_incomplete_skipping_sidecars(spark, tmp_path):
+    """r16 (the replace_files hazard class, DV-merge edition): the merge
+    APPENDS base files a standing stats/bloom manifest does not
+    describe — a pruned read over the incomplete manifest would MISS
+    the merged rows.  Publish drops the sidecars (absent = unpruned =
+    safe); the skipping read path then refuses loudly instead of
+    answering wrongly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        deletion_vectors as DV,
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(2).write.parquet(t)
+    skipping.write_stats_manifest(spark, t, ["k"])
+    skipping.write_bloom_manifest(spark, t, "k")
+    src = spark.createDataFrame(
+        [(5, 999), (200, 1)], "k int, v long"
+    )
+    out = DV.merge_dv(spark, t, src, keys=["k"])
+    assert out == {"updated": 1, "inserted": 1}
+    assert not os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+    assert not os.path.isdir(os.path.join(t, skipping.BLOOM_DIR))
+    got = {(r["k"], r["v"]) for r in DV.read_dv(spark, t).collect()}
+    assert (5, 999) in got and (200, 1) in got and len(got) == 101
+    with pytest.raises(FileNotFoundError):
+        skipping.pruned_files_multi(spark, t, {"k": (0, 10)})
