@@ -2722,16 +2722,18 @@ CORRECTNESS_PRIORITY = [
     "events_funnel_stages", "events_generated_partition_scan",
     "events_hourly_ohlc", "events_hourly_windows", "events_range_join_agg",
     "events_session_windows", "events_sliding_windows",
-    "events_stream_counter_ingest",
+    # -- changed late in r16 (rule 2): the DV-merge publish now drops
+    #    standing skipping sidecars (incomplete-manifest hazard) --
+    "part_merge_dv_scan",
     # -- deferred slice of the r13 tier (18 lanes, positions 51+):
     #    deadline r17 — front the r17 window. --
-    "events_stream_static_enrich",
+    "events_stream_counter_ingest", "events_stream_static_enrich",
     "events_stream_stream_join", "lineitem_pricing_summary",
     "order_fact_upsert", "orders_bucketed_colocated_join",
     "orders_grouping_sets", "orders_shipping_priority", "part_cdf_changes",
     "part_cdf_changes_percommit", "part_dml_update_delete_cdf",
     "part_dv_delete_scan", "part_matview_incremental",
-    "part_merge_dv_scan", "part_merge_versioned_txn",
+    "part_merge_versioned_txn",
     "part_optimize_partitions_scan", "part_time_travel_diff",
     "part_type_token_count", "regional_nation_revenue",
     # -- last hash row r14 (rotate in at r17/r18) --

@@ -122,6 +122,9 @@ CHANGED_THIS_ROUND = {
     # NEW lane (r16): string-keyed linear clustering (curve="sorted")
     # through the incremental maintenance loop.
     "docs_recluster_sorted_scan",
+    # r16 late: DV-merge publish drops standing skipping sidecars
+    # (incomplete-manifest hazard) — the merge-on-read lane rides it.
+    "part_merge_dv_scan",
 }
 
 
