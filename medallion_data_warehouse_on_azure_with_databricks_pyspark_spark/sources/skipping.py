@@ -238,8 +238,12 @@ def pruned_files_multi(
     range (either bound may be None) — conjunctive box pruning, the shape
     Z-ordered layouts exist to serve: each file covers a compact region
     of the clustered plane, so a box predicate discards files on every
-    dimension at once.  Returns (kept_files, total_files); files without
-    a stats row, or predicates on uncollected columns, keep files.
+    dimension at once.  Returns ``(kept_files, total_live_files)``;
+    files without a stats row, or predicates on uncollected columns,
+    keep files.  The decision is LIVENESS-VERIFIED against the current
+    live set (r16): a manifest row for a retired file never serves, and
+    a live file the manifest misses is always kept — see
+    :func:`_liveness_verified`.
 
     The collect here is the bounded driver-side step every log-based
     format has (Delta/Iceberg replay their manifests on the driver); the
@@ -249,6 +253,7 @@ def pruned_files_multi(
     decision); mixed-type bounds the Python comparison can't order fall
     back to the Spark path so SQL coercion decides.
     """
+    live = _live_file_uris(path)
     rows, cols = read_stats_manifest_driver_side(path)
     if rows is not None:
         try:
@@ -256,16 +261,18 @@ def pruned_files_multi(
                 r["file_path"] for r in rows
                 if _keep_py(r, cols, predicates)
             ]
-            return kept, len(rows)
+            return _liveness_verified(
+                kept, {r["file_path"] for r in rows}, live
+            )
         except TypeError:
             pass  # e.g. str bound vs timestamp stats: let Spark coerce
     manifest = read_stats_manifest(spark, path)
     if manifest is None:
         raise FileNotFoundError(f"no stats manifest under {path}")
-    total = manifest.count()
+    described = {r.file_path for r in manifest.select("file_path").collect()}
     keep = _keep_condition(manifest.columns, predicates)
     kept = [r.file_path for r in manifest.where(keep).select("file_path").collect()]
-    return kept, total
+    return _liveness_verified(kept, described, live)
 
 
 def _keep_py(row: dict, manifest_cols: set, predicates: dict) -> bool:
@@ -293,6 +300,45 @@ def _keep_py(row: dict, manifest_cols: set, predicates: dict) -> bool:
         if upper is not None and mn is not None and not mn <= upper:
             return False
     return True
+
+
+def _live_file_uris(path: str) -> set[str]:
+    """The CURRENT live data files as ``_metadata.file_path``-form URIs
+    — versioned manifest-mode tables resolve through their snapshot
+    (their roots also hold RETIRED files); everything else lists the
+    directory.  Driver-side metadata, the ``table_detail`` cost class."""
+    from . import versioned  # lazy — versioned imports this module lazily
+
+    v = versioned.current_version(path)
+    if v is not None and versioned.snapshot_mode(path) == "manifest":
+        return {
+            "file:" + os.path.abspath(os.path.join(path, r))
+            for r in versioned._snapshot_files(path, v)
+        }
+    out: set[str] = set()
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.add("file:" + os.path.abspath(os.path.join(root, f)))
+    return out
+
+
+def _liveness_verified(
+    kept: list[str], described: set[str], live: set[str]
+) -> tuple[list[str], int]:
+    """Apply the liveness rule to a pruning decision (r16 — VERDICT r15
+    noted the prune paths trusted the manifest blindly, unlike
+    cluster_health): a manifest row for a RETIRED file is dropped (in
+    manifest mode that file still exists on disk — serving it would
+    answer from an old snapshot), and a LIVE file the manifest does not
+    describe is KEPT (pruning it would MISS rows — unknown is always
+    unprunable).  Turns any missed sidecar maintenance anywhere into a
+    perf non-event instead of a wrong answer; in the steady state
+    (manifest == live) it is a set intersection no-op."""
+    verified = [f for f in kept if f in live]
+    verified += sorted(live - described)
+    return verified, len(live)
 
 
 def pruned_files(
@@ -412,17 +458,18 @@ def bloom_pruned_files(
     out = os.path.join(path.rstrip("/"), BLOOM_DIR)
     if not os.path.isdir(out):
         raise FileNotFoundError(f"no bloom manifest under {path}")
+    live = _live_file_uris(path)
     manifest = spark.read.parquet(out)
     head = manifest.select("column", "num_bits", "num_hashes").first()
-    total = manifest.count()
+    described = {r.file_path for r in manifest.select("file_path").collect()}
     if head is None or head.column != column:
-        return [r.file_path for r in manifest.select("file_path").collect()], total
+        return _liveness_verified(sorted(described), described, live)
     probe = _bloom_positions(F.lit(value), head.num_bits, head.num_hashes)
     kept_df = manifest.where(
         F.size(F.array_except(probe, F.col("bits"))) == 0
     )
     kept = [r.file_path for r in kept_df.select("file_path").collect()]
-    return kept, total
+    return _liveness_verified(kept, described, live)
 
 
 def read_bloom_skipping(
