@@ -3162,14 +3162,18 @@ def docs_recluster_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.col("doc_id").cast("string"), 8, "0"),
         ).alias("key"),
     )
+    # the split modulus must be COPRIME with the corpus's source cycle
+    # (sf0.1 generates source = f(doc_id % 20)): doc_id % 5 == 0 rows
+    # would cover only 4 of the 20 sources, making the appends narrow
+    # in key-rank space instead of full-range decay
     base = layout.sorted_layout(
-        docs.filter(F.col("doc_id") % 5 != 0), ["key"], 4
+        docs.filter(F.col("doc_id") % 7 != 0), ["key"], 4
     )
     versioned.overwrite_versioned(
         base, table, now=1.0, snapshot_mode="manifest", stats_columns=["key"]
     )
     versioned.append_versioned(
-        docs.filter(F.col("doc_id") % 5 == 0).repartition(6), table, now=2.0
+        docs.filter(F.col("doc_id") % 7 == 0).repartition(6), table, now=2.0
     )
     policy = mnt.MaintenancePolicy(cluster_strategy="incremental")
     spec = [(table, ("key",), "sorted")]
