@@ -377,6 +377,7 @@ def main() -> None:
     workload.QUERIES[HEADLINE[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for lane_idx, name in enumerate(HEADLINE):
         if lane_idx and lane_idx % RESTART_EVERY == 0:
             spark.stop()
@@ -388,10 +389,19 @@ def main() -> None:
         # cold-start noise.  Streaming-checkpoint queries use fresh temp
         # dirs per call, so both runs do real work either way.
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — per-lane fault isolation
+            # one broken lane must not lose the WHOLE round's bench
+            # metric (r16: a lane assertion tripped mid-run and the
+            # driver would have recorded nothing).  Record the error
+            # loudly in the detail line + a summary count; keep going.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            _lane_hygiene(spark)
+            continue
         # Noise floor (ADVICE r6; tightened r8): ambient box load makes
         # sub-second queries swing 3-4x between identical-code runs, and
         # the r8 A/B measured run-scoped microVM drift of 10-30% on
@@ -414,7 +424,7 @@ def main() -> None:
     sys.stdout.flush()
     sys.stderr.flush()
 
-    detail_line, summary_line = render_output(timings, sf)
+    detail_line, summary_line = render_output(timings, sf, errors=errors)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_QUERIES.json"), "w") as fh:
         fh.write(detail_line + "\n")
@@ -422,7 +432,8 @@ def main() -> None:
     print(summary_line)
 
 
-def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
+def render_output(timings: dict[str, float], sf: float,
+                  errors: dict[str, str] | None = None) -> tuple[str, str]:
     """Build the two output lines: a per-query detail line and a
     CONSTANT-SIZE summary line.
 
@@ -434,10 +445,10 @@ def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
     total = round(sum(timings.values()), 4)
     common = {k: v for k, v in timings.items() if k in COMMON_SET_R7}
     prev = {k: v for k, v in timings.items() if k in COMMON_SET_PREV}
-    detail = json.dumps(
-        {"detail": "per_query_sec", "queries": timings, "sf": sf},
-        sort_keys=True,
-    )
+    detail_obj = {"detail": "per_query_sec", "queries": timings, "sf": sf}
+    if errors:
+        detail_obj["errors"] = errors
+    detail = json.dumps(detail_obj, sort_keys=True)
     summary = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -452,6 +463,10 @@ def render_output(timings: dict[str, float], sf: float) -> tuple[str, str]:
         # "vs last round" is one field, not per-lane diffing
         "common_prev_value": round(sum(prev.values()), 4),
         "common_prev_n": len(prev),
+        # lanes that errored this run (timed lanes exclude them; a
+        # nonzero count means the total is NOT comparable round-over-
+        # round — investigate the detail line's "errors" map)
+        "n_errors": len(errors or {}),
     })
     return detail, summary
 

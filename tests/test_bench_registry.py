@@ -75,6 +75,24 @@ def test_summary_line_is_constant_size():
     assert not detail.startswith('{"metric"')
 
 
+def test_bench_surfaces_lane_errors_without_losing_the_metric():
+    """r16: a lane that raises mid-bench must not lose the ROUND's
+    metric — the error lands in the detail line's "errors" map and the
+    constant-size summary carries only the count."""
+    timings = {"q1": 1.0, "q2": 2.0}
+    errors = {"q3": "AssertionError: wrong rewrite scope"}
+    detail, summary = bench.render_output(timings, sf=0.1, errors=errors)
+    import json as _json
+
+    d, s = _json.loads(detail), _json.loads(summary)
+    assert d["errors"] == errors
+    assert s["n_errors"] == 1 and s["value"] == 3.0
+    assert len(summary) < 250
+    # the clean path stays clean: no errors key, n_errors 0
+    d2, s2 = map(_json.loads, bench.render_output(timings, sf=0.1))
+    assert "errors" not in d2 and s2["n_errors"] == 0
+
+
 def test_every_query_has_oracle_or_documented_weak_check():
     """Each queries() entry needs an oracle_sql() row for the driver's
     hash gate; the rows-only set is pinned so additions are deliberate."""
