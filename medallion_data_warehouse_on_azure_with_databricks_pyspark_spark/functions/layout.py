@@ -666,7 +666,8 @@ def hilbert_layout_ranked(
 # ---------------------------------------------------------------------------
 
 def select_recluster_offenders(
-    env_rows, columns: list[str], root: str, span_frac: float = 0.5
+    env_rows, columns: list[str], root: str, span_frac: float = 0.5,
+    schema=None,
 ) -> list[str]:
     """Table-relative paths of files whose envelope spans more than
     ``span_frac`` of the global value range on EVERY clustering column —
@@ -683,10 +684,28 @@ def select_recluster_offenders(
     metadata, so the rank table is as bounded as the envelope list
     itself (r16: replaces the r15-era type refusal now that the sorted
     curve gives non-numeric columns a rewrite path; the per-curve type
-    contract is enforced up front by ``_validate_curve_spec``)."""
+    contract is enforced up front by ``_validate_curve_spec``).
+
+    ``schema`` (r17, ADVICE r16 #4): when the caller passes the table's
+    ``StructType`` (``recluster_incremental`` already reads it for
+    ``_validate_curve_spec``), value-vs-rank mode is decided from the
+    DECLARED column type — deterministic and data-independent.  Without
+    a schema the mode falls back to sniffing the first bound's Python
+    type, which is equivalent for homogeneous bounds but technically
+    sample-dependent."""
     import datetime as _dt
     import decimal as _dec
 
+    numeric_by_schema: dict[str, bool] = {}
+    if schema is not None:
+        from pyspark.sql import types as _T
+
+        for f in schema.fields:
+            numeric_by_schema[f.name] = isinstance(
+                f.dataType,
+                (_T.NumericType, _T.DateType, _T.TimestampType,
+                 _T.TimestampNTZType),
+            ) and not isinstance(f.dataType, _T.BooleanType)
     spans: dict[str, tuple] = {}
     for c in columns:
         vals = [
@@ -697,8 +716,10 @@ def select_recluster_offenders(
         if not vals:
             continue
         lo0 = vals[0][0]
-        numeric = not isinstance(lo0, bool) and isinstance(
-            lo0, (int, float, _dec.Decimal, _dt.datetime, _dt.date)
+        numeric = numeric_by_schema.get(c) if c in numeric_by_schema else (
+            not isinstance(lo0, bool) and isinstance(
+                lo0, (int, float, _dec.Decimal, _dt.datetime, _dt.date)
+            )
         )
         if numeric:
             spans[c] = (
@@ -775,12 +796,12 @@ def recluster_incremental(
                 "versioned tables"
             )
         versioned._refuse_dv_sidecar(path, "recluster_incremental")
-        _validate_curve_spec(
-            versioned.read_current(spark, path).schema, list(cols), curve
-        )
+        table_schema = versioned.read_current(spark, path).schema
+        _validate_curve_spec(table_schema, list(cols), curve)
         env = _resolved_envelopes(spark, path, list(cols), None)
         offenders = select_recluster_offenders(env, list(cols), path,
-                                               span_frac=span_frac)
+                                               span_frac=span_frac,
+                                               schema=table_schema)
         if telemetry is not None:
             telemetry["offenders"] = len(offenders)
             telemetry["live_files"] = len(env)

@@ -141,14 +141,50 @@ def decide_table(
     history holds ``superseded_ratio`` of the live bytes AND there are
     more DROPPABLE retained versions than the vacuum would keep —
     tag-pinned versions are never dropped, so counting them would make
-    an all-pinned table re-dispatch a no-op vacuum every sweep."""
+    an all-pinned table re-dispatch a no-op vacuum every sweep.
+
+    The reclaim estimate is ACTUATOR-FAITHFUL (r17): when the detail
+    carries manifest-mode snapshot file refs, the decision simulates
+    exactly the drop the vacuum would perform — oldest unpinned
+    versions beyond ``vacuum_keep_last`` — and counts only bytes whose
+    files NO kept version still references.  Files are shared across
+    manifest versions by reference, so ``superseded_bytes`` (bytes
+    outside the live set) routinely over-counts what this vacuum may
+    free: r17 found a table whose reclaimable history sat entirely in
+    versions ``keep_last`` protects, and the old decision re-dispatched
+    a zero-reclaim vacuum EVERY sweep, forever.  Physical-mode tables
+    (one directory per retained version, nothing shared) keep the
+    superseded-bytes test, which is exact there."""
     if detail.get("intent") is not None:
         return "recover" if assume_quiesced else "blocked:intent"
     live = detail.get("size_bytes") or 0
     reclaimable = detail.get("superseded_bytes", 0)
-    droppable = set(detail.get("retained_versions", ())) - set(
-        detail.get("pinned_versions", ())
-    )
+    pinned = set(detail.get("pinned_versions", ()))
+    droppable = set(detail.get("retained_versions", ())) - pinned
+    refs = detail.get("snapshot_refs")
+    if refs is not None:
+        # simulate the manifest-mode actuator: _vacuum_locked drops the
+        # OLDEST unpinned retained versions beyond keep_last, then
+        # deletes only files no surviving version references
+        unpinned = sorted(v for v in detail.get("retained_versions", ())
+                          if v not in pinned)
+        to_drop = unpinned[: max(0, len(unpinned) - policy.vacuum_keep_last)]
+        if not to_drop:
+            return None
+        kept: set = set()
+        for v, fl in refs.items():
+            if int(v) not in to_drop:  # current + kept retained + pinned
+                kept.update(fl)
+        sizes = detail.get("data_file_bytes", {})
+        drop_refs: set = set()
+        for v in to_drop:
+            drop_refs.update(refs.get(v, ()))
+        reclaimable = sum(sizes.get(rel, 0) for rel in drop_refs - kept)
+        return (
+            "vacuum"
+            if live and reclaimable / live >= policy.superseded_ratio
+            else None
+        )
     if (
         live
         and len(droppable) > policy.vacuum_keep_last
@@ -327,13 +363,19 @@ def run_maintenance(
             # small-file debt leg (r15): retention outranks it — one
             # actuator per table per sweep; a standing intent already
             # blocked above.  The probe is filesystem-only (one stat per
-            # live file, the table_detail cost class).
-            smalls = [
-                f for f in versioned._live_data_files(p)
-                if os.path.getsize(f) < policy.table_compact_target_bytes
-            ]
-            detail["small_files"] = len(smalls)
-            if len(smalls) >= policy.table_compact_min_files:
+            # live file, the table_detail cost class) and runs the SAME
+            # eligibility math as the actuator (r17,
+            # versioned.compaction_plan): a count-only probe kept
+            # re-dispatching no-op OPTIMIZEs forever on debt that can
+            # never pack (bytes already at ~one file per target).
+            plan, _live = versioned.compaction_plan(
+                p, policy.table_compact_target_bytes
+            )
+            detail["small_files"] = sum(len(files) for files, _ in plan)
+            if (
+                plan
+                and detail["small_files"] >= policy.table_compact_min_files
+            ):
                 action = "compact"
         if action == "compact":
             actuate = (

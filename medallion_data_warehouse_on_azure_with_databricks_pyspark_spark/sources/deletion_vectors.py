@@ -885,12 +885,17 @@ def _publish_dv_merge(path: str, tag: str, key_bloom=None, bloom_v=None) -> None
     every commit path): the merge appends base files the manifests do
     not describe, and a pruned read over an INCOMPLETE manifest would
     MISS the merged rows — absent sidecars are merely unpruned, never
-    wrong.  Publish can run spark-free from read-time roll-forward, so
-    a rebuild is the operator's explicit post-merge step."""
-    from . import skipping as _skipping
+    wrong.  The drop goes through ``versioned._drop_sidecars`` (r17,
+    ADVICE r16 #2) so the stats manifest's column set is remembered in
+    the ``_stats_hint`` self-heal file first — the next versioned
+    commit's auto-maintenance rebuilds the manifest from the hint;
+    a raw rmtree here silently disabled pruning FOREVER after a DV
+    merge.  ``_drop_sidecars`` is spark-free (driver-side pyarrow
+    read), so publish still runs from read-time roll-forward.  Bloom
+    sidecars stay operator-recreated, as documented there."""
+    from . import versioned as _versioned
 
-    for _d in (_skipping.STATS_DIR, _skipping.BLOOM_DIR):
-        shutil.rmtree(os.path.join(path.rstrip("/"), _d), ignore_errors=True)
+    _versioned._drop_sidecars(path)
     # the mutation-log entry lands FIRST — rivals' commute checks must
     # see the merge (its key Bloom for merge rivals; "all" files so a
     # staged DELETE always conflicts: its predicate never saw the

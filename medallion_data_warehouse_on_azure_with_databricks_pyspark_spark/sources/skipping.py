@@ -542,7 +542,7 @@ def update_bloom_manifest_partitions(
     touched_partitions: list[str],
     old_manifest: DataFrame,
     files: list[str] | None = None,
-) -> DataFrame:
+) -> DataFrame | None:
     """Incremental BLOOM manifest maintenance for a partition-scoped
     commit — the equality-skipping counterpart of
     :func:`update_stats_manifest_partitions` (VERDICT r11 ask #3: after
@@ -555,13 +555,17 @@ def update_bloom_manifest_partitions(
     same column / num_bits / num_hashes the standing manifest was built
     with — mixing parameters would break the probe's bit arithmetic.
     A zero-row sidecar carries no config to rebuild with: delete it
-    (no bloom = no pruning = safe) instead of dereferencing None.
+    (no bloom = no pruning = safe) instead of dereferencing None, and
+    return ``None`` — NOT the old frame, whose backing parquet files
+    the rmtree just deleted; any action on it would raise a
+    missing-file error (ADVICE r16 #3; current callers ignore the
+    return, so this pins the contract before it bites).
     """
     head = old_manifest.select("column", "num_bits", "num_hashes").first()
     if head is None:
         shutil.rmtree(os.path.join(path.rstrip("/"), BLOOM_DIR),
                       ignore_errors=True)
-        return old_manifest
+        return None
     cond = F.lit(False)
     for t in touched_partitions:
         cond = cond | F.col("file_path").contains(f"/{t}/")
@@ -608,7 +612,7 @@ def update_bloom_manifest_files(
     removed: list[str],
     added: list[str],
     old_manifest: DataFrame,
-) -> DataFrame:
+) -> DataFrame | None:
     """File-subset twin of :func:`update_bloom_manifest_partitions` for
     ``replace_files``/append commits (r15): rows for the retired files
     drop from the manifest, filters for the added files compute in ONE
@@ -625,12 +629,14 @@ def update_bloom_manifest_files(
     old ``head.column`` raised AttributeError AFTER the commit had
     landed, failing the caller for a transaction that actually
     committed) — no bloom manifest means no pruning, which is always
-    safe."""
+    safe.  That branch returns ``None``, not the old frame: its backing
+    files are gone, so any caller action on it would raise a
+    missing-file error (ADVICE r16 #3)."""
     head = old_manifest.select("column", "num_bits", "num_hashes").first()
     if head is None:
         shutil.rmtree(os.path.join(path.rstrip("/"), BLOOM_DIR),
                       ignore_errors=True)
-        return old_manifest
+        return None
     removed_uris = [
         "file:" + os.path.abspath(os.path.join(path, r)) for r in removed
     ]

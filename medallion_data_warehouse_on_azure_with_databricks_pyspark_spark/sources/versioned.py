@@ -1109,6 +1109,53 @@ def append_versioned(
     raise last  # pragma: no cover — exhausted retries under contention
 
 
+def compaction_plan(path: str, target_file_bytes: int) -> tuple[list, list]:
+    """Driver-side, filesystem-only dry run of
+    :func:`optimize_compact_incremental`'s eligibility math against the
+    CURRENT snapshot: ``(plan, live)`` where ``plan`` is
+    ``[(files, n_out), ...]`` — one branch per packable group (the
+    whole table, or each eligible hive partition) — and an EMPTY plan
+    means the compaction would be a no-op (fewer than two smalls, or
+    packing cannot reduce the file count).  Shared by the actuator and
+    the maintenance scheduler's probe (r17): the probe previously
+    checked only the small-file COUNT, so a steady-state debt that can
+    never pack (e.g. 3 smalls whose bytes already need 3 targets)
+    re-dispatched a no-op OPTIMIZE every sweep, forever.  Cost: one
+    stat per live file — the ``table_detail`` class."""
+    from .writers import _discover_partition_columns
+
+    base_v = current_version(path)
+    if base_v is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    live = (
+        _snapshot_files(path, base_v)
+        if _mode_of(path) == "manifest"
+        else [os.path.relpath(f, path) for f in _data_files(path)]
+    )
+    sizes = {rel: os.path.getsize(os.path.join(path, rel)) for rel in live}
+    smalls = sorted(r for r, s in sizes.items() if s < target_file_bytes)
+    if len(smalls) < 2:
+        return [], live
+    if _discover_partition_columns(path):
+        by_part: dict[str, list[str]] = {}
+        for rel in smalls:
+            by_part.setdefault(os.path.dirname(rel), []).append(rel)
+        plan: list[tuple[list[str], int]] = []
+        for _pdir, files in sorted(by_part.items()):
+            if len(files) < 2:
+                continue
+            debt = sum(sizes[r] for r in files)
+            n_p = max(1, -(-debt // target_file_bytes))  # ceil
+            if n_p < len(files):
+                plan.append((files, int(n_p)))
+        return plan, live
+    total_small = sum(sizes[r] for r in smalls)
+    n_out = max(1, -(-total_small // target_file_bytes))  # ceil
+    if n_out >= len(smalls):
+        return [], live  # packing cannot reduce the file count
+    return [(smalls, int(n_out))], live
+
+
 def optimize_compact_incremental(
     spark: SparkSession,
     path: str,
@@ -1137,7 +1184,20 @@ def optimize_compact_incremental(
     partition (or, unpartitioned, the whole table) can reduce its file
     count is a no-op: no history churn, no rewrite I/O.  Returns the
     committed (or current) version.  :func:`optimize_compact` remains
-    the full-snapshot rewrite."""
+    the full-snapshot rewrite.
+
+    CLUSTERING-AWARE (r17, VERDICT r16 ask #6 — Databricks liquid
+    clustering's ``OPTIMIZE`` on a ``CLUSTER BY`` table): when the
+    table DECLARES clustering (:func:`set_clustering`), the packed
+    rows are laid out through the declared curve instead of a blind
+    round-robin — plain bin-packing would merge disjoint-range tiles
+    into full-span files, re-widening exactly the envelopes the
+    recluster leg just tightened, and the two maintenance legs would
+    oscillate forever (compact → decay → recluster → small tiles →
+    compact → ...).  Same output file count, same rewrite I/O bound
+    (only the debt shuffles — through a range/curve partitioner rather
+    than round-robin, plus one bounded quantile pass); undeclared
+    tables keep the zero-extra-shuffle round-robin path."""
     from functools import reduce as _reduce
 
     from .writers import _discover_partition_columns
@@ -1150,69 +1210,69 @@ def optimize_compact_incremental(
         if base_v is None:
             raise ValueError(f"{path}: no version log — not a versioned table")
         _refuse_dv_sidecar(path, "optimize_compact_incremental")
-        live = (
-            _snapshot_files(path, base_v)
-            if _mode_of(path) == "manifest"
-            else [os.path.relpath(f, path) for f in _data_files(path)]
-        )
-        sizes = {rel: os.path.getsize(os.path.join(path, rel)) for rel in live}
-        smalls = sorted(r for r, s in sizes.items() if s < target_file_bytes)
-        if len(smalls) < 2:
-            return base_v  # nothing to pack — no-op, no history churn
+        plan, live = compaction_plan(path, target_file_bytes)
+        if not plan:
+            return base_v  # nothing packable — no-op, no history churn
         part_cols = _discover_partition_columns(path) or None
-        if part_cols:
-            # per-partition eligibility: a partition whose small files
-            # cannot be reduced (one lone small file, or debt already at
-            # ~one file per target) is dropped from the rewrite set —
-            # otherwise every sweep would commit a useless OPTIMIZE
-            # (unbounded history churn on steady-state tables).
-            by_part: dict[str, list[str]] = {}
-            for rel in smalls:
-                by_part.setdefault(os.path.dirname(rel), []).append(rel)
-            plan: list[tuple[list[str], int]] = []
-            for _pdir, files in sorted(by_part.items()):
-                if len(files) < 2:
-                    continue
-                debt = sum(sizes[r] for r in files)
-                n_p = max(1, -(-debt // target_file_bytes))  # ceil
-                if n_p < len(files):
-                    plan.append((files, int(n_p)))
-            if not plan:
-                return base_v  # no partition has packable debt — no-op
-            remove = [r for files, _ in plan for r in files]
-            # one branch per eligible partition, repartitioned to ITS
-            # bucket count: round-robin splits the debt evenly, so each
-            # output lands ~target-sized; writing with partitionBy keeps
-            # one file per task per hive dir (a branch's rows all share
-            # one partition value), so per-partition output counts are
-            # exact.  Shuffle volume = the debt being rewritten anyway.
+        declared = clustering_of(path)
+
+        def _lay_out(df: DataFrame, n: int) -> DataFrame:
+            """Pack ``df`` into ``n`` files — through the declared
+            clustering curve when the table has one (tile-shaped
+            outputs), round-robin otherwise (no extra shuffle)."""
+            if declared is None or not set(declared["cols"]) <= set(df.columns):
+                return df.repartition(n)
+            from ..functions import layout as _layout
+
+            cols_, curve_ = list(declared["cols"]), declared.get(
+                "curve", "sorted"
+            )
+            if curve_ == "hilbert":
+                return _layout.hilbert_layout_ranked(
+                    df, cols_[0], cols_[1], n, partition_cols=part_cols
+                )
+            if curve_ == "sorted":
+                return _layout.sorted_layout(
+                    df, cols_, n, partition_cols=part_cols
+                )
+            return _layout.zorder_layout_ranked(
+                df, cols_, n, partition_cols=part_cols
+            )
+
+        remove = [r for files, _ in plan for r in files]
+        # one branch per packable group, packed to ITS bucket count
+        # (plan eligibility per partition: see compaction_plan).
+        # Round-robin splits the debt evenly, so each output lands
+        # ~target-sized; under hive partitioning, writing with
+        # partitionBy keeps one file per task per hive dir (a branch's
+        # rows all share one partition value), so per-partition output
+        # counts are exact.  Shuffle volume = the debt being rewritten
+        # anyway.  The lone unpartitioned undeclared branch keeps the
+        # zero-shuffle coalesce.
+        if part_cols is None and declared is None:
+            (files, n_out), = plan
+            packed = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, r) for r in files]
+            ).coalesce(int(n_out))
+        else:
             branches = [
-                spark.read.option("basePath", path)
-                .parquet(*[os.path.join(path, r) for r in files])
-                .repartition(n_p)
+                _lay_out(
+                    spark.read.option("basePath", path)
+                    .parquet(*[os.path.join(path, r) for r in files]),
+                    int(n_p),
+                )
                 for files, n_p in plan
             ]
             packed = _reduce(DataFrame.unionByName, branches)
-            meta = {
-                "incremental": True, "bin_packed": len(remove),
-                "kept_files": len(live) - len(remove),
-                "partitions_packed": len(plan),
-                "target_file_bytes": target_file_bytes,
-            }
-        else:
-            total_small = sum(sizes[r] for r in smalls)
-            n_out = max(1, -(-total_small // target_file_bytes))  # ceil
-            if n_out >= len(smalls):
-                return base_v  # packing cannot reduce the file count
-            remove = smalls
-            packed = spark.read.option("basePath", path).parquet(
-                *[os.path.join(path, r) for r in smalls]
-            ).coalesce(int(n_out))
-            meta = {
-                "incremental": True, "bin_packed": len(smalls),
-                "kept_files": len(live) - len(smalls),
-                "target_file_bytes": target_file_bytes,
-            }
+        meta = {
+            "incremental": True, "bin_packed": len(remove),
+            "kept_files": len(live) - len(remove),
+            "target_file_bytes": target_file_bytes,
+        }
+        if part_cols:
+            meta["partitions_packed"] = len(plan)
+        if declared is not None:
+            meta["clustered"] = declared.get("curve", "sorted")
         try:
             return replace_files(
                 packed, path, remove=remove, expected_version=base_v,
@@ -1570,6 +1630,8 @@ def table_detail(path: str) -> dict:
     # shared across versions by reference, so this is exact).  Physical
     # mode: the retention directories.  Pure filesystem walk, no Spark —
     # the same bounded-listing class as the vacuum walk itself.
+    snapshot_refs: dict | None = None
+    data_file_bytes: dict | None = None
     if _mode_of(path) == "manifest":
         live = {os.path.abspath(f) for f in files}
         superseded = sum(
@@ -1577,6 +1639,22 @@ def table_detail(path: str) -> dict:
             for f in _data_files(path)
             if os.path.abspath(f) not in live
         )
+        # per-version file references (r17): manifest versions SHARE
+        # files by reference, so a retention decision must know which
+        # bytes a drop would ACTUALLY free — ``superseded_bytes`` alone
+        # over-counts whenever the reclaimable history sits inside the
+        # versions keep_last protects (plans/maintenance.decide_table
+        # re-dispatched a zero-reclaim vacuum forever on exactly that
+        # state).  Same bounded-metadata class as the log replay reads
+        # already pay: one _snapshot_files list per retained version.
+        snapshot_refs = {
+            v: _snapshot_files(path, v)
+            for v in retained + [log[-1]["version"]]
+        }
+        data_file_bytes = {
+            os.path.relpath(f, path): os.path.getsize(f)
+            for f in _data_files(path)
+        }
     else:
         superseded = 0
         for v in retained:
@@ -1613,6 +1691,12 @@ def table_detail(path: str) -> dict:
         "has_bloom_manifest": os.path.isdir(
             os.path.join(path.rstrip("/"), skipping.BLOOM_DIR)
         ),
+        # manifest mode only (None otherwise): what each retained +
+        # current version references, and every on-disk data file's
+        # size — the inputs an actuator-faithful retention decision
+        # needs (files are shared across versions by reference)
+        "snapshot_refs": snapshot_refs,
+        "data_file_bytes": data_file_bytes,
     }
 
 

@@ -69,7 +69,10 @@ def test_summary_line_is_constant_size():
     never be mistaken for it."""
     timings = {f"query_with_a_rather_long_name_{i:04d}": 123.4567 for i in range(500)}
     detail, summary = bench.render_output(timings, sf=0.1)
-    assert len(summary) < 200, f"summary line grew to {len(summary)} bytes"
+    # r17: +~25 bytes for the constant common_r7_cpu field (VERDICT r16
+    # ask #3); the invariant is CONSTANT-size vs query count, and the
+    # driver tail window is ~2000 chars — 260 keeps 8x headroom
+    assert len(summary) < 260, f"summary line grew to {len(summary)} bytes"
     assert summary.startswith('{"metric"')
     assert '"queries"' not in summary
     assert not detail.startswith('{"metric"')

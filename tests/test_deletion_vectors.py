@@ -1015,3 +1015,40 @@ def test_merge_dv_drops_incomplete_skipping_sidecars(spark, tmp_path):
     assert (5, 999) in got and (200, 1) in got and len(got) == 101
     with pytest.raises(FileNotFoundError):
         skipping.pruned_files_multi(spark, t, {"k": (0, 10)})
+
+
+def test_merge_dv_publish_writes_stats_self_heal_hint(spark, table):
+    """r17 (ADVICE r16 #2): the merge publish drops standing skipping
+    sidecars (they don't describe the appended base files — an
+    incomplete manifest would MISS merged rows on a pruned read), but
+    the drop must go through ``versioned._drop_sidecars`` so the stats
+    manifest's column set survives in the ``_stats_hint`` self-heal
+    file — a raw rmtree silently and PERMANENTLY disabled pruning,
+    because later auto-maintenance found neither a standing manifest
+    nor a hint to rebuild from."""
+    import json
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+        versioned,
+    )
+
+    skipping.write_stats_manifest(spark, table, ["p_partkey", "p_size"])
+    skipping.write_bloom_manifest(spark, table, "p_partkey")
+    assert os.path.isdir(os.path.join(table, skipping.STATS_DIR))
+    assert os.path.isdir(os.path.join(table, skipping.BLOOM_DIR))
+    src = spark.createDataFrame(
+        [r.asDict() for r in spark.read.parquet(table).limit(3).collect()]
+    ).withColumn("p_retailprice", F.lit(1.23))
+    DV.merge_dv(spark, table, src, ["p_partkey"])
+    # sidecars dropped with the publish (incomplete-manifest hazard)...
+    assert not os.path.isdir(os.path.join(table, skipping.STATS_DIR))
+    assert not os.path.isdir(os.path.join(table, skipping.BLOOM_DIR))
+    # ...but the stats column set was remembered for the self-heal
+    hint = versioned._stats_hint_path(table)
+    assert os.path.exists(hint)
+    with open(hint) as fh:
+        assert sorted(json.load(fh)["stats_columns"]) == [
+            "p_partkey", "p_size",
+        ]
+    # bloom stays operator-recreated by design (explicit bits/hash opt-in)
