@@ -2675,68 +2675,43 @@ DRIVER_RETIRED = frozenset({
 #: rotation tests skip (with a rotate-me message) once CORRECTNESS_r{N}
 #: artifacts for this round exist, instead of failing as if the engine
 #: regressed — VERDICT r12 "What's wrong" #1.
-CORRECTNESS_PRIORITY_ROUND = 16
+CORRECTNESS_PRIORITY_ROUND = 17
 
 CORRECTNESS_PRIORITY = [
-    # -- r16 window (VERDICT r15 ask #2): the ENTIRE r12 tier fronts —
-    #    the restated 3-round promise makes r16 the deadline for all 13
-    #    lanes whose last hash row is r12 (rule 1: stalest first). --
-    "emb_cosine_topk", "emb_int8_quantize_error", "emb_ivf_drift_report",
-    "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_lsh_multitable_topk",
-    "emb_lsh_topk", "events_variant_props", "orders_status_priority_cube",
-    "orders_year_priority_pivot", "scd1_customer_dim",
-    "scd1_customer_dim_sql", "scd2_part_dim",
-    # -- changed-code this round (rule 2, VERDICT r15 asks #3/#4/#6 +
-    #    the five ADVICE fixes): replace_files grows the sidecars-pending
-    #    recovery marker and partition-layout enforcement (rides every
-    #    file-subset commit); optimize_compact_incremental packs per
-    #    partition with per-partition byte targets; the incremental
-    #    recluster selector refuses non-numeric specs and reports
-    #    escalation telemetry; the bloom maintenance hooks guard the
-    #    zero-row sidecar; the Hilbert LUT memo re-keys by applicationId. --
-    "events_recluster_incremental_scan", "events_recluster_zorder_scan",
-    "events_recluster_hilbert_scan", "part_optimize_compacted_scan",
-    "part_bloom_skipping_scan", "part_replace_partitions",
-    # -- NEW this round (rule 2): string-keyed linear clustering
-    #    (curve="sorted") through the incremental maintenance loop --
-    "docs_recluster_sorted_scan",
-    # -- no-oracle grace tier fronted (VERDICT r15 ask #5): their
-    #    rows-only driver rows date to r14 and the window has slack after
-    #    the r15 retirements — all five ride now, clearing the r18
-    #    deadline early.  Exact oracles remain the dual-SF pytest suite. --
-    "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
-    "events_approx_distinct", "events_approx_quantiles",
-    # -- last hash row r13: 26 of the 44-lane tier rotate in (rule 1);
-    #    emb_semantic_dedup is double-qualified (r13-stale AND changed:
-    #    its cluster cache re-keys by applicationId).  The remaining 17
-    #    defer to the tier below and MUST front the r17 window (their
-    #    r13+4 deadline) — deferral choice is the alphabetical tail, no
-    #    information-loss ordering applies within one deadline class. --
-    "customer_change_hash", "customer_filter_segment",
-    "customer_segment_count", "doc_adaptive_quality_filter",
-    "doc_boilerplate_removal", "emb_cosine_dedup_pairs",
-    "emb_ivfpq_indexed_topk", "emb_ivfpq_residual_topk",
-    "emb_ivfpq_stream_topk", "emb_ivfpq_topk", "emb_lsh_indexed_topk",
-    "emb_pq_indexed_topk", "emb_semantic_dedup", "emb_sq8_indexed_topk",
-    "emb_top_pc_projection", "events_asof_join", "events_cohort_retention",
-    "events_funnel_stages", "events_generated_partition_scan",
-    "events_hourly_ohlc", "events_hourly_windows", "events_range_join_agg",
-    "events_session_windows", "events_sliding_windows",
-    # -- changed late in r16 (rule 2): the DV-merge publish now drops
-    #    standing skipping sidecars (incomplete-manifest hazard) --
-    "part_merge_dv_scan",
-    # -- deferred slice of the r13 tier (18 lanes, positions 51+):
-    #    deadline r17 — front the r17 window. --
+    # -- r17 window, rule 1 (VERDICT r16 ask #1): the ENTIRE deferred
+    #    r13 tier fronts — 18 lanes whose last hash row is r13 hit the
+    #    3-round promise deadline this round (the r16 priority comment
+    #    committed them here). --
     "events_stream_counter_ingest", "events_stream_static_enrich",
     "events_stream_stream_join", "lineitem_pricing_summary",
     "order_fact_upsert", "orders_bucketed_colocated_join",
     "orders_grouping_sets", "orders_shipping_priority", "part_cdf_changes",
     "part_cdf_changes_percommit", "part_dml_update_delete_cdf",
     "part_dv_delete_scan", "part_matview_incremental",
-    "part_merge_versioned_txn",
-    "part_optimize_partitions_scan", "part_time_travel_diff",
-    "part_type_token_count", "regional_nation_revenue",
-    # -- last hash row r14 (rotate in at r17/r18) --
+    "part_merge_versioned_txn", "part_optimize_partitions_scan",
+    "part_time_travel_diff", "part_type_token_count",
+    "regional_nation_revenue",
+    # -- changed-code this round (rule 2, VERDICT r16 ADVICE + ask #6):
+    #    the DV-merge publish now writes the stats self-heal hint via
+    #    _drop_sidecars; the zero-row bloom-manifest guard returns None
+    #    (rides replace_files / replace_partitions); incremental
+    #    compaction is clustering-aware (declared CLUSTER BY tables pack
+    #    through their curve) and shares its eligibility math with the
+    #    scheduler probe; offender selection is schema-driven. --
+    "part_merge_dv_scan", "part_replace_partitions",
+    "part_bloom_skipping_scan", "part_optimize_compacted_scan",
+    "events_recluster_incremental_scan", "docs_recluster_sorted_scan",
+    # -- VERDICT r16 ask #5: the DRIVER_RETIRED flat rungs' indexed
+    #    twins front consciously (r15/r16-fresh, deliberately NOT
+    #    squatters — every retired rung's production path rides with the
+    #    r13 tier; tests/test_bench_registry.py names them in
+    #    VERDICT_FRONTED). --
+    "emb_ivfbq_indexed_topk", "emb_ivfsq8_indexed_topk",
+    "emb_pq_indexed_topk",
+    # -- last hash row r14: 23 of the 37-lane tier rotate in (rule 1);
+    #    the remaining 14 (three deferred fills + the tier tail below)
+    #    sit immediately after the window and MUST front the r18 window
+    #    (their r14+4 deadline). --
     "customer_dim_schema_evolution", "customer_set_ops",
     "doc_cross_corpus_dedup", "doc_curation_pipeline",
     "doc_dedup_keep_best", "doc_hybrid_search_rrf",
@@ -2748,13 +2723,19 @@ CORRECTNESS_PRIORITY = [
     "emb_ivf_indexed_topk", "emb_semantic_decontamination",
     "events_json_props", "events_json_rescue_ingest",
     "events_rolling_anomaly", "events_stream_anomaly_ingest",
+    # -- no-oracle lanes (rows-only driver rows r16; exact oracles are
+    #    the dual-SF pytest suite — rotate back in by r20) --
+    "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
+    "events_approx_distinct", "events_approx_quantiles",
+    # -- deferred slice of the r14 tier (14 lanes, positions 51+):
+    #    deadline r18 — front the r18 window. --
     "events_stream_dropdup_ingest", "events_stream_ingest",
     "events_stream_partition_overwrite", "events_stream_watermark_windows",
     "fact_enrichment_join", "lineitem_skew_salted_agg",
     "orders_duplicate_custkeys", "orders_priority_rollup", "orders_top20",
     "orders_unpivot_metrics", "orders_year_windows",
     "part_brand_upper_udf", "part_discount_udf", "part_distinct_aggs",
-    # -- last hash row r15 (freshest — rotate back in later rounds) --
+    # -- last hash row r15 (rotate in at r18/r19) --
     "corpus_vocab_topk", "customer_with_high_value_orders",
     "customer_without_orders", "dlt_part_pipeline",
     "dlt_part_pipeline_deletes", "dlt_part_pipeline_incremental",
@@ -2765,8 +2746,7 @@ CORRECTNESS_PRIORITY = [
     "doc_repetition_stats", "doc_scrub_pii", "doc_source_caps",
     "doc_text_stats", "doc_token_counts", "doc_token_packing",
     "doc_winnow_overlap_pairs", "docs_zorder_pruned_scan",
-    "emb_ivf_recall_report", "emb_ivfbq_indexed_topk",
-    "emb_ivfsq8_indexed_topk", "emb_ivfsq8_stream_topk",
+    "emb_ivf_recall_report", "emb_ivfsq8_stream_topk",
     "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
     "emb_mmr_diversified_topk", "emb_mmr_ivf_topk", "events_daily_rolling",
     "events_resample_ffill", "events_stateful_sessions",
@@ -2774,6 +2754,23 @@ CORRECTNESS_PRIORITY = [
     "orders_analytic_windows", "orders_price_quantiles",
     "part_scd2_from_cdf_replay", "part_stats_skipping_scan",
     "part_string_functions", "scd2_part_dim_deletes",
+    # -- last hash row r16 (freshest — rotate back in later rounds) --
+    "customer_change_hash", "customer_filter_segment",
+    "customer_segment_count", "doc_adaptive_quality_filter",
+    "doc_boilerplate_removal", "emb_cosine_dedup_pairs", "emb_cosine_topk",
+    "emb_int8_quantize_error", "emb_ivf_drift_report",
+    "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_residual_topk", "emb_ivfpq_stream_topk", "emb_ivfpq_topk",
+    "emb_lsh_indexed_topk", "emb_lsh_multitable_topk", "emb_lsh_topk",
+    "emb_semantic_dedup", "emb_sq8_indexed_topk", "emb_top_pc_projection",
+    "events_asof_join", "events_cohort_retention", "events_funnel_stages",
+    "events_generated_partition_scan", "events_hourly_ohlc",
+    "events_hourly_windows", "events_range_join_agg",
+    "events_recluster_hilbert_scan", "events_recluster_zorder_scan",
+    "events_session_windows", "events_sliding_windows",
+    "events_variant_props", "orders_status_priority_cube",
+    "orders_year_priority_pivot", "scd1_customer_dim",
+    "scd1_customer_dim_sql", "scd2_part_dim",
 ]
 
 def ordered_queries() -> dict:

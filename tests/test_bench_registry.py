@@ -125,6 +125,32 @@ def test_every_query_has_oracle_or_documented_weak_check():
 #: a changed lane always gets a fresh driver hash regardless of
 #: staleness).  Maintained alongside CORRECTNESS_PRIORITY each round.
 CHANGED_THIS_ROUND = {
+    # r17 (VERDICT r16 ADVICE + ask #6): the DV-merge publish drops
+    # skipping sidecars through versioned._drop_sidecars (stats
+    # self-heal hint); the zero-row bloom-manifest guard returns None
+    # (rides replace_files / replace_partitions); incremental
+    # compaction is clustering-aware on declared CLUSTER BY tables and
+    # shares its eligibility math with the scheduler probe
+    # (compaction_plan); recluster offender selection takes its
+    # value-vs-rank mode from the table schema.
+    "part_merge_dv_scan", "part_replace_partitions",
+    "part_bloom_skipping_scan", "part_optimize_compacted_scan",
+    "part_optimize_partitions_scan", "events_recluster_incremental_scan",
+    "docs_recluster_sorted_scan",
+}
+
+#: Fresh lanes the VERDICT explicitly asked to front this round
+#: despite a recent hash row (r17: ask #5 — every DRIVER_RETIRED flat
+#: rung's indexed twin rides with the r13 tier so the retired rungs'
+#: production paths all carry fresh driver evidence).  NOT squatters:
+#: the squatter test excuses exactly this named set, and the set is
+#: re-derived from the verdict each round (empty when no ask stands).
+VERDICT_FRONTED = {
+    "emb_ivfbq_indexed_topk", "emb_ivfsq8_indexed_topk",
+    "emb_pq_indexed_topk",
+}
+
+_CHANGED_R16 = {
     # r16 (VERDICT r15 asks #3/#4/#6 + all five ADVICE items):
     # replace_files/append_versioned grow the sidecars-pending recovery
     # marker and partition-layout enforcement — every lane that commits
@@ -146,7 +172,7 @@ CHANGED_THIS_ROUND = {
     # r16 late: DV-merge publish drops standing skipping sidecars
     # (incomplete-manifest hazard) — the merge-on-read lane rides it.
     "part_merge_dv_scan",
-}
+}  # r16 record, superseded by CHANGED_THIS_ROUND above
 
 
 def _skip_if_priority_window_consumed(latest):
@@ -214,6 +240,7 @@ def test_ordered_queries_serves_priority_window():
     squatters = [
         q for q in window
         if q not in CHANGED_THIS_ROUND
+        and q not in VERDICT_FRONTED  # the verdict's own fronting ask
         and q in oracles  # no-oracle lanes may front on VERDICT's ask
         # (r15 ask #5): their rows-only row is the only driver evidence
         # they can ever get, so "freshly hashed" never applies to them
