@@ -187,6 +187,11 @@ HEADLINE = [
     # + driver merge loop + per-doc counts under the trained table)
     "doc_bpe_trained_tokens",
     "docs_recluster_sorted_scan",
+    # r17: lakehouse adoption + lineage lanes — in-lane table build,
+    # CONVERT/CLONE metadata commits, divergent writes, log-resolved
+    # reads; the adoption/clone cost being measured IS the metadata op
+    "part_convert_in_place_scan",
+    "part_clone_divergence",
 ]
 
 #: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round

@@ -1854,6 +1854,194 @@ def _vacuum_locked(
     return to_drop
 
 
+def convert_to_versioned(
+    spark: SparkSession,
+    path: str,
+    snapshot_mode: str = "manifest",
+    now: float | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Delta ``CONVERT TO DELTA``: adopt an EXISTING plain-parquet
+    directory as a versioned table IN PLACE — the standing data files
+    become version 0 by reference; nothing is read, rewritten, moved,
+    or copied.  At 100 TB this is the difference between an adoption
+    that finishes in one metadata commit and a multi-hour full rewrite:
+    the cost is one file listing (the same walk ``table_detail`` pays)
+    plus one fsynced log entry.  After conversion every versioned
+    operation — append/MERGE/OPTIMIZE/time travel/vacuum/CDF — works on
+    the table; ``snapshot_mode`` fixes the layout exactly as a fresh
+    ``overwrite_versioned`` would (``"manifest"`` default: the adopted
+    files are v0's ``add`` actions and are never moved afterwards).
+
+    Crash-safe via the standard write-ahead intent: the claim is taken,
+    the full v0 entry is journaled, and ``recover()`` rolls a death at
+    any point forward to the logged table (the "moves" list is empty —
+    adoption performs no file operations, so forward is trivially
+    safe).  Refuses a table that is already versioned, an empty
+    directory, and a directory carrying a live deletion-vector sidecar
+    (DV marks compose with the PLAIN read path; purge first so the
+    adopted v0 equals what ``read_dv`` served).
+
+    ``stats_columns`` opts the adopted table into skipping immediately
+    (footer-harvested when exact — zero Spark jobs, the Iceberg
+    manifest pattern)."""
+    if snapshot_mode not in ("physical", "manifest"):
+        raise ValueError(f"unknown snapshot_mode {snapshot_mode!r}")
+    if _read_log(path):
+        raise ValueError(
+            f"{path}: already a versioned table (v{current_version(path)})"
+        )
+    from .deletion_vectors import DV_DIR
+
+    if os.path.isdir(os.path.join(path.rstrip("/"), DV_DIR)):
+        raise ValueError(
+            f"{path}: convert refuses a table with a live deletion-vector "
+            "sidecar — the adopted snapshot would resurrect marked rows; "
+            "purge_dv first"
+        )
+    files = sorted(
+        os.path.relpath(f, path) for f in _data_files(path)
+    )
+    if not files:
+        raise ValueError(f"{path}: no parquet data files to adopt")
+    _claim_intent(path, {"op": "convert"})
+    try:
+        _set_snapshot_mode(path, snapshot_mode)
+        entry = {
+            "version": 0,
+            "committed_at": float(now if now is not None else time.time()),
+            "operation": "CONVERT",
+            "metadata": {"adopted_files": len(files)},
+        }
+        if snapshot_mode == "manifest":
+            entry["add"] = files
+            entry["remove"] = []
+            entry["schema"] = spark.read.parquet(path).schema.json()
+            _write_intent(path, {"stage": f"{path}.__stage_convert",
+                                 "entry": entry, "moves": []})
+        else:
+            _write_intent(path, {"stage": f"{path}.__stage_convert",
+                                 "entry": entry})
+        _append_log(path, entry)
+    finally:
+        _release_intent(path)
+    if stats_columns:
+        from . import skipping as _skipping
+
+        _skipping.write_stats_manifest(
+            spark, path, list(stats_columns),
+            files=[os.path.join(path, r) for r in files],
+        )
+    return 0
+
+
+def clone_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    deep: bool = False,
+    now: float | None = None,
+) -> int:
+    """Delta ``CREATE TABLE ... CLONE`` (``VERSION AS OF`` supported):
+    materialize an independent versioned table at ``dst`` from ``src``'s
+    snapshot — by HARDLINK by default (zero-copy: one inode link per
+    live file, no data bytes move; the clone stays readable even if the
+    source later vacuums, because links keep inodes alive), or by byte
+    copy with ``deep=True``.  On an object store the same contract is
+    metadata-reference cloning; the hardlink is this filesystem's
+    equivalent, and the fallback for a cross-device ``dst`` is a copy.
+
+    The clone starts its OWN history at v0 (operation ``CLONE``, with
+    the source path/version in the commit metadata — Delta records the
+    same lineage) and inherits the source's snapshot mode, declared
+    clustering, and CHECK constraints.  Skipping sidecars are NOT
+    copied (their manifests name the source's file URIs); instead the
+    source's stats column set is written as the clone's ``_stats_hint``
+    so pruning SELF-HEALS on the clone's first commit.  Writes to
+    either table never affect the other: data files are immutable in
+    both protocols (manifest mode never rewrites a published file;
+    physical mode renames whole snapshots aside), so a shared inode is
+    only ever superseded, never mutated in place.
+
+    ``dst`` must not already exist (clone-into-new, Delta's contract);
+    a crash mid-clone leaves ``dst`` without a version log — not a
+    table — so the recovery is rmtree + re-clone."""
+    src_v = current_version(src)
+    if src_v is None:
+        raise ValueError(f"{src}: no version log — not a versioned table")
+    if version is None:
+        version = src_v
+    if os.path.exists(dst):
+        raise ValueError(f"{dst}: clone target already exists")
+    mode = _mode_of(src)
+    if mode == "manifest":
+        rels = _snapshot_files(src, version)
+        src_root = src
+    else:
+        src_root = _resolve_dir(src, version)
+        rels = [os.path.relpath(f, src_root) for f in _data_files(src_root)]
+    src_schema = read_version(spark, src, version).schema
+    os.makedirs(dst, exist_ok=True)
+    try:
+        for rel in rels:
+            s_abs = os.path.join(src_root, rel)
+            d_abs = os.path.join(dst, rel)
+            os.makedirs(os.path.dirname(d_abs), exist_ok=True)
+            if deep:
+                shutil.copy2(s_abs, d_abs)
+            else:
+                try:
+                    os.link(s_abs, d_abs)
+                except OSError:  # cross-device: fall back to a copy
+                    shutil.copy2(s_abs, d_abs)
+        _claim_intent(dst, {"op": "clone"})
+        try:
+            _set_snapshot_mode(dst, mode)
+            entry = {
+                "version": 0,
+                "committed_at": float(
+                    now if now is not None else time.time()
+                ),
+                "operation": "CLONE",
+                "metadata": {"source_table": src, "source_version": version,
+                             "deep": deep, "files": len(rels)},
+            }
+            if mode == "manifest":
+                entry["add"] = sorted(rels)
+                entry["remove"] = []
+                entry["schema"] = src_schema.json()
+            _append_log(dst, entry)
+        finally:
+            _release_intent(dst)
+        # property carry-over: declared clustering + CHECK constraints
+        for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE):
+            sp = os.path.join(_vroot(src), fname)
+            if os.path.exists(sp):
+                os.makedirs(_vroot(dst), exist_ok=True)
+                shutil.copy2(sp, os.path.join(_vroot(dst), fname))
+        # skipping self-heal hint from the source's standing manifest
+        from . import skipping as _skipping
+
+        if os.path.isdir(os.path.join(src.rstrip("/"), _skipping.STATS_DIR)):
+            try:
+                _r, have = _skipping.read_stats_manifest_driver_side(src)
+                cols = sorted(
+                    c[len("min__"):] for c in have if c.startswith("min__")
+                )
+                if cols:
+                    os.makedirs(_vroot(dst), exist_ok=True)
+                    _fsync_json(_stats_hint_path(dst),
+                                {"stats_columns": cols})
+            except Exception:  # torn source manifest: clone stays unpruned
+                pass
+    except BaseException:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.rmtree(_vroot(dst), ignore_errors=True)
+        raise
+    return 0
+
+
 def table_changes(
     spark: SparkSession,
     path: str,

@@ -2097,6 +2097,104 @@ def customer_dim_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "part_convert_in_place_scan",
+    oracle="""
+    SELECT p_partkey, p_size FROM part
+    UNION ALL
+    SELECT p_partkey + 1000000000 AS p_partkey, p_size + 7 AS p_size
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+)
+def part_convert_in_place_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA parity (``sources/versioned.py::
+    convert_to_versioned`` — Delta's in-place adoption of a plain
+    parquet directory; the reference gets its tables versioned only by
+    rewriting them through Delta writers): a standing plain-parquet
+    table becomes version 0 BY REFERENCE — one file listing + one
+    fsynced log entry, zero data I/O; at 100 TB that is a metadata
+    commit instead of a multi-hour rewrite.  The lane then proves the
+    adopted table is a first-class versioned table: an ``append``
+    commits on top (manifest actions), and ``read_current`` resolves
+    adopted + appended files through the log.  The adoption is
+    stats-enabled (``stats_columns``), so skipping works from v0.  The
+    oracle restates the final state over the raw table."""
+    import tempfile
+
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_cv_")
+    table = f"{work}/part"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    part.repartition(4).write.parquet(table)
+    versioned.convert_to_versioned(
+        spark, table, now=1.0, stats_columns=["p_partkey"]
+    )
+    extra = part.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + F.lit(1_000_000_000)).alias("p_partkey"),
+        (F.col("p_size") + F.lit(7)).alias("p_size"),
+    )
+    versioned.append_versioned(extra, table, now=2.0)
+    return versioned.read_current(spark, table).select("p_partkey", "p_size")
+
+
+@query(
+    "part_clone_divergence",
+    oracle="""
+    SELECT 'src' AS side, p_partkey, p_size FROM part
+    UNION ALL
+    SELECT 'src' AS side, p_partkey + 1000000000 AS p_partkey, p_size
+    FROM part WHERE p_partkey % 5 = 0
+    UNION ALL
+    SELECT 'clone' AS side, p_partkey, p_size FROM part
+    WHERE p_partkey % 3 <> 0
+    """,
+)
+def part_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE parity (``sources/versioned.py::clone_table`` — Delta
+    ``CREATE TABLE ... CLONE``, which the reference's workspace would
+    reach for to stage experiments against production gold tables):
+    the clone materializes by HARDLINK — one inode link per live file,
+    zero data bytes — and starts its OWN history at v0 with the source
+    path/version recorded as lineage.  The lane then writes to BOTH
+    sides — a copy-on-write DELETE on the clone, an append on the
+    source — and returns the union of the two final states tagged by
+    ``side``: neither write leaked across, because data files are
+    immutable in the manifest protocol (a shared inode is only ever
+    superseded, never mutated).  The oracle restates both sides from
+    the raw table."""
+    import tempfile
+
+    from .sources import versioned
+
+    work = tempfile.mkdtemp(prefix="medallion_cl_")
+    src_t, dst_t = f"{work}/src", f"{work}/clone"
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    versioned.overwrite_versioned(part.repartition(4), src_t, now=1.0,
+                                  snapshot_mode="manifest")
+    versioned.clone_table(spark, src_t, dst_t, now=2.0)
+    versioned.delete_where(
+        spark, dst_t, F.col("p_partkey") % 3 == 0, now=3.0
+    )
+    extra = part.filter(F.col("p_partkey") % 5 == 0).select(
+        (F.col("p_partkey") + F.lit(1_000_000_000)).alias("p_partkey"),
+        "p_size",
+    )
+    versioned.append_versioned(extra, src_t, now=4.0)
+    return (
+        versioned.read_current(spark, src_t)
+        .select(F.lit("src").alias("side"), "p_partkey", "p_size")
+        .unionByName(
+            versioned.read_current(spark, dst_t)
+            .select(F.lit("clone").alias("side"), "p_partkey", "p_size")
+        )
+    )
+
+
+@query(
     "part_time_travel_diff",
     oracle="""
     SELECT p_partkey, p_name, p_size
@@ -2701,6 +2799,11 @@ CORRECTNESS_PRIORITY = [
     "part_merge_dv_scan", "part_replace_partitions",
     "part_bloom_skipping_scan", "part_optimize_compacted_scan",
     "events_recluster_incremental_scan", "docs_recluster_sorted_scan",
+    # -- NEW this round (rule 2): CONVERT TO DELTA parity (in-place
+    #    adoption of plain parquet as v0 — zero data I/O) and CLONE
+    #    parity (hardlink zero-copy snapshot clone with independent
+    #    history + property carry-over) --
+    "part_convert_in_place_scan", "part_clone_divergence",
     # -- VERDICT r16 ask #5: the DRIVER_RETIRED flat rungs' indexed
     #    twins front consciously (r15/r16-fresh, deliberately NOT
     #    squatters — every retired rung's production path rides with the
@@ -2708,8 +2811,8 @@ CORRECTNESS_PRIORITY = [
     #    VERDICT_FRONTED). --
     "emb_ivfbq_indexed_topk", "emb_ivfsq8_indexed_topk",
     "emb_pq_indexed_topk",
-    # -- last hash row r14: 23 of the 37-lane tier rotate in (rule 1);
-    #    the remaining 14 (three deferred fills + the tier tail below)
+    # -- last hash row r14: 21 of the 37-lane tier rotate in (rule 1);
+    #    the remaining 16 (five deferred fills + the tier tail below)
     #    sit immediately after the window and MUST front the r18 window
     #    (their r14+4 deadline). --
     "customer_dim_schema_evolution", "customer_set_ops",
@@ -2722,13 +2825,13 @@ CORRECTNESS_PRIORITY = [
     "doc_token_budget_epochs", "emb_chunk_mean_pool",
     "emb_ivf_indexed_topk", "emb_semantic_decontamination",
     "events_json_props", "events_json_rescue_ingest",
-    "events_rolling_anomaly", "events_stream_anomaly_ingest",
     # -- no-oracle lanes (rows-only driver rows r16; exact oracles are
     #    the dual-SF pytest suite — rotate back in by r20) --
     "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
     "events_approx_distinct", "events_approx_quantiles",
-    # -- deferred slice of the r14 tier (14 lanes, positions 51+):
+    # -- deferred slice of the r14 tier (16 lanes, positions 51+):
     #    deadline r18 — front the r18 window. --
+    "events_rolling_anomaly", "events_stream_anomaly_ingest",
     "events_stream_dropdup_ingest", "events_stream_ingest",
     "events_stream_partition_overwrite", "events_stream_watermark_windows",
     "fact_enrichment_join", "lineitem_skew_salted_agg",

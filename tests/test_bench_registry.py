@@ -137,6 +137,8 @@ CHANGED_THIS_ROUND = {
     "part_bloom_skipping_scan", "part_optimize_compacted_scan",
     "part_optimize_partitions_scan", "events_recluster_incremental_scan",
     "docs_recluster_sorted_scan",
+    # NEW lanes (r17): CONVERT TO DELTA + CLONE parity
+    "part_convert_in_place_scan", "part_clone_divergence",
 }
 
 #: Fresh lanes the VERDICT explicitly asked to front this round
