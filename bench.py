@@ -377,7 +377,14 @@ def _tree_cpu_seconds() -> float:
     next to the wall-time delta makes instrument drift mechanically
     separable from code drift — ambient box load inflates wall but not
     CPU, a plan regression inflates both.  Wall stays the headline
-    metric; CPU is telemetry."""
+    metric; CPU is telemetry.
+
+    Caveat (first r17 run): a tree member that EXITS mid-lane without
+    being reaped into a surviving member's cutime by snapshot time
+    (e.g. a pyspark worker culled by the idle-worker reaper) takes its
+    accumulated CPU out of the sum, so a raw delta can go NEGATIVE —
+    the caller clamps at 0 and the number reads "attribution lost this
+    lane", never a real credit."""
     tick = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, cpu_ticks)
@@ -490,8 +497,11 @@ def main() -> None:
                 )
         best = min(range(len(runs)), key=lambda i: runs[i])
         timings[name] = round(runs[best], 4)
-        # CPU of the same run whose wall we keep: plan cost, not box cost
-        cpu_timings[name] = round(cpus[best], 4)
+        # CPU of the same run whose wall we keep: plan cost, not box
+        # cost.  Clamped at 0: a worker exiting mid-lane can take its
+        # CPU out of the tree sum (see _tree_cpu_seconds caveat) — 0
+        # reads "attribution lost", never a negative credit.
+        cpu_timings[name] = round(max(0.0, cpus[best]), 4)
         _lane_hygiene(spark)
 
     # Stop the session FIRST so shutdown-time log lines (state-store
