@@ -212,3 +212,47 @@ def test_clone_carries_properties_and_refuses_existing_target(
         assert json.load(fh)["stats_columns"] == ["p_partkey"]
     with pytest.raises(ValueError, match="already exists"):
         V.clone_table(spark, vtable, dst)
+
+
+def test_convert_adopts_hive_partitioned_layout(spark, tmp_path):
+    """Adopted files under hive dirs keep their partition column through
+    log-resolved reads, and partition-scoped commits work post-adoption."""
+    t = str(tmp_path / "t")
+    df = spark.range(4_000).select(
+        (F.col("id") % 4).cast("int").alias("g"), F.col("id").alias("v")
+    )
+    df.write.partitionBy("g").parquet(t)
+    V.convert_to_versioned(spark, t, now=1.0)
+    got = V.read_current(spark, t)
+    assert set(got.columns) == {"g", "v"}
+    assert got.groupBy("g").count().count() == 4
+    assert got.count() == 4_000
+    # a partition-scoped replace commits on the adopted v0
+    b1 = got.filter(F.col("g") == 1).withColumn("v", F.col("v") + 100)
+    V.replace_partitions(b1, t, "g", expected_version=0, now=2.0)
+    out = V.read_current(spark, t)
+    assert out.count() == 4_000
+    assert out.filter("g = 1 AND v < 100").count() == 0
+
+
+def test_clone_physical_mode_table(spark, tmp_path):
+    """clone_table on a PHYSICAL-mode source (current snapshot plain at
+    the path, retention dirs aside): same zero-copy + divergence
+    contract, including a version-pinned clone from a retention dir."""
+    src = str(tmp_path / "src")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    V.overwrite_versioned(part.repartition(2), src, now=1.0)  # physical
+    V.overwrite_versioned(part.limit(100), src, now=2.0)
+    assert V.snapshot_mode(src) == "physical"
+    dst = str(tmp_path / "dst")
+    V.clone_table(spark, src, dst, now=3.0)
+    assert V.snapshot_mode(dst) == "physical"
+    assert V.read_current(spark, dst).count() == 100
+    # version-pinned clone resolves the retention dir
+    old = str(tmp_path / "old")
+    V.clone_table(spark, src, old, version=0, now=3.0)
+    assert V.read_current(spark, old).count() == part.count()
+    # divergence: append to the clone, source untouched
+    V.append_versioned(part.limit(3), dst, now=4.0)
+    assert V.read_current(spark, dst).count() == 103
+    assert V.read_current(spark, src).count() == 100

@@ -1908,3 +1908,77 @@ def test_vacuum_reclaims_files_retired_by_replace_files(spark, tmp_path):
     assert V.read_current(spark, t).count() == 1100        # live intact
     with pytest.raises(ValueError, match="vacuumed"):
         V.read_version(spark, t, 1)
+
+
+def test_partitioned_clustered_compaction_packs_through_curve(spark, tmp_path):
+    """r17 clustering-aware compaction under HIVE partitioning: each
+    eligible partition's small files pack through the declared sorted
+    curve — per-branch tile-shaped outputs — and the commit metadata
+    records the curve."""
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.functions import (
+        layout,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(80_000).select(
+        (F.col("id") % 2).cast("int").alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    base = layout.sorted_layout(df.filter("id % 5 != 0"), ["k"], 2,
+                                partition_cols=["g"])
+    V.overwrite_versioned(base, t, partition_by=["g"], now=1.0,
+                          snapshot_mode="manifest")
+    base_files = set(V._live_data_files(t))
+    V.set_clustering(spark, t, ["k"], curve="sorted")
+    V.append_versioned(df.filter("id % 5 = 0").repartition(4), t,
+                       partition_by=["g"], now=2.0)
+    appended = set(V._live_data_files(t)) - base_files
+    # target strictly between the debt (appended smalls) and the base
+    # tiles, sized so each partition's ~4-file debt packs to 2 outputs
+    target = int(1.8 * max(os.path.getsize(f) for f in appended)) + 1
+    plan, _live = V.compaction_plan(t, int(target))
+    assert len(plan) == 2  # one packable branch per hive partition
+    # the plan packs the appended debt (a sub-target base boundary
+    # shard may legitimately join its partition's branch), and the big
+    # base tiles survive untouched
+    packed = {r for files, _ in plan for r in files}
+    assert {os.path.relpath(f, t) for f in appended} <= packed
+    assert len(packed) < len(_live)
+    v = V.optimize_compact_incremental(spark, t,
+                                       target_file_bytes=int(target), now=3.0)
+    assert v == 2
+    (meta,) = [e["metadata"] for e in V.history(t)
+               if e["operation"] == "OPTIMIZE"]
+    assert meta["clustered"] == "sorted"
+    assert meta["partitions_packed"] == 2
+    got = V.read_current(spark, t)
+    assert got.count() == 80_000
+    # the OPTIMIZE's own outputs are tile-shaped PER PARTITION: within
+    # each hive dir the packed files' [min k, max k] envelopes do not
+    # interleave (they may overlap the surviving base generation — the
+    # incremental design leaves earlier generations untouched; the
+    # cluster leg heals cross-generation overlap when depth warrants)
+    import pyarrow.parquet as pq
+
+    new_files = [f for f in V._live_data_files(t)
+                 if f not in base_files and f not in appended]
+    assert new_files
+    by_dir: dict = {}
+    for f in new_files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}["k"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        by_dir.setdefault(os.path.dirname(f), []).append(
+            (min(mins), max(maxs))
+        )
+    for d, envs in by_dir.items():
+        envs.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(envs, envs[1:]):
+            assert a_hi <= b_lo, f"{d}: interleaved envelopes {envs}"
