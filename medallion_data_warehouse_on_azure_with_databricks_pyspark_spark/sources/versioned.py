@@ -1769,7 +1769,8 @@ def vacuum(
     path: str,
     keep_last: int = 2,
     retain_seconds: float | None = None,
-) -> list[int]:
+    dry_run: bool = False,
+) -> list[int] | dict:
     """Claim-guarded wrapper around the deletion walk — see
     :func:`_vacuum_locked`.  Vacuum takes the table's single commit slot
     for the duration of the walk (ADVICE r12): a manifest-mode commit
@@ -1779,12 +1780,85 @@ def vacuum(
     permanently lose data.  A live intent (in-flight or crashed commit)
     makes vacuum refuse with :class:`ConcurrentWriteError` — run
     :func:`recover` first for a crashed writer, exactly the commit-path
-    contract."""
+    contract.
+
+    ``dry_run=True`` (r17, Delta ``VACUUM ... DRY RUN`` parity) returns
+    ``{"versions", "files", "bytes"}`` — exactly what this vacuum would
+    drop (versions aged out, the data files ONLY they reference, and
+    their byte total) — and touches NOTHING.  The dry run does not take
+    the claim (it is advisory by nature: a commit landing between the
+    dry run and the real vacuum changes the answer either way), so it
+    can run against a live writer; note that in manifest mode the
+    ``files`` list is precisely the actuator-faithful reclaim set
+    ``plans/maintenance.decide_table`` prices."""
+    if dry_run:
+        return _vacuum_plan(path, keep_last, retain_seconds)
     _claim_intent(path, {"op": "vacuum"})
     try:
         return _vacuum_locked(path, keep_last, retain_seconds)
     finally:
         _release_intent(path)
+
+
+def _vacuum_plan(
+    path: str,
+    keep_last: int = 2,
+    retain_seconds: float | None = None,
+) -> dict:
+    """What :func:`_vacuum_locked` WOULD do, computed read-only: the
+    same to-drop selection (oldest unpinned beyond ``keep_last``, tag-
+    and time-retention honored), then — manifest mode — the data files
+    no surviving version references, or — physical mode — the retention
+    directories' contents."""
+    log = _read_log(path)
+    if not log:
+        return {"versions": [], "files": [], "bytes": 0}
+    current = log[-1]["version"]
+    pinned: set = set(tags(path).values())
+    if retain_seconds is not None:
+        cutoff = log[-1]["committed_at"] - retain_seconds
+        pinned |= {e["version"] for e in log if e["committed_at"] >= cutoff}
+    if _mode_of(path) == "manifest":
+        non_current = [e["version"] for e in log if e["version"] != current]
+        present = [v for v in non_current if _manifest_version_present(path, v)]
+        unpinned = [v for v in present if v not in pinned]
+        to_drop = unpinned[: max(0, len(unpinned) - keep_last)]
+        protected: set = set(_snapshot_files(path, current))
+        for v in present:
+            if v not in to_drop:
+                protected |= set(_snapshot_files(path, v))
+        doomed = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, f), path)
+                if rel not in protected:
+                    doomed.append(rel)
+        doomed.sort()
+        return {
+            "versions": to_drop,
+            "files": doomed,
+            "bytes": sum(os.path.getsize(os.path.join(path, r))
+                         for r in doomed),
+        }
+    vroot = _vroot(path)
+    retained = sorted(
+        int(d[1:]) for d in os.listdir(vroot)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) != current
+    )
+    unpinned = [v for v in retained if v not in pinned]
+    to_drop = unpinned[: max(0, len(unpinned) - keep_last)]
+    doomed, total = [], 0
+    for v in to_drop:
+        vdir = os.path.join(vroot, f"v{v}")
+        for root, _dirs, names in os.walk(vdir):
+            for n in names:
+                fp = os.path.join(root, n)
+                doomed.append(os.path.relpath(fp, vroot))
+                total += os.path.getsize(fp)
+    return {"versions": to_drop, "files": sorted(doomed), "bytes": total}
 
 
 def _vacuum_locked(

@@ -1982,3 +1982,43 @@ def test_partitioned_clustered_compaction_packs_through_curve(spark, tmp_path):
         envs.sort()
         for (a_lo, a_hi), (b_lo, b_hi) in zip(envs, envs[1:]):
             assert a_hi <= b_lo, f"{d}: interleaved envelopes {envs}"
+
+
+def test_vacuum_dry_run_prices_exactly_what_vacuum_drops(spark, tmp_path):
+    """r17 Delta ``VACUUM ... DRY RUN`` parity: the dry run names the
+    versions and data files the real vacuum would drop — and nothing on
+    disk moves — then the real vacuum drops exactly that set.  On a
+    table whose droppable versions' files are all SHARED with kept
+    snapshots, the dry run prices zero bytes (the decide_table
+    convergence case)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    df = spark.range(5_000).select("id", (F.col("id") * 2).alias("v"))
+    V.overwrite_versioned(df.repartition(2), t, now=1.0,
+                          snapshot_mode="manifest")
+    V.overwrite_versioned(df.limit(100).repartition(2), t, now=2.0)
+    V.overwrite_versioned(df.limit(10), t, now=3.0)
+    V.overwrite_versioned(df.limit(1), t, now=4.0)
+    before = set(V._data_files(t))
+    plan = V.vacuum(t, keep_last=1, dry_run=True)
+    assert set(V._data_files(t)) == before  # dry run touched nothing
+    assert plan["versions"] == [0, 1]
+    assert plan["bytes"] == sum(
+        os.path.getsize(os.path.join(t, r)) for r in plan["files"]
+    ) > 0
+    dropped = V.vacuum(t, keep_last=1)
+    assert dropped == plan["versions"]
+    gone = before - set(V._data_files(t))
+    assert {os.path.relpath(f, t) for f in gone} == set(plan["files"])
+    # shared-files case: append-only history — v0's files live in every
+    # later snapshot, so dropping it reclaims nothing
+    t2 = str(tmp_path / "t2")
+    V.overwrite_versioned(df.repartition(2), t2, now=1.0,
+                          snapshot_mode="manifest")
+    V.append_versioned(df.limit(5), t2, now=2.0)
+    V.append_versioned(df.limit(5), t2, now=3.0)
+    V.append_versioned(df.limit(5), t2, now=4.0)
+    plan2 = V.vacuum(t2, keep_last=1, dry_run=True)
+    assert plan2["versions"] == [0, 1]
+    assert plan2["files"] == [] and plan2["bytes"] == 0
