@@ -1530,62 +1530,83 @@ def clone_table(
     src: str,
     dst: str,
     now: float | None = None,
+    version: int | None = None,
+    deep: bool = False,
 ) -> int:
-    """Delta ``SHALLOW CLONE``: create ``dst`` as a NEW versioned table
-    whose v0 references the source's CURRENT data files without copying
-    them — hardlinks on the same filesystem (byte-copy fallback across
-    filesystems).  The clone is immediately independent: its commits
-    rename ITS directory aside and write new files, never touching the
-    source's links; vacuuming either table merely drops its own link
-    (the inode survives while any table still references it) — the same
-    isolation contract Delta's shallow clones get from immutable files.
-    Use for zero-copy dev/test branches off production tables.
+    """Delta ``CLONE`` (``SHALLOW`` by default; ``VERSION AS OF`` via
+    ``version=``; ``deep=True`` byte-copies): create ``dst`` as a NEW
+    versioned table whose v0 references the source snapshot's data
+    files without copying them — hardlinks on the same filesystem
+    (byte-copy fallback across filesystems).  The clone is immediately
+    independent: its commits rename ITS directory aside / publish ITS
+    files, never touching the source's links; vacuuming either table
+    merely drops its own link (the inode survives while any table still
+    references it) — the same isolation contract Delta's shallow clones
+    get from immutable files.  Use for zero-copy dev/test branches off
+    production tables.  Entirely spark-free: files hardlink, the
+    schema rides the source's log entry.
 
-    The clone starts with its own empty history (v0 = the clone commit,
-    operation recording the source and source version); constraints and
-    sidecar manifests are NOT cloned — they describe the source's
-    governance and layout lifecycle, not the data."""
-    if current_version(src) is None:
+    The clone starts with its own history (v0 = the clone commit,
+    operation recording the source and source version, with the same
+    lineage in the commit metadata).  Table PROPERTIES carry over
+    (r17, Delta ``CLONE`` copies them): declared clustering and CHECK
+    constraints; skipping sidecars do NOT (their manifests name the
+    source's file URIs) — instead the source's stats column set lands
+    as the clone's ``_stats_hint`` so pruning SELF-HEALS on the
+    clone's first commit."""
+    src_v = current_version(src)
+    if src_v is None:
         raise ValueError(f"{src}: no version log — not a versioned table")
+    if version is None:
+        version = src_v
     if os.path.exists(dst) or _read_log(dst):
         raise ValueError(f"{dst}: already exists")
-    src_v = current_version(src)
     mode = _mode_of(src)
     stage = f"{dst}.__stage_{uuid.uuid4().hex[:8]}"
     if mode == "manifest":
-        # only the LIVE file set clones — the root's stale files belong
-        # to the source's history, not the clone's v0
-        rels = _snapshot_files(src, src_v)
+        # only the snapshot's LIVE file set clones — the root's other
+        # files belong to the source's history, not the clone's v0
+        rels = _snapshot_files(src, version)
+        src_root = src
     else:
+        src_root = _resolve_dir(src, version)
         rels = []
-        for root, dirs, files in os.walk(src):
+        for root, dirs, files in os.walk(src_root):
             dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            rel = os.path.relpath(root, src)
+            rel = os.path.relpath(root, src_root)
             for f in files:
                 if f.startswith(("_", ".")):
                     continue
                 rels.append(os.path.join(rel, f) if rel != "." else f)
     os.makedirs(stage, exist_ok=True)
     for rel in rels:
-        s = os.path.join(src, rel)
+        s = os.path.join(src_root, rel)
         d = os.path.join(stage, rel)
         os.makedirs(os.path.dirname(d) or stage, exist_ok=True)
-        try:
-            os.link(s, d)
-        except OSError:  # pragma: no cover — cross-filesystem fallback
+        if deep:
             shutil.copy2(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover — cross-filesystem fallback
+                shutil.copy2(s, d)
     entry = {
         "version": 0,
         "committed_at": float(now if now is not None else time.time()),
-        "operation": f"CLONE({src}@v{src_v})",
+        "operation": f"CLONE({src}@v{version})",
+        "metadata": {"source_table": src, "source_version": version,
+                     "deep": deep, "files": len(rels)},
     }
     if mode == "manifest":
         _set_snapshot_mode(dst, "manifest")
         entry["add"] = sorted(rels)
         entry["remove"] = []
-        src_entry = {e["version"]: e for e in _read_log(src)}[src_v]
-        if "schema" in src_entry:
-            entry["schema"] = src_entry["schema"]
+        # the snapshot's schema = the newest entry at or below the
+        # pinned version that recorded one
+        for e in reversed(_read_log(src)):
+            if e["version"] <= version and "schema" in e:
+                entry["schema"] = e["schema"]
+                break
         moves = [(r, r) for r in rels]
         _claim_intent(dst, {"stage": stage, "entry": entry, "moves": moves})
         os.makedirs(dst, exist_ok=True)
@@ -1595,6 +1616,25 @@ def clone_table(
         os.rename(stage, dst)
     _append_log(dst, entry)
     _release_intent(dst)
+    # property carry-over (after the commit: a crash here leaves a
+    # valid clone merely missing properties, never a torn table):
+    # declared clustering + CHECK constraints + the stats self-heal hint
+    for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE):
+        sp = os.path.join(_vroot(src), fname)
+        if os.path.exists(sp):
+            shutil.copy2(sp, os.path.join(_vroot(dst), fname))
+    from . import skipping as _skipping
+
+    if os.path.isdir(os.path.join(src.rstrip("/"), _skipping.STATS_DIR)):
+        try:
+            _r, have = _skipping.read_stats_manifest_driver_side(src)
+            cols = sorted(
+                c[len("min__"):] for c in have if c.startswith("min__")
+            )
+            if cols:
+                _fsync_json(_stats_hint_path(dst), {"stats_columns": cols})
+        except Exception:  # torn source manifest: clone stays unpruned
+            pass
     return 0
 
 
@@ -2006,113 +2046,6 @@ def convert_to_versioned(
             spark, path, list(stats_columns),
             files=[os.path.join(path, r) for r in files],
         )
-    return 0
-
-
-def clone_table(
-    spark: SparkSession,
-    src: str,
-    dst: str,
-    version: int | None = None,
-    deep: bool = False,
-    now: float | None = None,
-) -> int:
-    """Delta ``CREATE TABLE ... CLONE`` (``VERSION AS OF`` supported):
-    materialize an independent versioned table at ``dst`` from ``src``'s
-    snapshot — by HARDLINK by default (zero-copy: one inode link per
-    live file, no data bytes move; the clone stays readable even if the
-    source later vacuums, because links keep inodes alive), or by byte
-    copy with ``deep=True``.  On an object store the same contract is
-    metadata-reference cloning; the hardlink is this filesystem's
-    equivalent, and the fallback for a cross-device ``dst`` is a copy.
-
-    The clone starts its OWN history at v0 (operation ``CLONE``, with
-    the source path/version in the commit metadata — Delta records the
-    same lineage) and inherits the source's snapshot mode, declared
-    clustering, and CHECK constraints.  Skipping sidecars are NOT
-    copied (their manifests name the source's file URIs); instead the
-    source's stats column set is written as the clone's ``_stats_hint``
-    so pruning SELF-HEALS on the clone's first commit.  Writes to
-    either table never affect the other: data files are immutable in
-    both protocols (manifest mode never rewrites a published file;
-    physical mode renames whole snapshots aside), so a shared inode is
-    only ever superseded, never mutated in place.
-
-    ``dst`` must not already exist (clone-into-new, Delta's contract);
-    a crash mid-clone leaves ``dst`` without a version log — not a
-    table — so the recovery is rmtree + re-clone."""
-    src_v = current_version(src)
-    if src_v is None:
-        raise ValueError(f"{src}: no version log — not a versioned table")
-    if version is None:
-        version = src_v
-    if os.path.exists(dst):
-        raise ValueError(f"{dst}: clone target already exists")
-    mode = _mode_of(src)
-    if mode == "manifest":
-        rels = _snapshot_files(src, version)
-        src_root = src
-    else:
-        src_root = _resolve_dir(src, version)
-        rels = [os.path.relpath(f, src_root) for f in _data_files(src_root)]
-    src_schema = read_version(spark, src, version).schema
-    os.makedirs(dst, exist_ok=True)
-    try:
-        for rel in rels:
-            s_abs = os.path.join(src_root, rel)
-            d_abs = os.path.join(dst, rel)
-            os.makedirs(os.path.dirname(d_abs), exist_ok=True)
-            if deep:
-                shutil.copy2(s_abs, d_abs)
-            else:
-                try:
-                    os.link(s_abs, d_abs)
-                except OSError:  # cross-device: fall back to a copy
-                    shutil.copy2(s_abs, d_abs)
-        _claim_intent(dst, {"op": "clone"})
-        try:
-            _set_snapshot_mode(dst, mode)
-            entry = {
-                "version": 0,
-                "committed_at": float(
-                    now if now is not None else time.time()
-                ),
-                "operation": "CLONE",
-                "metadata": {"source_table": src, "source_version": version,
-                             "deep": deep, "files": len(rels)},
-            }
-            if mode == "manifest":
-                entry["add"] = sorted(rels)
-                entry["remove"] = []
-                entry["schema"] = src_schema.json()
-            _append_log(dst, entry)
-        finally:
-            _release_intent(dst)
-        # property carry-over: declared clustering + CHECK constraints
-        for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE):
-            sp = os.path.join(_vroot(src), fname)
-            if os.path.exists(sp):
-                os.makedirs(_vroot(dst), exist_ok=True)
-                shutil.copy2(sp, os.path.join(_vroot(dst), fname))
-        # skipping self-heal hint from the source's standing manifest
-        from . import skipping as _skipping
-
-        if os.path.isdir(os.path.join(src.rstrip("/"), _skipping.STATS_DIR)):
-            try:
-                _r, have = _skipping.read_stats_manifest_driver_side(src)
-                cols = sorted(
-                    c[len("min__"):] for c in have if c.startswith("min__")
-                )
-                if cols:
-                    os.makedirs(_vroot(dst), exist_ok=True)
-                    _fsync_json(_stats_hint_path(dst),
-                                {"stats_columns": cols})
-            except Exception:  # torn source manifest: clone stays unpruned
-                pass
-    except BaseException:
-        shutil.rmtree(dst, ignore_errors=True)
-        shutil.rmtree(_vroot(dst), ignore_errors=True)
-        raise
     return 0
 
 

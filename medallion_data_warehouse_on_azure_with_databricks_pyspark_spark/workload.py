@@ -2175,7 +2175,7 @@ def part_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     versioned.overwrite_versioned(part.repartition(4), src_t, now=1.0,
                                   snapshot_mode="manifest")
-    versioned.clone_table(spark, src_t, dst_t, now=2.0)
+    versioned.clone_table(src_t, dst_t, now=2.0)
     versioned.delete_where(
         spark, dst_t, F.col("p_partkey") % 3 == 0, now=3.0
     )

@@ -135,7 +135,7 @@ def vtable(spark, tmp_path):
 
 def test_clone_is_zero_copy_and_independent(spark, tmp_path, vtable):
     dst = str(tmp_path / "dst")
-    assert V.clone_table(spark, vtable, dst, now=3.0) == 0
+    assert V.clone_table(vtable, dst, now=3.0) == 0
     src_df = V.read_current(spark, vtable)
     dst_df = V.read_current(spark, dst)
     assert dst_df.count() == src_df.count()
@@ -149,7 +149,7 @@ def test_clone_is_zero_copy_and_independent(spark, tmp_path, vtable):
         assert os.stat(f).st_ino == src_inodes[os.path.basename(f)]
     # fresh lineage-bearing history
     (entry,) = V.history(dst)
-    assert entry["operation"] == "CLONE"
+    assert entry["operation"] == f"CLONE({vtable}@v1)"
     assert entry["metadata"]["source_table"] == vtable
     assert entry["metadata"]["source_version"] == 1
     # divergence: a write to the clone never reaches the source
@@ -165,12 +165,12 @@ def test_clone_is_zero_copy_and_independent(spark, tmp_path, vtable):
 
 def test_clone_version_as_of_and_deep(spark, tmp_path, vtable):
     old = str(tmp_path / "old")
-    V.clone_table(spark, vtable, old, version=0, now=3.0)
+    V.clone_table(vtable, old, version=0, now=3.0)
     assert V.read_current(spark, old).count() == V.read_version(
         spark, vtable, 0
     ).count()
     deep = str(tmp_path / "deep")
-    V.clone_table(spark, vtable, deep, deep=True, now=3.0)
+    V.clone_table(vtable, deep, deep=True, now=3.0)
     src_inodes = {os.stat(f).st_ino for f in V._live_data_files(vtable)}
     for f in V._live_data_files(deep):
         assert os.stat(f).st_ino not in src_inodes  # real byte copies
@@ -183,7 +183,7 @@ def test_clone_survives_source_vacuum(spark, tmp_path, vtable):
     """Hardlinked inodes keep the clone readable even after the source
     vacuums / rewrites away the shared files."""
     dst = str(tmp_path / "dst")
-    V.clone_table(spark, vtable, dst, now=3.0)
+    V.clone_table(vtable, dst, now=3.0)
     n = V.read_current(spark, dst).count()
     part = spark.read.parquet(f"{SF_DIR}/part.parquet")
     V.overwrite_versioned(part.limit(1), vtable, now=4.0)
@@ -198,7 +198,7 @@ def test_clone_carries_properties_and_refuses_existing_target(
     V.set_clustering(spark, vtable, ["p_partkey"], curve="sorted")
     V.set_constraints(vtable, {"positive_size": "p_size >= 0"})
     dst = str(tmp_path / "dst")
-    V.clone_table(spark, vtable, dst, now=3.0)
+    V.clone_table(vtable, dst, now=3.0)
     assert V.clustering_of(dst) == {"cols": ["p_partkey"], "curve": "sorted"}
     assert V.get_constraints(dst) == {"positive_size": "p_size >= 0"}
     # the carried CHECK constraint enforces on the clone's own commits
@@ -211,7 +211,7 @@ def test_clone_carries_properties_and_refuses_existing_target(
     with open(V._stats_hint_path(dst)) as fh:
         assert json.load(fh)["stats_columns"] == ["p_partkey"]
     with pytest.raises(ValueError, match="already exists"):
-        V.clone_table(spark, vtable, dst)
+        V.clone_table(vtable, dst)
 
 
 def test_convert_adopts_hive_partitioned_layout(spark, tmp_path):
@@ -245,12 +245,12 @@ def test_clone_physical_mode_table(spark, tmp_path):
     V.overwrite_versioned(part.limit(100), src, now=2.0)
     assert V.snapshot_mode(src) == "physical"
     dst = str(tmp_path / "dst")
-    V.clone_table(spark, src, dst, now=3.0)
+    V.clone_table(src, dst, now=3.0)
     assert V.snapshot_mode(dst) == "physical"
     assert V.read_current(spark, dst).count() == 100
     # version-pinned clone resolves the retention dir
     old = str(tmp_path / "old")
-    V.clone_table(spark, src, old, version=0, now=3.0)
+    V.clone_table(src, old, version=0, now=3.0)
     assert V.read_current(spark, old).count() == part.count()
     # divergence: append to the clone, source untouched
     V.append_versioned(part.limit(3), dst, now=4.0)
