@@ -1,0 +1,150 @@
+"""Model-based fuzz of the versioned-table transaction protocol (r17).
+
+A seeded random op sequence (overwrite / append / delete / update /
+restore / incremental OPTIMIZE / vacuum / clone / time travel) runs
+against BOTH the real table and a trivial in-memory model; after every
+committing op the logical table must equal the model exactly, every
+still-readable retained version must equal its model snapshot, and the
+vacuum dry run must name exactly what the real vacuum then drops.
+
+Deterministic seeded `random` rather than hypothesis: each example
+costs Spark jobs, so shrinking is impractical — instead the op log is
+carried in every assertion message, making any failure a replayable
+one-liner.  This is the storage engine's equivalent of a filesystem
+crash-consistency fuzz: the point is the INTERACTIONS (restore after
+vacuum, optimize after delete, clone off a restored snapshot) that
+single-purpose tests never compose."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+    versioned as V,
+)
+
+
+def _rows(rng: random.Random, n: int) -> list[tuple[int, int]]:
+    return [(rng.randrange(1000), rng.randrange(10**6)) for _ in range(n)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows or [(0, 0)], "k int, v int").limit(
+        len(rows)
+    )
+
+
+def _observed(spark, path) -> list[tuple[int, int]]:
+    return sorted(
+        (r["k"], r["v"]) for r in V.read_current(spark, path).collect()
+    )
+
+
+@pytest.mark.parametrize("seed,mode", [(0, "manifest"), (1, "manifest"),
+                                       (2, "physical"), (3, "manifest"),
+                                       (4, "physical")])
+def test_random_op_sequences_match_the_model(spark, tmp_path, seed, mode):
+    rng = random.Random(seed)
+    t = str(tmp_path / "t")
+    log: list[str] = []
+
+    model = sorted(_rows(rng, rng.randint(30, 90)))
+    V.overwrite_versioned(_df(spark, model), t, now=1.0, snapshot_mode=mode)
+    log.append(f"overwrite v0 n={len(model)}")
+    snapshots: dict[int, list] = {0: list(model)}
+    dropped: set[int] = set()
+    clock = 2.0
+
+    def commit_snapshot():
+        snapshots[V.current_version(t)] = list(model)
+
+    for step in range(16):
+        op = rng.choice(
+            ["append", "delete", "update", "overwrite", "restore",
+             "optimize", "vacuum", "clone", "timetravel"]
+        )
+        clock += 1.0
+        if op == "append":
+            extra = sorted(_rows(rng, rng.randint(5, 40)))
+            V.append_versioned(_df(spark, extra), t, now=clock)
+            model = sorted(model + extra)
+            commit_snapshot()
+        elif op == "delete":
+            m, r = rng.randint(2, 7), rng.randint(0, 1)
+            V.delete_where(spark, t, F.col("k") % m == r, now=clock)
+            model = [row for row in model if row[0] % m != r]
+            commit_snapshot()
+            if not model:  # re-seed an emptied table
+                model = sorted(_rows(rng, 30))
+                V.overwrite_versioned(_df(spark, model), t, now=clock + 0.5)
+                commit_snapshot()
+                log.append("reseed")
+        elif op == "update":
+            m, r = rng.randint(2, 7), rng.randint(0, 1)
+            V.update_where(spark, t, F.col("k") % m == r,
+                           {"v": F.col("v") + F.lit(7)}, now=clock)
+            model = sorted(
+                (k, v + 7 if k % m == r else v) for k, v in model
+            )
+            commit_snapshot()
+        elif op == "overwrite":
+            model = sorted(_rows(rng, rng.randint(20, 80)))
+            V.overwrite_versioned(_df(spark, model), t, now=clock)
+            commit_snapshot()
+        elif op == "restore":
+            candidates = [v for v in snapshots if v not in dropped]
+            pick = rng.choice(candidates)
+            try:
+                V.restore(spark, t, pick, now=clock)
+            except ValueError:
+                log.append(f"restore v{pick} refused (vacuumed)")
+                continue  # data aged out between bookkeeping and read
+            model = list(snapshots[pick])
+            commit_snapshot()
+        elif op == "optimize":
+            V.optimize_compact_incremental(spark, t,
+                                           target_file_bytes=64 * 1024,
+                                           now=clock)
+            commit_snapshot()  # possibly a no-op (same version re-keyed)
+        elif op == "vacuum":
+            plan = V.vacuum(t, keep_last=1, dry_run=True)
+            got = V.vacuum(t, keep_last=1)
+            assert got == plan["versions"], log
+            dropped.update(got)
+        elif op == "clone":
+            dst = str(tmp_path / f"clone{step}")
+            V.clone_table(t, dst, now=clock)
+            assert _observed(spark, dst) == model, log
+            V.append_versioned(_df(spark, [(9999, 9999)]), dst,
+                               now=clock + 0.5)
+            assert _observed(spark, t) == model, log  # src untouched
+        elif op == "timetravel":
+            candidates = [v for v in snapshots if v not in dropped]
+            pick = rng.choice(candidates)
+            try:
+                seen = sorted(
+                    (r["k"], r["v"])
+                    for r in V.read_version(spark, t, pick).collect()
+                )
+            except ValueError:
+                log.append(f"tt v{pick} aged out")
+                continue
+            assert seen == snapshots[pick], (pick, log)
+        log.append(f"{op} -> v{V.current_version(t)} n={len(model)}")
+        assert _observed(spark, t) == model, log
+
+    # closing sweep: every never-dropped snapshot still reads exactly
+    for ver, snap in snapshots.items():
+        if ver in dropped:
+            continue
+        try:
+            seen = sorted(
+                (r["k"], r["v"])
+                for r in V.read_version(spark, t, ver).collect()
+            )
+        except ValueError:
+            continue  # an overwrite-superseded version vacuumed by count
+        assert seen == snap, (ver, log)
