@@ -148,3 +148,76 @@ def test_random_op_sequences_match_the_model(spark, tmp_path, seed, mode):
         except ValueError:
             continue  # an overwrite-superseded version vacuumed by count
         assert seen == snap, (ver, log)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dv_random_op_sequences_match_the_model(spark, tmp_path, seed):
+    """Model-based fuzz of the merge-on-read layer: random interleavings
+    of DV deletes, DV merges (upserts + inserts), purges, and recovery
+    probes against a keyed model — after every op ``read_dv`` must equal
+    the model exactly.  Purge materializes (physical == logical) and a
+    healthy-table recovery probe must be a no-op."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        deletion_vectors as DV,
+    )
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "t")
+    model = {k: rng.randrange(10**6) for k in rng.sample(range(500), 80)}
+    next_key = 1000
+    spark.createDataFrame(sorted(model.items()), "k int, v int")\
+        .repartition(3).write.parquet(t)
+    log: list[str] = []
+
+    def observed():
+        return sorted(
+            (r["k"], r["v"]) for r in DV.read_dv(spark, t).collect()
+        )
+
+    for step in range(10):
+        op = rng.choice(["delete", "merge", "merge", "purge", "recover"])
+        if op == "delete":
+            m, r = rng.randint(2, 6), rng.randint(0, 1)
+            n = DV.delete_where_dv(spark, t, F.col("k") % m == r)
+            expect = [k for k in model if k % m == r]
+            assert n == len(expect), (log, m, r)
+            for k in expect:
+                del model[k]
+            if len(model) < 10:  # keep the table interesting
+                adds = {next_key + i: i for i in range(30)}
+                next_key += 30
+                DV.merge_dv(
+                    spark, t,
+                    spark.createDataFrame(sorted(adds.items()),
+                                          "k int, v int"),
+                    ["k"],
+                )
+                model.update(adds)
+                log.append("reseed-merge")
+        elif op == "merge":
+            upd_keys = rng.sample(sorted(model), min(8, len(model)))
+            updates = {k: model[k] + 7 for k in upd_keys}
+            inserts = {next_key + i: i * 11 for i in range(rng.randint(1, 6))}
+            next_key += 10
+            src = {**updates, **inserts}
+            stats = DV.merge_dv(
+                spark, t,
+                spark.createDataFrame(sorted(src.items()), "k int, v int"),
+                ["k"],
+            )
+            assert stats["updated"] >= len(updates), (log, stats)
+            assert stats["inserted"] == len(inserts), (log, stats)
+            model.update(src)
+        elif op == "purge":
+            DV.purge_dv(spark, t)
+            assert DV.dv_mark_count(spark, t) == 0, log
+            # physical == logical after purge
+            phys = sorted(
+                (r["k"], r["v"])
+                for r in spark.read.parquet(t).collect()
+            )
+            assert phys == sorted(model.items()), log
+        elif op == "recover":
+            assert DV.recover_dv_merge(spark, t) is False, log
+        log.append(f"{op} n={len(model)}")
+        assert observed() == sorted(model.items()), log
