@@ -49,6 +49,13 @@ def main() -> int:
                          "files (liquid-clustering shape, cost ~ decay) "
                          "instead of the full snapshot; structural decay "
                          "still escalates to the full rewrite")
+    ap.add_argument("--compact-target", type=int, default=None,
+                    metavar="BYTES",
+                    help="enable the small-file compaction leg on "
+                         "--table entries: bin-pack (through the "
+                         "declared clustering curve, if any) files "
+                         "below this size; in --dry-run, prints the "
+                         "packable-debt plan instead of dispatching")
     ap.add_argument("--quiesced", action="store_true",
                     help="assert no writers are live: enables recovery "
                          "of crashed claims (see recover_dv_merge's "
@@ -153,11 +160,42 @@ def main() -> int:
                            "action": M.decide_cluster(h)})
         for p in args.table:
             d = versioned.table_detail(p)
-            report.append({"kind": "table", "path": p, "health": d,
-                           "action": M.decide_table(d, assume_quiesced=args.quiesced)})
+            action = M.decide_table(d, assume_quiesced=args.quiesced)
+            row = {"kind": "table", "path": p, "action": action}
+            # the per-version file-reference maps feed decide_table but
+            # would bloat the one-line report unboundedly — summarize
+            d.pop("snapshot_refs", None)
+            d.pop("data_file_bytes", None)
+            row["health"] = d
+            # price the decisions (r17): what a vacuum would actually
+            # reclaim, and what a compaction would actually rewrite
+            plan = versioned.vacuum(p, dry_run=True)
+            row["reclaim"] = {"versions": plan["versions"],
+                              "files": len(plan["files"]),
+                              "bytes": plan["bytes"]}
+            if args.compact_target:
+                cplan, live = versioned.compaction_plan(
+                    p, args.compact_target
+                )
+                row["compaction"] = {
+                    "branches": len(cplan),
+                    "files": sum(len(f) for f, _ in cplan),
+                    "live_files": len(live),
+                }
+                # same dispatch rule as the real sweep, including the
+                # min-files floor — a dry run must predict, not flatter
+                if (
+                    action is None
+                    and cplan
+                    and row["compaction"]["files"]
+                    >= M.MaintenancePolicy().table_compact_min_files
+                ):
+                    row["action"] = "compact"
+            report.append(row)
     else:
         policy = M.MaintenancePolicy(
             cluster_strategy="incremental" if args.incremental else "full",
+            table_compact_target_bytes=args.compact_target,
         )
         report = M.run_maintenance(
             spark,
