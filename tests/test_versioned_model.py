@@ -23,6 +23,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+    skipping as S,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
     versioned as V,
 )
 
@@ -52,7 +55,8 @@ def test_random_op_sequences_match_the_model(spark, tmp_path, seed, mode):
     log: list[str] = []
 
     model = sorted(_rows(rng, rng.randint(30, 90)))
-    V.overwrite_versioned(_df(spark, model), t, now=1.0, snapshot_mode=mode)
+    V.overwrite_versioned(_df(spark, model), t, now=1.0, snapshot_mode=mode,
+                          stats_columns=["k"])
     log.append(f"overwrite v0 n={len(model)}")
     snapshots: dict[int, list] = {0: list(model)}
     dropped: set[int] = set()
@@ -135,6 +139,19 @@ def test_random_op_sequences_match_the_model(spark, tmp_path, seed, mode):
             assert seen == snapshots[pick], (pick, log)
         log.append(f"{op} -> v{V.current_version(t)} n={len(model)}")
         assert _observed(spark, t) == model, log
+        # "never wrongly prune" as a property: a manifest-pruned range
+        # scan must be bit-identical to the model under ANY op history —
+        # whether the sidecar was auto-maintained, rebuilt from the
+        # self-heal hint, or dropped entirely (unpruned fallback)
+        lo = rng.randrange(0, 900)
+        hi = lo + rng.randrange(10, 300)
+        pruned = sorted(
+            (r["k"], r["v"])
+            for r in S.read_skipping(spark, t, "k", lo, hi).collect()
+        )
+        assert pruned == sorted(
+            (k, v) for k, v in model if lo <= k <= hi
+        ), (lo, hi, log)
 
     # closing sweep: every never-dropped snapshot still reads exactly
     for ver, snap in snapshots.items():
