@@ -46,18 +46,30 @@ def _observed(spark, path) -> list[tuple[int, int]]:
     )
 
 
-@pytest.mark.parametrize("seed,mode", [(0, "manifest"), (1, "manifest"),
-                                       (2, "physical"), (3, "manifest"),
-                                       (4, "physical")])
-def test_random_op_sequences_match_the_model(spark, tmp_path, seed, mode):
+@pytest.mark.parametrize("seed,mode,genesis", [
+    (0, "manifest", "overwrite"), (1, "manifest", "convert"),
+    (2, "physical", "overwrite"), (3, "manifest", "convert"),
+    (4, "physical", "overwrite"),
+])
+def test_random_op_sequences_match_the_model(spark, tmp_path, seed, mode,
+                                             genesis):
     rng = random.Random(seed)
     t = str(tmp_path / "t")
     log: list[str] = []
 
     model = sorted(_rows(rng, rng.randint(30, 90)))
-    V.overwrite_versioned(_df(spark, model), t, now=1.0, snapshot_mode=mode,
-                          stats_columns=["k"])
-    log.append(f"overwrite v0 n={len(model)}")
+    if genesis == "convert":
+        # an ADOPTED table (CONVERT TO DELTA) must survive the same op
+        # zoo as a natively-created one — restores, vacuums, clones,
+        # optimizes all composing off the by-reference v0
+        _df(spark, model).write.parquet(t)
+        V.convert_to_versioned(spark, t, snapshot_mode=mode, now=1.0,
+                               stats_columns=["k"])
+        log.append(f"convert v0 n={len(model)}")
+    else:
+        V.overwrite_versioned(_df(spark, model), t, now=1.0,
+                              snapshot_mode=mode, stats_columns=["k"])
+        log.append(f"overwrite v0 n={len(model)}")
     snapshots: dict[int, list] = {0: list(model)}
     dropped: set[int] = set()
     clock = 2.0
