@@ -163,6 +163,11 @@ def decide_table(
     droppable = set(detail.get("retained_versions", ())) - pinned
     refs = detail.get("snapshot_refs")
     if refs is not None:
+        # normalize version keys ONCE up front: a detail dict that
+        # round-tripped through JSON carries string keys, and using the
+        # raw key in one loop but int(v) in the other would price every
+        # drop set as empty (ADVICE r17 #1 — vacuum never dispatched)
+        refs = {int(v): fl for v, fl in refs.items()}
         # simulate the manifest-mode actuator: _vacuum_locked drops the
         # OLDEST unpinned retained versions beyond keep_last, then
         # deletes only files no surviving version references
@@ -173,7 +178,7 @@ def decide_table(
             return None
         kept: set = set()
         for v, fl in refs.items():
-            if int(v) not in to_drop:  # current + kept retained + pinned
+            if v not in to_drop:  # current + kept retained + pinned
                 kept.update(fl)
         sizes = detail.get("data_file_bytes", {})
         drop_refs: set = set()

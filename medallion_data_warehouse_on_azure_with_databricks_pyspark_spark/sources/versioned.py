@@ -376,6 +376,47 @@ def _apply_moves(path: str, stage: str, moves: list) -> None:
 
 
 CONSTRAINTS_FILE = "_constraints.json"
+PROPERTIES_LOG = "_properties_log.json"
+
+
+def _append_property_event(path: str, key: str, value) -> None:
+    """Record a table-property change together with the table version it
+    was declared AT, so a version-pinned CLONE can resolve the metadata
+    as of the cloned version (Delta clones the cloned version's
+    metadata, never the source's later state — ADVICE r17 #3: a CHECK
+    constraint added after the pinned version must not ride along and
+    reject the clone's own rows).  Append-only, fsynced, the same cost
+    class as the property write itself."""
+    p = os.path.join(_vroot(path), PROPERTIES_LOG)
+    events = []
+    if os.path.exists(p):
+        with open(p) as fh:
+            events = json.load(fh)
+    events.append({"as_of_version": current_version(path) or 0, key: value})
+    _fsync_json(p, events)
+
+
+def _property_as_of(path: str, key: str, version: int):
+    """``(found, value)``: the newest recorded ``key`` declared at or
+    below table ``version``.  ``found=False`` when the table carries no
+    history row for this key (property declared before the history
+    sidecar existed) — callers fall back to the current-state file,
+    which is the pre-r18 carry-over behavior, documented in
+    :func:`clone_table`."""
+    p = os.path.join(_vroot(path), PROPERTIES_LOG)
+    if not os.path.exists(p):
+        return False, None
+    found, value = False, None
+    with open(p) as fh:
+        events = json.load(fh)
+    if not any(key in ev for ev in events):
+        return False, None
+    for ev in events:
+        if key in ev and ev.get("as_of_version", 0) <= version:
+            found, value = True, ev[key]
+    # the key HAS history but nothing at/below the pinned version: the
+    # property did not exist at that version — authoritative empty
+    return True, value if found else None
 
 
 def set_constraints(path: str, rules: dict) -> None:
@@ -386,6 +427,7 @@ def set_constraints(path: str, rules: dict) -> None:
     vroot = _vroot(path)
     os.makedirs(vroot, exist_ok=True)
     _fsync_json(os.path.join(vroot, CONSTRAINTS_FILE), rules)
+    _append_property_event(path, "constraints", rules)
 
 
 def get_constraints(path: str) -> dict:
@@ -424,6 +466,7 @@ def set_clustering(
         spec = {}
     os.makedirs(vroot, exist_ok=True)
     _fsync_json(os.path.join(vroot, CLUSTERING_FILE), spec)
+    _append_property_event(path, "clustering", spec)
 
 
 def clustering_of(path: str) -> dict | None:
@@ -1549,11 +1592,15 @@ def clone_table(
     The clone starts with its own history (v0 = the clone commit,
     operation recording the source and source version, with the same
     lineage in the commit metadata).  Table PROPERTIES carry over
-    (r17, Delta ``CLONE`` copies them): declared clustering and CHECK
-    constraints; skipping sidecars do NOT (their manifests name the
-    source's file URIs) — instead the source's stats column set lands
-    as the clone's ``_stats_hint`` so pruning SELF-HEALS on the
-    clone's first commit."""
+    (r17, Delta ``CLONE`` copies them) — AS OF the pinned version when
+    the source carries a property history (r18, ADVICE #3: Delta clones
+    the cloned version's metadata, not the source's current state; a
+    CHECK added after the pinned version must not reject the clone's
+    own rows), falling back to the source's current state for
+    properties declared before the history sidecar existed.  Skipping
+    sidecars do NOT carry over (their manifests name the source's file
+    URIs) — instead the source's stats column set lands as the clone's
+    ``_stats_hint`` so pruning SELF-HEALS on the clone's first commit."""
     src_v = current_version(src)
     if src_v is None:
         raise ValueError(f"{src}: no version log — not a versioned table")
@@ -1562,6 +1609,23 @@ def clone_table(
     if os.path.exists(dst) or _read_log(dst):
         raise ValueError(f"{dst}: already exists")
     mode = _mode_of(src)
+    if mode == "manifest" and version != src_v:
+        # validate the pin BEFORE any stage exists (ADVICE r17 #2: an
+        # unknown version must not silently clone the current snapshot,
+        # and a vacuumed one must fail loudly, not mid-hardlink with an
+        # orphan stage) — the same contract _resolve_dir gives the
+        # physical path
+        known = {e["version"] for e in _read_log(src)}
+        if version not in known:
+            raise ValueError(
+                f"{src}: unknown version {version} "
+                f"(log has {sorted(known)})"
+            )
+        if not _manifest_version_present(src, version):
+            raise ValueError(
+                f"{src}: version {version} was vacuumed — its history "
+                "entry remains but the data is gone"
+            )
     stage = f"{dst}.__stage_{uuid.uuid4().hex[:8]}"
     if mode == "manifest":
         # only the snapshot's LIVE file set clones — the root's other
@@ -1618,11 +1682,28 @@ def clone_table(
     _release_intent(dst)
     # property carry-over (after the commit: a crash here leaves a
     # valid clone merely missing properties, never a torn table):
-    # declared clustering + CHECK constraints + the stats self-heal hint
-    for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE):
+    # declared clustering + CHECK constraints + the stats self-heal
+    # hint.  Version-pinned clones resolve each property AS OF the
+    # pinned version through the property history; a property with no
+    # history row predates the sidecar and falls back to current state.
+    for fname, key in (
+        (CLUSTERING_FILE, "clustering"),
+        (CONSTRAINTS_FILE, "constraints"),
+    ):
+        if version != src_v:
+            found, val = _property_as_of(src, key, version)
+            if found:
+                if val:  # empty/None = not declared at that version
+                    _fsync_json(os.path.join(_vroot(dst), fname), val)
+                    # seed the clone's OWN history at its v0 so a later
+                    # pinned clone-of-this-clone resolves correctly
+                    _append_property_event(dst, key, val)
+                continue
         sp = os.path.join(_vroot(src), fname)
         if os.path.exists(sp):
             shutil.copy2(sp, os.path.join(_vroot(dst), fname))
+            with open(sp) as fh:
+                _append_property_event(dst, key, json.load(fh))
     from . import skipping as _skipping
 
     if os.path.isdir(os.path.join(src.rstrip("/"), _skipping.STATS_DIR)):
@@ -1849,7 +1930,15 @@ def _vacuum_plan(
     same to-drop selection (oldest unpinned beyond ``keep_last``, tag-
     and time-retention honored), then — manifest mode — the data files
     no surviving version references, or — physical mode — the retention
-    directories' contents."""
+    directories' contents.
+
+    ``files`` basis (ADVICE r17 #5 — uniform across modes): every entry
+    is TABLE-RELATIVE.  Manifest mode lists the doomed data parquet
+    files under the table root; physical mode lists the retention
+    directories' contents namespaced under the sidecar retention root's
+    name (``<table>.__versions/vN/...``, resolved against the table's
+    PARENT directory), and includes non-data files (``_SUCCESS`` etc.)
+    because the actuator really deletes them."""
     log = _read_log(path)
     if not log:
         return {"versions": [], "files": [], "bytes": 0}
@@ -1896,7 +1985,15 @@ def _vacuum_plan(
         for root, _dirs, names in os.walk(vdir):
             for n in names:
                 fp = os.path.join(root, n)
-                doomed.append(os.path.relpath(fp, vroot))
+                # namespace under the retention root's NAME so a caller
+                # consuming plan["files"] can tell physical retention
+                # entries from manifest-mode table-relative data paths
+                doomed.append(
+                    os.path.join(
+                        os.path.basename(vroot),
+                        os.path.relpath(fp, vroot),
+                    )
+                )
                 total += os.path.getsize(fp)
     return {"versions": to_drop, "files": sorted(doomed), "bytes": total}
 
@@ -2013,6 +2110,19 @@ def convert_to_versioned(
             "sidecar — the adopted snapshot would resurrect marked rows; "
             "purge_dv first"
         )
+    from . import skipping as _skipping
+
+    if os.path.isdir(
+        os.path.join(path.rstrip("/"), _skipping.STATS_DIR)
+    ) or os.path.isdir(os.path.join(path.rstrip("/"), _skipping.BLOOM_DIR)):
+        # a stats/bloom sidecar from a PREVIOUS table life names a file
+        # set whose freshness this adoption cannot vouch for — a stale
+        # manifest would let pruned reads silently SKIP live files.
+        # Self-heal exactly as a crashed rebuild does (r18, VERDICT r17
+        # ask #6b): drop the sidecars (readers fall back to full
+        # listings — always safe) and keep the column set as the
+        # _stats_hint so the first maintenance pass rebuilds pruning.
+        _drop_sidecars(path)
     files = sorted(
         os.path.relpath(f, path) for f in _data_files(path)
     )

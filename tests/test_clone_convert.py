@@ -256,3 +256,164 @@ def test_clone_physical_mode_table(spark, tmp_path):
     V.append_versioned(part.limit(3), dst, now=4.0)
     assert V.read_current(spark, dst).count() == 103
     assert V.read_current(spark, src).count() == 100
+
+
+# ---------------------------------------------------------------------------
+# r18 edge hardening (VERDICT r17 ask #6 + ADVICE items #2/#3)
+# ---------------------------------------------------------------------------
+
+def test_clone_manifest_version_pin_validates_up_front(spark, tmp_path, vtable):
+    """ADVICE r17 #2: an unknown manifest-mode version= must raise (not
+    silently clone the current snapshot), a vacuumed one must fail
+    loudly, and neither failure may leave an orphan stage directory."""
+    dst = str(tmp_path / "dst")
+    with pytest.raises(ValueError, match="unknown version 99"):
+        V.clone_table(vtable, dst, version=99)
+    assert not os.path.exists(dst)
+    assert not [d for d in os.listdir(tmp_path) if "__stage" in d]
+    # vacuum v0 away, then pin it: loud 'vacuumed' error, no orphan
+    # stage.  (vtable's v1 is an APPEND sharing v0's files, so vacuum
+    # there reclaims nothing — build an overwrite history instead.)
+    t2 = str(tmp_path / "t2")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    V.overwrite_versioned(part, t2, now=1.0, snapshot_mode="manifest")
+    V.overwrite_versioned(part.limit(10), t2, now=2.0)
+    V.vacuum(t2, keep_last=0)
+    dst2 = str(tmp_path / "dst2")
+    with pytest.raises(ValueError, match="version 0 was vacuumed"):
+        V.clone_table(t2, dst2, version=0)
+    assert not os.path.exists(dst2)
+    assert not [d for d in os.listdir(tmp_path) if "__stage" in d]
+    # the current version still clones fine after the refused attempts
+    V.clone_table(vtable, dst)
+    assert V.read_current(spark, dst).count() == V.read_current(
+        spark, vtable
+    ).count()
+
+
+def test_clone_version_pin_resolves_properties_as_of(spark, tmp_path, vtable):
+    """ADVICE r17 #3 (Delta parity): a version-pinned clone carries the
+    metadata OF THE CLONED VERSION — a CHECK constraint or clustering
+    spec declared after the pinned version must not ride along."""
+    # vtable is at v1; declare properties NOW (recorded as_of_version=1)
+    V.set_clustering(spark, vtable, ["p_partkey"], curve="sorted")
+    V.set_constraints(vtable, {"positive_size": "p_size >= 0"})
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    V.append_versioned(part.limit(2), vtable, now=3.0)  # v2
+    # pin v0: the properties did not exist then -> clone has none
+    c0 = str(tmp_path / "c0")
+    V.clone_table(vtable, c0, version=0, now=4.0)
+    assert V.clustering_of(c0) is None
+    assert V.get_constraints(c0) == {}
+    # a row the LATER constraint would reject commits fine on the clone
+    bad = V.read_current(spark, c0).limit(1).withColumn("p_size", F.lit(-1))
+    V.append_versioned(bad, c0, now=5.0)
+    # pin v1: the properties existed -> they carry over and enforce
+    c1 = str(tmp_path / "c1")
+    V.clone_table(vtable, c1, version=1, now=4.0)
+    assert V.clustering_of(c1) == {"cols": ["p_partkey"], "curve": "sorted"}
+    assert V.get_constraints(c1) == {"positive_size": "p_size >= 0"}
+    bad1 = V.read_current(spark, c1).limit(1).withColumn("p_size", F.lit(-1))
+    with pytest.raises(Exception, match="positive_size"):
+        V.append_versioned(bad1, c1, now=5.0)
+
+
+def test_clone_version_pin_falls_back_without_property_history(
+    spark, tmp_path, vtable
+):
+    """A property declared before the history sidecar existed (no
+    _properties_log rows) falls back to current-state carry-over —
+    the pre-r18 behavior, documented in clone_table."""
+    V.set_constraints(vtable, {"positive_size": "p_size >= 0"})
+    os.remove(os.path.join(V._vroot(vtable), V.PROPERTIES_LOG))
+    c0 = str(tmp_path / "c0")
+    V.clone_table(vtable, c0, version=0, now=3.0)
+    assert V.get_constraints(c0) == {"positive_size": "p_size >= 0"}
+
+
+def test_clone_of_clone_lineage_chain(spark, tmp_path, vtable):
+    """VERDICT r17 ask #6a: chained clones stay zero-copy, independent,
+    and each records its own lineage; a pinned clone-of-a-clone resolves
+    the intermediate clone's history and as-of properties."""
+    V.set_clustering(spark, vtable, ["p_partkey"], curve="sorted")
+    c1 = str(tmp_path / "c1")
+    V.clone_table(vtable, c1, now=3.0)  # c1@v0 == vtable@v1
+    n0 = V.read_current(spark, c1).count()
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    V.append_versioned(part.limit(5), c1, now=4.0)  # c1@v1
+    c2 = str(tmp_path / "c2")
+    V.clone_table(c1, c2, version=0, now=5.0)  # pin the pre-append c1
+    assert V.read_current(spark, c2).count() == n0
+    # lineage: each hop names its immediate source
+    (e2,) = V.history(c2)
+    assert e2["operation"] == f"CLONE({c1}@v0)"
+    assert e2["metadata"]["source_table"] == c1
+    assert V.history(c1)[-1]["metadata"]["source_table"] == vtable
+    # zero-copy across the chain: c2's files share inodes with vtable's
+    src_inodes = {os.stat(f).st_ino for f in V._live_data_files(vtable)}
+    shared = [
+        f for f in V._live_data_files(c2)
+        if os.stat(f).st_ino in src_inodes
+    ]
+    assert shared, "chained clone should hardlink back to the root table"
+    # properties seeded into c1's own history at its v0 carry to c2
+    assert V.clustering_of(c2) == {"cols": ["p_partkey"], "curve": "sorted"}
+    # divergence: the chain members commit independently
+    V.append_versioned(part.limit(1), c2, now=6.0)
+    assert V.read_current(spark, c2).count() == n0 + 1
+    assert V.read_current(spark, c1).count() == n0 + 5
+    assert V.read_current(spark, vtable).count() == n0
+
+
+def test_convert_self_heals_stale_skipping_sidecar(spark, tmp_path):
+    """VERDICT r17 ask #6b: a stats/bloom sidecar left by a previous
+    table life names a file set whose freshness convert cannot vouch
+    for — a stale manifest would let pruned reads skip LIVE files.
+    Convert drops the sidecars (self-heal, readers fall back to full
+    listings) and keeps the column set as the rebuild hint."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+        skipping,
+    )
+
+    t = str(tmp_path / "t")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part.repartition(4).write.parquet(t)
+    skipping.write_stats_manifest(spark, t, ["p_partkey"])
+    # previous life ends: a file the manifest never saw appears
+    extra = str(tmp_path / "extra")
+    part.limit(50).withColumn(
+        "p_partkey", F.col("p_partkey") + 10**9
+    ).coalesce(1).write.parquet(extra)
+    import shutil as _sh
+
+    for f in os.listdir(extra):
+        if f.endswith(".parquet"):
+            _sh.copy(os.path.join(extra, f), os.path.join(t, f"late_{f}"))
+    assert V.convert_to_versioned(spark, t, now=1.0) == 0
+    # sidecars gone, hint present, full data served
+    assert not os.path.isdir(os.path.join(t, skipping.STATS_DIR))
+    assert not os.path.isdir(os.path.join(t, skipping.BLOOM_DIR))
+    with open(V._stats_hint_path(t)) as fh:
+        assert json.load(fh)["stats_columns"] == ["p_partkey"]
+    assert V.read_current(spark, t).count() == part.count() + 50
+
+
+def test_vacuum_dry_run_physical_paths_are_namespaced(spark, tmp_path):
+    """ADVICE r17 #5: plan['files'] has a uniform documented basis —
+    physical-mode entries are namespaced under the retention root's
+    name so callers can tell them from manifest-mode table-relative
+    data paths, and the byte total matches the named files."""
+    t = str(tmp_path / "t")
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    for i in range(4):  # physical mode: v0..v2 retained
+        V.overwrite_versioned(df, t, now=1.0 + i)
+    plan = V.vacuum(t, keep_last=1, dry_run=True)
+    assert plan["versions"] == [0, 1]
+    ns = os.path.basename(V._vroot(t)) + os.sep
+    assert plan["files"] and all(r.startswith(ns) for r in plan["files"])
+    parent = os.path.dirname(t.rstrip("/"))
+    assert plan["bytes"] == sum(
+        os.path.getsize(os.path.join(parent, r)) for r in plan["files"]
+    )
+    # the plan prices exactly what the actuator then drops
+    assert V.vacuum(t, keep_last=1) == plan["versions"]

@@ -912,3 +912,26 @@ def test_fleet_sweeps_reach_quiescence(spark, tmp_path, seed):
     # quiescence is not emptiness: every table still reads in full
     for t in tables:
         assert versioned.read_current(spark, t).count() > 0
+
+
+def test_decide_table_snapshot_refs_survive_json_round_trip():
+    """ADVICE r18 #1: a detail dict that round-tripped through JSON
+    carries STRING version keys in snapshot_refs; pricing must still
+    see the drop set (the raw-key refs.get(int) lookup silently priced
+    every reclaim as 0 and vacuum never dispatched)."""
+    import json as _json
+
+    detail = {
+        "size_bytes": 1000, "superseded_bytes": 0, "intent": None,
+        "retained_versions": [0, 1, 2, 3],
+        "snapshot_refs": {0: ["a"], 1: ["a", "b"], 2: ["c"], 3: ["c"],
+                          4: ["c"]},
+        "data_file_bytes": {"a": 600, "b": 100, "c": 300},
+    }
+    assert M.decide_table(detail) == "vacuum"
+    rt = _json.loads(_json.dumps(detail))
+    assert M.decide_table(rt) == "vacuum"
+    # and a drop set whose files all survive in kept versions stays None
+    shared = {**detail, "snapshot_refs": {0: ["c"], 1: ["c"], 2: ["c"],
+                                          3: ["c"], 4: ["c"]}}
+    assert M.decide_table(_json.loads(_json.dumps(shared))) is None

@@ -168,8 +168,14 @@ def main() -> int:
             d.pop("data_file_bytes", None)
             row["health"] = d
             # price the decisions (r17): what a vacuum would actually
-            # reclaim, and what a compaction would actually rewrite
-            plan = versioned.vacuum(p, dry_run=True)
+            # reclaim, and what a compaction would actually rewrite.
+            # keep_last comes from the policy so the dry run and
+            # decide_table always price the same drop set (ADVICE r17
+            # #4 — they agreed only because both defaulted to 2).
+            plan = versioned.vacuum(
+                p, dry_run=True,
+                keep_last=M.MaintenancePolicy().vacuum_keep_last,
+            )
             row["reclaim"] = {"versions": plan["versions"],
                               "files": len(plan["files"]),
                               "bytes": plan["bytes"]}
