@@ -227,6 +227,17 @@ def log_read_footprint(path: str) -> dict:
             "tail_files_read": tail, "total_commits": len(_read_log(path))}
 
 
+#: Manifest entries whose add+remove action count reaches this spill to
+#: an immediate files-checkpoint instead of riding inline in the entry
+#: (and in every history checkpoint after it).  The SCALE.md r17 caveat
+#: this closes: a CONVERT of an ~800k-file table wrote v0's add list as
+#: one tens-of-MB JSON document that every log replay re-read until the
+#: next boundary — Delta solves it with checkpoint.parquet; this is the
+#: same move.  10k actions ≈ a few hundred KB of paths: below it the
+#: inline entry is cheaper than an extra sidecar fsync.
+ACTIONS_SPILL_THRESHOLD = 10_000
+
+
 def _append_log(path: str, entry: dict) -> None:
     """Commit one log entry (its own fsynced file) and, on checkpoint
     boundaries, a full-state checkpoint so future resolutions stay
@@ -234,20 +245,81 @@ def _append_log(path: str, entry: dict) -> None:
     tail read until the next boundary — never correctness.  Manifest-
     mode tables additionally checkpoint the LIVE FILE LIST at the same
     boundaries, so snapshot-file resolution replays a bounded action
-    tail instead of the whole history (Delta's checkpoint.parquet)."""
+    tail instead of the whole history (Delta's checkpoint.parquet).
+
+    Two scale valves keep every log artifact O(live files), never
+    O(actions ever) (r18, VERDICT r17 ask #3):
+
+    - an entry carrying ≥ ``ACTIONS_SPILL_THRESHOLD`` actions (CONVERT
+      adopting a huge directory, a giant CLONE or overwrite) writes its
+      post-commit live set as a files-checkpoint AT ITS OWN VERSION and
+      logs only the action COUNTS — replay anchors at the checkpoint,
+      so the fat list is read by nobody, ever;
+    - the boundary history checkpoint stores action lists only for
+      entries whose per-commit file is GONE (legacy monolith imports);
+      everything else keeps counts — :func:`_snapshot_files` replays
+      from the per-commit files directly, so the checkpoint never needs
+      to carry actions the log dir already holds.
+    """
     ldir = _log_dir(path)
     os.makedirs(ldir, exist_ok=True)
     v = entry["version"]
+    n_actions = len(entry.get("add", ())) + len(entry.get("remove", ()))
+    if (
+        n_actions >= ACTIONS_SPILL_THRESHOLD
+        and snapshot_mode(path) == "manifest"
+    ):
+        add = entry.get("add", [])
+        remove = entry.get("remove", [])
+        prev = set(_snapshot_files(path, v - 1)) if v > 0 else set()
+        live = (prev - set(remove)) | set(add)
+        _fsync_json(os.path.join(ldir, f"{v:020d}.files.json"), sorted(live))
+        entry = {
+            k: val for k, val in entry.items() if k not in ("add", "remove")
+        }
+        entry["add_count"] = len(add)
+        entry["remove_count"] = len(remove)
+        entry["actions_in"] = "files_checkpoint"
     _fsync_json(os.path.join(ldir, f"{v:020d}.json"), entry)
     if v > 0 and v % CHECKPOINT_INTERVAL == 0:
-        _fsync_json(
-            os.path.join(ldir, f"{v:020d}.checkpoint.json"), _read_log(path)
-        )
         if snapshot_mode(path) == "manifest":
             _fsync_json(
                 os.path.join(ldir, f"{v:020d}.files.json"),
                 _snapshot_files(path, v),
             )
+        _fsync_json(
+            os.path.join(ldir, f"{v:020d}.checkpoint.json"),
+            [_compact_entry(path, e) for e in _read_log(path)],
+        )
+
+
+def _compact_entry(path: str, entry: dict) -> dict:
+    """The history-checkpoint form of a log entry: action lists replaced
+    by counts when the per-commit entry file still holds them (it is
+    never deleted, and :func:`_snapshot_files` replays from it) — the
+    checkpoint carries history METADATA, not a second copy of every
+    action ever committed."""
+    if "add" not in entry and "remove" not in entry:
+        return entry
+    ef = os.path.join(_log_dir(path), f"{entry['version']:020d}.json")
+    if not os.path.exists(ef):
+        return entry  # legacy-imported entry: the checkpoint is its home
+    compact = {
+        k: v for k, v in entry.items() if k not in ("add", "remove")
+    }
+    compact["add_count"] = len(entry.get("add", ()))
+    compact["remove_count"] = len(entry.get("remove", ()))
+    compact["actions_in"] = "commit_file"
+    return compact
+
+
+def _read_files_checkpoint(path: str, version: int) -> list[str] | None:
+    """The files-checkpoint written at exactly ``version``, or None."""
+    p = os.path.join(_log_dir(path), f"{version:020d}.files.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 # ---------------------------------------------------------------------------
@@ -293,22 +365,39 @@ def _snapshot_files(path: str, version: int) -> list[str]:
     """Manifest mode: the snapshot's data files (table-relative paths),
     resolved as the newest files-checkpoint at or below ``version`` plus
     a replay of the add/remove actions after it — bounded by the
-    checkpoint interval, never O(commits)."""
+    checkpoint interval, never O(commits).
+
+    The replay reads PER-COMMIT entry files directly (r18): the history
+    checkpoint stores action counts, not lists, so it can never be the
+    action source; entries predating the per-commit log (legacy
+    monolith imports) fall back to the resolved history, which is where
+    their actions still live."""
     ldir = _log_dir(path)
-    base_v, base = -1, []
+    base_v = -1
+    live: set = set()
     if os.path.isdir(ldir):
-        for f in sorted(os.listdir(ldir)):
+        for f in os.listdir(ldir):
             if f.endswith(".files.json"):
                 v = int(f.split(".", 1)[0])
                 if base_v < v <= version:
                     base_v = v
         if base_v >= 0:
             with open(os.path.join(ldir, f"{base_v:020d}.files.json")) as fh:
-                base = json.load(fh)
-    live = set(base)
-    for e in _read_log(path):
-        if e["version"] <= base_v or e["version"] > version:
-            continue
+                live = set(json.load(fh))
+    if base_v >= version:
+        return sorted(live)
+    legacy = None
+    for v in range(base_v + 1, version + 1):
+        ef = os.path.join(ldir, f"{v:020d}.json")
+        if os.path.exists(ef):
+            with open(ef) as fh:
+                e = json.load(fh)
+        else:
+            if legacy is None:
+                legacy = {x["version"]: x for x in _read_log(path)}
+            e = legacy.get(v)
+            if e is None:  # versions are dense; guard a pruned log anyway
+                continue
         live -= set(e.get("remove", []))
         live |= set(e.get("add", []))
     return sorted(live)

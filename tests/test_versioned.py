@@ -2022,3 +2022,98 @@ def test_vacuum_dry_run_prices_exactly_what_vacuum_drops(spark, tmp_path):
     plan2 = V.vacuum(t2, keep_last=1, dry_run=True)
     assert plan2["versions"] == [0, 1]
     assert plan2["files"] == [] and plan2["bytes"] == 0
+
+
+def test_large_action_list_spills_to_files_checkpoint(spark, tmp_path, monkeypatch):
+    """r18 (VERDICT r17 ask #3 / SCALE.md r17 caveat): an entry carrying
+    a huge add list writes its post-commit live set as a files-checkpoint
+    at its own version and logs only counts — replay anchors there, so
+    the fat action list is carried by no log artifact and read by no
+    replay.  Threshold shrunk so a 6-file commit exercises the path."""
+    import json as _json
+
+    monkeypatch.setattr(V, "ACTIONS_SPILL_THRESHOLD", 4)
+    path = str(tmp_path / "t")
+    df = spark.range(600).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df.repartition(6), path, now=1.0,
+                          snapshot_mode="manifest")
+    # the v0 entry spilled: counts + pointer, no inline action lists
+    (e0,) = V._read_log(path)
+    assert "add" not in e0 and "remove" not in e0
+    assert e0["add_count"] == 6 and e0["remove_count"] == 0
+    assert e0["actions_in"] == "files_checkpoint"
+    assert V._read_files_checkpoint(path, 0) == V._snapshot_files(path, 0)
+    assert len(V._snapshot_files(path, 0)) == 6
+    assert V.read_current(spark, path).count() == 600
+    # small follow-up commits replay on top of the v0 anchor
+    V.append_versioned(df.limit(5).coalesce(1), path, now=2.0)
+    assert V.read_current(spark, path).count() == 605
+    assert V.read_version(spark, path, 0).count() == 600
+    # a mid-history spilling commit (big overwrite) re-anchors replay
+    V.overwrite_versioned(df.repartition(5), path, now=3.0)
+    e2 = V._read_log(path)[-1]
+    assert e2["actions_in"] == "files_checkpoint"
+    assert e2["add_count"] == 5 and e2["remove_count"] == 7
+    assert V.read_current(spark, path).count() == 600
+    assert V.read_version(spark, path, 1).count() == 605  # history intact
+    with open(os.path.join(V._log_dir(path), f"{2:020d}.json")) as fh:
+        assert len(fh.read()) < 1000  # the entry itself stays tiny
+
+
+def test_convert_of_large_directory_is_o_live_not_o_history(
+    spark, tmp_path, monkeypatch
+):
+    """CONVERT of a many-file directory writes v0 THROUGH the
+    files-checkpoint: the log entry is tiny, resolution anchors at v0,
+    and versioned ops on top behave exactly as a small adoption."""
+    monkeypatch.setattr(V, "ACTIONS_SPILL_THRESHOLD", 8)
+    path = str(tmp_path / "t")
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    df.repartition(10).write.parquet(path)
+    V.convert_to_versioned(spark, path, now=1.0)
+    (e0,) = V._read_log(path)
+    assert "add" not in e0
+    assert e0["add_count"] == 10 and e0["actions_in"] == "files_checkpoint"
+    assert len(V._read_files_checkpoint(path, 0)) == 10
+    assert V.read_current(spark, path).count() == 1_000
+    # post-adoption commits and time travel ride the anchored replay
+    late = df.limit(3).selectExpr("k + 100000 AS k").coalesce(1)
+    V.append_versioned(late, path, now=2.0)
+    V.delete_where(spark, path, "k < 100", now=3.0)
+    assert V.read_current(spark, path).count() == 903
+    assert V.read_version(spark, path, 0).count() == 1_000
+    assert V.read_version(spark, path, 1).count() == 1_003
+
+
+def test_history_checkpoint_carries_counts_not_action_lists(spark, tmp_path):
+    """r18: the boundary history checkpoint stores action COUNTS for
+    entries whose per-commit file still exists — it carries history
+    metadata, never a second copy of every action ever committed — and
+    old-version resolution (which replays per-commit files) stays exact
+    across the compaction."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    df = spark.range(50).withColumnRenamed("id", "k")
+    counts = []
+    V.overwrite_versioned(df.repartition(2), path, now=0.0,
+                          snapshot_mode="manifest")
+    counts.append(50)
+    for i in range(1, 13):  # cross the v10 boundary
+        V.append_versioned(df.limit(i).coalesce(1), path, now=float(i))
+        counts.append(counts[-1] + i)
+    entries, checkpoints = V._log_files(path)
+    assert checkpoints, "expected a boundary checkpoint at v10"
+    with open(os.path.join(V._log_dir(path), checkpoints[-1])) as fh:
+        ckpt = _json.load(fh)
+    assert [e["version"] for e in ckpt] == list(range(11))
+    for e in ckpt:
+        assert "add" not in e and "remove" not in e
+        assert e["actions_in"] == "commit_file"
+        assert e["add_count"] >= 1
+    # resolution from any anchor stays exact: every version, both sides
+    # of the boundary, matches the accumulated truth
+    for v, n in enumerate(counts):
+        assert V.read_version(spark, path, v).count() == n
+    fp = V.log_read_footprint(path)
+    assert fp["base"] == "checkpoint" and fp["tail_files_read"] == 2
