@@ -379,12 +379,24 @@ def _tree_cpu_seconds() -> float:
     CPU, a plan regression inflates both.  Wall stays the headline
     metric; CPU is telemetry.
 
-    Caveat (first r17 run): a tree member that EXITS mid-lane without
-    being reaped into a surviving member's cutime by snapshot time
-    (e.g. a pyspark worker culled by the idle-worker reaper) takes its
-    accumulated CPU out of the sum, so a raw delta can go NEGATIVE —
-    the caller clamps at 0 and the number reads "attribution lost this
-    lane", never a real credit."""
+    Caveat (first r17 run) and its r18 fix: a tree member that EXITS
+    mid-lane without being reaped into a surviving member's cutime
+    (e.g. a pyspark daemon culled with its workers orphan-reaped by
+    init) takes its accumulated CPU out of a TOTAL-sum delta, driving
+    it negative — r17 clamped the whole lane to 0, which blinded the
+    bench's single most expensive lane.  r18 computes the delta
+    PER PID (:func:`_tree_cpu_delta`): survivors contribute their own
+    clamped delta, lane-born processes their full time, and a vanished
+    pid zeroes only ITSELF — attribution loss is now bounded to the
+    vanished member's during-lane slice instead of the whole lane."""
+    s = _tree_cpu_snapshot()
+    return s["own"] + sum(s["tree"].values()) / s["tick"]
+
+
+def _tree_cpu_snapshot() -> dict:
+    """Per-pid CPU ticks of every live tree member (self excluded; the
+    bench process plus its already-reaped direct children ride
+    ``os.times()`` in ``own``).  One /proc walk, ~ms."""
     tick = os.sysconf("SC_CLK_TCK")
     me = os.getpid()
     stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, cpu_ticks)
@@ -401,7 +413,7 @@ def _tree_cpu_seconds() -> float:
         ppid = int(rest[1])
         cpu = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
         stats[int(ent)] = (ppid, cpu)
-    total = 0
+    tree: dict[int, int] = {}
     for pid, (ppid, cpu) in stats.items():
         if pid == me:
             continue  # self + self-reaped children come from os.times()
@@ -409,11 +421,38 @@ def _tree_cpu_seconds() -> float:
         while p > 1 and p != me:
             p = stats.get(p, (0, 0))[0]
         if p == me:
-            total += cpu
-    # own usage: os.times() covers self + already-reaped children
+            tree[pid] = cpu
     t = os.times()
-    return total / tick + t.user + t.system + t.children_user \
-        + t.children_system
+    own = t.user + t.system + t.children_user + t.children_system
+    return {"own": own, "tree": tree, "tick": tick}
+
+
+def _tree_cpu_delta(s0: dict, s1: dict) -> float:
+    """Lane CPU seconds between two snapshots, attributed per pid:
+
+    - pid in both: its own delta, clamped at 0 (a cutime rollup can
+      only raise it; pid reuse could lower it — never a credit);
+    - pid born during the lane: its full accumulated time (workers
+      spawned and still alive at snapshot);
+    - pid vanished during the lane: contributes 0 — its during-lane
+      slice is lost ONLY when init reaped it (a parent still in the
+      tree rolls it into cutime, which the parent's delta carries).
+
+    A worker that is BORN and DIES within the lane appears in neither
+    snapshot and is still counted exactly once, via its reaper's cutime
+    jump.  The only residual error is the pre-lane CPU of a member that
+    dies mid-lane AND rolls into a survivor (over-count) — rare, small,
+    and strictly better than r17's clamp-the-whole-lane-to-0."""
+    tick = s1["tick"]
+    d = max(0.0, s1["own"] - s0["own"])
+    t0 = s0["tree"]
+    for pid, cpu1 in s1["tree"].items():
+        cpu0 = t0.get(pid)
+        if cpu0 is None:
+            d += cpu1 / tick
+        else:
+            d += max(0, cpu1 - cpu0) / tick
+    return d
 
 
 def _lane_hygiene(spark) -> None:
@@ -456,11 +495,11 @@ def main() -> None:
         cpus = []
         try:
             for _ in range(2):
-                c0 = _tree_cpu_seconds()
+                c0 = _tree_cpu_snapshot()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-                cpus.append(_tree_cpu_seconds() - c0)
+                cpus.append(_tree_cpu_delta(c0, _tree_cpu_snapshot()))
         except Exception as exc:  # noqa: BLE001 — per-lane fault isolation
             # one broken lane must not lose the WHOLE round's bench
             # metric (r16: a lane assertion tripped mid-run and the
@@ -482,11 +521,11 @@ def main() -> None:
         # crash the bench this isolation exists to protect.
         if max(runs) > 1.5 * min(runs):
             try:
-                c0 = _tree_cpu_seconds()
+                c0 = _tree_cpu_snapshot()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
-                cpus.append(_tree_cpu_seconds() - c0)
+                cpus.append(_tree_cpu_delta(c0, _tree_cpu_snapshot()))
             except Exception as exc:  # noqa: BLE001 — same isolation
                 # the lane IS timed (two good runs) — a warning, not an
                 # error: n_errors must keep meaning "lane lost, total
