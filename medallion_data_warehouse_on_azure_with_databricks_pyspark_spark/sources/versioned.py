@@ -291,6 +291,7 @@ def _append_log(path: str, entry: dict) -> None:
             os.path.join(ldir, f"{v:020d}.checkpoint.json"),
             [_compact_entry(path, e) for e in _read_log(path)],
         )
+        _prune_old_history_checkpoints(path)
 
 
 def _compact_entry(path: str, entry: dict) -> dict:
@@ -320,6 +321,68 @@ def _read_files_checkpoint(path: str, version: int) -> list[str] | None:
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+def _prune_old_history_checkpoints(path: str) -> list[str]:
+    """Delete history checkpoints older than the newest TWO —
+    ``_read_log`` only ever opens ``checkpoints[-1]``, so everything
+    below the previous generation is unreachable garbage; the one-extra
+    generation absorbs the race where a concurrent reader listed the
+    dir just before a new boundary checkpoint landed.  Each deleted
+    file is O(commits); without pruning the log dir accumulates one per
+    CHECKPOINT_INTERVAL commits forever.  Returns deleted names."""
+    _entries, checkpoints = _log_files(path)
+    doomed = checkpoints[:-2]
+    for f in doomed:
+        try:
+            os.remove(os.path.join(_log_dir(path), f))
+        except OSError:  # concurrent pruner won the race — same outcome
+            pass
+    return doomed
+
+
+def _prune_files_checkpoints(path: str) -> list[str]:
+    """Delete files-checkpoints below the RETENTION FLOOR (manifest
+    mode; VACUUM's log-retention leg).  With ``q_min`` = the oldest
+    still-resolvable version (oldest present non-current version, else
+    current), every queryable resolution anchors at the newest
+    files-checkpoint ≤ its version ≥ q_min — so any files-checkpoint
+    strictly below the newest one at-or-below q_min can never be read
+    again.  Each is O(live files); without this leg a long-lived table
+    accumulates an O(live)-sized snapshot every CHECKPOINT_INTERVAL
+    commits forever — the log-side twin of the data-side vacuum.  A
+    version whose resolution needed a pruned anchor reads as vacuumed
+    (loud ValueError from :func:`_snapshot_files`; False from
+    :func:`_manifest_version_present`), which matches its data-side
+    state: vacuum just deleted the files only it referenced.  Returns
+    deleted names."""
+    ldir = _log_dir(path)
+    if not os.path.isdir(ldir):
+        return []
+    log = _read_log(path)
+    if not log:
+        return []
+    current = log[-1]["version"]
+    present = [
+        e["version"] for e in log[:-1]
+        if _manifest_version_present(path, e["version"])
+    ]
+    q_min = min(present) if present else current
+    marks = sorted(
+        int(f.split(".", 1)[0])
+        for f in os.listdir(ldir)
+        if f.endswith(".files.json")
+    )
+    floor_anchor = max((v for v in marks if v <= q_min), default=None)
+    if floor_anchor is None:
+        return []
+    doomed = [f"{v:020d}.files.json" for v in marks if v < floor_anchor]
+    for f in doomed:
+        try:
+            os.remove(os.path.join(ldir, f))
+        except OSError:
+            pass
+    return doomed
 
 
 # ---------------------------------------------------------------------------
@@ -398,6 +461,16 @@ def _snapshot_files(path: str, version: int) -> list[str]:
             e = legacy.get(v)
             if e is None:  # versions are dense; guard a pruned log anyway
                 continue
+        if e.get("actions_in") == "files_checkpoint":
+            # a spilled entry inside the replay range means its anchor
+            # files-checkpoint was pruned by log retention — the
+            # requested version predates the retention floor (its data
+            # is vacuumed-class gone); fail as loudly as _resolve_dir
+            raise ValueError(
+                f"{path}: version {version} resolution needs the "
+                f"files-checkpoint at v{v}, pruned by log retention — "
+                "the version predates the retention floor"
+            )
         live -= set(e.get("remove", []))
         live |= set(e.get("add", []))
     return sorted(live)
@@ -1971,7 +2044,12 @@ def transact(
 
 
 def _manifest_version_present(path: str, version: int) -> bool:
-    files = _snapshot_files(path, version)
+    try:
+        files = _snapshot_files(path, version)
+    except ValueError:
+        # resolution anchor pruned by log retention: the version is
+        # below the retention floor — same answer as vacuumed data
+        return False
     return all(os.path.exists(os.path.join(path, f)) for f in files)
 
 
@@ -2141,6 +2219,10 @@ def _vacuum_locked(
                 rel = os.path.relpath(os.path.join(root, f), path)
                 if rel not in protected:
                     os.remove(os.path.join(root, f))
+        # log-retention leg (r18): files-checkpoints whose anchor no
+        # queryable resolution can reach again go with the data they
+        # described — the log-side twin of the deletions above
+        _prune_files_checkpoints(path)
         return to_drop
     vroot = _vroot(path)
     retained = sorted(

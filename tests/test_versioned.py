@@ -2117,3 +2117,64 @@ def test_history_checkpoint_carries_counts_not_action_lists(spark, tmp_path):
         assert V.read_version(spark, path, v).count() == n
     fp = V.log_read_footprint(path)
     assert fp["base"] == "checkpoint" and fp["tail_files_read"] == 2
+
+
+def test_old_history_checkpoints_are_pruned(spark, tmp_path):
+    """r18 log retention: _read_log only ever opens the newest history
+    checkpoint, so boundary commits keep the newest TWO (one generation
+    of reader-race slack) and delete the rest — without this the log
+    dir accumulates an O(commits) document every interval, forever."""
+    path = str(tmp_path / "t")
+    for i in range(35):
+        V.overwrite_versioned(spark.range(i + 1), path, now=float(i))
+    _entries, checkpoints = V._log_files(path)
+    assert [int(f.split(".", 1)[0]) for f in checkpoints] == [20, 30]
+    # resolution is untouched: full history, bounded tail, exact travel
+    assert [e["version"] for e in V._read_log(path)] == list(range(35))
+    fp = V.log_read_footprint(path)
+    assert fp["base"] == "checkpoint" and fp["base_version"] == 30
+    assert V.read_version(spark, path, 7).count() == 8
+    assert V.read_version(spark, path, 34).count() == 35
+
+
+def test_vacuum_prunes_files_checkpoints_below_retention_floor(
+    spark, tmp_path, monkeypatch
+):
+    """r18 log retention, files leg: after VACUUM raises the retention
+    floor, files-checkpoints no queryable resolution can anchor on are
+    deleted with the data they described; sub-floor versions read as
+    vacuumed (loud error), retained versions stay exact."""
+    monkeypatch.setattr(V, "ACTIONS_SPILL_THRESHOLD", 4)
+    path = str(tmp_path / "t")
+    df = spark.range(600).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df.repartition(6), path, now=0.0,
+                          snapshot_mode="manifest")  # v0 spills -> files@0
+    assert V._read_files_checkpoint(path, 0) is not None
+    for i in range(1, 13):  # v1..v12, single-file overwrites: each
+        # version's files are orphaned by the next (v1 spills too: it
+        # removes v0's six files)
+        V.overwrite_versioned(df.limit(i).coalesce(1), path, now=float(i))
+    assert V._read_files_checkpoint(path, 1) is not None
+    assert V._read_files_checkpoint(path, 10) is not None
+    # pre-vacuum: every version resolves exactly
+    assert V.read_version(spark, path, 0).count() == 600
+    assert V.read_version(spark, path, 5).count() == 5
+    dropped = V.vacuum(path, keep_last=1)
+    assert dropped == list(range(11))  # v0..v10 aged out
+    # anchors below the floor are gone; the v10 anchor survives
+    assert V._read_files_checkpoint(path, 0) is None
+    assert V._read_files_checkpoint(path, 1) is None
+    assert V._read_files_checkpoint(path, 10) is not None
+    # retained versions stay exact through the surviving anchor
+    assert V.read_version(spark, path, 11).count() == 11
+    assert V.read_current(spark, path).count() == 12
+    # sub-floor versions fail loudly and read as not-present
+    with pytest.raises(ValueError, match="retention floor|was vacuumed"):
+        V.read_version(spark, path, 5)
+    assert V._manifest_version_present(path, 5) is False
+    # history survives (Delta: history outlives data), detail still works
+    assert len(V.history(path)) == 13
+    d = V.table_detail(path)
+    assert d["retained_versions"] == [11]
+    # the next vacuum is a no-op, not a crash, on the pruned history
+    assert V.vacuum(path, keep_last=1) == []
