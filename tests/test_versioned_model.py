@@ -250,3 +250,21 @@ def test_dv_random_op_sequences_match_the_model(spark, tmp_path, seed):
             assert DV.recover_dv_merge(spark, t) is False, log
         log.append(f"{op} n={len(model)}")
         assert observed() == sorted(model.items()), log
+
+
+@pytest.mark.parametrize("seed,genesis", [(5, "overwrite"), (6, "convert")])
+def test_random_op_sequences_with_spilled_actions(
+    spark, tmp_path, seed, genesis, monkeypatch
+):
+    """r18: the same op zoo with ``ACTIONS_SPILL_THRESHOLD = 1`` —
+    EVERY manifest commit spills its actions to a files-checkpoint at
+    its own version, vacuums prune sub-floor anchors, and the model
+    equivalence must be unaffected: the spill and retention valves are
+    pure representation, never semantics.  (Pruned-anchor reads raise
+    the same ValueError class as vacuumed data, which the op zoo's
+    restore/timetravel/closing-sweep handlers already treat as aged
+    out.)"""
+    monkeypatch.setattr(V, "ACTIONS_SPILL_THRESHOLD", 1)
+    test_random_op_sequences_match_the_model(
+        spark, tmp_path, seed, "manifest", genesis
+    )
