@@ -192,6 +192,9 @@ HEADLINE = [
     # reads; the adoption/clone cost being measured IS the metadata op
     "part_convert_in_place_scan",
     "part_clone_divergence",
+    # r18: column-mapping ALTERs — in-lane table build, two
+    # metadata-only commits, post-rename append, log-projected read
+    "part_rename_column_scan",
 ]
 
 #: The r7-era 89-lane common set: a STABLE subtotal basis so round-over-round

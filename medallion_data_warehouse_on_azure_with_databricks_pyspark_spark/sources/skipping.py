@@ -53,6 +53,18 @@ from pyspark.sql import functions as F
 STATS_DIR = "_file_stats"
 
 
+def _refuse_column_mapped(path: str, op: str) -> None:
+    """File-level skipping reads parquet footers and file columns
+    DIRECTLY — physical names — so on a column-mapped table (logical
+    names diverged via RENAME/DROP COLUMN) a manifest would silently
+    disagree with the logical schema.  v1 refuses loudly; a full
+    overwrite resets the mapping and re-enables pruning."""
+    from . import versioned
+
+    versioned._refuse_mapped(path, op)
+
+
+
 #: Parquet physical types whose footer min/max are EXACT (never
 #: truncated).  BYTE_ARRAY (strings) can carry truncated bounds,
 #: INT96 is the deprecated timestamp encoding — both fall back to the
@@ -148,6 +160,7 @@ def write_stats_manifest(
     can't answer exactly (strings, NaN chunks, partition columns, empty
     stats) falls back to the original one-pass distributed scan.
     ``source="scan"`` forces the scan."""
+    _refuse_column_mapped(path, "write_stats_manifest")
     out = os.path.join(path.rstrip("/"), STATS_DIR)
     if source == "auto":
         try:
@@ -253,6 +266,7 @@ def pruned_files_multi(
     decision); mixed-type bounds the Python comparison can't order fall
     back to the Spark path so SQL coercion decides.
     """
+    _refuse_column_mapped(path, "pruned (stats) reads")
     live = _live_file_uris(path)
     rows, cols = read_stats_manifest_driver_side(path)
     if rows is not None:
@@ -411,6 +425,7 @@ def write_bloom_manifest(
     ``<table>/_file_bloom``.  ``files`` pins the scan to an explicit
     live-file list (manifest-mode versioned tables).
     """
+    _refuse_column_mapped(path, "write_bloom_manifest")
     if files is not None:
         df = spark.read.option("basePath", path).parquet(*files)
     else:
@@ -455,6 +470,7 @@ def bloom_pruned_files(
     manifest (no false negatives; false-positive rate set by
     bits/hashes).  Files whose manifest targets a different column are
     kept (unknown ⇒ unprunable)."""
+    _refuse_column_mapped(path, "pruned (bloom) reads")
     out = os.path.join(path.rstrip("/"), BLOOM_DIR)
     if not os.path.isdir(out):
         raise FileNotFoundError(f"no bloom manifest under {path}")

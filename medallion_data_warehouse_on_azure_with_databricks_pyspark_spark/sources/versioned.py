@@ -623,6 +623,18 @@ def set_clustering(
         _validate_curve_spec(
             read_current(spark, path).schema, list(cols), curve
         )
+        m = column_mapping(path)
+        renamed = [
+            c for c in cols if m is not None and m.get(c, c) != c
+        ]
+        if renamed:
+            # layout health reads parquet footers, which carry PHYSICAL
+            # names — a renamed clustering column would never match
+            raise ValueError(
+                f"{path}: CLUSTER BY refuses renamed column(s) "
+                f"{renamed} — rewrite the table (full overwrite resets "
+                "the mapping) before declaring clustering on them"
+            )
         spec = {"cols": list(cols), "curve": curve}
     else:
         spec = {}
@@ -859,6 +871,12 @@ def overwrite_versioned(
             entry["add"] = sorted(dst for _, dst in moves)
             entry["remove"] = _snapshot_files(path, cur) if log else []
             entry["schema"] = df.schema.json()
+            if log and column_mapping(path) is not None:
+                # a full overwrite stages every file FRESH from the
+                # logical frame, so physical names equal logical again —
+                # record the identity map to override the prior mapping
+                # (old versions keep resolving their own)
+                entry[MAPPING_KEY] = {c: c for c in df.columns}
             _write_intent(path, {"stage": stage, "entry": entry,
                                  "moves": moves})
         else:
@@ -1111,6 +1129,26 @@ def replace_files(
         f.name: f.dataType for f in read_current(spark, path).schema.fields
     }
     new_fields = {f.name: f.dataType for f in df.schema.fields}
+    _mapping = column_mapping(path)
+    _physical_frame = False
+    if not _mapping_is_identity(_mapping):
+        _phys = set(_mapping.values())
+        if new_fields.keys() == _phys:
+            if _phys == set(_mapping):
+                # a pure permutation (swap-chain renames) makes logical
+                # and physical frames indistinguishable by name —
+                # refuse loudly rather than guess and mis-translate
+                raise ValueError(
+                    f"{path}: the column mapping is a pure permutation "
+                    "of the physical names, so this frame's origin is "
+                    "ambiguous — rewrite the table (full overwrite "
+                    "resets the mapping) before file-subset commits"
+                )
+            # a maintenance rewrite staged from direct file reads
+            # arrives under PHYSICAL names — map back for the check
+            _physical_frame = True
+            _inv = {p: l for l, p in _mapping.items()}
+            new_fields = {_inv[n]: t for n, t in new_fields.items()}
     if cur_fields != new_fields:
         raise ValueError(
             f"{path}: replace_files/append schema must match the current "
@@ -1118,6 +1156,10 @@ def replace_files(
             f"removed: {sorted(set(cur_fields) - set(new_fields))}, "
             f"retyped: {sorted(c for c in cur_fields.keys() & new_fields.keys() if cur_fields[c] != new_fields[c])})"
         )
+    if not _physical_frame:
+        # stage files under PHYSICAL names; the logical schema is what
+        # the log entry records below
+        df = _to_physical_df(df, _mapping)
     # partition LAYOUT must match too (ADVICE r15 #5): appending flat
     # files into a hive-partitioned tree (or hive dirs into a flat one)
     # stages a live set that mixes directory structures — mixed reads
@@ -1192,7 +1234,14 @@ def replace_files(
         if mode == "manifest":
             entry["add"] = sorted(dst for _, dst in moves)
             entry["remove"] = sorted(remove)
-            entry["schema"] = df.schema.json()
+            # the recorded schema is LOGICAL; under a non-identity
+            # mapping df was translated to physical names above, and
+            # schema changes through this path are refused anyway
+            entry["schema"] = (
+                _current_logical_schema_json(path)
+                if not _mapping_is_identity(_mapping)
+                else df.schema.json()
+            )
             _write_intent(path, {"stage": stage, "entry": entry,
                                  "moves": moves})
         else:
@@ -1508,6 +1557,81 @@ def _resolve_dir(path: str, version: int) -> str:
     return vdir
 
 
+MAPPING_KEY = "column_mapping"
+
+
+def column_mapping(path: str, version: int | None = None) -> dict | None:
+    """The table's logical→physical column map AS OF ``version``
+    (default: current), or None if no commit at or below it ever
+    recorded one (identity — the pre-mapping world).  Delta column
+    mapping's name-mode contract (r18): RENAME/DROP COLUMN are
+    metadata-only commits; data files keep their PHYSICAL column names
+    forever, and readers project physical→logical per version — so a
+    rename on a 100 TB table is one fsynced log entry, not a rewrite.
+    The map rides log entries exactly like ``schema`` does, which is
+    what makes time travel show each version under ITS OWN names."""
+    log = _read_log(path)
+    if not log:
+        return None
+    v = log[-1]["version"] if version is None else version
+    m = None
+    for e in log:
+        if e["version"] <= v and MAPPING_KEY in e:
+            m = e[MAPPING_KEY]
+    return m
+
+
+def _mapping_is_identity(mapping: dict | None) -> bool:
+    return mapping is None or all(l == p for l, p in mapping.items())
+
+
+def _refuse_mapped(path: str, op: str) -> None:
+    """Loud v1 restriction: ops that read/describe data files DIRECTLY
+    (file-level pruning sidecars, DV merge-on-read, partition-scoped
+    replace) see PHYSICAL column names and would silently disagree with
+    the logical schema on a renamed table.  Same spirit as Delta's own
+    column-mapping feature gates."""
+    if not _mapping_is_identity(column_mapping(path)):
+        raise ValueError(
+            f"{path}: {op} is not supported on a column-mapped table "
+            "(logical names differ from the physical names in the data "
+            "files); read through read_current/read_version, or rewrite "
+            "the table (a full overwrite resets the mapping to identity)"
+        )
+
+
+def _to_physical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Stage-side translation: rename LOGICAL columns to their physical
+    names before files are written.  Callers classify the frame first —
+    this must only see LOGICAL frames (replace_files detects
+    already-physical maintenance frames by their name set and skips)."""
+    if _mapping_is_identity(mapping):
+        return df
+    if not any(mapping.get(c, c) != c for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_logical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Read-side projection: physical file columns → the version's
+    logical schema (order included); physical columns of DROPPED
+    logical columns vanish here — their bytes stay in the files, the
+    projection is what un-publishes them."""
+    if _mapping_is_identity(mapping) and (
+        mapping is None or list(mapping) == list(df.columns)
+    ):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[F.col(p).alias(l) for l, p in mapping.items() if p in df.columns]
+    )
+
+
 def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     """``VERSION AS OF``: the table exactly as committed at ``version``.
 
@@ -1517,7 +1641,12 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     means the version was vacuumed (history remains, data is gone —
     same contract as the physical lane's missing retention dir).  The
     existence sweep is one stat per file — the price of an exact
-    vacuumed-version error instead of a mid-scan FileNotFound."""
+    vacuumed-version error instead of a mid-scan FileNotFound.
+
+    Column-mapped tables project physical file columns to the LOGICAL
+    schema as of ``version`` (:func:`column_mapping`), so a version
+    before a RENAME shows the old name and one after shows the new —
+    on the same unmoved data files."""
     if _mode_of(path) == "manifest":
         log = _read_log(path)
         if not log:
@@ -1538,9 +1667,10 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
                 f"{path}: version {version} was vacuumed — its history "
                 "entry remains but the data is gone"
             )
-        return spark.read.option("basePath", path).parquet(
+        out = spark.read.option("basePath", path).parquet(
             *[os.path.join(path, f) for f in files]
         )
+        return _to_logical_df(out, column_mapping(path, version))
     return spark.read.parquet(_resolve_dir(path, version))
 
 
@@ -1714,6 +1844,170 @@ def optimize_zorder(
     return v
 
 
+def _current_logical_schema_json(path: str) -> str:
+    """The newest recorded logical schema at the current version."""
+    log = _read_log(path)
+    for e in reversed(log):
+        if "schema" in e:
+            return e["schema"]
+    raise ValueError(
+        f"{path}: no recorded schema in the log — commit through "
+        "overwrite_versioned first"
+    )
+
+
+def _alter_column_commit(
+    path: str, entry: dict, now: float | None
+) -> int:
+    """Commit a METADATA-ONLY log entry (empty action lists, no file
+    I/O) under the standard claim/intent protocol — crash at any point
+    rolls forward through the empty move list."""
+    _claim_intent(path, {"op": entry["operation"]})
+    try:
+        cur = current_version(path)
+        entry = {
+            "version": cur + 1,
+            "committed_at": float(now if now is not None else time.time()),
+            **entry,
+            "add": [],
+            "remove": [],
+        }
+        _write_intent(
+            path,
+            {"stage": f"{path}.__stage_noop", "entry": entry, "moves": []},
+        )
+        _append_log(path, entry)
+        return entry["version"]
+    finally:
+        _release_intent(path)
+
+
+def _refuse_alter_dependents(path: str, col: str, op: str) -> None:
+    """RENAME/DROP refusals shared by both ALTERs: hive partition
+    columns (their names live in directory paths), columns a declared
+    clustering spec or CHECK constraint references (their expressions
+    hold the old name as text), and tables carrying a live DV sidecar
+    (its marks address physical files directly)."""
+    import re as _re
+
+    from .deletion_vectors import DV_DIR
+    from .writers import _discover_partition_columns
+
+    if _mode_of(path) != "manifest":
+        raise ValueError(
+            f"{path}: {op} needs a manifest-mode table — physical-mode "
+            "snapshots are plain-readable at the path, where no mapping "
+            "projection can apply"
+        )
+    if col in (_discover_partition_columns(path) or ()):
+        raise ValueError(
+            f"{path}: {op} refuses partition column {col!r} — its name "
+            "is baked into the hive directory layout"
+        )
+    if os.path.isdir(os.path.join(path.rstrip("/"), DV_DIR)):
+        raise ValueError(
+            f"{path}: {op} refuses a table with a live deletion-vector "
+            "sidecar — DV marks address physical files; purge_dv first"
+        )
+    dec = clustering_of(path)
+    if dec and col in dec.get("cols", ()):
+        raise ValueError(
+            f"{path}: {op} refuses clustering column {col!r} — drop the "
+            "CLUSTER BY declaration first"
+        )
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    hits = [n for n, expr in get_constraints(path).items() if pat.search(expr)]
+    if hits:
+        raise ValueError(
+            f"{path}: {op} refuses {col!r} — CHECK constraint(s) "
+            f"{hits} reference it; drop or rewrite them first"
+        )
+
+
+def rename_column_versioned(
+    path: str, old: str, new: str, now: float | None = None
+) -> int:
+    """Delta ``ALTER TABLE ... RENAME COLUMN`` under column mapping
+    (name mode): a METADATA-ONLY commit — zero data files read, moved,
+    or rewritten, which at 100 TB is the difference between one fsynced
+    log entry and a full-table rewrite.  The column keeps its PHYSICAL
+    name in every existing file; the log records the new logical schema
+    and the logical→physical map, and every read through
+    read_current/read_version projects accordingly.  Time travel shows
+    each version under its own names.  A later full overwrite resets
+    the mapping to identity (its files are staged fresh).
+
+    v1 restrictions (loud, the Delta-style feature gates): manifest
+    mode only; not partition / clustering / constraint-referenced
+    columns; no DV sidecar; stats & bloom sidecars are DROPPED with the
+    commit (file-level pruning reads physical names — absent = unpruned
+    = safe) and pruned-read entry points refuse mapped tables."""
+    _refuse_alter_dependents(path, old, "RENAME COLUMN")
+    schema = json.loads(_current_logical_schema_json(path))
+    names = [f["name"] for f in schema.get("fields", ())]
+    if old not in names:
+        raise ValueError(f"{path}: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"{path}: column {new!r} already exists")
+    mapping = column_mapping(path) or {n: n for n in names}
+    new_mapping = {
+        (new if l == old else l): p for l, p in mapping.items()
+    }
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    v = _alter_column_commit(
+        path,
+        {
+            "operation": f"RENAME COLUMN ({old} -> {new})",
+            "schema": json.dumps(schema),
+            MAPPING_KEY: new_mapping,
+            "metadata": {"renamed": {old: new}},
+        },
+        now,
+    )
+    _drop_sidecars(path)  # manifests key physical names; self-heal off
+    if os.path.exists(_stats_hint_path(path)):
+        os.unlink(_stats_hint_path(path))  # hint columns are logical
+    return v
+
+
+def drop_column_versioned(
+    path: str, col: str, now: float | None = None
+) -> int:
+    """Delta ``ALTER TABLE ... DROP COLUMN`` under column mapping: a
+    METADATA-ONLY commit — the column's bytes stay in the files, the
+    read projection is what un-publishes them; a later full overwrite
+    physically sheds them.  Same v1 restrictions as
+    :func:`rename_column_versioned`; a NEW column added later under the
+    same name gets a FRESH physical name, so the dropped bytes can
+    never resurrect."""
+    _refuse_alter_dependents(path, col, "DROP COLUMN")
+    schema = json.loads(_current_logical_schema_json(path))
+    names = [f["name"] for f in schema.get("fields", ())]
+    if col not in names:
+        raise ValueError(f"{path}: no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError(f"{path}: cannot drop the last column {col!r}")
+    mapping = column_mapping(path) or {n: n for n in names}
+    new_mapping = {l: p for l, p in mapping.items() if l != col}
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+    v = _alter_column_commit(
+        path,
+        {
+            "operation": f"DROP COLUMN ({col})",
+            "schema": json.dumps(schema),
+            MAPPING_KEY: new_mapping,
+            "metadata": {"dropped": [col]},
+        },
+        now,
+    )
+    _drop_sidecars(path)
+    if os.path.exists(_stats_hint_path(path)):
+        os.unlink(_stats_hint_path(path))
+    return v
+
+
 def restore(
     spark: SparkSession,
     path: str,
@@ -1833,6 +2127,11 @@ def clone_table(
             if e["version"] <= version and "schema" in e:
                 entry["schema"] = e["schema"]
                 break
+        # a column-mapped source's clone must keep projecting the SAME
+        # physical file names to the pinned version's logical schema
+        m = column_mapping(src, version)
+        if m is not None:
+            entry[MAPPING_KEY] = m
         moves = [(r, r) for r in rels]
         _claim_intent(dst, {"stage": stage, "entry": entry, "moves": moves})
         os.makedirs(dst, exist_ok=True)
@@ -2635,6 +2934,7 @@ def replace_partitions(
             f"{path}: no version log — create the table with "
             "overwrite_versioned(partition_by=[...]) first"
         )
+    _refuse_mapped(path, "replace_partitions")
     effective = get_constraints(path)
     if effective:
         # persisted CHECK constraints gate EVERY commit path — including

@@ -2234,6 +2234,55 @@ def part_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_rename_column_scan",
+    oracle="""
+    SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price FROM part
+    UNION ALL
+    SELECT p_partkey + 1000000000,
+           CAST(p_retailprice * 2 AS DOUBLE) AS price
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def part_rename_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping, r18 (``sources/versioned.py
+    rename_column_versioned``/``drop_column_versioned`` — Databricks
+    ``ALTER TABLE ... RENAME/DROP COLUMN`` under
+    ``delta.columnMapping.mode = name``): both ALTERs are METADATA-ONLY
+    commits — the lane asserts the data files' inodes are untouched —
+    after which an append stages its files under the PHYSICAL names
+    while the logical read projects the renamed schema.  Time travel
+    shows v0 under its ORIGINAL names on the same unmoved files.  At
+    100 TB this is one fsynced log entry instead of a full rewrite."""
+    import os
+    import tempfile
+
+    from .sources import versioned as V
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="medallion_colmap_"), "part_dim"
+    )
+    V.overwrite_versioned(part, path, now=100.0, snapshot_mode="manifest")
+    inodes = sorted(os.stat(f).st_ino for f in V._live_data_files(path))
+    V.rename_column_versioned(path, "p_retailprice", "price", now=200.0)
+    V.drop_column_versioned(path, "p_brand", now=300.0)
+    if sorted(os.stat(f).st_ino for f in V._live_data_files(path)) != inodes:
+        raise AssertionError("ALTER COLUMN touched data files")
+    if V.read_version(spark, path, 0).columns != [
+        "p_partkey", "p_brand", "p_retailprice"
+    ]:
+        raise AssertionError("v0 must keep its original logical names")
+    late = part.filter(F.col("p_partkey") % 10 == 0).select(
+        (F.col("p_partkey") + 10**9).alias("p_partkey"),
+        (F.col("p_retailprice") * 2).alias("price"),
+    )
+    V.append_versioned(late, path, now=400.0)
+    return V.read_current(spark, path).select("p_partkey", "price")
+
+
+@query(
     "part_cdf_changes",
     oracle="""
     SELECT p_partkey, p_name, p_retailprice, p_size,
@@ -2799,6 +2848,10 @@ CORRECTNESS_PRIORITY = [
     "part_time_travel_diff", "part_merge_versioned_txn",
     "part_convert_in_place_scan", "part_clone_divergence",
     "docs_recluster_sorted_scan", "events_recluster_incremental_scan",
+    # NEW this round (rule 2): column-mapping ALTERs (rename/drop as
+    # metadata-only commits) — displaces the last r15 filler
+    # (docs_zorder_pruned_scan) to the deferred tier, deadline r19
+    "part_rename_column_scan",
     # -- no-oracle lanes (VERDICT r17 ask #4: schedule the five before
     #    their r20 deadline — three ride now, two at r19) --
     "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
@@ -2814,9 +2867,10 @@ CORRECTNESS_PRIORITY = [
     "doc_language_id", "doc_mixture_splits", "doc_repetition_stats",
     "doc_scrub_pii", "doc_source_caps", "doc_text_stats",
     "doc_token_counts", "doc_token_packing", "doc_winnow_overlap_pairs",
-    "docs_zorder_pruned_scan",
+    
     # -- deferred slice of the r15 tier (17 lanes, positions 51+):
     #    deadline r19 — front the r19 window. --
+    "docs_zorder_pruned_scan",
     "emb_ivf_recall_report", "emb_ivfsq8_stream_topk",
     "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
     "emb_mmr_diversified_topk", "emb_mmr_ivf_topk", "events_daily_rolling",

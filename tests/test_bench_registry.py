@@ -137,6 +137,8 @@ CHANGED_THIS_ROUND = {
     "part_time_travel_diff", "part_merge_versioned_txn",
     "part_convert_in_place_scan", "part_clone_divergence",
     "docs_recluster_sorted_scan", "events_recluster_incremental_scan",
+    # NEW lane (r18): column-mapping ALTERs
+    "part_rename_column_scan",
 }
 
 #: Fresh lanes the VERDICT explicitly asked to front this round

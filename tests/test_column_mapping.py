@@ -1,0 +1,246 @@
+"""Delta column mapping (name mode) parity, r18: RENAME/DROP COLUMN as
+METADATA-ONLY commits on manifest-mode versioned tables — data files
+keep their physical column names forever, readers project
+physical→logical per version (time travel shows each version under its
+own names), a full overwrite resets the mapping to identity, and the
+v1 feature gates refuse the direct-file-reader surfaces loudly.
+
+Reference parity target: Databricks `ALTER TABLE ... RENAME/DROP
+COLUMN` under `delta.columnMapping.mode = name` — at 100 TB a rename
+must be one fsynced log entry, never a rewrite."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+    skipping as S,
+)
+from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources import (
+    versioned as V,
+)
+
+
+@pytest.fixture()
+def mtable(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.overwrite_versioned(df.repartition(4), t, now=1.0,
+                          snapshot_mode="manifest")
+    return t
+
+
+def _inode_map(t):
+    return {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in V._live_data_files(t)
+    }
+
+
+def test_rename_is_metadata_only_and_projects(spark, mtable):
+    before = _inode_map(mtable)
+    v = V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    assert v == 1
+    assert _inode_map(mtable) == before  # zero data I/O
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["k", "value"]
+    assert got.agg(F.sum("value")).first()[0] == sum(i * 2 for i in range(500))
+    # the files still carry the PHYSICAL name
+    any_file = V._live_data_files(mtable)[0]
+    assert "v" in pq.read_schema(any_file).names
+    assert V.column_mapping(mtable) == {"k": "k", "value": "v"}
+    (e, *_rest) = V.history(mtable)
+    assert e["operation"] == "RENAME COLUMN (v -> value)"
+    assert e["add"] == [] and e["remove"] == []
+
+
+def test_time_travel_shows_each_versions_own_names(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    assert V.read_version(spark, mtable, 0).columns == ["k", "v"]
+    assert V.read_version(spark, mtable, 1).columns == ["k", "value"]
+    assert (
+        V.read_version(spark, mtable, 0).agg(F.sum("v")).first()[0]
+        == V.read_version(spark, mtable, 1).agg(F.sum("value")).first()[0]
+    )
+
+
+def test_append_after_rename_stages_physical_reads_logical(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    extra = spark.createDataFrame([(9001, 42), (9002, 43)], "k long, value long")
+    V.append_versioned(extra.coalesce(1), mtable, now=3.0)
+    got = V.read_current(spark, mtable)
+    assert got.count() == 502
+    assert got.filter("k = 9001").first()["value"] == 42
+    # the appended file was staged under the PHYSICAL name
+    newest = [f for f in V._live_data_files(mtable)
+              if os.path.basename(f).startswith("v2-")]
+    assert newest and all(
+        "v" in pq.read_schema(f).names and "value" not in pq.read_schema(f).names
+        for f in newest
+    )
+
+
+def test_rename_chain_and_reuse_of_freed_name(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "tmp", now=2.0)
+    V.rename_column_versioned(mtable, "k", "v", now=3.0)  # freed name reused
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["v", "tmp"]
+    # logical 'v' is the OLD k; logical 'tmp' is the OLD v
+    assert got.agg(F.sum("v")).first()[0] == sum(range(500))
+    assert got.agg(F.sum("tmp")).first()[0] == sum(i * 2 for i in range(500))
+    assert V.column_mapping(mtable) == {"v": "k", "tmp": "v"}
+    assert V.read_version(spark, mtable, 0).columns == ["k", "v"]
+
+
+def test_drop_column_hides_bytes_without_rewrite(spark, mtable):
+    before = _inode_map(mtable)
+    V.drop_column_versioned(mtable, "v", now=2.0)
+    assert _inode_map(mtable) == before
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["k"]
+    # the bytes are still in the files; the projection un-publishes them
+    any_file = V._live_data_files(mtable)[0]
+    assert "v" in pq.read_schema(any_file).names
+    # time travel still serves the dropped column at v0
+    assert V.read_version(spark, mtable, 0).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="cannot drop the last column"):
+        V.drop_column_versioned(mtable, "k")
+
+
+def test_overwrite_resets_mapping_to_identity(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    df = V.read_current(spark, mtable).withColumn("extra", F.lit(1))
+    V.overwrite_versioned(df, mtable, now=3.0)
+    m = V.column_mapping(mtable)
+    assert m == {"k": "k", "value": "value", "extra": "extra"}
+    # fresh files carry LOGICAL names
+    any_file = V._live_data_files(mtable)[0]
+    assert "value" in pq.read_schema(any_file).names
+    # old versions keep resolving their own mapping
+    assert V.read_version(spark, mtable, 0).columns == ["k", "v"]
+    assert V.read_version(spark, mtable, 1).columns == ["k", "value"]
+    # and file-level pruning is legal again on the identity mapping
+    S.write_stats_manifest(spark, mtable, ["k"],
+                           files=V._live_data_files(mtable))
+    kept, total = S.pruned_files_multi(spark, mtable, {"k": (0, 10)})
+    assert total >= 1
+
+
+def test_dml_and_maintenance_compose_with_mapping(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    # logical-frame DML (reads logical, full rewrite resets mapping)
+    V.update_where(spark, mtable, F.col("k") < 10,
+                   {"value": F.lit(0)}, now=3.0)
+    got = V.read_current(spark, mtable)
+    assert got.filter("k < 10").agg(F.sum("value")).first()[0] == 0
+    assert got.columns == ["k", "value"]
+
+
+def test_optimize_physical_frames_pass_through(spark, mtable):
+    """Incremental OPTIMIZE reads data files directly (physical names)
+    and commits through replace_files — the physical frame must pass
+    through untranslated and the logical read stay intact."""
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    extra = spark.createDataFrame([(10**6 + i, i) for i in range(8)],
+                                  "k long, value long")
+    V.append_versioned(extra.repartition(4), mtable, now=3.0)
+    V.optimize_compact_incremental(spark, mtable,
+                                   target_file_bytes=512 * 1024, now=4.0)
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["k", "value"]
+    assert got.count() == 508
+    assert got.filter("k >= 1000000").count() == 8
+
+
+def test_restore_across_rename_restores_old_names(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    V.restore(spark, mtable, 0, now=3.0)
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["k", "v"]
+    assert V.column_mapping(mtable) == {"k": "k", "v": "v"}  # identity again
+    assert got.count() == 500
+
+
+def test_clone_carries_mapping_at_pinned_version(spark, tmp_path, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    c_new = str(tmp_path / "c_new")
+    V.clone_table(mtable, c_new, now=3.0)
+    assert V.read_current(spark, c_new).columns == ["k", "value"]
+    c_old = str(tmp_path / "c_old")
+    V.clone_table(mtable, c_old, version=0, now=3.0)
+    assert V.read_current(spark, c_old).columns == ["k", "v"]
+
+
+def test_v1_feature_gates_refuse_loudly(spark, tmp_path, mtable):
+    # physical-mode tables have no projection point
+    p = str(tmp_path / "phys")
+    V.overwrite_versioned(spark.range(10).withColumnRenamed("id", "k"),
+                          p, now=1.0)
+    with pytest.raises(ValueError, match="manifest-mode"):
+        V.rename_column_versioned(p, "k", "kk")
+    # partition columns live in directory names
+    hive = str(tmp_path / "hive")
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("int").alias("g"), F.col("id").alias("x")
+    )
+    V.overwrite_versioned(df, hive, now=1.0, snapshot_mode="manifest",
+                          partition_by=["g"])
+    with pytest.raises(ValueError, match="partition column"):
+        V.rename_column_versioned(hive, "g", "grp")
+    # clustering- and constraint-referenced columns are pinned by text
+    V.set_clustering(spark, mtable, ["v"], curve="sorted")
+    with pytest.raises(ValueError, match="clustering column"):
+        V.rename_column_versioned(mtable, "v", "value")
+    V.set_clustering(spark, mtable, [], curve="sorted")
+    V.set_constraints(mtable, {"v_pos": "v >= 0"})
+    with pytest.raises(ValueError, match="constraint"):
+        V.rename_column_versioned(mtable, "v", "value")
+    V.set_constraints(mtable, {})
+    # now a rename lands; the direct-file-reader surfaces refuse
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    with pytest.raises(ValueError, match="column-mapped"):
+        S.write_stats_manifest(spark, mtable, ["k"])
+    with pytest.raises(ValueError, match="column-mapped"):
+        S.pruned_files_multi(spark, mtable, {"k": (0, 10)})
+    with pytest.raises(ValueError, match="column-mapped"):
+        V._refuse_mapped(mtable, "replace_partitions")
+    # CLUSTER BY on a renamed column refuses until a rewrite
+    with pytest.raises(ValueError, match="renamed column"):
+        V.set_clustering(spark, mtable, ["value"], curve="sorted")
+    # unknown/duplicate names refuse
+    with pytest.raises(ValueError, match="no column"):
+        V.rename_column_versioned(mtable, "gone", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        V.rename_column_versioned(mtable, "k", "value")
+
+
+def test_rename_drops_skipping_sidecars_for_self_safety(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(400).select(F.col("id").alias("k"),
+                                 (F.col("id") * 3).alias("v"))
+    V.overwrite_versioned(df.repartition(4), t, now=1.0,
+                          snapshot_mode="manifest", stats_columns=["v"])
+    assert os.path.isdir(os.path.join(t, S.STATS_DIR))
+    V.rename_column_versioned(t, "v", "value", now=2.0)
+    assert not os.path.isdir(os.path.join(t, S.STATS_DIR))
+    assert not os.path.exists(V._stats_hint_path(t))  # hints are logical
+    # reads stay exact without pruning
+    assert V.read_current(spark, t).agg(F.sum("value")).first()[0] == \
+        sum(i * 3 for i in range(400))
+
+
+def test_cdf_across_rename_boundary_refuses(spark, mtable):
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    extra = spark.createDataFrame([(9001, 42)], "k long, value long")
+    V.append_versioned(extra, mtable, now=3.0)
+    with pytest.raises(ValueError, match="schema change"):
+        V.table_changes(spark, mtable, ["k"], 0, 2)
+    # within one naming era the feed works
+    out = V.table_changes(spark, mtable, ["k"], 1, 2)
+    assert out.filter("_change_type = 'insert'").count() == 1
