@@ -244,3 +244,98 @@ def test_cdf_across_rename_boundary_refuses(spark, mtable):
     # within one naming era the feed works
     out = V.table_changes(spark, mtable, ["k"], 1, 2)
     assert out.filter("_change_type = 'insert'").count() == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_alter_sequences_match_a_name_aware_model(
+    spark, tmp_path, seed
+):
+    """Model fuzz of the mapping protocol: random interleavings of
+    rename / drop / append / full overwrite / restore / time travel
+    against an in-memory model that tracks BOTH the rows and the
+    logical column names per version.  After every committing op the
+    logical table must equal the model under the model's names, and
+    every retained version must read under ITS OWN names."""
+    import random
+
+    rng = random.Random(seed)
+    t = str(tmp_path / "t")
+
+    def df_of(names, rows):
+        return spark.createDataFrame(
+            rows or [(0, 0, 0)], ", ".join(f"{n} long" for n in names)
+        ).limit(len(rows))
+
+    names = ["a", "b", "c"]
+    rows = [(rng.randrange(100), rng.randrange(100), rng.randrange(100))
+            for _ in range(40)]
+    V.overwrite_versioned(df_of(names, rows), t, now=1.0,
+                          snapshot_mode="manifest")
+    snapshots = {0: (list(names), sorted(rows))}
+    clock, fresh = 2.0, 0
+    oplog = []
+
+    def observed(version=None):
+        got = (V.read_current(spark, t) if version is None
+               else V.read_version(spark, t, version))
+        return got.columns, sorted(tuple(r) for r in got.collect())
+
+    for step in range(14):
+        op = rng.choice(
+            ["rename", "drop", "append", "overwrite", "restore",
+             "timetravel"]
+        )
+        clock += 1.0
+        if op == "rename" and names:
+            old = rng.choice(names)
+            fresh += 1
+            new = f"col{fresh}"
+            V.rename_column_versioned(t, old, new, now=clock)
+            names = [new if n == old else n for n in names]
+        elif op == "drop" and len(names) > 1:
+            i = rng.randrange(len(names))
+            V.drop_column_versioned(t, names[i], now=clock)
+            names = names[:i] + names[i + 1:]
+            rows = sorted(r[:i] + r[i + 1:] for r in rows)
+        elif op == "append":
+            extra = [tuple(rng.randrange(100) for _ in names)
+                     for _ in range(6)]
+            V.append_versioned(df_of(names, extra), t, now=clock)
+            rows = sorted(rows + extra)
+        elif op == "overwrite":
+            rows = sorted(
+                tuple(rng.randrange(100) for _ in names) for _ in range(25)
+            )
+            V.overwrite_versioned(df_of(names, rows), t, now=clock)
+        elif op == "restore":
+            pick = rng.choice(sorted(snapshots))
+            try:
+                V.restore(spark, t, pick, now=clock)
+            except ValueError:
+                oplog.append(f"restore v{pick} refused")
+                continue
+            names, rows = list(snapshots[pick][0]), list(snapshots[pick][1])
+        elif op == "timetravel":
+            pick = rng.choice(sorted(snapshots))
+            try:
+                cols, got = observed(pick)
+            except ValueError:
+                oplog.append(f"tt v{pick} aged out")
+                continue
+            assert (cols, got) == snapshots[pick], (pick, oplog)
+            continue
+        else:
+            continue
+        snapshots[V.current_version(t)] = (list(names), sorted(rows))
+        oplog.append(f"{op} -> v{V.current_version(t)} cols={names}")
+        cols, got = observed()
+        assert cols == names, oplog
+        assert got == sorted(map(tuple, rows)), oplog
+
+    # closing sweep: every still-readable version under its own names
+    for ver, snap in snapshots.items():
+        try:
+            cols, got = observed(ver)
+        except ValueError:
+            continue
+        assert (cols, got) == snap, (ver, oplog)
