@@ -2008,6 +2008,123 @@ def drop_column_versioned(
     return v
 
 
+IDENTITY_FILE = "_identity.json"
+
+
+def set_identity(
+    path: str, column: str, start: int = 1, step: int = 1
+) -> None:
+    """Declare a Delta-style IDENTITY column (``GENERATED BY DEFAULT AS
+    IDENTITY (START WITH start INCREMENT BY step)``): values assigned
+    by :func:`append_with_identity` are unique and strictly advancing
+    across commits, with GAPS allowed — exactly Delta's identity
+    contract, which is what makes assignment shuffle-free.  Pass an
+    empty ``column`` to drop the declaration."""
+    if step == 0:
+        raise ValueError("identity step must be nonzero")
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    _refuse_mapped(path, "identity declaration")
+    vroot = _vroot(path)
+    os.makedirs(vroot, exist_ok=True)
+    spec = {"column": column, "start": start, "step": step} if column else {}
+    _fsync_json(os.path.join(vroot, IDENTITY_FILE), spec)
+    _append_property_event(path, "identity", spec)
+
+
+def identity_of(path: str) -> dict | None:
+    p = os.path.join(_vroot(path), IDENTITY_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        spec = json.load(fh)
+    return spec or None
+
+
+def identity_high_water(path: str) -> int | None:
+    """The maximum identity value ever COMMITTED, resolved from the
+    live files' parquet FOOTER stats — driver-side, zero Spark jobs
+    (the skipping-manifest harvest pattern), so the allocator never
+    needs a high-water ledger that concurrent writers could tear: the
+    committed data itself is the ledger.  None when no declaration or
+    no rows carry the column yet.
+
+    A vacuumed-away historical maximum cannot regress the counter:
+    vacuum only deletes files no RETAINED version references, and the
+    retained current snapshot always contains every live identity
+    value."""
+    decl = identity_of(path)
+    if decl is None:
+        return None
+    from . import skipping as _skipping
+
+    files = _live_data_files(path)
+    if not files:
+        return None
+    rows = _skipping._footer_manifest_rows([decl["column"]], files)
+    if rows is None:
+        # footer stats unavailable (schema drift / exotic types): fall
+        # back is the caller's one distributed agg — refuse here so the
+        # caller decides, rather than silently paying a job
+        raise ValueError(
+            f"{path}: identity column {decl['column']!r} lacks exact "
+            "footer stats in some live file — cannot resolve the "
+            "high-water driver-side"
+        )
+    # ascending identity advances past the global MAX; descending past
+    # the global MIN — each from the matching footer stat
+    key = (f"max__{decl['column']}" if decl["step"] > 0
+           else f"min__{decl['column']}")
+    vals = [r[key] for r in rows if r.get(key) is not None]
+    if not vals:
+        return None
+    return int(max(vals) if decl["step"] > 0 else min(vals))
+
+
+def append_with_identity(
+    df: DataFrame,
+    path: str,
+    now: float | None = None,
+    partition_by: list[str] | None = None,
+    metadata: dict | None = None,
+) -> int:
+    """Append ``df`` (WITHOUT the identity column) assigning fresh
+    identity values: ``next = high_water + step`` seeds the commit, and
+    each row gets ``next + step * monotonically_increasing_id()`` —
+    per-partition dense counters offset by partition id, so assignment
+    is embarrassingly parallel with ZERO shuffles and zero extra jobs
+    (Delta identity allows gaps; the sparsity between partitions is the
+    price of not coordinating, and it is the price Delta pays too).
+    The committed footers become the next allocation's high-water."""
+    decl = identity_of(path)
+    if decl is None:
+        raise ValueError(f"{path}: no identity declaration — set_identity first")
+    col, step = decl["column"], decl["step"]
+    if col in df.columns:
+        raise ValueError(
+            f"{path}: incoming frame already carries identity column "
+            f"{col!r} — identity values are engine-assigned"
+        )
+    from pyspark.sql import functions as F
+
+    hw = identity_high_water(path)
+    nxt = decl["start"] if hw is None else hw + step
+    out = df.withColumn(
+        col,
+        (F.lit(nxt) + F.lit(step) * F.monotonically_increasing_id())
+        .cast("long"),
+    )
+    cur_cols = [
+        f.name
+        for f in read_current(df.sparkSession, path).schema.fields
+    ]
+    return replace_files(
+        out.select(*cur_cols), path, remove=[],
+        expected_version=current_version(path), partition_by=partition_by,
+        now=now, operation="APPEND", metadata=metadata,
+    )
+
+
 def restore(
     spark: SparkSession,
     path: str,

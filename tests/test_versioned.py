@@ -2178,3 +2178,65 @@ def test_vacuum_prunes_files_checkpoints_below_retention_floor(
     assert d["retained_versions"] == [11]
     # the next vacuum is a no-op, not a crash, on the pruned history
     assert V.vacuum(path, keep_last=1) == []
+
+
+def test_identity_column_allocates_without_shuffle_or_ledger(spark, tmp_path):
+    """r18, Delta ``GENERATED BY DEFAULT AS IDENTITY`` parity: values
+    are engine-assigned, unique, strictly advancing across commits with
+    gaps allowed — and the high-water is resolved from the committed
+    files' parquet FOOTERS (driver-side, zero jobs), so there is no
+    allocator ledger for concurrent writers to tear."""
+    t = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    V.overwrite_versioned(df.repartition(3), t, now=1.0,
+                          snapshot_mode="manifest")
+    with pytest.raises(ValueError, match="no identity declaration"):
+        V.append_with_identity(df.limit(1), t)
+    # declare, then backfill the column via a schema-evolving overwrite
+    base = df.selectExpr("k", "v", "k + 1 AS row_id")
+    V.overwrite_versioned(base, t, now=2.0)
+    V.set_identity(t, "row_id", start=1, step=1)
+    assert V.identity_of(t) == {"column": "row_id", "start": 1, "step": 1}
+    assert V.identity_high_water(t) == 100
+    # two identity appends: unique, each strictly above the last commit
+    extra1 = spark.range(37).selectExpr("id + 500 AS k", "id AS v")
+    V.append_with_identity(extra1.repartition(4), t, now=3.0)
+    got1 = V.read_current(spark, t)
+    assert got1.count() == 137
+    assert got1.select("row_id").distinct().count() == 137
+    hw1 = V.identity_high_water(t)
+    assert hw1 > 100
+    extra2 = spark.range(11).selectExpr("id + 900 AS k", "id AS v")
+    V.append_with_identity(extra2.coalesce(1), t, now=4.0)
+    got2 = V.read_current(spark, t)
+    assert got2.count() == 148
+    assert got2.select("row_id").distinct().count() == 148
+    assert got2.selectExpr("min(row_id)").first()[0] == 1
+    new_min = (
+        V.read_version(spark, t, V.current_version(t))
+        .join(V.read_version(spark, t, V.current_version(t) - 1),
+              "row_id", "left_anti")
+        .selectExpr("min(row_id)").first()[0]
+    )
+    assert new_min == hw1 + 1  # the new commit seeds at high_water + step
+    # engine-assigned means user-supplied values refuse
+    with pytest.raises(ValueError, match="engine-assigned"):
+        V.append_with_identity(got2.limit(1), t)
+    # dropping the declaration disables assignment
+    V.set_identity(t, "", )
+    assert V.identity_of(t) is None
+
+
+def test_identity_negative_step_descends(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id AS k", "-(id + 1) AS row_id")
+    V.overwrite_versioned(df, t, now=1.0, snapshot_mode="manifest")
+    V.set_identity(t, "row_id", start=-1, step=-1)
+    assert V.identity_high_water(t) == -10
+    V.append_with_identity(
+        spark.range(5).selectExpr("id + 100 AS k").coalesce(1), t, now=2.0
+    )
+    got = V.read_current(spark, t)
+    assert got.count() == 15
+    assert got.select("row_id").distinct().count() == 15
+    assert got.selectExpr("min(row_id)").first()[0] <= -11
