@@ -239,12 +239,11 @@ COMMON_SET_R7 = frozenset({
     "scd2_part_dim", "scd2_part_dim_deletes",
 })
 
-#: The previous round's full lane set (r16, 138 lanes), refrozen each round
+#: The previous round's full lane set (r17, 139 lanes), refrozen each round
 #: from the prior BENCH_QUERIES.json so "this round vs last round" reads a
 #: stable basis directly out of the summary line (VERDICT r10 ask #8) —
-#: lanes that land THIS round are excluded automatically, and lanes demoted
-#: THIS round (events_stateful_sessions, r17) drop out of the intersection
-#: because they are no longer timed.
+#: lanes that land THIS round (part_rename_column_scan) are excluded
+#: automatically.
 COMMON_SET_PREV = frozenset({
     "corpus_vocab_topk", "customer_change_hash",
     "customer_dim_schema_evolution", "customer_filter_segment",
@@ -275,36 +274,36 @@ COMMON_SET_PREV = frozenset({
     "emb_lsh_multitable_topk", "emb_lsh_topk",
     "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
     "emb_matryoshka_topk", "emb_mmr_diversified_topk", "emb_mmr_ivf_topk",
-    "emb_pq_adc_topk", "emb_semantic_decontamination",
-    "emb_semantic_dedup", "emb_top_pc_projection",
-    "events_approx_distinct", "events_approx_quantiles",
-    "events_asof_join", "events_cohort_retention", "events_daily_rolling",
+    "emb_pq_adc_topk", "emb_semantic_decontamination", "emb_semantic_dedup",
+    "emb_top_pc_projection", "events_approx_distinct",
+    "events_approx_quantiles", "events_asof_join",
+    "events_cohort_retention", "events_daily_rolling",
     "events_funnel_stages", "events_generated_partition_scan",
     "events_hourly_ohlc", "events_hourly_windows", "events_json_props",
     "events_range_join_agg", "events_recluster_hilbert_scan",
     "events_recluster_incremental_scan", "events_recluster_zorder_scan",
     "events_resample_ffill", "events_rolling_anomaly",
     "events_session_windows", "events_sliding_windows",
-    "events_stateful_sessions", "events_stream_anomaly_ingest",
-    "events_stream_partition_overwrite", "events_variant_props",
-    "fact_enrichment_join", "lineitem_pricing_summary",
-    "lineitem_skew_salted_agg", "multimodal_features", "order_fact_upsert",
-    "orders_analytic_windows", "orders_bucketed_colocated_join",
-    "orders_duplicate_custkeys", "orders_grouping_sets",
-    "orders_price_quantiles", "orders_priority_rollup",
-    "orders_shipping_priority", "orders_status_priority_cube",
-    "orders_top20", "orders_unpivot_metrics", "orders_year_priority_pivot",
-    "orders_year_windows", "part_bloom_skipping_scan",
-    "part_brand_upper_udf", "part_cdf_changes",
-    "part_cdf_changes_percommit", "part_discount_udf",
-    "part_distinct_aggs", "part_dml_update_delete_cdf",
-    "part_dv_delete_scan", "part_matview_incremental",
-    "part_merge_dv_scan", "part_merge_versioned_txn",
-    "part_optimize_compacted_scan", "part_optimize_partitions_scan",
-    "part_replace_partitions", "part_stats_skipping_scan",
-    "part_string_functions", "part_time_travel_diff",
-    "part_type_token_count", "regional_nation_revenue",
-    "scd1_customer_dim", "scd2_part_dim", "scd2_part_dim_deletes",
+    "events_stream_anomaly_ingest", "events_stream_partition_overwrite",
+    "events_variant_props", "fact_enrichment_join",
+    "lineitem_pricing_summary", "lineitem_skew_salted_agg",
+    "multimodal_features", "order_fact_upsert", "orders_analytic_windows",
+    "orders_bucketed_colocated_join", "orders_duplicate_custkeys",
+    "orders_grouping_sets", "orders_price_quantiles",
+    "orders_priority_rollup", "orders_shipping_priority",
+    "orders_status_priority_cube", "orders_top20", "orders_unpivot_metrics",
+    "orders_year_priority_pivot", "orders_year_windows",
+    "part_bloom_skipping_scan", "part_brand_upper_udf", "part_cdf_changes",
+    "part_cdf_changes_percommit", "part_clone_divergence",
+    "part_convert_in_place_scan", "part_discount_udf", "part_distinct_aggs",
+    "part_dml_update_delete_cdf", "part_dv_delete_scan",
+    "part_matview_incremental", "part_merge_dv_scan",
+    "part_merge_versioned_txn", "part_optimize_compacted_scan",
+    "part_optimize_partitions_scan", "part_replace_partitions",
+    "part_stats_skipping_scan", "part_string_functions",
+    "part_time_travel_diff", "part_type_token_count",
+    "regional_nation_revenue", "scd1_customer_dim", "scd2_part_dim",
+    "scd2_part_dim_deletes",
 })
 
 #: Registered queries deliberately NOT timed in the headline metric, with
