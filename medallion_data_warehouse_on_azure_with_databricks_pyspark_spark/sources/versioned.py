@@ -1922,6 +1922,13 @@ def _refuse_alter_dependents(path: str, col: str, op: str) -> None:
             f"{path}: {op} refuses {col!r} — CHECK constraint(s) "
             f"{hits} reference it; drop or rewrite them first"
         )
+    ident = identity_of(path)
+    if ident and ident.get("column") == col:
+        raise ValueError(
+            f"{path}: {op} refuses identity column {col!r} — the "
+            "high-water allocator resolves it from parquet footers by "
+            "name; drop the identity declaration first"
+        )
 
 
 def rename_column_versioned(

@@ -339,3 +339,24 @@ def test_random_alter_sequences_match_a_name_aware_model(
         except ValueError:
             continue
         assert (cols, got) == snap, (ver, oplog)
+
+
+def test_alter_refuses_identity_column(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id AS k", "id + 1 AS row_id")
+    V.overwrite_versioned(df, t, now=1.0, snapshot_mode="manifest")
+    V.set_identity(t, "row_id")
+    with pytest.raises(ValueError, match="identity column"):
+        V.rename_column_versioned(t, "row_id", "rid")
+    with pytest.raises(ValueError, match="identity column"):
+        V.drop_column_versioned(t, "row_id")
+    # other columns still alter freely on an identity table, and
+    # allocation keeps working through the mapping-translated append
+    V.rename_column_versioned(t, "k", "key", now=2.0)
+    V.append_with_identity(
+        spark.range(3).selectExpr("id + 100 AS key").coalesce(1), t, now=3.0
+    )
+    got = V.read_current(spark, t)
+    assert got.columns == ["key", "row_id"]
+    assert got.count() == 23
+    assert got.select("row_id").distinct().count() == 23
