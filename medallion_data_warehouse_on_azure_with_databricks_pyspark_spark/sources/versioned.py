@@ -2274,6 +2274,11 @@ def clone_table(
     for fname, key in (
         (CLUSTERING_FILE, "clustering"),
         (CONSTRAINTS_FILE, "constraints"),
+        # identity carries too (Delta CLONE copies table properties);
+        # the clone's allocator is automatically correct — its
+        # hardlinked files share the source's footers, so its
+        # high-water equals the cloned snapshot's max
+        (IDENTITY_FILE, "identity"),
     ):
         if version != src_v:
             found, val = _property_as_of(src, key, version)

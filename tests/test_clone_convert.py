@@ -417,3 +417,32 @@ def test_vacuum_dry_run_physical_paths_are_namespaced(spark, tmp_path):
     )
     # the plan prices exactly what the actuator then drops
     assert V.vacuum(t, keep_last=1) == plan["versions"]
+
+
+def test_clone_carries_identity_and_allocates_above_cloned_max(
+    spark, tmp_path
+):
+    """Delta CLONE copies table properties — identity included.  The
+    clone's allocator needs no fix-up: its hardlinked files share the
+    source's parquet footers, so its high-water IS the cloned
+    snapshot's max and fresh values land strictly above it."""
+    src = str(tmp_path / "src")
+    df = spark.range(50).selectExpr("id AS k", "id + 1 AS row_id")
+    V.overwrite_versioned(df, src, now=1.0, snapshot_mode="manifest")
+    V.set_identity(src, "row_id")
+    dst = str(tmp_path / "dst")
+    V.clone_table(src, dst, now=2.0)
+    assert V.identity_of(dst) == {"column": "row_id", "start": 1, "step": 1}
+    assert V.identity_high_water(dst) == 50
+    V.append_with_identity(
+        spark.range(5).selectExpr("id + 900 AS k").coalesce(1), dst, now=3.0
+    )
+    got = V.read_current(spark, dst)
+    assert got.count() == 55
+    assert got.select("row_id").distinct().count() == 55
+    # source untouched, its own allocation continues independently
+    assert V.read_current(spark, src).count() == 50
+    V.append_with_identity(
+        spark.range(2).selectExpr("id + 800 AS k").coalesce(1), src, now=4.0
+    )
+    assert V.read_current(spark, src).select("row_id").distinct().count() == 52
