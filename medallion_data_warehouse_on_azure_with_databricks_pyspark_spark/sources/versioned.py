@@ -2722,6 +2722,17 @@ def convert_to_versioned(
         # listings — always safe) and keep the column set as the
         # _stats_hint so the first maintenance pass rebuilds pruning.
         _drop_sidecars(path)
+    if os.path.isdir(_vroot(path)):
+        # a LOGLESS versions root is residue from a previous table life
+        # (the already-versioned refusal above proved there is no log):
+        # stale property declarations (clustering/constraints/identity)
+        # must not leak into the adopted table's contract
+        for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE, IDENTITY_FILE,
+                      PROPERTIES_LOG):
+            try:
+                os.remove(os.path.join(_vroot(path), fname))
+            except OSError:
+                pass
     files = sorted(
         os.path.relpath(f, path) for f in _data_files(path)
     )

@@ -446,3 +446,20 @@ def test_clone_carries_identity_and_allocates_above_cloned_max(
         spark.range(2).selectExpr("id + 800 AS k").coalesce(1), src, now=4.0
     )
     assert V.read_current(spark, src).select("row_id").distinct().count() == 52
+
+
+def test_convert_clears_stale_property_residue(spark, tmp_path):
+    """A logless versions root beside the adopted directory is residue
+    from a previous table life — its property declarations (CHECK
+    constraints, clustering, identity) must not leak into the adopted
+    table's contract."""
+    t = str(tmp_path / "t")
+    spark.range(20).selectExpr("id AS k").write.parquet(t)
+    os.makedirs(V._vroot(t))
+    V.set_constraints(t, {"bogus": "k < 0"})  # would reject every row
+    assert V.convert_to_versioned(spark, t, now=1.0) == 0
+    assert V.get_constraints(t) == {}
+    assert V.identity_of(t) is None and V.clustering_of(t) is None
+    # commits land (the stale constraint would have refused them)
+    V.append_versioned(spark.range(3).selectExpr("id + 100 AS k"), t, now=2.0)
+    assert V.read_current(spark, t).count() == 23
