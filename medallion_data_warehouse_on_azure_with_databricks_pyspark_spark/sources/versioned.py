@@ -746,6 +746,8 @@ def overwrite_versioned(
             f"{path}: table was created with snapshot_mode="
             f"{_mode_of(path)!r}; it cannot change after creation"
         )
+    if _read_log(path):
+        df = _apply_generated(df, path)
     effective = {**get_constraints(path), **(constraints or {})}
     if effective:
         # Delta CHECK-constraint parity: every row must satisfy every
@@ -1092,6 +1094,11 @@ def replace_files(
     retired files to pruned readers.  (Footer harvesting makes this a
     metadata-cost step.)  Table CHECK constraints validate ``df`` like
     every other commit path.  Returns the committed version."""
+    if operation == "APPEND":
+        # appends carry NEW rows: compute/validate generated columns
+        # (maintenance rewrites re-stage already-validated rows and
+        # skip the extra pass)
+        df = _apply_generated(df, path)
     effective = get_constraints(path)
     if effective:
         from ..plans.expectations import expect_all_or_fail
@@ -2015,6 +2022,69 @@ def drop_column_versioned(
     return v
 
 
+GENERATED_FILE = "_generated.json"
+
+
+def set_generated(path: str, column: str, expr: str | None = None) -> None:
+    """Declare a Delta-style GENERATED ALWAYS AS column: every commit
+    computes ``column`` from ``expr`` when the incoming frame omits it,
+    and VALIDATES user-provided values against the expression otherwise
+    (a mismatch fails the whole commit — Delta's generated-column
+    write contract).  Pass ``expr=None`` to drop the declaration."""
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    _refuse_mapped(path, "generated-column declaration")
+    p = os.path.join(_vroot(path), GENERATED_FILE)
+    decls = generated_of(path)
+    if expr is None:
+        decls.pop(column, None)
+    else:
+        decls[column] = expr
+    os.makedirs(_vroot(path), exist_ok=True)
+    _fsync_json(p, decls)
+    _append_property_event(path, "generated", decls)
+
+
+def generated_of(path: str) -> dict:
+    p = os.path.join(_vroot(path), GENERATED_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _apply_generated(df: DataFrame, path: str) -> DataFrame:
+    """Compute absent generated columns; validate provided ones.  The
+    validation is one aggregate over the INCOMING frame only (the data
+    being written is being read anyway); maintenance rewrites of
+    already-validated rows skip it at their call site."""
+    decls = generated_of(path)
+    if not decls:
+        return df
+    from pyspark.sql import functions as F
+
+    bad_checks = []
+    for col, expr in decls.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad_checks.append(
+                F.sum(
+                    (~F.col(col).eqNullSafe(F.expr(expr))).cast("long")
+                ).alias(col)
+            )
+    if bad_checks:
+        row = df.agg(*bad_checks).first()
+        bad = {c: row[c] for c in row.asDict() if row[c]}
+        if bad:
+            raise ValueError(
+                f"{path}: GENERATED ALWAYS AS violation — user-provided "
+                f"values disagree with the expression (bad rows per "
+                f"column: {bad})"
+            )
+    return df
+
+
 IDENTITY_FILE = "_identity.json"
 
 
@@ -2279,6 +2349,7 @@ def clone_table(
         # hardlinked files share the source's footers, so its
         # high-water equals the cloned snapshot's max
         (IDENTITY_FILE, "identity"),
+        (GENERATED_FILE, "generated"),
     ):
         if version != src_v:
             found, val = _property_as_of(src, key, version)
@@ -2728,7 +2799,7 @@ def convert_to_versioned(
         # stale property declarations (clustering/constraints/identity)
         # must not leak into the adopted table's contract
         for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE, IDENTITY_FILE,
-                      PROPERTIES_LOG):
+                      GENERATED_FILE, PROPERTIES_LOG):
             try:
                 os.remove(os.path.join(_vroot(path), fname))
             except OSError:

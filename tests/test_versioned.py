@@ -2240,3 +2240,49 @@ def test_identity_negative_step_descends(spark, tmp_path):
     assert got.count() == 15
     assert got.select("row_id").distinct().count() == 15
     assert got.selectExpr("min(row_id)").first()[0] <= -11
+
+
+def test_generated_columns_compute_and_validate(spark, tmp_path):
+    """r18, Delta GENERATED ALWAYS AS parity: absent generated columns
+    are computed at write; provided values are validated against the
+    expression (a mismatch fails the WHOLE commit); every commit path
+    that carries new rows participates."""
+    t = str(tmp_path / "t")
+    df = spark.range(100).selectExpr("id AS k", "id * 10 AS amount")
+    V.overwrite_versioned(df, t, now=1.0, snapshot_mode="manifest")
+    V.set_generated(t, "amount_bucket", "CAST(amount / 250 AS INT)")
+    # overwrite WITHOUT the column: computed
+    V.overwrite_versioned(df, t, now=2.0)
+    got = V.read_current(spark, t)
+    assert got.columns == ["k", "amount", "amount_bucket"]
+    assert got.filter("amount_bucket != CAST(amount / 250 AS INT)").count() == 0
+    # append WITHOUT the column: computed
+    extra = spark.range(5).selectExpr("id + 900 AS k", "id * 100 AS amount")
+    V.append_versioned(extra.coalesce(1), t, now=3.0)
+    got = V.read_current(spark, t)
+    assert got.count() == 105
+    assert got.filter("amount_bucket != CAST(amount / 250 AS INT)").count() == 0
+    # provided-and-correct values pass; wrong ones fail the whole commit
+    ok = spark.range(2).selectExpr(
+        "id + 2000 AS k", "id * 250 AS amount",
+        "CAST(id AS INT) AS amount_bucket",
+    )
+    V.append_versioned(ok.coalesce(1), t, now=4.0)
+    assert V.read_current(spark, t).count() == 107
+    bad = spark.range(2).selectExpr(
+        "id + 3000 AS k", "id * 250 AS amount",
+        "CAST(99 AS INT) AS amount_bucket",
+    )
+    n_before = V.current_version(t)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS violation"):
+        V.append_versioned(bad.coalesce(1), t, now=5.0)
+    assert V.current_version(t) == n_before  # nothing committed
+    # maintenance rewrites (already-validated rows) skip the extra pass
+    V.optimize_compact_incremental(spark, t, target_file_bytes=512 * 1024,
+                                   now=6.0)
+    assert V.read_current(spark, t).count() == 107
+    # dropping the declaration disables both compute and validation
+    V.set_generated(t, "amount_bucket", None)
+    assert V.generated_of(t) == {}
+    V.append_versioned(bad.coalesce(1), t, now=7.0)
+    assert V.read_current(spark, t).count() == 109
