@@ -360,3 +360,37 @@ def test_alter_refuses_identity_column(spark, tmp_path):
     assert got.columns == ["key", "row_id"]
     assert got.count() == 23
     assert got.select("row_id").distinct().count() == 23
+
+
+def test_alter_table_sql_entry_point(spark, tmp_path, mtable):
+    """The DDL SQL front routes every supported form to the storage
+    layer, with its refusals passing through loudly."""
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.plans.alter_sql import (
+        alter_table_sql,
+    )
+
+    v = alter_table_sql(
+        spark, f"ALTER TABLE delta.`{mtable}` RENAME COLUMN v TO value;",
+        now=2.0,
+    )
+    assert v == 1
+    assert V.read_current(spark, mtable).columns == ["k", "value"]
+    alter_table_sql(
+        spark, f"ALTER TABLE `{mtable}` ADD CONSTRAINT pos CHECK (k >= 0)"
+    )
+    assert V.get_constraints(mtable) == {"pos": "k >= 0"}
+    with pytest.raises(ValueError, match="constraint"):
+        alter_table_sql(spark, f"ALTER TABLE {mtable} DROP COLUMN k")
+    alter_table_sql(spark, f"ALTER TABLE {mtable} DROP CONSTRAINT pos")
+    assert V.get_constraints(mtable) == {}
+    v2 = alter_table_sql(spark, f"ALTER TABLE {mtable} DROP COLUMN value")
+    assert v2 == 2
+    assert V.read_current(spark, mtable).columns == ["k"]
+    alter_table_sql(spark, f"ALTER TABLE {mtable} CLUSTER BY (k)")
+    assert V.clustering_of(mtable) == {"cols": ["k"], "curve": "sorted"}
+    alter_table_sql(spark, f"ALTER TABLE {mtable} CLUSTER BY NONE")
+    assert V.clustering_of(mtable) is None
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        alter_table_sql(spark, f"ALTER TABLE {mtable} SET TBLPROPERTIES (x=1)")
+    with pytest.raises(ValueError, match="no constraint"):
+        alter_table_sql(spark, f"ALTER TABLE {mtable} DROP CONSTRAINT nope")
