@@ -3420,6 +3420,93 @@ def transact_partitions(
 TAGS_FILE = "_tags.json"
 
 
+MANIFEST_DIR = "_symlink_format_manifest"
+
+
+def generate_symlink_manifest(path: str) -> list[str]:
+    """Delta ``GENERATE symlink_format_manifest`` parity: write text
+    manifests listing the CURRENT snapshot's data files (absolute
+    ``file:`` URIs, one per line) under
+    ``<table>/_symlink_format_manifest/`` — the contract external
+    engines (Trino/Presto/Athena-style readers) use to scan a
+    consistent snapshot of a table whose directory holds superseded
+    files.  Hive-partitioned tables get one manifest per partition
+    directory, mirroring Delta's layout.  Driver-side: one live-file
+    listing + one small text file per partition.  Regenerate after
+    commits — the manifest is a point-in-time export, exactly as in
+    Delta.  Returns the manifest file paths written."""
+    import shutil as _sh
+
+    files = _live_data_files(path)
+    root = os.path.join(path.rstrip("/"), MANIFEST_DIR)
+    _sh.rmtree(root, ignore_errors=True)
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        rel = os.path.relpath(f, path)
+        part = os.path.dirname(rel)  # hive dirs, or "" when flat
+        groups.setdefault(part, []).append(
+            "file:" + os.path.abspath(f)
+        )
+    out = []
+    for part, uris in sorted(groups.items()):
+        d = os.path.join(root, part) if part else root
+        os.makedirs(d, exist_ok=True)
+        target = os.path.join(d, "manifest")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(uris)) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
+        out.append(target)
+    return out
+
+
+def fsck_repair(path: str, now: float | None = None) -> list[str]:
+    """Delta ``FSCK REPAIR TABLE`` parity (manifest mode): commit a new
+    version whose snapshot drops references to data files that are
+    MISSING on disk (deleted out-of-band — the failure Delta's FSCK
+    exists for).  Returns the dropped table-relative paths; no commit
+    when nothing is missing.  The repair is a pure log operation — the
+    remaining files are untouched — and history keeps the damaged
+    version readable-as-error rather than silently shrunken."""
+    if _mode_of(path) != "manifest":
+        raise ValueError(
+            f"{path}: fsck_repair needs a manifest-mode table — a "
+            "physical snapshot with missing files needs a restore"
+        )
+    cur = current_version(path)
+    if cur is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    live = _snapshot_files(path, cur)
+    missing = sorted(
+        rel for rel in live
+        if not os.path.exists(os.path.join(path, rel))
+    )
+    if not missing:
+        return []
+    _claim_intent(path, {"op": "fsck"})
+    try:
+        entry = {
+            "version": current_version(path) + 1,
+            "committed_at": float(now if now is not None else time.time()),
+            "operation": "FSCK",
+            "metadata": {"removed_missing": len(missing)},
+            "add": [],
+            "remove": missing,
+        }
+        _write_intent(
+            path,
+            {"stage": f"{path}.__stage_noop", "entry": entry, "moves": []},
+        )
+        _append_log(path, entry)
+    finally:
+        _release_intent(path)
+    # file refs changed out from under any standing skipping sidecars
+    _drop_sidecars(path)
+    return missing
+
+
 def tags(path: str) -> dict:
     """name -> pinned version, for every live tag."""
     p = os.path.join(_vroot(path), TAGS_FILE)

@@ -2286,3 +2286,65 @@ def test_generated_columns_compute_and_validate(spark, tmp_path):
     assert V.generated_of(t) == {}
     V.append_versioned(bad.coalesce(1), t, now=7.0)
     assert V.read_current(spark, t).count() == 109
+
+
+def test_symlink_manifest_exports_consistent_snapshot(spark, tmp_path):
+    """Delta GENERATE symlink_format_manifest parity: the manifests
+    list exactly the CURRENT snapshot's files as file: URIs — an
+    external engine reading them sees a consistent snapshot even
+    though the directory holds superseded files."""
+    t = str(tmp_path / "t")
+    df = spark.range(1_000).selectExpr("id AS k", "CAST(id % 4 AS INT) AS g")
+    V.overwrite_versioned(df, t, now=1.0, snapshot_mode="manifest",
+                          partition_by=["g"])
+    V.append_versioned(
+        spark.range(8).selectExpr("id + 5000 AS k",
+                                  "CAST(id % 4 AS INT) AS g"),
+        t, now=2.0, partition_by=["g"],
+    )
+    written = V.generate_symlink_manifest(t)
+    assert len(written) == 4  # one manifest per hive partition
+    listed = []
+    for m in written:
+        with open(m) as fh:
+            listed += [l for l in fh.read().splitlines() if l]
+    assert sorted(listed) == sorted(
+        "file:" + os.path.abspath(f) for f in V._live_data_files(t)
+    )
+    # superseded files live in the dir but are NOT in the manifest
+    all_on_disk = {"file:" + os.path.abspath(f) for f in V._data_files(t)}
+    assert set(listed) < all_on_disk or set(listed) == all_on_disk
+    # regeneration after a commit re-exports the new snapshot
+    V.delete_where(spark, t, "g = 3", now=3.0)
+    again = V.generate_symlink_manifest(t)
+    listed2 = []
+    for m in again:
+        with open(m) as fh:
+            listed2 += [l for l in fh.read().splitlines() if l]
+    assert sorted(listed2) == sorted(
+        "file:" + os.path.abspath(f) for f in V._live_data_files(t)
+    )
+
+
+def test_fsck_repair_drops_missing_file_refs(spark, tmp_path):
+    """Delta FSCK REPAIR TABLE parity: files deleted out-of-band stop
+    poisoning reads via one pure log commit; untouched files survive;
+    a healthy table is a no-op."""
+    t = str(tmp_path / "t")
+    df = spark.range(900).selectExpr("id AS k")
+    V.overwrite_versioned(df.repartition(3), t, now=1.0,
+                          snapshot_mode="manifest")
+    assert V.fsck_repair(t) == []  # healthy: no commit
+    assert V.current_version(t) == 0
+    victim = sorted(V._live_data_files(t))[0]
+    os.remove(victim)  # out-of-band damage
+    with pytest.raises(Exception):
+        V.read_current(spark, t).count()
+    dropped = V.fsck_repair(t, now=2.0)
+    assert dropped == [os.path.relpath(victim, t)]
+    assert V.current_version(t) == 1
+    got = V.read_current(spark, t)
+    assert 0 < got.count() < 900  # the surviving files' rows
+    (e, *_r) = V.history(t)
+    assert e["operation"] == "FSCK"
+    assert e["metadata"]["removed_missing"] == 1
