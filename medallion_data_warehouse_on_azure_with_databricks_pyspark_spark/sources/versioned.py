@@ -2219,6 +2219,19 @@ def restore(
     )
 
 
+def restore_as_of(
+    spark: SparkSession, path: str, ts: float, now: float | None = None
+) -> int:
+    """Delta ``RESTORE TABLE ... TO TIMESTAMP AS OF``: restore the
+    newest version committed at or before ``ts`` (epoch seconds) —
+    :func:`read_as_of`'s resolution through :func:`restore`'s commit."""
+    log = _read_log(path)
+    eligible = [e for e in log if e["committed_at"] <= ts]
+    if not eligible:
+        raise ValueError(f"{path}: no version committed at or before {ts}")
+    return restore(spark, path, eligible[-1]["version"], now=now)
+
+
 def clone_table(
     src: str,
     dst: str,
@@ -2461,6 +2474,14 @@ def table_detail(path: str) -> dict:
         "operations": ops,
         "constraints": get_constraints(path),
         "clustering": clustering_of(path),
+        "identity": identity_of(path),
+        "generated": generated_of(path) or None,
+        # non-identity mapping = RENAME/DROP COLUMN happened since the
+        # last full rewrite; file-level pruning is gated until then
+        "column_mapping": (
+            None if _mapping_is_identity(column_mapping(path))
+            else column_mapping(path)
+        ),
         "log": log_read_footprint(path),
         "intent": _read_intent(path),
         "tags": sorted(tags(path)),

@@ -2348,3 +2348,22 @@ def test_fsck_repair_drops_missing_file_refs(spark, tmp_path):
     (e, *_r) = V.history(t)
     assert e["operation"] == "FSCK"
     assert e["metadata"]["removed_missing"] == 1
+
+
+def test_restore_as_of_and_detail_surfaces_new_properties(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(30).selectExpr("id AS k", "id + 1 AS row_id")
+    V.overwrite_versioned(df, t, now=100.0, snapshot_mode="manifest")
+    V.overwrite_versioned(df.limit(5), t, now=200.0)
+    V.set_identity(t, "row_id")
+    V.set_generated(t, "k", None)  # no-op declaration removal path
+    assert V.restore_as_of(spark, t, 150.0, now=300.0) == 2
+    assert V.read_current(spark, t).count() == 30
+    with pytest.raises(ValueError, match="no version committed"):
+        V.restore_as_of(spark, t, 50.0)
+    d = V.table_detail(t)
+    assert d["identity"] == {"column": "row_id", "start": 1, "step": 1}
+    assert d["generated"] is None and d["column_mapping"] is None
+    V.rename_column_versioned(t, "k", "key", now=400.0)
+    d2 = V.table_detail(t)
+    assert d2["column_mapping"] == {"key": "k", "row_id": "row_id"}
