@@ -341,7 +341,7 @@ def _prune_old_history_checkpoints(path: str) -> list[str]:
     return doomed
 
 
-def _prune_files_checkpoints(path: str) -> list[str]:
+def _prune_files_checkpoints(path: str, q_min: int | None = None) -> list[str]:
     """Delete files-checkpoints below the RETENTION FLOOR (manifest
     mode; VACUUM's log-retention leg).  With ``q_min`` = the oldest
     still-resolvable version (oldest present non-current version, else
@@ -363,11 +363,15 @@ def _prune_files_checkpoints(path: str) -> list[str]:
     if not log:
         return []
     current = log[-1]["version"]
-    present = [
-        e["version"] for e in log[:-1]
-        if _manifest_version_present(path, e["version"])
-    ]
-    q_min = min(present) if present else current
+    if q_min is None:
+        # standalone call: derive the floor; _vacuum_locked passes its
+        # already-computed value so vacuum never pays the presence scan
+        # twice (r18 review finding #8)
+        present = [
+            e["version"] for e in log[:-1]
+            if _manifest_version_present(path, e["version"])
+        ]
+        q_min = min(present) if present else current
     marks = sorted(
         int(f.split(".", 1)[0])
         for f in os.listdir(ldir)
@@ -876,9 +880,13 @@ def overwrite_versioned(
             if log and column_mapping(path) is not None:
                 # a full overwrite stages every file FRESH from the
                 # logical frame, so physical names equal logical again —
-                # record the identity map to override the prior mapping
-                # (old versions keep resolving their own)
-                entry[MAPPING_KEY] = {c: c for c in df.columns}
+                # record an explicit CLEAR (null) to override the prior
+                # mapping (old versions keep resolving their own).  A
+                # null is distinguishable from a drop-only mapping,
+                # whose identity-looking dict must KEEP gating the
+                # direct-file readers: the standing files still carry
+                # the dropped column's bytes (r18 review finding #1)
+                entry[MAPPING_KEY] = None
             _write_intent(path, {"stage": stage, "entry": entry,
                                  "moves": moves})
         else:
@@ -1094,6 +1102,35 @@ def replace_files(
     retired files to pruned readers.  (Footer harvesting makes this a
     metadata-cost step.)  Table CHECK constraints validate ``df`` like
     every other commit path.  Returns the committed version."""
+    if current_version(path) is None:
+        raise ValueError(f"{path}: no version log — not a versioned table")
+    # classify the frame against the standing column mapping FIRST:
+    # validation (generated columns, CHECK constraints) must run on the
+    # LOGICAL view — a maintenance rewrite staged from direct file
+    # reads arrives under PHYSICAL names, possibly carrying a dropped
+    # column's bytes the rewrite must SHED (Delta: a rewrite
+    # materializes only the current schema; r18 review findings #3/#4)
+    _mapping = column_mapping(path)
+    _physical_frame = False
+    if _mapping is not None:
+        _cols = set(df.columns)
+        _phys = set(_mapping.values())
+        if (
+            _cols == set(_mapping) == _phys
+            and not _mapping_is_identity(_mapping)
+        ):
+            # a pure permutation (swap-chain renames) makes logical and
+            # physical frames indistinguishable by name — refuse loudly
+            # rather than guess and mis-translate
+            raise ValueError(
+                f"{path}: the column mapping is a pure permutation of "
+                "the physical names, so this frame's origin is "
+                "ambiguous — rewrite the table (full overwrite resets "
+                "the mapping) before file-subset commits"
+            )
+        if _cols != set(_mapping) and _phys <= _cols:
+            _physical_frame = True
+            df = df.select(*_mapping.values())  # shed dropped columns
     if operation == "APPEND":
         # appends carry NEW rows: compute/validate generated columns
         # (maintenance rewrites re-stage already-validated rows and
@@ -1103,9 +1140,10 @@ def replace_files(
     if effective:
         from ..plans.expectations import expect_all_or_fail
 
-        expect_all_or_fail(df, effective)
-    if current_version(path) is None:
-        raise ValueError(f"{path}: no version log — not a versioned table")
+        expect_all_or_fail(
+            _to_logical_df(df, _mapping) if _physical_frame else df,
+            effective,
+        )
     _refuse_dv_sidecar(path, "replace_files")
     spark = df.sparkSession
     stats_cols = stats_columns
@@ -1136,26 +1174,10 @@ def replace_files(
         f.name: f.dataType for f in read_current(spark, path).schema.fields
     }
     new_fields = {f.name: f.dataType for f in df.schema.fields}
-    _mapping = column_mapping(path)
-    _physical_frame = False
-    if not _mapping_is_identity(_mapping):
-        _phys = set(_mapping.values())
-        if new_fields.keys() == _phys:
-            if _phys == set(_mapping):
-                # a pure permutation (swap-chain renames) makes logical
-                # and physical frames indistinguishable by name —
-                # refuse loudly rather than guess and mis-translate
-                raise ValueError(
-                    f"{path}: the column mapping is a pure permutation "
-                    "of the physical names, so this frame's origin is "
-                    "ambiguous — rewrite the table (full overwrite "
-                    "resets the mapping) before file-subset commits"
-                )
-            # a maintenance rewrite staged from direct file reads
-            # arrives under PHYSICAL names — map back for the check
-            _physical_frame = True
-            _inv = {p: l for l, p in _mapping.items()}
-            new_fields = {_inv[n]: t for n, t in new_fields.items()}
+    if _physical_frame:
+        # classified above: map the physical names back for the check
+        _inv = {p: l for l, p in _mapping.items()}
+        new_fields = {_inv[n]: t for n, t in new_fields.items()}
     if cur_fields != new_fields:
         raise ValueError(
             f"{path}: replace_files/append schema must match the current "
@@ -1597,8 +1619,15 @@ def _refuse_mapped(path: str, op: str) -> None:
     (file-level pruning sidecars, DV merge-on-read, partition-scoped
     replace) see PHYSICAL column names and would silently disagree with
     the logical schema on a renamed table.  Same spirit as Delta's own
-    column-mapping feature gates."""
-    if not _mapping_is_identity(column_mapping(path)):
+    column-mapping feature gates.
+
+    ANY standing mapping dict refuses — including a drop-only mapping
+    whose content LOOKS like identity: the files still carry the
+    dropped column's bytes, and a direct-file reader would resurrect
+    them (r18 review finding #1).  Only a full overwrite (which stages
+    fresh files and records an explicit mapping CLEAR) reopens the
+    gates."""
+    if column_mapping(path) is not None:
         raise ValueError(
             f"{path}: {op} is not supported on a column-mapped table "
             "(logical names differ from the physical names in the data "
@@ -1936,6 +1965,20 @@ def _refuse_alter_dependents(path: str, col: str, op: str) -> None:
             "high-water allocator resolves it from parquet footers by "
             "name; drop the identity declaration first"
         )
+    gen = generated_of(path)
+    gen_hits = sorted(
+        g for g, expr in gen.items() if g == col or pat.search(expr)
+    )
+    if gen_hits:
+        # a renamed referenced column would make every later write's
+        # compute/validate expression unresolvable; a renamed/dropped
+        # TARGET would re-add the stale name and fail the schema check
+        # (r18 review finding #2 — the table would be unwritable)
+        raise ValueError(
+            f"{path}: {op} refuses {col!r} — generated column(s) "
+            f"{gen_hits} declare or reference it; drop those "
+            "declarations first (set_generated(..., expr=None))"
+        )
 
 
 def rename_column_versioned(
@@ -2033,12 +2076,12 @@ def set_generated(path: str, column: str, expr: str | None = None) -> None:
     write contract).  Pass ``expr=None`` to drop the declaration."""
     if current_version(path) is None:
         raise ValueError(f"{path}: no version log — not a versioned table")
-    _refuse_mapped(path, "generated-column declaration")
     p = os.path.join(_vroot(path), GENERATED_FILE)
     decls = generated_of(path)
     if expr is None:
-        decls.pop(column, None)
+        decls.pop(column, None)  # removal is the escape hatch: never gated
     else:
+        _refuse_mapped(path, "generated-column declaration")
         decls[column] = expr
     os.makedirs(_vroot(path), exist_ok=True)
     _fsync_json(p, decls)
@@ -2184,6 +2227,11 @@ def append_with_identity(
         )
     from pyspark.sql import functions as F
 
+    # pin the snapshot BEFORE resolving the high-water: a commit landing
+    # in between must fail the version check loudly, not silently reuse
+    # a stale high-water and duplicate the rival's range (r18 review
+    # finding #6)
+    base_v = current_version(path)
     hw = identity_high_water(path)
     nxt = decl["start"] if hw is None else hw + step
     out = df.withColumn(
@@ -2197,7 +2245,7 @@ def append_with_identity(
     ]
     return replace_files(
         out.select(*cur_cols), path, remove=[],
-        expected_version=current_version(path), partition_by=partition_by,
+        expected_version=base_v, partition_by=partition_by,
         now=now, operation="APPEND", metadata=metadata,
     )
 
@@ -2476,12 +2524,11 @@ def table_detail(path: str) -> dict:
         "clustering": clustering_of(path),
         "identity": identity_of(path),
         "generated": generated_of(path) or None,
-        # non-identity mapping = RENAME/DROP COLUMN happened since the
-        # last full rewrite; file-level pruning is gated until then
-        "column_mapping": (
-            None if _mapping_is_identity(column_mapping(path))
-            else column_mapping(path)
-        ),
+        # any standing mapping dict = RENAME/DROP COLUMN happened since
+        # the last full rewrite; file-level pruning is gated until then
+        # (a drop-only mapping LOOKS like identity but the files still
+        # carry the dropped bytes — report it, same rule as the gates)
+        "column_mapping": column_mapping(path),
         "log": log_read_footprint(path),
         "intent": _read_intent(path),
         "tags": sorted(tags(path)),
@@ -2741,8 +2788,13 @@ def _vacuum_locked(
                     os.remove(os.path.join(root, f))
         # log-retention leg (r18): files-checkpoints whose anchor no
         # queryable resolution can reach again go with the data they
-        # described — the log-side twin of the deletions above
-        _prune_files_checkpoints(path)
+        # described — the log-side twin of the deletions above.  The
+        # floor comes from the present/to_drop sets computed above, so
+        # the per-version presence scan is not paid twice.
+        kept_after = [v for v in present if v not in to_drop]
+        _prune_files_checkpoints(
+            path, q_min=min(kept_after) if kept_after else current
+        )
         return to_drop
     vroot = _vroot(path)
     retained = sorted(
@@ -2820,7 +2872,7 @@ def convert_to_versioned(
         # stale property declarations (clustering/constraints/identity)
         # must not leak into the adopted table's contract
         for fname in (CLUSTERING_FILE, CONSTRAINTS_FILE, IDENTITY_FILE,
-                      GENERATED_FILE, PROPERTIES_LOG):
+                      GENERATED_FILE, PROPERTIES_LOG, TAGS_FILE):
             try:
                 os.remove(os.path.join(_vroot(path), fname))
             except OSError:
@@ -3458,6 +3510,10 @@ def generate_symlink_manifest(path: str) -> list[str]:
     Delta.  Returns the manifest file paths written."""
     import shutil as _sh
 
+    # external engines read the files RAW — physical names, dropped
+    # columns' bytes — so a standing column mapping refuses (Delta
+    # likewise blocks manifest generation under column mapping)
+    _refuse_mapped(path, "generate_symlink_manifest")
     files = _live_data_files(path)
     root = os.path.join(path.rstrip("/"), MANIFEST_DIR)
     _sh.rmtree(root, ignore_errors=True)

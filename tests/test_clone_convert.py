@@ -457,9 +457,14 @@ def test_convert_clears_stale_property_residue(spark, tmp_path):
     spark.range(20).selectExpr("id AS k").write.parquet(t)
     os.makedirs(V._vroot(t))
     V.set_constraints(t, {"bogus": "k < 0"})  # would reject every row
+    import json as _json
+
+    with open(os.path.join(V._vroot(t), V.TAGS_FILE), "w") as fh:
+        _json.dump({"prod": 3}, fh)  # phantom tag from the previous life
     assert V.convert_to_versioned(spark, t, now=1.0) == 0
     assert V.get_constraints(t) == {}
     assert V.identity_of(t) is None and V.clustering_of(t) is None
+    assert V.tags(t) == {}  # a phantom tag would pin versions forever
     # commits land (the stale constraint would have refused them)
     V.append_versioned(spark.range(3).selectExpr("id + 100 AS k"), t, now=2.0)
     assert V.read_current(spark, t).count() == 23

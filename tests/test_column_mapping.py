@@ -117,8 +117,7 @@ def test_overwrite_resets_mapping_to_identity(spark, mtable):
     V.rename_column_versioned(mtable, "v", "value", now=2.0)
     df = V.read_current(spark, mtable).withColumn("extra", F.lit(1))
     V.overwrite_versioned(df, mtable, now=3.0)
-    m = V.column_mapping(mtable)
-    assert m == {"k": "k", "value": "value", "extra": "extra"}
+    assert V.column_mapping(mtable) is None  # explicit CLEAR recorded
     # fresh files carry LOGICAL names
     any_file = V._live_data_files(mtable)[0]
     assert "value" in pq.read_schema(any_file).names
@@ -163,7 +162,7 @@ def test_restore_across_rename_restores_old_names(spark, mtable):
     V.restore(spark, mtable, 0, now=3.0)
     got = V.read_current(spark, mtable)
     assert got.columns == ["k", "v"]
-    assert V.column_mapping(mtable) == {"k": "k", "v": "v"}  # identity again
+    assert V.column_mapping(mtable) is None  # cleared by the rewrite
     assert got.count() == 500
 
 
@@ -394,3 +393,119 @@ def test_alter_table_sql_entry_point(spark, tmp_path, mtable):
         alter_table_sql(spark, f"ALTER TABLE {mtable} SET TBLPROPERTIES (x=1)")
     with pytest.raises(ValueError, match="no constraint"):
         alter_table_sql(spark, f"ALTER TABLE {mtable} DROP CONSTRAINT nope")
+
+
+def test_drop_only_mapping_keeps_gating_direct_file_readers(spark, mtable):
+    """r18 review finding #1: a DROP with no prior rename leaves a
+    mapping whose CONTENT looks like identity — but the files still
+    carry the dropped column's bytes, so every direct-file-reader gate
+    must keep refusing until a full rewrite stages fresh files."""
+    V.drop_column_versioned(mtable, "v", now=2.0)
+    assert V.column_mapping(mtable) == {"k": "k"}
+    with pytest.raises(ValueError, match="column-mapped"):
+        S.write_stats_manifest(spark, mtable, ["k"])
+    with pytest.raises(ValueError, match="column-mapped"):
+        V.generate_symlink_manifest(mtable)
+    d = V.table_detail(mtable)
+    assert d["column_mapping"] == {"k": "k"}  # reported, not hidden
+    # the logical read never shows the dropped column
+    assert V.read_current(spark, mtable).columns == ["k"]
+    # a full overwrite stages fresh files and reopens the gates
+    V.overwrite_versioned(V.read_current(spark, mtable), mtable, now=3.0)
+    assert V.column_mapping(mtable) is None
+    S.write_stats_manifest(spark, mtable, ["k"],
+                           files=V._live_data_files(mtable))
+    V.generate_symlink_manifest(mtable)
+
+
+def test_optimize_after_drop_sheds_dropped_bytes(spark, mtable):
+    """r18 review finding #3: maintenance rewrites staged from direct
+    file reads carry the dropped column's physical bytes — the rewrite
+    must SHED them (Delta: a rewrite materializes only the current
+    schema) and commit cleanly."""
+    V.drop_column_versioned(mtable, "v", now=2.0)
+    extra = spark.createDataFrame([(10**6 + i,) for i in range(8)], "k long")
+    V.append_versioned(extra.repartition(4), mtable, now=3.0)
+    v = V.optimize_compact_incremental(spark, mtable,
+                                       target_file_bytes=512 * 1024, now=4.0)
+    assert v > 2  # the compaction committed
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["k"] and got.count() == 508
+    # files written by the compaction no longer carry the dropped bytes
+    packed = [f for f in V._live_data_files(mtable)
+              if os.path.basename(f).startswith(f"v{v}-")]
+    assert packed and all("v" not in pq.read_schema(f).names for f in packed)
+
+
+def test_constraint_on_renamed_name_composes_with_maintenance(spark, mtable):
+    """r18 review finding #4: a CHECK constraint added AFTER a rename
+    names the new logical column; maintenance rewrites stage physical
+    frames, so validation must run on the logical view."""
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    V.set_constraints(mtable, {"pos": "value >= 0"})
+    extra = spark.createDataFrame([(10**6 + i, i) for i in range(8)],
+                                  "k long, value long")
+    V.append_versioned(extra.repartition(4), mtable, now=3.0)
+    v = V.optimize_compact_incremental(spark, mtable,
+                                       target_file_bytes=512 * 1024, now=4.0)
+    assert v > 2
+    assert V.read_current(spark, mtable).count() == 508
+    # and the constraint still rejects genuinely bad logical appends
+    bad = spark.createDataFrame([(1, -5)], "k long, value long")
+    with pytest.raises(Exception, match="pos"):
+        V.append_versioned(bad, mtable, now=5.0)
+
+
+def test_alter_refuses_generated_dependencies(spark, tmp_path):
+    """r18 review finding #2: renaming/dropping a column a generated
+    expression declares or references would make the table unwritable;
+    refuse up front, and declaration REMOVAL is never gated."""
+    t = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id AS a", "id + 1 AS b")
+    V.overwrite_versioned(df, t, now=1.0, snapshot_mode="manifest")
+    V.set_generated(t, "b", "a + 1")
+    with pytest.raises(ValueError, match="generated column"):
+        V.rename_column_versioned(t, "a", "x")
+    with pytest.raises(ValueError, match="generated column"):
+        V.drop_column_versioned(t, "b")
+    # removal is the escape hatch — allowed even on a mapped table
+    V.rename_column_versioned(t, "b", "c", now=2.0) if False else None
+    V.set_generated(t, "b", None)
+    V.rename_column_versioned(t, "a", "x", now=2.0)
+    V.set_generated(t, "b", None)  # no-op removal on the mapped table
+    assert V.read_current(spark, t).columns == ["x", "b"]
+
+
+def test_identity_allocation_race_fails_loudly(spark, tmp_path, monkeypatch):
+    """r18 review finding #6: a commit landing between the high-water
+    read and the append must raise ConcurrentWriteError — never
+    silently duplicate the rival's identity range."""
+    t = str(tmp_path / "t")
+    df = spark.range(30).selectExpr("id AS k", "id + 1 AS row_id")
+    V.overwrite_versioned(df, t, now=1.0, snapshot_mode="manifest")
+    V.set_identity(t, "row_id")
+    real_hw = V.identity_high_water
+
+    def racing_hw(path):
+        hw = real_hw(path)
+        # rival lands AFTER our snapshot pin but before our commit
+        V.append_versioned(
+            spark.range(4).selectExpr("id + 700 AS k",
+                                      "id + 1000 AS row_id").coalesce(1),
+            t, now=2.0,
+        )
+        return hw
+
+    monkeypatch.setattr(V, "identity_high_water", racing_hw)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.append_with_identity(
+            spark.range(2).selectExpr("id + 900 AS k").coalesce(1), t, now=3.0
+        )
+    monkeypatch.setattr(V, "identity_high_water", real_hw)
+    # the retry on a fresh snapshot allocates above the rival's range
+    V.append_with_identity(
+        spark.range(2).selectExpr("id + 900 AS k").coalesce(1), t, now=4.0
+    )
+    got = V.read_current(spark, t)
+    assert got.count() == 36
+    assert got.select("row_id").distinct().count() == 36
