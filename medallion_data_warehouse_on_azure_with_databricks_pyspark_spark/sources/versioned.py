@@ -1129,8 +1129,15 @@ def replace_files(
                 "the mapping) before file-subset commits"
             )
         if _cols != set(_mapping) and _phys <= _cols:
-            _physical_frame = True
-            df = df.select(*_mapping.values())  # shed dropped columns
+            extras = _cols - _phys
+            if extras <= _retired_physical_names(path):
+                # maintenance rewrite: extras are retired physical
+                # columns (dropped/renamed-away) whose bytes the
+                # rewrite sheds.  An UNKNOWN extra is a user frame with
+                # a stray column — fall through so the schema check
+                # raises instead of silently shedding it.
+                _physical_frame = True
+                df = df.select(*_mapping.values())
     if operation == "APPEND":
         # appends carry NEW rows: compute/validate generated columns
         # (maintenance rewrites re-stage already-validated rows and
@@ -1634,6 +1641,27 @@ def _refuse_mapped(path: str, op: str) -> None:
             "files); read through read_current/read_version, or rewrite "
             "the table (a full overwrite resets the mapping to identity)"
         )
+
+
+def _retired_physical_names(path: str) -> set:
+    """Physical column names that ever existed in this table's files
+    but are NOT part of the current mapping's live set — the columns a
+    maintenance rewrite may legitimately carry (and shed).  One bounded
+    log scan: entries without an active mapping have logical==physical
+    field names; entries under a mapping contribute its values."""
+    phys: set = set()
+    active = None
+    for e in _read_log(path):
+        if MAPPING_KEY in e:
+            active = e[MAPPING_KEY]
+        if active:
+            phys |= set(active.values())
+        elif "schema" in e:
+            phys |= {
+                f["name"] for f in json.loads(e["schema"]).get("fields", ())
+            }
+    cur = column_mapping(path)
+    return phys - set(cur.values() if cur else ())
 
 
 def _to_physical_df(df: DataFrame, mapping: dict | None) -> DataFrame:

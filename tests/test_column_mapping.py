@@ -509,3 +509,21 @@ def test_identity_allocation_race_fails_loudly(spark, tmp_path, monkeypatch):
     got = V.read_current(spark, t)
     assert got.count() == 36
     assert got.select("row_id").distinct().count() == 36
+
+
+def test_stray_user_column_is_not_silently_shed(spark, mtable):
+    """An unknown extra column on a mapped table is a USER error — the
+    schema check must raise, never silently shed it as if it were a
+    retired physical column."""
+    V.drop_column_versioned(mtable, "v", now=2.0)
+    stray = spark.createDataFrame([(9001, 1)], "k long, oops long")
+    with pytest.raises(ValueError, match="schema must match"):
+        V.append_versioned(stray, mtable, now=3.0)
+    # while a frame carrying exactly the RETIRED physical column (the
+    # maintenance-rewrite shape) still sheds and commits
+    phys = spark.createDataFrame([(9001, 1)], "k long, v long")
+    V.replace_files(phys, mtable, remove=[],
+                    expected_version=V.current_version(mtable),
+                    now=4.0, operation="OPTIMIZE")
+    got = V.read_current(spark, mtable)
+    assert got.columns == ["k"] and got.count() == 501
