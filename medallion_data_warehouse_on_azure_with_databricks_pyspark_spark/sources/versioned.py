@@ -2728,11 +2728,32 @@ def _vacuum_plan(
                 if rel not in protected:
                     doomed.append(rel)
         doomed.sort()
+        # price the log-retention leg too (r18): the files-checkpoints
+        # the real vacuum's pruner would delete, given the post-drop
+        # floor — each is an O(live-files) document, so a dashboard
+        # deciding WHEN to vacuum wants these bytes in the answer
+        kept_after = [v for v in present if v not in to_drop]
+        q_min = min(kept_after) if kept_after else current
+        ldir = _log_dir(path)
+        marks = sorted(
+            int(f.split(".", 1)[0])
+            for f in (os.listdir(ldir) if os.path.isdir(ldir) else ())
+            if f.endswith(".files.json")
+        )
+        floor_anchor = max((v for v in marks if v <= q_min), default=None)
+        log_doomed = (
+            [f"{v:020d}.files.json" for v in marks if v < floor_anchor]
+            if floor_anchor is not None else []
+        )
         return {
             "versions": to_drop,
             "files": doomed,
             "bytes": sum(os.path.getsize(os.path.join(path, r))
                          for r in doomed),
+            "log_files": log_doomed,
+            "log_bytes": sum(
+                os.path.getsize(os.path.join(ldir, f)) for f in log_doomed
+            ),
         }
     vroot = _vroot(path)
     retained = sorted(

@@ -2367,3 +2367,24 @@ def test_restore_as_of_and_detail_surfaces_new_properties(spark, tmp_path):
     V.rename_column_versioned(t, "k", "key", now=400.0)
     d2 = V.table_detail(t)
     assert d2["column_mapping"] == {"key": "k", "row_id": "row_id"}
+
+
+def test_vacuum_dry_run_prices_log_artifacts_too(spark, tmp_path, monkeypatch):
+    """The dry run names the files-checkpoints the real vacuum's
+    log-retention leg then deletes — file-for-file — so reclaim
+    dashboards see the O(live)-sized log documents in the price."""
+    monkeypatch.setattr(V, "ACTIONS_SPILL_THRESHOLD", 4)
+    t = str(tmp_path / "t")
+    df = spark.range(600).withColumnRenamed("id", "k")
+    V.overwrite_versioned(df.repartition(6), t, now=0.0,
+                          snapshot_mode="manifest")  # spills files@0
+    for i in range(1, 13):
+        V.overwrite_versioned(df.limit(i).coalesce(1), t, now=float(i))
+    plan = V.vacuum(t, keep_last=1, dry_run=True)
+    assert plan["versions"] == list(range(11))
+    assert plan["log_files"] and plan["log_bytes"] > 0
+    named = set(plan["log_files"])
+    V.vacuum(t, keep_last=1)
+    ldir = V._log_dir(t)
+    remaining = {f for f in os.listdir(ldir) if f.endswith(".files.json")}
+    assert named & remaining == set()  # everything priced was dropped
