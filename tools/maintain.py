@@ -178,7 +178,9 @@ def main() -> int:
             )
             row["reclaim"] = {"versions": plan["versions"],
                               "files": len(plan["files"]),
-                              "bytes": plan["bytes"]}
+                              "bytes": plan["bytes"],
+                              "log_files": len(plan.get("log_files", ())),
+                              "log_bytes": plan.get("log_bytes", 0)}
             if args.compact_target:
                 cplan, live = versioned.compaction_plan(
                     p, args.compact_target
