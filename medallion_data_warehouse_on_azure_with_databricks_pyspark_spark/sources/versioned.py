@@ -341,7 +341,25 @@ def _prune_old_history_checkpoints(path: str) -> list[str]:
     return doomed
 
 
-def _prune_files_checkpoints(path: str, q_min: int | None = None) -> list[str]:
+def _doomed_files_checkpoints(path: str, q_min: int) -> list[str]:
+    """The files-checkpoints below the retention floor: everything
+    strictly below the newest one at-or-below ``q_min`` — shared by the
+    vacuum pruner and the dry run so they can never disagree."""
+    ldir = _log_dir(path)
+    if not os.path.isdir(ldir):
+        return []
+    marks = sorted(
+        int(f.split(".", 1)[0])
+        for f in os.listdir(ldir)
+        if f.endswith(".files.json")
+    )
+    floor_anchor = max((v for v in marks if v <= q_min), default=None)
+    if floor_anchor is None:
+        return []
+    return [f"{v:020d}.files.json" for v in marks if v < floor_anchor]
+
+
+def _prune_files_checkpoints(path: str, q_min: int) -> list[str]:
     """Delete files-checkpoints below the RETENTION FLOOR (manifest
     mode; VACUUM's log-retention leg).  With ``q_min`` = the oldest
     still-resolvable version (oldest present non-current version, else
@@ -356,34 +374,10 @@ def _prune_files_checkpoints(path: str, q_min: int | None = None) -> list[str]:
     :func:`_manifest_version_present`), which matches its data-side
     state: vacuum just deleted the files only it referenced.  Returns
     deleted names."""
-    ldir = _log_dir(path)
-    if not os.path.isdir(ldir):
-        return []
-    log = _read_log(path)
-    if not log:
-        return []
-    current = log[-1]["version"]
-    if q_min is None:
-        # standalone call: derive the floor; _vacuum_locked passes its
-        # already-computed value so vacuum never pays the presence scan
-        # twice (r18 review finding #8)
-        present = [
-            e["version"] for e in log[:-1]
-            if _manifest_version_present(path, e["version"])
-        ]
-        q_min = min(present) if present else current
-    marks = sorted(
-        int(f.split(".", 1)[0])
-        for f in os.listdir(ldir)
-        if f.endswith(".files.json")
-    )
-    floor_anchor = max((v for v in marks if v <= q_min), default=None)
-    if floor_anchor is None:
-        return []
-    doomed = [f"{v:020d}.files.json" for v in marks if v < floor_anchor]
+    doomed = _doomed_files_checkpoints(path, q_min)
     for f in doomed:
         try:
-            os.remove(os.path.join(ldir, f))
+            os.remove(os.path.join(_log_dir(path), f))
         except OSError:
             pass
     return doomed
@@ -1128,14 +1122,21 @@ def replace_files(
                 "ambiguous — rewrite the table (full overwrite resets "
                 "the mapping) before file-subset commits"
             )
-        if _cols != set(_mapping) and _phys <= _cols:
+        if (
+            operation != "APPEND"
+            and _cols != set(_mapping)
+            and _phys <= _cols
+        ):
             extras = _cols - _phys
             if extras <= _retired_physical_names(path):
                 # maintenance rewrite: extras are retired physical
                 # columns (dropped/renamed-away) whose bytes the
                 # rewrite sheds.  An UNKNOWN extra is a user frame with
                 # a stray column — fall through so the schema check
-                # raises instead of silently shedding it.
+                # raises instead of silently shedding it.  APPENDs
+                # never shed: a user append carrying a retired name is
+                # a caller bug and must fail the schema check, not
+                # silently discard that column's data (review 2 #1).
                 _physical_frame = True
                 df = df.select(*_mapping.values())
     if operation == "APPEND":
@@ -1610,10 +1611,22 @@ def column_mapping(path: str, version: int | None = None) -> dict | None:
     if not log:
         return None
     v = log[-1]["version"] if version is None else version
-    m = None
+    m, op = None, ""
     for e in log:
         if e["version"] <= v and MAPPING_KEY in e:
-            m = e[MAPPING_KEY]
+            m, op = e[MAPPING_KEY], e.get("operation", "")
+    if (
+        m is not None
+        and all(l == p for l, p in m.items())
+        and not op.startswith(("RENAME COLUMN", "DROP COLUMN", "CLONE"))
+    ):
+        # an identity-CONTENT dict recorded by a full-rewrite commit is
+        # the pre-r18 form of the explicit clear (the old overwrite
+        # recorded {c: c}); its files were staged fresh, so it must not
+        # gate anything.  ALTER- and clone-recorded identity dicts keep
+        # gating: a drop-only mapping looks like identity while the
+        # files still carry the dropped bytes.
+        return None
     return m
 
 
@@ -2668,7 +2681,9 @@ def vacuum(
     ``dry_run=True`` (r17, Delta ``VACUUM ... DRY RUN`` parity) returns
     ``{"versions", "files", "bytes"}`` — exactly what this vacuum would
     drop (versions aged out, the data files ONLY they reference, and
-    their byte total) — and touches NOTHING.  The dry run does not take
+    their byte total) — plus, in manifest mode, ``{"log_files",
+    "log_bytes"}``: the files-checkpoints the log-retention leg would
+    prune (r18).  Touches NOTHING.  The dry run does not take
     the claim (it is advisory by nature: a commit landing between the
     dry run and the real vacuum changes the answer either way), so it
     can run against a live writer; note that in manifest mode the
@@ -2734,25 +2749,21 @@ def _vacuum_plan(
         # deciding WHEN to vacuum wants these bytes in the answer
         kept_after = [v for v in present if v not in to_drop]
         q_min = min(kept_after) if kept_after else current
-        ldir = _log_dir(path)
-        marks = sorted(
-            int(f.split(".", 1)[0])
-            for f in (os.listdir(ldir) if os.path.isdir(ldir) else ())
-            if f.endswith(".files.json")
-        )
-        floor_anchor = max((v for v in marks if v <= q_min), default=None)
-        log_doomed = (
-            [f"{v:020d}.files.json" for v in marks if v < floor_anchor]
-            if floor_anchor is not None else []
-        )
+        log_doomed = _doomed_files_checkpoints(path, q_min)
+
+        def _size(fp: str) -> int:
+            try:
+                return os.path.getsize(fp)
+            except OSError:
+                return 0  # a racing real vacuum dropped it: advisory 0
+
         return {
             "versions": to_drop,
             "files": doomed,
-            "bytes": sum(os.path.getsize(os.path.join(path, r))
-                         for r in doomed),
+            "bytes": sum(_size(os.path.join(path, r)) for r in doomed),
             "log_files": log_doomed,
             "log_bytes": sum(
-                os.path.getsize(os.path.join(ldir, f)) for f in log_doomed
+                _size(os.path.join(_log_dir(path), f)) for f in log_doomed
             ),
         }
     vroot = _vroot(path)

@@ -468,8 +468,8 @@ def test_alter_refuses_generated_dependencies(spark, tmp_path):
         V.rename_column_versioned(t, "a", "x")
     with pytest.raises(ValueError, match="generated column"):
         V.drop_column_versioned(t, "b")
-    # removal is the escape hatch — allowed even on a mapped table
-    V.rename_column_versioned(t, "b", "c", now=2.0) if False else None
+    # removal is the escape hatch — then the rename lands, and removal
+    # stays allowed even on the now-mapped table
     V.set_generated(t, "b", None)
     V.rename_column_versioned(t, "a", "x", now=2.0)
     V.set_generated(t, "b", None)  # no-op removal on the mapped table
@@ -592,3 +592,41 @@ def test_concurrent_appends_race_renames_cleanly(spark, tmp_path):
     versions = [e["version"] for e in V.history(t)]
     assert versions == sorted(versions, reverse=True)
     assert len(set(versions)) == len(versions)
+
+
+def test_append_never_sheds_retired_columns(spark, mtable):
+    """Review 2 #1: a user APPEND carrying a dropped column's name is a
+    caller bug and must fail the schema check — never silently discard
+    that column's data the way a maintenance rewrite sheds it."""
+    V.drop_column_versioned(mtable, "v", now=2.0)
+    stale_producer = spark.createDataFrame([(9001, 123)], "k long, v long")
+    with pytest.raises(ValueError, match="schema must match"):
+        V.append_versioned(stale_producer, mtable, now=3.0)
+    assert V.read_current(spark, mtable).count() == 500  # nothing landed
+
+
+def test_legacy_identity_dict_reads_as_cleared(spark, mtable):
+    """Review 2 #2: tables written by the pre-r18 overwrite recorded an
+    identity dict {c: c} instead of the explicit null clear — their
+    files were staged fresh, so the gates must treat it as cleared,
+    while ALTER-recorded identity-content dicts keep gating."""
+    import json as _json
+
+    V.rename_column_versioned(mtable, "v", "value", now=2.0)
+    V.overwrite_versioned(V.read_current(spark, mtable), mtable, now=3.0)
+    # devolve the clear into the legacy identity-dict form
+    ldir = V._log_dir(mtable)
+    ef = os.path.join(ldir, f"{V.current_version(mtable):020d}.json")
+    with open(ef) as fh:
+        e = _json.load(fh)
+    assert e[V.MAPPING_KEY] is None
+    e[V.MAPPING_KEY] = {c: c for c in ["k", "value"]}
+    V._fsync_json(ef, e)
+    assert V.column_mapping(mtable) is None  # read as cleared
+    S.write_stats_manifest(spark, mtable, ["k"],
+                           files=V._live_data_files(mtable))  # gates open
+    # but a DROP-recorded identity-content dict still gates
+    V.drop_column_versioned(mtable, "value", now=4.0)
+    assert V.column_mapping(mtable) == {"k": "k"}
+    with pytest.raises(ValueError, match="column-mapped"):
+        V.generate_symlink_manifest(mtable)
