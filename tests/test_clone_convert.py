@@ -468,3 +468,24 @@ def test_convert_clears_stale_property_residue(spark, tmp_path):
     # commits land (the stale constraint would have refused them)
     V.append_versioned(spark.range(3).selectExpr("id + 100 AS k"), t, now=2.0)
     assert V.read_current(spark, t).count() == 23
+
+
+def test_pinned_clone_resolves_identity_and_generated_as_of(spark, tmp_path):
+    """Identity and generated declarations ride the property history
+    like clustering/constraints: a clone pinned BEFORE the declaration
+    carries neither; a current clone carries both."""
+    src = str(tmp_path / "src")
+    df = spark.range(30).selectExpr("id AS k", "id + 1 AS row_id")
+    V.overwrite_versioned(df, src, now=1.0, snapshot_mode="manifest")
+    V.append_versioned(df.limit(2).selectExpr("k + 100 AS k",
+                                              "row_id + 100 AS row_id"),
+                       src, now=2.0)  # v1
+    V.set_identity(src, "row_id")
+    V.set_generated(src, "k", None)  # exercise the removal path too
+    c_old = str(tmp_path / "c_old")
+    V.clone_table(src, c_old, version=0, now=3.0)
+    assert V.identity_of(c_old) is None
+    c_new = str(tmp_path / "c_new")
+    V.clone_table(src, c_new, now=3.0)
+    assert V.identity_of(c_new) == {"column": "row_id", "start": 1,
+                                    "step": 1}
