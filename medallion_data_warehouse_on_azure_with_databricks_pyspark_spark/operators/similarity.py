@@ -325,48 +325,108 @@ def ivf_pivots(
     )
 
 
+def _pivot_array_frame(pivots: DataFrame) -> DataFrame:
+    """Collapse the pivot relation to ONE row carrying every pivot as
+    ``__pivarr: array<struct<pivot_id, pivot_vec>>`` (sorted by the unique
+    ``pivot_id`` for a deterministic layout).  Broadcast-joined cross to
+    the input, this turns the nearest-pivot search into a per-row array
+    fold — the zero-shuffle form of the coarse quantizer.  Memory bound =
+    the pivot set, exactly the bound the old ``F.broadcast(pivots)``
+    cross join already imposed."""
+    return pivots.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pivot_id"), F.col("pivot_vec")))
+        ).alias("__pivarr")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     pivots: DataFrame,
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest pivots (inverted lists).
 
-    Pivots broadcast (they are tiny); distance ranking tie-breaks on
-    ``pivot_id`` for determinism.  Output: ``(id, pivot_id, probe_rank)``.
+    Zero-shuffle (optimization r18, guide §2.4): the pivots collapse to a
+    single broadcast row holding ``array<struct<pivot_id, pivot_vec>>``
+    and each input row computes its own argmin (``nprobe=1``) or its
+    ``nprobe`` smallest (``array_sort`` + ``slice``) in ONE narrow
+    projection.  The previous form cross-joined the broadcast pivots and
+    re-grouped by ``id`` — a full shuffle of one skinny row per input
+    vector per call (and its consumers then re-joined the assignment back
+    to the corpus by id: a second shuffle of the heavy vectors).  Ranking
+    semantics are replicated exactly: ``nprobe=1`` uses struct ordering
+    ``(__d asc, pivot_id asc)`` — identical to the old
+    ``min(struct(__d, pivot_id))``, including NULL-field-first and
+    NaN-greatest; ``nprobe>1`` uses grouped_topk's composite
+    ``(nanfirst, distance asc, pivot_id asc)`` key, so NaN distances rank
+    first and NULL distances last, bit-for-bit as before.
+
+    ``keep_cols`` carries payload columns (typically the vector itself)
+    through the assignment so callers need no id-join afterwards.
+    Requires unique, non-null ids (every caller's contract already).
+    Output: ``(id, *keep_cols, pivot_id, probe_rank)``.
     """
-    scored = df.select(F.col(id_col), F.col(vec_col).alias("__v")).join(
-        F.broadcast(pivots), how="cross"
+    parr = _pivot_array_frame(pivots)
+    base = df.select(
+        F.col(id_col), F.col(vec_col).alias("__ivfv"),
+        *[F.col(c) for c in keep_cols],
     )
+    # The empty-pivot edge (cross join with zero pivots yielded zero rows
+    # in the old form) is guarded on the cheap size() of the broadcast
+    # array, NOT on the argmin result — a null-check on the argmin would
+    # re-evaluate the whole P-way distance fold per row (the §4.4
+    # double-evaluation hazard, in Catalyst-expression form).
+    joined = base.join(F.broadcast(parr), how="cross").where(
+        F.size(F.col("__pivarr")) > 0
+    )
+    keep = [F.col(id_col), *[F.col(c) for c in keep_cols]]
     if nprobe == 1:
-        # Nearest-pivot-only (the corpus-assignment and Lloyd-round case):
-        # min(struct(distance, pivot_id)) is a partial-aggregable shuffle —
-        # map-side combine collapses each partition to one row per vector
-        # before the exchange, where the general path pays a Window sort.
-        # Identical (distance asc, pivot_id asc) tie-break as grouped_topk.
-        return (
-            scored.withColumn("__d", _l2sq(F.col("__v"), F.col("pivot_vec")))
-            .groupBy(id_col)
-            .agg(
-                F.min(F.struct(F.col("__d"), F.col("pivot_id"))).alias("__b")
-            )
-            .select(
-                id_col,
-                F.col("__b.pivot_id").alias("pivot_id"),
-                F.lit(1).cast("int").alias("probe_rank"),
+        best = F.array_min(
+            F.transform(
+                F.col("__pivarr"),
+                lambda p: F.struct(
+                    _l2sq(F.col("__ivfv"), p["pivot_vec"]).alias("__d"),
+                    p["pivot_id"].alias("pivot_id"),
+                ),
             )
         )
-    # negated distance so grouped_topk's (score desc, id asc) ordering is
-    # (distance asc, pivot_id asc); the exchange carries nprobe rows per
-    # vector instead of the full N x pivots cross product.
-    scored = scored.withColumn(
-        "__negd", -_l2sq(F.col("__v"), F.col("pivot_vec"))
+        # inline(array(best)) materializes the argmin ONCE per row in a
+        # Generate node; projecting fields off the struct expression
+        # directly would duplicate the fold per field access.
+        return joined.select(
+            *keep, F.inline(F.array(best))
+        ).select(
+            *keep,
+            F.col("pivot_id"),
+            F.lit(1).cast("int").alias("probe_rank"),
+        )
+
+    def _cand(p):
+        d = _l2sq(F.col("__ivfv"), p["pivot_vec"])
+        nanfirst = (
+            F.when(d.isNull(), F.lit(2))
+            .when(F.isnan(d), F.lit(0))
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            nanfirst.alias("__nanfirst"),
+            d.alias("__d"),
+            p["pivot_id"].alias("pivot_id"),
+        )
+
+    topn = F.slice(
+        F.array_sort(F.transform(F.col("__pivarr"), _cand)), 1, nprobe
     )
-    ranked = grouped_topk(scored, id_col, "pivot_id", nprobe, score_col="__negd")
-    return ranked.select(
-        id_col, "pivot_id", F.col("rank").alias("probe_rank")
+    return joined.select(
+        *keep, F.posexplode(topn).alias("__pos", "__c")
+    ).select(
+        *keep,
+        F.col("__c.pivot_id").alias("pivot_id"),
+        (F.col("__pos") + 1).cast("int").alias("probe_rank"),
     )
 
 
@@ -444,12 +504,14 @@ def kmeans_pivots(
             raise ValueError("sample_modulus must be >= 1")
         vecs = vecs.filter(F.col(id_col) % sample_modulus == 0)
     for _ in range(iters):
-        assign = ivf_assign(vecs, cents, 1, id_col, "__v").select(
-            id_col, "pivot_id"
+        # keep_cols carries the vector through the (now zero-shuffle)
+        # assignment, so no re-join by id per Lloyd round — each round is
+        # one narrow assignment projection + the (cluster, dim) aggregate.
+        assigned = ivf_assign(
+            vecs, cents, 1, id_col, "__v", keep_cols=("__v",)
         )
-        dims = (
-            vecs.join(assign, id_col)
-            .select("pivot_id", F.posexplode(F.col("__v")).alias("dim", "val"))
+        dims = assigned.select(
+            "pivot_id", F.posexplode(F.col("__v")).alias("dim", "val")
         )
         sums = dims.groupBy("pivot_id", "dim").agg(
             F.sum(
@@ -498,20 +560,18 @@ def ivf_topk(
     """
     if pivots is None:
         pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
-    corpus_lists = ivf_assign(corpus, pivots, 1, id_col, vec_col)
-    c = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
-        .join(corpus_lists.select(id_col, "pivot_id"), id_col)
-        .withColumn("__cnorm", _norm(F.col("__cvec")))
-    )
-    q_probes = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    q = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-        .join(q_probes, query_id_col)
-        .withColumn("__qnorm", _norm(F.col("__qvec")))
-    )
+    # keep_cols carries the vectors through the zero-shuffle assignment —
+    # no re-join of corpus or queries by id (optimization r18, guide §2.4).
+    c = ivf_assign(
+        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
+    ).select(
+        F.col(id_col), F.col(vec_col).alias("__cvec"), "pivot_id"
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    q = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col, keep_cols=(vec_col,)
+    ).select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), "pivot_id"
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
     scored = c.join(F.broadcast(q), "pivot_id")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -641,12 +701,12 @@ def build_ivf_index(
         )
     else:
         pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
-    assign = ivf_assign(corpus, pivots, 1, id_col, vec_col)
-    lists = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .join(assign.select(id_col, "pivot_id"), id_col)
-        .repartition("pivot_id")
-    )
+    # keep_cols carries the vector through the zero-shuffle assignment —
+    # the only exchange left in the build is the pre-write repartition
+    # that packs each inverted list's files (optimization r18, §2.4).
+    lists = ivf_assign(
+        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
+    ).select(F.col(id_col), F.col(vec_col), "pivot_id").repartition("pivot_id")
     stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
     lists.write.mode("overwrite").partitionBy("pivot_id").parquet(
         os.path.join(stage, "lists")
@@ -693,10 +753,10 @@ def append_to_ivf_index(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     spark = new_vectors.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    assign = ivf_assign(new_vectors, pivots, 1, id_col, vec_col)
     (
-        new_vectors.select(F.col(id_col), F.col(vec_col))
-        .join(assign.select(id_col, "pivot_id"), id_col)
+        ivf_assign(new_vectors, pivots, 1, id_col, vec_col,
+                   keep_cols=(vec_col,))
+        .select(F.col(id_col), F.col(vec_col), "pivot_id")
         .repartition("pivot_id")
         .write.mode("append")
         .partitionBy("pivot_id")
@@ -736,17 +796,18 @@ def ivf_topk_against_index(
     spark = queries.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
     # The (query_id, pivot_id) assignment is ≤ |queries| × nprobe rows —
-    # bounded small by the same contract as the probed-list collect below
-    # — so collect it ONCE and replay it as a local DataFrame: the
-    # driver-side probe list and the scoring join share one assignment
-    # pass with no persist(), so repeated calls in a long-lived session
-    # leave nothing in the SQL cache (ADVICE r6).
-    assign_proj = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    assign_rows = assign_proj.collect()
-    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
-    probed = sorted({r["pivot_id"] for r in assign_rows})
+    # bounded small by the same contract as the probed-list collect below.
+    # The collect feeds ONLY the partition-pruning predicate; the scoring
+    # side recomputes the (now zero-shuffle, keep_cols-carrying)
+    # assignment lazily — deterministic, so both sides agree, and no
+    # persist() is left in the SQL cache (ADVICE r6).
+    q_assigned = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col, keep_cols=(vec_col,)
+    )
+    probed = sorted({
+        r["pivot_id"]
+        for r in q_assigned.select("pivot_id").distinct().collect()
+    })
     lists = (
         spark.read.parquet(os.path.join(index_path, "lists"))
         .filter(F.col("pivot_id").isin(probed))
@@ -764,11 +825,9 @@ def ivf_topk_against_index(
     c = lists.select(
         F.col(id_col), F.col("pivot_id"), F.col(meta["vec_col"]).alias("__cvec")
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
-    q = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-        .join(q_probes.select(query_id_col, "pivot_id"), query_id_col)
-        .withColumn("__qnorm", _norm(F.col("__qvec")))
-    )
+    q = q_assigned.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), "pivot_id"
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
     scored = c.join(F.broadcast(q), "pivot_id")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -1056,12 +1115,14 @@ def semantic_clusters(
     runs."""
     if pivots is None:
         pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
-    assign = ivf_assign(corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col)
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__vec"))
-        .join(assign.select(id_col, "pivot_id"), id_col)
-        .withColumn("__norm", _norm(F.col("__vec")))
-    )
+    # keep_cols carries the vector through the zero-shuffle assignment —
+    # the old id re-join of the corpus is gone (optimization r18, §2.4).
+    return ivf_assign(
+        corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col,
+        keep_cols=(vec_col,),
+    ).select(
+        F.col(id_col), F.col(vec_col).alias("__vec"), "pivot_id"
+    ).withColumn("__norm", _norm(F.col("__vec")))
 
 
 def semantic_dedup_survivors(
@@ -1583,25 +1644,33 @@ def ivfpq_topk(
     ~32× smaller than vectors, and full floats surface for
     queries × shortlist rows only."""
     pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
-    c_assign = ivf_assign(corpus, pivots, nprobe=1, id_col=id_col,
-                          vec_col=vec_col).select(id_col, "pivot_id")
     q_probes = ivf_assign(
         queries, pivots, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
     ).select(query_id_col, "pivot_id")
-    # materialized for the same per-output-row re-evaluation hazard as
-    # pq_adc_topk (the candidate join replicates code rows per query)
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).localCheckpoint()
+    # One corpus pass carrying assignment AND codes (keep_cols through the
+    # zero-shuffle assignment, encode kernel on top), materialized for the
+    # same per-output-row re-evaluation hazard as pq_adc_topk (the
+    # candidate join replicates code rows per query).  Candidates then
+    # join codes directly on pivot_id — the old per-call id-join of a
+    # (query, id) candidate list back to the code table is gone
+    # (optimization r18, guide §2.4).
+    codes = ivf_assign(
+        corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col,
+        keep_cols=(vec_col,),
+    ).select(
+        F.col(id_col), F.col("pivot_id"),
+        _pq_codes_kernel(codebooks)(F.col(vec_col)).alias("pq_code"),
+    ).localCheckpoint()
     n_codes = len(codebooks[0])
     q_lut = queries.select(
         F.col(query_id_col),
         _pq_subdists_kernel(codebooks)(F.col(vec_col)).alias("__lut"),
     )
-    cand = (
-        q_probes.join(c_assign, "pivot_id")
+    scored = (
+        codes.join(F.broadcast(q_probes), "pivot_id")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col)
+        .join(F.broadcast(q_lut), query_id_col)
     )
-    scored = cand.join(codes, id_col).join(F.broadcast(q_lut), query_id_col)
     adc = _adc_score_kernel(len(codebooks), n_codes)
     scored = scored.withColumn(
         "__negd", -adc(F.col("pq_code"), F.col("__lut"))
@@ -1627,20 +1696,40 @@ def residual_frame(
 ) -> DataFrame:
     """Each vector's residual against its nearest coarse centroid:
     ``(id, pivot_id, r = double(v) − double(c))``.  Double-on-double
-    subtraction so any IEEE engine replays it bit-for-bit; one broadcast
-    join against the tiny pivot set on top of the nprobe=1 assignment's
-    partial-aggregated shuffle."""
-    c_assign = ivf_assign(
-        corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "pivot_id")
+    subtraction so any IEEE engine replays it bit-for-bit.
+
+    Zero-shuffle (optimization r18, guide §2.4): the argmin struct
+    carries the winning pivot's VECTOR alongside its id, so assignment
+    and residual subtraction happen in one narrow projection over the
+    broadcast pivot array.  The previous form paid the assignment
+    shuffle, a corpus re-join by id (shuffling the heavy vectors), and a
+    second pivot join.  Selection semantics are unchanged: the struct
+    ordering compares ``(__d, pivot_id)`` first and ``pivot_id`` is
+    unique, so the trailing ``pivot_vec`` field never participates."""
+    parr = _pivot_array_frame(pivots)
+    best = F.array_min(
+        F.transform(
+            F.col("__pivarr"),
+            lambda p: F.struct(
+                _l2sq(F.col("__resv"), p["pivot_vec"]).alias("__d"),
+                p["pivot_id"].alias("pivot_id"),
+                p["pivot_vec"].alias("pivot_vec"),
+            ),
+        )
+    )
+    # inline(array(best)) materializes the argmin ONCE per row (Generate
+    # node) — projecting two fields off the struct expression would run
+    # the P-way distance fold twice per row (§4.4 duplication hazard).
     return (
-        corpus.join(c_assign, id_col)
-        .join(F.broadcast(pivots), "pivot_id")
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__resv"))
+        .join(F.broadcast(parr), how="cross")
+        .where(F.size(F.col("__pivarr")) > 0)
+        .select(F.col(id_col), F.col("__resv"), F.inline(F.array(best)))
         .select(
             F.col(id_col),
             F.col("pivot_id"),
             F.zip_with(
-                _as_double(vec_col), _as_double("pivot_vec"),
+                _as_double("__resv"), _as_double(F.col("pivot_vec")),
                 lambda x, y: x - y,
             ).alias(vec_col),
         )
@@ -1704,16 +1793,24 @@ def ivfpq_residual_topk(
             res, n_subspaces=n_subspaces, n_codes=n_codes, iters=iters,
             id_col=id_col, vec_col=vec_col,
         )
-    c_assign = res.select(id_col, "pivot_id")
-    # materialized for the same per-output-row re-evaluation hazard as
-    # pq_adc_topk (the candidate join replicates code rows per query)
-    codes = pq_encode(res, codebooks, id_col, vec_col).localCheckpoint()
-    q_probes = ivf_assign(
-        queries, pivots, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
-    ).select(query_id_col, "pivot_id")
+    # One residual pass carrying assignment AND codes (residual_frame is
+    # already a single zero-shuffle projection), materialized for the same
+    # per-output-row re-evaluation hazard as pq_adc_topk.  Candidates join
+    # the code table directly on pivot_id — no per-call id-join of a
+    # candidate list back to the codes (optimization r18, guide §2.4).
+    codes = res.select(
+        F.col(id_col), F.col("pivot_id"),
+        _pq_codes_kernel(codebooks)(F.col(vec_col)).alias("pq_code"),
+    ).localCheckpoint()
+    # keep_cols carries the query vector through the probe assignment, so
+    # the per-(query, probed-list) LUT needs no join back to ``queries``.
+    q_assigned = ivf_assign(
+        queries, pivots, nprobe=nprobe, id_col=query_id_col,
+        vec_col=vec_col, keep_cols=(vec_col,),
+    )
+    q_probes = q_assigned.select(query_id_col, "pivot_id")
     q_lut = (
-        q_probes.join(F.broadcast(pivots), "pivot_id")
-        .join(queries, query_id_col)
+        q_assigned.join(F.broadcast(pivots), "pivot_id")
         .select(
             query_id_col,
             "pivot_id",
@@ -1725,13 +1822,10 @@ def ivfpq_residual_topk(
             ).alias("__lut"),
         )
     )
-    cand = (
-        q_probes.join(c_assign, "pivot_id")
+    scored = (
+        codes.join(F.broadcast(q_probes), "pivot_id")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, "pivot_id", id_col)
-    )
-    scored = cand.join(codes, id_col).join(
-        F.broadcast(q_lut), [query_id_col, "pivot_id"]
+        .join(F.broadcast(q_lut), [query_id_col, "pivot_id"])
     )
     adc = _adc_score_kernel(len(codebooks), len(codebooks[0]))
     scored = scored.withColumn(
@@ -1874,13 +1968,16 @@ def ivfpq_topk_against_index(
     codebooks = meta["codebooks"]
     spark = queries.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    assign_proj = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    # bounded: |queries| × nprobe rows (same contract as the IVF reader)
-    assign_rows = assign_proj.collect()
-    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
-    probed = sorted({r["pivot_id"] for r in assign_rows})
+    # bounded: |queries| × nprobe rows (same contract as the IVF reader).
+    # The collect feeds only the pruning predicate; the LUT side reuses
+    # the keep_cols-carrying assignment lazily — no join back to queries.
+    q_assigned = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col, keep_cols=(vec_col,)
+    )
+    probed = sorted({
+        r["pivot_id"]
+        for r in q_assigned.select("pivot_id").distinct().collect()
+    })
     codes = (
         spark.read.parquet(os.path.join(index_path, "codes"))
         .filter(F.col("pivot_id").isin(probed))
@@ -1890,8 +1987,7 @@ def ivfpq_topk_against_index(
         codes, index_path, id_col, id_col
     )
     q_lut = (
-        q_probes.join(F.broadcast(pivots), "pivot_id")
-        .join(queries, query_id_col)
+        q_assigned.join(F.broadcast(pivots), "pivot_id")
         .select(
             query_id_col,
             "pivot_id",
@@ -2518,20 +2614,18 @@ def ivfsq8_topk(
     if pivots is None:
         pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
     mins, steps = stats if stats is not None else sq8_stats(corpus, vec_col)
-    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
-        id_col, "pivot_id"
+    # keep_cols carries the vector through the zero-shuffle assignment and
+    # the encode projection runs on top of it — no id re-joins on either
+    # side (optimization r18, guide §2.4).
+    assigned = ivf_assign(
+        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
     )
-    codes = (
-        sq8_encode(corpus, mins, steps, vec_col, out="__code")
-        .select(id_col, "__code")
-        .join(c_assign, id_col)
+    codes = sq8_encode(assigned, mins, steps, vec_col, out="__code").select(
+        id_col, "__code", "pivot_id"
     )
-    q_probes = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).join(q_probes, query_id_col)
+    q = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col, keep_cols=(vec_col,)
+    ).select(F.col(query_id_col), F.col(vec_col).alias("__qvec"), "pivot_id")
     scored = (
         codes.join(F.broadcast(q), "pivot_id")
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -2578,13 +2672,13 @@ def build_ivfsq8_index(
 
     pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
     mins, steps = stats if stats is not None else sq8_stats(corpus, vec_col)
-    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
-        id_col, "pivot_id"
-    )
     codes = (
-        sq8_encode(corpus, mins, steps, vec_col, out="sq8_code")
-        .select(id_col, "sq8_code")
-        .join(c_assign, id_col)
+        sq8_encode(
+            ivf_assign(corpus, pivots, 1, id_col, vec_col,
+                       keep_cols=(vec_col,)),
+            mins, steps, vec_col, out="sq8_code",
+        )
+        .select(id_col, "sq8_code", "pivot_id")
         .repartition("pivot_id")
     )
     stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
@@ -2635,14 +2729,13 @@ def append_to_ivfsq8_index(new_vectors: DataFrame, index_path: str) -> str:
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     spark = new_vectors.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    c_assign = ivf_assign(new_vectors, pivots, 1, id_col, vec_col).select(
-        id_col, "pivot_id"
-    )
     codes = (
-        sq8_encode(new_vectors, meta["mins"], meta["steps"], vec_col,
-                   out="sq8_code")
-        .select(id_col, "sq8_code")
-        .join(c_assign, id_col)
+        sq8_encode(
+            ivf_assign(new_vectors, pivots, 1, id_col, vec_col,
+                       keep_cols=(vec_col,)),
+            meta["mins"], meta["steps"], vec_col, out="sq8_code",
+        )
+        .select(id_col, "sq8_code", "pivot_id")
         .repartition("pivot_id")
     )
     new_vectors.select(F.col(id_col), F.col(vec_col)).write.mode(
@@ -2680,12 +2773,16 @@ def ivfsq8_topk_against_index(
     id_col = meta["id_col"]
     spark = queries.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    assign_proj = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    assign_rows = assign_proj.collect()
-    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
-    probed = sorted({r["pivot_id"] for r in assign_rows})
+    # collect feeds only the pruning predicate; the scoring side reuses
+    # the keep_cols-carrying assignment lazily (deterministic recompute,
+    # no join back to queries)
+    q_assigned = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col, keep_cols=(vec_col,)
+    )
+    probed = sorted({
+        r["pivot_id"]
+        for r in q_assigned.select("pivot_id").distinct().collect()
+    })
     codes = (
         spark.read.parquet(os.path.join(index_path, "codes"))
         .filter(F.col("pivot_id").isin(probed))
@@ -2694,9 +2791,9 @@ def ivfsq8_topk_against_index(
     codes = index_maintenance.exclude_tombstoned(
         codes, index_path, id_col, id_col
     )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    ).join(q_probes, query_id_col)
+    q = q_assigned.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), "pivot_id"
+    )
     scored = codes.join(F.broadcast(q), "pivot_id")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -2763,14 +2860,14 @@ def matryoshka_ivf_topk(
         F.slice(F.col(vec_col), 1, prefix_dims).alias("__pre"),
     )
     pivots = ivf_pivots(cpre, id_col, "__pre", modulus)
-    c_assign = ivf_assign(cpre, pivots, 1, id_col, "__pre")
-    c = cpre.join(c_assign.select(id_col, "pivot_id"), id_col)
-    q_probes = ivf_assign(qpre, pivots, nprobe, query_id_col, "__pre").select(
-        query_id_col, "pivot_id"
-    )
-    q = qpre.select(
-        F.col(query_id_col), F.col("__pre").alias("__qpre")
-    ).join(q_probes, query_id_col)
+    # keep_cols carries the prefixes through the zero-shuffle assignment —
+    # no id re-joins on either side (optimization r18, guide §2.4)
+    c = ivf_assign(
+        cpre, pivots, 1, id_col, "__pre", keep_cols=("__pre",)
+    ).select(id_col, "__pre", "pivot_id")
+    q = ivf_assign(
+        qpre, pivots, nprobe, query_id_col, "__pre", keep_cols=("__pre",)
+    ).select(query_id_col, F.col("__pre").alias("__qpre"), "pivot_id")
     scored = (
         c.join(F.broadcast(q), "pivot_id")
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -2821,12 +2918,7 @@ def build_matryoshka_index(
     )
     pivots = ivf_pivots(cpre, id_col, "__pre", modulus)
     lists = (
-        cpre.join(
-            ivf_assign(cpre, pivots, 1, id_col, "__pre").select(
-                id_col, "pivot_id"
-            ),
-            id_col,
-        )
+        ivf_assign(cpre, pivots, 1, id_col, "__pre", keep_cols=("__pre",))
         .select(F.col(id_col), F.col("__pre").alias("prefix"), "pivot_id")
         .repartition("pivot_id")
     )
@@ -2889,12 +2981,7 @@ def append_to_matryoshka_index(new_vectors: DataFrame, index_path: str) -> str:
         F.slice(F.col(vec_col), 1, meta["prefix_dims"]).alias("__pre"),
     )
     lists = (
-        cpre.join(
-            ivf_assign(cpre, pivots, 1, id_col, "__pre").select(
-                id_col, "pivot_id"
-            ),
-            id_col,
-        )
+        ivf_assign(cpre, pivots, 1, id_col, "__pre", keep_cols=("__pre",))
         .select(F.col(id_col), F.col("__pre").alias("prefix"), "pivot_id")
         .repartition("pivot_id")
     )
@@ -2938,12 +3025,16 @@ def matryoshka_topk_against_index(
         F.col(query_id_col),
         F.slice(F.col(vec_col), 1, meta["prefix_dims"]).alias("__qpre"),
     )
-    assign_proj = ivf_assign(qpre, pivots, nprobe, query_id_col, "__qpre").select(
-        query_id_col, "pivot_id"
+    # collect feeds only the pruning predicate; the scoring side reuses
+    # the keep_cols-carrying assignment lazily (deterministic recompute,
+    # no join back to the query prefixes)
+    q_assigned = ivf_assign(
+        qpre, pivots, nprobe, query_id_col, "__qpre", keep_cols=("__qpre",)
     )
-    assign_rows = assign_proj.collect()
-    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
-    probed = sorted({r["pivot_id"] for r in assign_rows})
+    probed = sorted({
+        r["pivot_id"]
+        for r in q_assigned.select("pivot_id").distinct().collect()
+    })
     lists = (
         spark.read.parquet(os.path.join(index_path, "lists"))
         .filter(F.col("pivot_id").isin(probed))
@@ -2952,7 +3043,7 @@ def matryoshka_topk_against_index(
     lists = index_maintenance.exclude_tombstoned(
         lists, index_path, id_col, id_col
     )
-    q = qpre.join(q_probes, query_id_col)
+    q = q_assigned.select(query_id_col, "__qpre", "pivot_id")
     scored = lists.join(F.broadcast(q), "pivot_id")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -3144,20 +3235,22 @@ def ivfbq_topk(
         pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
     if thresholds is None:
         thresholds = bq_thresholds(corpus, vec_col)
-    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
-        id_col, "pivot_id"
+    # keep_cols carries the vector through the zero-shuffle assignment and
+    # the bit-pack projection runs on top of it — no id re-joins on either
+    # side (optimization r18, guide §2.4).
+    assigned = ivf_assign(
+        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
     )
-    codes = (
-        bq_encode(corpus, thresholds, vec_col, out="__code")
-        .select(id_col, "__code")
-        .join(c_assign, id_col)
+    codes = bq_encode(assigned, thresholds, vec_col, out="__code").select(
+        id_col, "__code", "pivot_id"
     )
-    q_probes = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    q = bq_encode(queries, thresholds, vec_col, out="__qcode").select(
-        query_id_col, "__qcode"
-    ).join(q_probes, query_id_col)
+    q = bq_encode(
+        ivf_assign(
+            queries, pivots, nprobe, query_id_col, vec_col,
+            keep_cols=(vec_col,),
+        ),
+        thresholds, vec_col, out="__qcode",
+    ).select(query_id_col, "__qcode", "pivot_id")
     scored = (
         codes.join(F.broadcast(q), "pivot_id")
         .filter(F.col(query_id_col) != F.col(id_col))
@@ -3201,13 +3294,13 @@ def build_ivfbq_index(
     pivots = ivf_pivots(corpus, id_col, vec_col, modulus)
     if thresholds is None:
         thresholds = bq_thresholds(corpus, vec_col)
-    c_assign = ivf_assign(corpus, pivots, 1, id_col, vec_col).select(
-        id_col, "pivot_id"
-    )
     codes = (
-        bq_encode(corpus, thresholds, vec_col, out="bq_code")
-        .select(id_col, "bq_code")
-        .join(c_assign, id_col)
+        bq_encode(
+            ivf_assign(corpus, pivots, 1, id_col, vec_col,
+                       keep_cols=(vec_col,)),
+            thresholds, vec_col, out="bq_code",
+        )
+        .select(id_col, "bq_code", "pivot_id")
         .repartition("pivot_id")
     )
     stage = f"{path.rstrip('/')}.__stage_{uuid.uuid4().hex[:8]}"
@@ -3258,13 +3351,13 @@ def append_to_ivfbq_index(new_vectors: DataFrame, index_path: str) -> str:
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     spark = new_vectors.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    c_assign = ivf_assign(new_vectors, pivots, 1, id_col, vec_col).select(
-        id_col, "pivot_id"
-    )
     codes = (
-        bq_encode(new_vectors, meta["thresholds"], vec_col, out="bq_code")
-        .select(id_col, "bq_code")
-        .join(c_assign, id_col)
+        bq_encode(
+            ivf_assign(new_vectors, pivots, 1, id_col, vec_col,
+                       keep_cols=(vec_col,)),
+            meta["thresholds"], vec_col, out="bq_code",
+        )
+        .select(id_col, "bq_code", "pivot_id")
         .repartition("pivot_id")
     )
     new_vectors.select(F.col(id_col), F.col(vec_col)).write.mode(
@@ -3302,12 +3395,16 @@ def ivfbq_topk_against_index(
     id_col = meta["id_col"]
     spark = queries.sparkSession
     pivots = spark.read.parquet(os.path.join(index_path, "pivots"))
-    assign_proj = ivf_assign(
-        queries, pivots, nprobe, query_id_col, vec_col
-    ).select(query_id_col, "pivot_id")
-    assign_rows = assign_proj.collect()
-    q_probes = spark.createDataFrame(assign_rows, assign_proj.schema)
-    probed = sorted({r["pivot_id"] for r in assign_rows})
+    # collect feeds only the pruning predicate; the scoring side reuses
+    # the keep_cols-carrying assignment lazily (deterministic recompute,
+    # no join back to queries)
+    q_assigned = ivf_assign(
+        queries, pivots, nprobe, query_id_col, vec_col, keep_cols=(vec_col,)
+    )
+    probed = sorted({
+        r["pivot_id"]
+        for r in q_assigned.select("pivot_id").distinct().collect()
+    })
     codes = (
         spark.read.parquet(os.path.join(index_path, "codes"))
         .filter(F.col("pivot_id").isin(probed))
@@ -3316,9 +3413,9 @@ def ivfbq_topk_against_index(
     codes = index_maintenance.exclude_tombstoned(
         codes, index_path, id_col, id_col
     )
-    q = bq_encode(queries, meta["thresholds"], vec_col, out="__qcode").select(
-        F.col(query_id_col), "__qcode"
-    ).join(q_probes, query_id_col)
+    q = bq_encode(
+        q_assigned, meta["thresholds"], vec_col, out="__qcode"
+    ).select(F.col(query_id_col), "__qcode", "pivot_id")
     scored = codes.join(F.broadcast(q), "pivot_id")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
