@@ -52,6 +52,23 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.withColumn(out, _norm(F.col(vec_col)))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a corpus-side frame enters its heavy per-row Catalyst stage
+    with at least the session's core count of partitions (guide §2.5,
+    input parallelism).  A small local table arrives as ONE parquet split,
+    which would run the whole distance/bucket fold single-core; a
+    production table carries natural partitioning and takes the no-op
+    branch — the guard is scale-adaptive, never a fixed local constant.
+    Applied only to Catalyst-expression paths: Arrow-kernel paths
+    (PQ encode/ADC) prefer fewer, larger batches at this row count and
+    are deliberately NOT spread."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def grouped_topk(
     scored: DataFrame,
     group_col: str,
@@ -140,9 +157,9 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__qnorm", _norm(F.col("__qvec")))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
-        "__cnorm", _norm(F.col("__cvec"))
-    )
+    c = _spread(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
     scored = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -275,7 +292,7 @@ def lsh_topk(
     if not 0 <= n_probes <= n_planes:
         raise ValueError("n_probes must be in [0, len(planes)]")
     cb = with_lsh_bucket(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")),
+        _spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))),
         planes, "__cvec", "bucket",
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
     qb = (
@@ -489,7 +506,7 @@ def kmeans_pivots(
     if sample_fraction is not None and sample_modulus is not None:
         raise ValueError("pass sample_fraction OR sample_modulus, not both")
     cents = ivf_pivots(corpus, id_col, vec_col, modulus).localCheckpoint()
-    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    vecs = _spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")))
     if sample_fraction is not None:
         if not 0.0 < sample_fraction <= 1.0:
             raise ValueError("sample_fraction must be in (0, 1]")
@@ -563,7 +580,7 @@ def ivf_topk(
     # keep_cols carries the vectors through the zero-shuffle assignment —
     # no re-join of corpus or queries by id (optimization r18, guide §2.4).
     c = ivf_assign(
-        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
+        _spread(corpus), pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
     ).select(
         F.col(id_col), F.col(vec_col).alias("__cvec"), "pivot_id"
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
@@ -606,8 +623,8 @@ def cosine_dedup_pairs(
     bucket past the cap is boilerplate/degenerate by construction and
     belongs in an exact-dup pass, not a quadratic one."""
     b = with_lsh_bucket(
-        df.select(F.col(id_col), F.col(vec_col).alias("__vec")), planes,
-        "__vec", "bucket",
+        _spread(df.select(F.col(id_col), F.col(vec_col).alias("__vec"))),
+        planes, "__vec", "bucket",
     ).withColumn("__norm", _norm(F.col("__vec")))
     if max_bucket_freq is not None:
         hot = (
@@ -891,7 +908,7 @@ def lsh_multitable_topk(
         return F.array(*[_sign_bucket(vec, t) for t in tables])
 
     cb = (
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+        _spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")))
         .withColumn("__bs", bucket_array(F.col("__cvec")))
         .select(
             id_col, F.posexplode("__bs").alias("table_id", "bucket")
@@ -1118,7 +1135,7 @@ def semantic_clusters(
     # keep_cols carries the vector through the zero-shuffle assignment —
     # the old id re-join of the corpus is gone (optimization r18, §2.4).
     return ivf_assign(
-        corpus, pivots, nprobe=1, id_col=id_col, vec_col=vec_col,
+        _spread(corpus), pivots, nprobe=1, id_col=id_col, vec_col=vec_col,
         keep_cols=(vec_col,),
     ).select(
         F.col(id_col), F.col(vec_col).alias("__vec"), "pivot_id"
@@ -2500,7 +2517,7 @@ def matryoshka_topk(
     :func:`cosine_topk`: ``(query_id, vec_id, cosine, rank)``."""
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     qp = q.withColumn("__qpre", F.slice(F.col("__qvec"), 1, prefix_dims))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")))
     cp = c.withColumn("__cpre", F.slice(F.col("__cvec"), 1, prefix_dims))
     scored = (
         cp.select(id_col, "__cpre")
@@ -2618,7 +2635,7 @@ def ivfsq8_topk(
     # the encode projection runs on top of it — no id re-joins on either
     # side (optimization r18, guide §2.4).
     assigned = ivf_assign(
-        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
+        _spread(corpus), pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
     )
     codes = sq8_encode(assigned, mins, steps, vec_col, out="__code").select(
         id_col, "__code", "pivot_id"
@@ -2863,7 +2880,7 @@ def matryoshka_ivf_topk(
     # keep_cols carries the prefixes through the zero-shuffle assignment —
     # no id re-joins on either side (optimization r18, guide §2.4)
     c = ivf_assign(
-        cpre, pivots, 1, id_col, "__pre", keep_cols=("__pre",)
+        _spread(cpre), pivots, 1, id_col, "__pre", keep_cols=("__pre",)
     ).select(id_col, "__pre", "pivot_id")
     q = ivf_assign(
         qpre, pivots, nprobe, query_id_col, "__pre", keep_cols=("__pre",)
@@ -3239,7 +3256,7 @@ def ivfbq_topk(
     # the bit-pack projection runs on top of it — no id re-joins on either
     # side (optimization r18, guide §2.4).
     assigned = ivf_assign(
-        corpus, pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
+        _spread(corpus), pivots, 1, id_col, vec_col, keep_cols=(vec_col,)
     )
     codes = bq_encode(assigned, thresholds, vec_col, out="__code").select(
         id_col, "__code", "pivot_id"
