@@ -823,7 +823,7 @@ def ivf_topk_against_index(
     )
     probed = sorted({
         r["pivot_id"]
-        for r in q_assigned.select("pivot_id").distinct().collect()
+        for r in q_assigned.select("pivot_id").collect()
     })
     lists = (
         spark.read.parquet(os.path.join(index_path, "lists"))
@@ -1612,21 +1612,28 @@ def _exact_l2_rerank(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """Exact squared-L2 re-rank of a ``(query_id, id)`` shortlist: full
     vectors are read for queries × shortlist rows only (the join shuffles
     candidate ids, never the corpus); element-ordered fold keeps distances
-    bit-reproducible.  Shared tail of the PQ and IVF-PQ stacks."""
+    bit-reproducible.  Shared tail of the PQ and IVF-PQ stacks.
+
+    ``dedup_ids``: replay guard for index readers whose vectors file can
+    carry duplicate rows after an at-least-once append — dedup per
+    ``(query, id)`` AFTER the shortlist join, so the guard's exchange is
+    bounded by queries × shortlist instead of the whole vectors table
+    (the pre-r18 form deduped the full table per probe call)."""
     qv = queries.select(
         F.col(query_id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
     )
-    cand = (
-        shortlist.join(
-            corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col
-        )
-        .join(F.broadcast(qv), query_id_col)
+    cand = shortlist.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")), id_col
     )
+    if dedup_ids:
+        cand = cand.dropDuplicates([query_id_col, id_col])
+    cand = cand.join(F.broadcast(qv), query_id_col)
     diff = F.zip_with(
         F.col("__qv"), F.col("__cv"),
         lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
@@ -1993,7 +2000,7 @@ def ivfpq_topk_against_index(
     )
     probed = sorted({
         r["pivot_id"]
-        for r in q_assigned.select("pivot_id").distinct().collect()
+        for r in q_assigned.select("pivot_id").collect()
     })
     codes = (
         spark.read.parquet(os.path.join(index_path, "codes"))
@@ -2026,13 +2033,13 @@ def ivfpq_topk_against_index(
     sl = grouped_topk(
         scored, query_id_col, id_col, shortlist, score_col="__negd"
     ).select(query_id_col, id_col)
-    # replay guard: an at-least-once append can duplicate vector rows,
-    # which would duplicate re-rank output rows for a shortlisted id
-    vectors = spark.read.parquet(
-        os.path.join(index_path, "vectors")
-    ).dropDuplicates([id_col])
+    # replay guard: an at-least-once append can duplicate vector rows —
+    # dedup happens inside the re-rank AFTER the shortlist join, so the
+    # guard's exchange is bounded by queries × shortlist rows
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
     return _exact_l2_rerank(
-        sl, vectors, queries, k, id_col, meta["vec_col"], query_id_col
+        sl, vectors, queries, k, id_col, meta["vec_col"], query_id_col,
+        dedup_ids=True,
     )
 
 
@@ -2554,20 +2561,30 @@ def _exact_cosine_rerank(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """Exact cosine re-rank of a ``(query_id, id)`` shortlist — the shared
     tail of the SQ8 / matryoshka funnels (the cosine-contract sibling of
     :func:`_exact_l2_rerank`): raw vectors are read for
     queries × shortlist rows only, queries broadcast, ordered-fold dot
-    products bit-reproducible.  Output: ``(query_id, id, cosine, rank)``."""
+    products bit-reproducible.  Output: ``(query_id, id, cosine, rank)``.
+
+    ``dedup_ids``: replay guard for index readers whose vectors file can
+    carry duplicate rows after an at-least-once append — dedup per
+    ``(query, id)`` AFTER the shortlist join, so the guard's exchange is
+    bounded by queries × shortlist instead of the whole vectors table
+    (the pre-r18 form deduped the full table per probe call)."""
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")).withColumn(
         "__cnorm", _norm(F.col("__cvec"))
     )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    cand = shortlist.join(c, id_col)
+    if dedup_ids:
+        cand = cand.dropDuplicates([query_id_col, id_col])
     rescored = (
-        shortlist.join(c, id_col)
+        cand
         .join(F.broadcast(q), query_id_col)
         .withColumn(
             "cosine",
@@ -2798,7 +2815,7 @@ def ivfsq8_topk_against_index(
     )
     probed = sorted({
         r["pivot_id"]
-        for r in q_assigned.select("pivot_id").distinct().collect()
+        for r in q_assigned.select("pivot_id").collect()
     })
     codes = (
         spark.read.parquet(os.path.join(index_path, "codes"))
@@ -2822,16 +2839,17 @@ def ivfsq8_topk_against_index(
     sl = grouped_topk(
         scored, query_id_col, id_col, shortlist, score_col="__approx"
     ).select(query_id_col, id_col)
-    vectors = spark.read.parquet(
-        os.path.join(index_path, "vectors")
-    ).dropDuplicates([id_col])
+    # replay-guard dedup happens inside the re-rank AFTER the shortlist
+    # join (bounded by queries × shortlist, never the whole vectors table)
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
     # queries re-enter under the INDEX's vec_col name so the re-rank reads
     # both sides through one column contract
     q_rerank = queries.select(
         F.col(query_id_col), F.col(vec_col).alias(meta["vec_col"])
     )
     return _exact_cosine_rerank(
-        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
+        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col,
+        dedup_ids=True,
     )
 
 
@@ -3050,7 +3068,7 @@ def matryoshka_topk_against_index(
     )
     probed = sorted({
         r["pivot_id"]
-        for r in q_assigned.select("pivot_id").distinct().collect()
+        for r in q_assigned.select("pivot_id").collect()
     })
     lists = (
         spark.read.parquet(os.path.join(index_path, "lists"))
@@ -3072,14 +3090,15 @@ def matryoshka_topk_against_index(
     sl = grouped_topk(
         scored, query_id_col, id_col, shortlist, score_col="__pcos"
     ).select(query_id_col, id_col)
-    vectors = spark.read.parquet(
-        os.path.join(index_path, "vectors")
-    ).dropDuplicates([id_col])
+    # replay-guard dedup happens inside the re-rank AFTER the shortlist
+    # join (bounded by queries × shortlist, never the whole vectors table)
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
     q_rerank = queries.select(
         F.col(query_id_col), F.col(vec_col).alias(meta["vec_col"])
     )
     return _exact_cosine_rerank(
-        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
+        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col,
+        dedup_ids=True,
     )
 
 
@@ -3420,7 +3439,7 @@ def ivfbq_topk_against_index(
     )
     probed = sorted({
         r["pivot_id"]
-        for r in q_assigned.select("pivot_id").distinct().collect()
+        for r in q_assigned.select("pivot_id").collect()
     })
     codes = (
         spark.read.parquet(os.path.join(index_path, "codes"))
@@ -3442,14 +3461,15 @@ def ivfbq_topk_against_index(
     sl = grouped_topk(
         scored, query_id_col, id_col, shortlist, score_col="__negham"
     ).select(query_id_col, id_col)
-    vectors = spark.read.parquet(
-        os.path.join(index_path, "vectors")
-    ).dropDuplicates([id_col])
+    # replay-guard dedup happens inside the re-rank AFTER the shortlist
+    # join (bounded by queries × shortlist, never the whole vectors table)
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors"))
     q_rerank = queries.select(
         F.col(query_id_col), F.col(vec_col).alias(meta["vec_col"])
     )
     return _exact_cosine_rerank(
-        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col
+        sl, vectors, q_rerank, k, id_col, meta["vec_col"], query_id_col,
+        dedup_ids=True,
     )
 
 

@@ -709,6 +709,27 @@ def _simhash_poly_reference(txt: str) -> int:
     return fp
 
 
+def test_simhash_poly_kernel_edge_strings(spark):
+    """The r18 vectorized poly-hash kernel (token hashes + vote in one
+    Arrow pass) must reproduce the Catalyst fold's values on edge
+    shapes: empty text, whitespace-only text, astral-plane code points
+    (Spark's split('')/ascii() are code-point-aware), an empty-token
+    boundary, and >2048-char tokens (the kernel's chunked-mod slow
+    path)."""
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "x \U0001F600y héllo wörld"),
+        (4, "a" * 5000 + " b"),
+        (5, "tail " + "q" * 2049),
+        (6, "one two three two one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in text.simhash64_poly(df).collect()}
+    want = {i: _simhash_poly_reference(t) for i, t in rows}
+    assert got == want
+
+
 def test_simhash_poly_pairs_match_pure_python_reference(spark):
     """The poly-hash lane (registered as the hash-verified
     `doc_simhash_poly_pairs`) must equal the brute-force Hamming ball
