@@ -771,19 +771,22 @@ def propagate_labels(
         # Materialize once (the pair pipeline never re-runs), then size the
         # propagation shuffles from the actual edge count — counting
         # checkpointed blocks is a metadata-cheap pass.
-        staged = edges.localCheckpoint()
+        # lazy: the count() right below materializes the checkpoint in the
+        # SAME job instead of paying a separate eager dispatch (r18)
+        staged = edges.localCheckpoint(eager=False)
         n_edges = staged.count()
         graph_partitions = max(1, min(256, -(-n_edges // _EDGES_PER_PARTITION)))
         edges = staged
     edges = (
         edges.repartition(graph_partitions, "src")
         # materialize once — never recompute the pair pipeline per round
-        .localCheckpoint()
+        # (lazy: folds into the first consuming job, same barrier)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select("src").distinct()
         .withColumn("label", F.col("src"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Exact-decimal label sum: the convergence signature (labels only
     # decrease; equal sum ⇔ fixpoint).  DECIMAL(38,0) cannot overflow or
@@ -808,7 +811,7 @@ def propagate_labels(
             labels.union(prop)
             .groupBy("src")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = _sig(labels)
         if sig == prev_sig:

@@ -505,7 +505,13 @@ def kmeans_pivots(
     """
     if sample_fraction is not None and sample_modulus is not None:
         raise ValueError("pass sample_fraction OR sample_modulus, not both")
-    cents = ivf_pivots(corpus, id_col, vec_col, modulus).localCheckpoint()
+    # lazy checkpoints throughout the loop (optimization r18): the plan
+    # barrier (lineage truncation + materialize-once) is identical, but
+    # materialization folds into the next round's first job instead of
+    # dispatching a standalone eager job per round.
+    cents = ivf_pivots(corpus, id_col, vec_col, modulus).localCheckpoint(
+        eager=False
+    )
     vecs = _spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")))
     if sample_fraction is not None:
         if not 0.0 < sample_fraction <= 1.0:
@@ -549,7 +555,7 @@ def kmeans_pivots(
                     lambda x: x["mean"],
                 ).alias("pivot_vec")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -1198,7 +1204,7 @@ def semantic_dedup_survivors(
             # persist=False is the no-materialization escape hatch for
             # long-lived loops (same contract as
             # minhash_pairs_against_index.persist_shard).
-            clustered = clustered.localCheckpoint()
+            clustered = clustered.localCheckpoint(eager=False)
     lhs = clustered.select(
         "pivot_id",
         F.col(id_col).alias("id_a"),
@@ -1558,7 +1564,9 @@ def pq_adc_topk(
     # joined output row — measured 30 s vs 4 s at sf0.1 for an 80-query
     # batch.  At scale this materialization IS the PQ design: codes are
     # built once (build_pq_index) and scanned per batch.
-    codes = pq_encode(corpus, codebooks, id_col, vec_col).localCheckpoint()
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     # per-query LUT: flat array, slot m*n_codes + code  (built on the query
     # side — queries × subspaces × codes entries, tiny by construction)
     q = queries.select(
@@ -1684,7 +1692,7 @@ def ivfpq_topk(
     ).select(
         F.col(id_col), F.col("pivot_id"),
         _pq_codes_kernel(codebooks)(F.col(vec_col)).alias("pq_code"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_codes = len(codebooks[0])
     q_lut = queries.select(
         F.col(query_id_col),
@@ -1825,7 +1833,7 @@ def ivfpq_residual_topk(
     codes = res.select(
         F.col(id_col), F.col("pivot_id"),
         _pq_codes_kernel(codebooks)(F.col(vec_col)).alias("pq_code"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # keep_cols carries the query vector through the probe assignment, so
     # the per-(query, probed-list) LUT needs no join back to ``queries``.
     q_assigned = ivf_assign(
@@ -3600,7 +3608,7 @@ def mmr_topk(
     # left lazy, Catalyst re-runs the corpus-sized pool scan 3× (measured
     # 3× the cosine lane at sf0.1).  It is queries × pool rows (bounded
     # by contract), so materialize it once and truncate lineage.
-    pe = pe.localCheckpoint(eager=True)
+    pe = pe.localCheckpoint(eager=False)  # lazy: same barrier, folds into the first consuming job (r18)
     a = pe.select(
         F.col(query_id_col),
         F.col(id_col).alias("__a"),

@@ -3050,6 +3050,9 @@ def events_stream_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataF
     landing = os.path.join(work, "landing")
     ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
     ev = ev.withColumn("g", (F.col("event_id") % 3).cast("int"))
+    # NOT parallelized (r18 note): the three appends share ONE output
+    # directory, and concurrent append jobs share the committer's
+    # _temporary staging — overlapping them can clobber each other.
     for i in range(3):
         ev.filter(F.col("g") == i).coalesce(1).write.mode("append").parquet(
             landing

