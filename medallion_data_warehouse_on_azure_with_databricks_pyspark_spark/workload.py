@@ -2822,106 +2822,98 @@ DRIVER_RETIRED = frozenset({
 #: rotation tests skip (with a rotate-me message) once CORRECTNESS_r{N}
 #: artifacts for this round exist, instead of failing as if the engine
 #: regressed — VERDICT r12 "What's wrong" #1.
-CORRECTNESS_PRIORITY_ROUND = 18
+CORRECTNESS_PRIORITY_ROUND = 19
 
 CORRECTNESS_PRIORITY = [
-    # -- r18 window, rule 1 (VERDICT r17 ask #1): the 16-lane deferred
-    #    slice of the r14 tier fronts — their last hash row is r14, the
-    #    3-round promise deadline is this round (the r17 priority
-    #    comment committed them here). --
+    # -- r19 window, rule 1: the 18-lane deferred slice of the r15 tier
+    #    fronts — their last hash row is r15, the 3-round promise
+    #    deadline is this round (the r18 priority comment committed
+    #    them here).  Seven of them are themselves r18-rewritten emb
+    #    lanes, so rule 1 and VERDICT r18 ask #1 overlap. --
+    "docs_zorder_pruned_scan", "emb_ivf_recall_report",
+    "emb_ivfsq8_stream_topk", "emb_matryoshka_indexed_topk",
+    "emb_matryoshka_ivf_topk", "emb_mmr_diversified_topk",
+    "emb_mmr_ivf_topk", "events_daily_rolling", "events_resample_ffill",
+    "events_stateful_sessions", "events_stream_matview_ingest",
+    "multimodal_features", "orders_analytic_windows",
+    "orders_price_quantiles", "part_scd2_from_cdf_replay",
+    "part_stats_skipping_scan", "part_string_functions",
+    "scd2_part_dim_deletes",
+    # -- rule 2 + VERDICT r18 ask #1: the r18 similarity/dedup/merge_dv
+    #    rewrite shipped WITHOUT a driver oracle row (the r18 window
+    #    sampled zero emb lanes), and this round's grouped_topk fusion /
+    #    SQ8-BQ stat-cache removal touches the same family again — every
+    #    driver-visible emb lane plus the three dedup lanes, merge_dv,
+    #    and the r19-touched multi-commit/UDTF lanes ride the window. --
+    "emb_ivf_indexed_topk", "emb_chunk_mean_pool",
+    "emb_pq_indexed_topk", "emb_ivfsq8_indexed_topk",
+    "emb_ivfbq_indexed_topk", "emb_semantic_decontamination",
+    "doc_dedup_keep_best", "doc_dedup_representatives",
+    "doc_leakage_safe_splits", "part_merge_dv_scan",
+    "part_matview_incremental", "events_recluster_incremental_scan",
+    "docs_recluster_sorted_scan", "doc_sentences_udtf",
+    "emb_semantic_dedup", "emb_sq8_indexed_topk", "emb_top_pc_projection",
+    "events_recluster_hilbert_scan", "events_recluster_zorder_scan",
+    # -- last hash row r16, emb slice (rule 1 + ask #1 overlap) --
+    "emb_cosine_dedup_pairs", "emb_cosine_topk",
+    "emb_int8_quantize_error", "emb_ivf_drift_report",
+    "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_residual_topk", "emb_ivfpq_stream_topk", "emb_ivfpq_topk",
+    "emb_lsh_indexed_topk", "emb_lsh_multitable_topk", "emb_lsh_topk",
+    # -- no-oracle lanes (rows-only rows r16; deadline r20 — next
+    #    round's window MUST carry them; the three doc_bpe/simhash
+    #    lanes rode r18, deadline r22) --
+    "events_approx_distinct", "events_approx_quantiles",
+    "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
+    # -- last hash row r16, displaced by the ask-#1 fronting (deadline
+    #    r20 — front the r20 window) --
+    "customer_change_hash", "customer_filter_segment",
+    "customer_segment_count", "doc_adaptive_quality_filter",
+    "doc_boilerplate_removal",
+    "events_asof_join", "events_cohort_retention", "events_funnel_stages",
+    "events_generated_partition_scan", "events_hourly_ohlc",
+    "events_hourly_windows", "events_range_join_agg",
+    "events_session_windows", "events_sliding_windows",
+    "events_variant_props", "orders_status_priority_cube",
+    "orders_year_priority_pivot", "scd1_customer_dim",
+    "scd1_customer_dim_sql", "scd2_part_dim",
+    # -- last hash row r17 (rotate in at r20/r21) --
+    "customer_dim_schema_evolution", "customer_set_ops",
+    "doc_cross_corpus_dedup", "doc_curation_pipeline",
+    "doc_hybrid_search_rrf", "doc_lm_fluency", "doc_minhash_dedup_pairs",
+    "doc_ngram_jaccard_pairs", "doc_quality_classifier",
+    "doc_simhash_poly_pairs", "doc_stream_dedup_ingest",
+    "doc_temperature_mixture", "doc_token_budget_epochs",
+    "events_json_props", "events_json_rescue_ingest",
+    "events_stream_counter_ingest", "events_stream_static_enrich",
+    "events_stream_stream_join", "lineitem_pricing_summary",
+    "order_fact_upsert", "orders_bucketed_colocated_join",
+    "orders_grouping_sets", "orders_shipping_priority",
+    "part_bloom_skipping_scan", "part_cdf_changes",
+    "part_cdf_changes_percommit", "part_dml_update_delete_cdf",
+    "part_dv_delete_scan", "part_optimize_compacted_scan",
+    "part_optimize_partitions_scan", "part_replace_partitions",
+    "part_type_token_count", "regional_nation_revenue",
+    # -- last hash row r18 (freshest — rotate back in later rounds) --
+    "corpus_vocab_topk", "customer_with_high_value_orders",
+    "customer_without_orders", "dlt_part_pipeline",
+    "dlt_part_pipeline_deletes", "dlt_part_pipeline_incremental",
+    "dlt_part_quarantine", "doc_benchmark_decontamination",
+    "doc_bm25_topk", "doc_chunks", "doc_duplicated_spans",
+    "doc_duplication_stats", "doc_exact_dedup", "doc_gopher_quality",
+    "doc_language_id", "doc_mixture_splits", "doc_repetition_stats",
+    "doc_scrub_pii", "doc_source_caps", "doc_text_stats",
+    "doc_token_counts", "doc_token_packing", "doc_winnow_overlap_pairs",
     "events_rolling_anomaly", "events_stream_anomaly_ingest",
     "events_stream_dropdup_ingest", "events_stream_ingest",
     "events_stream_partition_overwrite", "events_stream_watermark_windows",
     "fact_enrichment_join", "lineitem_skew_salted_agg",
     "orders_duplicate_custkeys", "orders_priority_rollup", "orders_top20",
-    "orders_unpivot_metrics", "orders_year_windows", "part_brand_upper_udf",
-    "part_discount_udf", "part_distinct_aggs",
-    # -- changed-code this round (rule 2, VERDICT r17 asks #2/#3/#6 +
-    #    r17 ADVICE): the versioned log gains a files-checkpoint
-    #    (replay = newest checkpoint + suffix; CONVERT writes v0
-    #    through it) — time-travel, txn, and convert lanes ride the new
-    #    replay path; clone_table validates manifest-mode version= and
-    #    resolves property carry-over as-of the pinned version
-    #    (ADVICE items 2-3); the maintenance sweep's decide_table
-    #    normalizes snapshot_refs keys (ADVICE item 1) and the sorted
-    #    recluster lane is under quiet-box adjudication (ask #2). --
-    "part_time_travel_diff", "part_merge_versioned_txn",
-    "part_convert_in_place_scan", "part_clone_divergence",
-    "docs_recluster_sorted_scan", "events_recluster_incremental_scan",
-    # NEW this round (rule 2): column-mapping ALTERs (rename/drop as
-    # metadata-only commits) — displaces the last r15 filler
-    # (docs_zorder_pruned_scan) to the deferred tier, deadline r19
-    "part_rename_column_scan",
-    # -- no-oracle lanes (VERDICT r17 ask #4: schedule the five before
-    #    their r20 deadline — three ride now, two at r19) --
-    "doc_bpe_token_counts", "doc_bpe_trained_tokens", "doc_simhash_pairs",
-    # -- last hash row r15: 25 of the 42-lane tier rotate in (rule 1);
-    #    the remaining 17 sit immediately after the window and MUST
-    #    front the r19 window (their r15+4 deadline). --
-    "corpus_vocab_topk", "customer_with_high_value_orders",
-    "customer_without_orders", "dlt_part_pipeline",
-    "dlt_part_pipeline_deletes", "dlt_part_pipeline_incremental",
-    "dlt_part_quarantine", "doc_benchmark_decontamination", "doc_bm25_topk",
-    "doc_chunks", "doc_dedup_representatives", "doc_duplicated_spans",
-    "doc_duplication_stats", "doc_exact_dedup", "doc_gopher_quality",
-    "doc_language_id", "doc_mixture_splits", "doc_repetition_stats",
-    "doc_scrub_pii", "doc_source_caps", "doc_text_stats",
-    "doc_token_counts", "doc_token_packing", "doc_winnow_overlap_pairs",
-    
-    # -- deferred slice of the r15 tier (17 lanes, positions 51+):
-    #    deadline r19 — front the r19 window. --
-    "docs_zorder_pruned_scan",
-    "emb_ivf_recall_report", "emb_ivfsq8_stream_topk",
-    "emb_matryoshka_indexed_topk", "emb_matryoshka_ivf_topk",
-    "emb_mmr_diversified_topk", "emb_mmr_ivf_topk", "events_daily_rolling",
-    "events_resample_ffill", "events_stateful_sessions",
-    "events_stream_matview_ingest", "multimodal_features",
-    "orders_analytic_windows", "orders_price_quantiles",
-    "part_scd2_from_cdf_replay", "part_stats_skipping_scan",
-    "part_string_functions", "scd2_part_dim_deletes",
-    # -- no-oracle lanes (rows-only driver rows r16; exact oracles are
-    #    the dual-SF pytest suite — ride the r19 window, deadline r20) --
-    "events_approx_distinct", "events_approx_quantiles",
-    # -- last hash row r16 (rotate in at r19/r20) --
-    "customer_change_hash", "customer_filter_segment",
-    "customer_segment_count", "doc_adaptive_quality_filter",
-    "doc_boilerplate_removal", "emb_cosine_dedup_pairs", "emb_cosine_topk",
-    "emb_int8_quantize_error", "emb_ivf_drift_report",
-    "emb_ivf_kmeans_topk", "emb_ivf_topk", "emb_ivfpq_indexed_topk",
-    "emb_ivfpq_residual_topk", "emb_ivfpq_stream_topk", "emb_ivfpq_topk",
-    "emb_lsh_indexed_topk", "emb_lsh_multitable_topk", "emb_lsh_topk",
-    "emb_semantic_dedup", "emb_sq8_indexed_topk", "emb_top_pc_projection",
-    "events_asof_join", "events_cohort_retention", "events_funnel_stages",
-    "events_generated_partition_scan", "events_hourly_ohlc",
-    "events_hourly_windows", "events_range_join_agg",
-    "events_recluster_hilbert_scan", "events_recluster_zorder_scan",
-    "events_session_windows", "events_sliding_windows",
-    "events_variant_props", "orders_status_priority_cube",
-    "orders_year_priority_pivot", "scd1_customer_dim",
-    "scd1_customer_dim_sql", "scd2_part_dim",
-    # -- last hash row r17 (freshest — rotate back in later rounds) --
-    "customer_dim_schema_evolution", "customer_set_ops",
-    "doc_cross_corpus_dedup", "doc_curation_pipeline",
-    "doc_dedup_keep_best", "doc_hybrid_search_rrf",
-    "doc_leakage_safe_splits", "doc_lm_fluency", "doc_minhash_dedup_pairs",
-    "doc_ngram_jaccard_pairs", "doc_quality_classifier",
-    "doc_sentences_udtf", "doc_simhash_poly_pairs",
-    "doc_stream_dedup_ingest", "doc_temperature_mixture",
-    "doc_token_budget_epochs", "emb_chunk_mean_pool",
-    "emb_ivf_indexed_topk", "emb_ivfbq_indexed_topk",
-    "emb_ivfsq8_indexed_topk", "emb_pq_indexed_topk",
-    "emb_semantic_decontamination", "events_json_props",
-    "events_json_rescue_ingest", "events_stream_counter_ingest",
-    "events_stream_static_enrich", "events_stream_stream_join",
-    "lineitem_pricing_summary", "order_fact_upsert",
-    "orders_bucketed_colocated_join", "orders_grouping_sets",
-    "orders_shipping_priority", "part_bloom_skipping_scan",
-    "part_cdf_changes", "part_cdf_changes_percommit",
-    "part_dml_update_delete_cdf", "part_dv_delete_scan",
-    "part_matview_incremental", "part_merge_dv_scan",
-    "part_optimize_compacted_scan", "part_optimize_partitions_scan",
-    "part_replace_partitions", "part_type_token_count",
-    "regional_nation_revenue",
+    "orders_unpivot_metrics", "orders_year_windows",
+    "part_brand_upper_udf", "part_clone_divergence",
+    "part_convert_in_place_scan", "part_discount_udf",
+    "part_distinct_aggs", "part_merge_versioned_txn",
+    "part_rename_column_scan", "part_time_travel_diff",
 ]
 
 def ordered_queries() -> dict:

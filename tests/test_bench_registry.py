@@ -125,27 +125,42 @@ def test_every_query_has_oracle_or_documented_weak_check():
 #: a changed lane always gets a fresh driver hash regardless of
 #: staleness).  Maintained alongside CORRECTNESS_PRIORITY each round.
 CHANGED_THIS_ROUND = {
-    # r18 (VERDICT r17 asks #2/#3/#6 + all five r17 ADVICE items): the
-    # versioned log gains a files-checkpoint (replay = newest checkpoint
-    # + suffix entries; CONVERT writes v0 through it) — every versioned
-    # read rides the new replay, represented by the time-travel, txn and
-    # convert lanes; clone_table validates manifest-mode version= and
-    # resolves property carry-over as-of the pinned version; the
-    # maintenance sweep's decide_table normalizes snapshot_refs keys;
-    # the clustering-aware compaction sort is under quiet-box
-    # adjudication (ask #2) and may change.
-    "part_time_travel_diff", "part_merge_versioned_txn",
-    "part_convert_in_place_scan", "part_clone_divergence",
-    "docs_recluster_sorted_scan", "events_recluster_incremental_scan",
-    # NEW lane (r18): column-mapping ALTERs
-    "part_rename_column_scan",
+    # r19 (VERDICT r18 asks #3/#4/#5/#7/#8 + r18 ADVICE): grouped_topk's
+    # double exchange is fused and the SQ8/BQ stat memo caches removed —
+    # every similarity-family lane rides the changed code (grouped_topk
+    # merges every ANN shortlist; mmr's checkpoint goes back eager;
+    # _spread drops its .rdd probe); the multi-commit maintenance lanes
+    # gain overlapped independent jobs; doc_sentences_udtf tries the
+    # Arrow UDTF path.
+    "emb_cosine_topk", "emb_sq8_indexed_topk", "emb_lsh_topk",
+    "emb_lsh_multitable_topk", "emb_ivf_topk", "emb_ivf_indexed_topk",
+    "emb_lsh_indexed_topk", "emb_cosine_dedup_pairs", "emb_semantic_dedup",
+    "emb_top_pc_projection", "emb_chunk_mean_pool", "emb_ivfpq_topk",
+    "emb_ivfpq_residual_topk", "emb_ivfpq_indexed_topk",
+    "emb_ivfpq_stream_topk", "emb_pq_indexed_topk",
+    "emb_ivfsq8_indexed_topk", "emb_matryoshka_ivf_topk",
+    "emb_ivfsq8_stream_topk", "emb_matryoshka_indexed_topk",
+    "emb_ivfbq_indexed_topk", "emb_mmr_diversified_topk",
+    "emb_mmr_ivf_topk", "emb_semantic_decontamination",
+    "emb_ivf_recall_report", "emb_ivf_drift_report",
+    "emb_int8_quantize_error", "emb_ivf_kmeans_topk",
+    "part_matview_incremental", "events_recluster_incremental_scan",
+    "events_recluster_hilbert_scan", "events_recluster_zorder_scan",
+    "docs_recluster_sorted_scan", "scd2_part_dim_deletes",
+    "doc_sentences_udtf",
 }
 
 #: Fresh lanes the VERDICT explicitly asked to front this round
 #: despite a recent hash row.  NOT squatters: the squatter test excuses
 #: exactly this named set, and the set is re-derived from the verdict
-#: each round (empty when no ask stands — r18: no fronting ask).
-VERDICT_FRONTED = set()
+#: each round (empty when no ask stands).  r19: VERDICT r18 ask #1 —
+#: the r18 similarity/dedup/merge_dv rewrite landed with ZERO emb lanes
+#: in the r18 oracle window, so the rewritten lanes must front r19
+#: regardless of their (pre-rewrite) r17 hash rows.
+VERDICT_FRONTED = {
+    "doc_dedup_keep_best", "doc_dedup_representatives",
+    "doc_leakage_safe_splits", "part_merge_dv_scan",
+}
 
 _CHANGED_R16 = {
     # r16 (VERDICT r15 asks #3/#4/#6 + all five ADVICE items):
