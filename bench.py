@@ -555,8 +555,17 @@ def main() -> None:
     detail_line, summary_line = render_output(
         timings, sf, errors=errors, cpu=cpu_timings, warnings=warnings
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_QUERIES.json"), "w") as fh:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as fh:
+        fh.write(detail_line + "\n")
+    # ALSO write a per-core-count copy (r19, VERDICT r18 ask #6): the
+    # driver's 8-core scaling run overwrites BENCH_QUERIES.json after
+    # its 32-core run, which blanked PERF_r18's per-query comparison
+    # (n_common: 0).  Additions-only: the legacy file keeps its exact
+    # behavior for driver compatibility; the suffixed copy preserves
+    # each core count's detail side by side.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    with open(os.path.join(here, f"BENCH_QUERIES_c{cpus}.json"), "w") as fh:
         fh.write(detail_line + "\n")
     print(detail_line)
     print(summary_line)

@@ -23,7 +23,7 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark import (  #
     workload,
 )
 
-ROUND_DIR = "r18"
+ROUND_DIR = "r19"
 
 
 def main() -> None:
