@@ -61,12 +61,161 @@ def _spread(df: DataFrame) -> DataFrame:
     branch — the guard is scale-adaptive, never a fixed local constant.
     Applied only to Catalyst-expression paths: Arrow-kernel paths
     (PQ encode/ADC) prefer fewer, larger batches at this row count and
-    are deliberately NOT spread."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
+    are deliberately NOT spread.
+
+    The probe is metadata-only (r19, ADVICE r18 #3): the r18 version
+    read ``df.rdd.getNumPartitions()``, which forces full physical
+    planning on every call (and would execute AQE query stages if a
+    caller ever passed a frame with exchanges).  Scan parallelism is
+    instead estimated the way Spark's own file-split packing does:
+    ``max(#files, bytes / maxPartitionBytes)`` from the analyzed file
+    index and logical stats — no physical plan, no job.  Callers pass
+    file-backed frames (projections over a parquet load); a frame with
+    no input files (e.g. a local relation) reports 0 files / tiny
+    stats and takes the repartition branch, which is the safe side."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if n_files >= p:
+        return df
+    max_split = int(
+        spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+    )
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if max(n_files, size // max_split) >= p:
         return df
     return df.repartition(p)
+
+
+def _make_partition_topk_kernel(k: int, is_float: bool, group_name: str):
+    """Arrow kernel for :func:`grouped_topk` phase 1: per-(input
+    partition, group) top-k candidate selection with NO exchange.
+
+    Receives the whole partition as Arrow batches of exactly
+    ``(group, id, score)`` (the caller projects first — guide §4.1) and
+    emits one row per group present in the partition:
+    ``(group, __cands)`` where ``__cands`` is the ≤k best candidate
+    structs ``(__nanfirst, __negscore, __id)`` under the family's total
+    order (nanfirst asc, negscore asc, id asc) — the same structs the
+    old JVM phase 1 emitted, so the phase-2 merge is unchanged and the
+    selected SET is identical:
+
+    * ``__nanfirst``: 0 = NaN score, 1 = real, 2 = NULL (computed here
+      exactly as the old Catalyst ``when`` chain).
+    * ``__negscore``: ``pyarrow.compute.negate`` of the INPUT score
+      array — an IEEE sign flip for floats, two's-complement negation
+      for ints, nulls preserved — bit-identical to Catalyst's ``-col``.
+    * ``__id``: ``take`` of the input id array — value and type
+      untouched.
+
+    Selection order inside the kernel: NaN negscores only occur in the
+    nanfirst=0 class (every member NaN, so the id tiebreak decides —
+    ``np.lexsort``'s stable passes preserve the id order through the
+    all-NaN key); NULL scores land in class 2 with a constant sort key
+    (the id tiebreak decides, matching the JVM struct sort where every
+    class-2 ``__negscore`` is NULL).  Precondition (shared with the old
+    phase 1's documented contract): ids are non-null — a null id would
+    sort NULLS FIRST in the JVM struct order but last here, which can
+    only matter on an exact score tie at the k boundary against a null
+    id, a row no registered corpus produces.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        n = tbl.num_rows
+        if n == 0:
+            return
+        g_arr = tbl.column(0).combine_chunks()
+        id_arr = tbl.column(1).combine_chunks()
+        s_arr = tbl.column(2).combine_chunks()
+
+        null_mask = pc.is_null(s_arr).to_numpy(zero_copy_only=False)
+        nanfirst = np.ones(n, dtype=np.int32)
+        if is_float:
+            s_np = s_arr.to_numpy(zero_copy_only=False)  # nulls -> NaN
+            negkey = -s_np.astype(np.float64, copy=False)
+            nanfirst[np.isnan(s_np)] = 0
+            if null_mask.any():
+                # class-2 rows need only a CONSTANT key (the JVM struct
+                # sort sees NULL there); 0.0 keeps the id tiebreak in
+                # charge without leaking NaN into the sort.
+                negkey = np.where(null_mask, 0.0, negkey)
+        else:
+            # integer scores: negate in the native width (wraps like
+            # Java); no float64 key, which would lose >2^53 precision.
+            s_np = s_arr.fill_null(0).to_numpy(zero_copy_only=False)
+            negkey = -s_np
+        nanfirst[null_mask] = 2
+
+        # Group codes via Arrow dictionary_encode (C++; first-appearance
+        # indices — any deterministic group keying works, only the
+        # SEGMENTATION matters) instead of pandas factorize, and the
+        # 4-key sort via Arrow sort_indices (C++; native string/id
+        # comparisons) instead of np.lexsort over object arrays —
+        # string-keyed callers (bm25/rrf) paid ~2x kernel time on the
+        # Python-object path.  null_placement="at_start" gives null ids
+        # the JVM struct sort's NULLS FIRST; NaN negkeys only occur in
+        # the nanfirst=0 class where every row is NaN (Arrow sorts NaN
+        # after reals, before nulls — irrelevant inside an all-NaN
+        # class, the id key decides).  Ties beyond all four keys are
+        # bit-identical candidates, so sort stability is immaterial.
+        codes = pc.fill_null(pc.dictionary_encode(g_arr).indices, -1)
+        sort_tbl = pa.table(
+            {
+                "g": codes,
+                "nf": pa.array(nanfirst),
+                "neg": pa.array(negkey),
+                "id": id_arr,
+            }
+        )
+        order = pc.sort_indices(
+            sort_tbl,
+            sort_keys=[
+                ("g", "ascending"),
+                ("nf", "ascending"),
+                ("neg", "ascending"),
+                ("id", "ascending"),
+            ],
+            null_placement="at_start",
+        ).to_numpy(zero_copy_only=False)
+        codes_sorted = codes.to_numpy(zero_copy_only=False)[order]
+        flags = np.empty(n, dtype=bool)
+        flags[0] = True
+        np.not_equal(codes_sorted[1:], codes_sorted[:-1], out=flags[1:])
+        starts = np.flatnonzero(flags)
+        seg_id = np.cumsum(flags) - 1
+        pos = np.arange(n) - starts[seg_id]
+        keep = pos < k
+        sel = order[keep]
+
+        take_sel = pa.array(sel, type=pa.int64())
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(nanfirst[sel], type=pa.int32()),
+                pc.negate(s_arr.take(take_sel)),
+                id_arr.take(take_sel),
+            ],
+            names=["__nanfirst", "__negscore", "__id"],
+        )
+        seg_lens = np.diff(np.append(starts, n))
+        kept_counts = np.minimum(seg_lens, k)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        )
+        cands = pa.ListArray.from_arrays(offsets, struct)
+        groups_out = g_arr.take(pa.array(order[starts], type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(
+            [groups_out, cands], names=[group_name, "__cands"]
+        )
+
+    return kernel
 
 
 def grouped_topk(
@@ -78,49 +227,68 @@ def grouped_topk(
 ) -> DataFrame:
     """Two-phase per-group top-k over a scored relation.
 
-    Phase 1 groups by ``(group, spark_partition_id)`` — every group is
-    wholly contained in one input partition, so the partial hash aggregate
-    finishes each group map-side and the exchange carries only
-    ``partitions × groups × k`` candidate rows.  Phase 2 merges the
-    per-partition candidate arrays and re-slices to the global top k.
+    Phase 1 computes each input partition's per-group top-k WITHOUT an
+    exchange (r19, VERDICT r18 ask #4 / guide §2.3 "aggregate before
+    you shuffle"): a ``mapInArrow`` kernel over the scorer's existing
+    partitioning selects the ≤k best candidates per (partition, group)
+    — every group's rows for a given partition are by definition wholly
+    inside it — so the ONE exchange of phase 2 carries only
+    ``partitions × groups × k`` candidate rows.  The r18 shape
+    (``groupBy(group, spark_partition_id())``) had the same intent but
+    its exchange shipped the full ``collect_list`` partial buffers —
+    every scored row — plus a second merge exchange: 2 Exchanges and
+    the N×Q bytes, now 1 Exchange and the k-bounded rows.  Phase 2
+    merges the per-partition candidate arrays and re-slices to the
+    global top k, exactly as before.
 
     Contrast with ``row_number().over(Window.partitionBy(group))``: the
     window's exchange moves *every* scored row.  For a brute-force scorer
     that is the full N×Q cross product — a scale-killer at 100 TB, and the
-    reason this helper exists.  Selection only (``collect_list`` /
-    ``array_sort`` / ``slice``): score values are never recomputed, so
-    bit-exactness vs the oracle is preserved.  Ordering is
-    (score desc, id asc) via a negated-score struct key; float negation is
-    a sign-bit flip, so un-negating restores the exact value.  NaN scores
-    (e.g. a zero-norm vector's cosine) get an explicit leading sort key:
-    Spark/DuckDB ``ORDER BY score DESC`` treats NaN as greatest, but
-    negation leaves NaN as NaN (``array_sort`` puts it last), so without
-    the flag a NaN row would rank opposite to the oracle.
+    reason this helper exists.  Selection only: score values are never
+    recomputed — ``__negscore`` is an IEEE sign flip of the input score
+    (Arrow ``negate``, bit-identical to Catalyst's ``-col``), un-negated
+    in the final projection, so bit-exactness vs the oracle is
+    preserved.  Ordering is (score desc, id asc) via the negated-score
+    struct key.  NaN scores (e.g. a zero-norm vector's cosine) get an
+    explicit leading sort key: Spark/DuckDB ``ORDER BY score DESC``
+    treats NaN as greatest, but negation leaves NaN as NaN
+    (``array_sort`` puts it last), so without the flag a NaN row would
+    rank opposite to the oracle; NULL scores rank last (class 2), as
+    ``ORDER BY DESC`` NULLS LAST does.  The kernel ships only the three
+    ``(group, id, score)`` columns across the Python boundary (§4.1)
+    and its per-partition state is the same candidate set the JVM hash
+    aggregate held.
 
     Output: ``(group, id, score, rank)`` with rank 1..k.
     """
     is_float = dict(scored.dtypes).get(score_col) in ("float", "double")
-    # Three-way leading key: 0 = NaN (ORDER BY DESC ranks NaN greatest),
-    # 1 = real value, 2 = NULL (ORDER BY DESC default is NULLS LAST; the
-    # struct's ascending sort is NULLS FIRST on __negscore, which would
-    # otherwise let a NULL score — e.g. a null embedding — outrank every
-    # real score and diverge from the oracle).
-    if is_float:
-        nan_first = (
-            F.when(F.col(score_col).isNull(), F.lit(2))
-            .when(F.isnan(F.col(score_col)), F.lit(0))
-            .otherwise(F.lit(1))
-        )
-    else:
-        nan_first = F.when(F.col(score_col).isNull(), F.lit(2)).otherwise(F.lit(1))
-    cand = F.struct(
-        nan_first.alias("__nanfirst"),
-        (-F.col(score_col)).alias("__negscore"),
-        F.col(id_col).alias("__id"),
+    proj = scored.select(group_col, id_col, score_col)
+    sch = proj.schema
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            sch[group_col],
+            T.StructField(
+                "__cands",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("__nanfirst", T.IntegerType(), False),
+                            T.StructField(
+                                "__negscore", sch[score_col].dataType, True
+                            ),
+                            T.StructField("__id", sch[id_col].dataType, True),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
     )
-    partial = scored.groupBy(
-        group_col, F.spark_partition_id().alias("__pid")
-    ).agg(F.slice(F.array_sort(F.collect_list(cand)), 1, k).alias("__cands"))
+    partial = proj.mapInArrow(
+        _make_partition_topk_kernel(k, is_float, group_col), out_schema
+    )
     merged = partial.groupBy(group_col).agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("__cands"))), 1, k
@@ -807,7 +975,16 @@ def ivf_topk_against_index(
     ``pivot_id IN (...)`` predicate that prunes at the partition level:
     un-probed lists contribute zero scan tasks, so query cost scales with
     nprobe/P of the corpus, not the corpus.  Scoring and ranking are the
-    in-memory ``ivf_topk`` path verbatim (same tie-breaks)."""
+    in-memory ``ivf_topk`` path verbatim (same tie-breaks).
+
+    Precondition (ADVICE r18 #2): the ``queries`` plan must be
+    DETERMINISTIC — its probe assignment is collected once for the
+    partition-pruning predicate while the scoring side recomputes it
+    lazily, and a nondeterministic query source (e.g. a fresh
+    ``rand()`` column) could assign to pivots outside the collected
+    set and silently lose candidates.  Every registered lane feeds
+    deterministic parquet-derived query batches.
+    """
     import json
     import os
 
@@ -1986,7 +2163,16 @@ def ivfpq_topk_against_index(
     pivots, per-(query, probed-list) residual LUTs broadcast, ADC scores
     the pruned code rows, and the exact re-rank touches the vectors file
     for queries × shortlist rows only.  Bit-identical to the in-memory
-    :func:`ivfpq_residual_topk` under the same quantizer/codebooks."""
+    :func:`ivfpq_residual_topk` under the same quantizer/codebooks.
+
+    Precondition (ADVICE r18 #2): the ``queries`` plan must be
+    DETERMINISTIC — its probe assignment is collected once for the
+    partition-pruning predicate while the scoring side recomputes it
+    lazily, and a nondeterministic query source (e.g. a fresh
+    ``rand()`` column) could assign to pivots outside the collected
+    set and silently lose candidates.  Every registered lane feeds
+    deterministic parquet-derived query batches.
+    """
     import json
     import os
 
@@ -2808,7 +2994,16 @@ def ivfsq8_topk_against_index(
     vectors file for queries × shortlist rows only.  Bit-identical to
     the in-memory :func:`ivfsq8_topk` under the manifest's frozen
     stats + pivots; tombstoned ids stop ranking immediately and
-    replayed appends dedup at both the code and vector reads."""
+    replayed appends dedup at both the code and vector reads.
+
+    Precondition (ADVICE r18 #2): the ``queries`` plan must be
+    DETERMINISTIC — its probe assignment is collected once for the
+    partition-pruning predicate while the scoring side recomputes it
+    lazily, and a nondeterministic query source (e.g. a fresh
+    ``rand()`` column) could assign to pivots outside the collected
+    set and silently lose candidates.  Every registered lane feeds
+    deterministic parquet-derived query batches.
+    """
     import os
 
     meta = _read_ivfsq8_meta(index_path)
@@ -3055,7 +3250,16 @@ def matryoshka_topk_against_index(
     for queries × shortlist rows only.  Bit-identical to the in-memory
     :func:`matryoshka_ivf_topk` under the manifest's frozen
     prefix_dims + pivots; tombstoned ids stop ranking immediately and
-    replayed appends dedup at both reads."""
+    replayed appends dedup at both reads.
+
+    Precondition (ADVICE r18 #2): the ``queries`` plan must be
+    DETERMINISTIC — its probe assignment is collected once for the
+    partition-pruning predicate while the scoring side recomputes it
+    lazily, and a nondeterministic query source (e.g. a fresh
+    ``rand()`` column) could assign to pivots outside the collected
+    set and silently lose candidates.  Every registered lane feeds
+    deterministic parquet-derived query batches.
+    """
     import os
 
     meta = _read_matryoshka_meta(index_path)
@@ -3432,7 +3636,16 @@ def ivfbq_topk_against_index(
     file for queries × shortlist rows only.  Bit-identical to the
     in-memory :func:`ivfbq_topk` under the manifest's frozen
     thresholds + pivots; tombstoned ids stop ranking immediately and
-    replayed appends dedup at both the code and vector reads."""
+    replayed appends dedup at both the code and vector reads.
+
+    Precondition (ADVICE r18 #2): the ``queries`` plan must be
+    DETERMINISTIC — its probe assignment is collected once for the
+    partition-pruning predicate while the scoring side recomputes it
+    lazily, and a nondeterministic query source (e.g. a fresh
+    ``rand()`` column) could assign to pivots outside the collected
+    set and silently lose candidates.  Every registered lane feeds
+    deterministic parquet-derived query batches.
+    """
     import os
 
     meta = _read_ivfbq_meta(index_path)
@@ -3608,7 +3821,15 @@ def mmr_topk(
     # left lazy, Catalyst re-runs the corpus-sized pool scan 3× (measured
     # 3× the cosine lane at sf0.1).  It is queries × pool rows (bounded
     # by contract), so materialize it once and truncate lineage.
-    pe = pe.localCheckpoint(eager=False)  # lazy: same barrier, folds into the first consuming job (r18)
+    # EAGER, deliberately (r19, ADVICE r18 #4): pe feeds BOTH sides of
+    # the following self-join; with a lazy checkpoint the first
+    # consuming job's concurrent tasks from the two scan branches can
+    # each recompute pe's partitions before blocks land in the block
+    # manager — partially re-admitting the multi-scan recompute this
+    # checkpoint exists to prevent (30 s vs 4 s when it was first
+    # added).  The standalone materialization job is queries × pool
+    # rows — cheap relative to that risk.
+    pe = pe.localCheckpoint(eager=True)
     a = pe.select(
         F.col(query_id_col),
         F.col(id_col).alias("__a"),

@@ -111,11 +111,13 @@ def test_bm25_plan_has_no_joins_and_one_exchange(spark):
         search.bm25_topk(docs, qt)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # scoring is fully map-side over the checkpointed index: no join of any
-    # kind; the only exchanges are the two-phase top-k's, which carry
-    # k-sized candidate arrays, never the scored corpus
+    # scoring is fully map-side over the checkpointed index: no join of
+    # any kind; the ONLY exchange is the top-k merge, fed k-bounded
+    # per-partition candidates by the Arrow partial top-k (r19 fusion —
+    # the r18 shape paid a second exchange of full collect_list buffers)
     assert "Join" not in plan
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") == 1
+    assert "MapInArrow" in plan
 
 
 def test_grouped_topk_nan_ranks_first_like_desc_order(spark):
@@ -160,6 +162,55 @@ def test_grouped_topk_null_ranks_last_like_desc_order(spark):
     out2 = similarity.grouped_topk(scored_int, "query_id", "vec_id", 3)
     ranked2 = {r["rank"]: r["vec_id"] for r in out2.collect()}
     assert ranked2 == {1: 3, 2: 1, 3: 2}
+
+
+def test_grouped_topk_partition_partial_matches_global_order(spark):
+    """r19 fusion guard: the Arrow per-partition partial top-k must
+    select the same global winners as a single-partition run whatever
+    the input partitioning — the k boundary falls differently inside
+    each partition, so any selection-order divergence (ties, NaN, NULL,
+    string ids, float32 scores) shows up as a different merged set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
+        similarity,
+    )
+
+    rows = []
+    for q in ("qa", "qb", None):
+        for i in range(40):
+            # heavy score ties (only 5 distinct values) force the id
+            # tiebreak at the k boundary in every partition
+            rows.append((q, i, float(i % 5)))
+        rows.append((q, 98, float("nan")))
+        rows.append((q, 99, None))
+    df1 = spark.createDataFrame(rows, "g string, id int, s double")
+
+    def runs(df):
+        out = similarity.grouped_topk(df, "g", "id", 7, score_col="s")
+        key = lambda r: ((r["g"] is None, r["g"]), r["rank"])  # noqa: E731
+        return [
+            (r["g"], r["id"],
+             "nan" if r["s"] is not None and math.isnan(r["s"]) else r["s"],
+             r["rank"])
+            for r in sorted(out.collect(), key=key)
+        ]
+
+    single = runs(df1.coalesce(1))
+    for n in (3, 8, 17):
+        assert runs(df1.repartition(n)) == single, f"diverged at {n} partitions"
+
+    # float32 scores and string ids keep their exact types and values
+    df2 = spark.createDataFrame(
+        [("q", "a", 0.25), ("q", "b", 0.25), ("q", "c", 0.5)],
+        "g string, id string, s double",
+    ).withColumn("s", F.col("s").cast("float"))
+    out2 = similarity.grouped_topk(df2.repartition(2), "g", "id", 2,
+                                   score_col="s")
+    assert dict(out2.select("rank", "id").collect()) == {1: "c", 2: "a"}
+    assert dict(out2.dtypes)["s"] == "float"
 
 
 def test_int8_quantize_error_bound(spark):
