@@ -203,7 +203,15 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
         contrib = sign if kind == "count" else sign * F.col(col)
         delta_aggs.append(F.sum(contrib).alias(f"__d_{out}"))
     deltas = changes.groupBy(*group_cols).agg(*delta_aggs)
-    n_groups = deltas.count()  # bounded by affected groups; drives the summary
+    # The affected-groups summary count is independent of the view
+    # commit (it reads only the base CDF; the commit writes the view
+    # dir), so overlap the two jobs from a driver thread (guide §2.6)
+    # instead of serializing a full CDF-aggregation pass before the
+    # commit's own — r19, VERDICT r18 ask #5.
+    from concurrent.futures import ThreadPoolExecutor
+
+    count_pool = ThreadPoolExecutor(max_workers=1)
+    n_groups_f = count_pool.submit(deltas.count)
 
     # null-safe fold (ADVICE r8): plain list-join equality never matches a
     # NULL group key against its own delta, leaving the standing NULL
@@ -220,7 +228,7 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
         F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
         for c in group_cols
     ]
-    old_schema = versioned.read_current(spark, view_path).schema
+    old_schema = old.schema  # the aliased frame's schema is unchanged
     for out, (kind, _col) in agg_specs.items():
         folded = F.coalesce(F.col(f"o.{out}"), F.lit(0)) + F.coalesce(
             F.col(f"d.__d_{out}"), F.lit(0)
@@ -228,9 +236,13 @@ def refresh(spark: SparkSession, view_path: str, now: float | None = None) -> di
         out_cols.append(folded.cast(old_schema[out].dataType).alias(out))
     new_mv = merged.select(*out_cols).where(F.col(count_cols[0]) > 0)
 
-    versioned.overwrite_versioned(
-        new_mv, view_path, now=now, operation="MV_REFRESH",
-        metadata={"base_version": cur_v},
-    )
+    try:
+        versioned.overwrite_versioned(
+            new_mv, view_path, now=now, operation="MV_REFRESH",
+            metadata={"base_version": cur_v},
+        )
+        n_groups = n_groups_f.result()
+    finally:
+        count_pool.shutdown(wait=True)
     _write_meta(view_path, {**meta, "base_version": cur_v})
     return {"refreshed": True, "base_version": cur_v, "affected_groups": n_groups}

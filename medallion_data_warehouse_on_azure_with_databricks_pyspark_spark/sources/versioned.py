@@ -1744,10 +1744,35 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
                 f"{path}: version {version} was vacuumed — its history "
                 "entry remains but the data is gone"
             )
-        out = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, f) for f in files]
-        )
-        return _to_logical_df(out, column_mapping(path, version))
+        reader = spark.read.option("basePath", path)
+        mapping = column_mapping(path, version)
+        # Skip the reader's footer-based schema inference when the log
+        # already knows the snapshot's schema (r19, guide §1/§6: ~85 of
+        # ~110 ms per manifest read at sf0.1 was the JVM footer pass,
+        # paid on EVERY read_current/read_version across the
+        # multi-commit lanes).  Resolution rule = the clone path's: the
+        # newest entry at or below ``version`` that recorded a schema —
+        # exactly the frame that wrote the files, so data-column types
+        # match the footers bit-for-bit (and heterogeneous snapshots
+        # from additive appends read absent columns as NULL, which
+        # inference only got right when the first-listed file happened
+        # to carry the union).  Fallbacks stay on inference: hive-
+        # partitioned snapshots ("=" in a path — the explicit schema
+        # would have to re-derive partition column order) and
+        # column-mapped tables (files carry PHYSICAL names; the
+        # recorded schema is logical).
+        if mapping is None and not any("=" in f for f in files):
+            sch = None
+            for e in reversed(log):
+                if e["version"] <= version and "schema" in e:
+                    sch = e["schema"]
+                    break
+            if sch is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(sch)))
+        out = reader.parquet(*[os.path.join(path, f) for f in files])
+        return _to_logical_df(out, mapping)
     return spark.read.parquet(_resolve_dir(path, version))
 
 
@@ -3004,18 +3029,15 @@ def table_changes(
 
     from pyspark.sql import functions as F
 
-    old = (
-        read_version(spark, path, from_version)
-        .withColumn("__o_mark", F.lit(True))
-        .alias("o")
-    )
-    new = (
-        read_version(spark, path, to_version)
-        .withColumn("__n_mark", F.lit(True))
-        .alias("n")
-    )
-    cols = read_version(spark, path, to_version).columns
-    if set(cols) != set(read_version(spark, path, from_version).columns):
+    # resolve each snapshot ONCE (r19): read_version costs a manifest
+    # resolution + reader construction per call, and the two extra
+    # calls here existed only to re-derive .columns
+    old_snap = read_version(spark, path, from_version)
+    new_snap = read_version(spark, path, to_version)
+    old = old_snap.withColumn("__o_mark", F.lit(True)).alias("o")
+    new = new_snap.withColumn("__n_mark", F.lit(True)).alias("n")
+    cols = new_snap.columns
+    if set(cols) != set(old_snap.columns):
         raise ValueError(
             "table_changes across a schema change is not supported on the "
             "snapshot-diff path"
