@@ -1136,6 +1136,12 @@ def lsh_multitable_topk(
     )
     if exclude_self:
         cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    # Corpus norms stay BEFORE the candidate join, deliberately (r19
+    # tried the post-join shape and reverted it at 1.08-1.12x): a
+    # corpus row is replicated once per matching (query, probe) after
+    # the join, so folding norms there computes them per PAIR —
+    # pre-join it is once per corpus row, and the fold rides the same
+    # scan that computes the buckets.
     c_vec = corpus.select(
         F.col(id_col), F.col(vec_col).alias("__cvec")
     ).withColumn("__cnorm", _norm(F.col("__cvec")))

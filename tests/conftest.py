@@ -96,7 +96,20 @@ def oracle():
 
 @pytest.fixture(
     scope="session",
-    params=ORACLE_SF_DIRS,
+    # The larger leg rides the opt-in `slow` tier (r19, VERDICT r18 ask
+    # #2) so the default selection fits the driver's verify budget; the
+    # sf0.001 leg keeps replaying EVERY oracle on every default run.
+    # An explicit SPARK_GRAFT_TEST_SF_DIR pin is operator intent and is
+    # never deferred.
+    params=[
+        pytest.param(
+            d,
+            marks=[pytest.mark.slow]
+            if _SF_ENV is None and d.endswith("sf0.01")
+            else [],
+        )
+        for d in ORACLE_SF_DIRS
+    ],
     ids=[os.path.basename(d) for d in ORACLE_SF_DIRS],
 )
 def oracle_sf_dir(request):

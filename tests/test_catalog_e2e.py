@@ -5,6 +5,8 @@ full notebook flow, minus Databricks)."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 
 from pyspark.sql import functions as F
@@ -26,6 +28,10 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming i
 
 SF = "/root/testdata/sf0.001"
 
+
+
+#: opt-in tier (pytest.ini): catalog end-to-end harness
+pytestmark = pytest.mark.slow
 
 def test_catalog_ddl_roundtrip(spark, tmp_path, storage_backend):
     from tests.conftest import assert_storage_layout

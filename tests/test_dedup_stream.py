@@ -3,6 +3,8 @@ index growth across batches (continuous-crawl semantics)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -19,6 +21,10 @@ BASE = (
     "whiskey xray yankee zulu one two three four five six seven eight nine"
 )
 
+
+
+#: opt-in tier (pytest.ini): checkpointed streaming-dedup e2e harness
+pytestmark = pytest.mark.slow
 
 def _variant(tail: str) -> str:
     # 35 shared leading tokens + a distinct tail ⇒ pairwise Jaccard ≈ 0.9

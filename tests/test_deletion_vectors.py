@@ -899,6 +899,7 @@ def test_dv_log_entry_write_is_atomic(tmp_path, monkeypatch):
     assert [e["tag"] for e in DV._dv_log_entries(t)] == ["tag0"]
 
 
+@pytest.mark.slow  # opt-in tier: fuzz/e2e (pytest.ini)
 def test_concurrent_disjoint_mutators_stress(spark, tmp_path):
     """End-to-end interleaving stress for the commute machinery: four
     threads run optimistic DV mutations on DISJOINT key slices of one

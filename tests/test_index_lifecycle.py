@@ -151,6 +151,7 @@ def test_ivf_compact_without_tombstones_is_bit_identical(spark, tmp_path):
 # LSH
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_lsh_delete_then_probe_and_compact(spark, tmp_path):
     from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.workload_llm import (
         _LSH_TABLES, _emb_queries,
@@ -216,6 +217,7 @@ def test_compact_unrecognized_manifest_raises(spark, tmp_path):
         index_maintenance.compact_index(spark, str(bad))
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_pq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
     """PQ artifact: index read path is bit-identical to the in-memory
     two-stage operator; append encodes with the STORED codebooks; delete
@@ -261,6 +263,7 @@ def test_pq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
     assert not os.path.isdir(os.path.join(path, "tombstones"))
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_ivfpq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
     """IVFADC artifact (residual codes hive-partitioned by list): read
     path is bit-identical to the in-memory residual operator under the
@@ -315,6 +318,7 @@ def test_ivfpq_index_matches_inmemory_and_lifecycle(spark, tmp_path):
     )
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_sq8_index_matches_inmemory_and_lifecycle(spark, tmp_path):
     """SQ8 artifact: index probe bit-identical to the in-memory two-stage
     operator under the manifest's frozen stats; append encodes with the

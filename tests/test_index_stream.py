@@ -5,6 +5,8 @@ append/delete path under the same frozen quantizer."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -21,6 +23,10 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming.i
 EMB = "/root/testdata/sf0.001/embeddings.parquet"
 SCHEMA = "vec_id long, embedding array<float>, op string"
 
+
+
+#: opt-in tier (pytest.ini): checkpointed streaming-ingest e2e harness
+pytestmark = pytest.mark.slow
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())

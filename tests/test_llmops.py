@@ -1384,6 +1384,7 @@ def test_ivfsq8_index_roundtrip_and_pruning(spark, tmp_path):
     assert similarity.ivf_pivots(emb).count() > 2  # pruning skipped lists
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_ivfsq8_index_append_frozen_stats_and_tombstone(spark, tmp_path):
     """Append assigns against the STORED pivots and encodes under the
     STORED mins/steps (no retrain — the standing codes stay valid), and a
@@ -1527,6 +1528,7 @@ def test_sq8_stats_empty_corpus_raises_clearly(spark):
         similarity.sq8_stats(empty)
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_matryoshka_index_roundtrip_pruning_and_lifecycle(spark, tmp_path):
     """The materialized prefix-IVF artifact must (a) reproduce the
     in-memory ANN-prefix lane bit-for-bit under the manifest's frozen
@@ -1685,6 +1687,7 @@ def test_ivfbq_recall_floor(spark):
     assert recall >= 0.40, recall
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_ivfbq_index_roundtrip_and_pruning(spark, tmp_path):
     """The materialized artifact must (a) reproduce the in-memory
     operator bit-for-bit under the manifest's frozen thresholds + pivots
@@ -1721,6 +1724,7 @@ def test_ivfbq_index_roundtrip_and_pruning(spark, tmp_path):
     assert similarity.ivf_pivots(emb).count() > 2  # pruning skipped lists
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_ivfbq_index_append_frozen_thresholds_and_tombstone(spark, tmp_path):
     """Append assigns against the STORED pivots and binarizes under the
     STORED thresholds (no retrain — standing codes stay valid), a
@@ -1967,6 +1971,7 @@ def test_drift_report_no_drift_reports_parity(spark):
         assert rows[("recall_hits_stale", q)] == rows[("recall_hits_fresh", q)]
 
 
+@pytest.mark.slow  # opt-in tier: index-lifecycle e2e (pytest.ini)
 def test_index_drift_report_detects_append_drift_and_rebuild_heals(spark, tmp_path):
     """The artifact-level wrapper: append a shifted cluster under frozen
     pivots -> the report shows the recall gap; rebuild -> parity."""

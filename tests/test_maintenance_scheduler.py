@@ -643,6 +643,7 @@ def test_decide_table_never_retriggers_on_pinned_history():
     ) == "vacuum"
 
 
+@pytest.mark.slow  # opt-in tier: fuzz/e2e (pytest.ini)
 def test_maintain_cli_declare_then_table_sweep(spark, tmp_path):
     """r16: one CLI invocation declares CLUSTER BY on a string-keyed
     table and the SAME sweep's --table leg auto-discovers it — the ops
@@ -690,6 +691,7 @@ def test_maintain_cli_declare_then_table_sweep(spark, tmp_path):
     assert meta["curve"] == "sorted" and meta["incremental"] is True
 
 
+@pytest.mark.slow  # opt-in tier: fuzz/e2e (pytest.ini)
 def test_maintain_cli_dry_run_and_sweep(spark, tmp_path):
     """tools/maintain.py: --dry-run decides without dispatching; the real
     sweep acts; exit codes reflect actuator errors."""

@@ -5,6 +5,8 @@ view == full recompute after every batch, refreshes are incremental
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -18,6 +20,10 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming.m
 
 SCHEMA = "id long, g string, v long, op string, seq long"
 
+
+
+#: opt-in tier (pytest.ini): checkpointed streaming-matview e2e harness
+pytestmark = pytest.mark.slow
 
 def _one_file(df, src, name):
     df.coalesce(1).write.parquet(f"{src}/tmp_{name}", mode="overwrite")

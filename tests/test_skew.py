@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.operators import (
@@ -288,6 +290,7 @@ def test_sub_sharded_range_window_strict_rejects_narrow_spans(spark):
         )
 
 
+@pytest.mark.slow  # opt-in tier: fuzz/e2e (pytest.ini)
 def test_sub_sharded_window_randomized_parity(spark):
     """Seeded randomized sweep: sharded == plain across random sizes,
     lookbacks, shard counts, duplicate timestamps, and negative values —

@@ -5,6 +5,8 @@ actually select the provider on the registered query."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 from unittest import mock
 
@@ -15,6 +17,10 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.streaming i
     stateful,
 )
 
+
+
+#: opt-in tier (pytest.ini): state-store provider e2e harness
+pytestmark = pytest.mark.slow
 
 def _sessions(spark, sf_dir):
     rows = workload.QUERIES["events_stateful_sessions"](spark, sf_dir).collect()

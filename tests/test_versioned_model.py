@@ -30,6 +30,10 @@ from medallion_data_warehouse_on_azure_with_databricks_pyspark_spark.sources imp
 )
 
 
+
+#: opt-in tier (pytest.ini): randomized model-based op-sequence fuzz
+pytestmark = pytest.mark.slow
+
 def _rows(rng: random.Random, n: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1000), rng.randrange(10**6)) for _ in range(n)]
 
