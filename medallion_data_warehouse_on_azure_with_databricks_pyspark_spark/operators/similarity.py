@@ -1563,25 +1563,30 @@ def pq_codebooks_kmeans(
             < F.lit(int(sample_fraction * 1_000_000))
         )
     for _ in range(iters):
-        assign = vecs.select(
-            F.col(id_col),
-            F.posexplode(_pq_codes_kernel(books)(F.col("__v"))).alias(
-                "__m", "__k"
-            ),
-        )
+        # One pass, no join (r19, guide §2.4): the subspace code for an
+        # exploded dimension is just ``codes[__dim div d]`` off the SAME
+        # row — the previous shape posexploded assignment and dims
+        # separately and shuffle-joined N×dim rows back to N×M rows per
+        # iteration.  The Arrow codes kernel still evaluates once per
+        # input row (materialized by its ArrowEvalPython node BEFORE
+        # the Generate — the r18 double-evaluation lesson); sums group
+        # by the identical (m, k, j) cells, so every fixed-point mean
+        # is bit-identical to the joined form.
         dims = vecs.select(
-            F.col(id_col), F.posexplode("__v").alias("__dim", "__val")
+            _pq_codes_kernel(books)(F.col("__v")).alias("__codes"),
+            F.posexplode("__v").alias("__dim", "__val"),
         ).select(
-            id_col,
             (F.col("__dim") / d).cast("int").alias("__m"),
+            F.element_at(
+                "__codes", (F.col("__dim") / d).cast("int") + 1
+            ).alias("__k"),
             (F.col("__dim") % d).alias("__j"),
             F.floor(
                 F.col("__val").cast("double") * F.lit(_PQ_FIXED_POINT)
             ).alias("__q"),
         )
         means = (
-            dims.join(assign, [id_col, "__m"])
-            .groupBy("__m", "__k", "__j")
+            dims.groupBy("__m", "__k", "__j")
             .agg(F.sum("__q").alias("s"), F.count("*").alias("n"))
             .select(
                 "__m", "__k", "__j",
